@@ -1,0 +1,522 @@
+"""Code-aware tokenizers, re-implemented from scratch against the reference
+engine's observable behavior.
+
+Reference behavior pinned by:
+  - quickwit-query/src/tokenizers/code_tokenizer.rs:427-801 (golden vectors)
+  - quickwit-query/src/tokenizers/mod.rs:36-104 (analyzer registry)
+  - quickwit-query/src/tokenizers/mod.rs:162-172 (full source_code_default
+    pipeline golden: "PigCaféFactory2" -> ["pig","cafe","factory","2"])
+
+Semantics (derived from the reference's tests, NOT a code translation):
+
+The code tokenizer classifies every char as Upper (unicode uppercase letter),
+Lower (other letters), Numeric (unicode numeric) or Delimiter, and emits a
+token on every class change, with one camelCase exception: an Upper run
+followed by a Lower char keeps its *last* upper char with the lower run
+("RPCResult" -> [RPC, Result], "Pig" stays whole).
+
+With hex support, a token *starting a delimiter-separated run* may instead be
+scanned as one hexadecimal token (ASCII [0-9a-fA-F], single letter case,
+even total length). If the hex scan fails:
+  - prefix was single-class (only digits / only lowers / only uppers): the
+    prefix is handed to the class machine as an in-flight token and scanning
+    continues (char not consumed twice);
+  - prefix saw mixed classes: the whole attempt is abandoned and the run is
+    re-scanned in pure class mode from the start of the attempt; crucially,
+    the class-machine state then persists, so hex mode is NOT re-entered
+    until after the next delimiter.
+
+Two implementations are provided:
+  - `code_token_spans` — an exact per-char state machine (used for golden
+    tests, the query-time tokenizer, and as the oracle for the batch path);
+  - `tokenize_batch` — a vectorized numpy batch tokenizer (no-hex class
+    mode) used in the indexing hot path; property-tested equal to the
+    scalar machine.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+DELIM, UPPER, LOWER, DIGIT = 0, 1, 2, 3
+
+_ASCII_HEX = set("0123456789abcdefABCDEF")
+
+
+def _char_type(c: str) -> int:
+    if c.isalpha():
+        # Rust char::is_uppercase == Lu; everything else alphabetic is Lower
+        # for tokenization purposes (matches reference get_char_type).
+        return UPPER if c.isupper() else LOWER
+    if c.isnumeric():
+        return DIGIT
+    return DELIM
+
+
+# ---------------------------------------------------------------------------
+# Exact scalar state machine
+# ---------------------------------------------------------------------------
+
+class _PendingScanner:
+    """Stateful faithful tokenizer: exact port of the reference semantics
+    including cross-emit in-flight state (hex only re-entered after a
+    delimiter)."""
+
+    def __init__(self, text: str, hex_support: bool):
+        self.text = text
+        self.n = len(text)
+        self.i = 0
+        self.hex_support = hex_support
+        self.chars_st = None  # [start, cur, cur_type, is_first]
+        self.hex_st = None
+
+    def tokens(self) -> list[tuple[int, int]]:
+        out = []
+        while True:
+            s = self._advance(self.hex_support)
+            if s is None:
+                return out
+            out.append(s)
+
+    def _advance(self, enable_hex: bool):
+        text, n = self.text, self.n
+        checkpoint = self.i
+        cp_chars = list(self.chars_st) if self.chars_st else None
+        while self.i < n:
+            c = text[self.i]
+            t = _char_type(c)
+            if self.chars_st is None and self.hex_st is None:
+                if t != DELIM:
+                    if enable_hex and c in _ASCII_HEX:
+                        self.hex_st = [self.i, self.i, t == UPPER, t == LOWER,
+                                       t == DIGIT]
+                    else:
+                        self.chars_st = [self.i, self.i, t, True]
+                self.i += 1
+                continue
+            if self.hex_st is not None:
+                res = self._hex_step(c, t)
+                if res == "emit":
+                    start = self.hex_st[0]
+                    end = self.i
+                    self.hex_st = None
+                    self.i += 1
+                    return (start, end)
+                if res == "backtrack":
+                    self.i = checkpoint
+                    self.chars_st = cp_chars
+                    self.hex_st = None
+                    return self._advance(False)
+                if res == "recover":
+                    continue  # char re-processed by chars state
+                self.i += 1
+                continue
+            emit = self._chars_step(c, t)
+            self.i += 1
+            if emit is not None:
+                return emit
+        # finalize
+        if self.hex_st is not None:
+            start, cur = self.hex_st[0], self.hex_st[1]
+            if (cur + 1 - start) % 2 == 0:
+                self.hex_st = None
+                return (start, cur + 1)
+            st = _hex_to_chars(self.hex_st)
+            if st is None:
+                self.i = checkpoint
+                self.chars_st = cp_chars
+                self.hex_st = None
+                return self._advance(False)
+            self.chars_st = st
+            self.hex_st = None
+        if self.chars_st is not None:
+            span = (self.chars_st[0], self.chars_st[1] + 1)
+            self.chars_st = None
+            return span
+        return None
+
+    def _chars_step(self, c, t):
+        start, cur, cur_type, is_first = self.chars_st
+        if t == DELIM:
+            self.chars_st = None  # reset: hex may re-engage after delimiter
+            return (start, cur + 1)
+        if cur_type == UPPER and t == LOWER:
+            if is_first:
+                self.chars_st = [start, self.i, LOWER, False]
+                return None
+            self.chars_st = [cur, self.i, LOWER, False]
+            return (start, cur)
+        if t == cur_type:
+            self.chars_st = [start, self.i, cur_type, False]
+            return None
+        self.chars_st = [self.i, self.i, t, True]
+        return (start, cur + 1)
+
+    def _hex_step(self, c, t):
+        st = self.hex_st
+        if "0" <= c <= "9":
+            st[4] = True
+        elif "a" <= c <= "f":
+            if st[2]:
+                return self._hex_recover()
+            st[3] = True
+        elif "A" <= c <= "F":
+            if st[3]:
+                return self._hex_recover()
+            st[2] = True
+        else:
+            if t == DELIM and (self.i - st[0]) % 2 == 0:
+                return "emit"
+            return self._hex_recover()
+        st[1] = self.i
+        return None
+
+    def _hex_recover(self):
+        st = _hex_to_chars(self.hex_st)
+        if st is None:
+            return "backtrack"
+        self.chars_st = st
+        self.hex_st = None
+        return "recover"
+
+
+def _hex_to_chars(hex_st):
+    start, cur, seen_u, seen_l, seen_n = hex_st
+    flags = (seen_u, seen_l, seen_n)
+    if flags == (True, False, False):
+        t = UPPER
+    elif flags == (False, True, False):
+        t = LOWER
+    elif flags == (False, False, True):
+        t = DIGIT
+    else:
+        return None
+    return [start, cur, t, cur == start]
+
+
+def code_tokenize(text: str, hex_support: bool = False) -> list[str]:
+    return [text[a:b] for a, b in _PendingScanner(text, hex_support).tokens()]
+
+
+def code_token_spans_exact(text: str, hex_support: bool = False):
+    return _PendingScanner(text, hex_support).tokens()
+
+
+# ---------------------------------------------------------------------------
+# Token filters
+# ---------------------------------------------------------------------------
+
+def ascii_fold(s: str) -> str:
+    """Fold accented chars to ASCII where a decomposition exists; leave other
+    chars untouched (approximates the reference's ASCII-folding filter)."""
+    if s.isascii():
+        return s
+    out = []
+    for ch in s:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        d = unicodedata.normalize("NFKD", ch)
+        kept = "".join(c for c in d if not unicodedata.combining(c))
+        out.append(kept if kept else ch)
+    return "".join(out)
+
+
+def porter_stem(w: str) -> str:
+    """Compact Porter stemmer (public algorithm, Porter 1980) for en_stem."""
+    if len(w) <= 2:
+        return w
+
+    def cons(i):
+        c = w[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return i == 0 or not cons(i - 1)
+        return True
+
+    def m(stem):
+        # measure: number of VC sequences
+        forms = ""
+        for i in range(len(stem)):
+            forms += "c" if _p_cons(stem, i) else "v"
+        import re as _re
+        return len(_re.findall("vc", forms))
+
+    def _p_cons(s, i):
+        c = s[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return i == 0 or not _p_cons(s, i - 1)
+        return True
+
+    def has_vowel(stem):
+        return any(not _p_cons(stem, i) for i in range(len(stem)))
+
+    def ends_cvc(s):
+        if len(s) < 3:
+            return False
+        if not (_p_cons(s, len(s) - 3) and not _p_cons(s, len(s) - 2)
+                and _p_cons(s, len(s) - 1)):
+            return False
+        return s[-1] not in "wxy"
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if m(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and has_vowel(w[:-2]):
+        w = w[:-2]
+        flag = True
+    elif w.endswith("ing") and has_vowel(w[:-3]):
+        w = w[:-3]
+        flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif len(w) >= 2 and w[-1] == w[-2] and _p_cons(w, len(w) - 1) \
+                and w[-1] not in "lsz":
+            w = w[:-1]
+        elif m(w) == 1 and ends_cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+                     ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+                     ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+                     ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+                     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+                     ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+                     ("iviti", "ive"), ("biliti", "ble")):
+        if w.endswith(suf):
+            if m(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
+                     ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+                     ("ness", "")):
+        if w.endswith(suf):
+            if m(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4 (suffix list in Porter's order; "ion" carries the s/t guard)
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not (stem and stem[-1] in "st"):
+                continue
+            if m(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        if m(stem) > 1 or (m(stem) == 1 and not ends_cvc(stem)):
+            w = stem
+    # step 5b
+    if len(w) >= 2 and w[-1] == "l" and w[-2] == "l" and m(w) > 1:
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch tokenization (indexing hot path)
+# ---------------------------------------------------------------------------
+
+_NONASCII_CLASS_CACHE: dict[int, int] = {}
+
+
+def _classify_codes(codes: np.ndarray) -> np.ndarray:
+    """Map UTF-32 codepoints to char classes, vectorized for ASCII."""
+    cls = np.zeros(codes.shape, dtype=np.int8)
+    cls[(codes >= 65) & (codes <= 90)] = UPPER
+    cls[(codes >= 97) & (codes <= 122)] = LOWER
+    cls[(codes >= 48) & (codes <= 57)] = DIGIT
+    hi = codes > 127
+    if hi.any():
+        hi_codes = codes[hi]
+        uniq = np.unique(hi_codes)
+        lut = {}
+        for cp in uniq.tolist():
+            t = _NONASCII_CLASS_CACHE.get(cp)
+            if t is None:
+                t = _char_type(chr(cp))
+                _NONASCII_CLASS_CACHE[cp] = t
+            lut[cp] = t
+        mapped = np.array([lut[cp] for cp in hi_codes.tolist()], dtype=np.int8)
+        cls[hi] = mapped
+    return cls
+
+
+_SEP = "\x00"
+
+
+def _spans_to_sentinel_string(big: str, codes: np.ndarray, cls: np.ndarray,
+                              extra_breaks: np.ndarray) -> str:
+    """Replace delimiter chars by SEP and insert SEP at extra break points,
+    returning one splittable string (single C-level pass)."""
+    out = codes.copy()
+    out[cls == DELIM] = 0  # SEP codepoint
+    if extra_breaks.size:
+        out = np.insert(out, extra_breaks, 0)
+    return out.astype("<u4").tobytes().decode("utf-32-le")
+
+
+def _code_class_breaks(cls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Compute token start mask and internal break positions for the code
+    tokenizer's class mode (camelCase rule included), vectorized."""
+    n = cls.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.int64)
+    nondelim = cls != DELIM
+    change = np.zeros(n, dtype=bool)
+    change[1:] = (cls[1:] != cls[:-1]) & nondelim[1:] & nondelim[:-1]
+    # camel rule: UPPER run followed by LOWER
+    trans = np.zeros(n, dtype=bool)
+    trans[1:] = (cls[:-1] == UPPER) & (cls[1:] == LOWER)
+    if trans.any():
+        up = cls == UPPER
+        idx = np.arange(n)
+        last_not_up = np.maximum.accumulate(np.where(~up, idx, -1))
+        runlen = idx - last_not_up  # valid where up
+        ti = np.nonzero(trans)[0]
+        L = runlen[ti - 1]
+        # single upper + lower: merge (no break at ti)
+        change[ti] = False
+        # longer run: break before last upper char instead
+        long_ti = ti[L >= 2]
+        change[long_ti - 1] = True
+    return nondelim, np.nonzero(change)[0]
+
+
+def _simple_breaks(cls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """SimpleTokenizer: maximal alphanumeric runs, no internal breaks."""
+    return cls != DELIM, np.zeros(0, dtype=np.int64)
+
+
+def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
+                   max_len: int = 255) -> tuple[np.ndarray, list[str]]:
+    """Tokenize a batch of documents with one vectorized pass.
+
+    Returns (doc_index_per_token int64 array, token list). The expensive
+    parts (classification, boundary logic, splitting, lowercasing) run at
+    C speed over the concatenated batch; no per-char Python.
+
+    Supported analyzers here: source_code_default (class-mode code
+    tokenizer + lowercase + ascii-fold), default (simple + lowercase),
+    whitespace, lowercase, raw, raw_lowercase, en_stem,
+    source_code_with_hex (falls back to the exact scalar machine per doc —
+    hex backtracking is inherently sequential).
+    """
+    texts = list(texts)
+    if not texts:
+        return np.zeros(0, dtype=np.int64), []
+
+    if analyzer in ("raw", "raw_lowercase", "lowercase"):
+        toks, docs = [], []
+        for i, t in enumerate(texts):
+            if t is None or len(t) > max_len or len(t) == 0:
+                continue
+            toks.append(t if analyzer == "raw" else t.lower())
+            docs.append(i)
+        return np.asarray(docs, dtype=np.int64), toks
+
+    if analyzer == "whitespace":
+        toks, docs = [], []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            parts = [p for p in t.split() if len(p) <= max_len]
+            toks.extend(parts)
+            docs.extend([i] * len(parts))
+        return np.asarray(docs, dtype=np.int64), toks
+
+    if analyzer == "source_code_with_hex":
+        toks, docs = [], []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            parts = [ascii_fold(t[a:b].lower())
+                     for a, b in _PendingScanner(t, True).tokens()
+                     if b - a <= max_len]
+            toks.extend(parts)
+            docs.extend([i] * len(parts))
+        return np.asarray(docs, dtype=np.int64), toks
+
+    # vectorized paths: source_code_default, default, en_stem
+    clean = [(t if isinstance(t, str) else "") for t in texts]
+    big = _SEP.join(clean)
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
+    cls = _classify_codes(codes)
+
+    if analyzer == "source_code_default":
+        nondelim, breaks = _code_class_breaks(cls)
+    else:  # default / en_stem -> simple tokenizer
+        nondelim, breaks = _simple_breaks(cls)
+
+    sentinel = _spans_to_sentinel_string(big, codes, cls, breaks)
+    lowered = sentinel.lower()
+    if not lowered.isascii() and analyzer == "source_code_default":
+        lowered = ascii_fold(lowered)
+    raw_tokens = lowered.split(_SEP)
+
+    # token -> doc mapping: doc boundaries are SEP positions in `big` at the
+    # join points; compute per-token doc via counting tokens between joins.
+    doc_lens = np.array([len(t) for t in clean], dtype=np.int64)
+    doc_starts = np.zeros(len(clean), dtype=np.int64)
+    if len(clean) > 1:
+        doc_starts[1:] = np.cumsum(doc_lens[:-1] + 1)
+
+    # start offsets (in `big` coords) of each token
+    tok_start_mask = nondelim.copy()
+    tok_start_mask[1:] &= ~nondelim[:-1]
+    starts = np.nonzero(tok_start_mask)[0]
+    if breaks.size:
+        starts = np.unique(np.concatenate([starts, breaks]))
+    doc_of = np.searchsorted(doc_starts, starts, side="right") - 1
+
+    toks: list[str] = []
+    docs: list[int] = []
+    k = 0
+    stem = analyzer == "en_stem"
+    for t in raw_tokens:
+        if not t:
+            continue
+        if len(t) <= max_len:
+            toks.append(porter_stem(t) if stem else t)
+            docs.append(int(doc_of[k]))
+        k += 1
+    return np.asarray(docs, dtype=np.int64), toks
+
+
+def tokenize_one(text: str, analyzer: str = "source_code_default",
+                 max_len: int = 255) -> list[str]:
+    """Tokenize a single string (query-time path)."""
+    _, toks = tokenize_batch([text], analyzer=analyzer, max_len=max_len)
+    return toks
+
+
+ANALYZERS = (
+    "raw", "raw_lowercase", "lowercase", "default", "en_stem", "whitespace",
+    "source_code_default", "source_code_with_hex",
+)

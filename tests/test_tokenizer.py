@@ -1,0 +1,167 @@
+"""Golden-vector tests for the code tokenizer, copied from the reference
+engine's own unit tests (quickwit-query/src/tokenizers/code_tokenizer.rs:427-801
+and tokenizers/mod.rs:162-172)."""
+
+import numpy as np
+import pytest
+
+from quickwit_spark.functions.tokenizers import (
+    code_tokenize,
+    code_token_spans_exact,
+    tokenize_batch,
+    tokenize_one,
+)
+
+NOHEX_VECTORS = [
+    ("PigCaféFactory2", ["Pig", "Café", "Factory", "2"]),
+    ("PIG_CAFE_FACTORY", ["PIG", "CAFE", "FACTORY"]),
+    ("TPigCafeFactory", ["T", "Pig", "Cafe", "Factory"]),
+    ("PIG# Cafe@FACTORY", ["PIG", "Cafe", "FACTORY"]),
+    ("RPCResult", ["RPC", "Result"]),
+]
+
+HEX_VECTORS = [
+    ("PigCaféFactory2", ["Pig", "Café", "Factory", "2"]),
+    ("PIG_CAFE_FACTORY", ["PIG", "CAFE", "FACTORY"]),
+    ("TPigCafeFactory", ["T", "Pig", "Cafe", "Factory"]),
+    ("PIG# Cafe@FACTORY", ["PIG", "Cafe", "FACTORY"]),
+    (
+        "fa63bbbf-0fb9-5ec8-ae63-561dc0f444aa",
+        ["fa63bbbf", "0fb9", "5ec8", "ae63", "561dc0f444aa"],
+    ),
+    (
+        "FA63BBBF-0FB9-5EC8-AE63-561DC0F444AA",
+        ["FA63BBBF", "0FB9", "5EC8", "AE63", "561DC0F444AA"],
+    ),
+    (
+        "fa63bbbf-0fb9-5ec8-ae63-561dc0f444a",
+        ["fa63bbbf", "0fb9", "5ec8", "ae63", "561", "dc", "0", "f", "444", "a"],
+    ),
+    (
+        "fa63bbbf-0fb9-5ec8-ae6-561dc0f444aa",
+        ["fa63bbbf", "0fb9", "5ec8", "ae", "6", "561dc0f444aa"],
+    ),
+    (
+        "Fa63bbbf-0fb9-5ec8-ae63-561dc0f444aa",
+        ["Fa", "63", "bbbf", "0fb9", "5ec8", "ae63", "561dc0f444aa"],
+    ),
+    (
+        "fa63Bbbf-0fb9-5ec8-ae63-561dc0f444aa",
+        ["fa", "63", "Bbbf", "0fb9", "5ec8", "ae63", "561dc0f444aa"],
+    ),
+    (
+        "fa63bbBf-0fb9-5ec8-ae63-561dc0f444aa",
+        ["fa", "63", "bb", "Bf", "0fb9", "5ec8", "ae63", "561dc0f444aa"],
+    ),
+    (
+        "fA63BBBF-0FB9-5EC8-AE63-561DC0F444AA",
+        ["f", "A", "63", "BBBF", "0FB9", "5EC8", "AE63", "561DC0F444AA"],
+    ),
+    (
+        "fa63bgbf-0fb9-5ec8-ae63-561dc0f444aa",
+        ["fa", "63", "bgbf", "0fb9", "5ec8", "ae63", "561dc0f444aa"],
+    ),
+    (
+        "fa6③bbbf-0fb9-5ec8-ae63-561dc0f444aa",
+        ["fa", "6③", "bbbf", "0fb9", "5ec8", "ae63", "561dc0f444aa"],
+    ),
+    ("301ms", ["301", "ms"]),
+    ("301cd", ["301", "cd"]),
+    ("30ms", ["30", "ms"]),
+    ("30cd", ["30cd"]),
+    ("ABCDef", ["ABC", "Def"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", NOHEX_VECTORS)
+def test_code_tokenizer_golden(text, expected):
+    assert code_tokenize(text, hex_support=False) == expected
+
+
+@pytest.mark.parametrize("text,expected", HEX_VECTORS)
+def test_code_tokenizer_hex_golden(text, expected):
+    assert code_tokenize(text, hex_support=True) == expected
+
+
+def test_byte_offsets_cafe():
+    # reference pins byte offsets: Café spans bytes [3, 8) (é is 2 bytes)
+    text = "PigCaféFactory2"
+    spans = code_token_spans_exact(text)
+    byte_spans = []
+    for a, b in spans:
+        byte_spans.append((len(text[:a].encode()), len(text[:b].encode())))
+    assert byte_spans == [(0, 3), (3, 8), (8, 15), (15, 16)]
+
+
+def test_full_analyzer_golden():
+    # tokenizers/mod.rs:162-172: source_code_default lowers + ascii-folds
+    assert tokenize_one("PigCaféFactory2") == ["pig", "cafe", "factory", "2"]
+
+
+def test_batch_matches_scalar_on_goldens():
+    texts = [t for t, _ in NOHEX_VECTORS]
+    docs, toks = tokenize_batch(texts, analyzer="source_code_default")
+    # regroup
+    got = [[] for _ in texts]
+    for d, t in zip(docs.tolist(), toks):
+        got[d].append(t)
+    for i, (text, expected) in enumerate(NOHEX_VECTORS):
+        from quickwit_spark.functions.tokenizers import ascii_fold
+        want = [ascii_fold(t.lower()) for t in expected]
+        assert got[i] == want, text
+
+
+def test_batch_matches_scalar_random():
+    rng = np.random.default_rng(42)
+    alphabet = list("abcXYZ09_ -.éÉ③汉/") + ["aa", "AB", "Ab", "1a", "F2"]
+    texts = []
+    for _ in range(200):
+        n = int(rng.integers(0, 40))
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    docs, toks = tokenize_batch(texts, analyzer="source_code_default")
+    got = [[] for _ in texts]
+    for d, t in zip(docs.tolist(), toks):
+        got[d].append(t)
+    from quickwit_spark.functions.tokenizers import ascii_fold
+    for i, text in enumerate(texts):
+        want = [ascii_fold(w.lower()) for w in code_tokenize(text)
+                if len(w) <= 255]
+        assert got[i] == want, repr(text)
+
+
+def test_batch_hex_matches_scalar_random():
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefgABCDEF019-_ .")
+    texts = []
+    for _ in range(200):
+        n = int(rng.integers(0, 30))
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    docs, toks = tokenize_batch(texts, analyzer="source_code_with_hex")
+    got = [[] for _ in texts]
+    for d, t in zip(docs.tolist(), toks):
+        got[d].append(t)
+    for i, text in enumerate(texts):
+        want = [w.lower() for w in code_tokenize(text, hex_support=True)
+                if len(w) <= 255]
+        assert got[i] == want, repr(text)
+
+
+def test_simple_and_whitespace():
+    docs, toks = tokenize_batch(["Hello, World_42 foo"], analyzer="default")
+    assert toks == ["hello", "world", "42", "foo"]
+    docs, toks = tokenize_batch(["Hello, World_42 foo"], analyzer="whitespace")
+    assert toks == ["Hello,", "World_42", "foo"]
+
+
+def test_raw_and_lowercase():
+    docs, toks = tokenize_batch(["Hello World"], analyzer="raw")
+    assert toks == ["Hello World"]
+    docs, toks = tokenize_batch(["Hello World"], analyzer="raw_lowercase")
+    assert toks == ["hello world"]
+    docs, toks = tokenize_batch(["x" * 256], analyzer="raw")
+    assert toks == []  # RemoveLong(255)
+
+
+def test_en_stem():
+    docs, toks = tokenize_batch(["running caresses ponies"], analyzer="en_stem")
+    assert toks == ["run", "caress", "poni"]

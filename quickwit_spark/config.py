@@ -1,0 +1,49 @@
+"""Index configuration, mirroring the reference engine's defaults.
+
+Reference anchors:
+  - commit/flush sizing + heap: quickwit-config/src/index_config/mod.rs:65-141
+  - merge policy defaults:      quickwit-config/src/merge_policy_config.rs:91-117
+  - doc mapping (strict mode):  quickwit-doc-mapper/src/doc_mapping.rs:97-162
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class MergePolicyConfig:
+    """StableLogMergePolicy defaults (merge_policy_config.rs:91-117)."""
+    merge_factor: int = 10
+    max_merge_factor: int = 12
+    min_level_num_docs: int = 100_000
+    # splits with >= this many docs are mature and never merged
+    # (index_config/mod.rs:139-141)
+    split_num_docs_target: int = 10_000_000
+
+
+@dataclass
+class IndexConfig:
+    index_uid: str
+    index_dir: str
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    text_col: str = "content"
+    tokenizer: str = "source_code_default"
+    tag_cols: tuple[str, ...] = ("lang",)
+    sha_col: str | None = "sha256"
+    schema_rev: str = "v1"
+    # flush a sub-segment when a build partition accumulates this many docs
+    # (analog of the reference's commit triggers; keeps segments bounded)
+    max_docs_per_segment: int = 5_000_000
+    # max distinct tag values recorded per segment (packager.rs:40-44)
+    max_tag_values: int = 1000
+    # indexing regimes (field_mapping_entry.rs:316-337): record="basic"
+    # treats tf as 1 at scoring time; fieldnorms=False uses a constant
+    # length norm (score degenerates to idf)
+    record: str = "freq"
+    fieldnorms: bool = True
+    merge_policy: MergePolicyConfig = field(default_factory=MergePolicyConfig)
+
+    def doc_sort_cols(self) -> list[str]:
+        """Stable within-partition doc order => deterministic doc ids."""
+        return list(self.key_cols)

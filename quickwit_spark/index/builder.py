@@ -1,0 +1,355 @@
+"""Segment builder: corpus partition -> immutable inverted-index segment.
+
+Mirrors the reference build pipeline (SURVEY.md §2.3: Indexer -> Serializer
+-> Packager -> Uploader -> Publisher) as one Spark job:
+
+    corpus DF
+      -> deterministic partition routing (hash of key columns)
+      -> groupBy(partition).applyInPandas(build_partition)   [executors]
+      -> manifest.publish(segment rows, checkpoint delta)    [driver]
+
+Everything inside build_partition is numpy/Arrow vectorized:
+  - batch tokenization (one pass over the concatenated partition text)
+  - (term, doc) aggregation via integer keys + np.unique
+  - ONE global varint encode of all delta-gaps; per-term/per-block offsets
+    via cumsum/reduceat — no per-posting Python
+  - posting/termdict/docmap Parquet written with pyarrow (zero-copy binary
+    columns via Array.from_buffers)
+
+Determinism: doc ids are the rank of (key columns) within the partition;
+segment ids are content-addressed (sha256 over partition id + doc keys), so
+re-running a partition yields byte-identical segments — the basis for
+publish idempotence and merge determinism (FIXTURES.md F6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig
+from ..functions.bm25 import fieldnorm_to_id, id_to_fieldnorm
+from ..functions.tokenizers import tokenize_batch
+from .codecs import BLOCK_SIZE
+from .manifest import Manifest
+
+MANIFEST_ROW_SCHEMA = "manifest_json string"
+
+
+def _varint_sizes(v: np.ndarray) -> np.ndarray:
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp != 0)
+        tmp >>= np.uint64(7)
+    return nb
+
+
+def _varint_encode_with_sizes(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varint encode returning (buffer, per-value byte counts)."""
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nb = _varint_sizes(v)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.zeros(v.shape, dtype=np.int64)
+    np.cumsum(nb[:-1], out=starts[1:])
+    cur = v.copy()
+    for j in range(int(nb.max())):
+        active = nb > j
+        idx = starts[active] + j
+        byte = (cur[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = (nb[active] > j + 1).astype(np.uint8) << 7
+        out[idx] = byte | more
+        cur >>= np.uint64(7)
+    return out.tobytes(), nb
+
+
+def _large_binary_array(data: bytes, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy pyarrow large_binary array from a buffer + offsets."""
+    off = pa.py_buffer(offsets.astype(np.int64).tobytes())
+    buf = pa.py_buffer(data)
+    return pa.Array.from_buffers(pa.large_binary(), len(offsets) - 1,
+                                 [None, off, buf])
+
+
+def _list_array(values: np.ndarray, offsets: np.ndarray,
+                dtype: pa.DataType) -> pa.Array:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), pa.array(values, type=dtype))
+
+
+def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
+                  segments_root: str, chunk_idx: int = 0,
+                  num_merge_ops: int = 0,
+                  parents: list[str] | None = None) -> dict:
+    """Build one immutable segment from a sorted doc chunk. Returns the
+    segment metadata row (manifest format)."""
+    n = len(pdf)
+    assert n > 0
+    texts = pdf[config.text_col].tolist()
+    doc_idx, tokens = tokenize_batch(texts, analyzer=config.tokenizer)
+
+    fieldnorms = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    if config.fieldnorms:
+        fn_ids = fieldnorm_to_id(fieldnorms)
+    else:
+        # fieldnorms disabled: constant length norm of 1 (score -> idf)
+        fn_ids = fieldnorm_to_id(np.ones(n, dtype=np.int64))
+
+    # (term, doc) -> tf, ordered by (term, doc) via integer keys
+    tok_arr = np.array(tokens, dtype=object)
+    terms_sorted, codes = np.unique(tok_arr, return_inverse=True)
+    nterms = len(terms_sorted)
+    pair_key = codes.astype(np.int64) * n + doc_idx
+    pair_sorted, tfs = np.unique(pair_key, return_counts=True)
+    p_term = pair_sorted // n
+    p_doc = pair_sorted % n
+    tfs = tfs.astype(np.int64)
+    npost = len(pair_sorted)
+
+    # per-term ranges
+    term_starts = np.nonzero(np.r_[True, p_term[1:] != p_term[:-1]])[0]
+    # np.unique(codes) guarantees every term has >= 1 posting
+    term_lens = np.diff(np.r_[term_starts, npost])
+    doc_freq = term_lens
+    total_tf = np.add.reduceat(tfs, term_starts)
+
+    # delta encoding: within a term, gap vs previous docid; first = docid
+    deltas = np.empty(npost, dtype=np.int64)
+    deltas[0] = p_doc[0]
+    deltas[1:] = p_doc[1:] - p_doc[:-1]
+    deltas[term_starts] = p_doc[term_starts]
+    doc_blob, doc_nb = _varint_encode_with_sizes(deltas.astype(np.uint64))
+    tf_blob, tf_nb = _varint_encode_with_sizes(tfs.astype(np.uint64))
+    doc_cum = np.r_[0, np.cumsum(doc_nb)]
+    tf_cum = np.r_[0, np.cumsum(tf_nb)]
+
+    # blocks: every BLOCK_SIZE postings within a term
+    nblk = (term_lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    tot_blk = int(nblk.sum())
+    blk_term = np.repeat(np.arange(nterms), nblk)
+    blk_first = np.r_[0, np.cumsum(nblk)[:-1]]
+    blk_within = np.arange(tot_blk) - blk_first[blk_term]
+    blk_start = term_starts[blk_term] + blk_within * BLOCK_SIZE
+    term_ends = term_starts + term_lens
+    blk_end = np.minimum(blk_start + BLOCK_SIZE, term_ends[blk_term])
+
+    fn_per_post = fn_ids[p_doc].astype(np.int64)
+    block_last = p_doc[blk_end - 1]
+    block_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
+    block_min_fn = np.minimum.reduceat(fn_per_post, blk_start).astype(np.int32)
+    doc_offsets = (doc_cum[blk_start] - doc_cum[term_starts[blk_term]]
+                   ).astype(np.int32)
+    tf_offsets = (tf_cum[blk_start] - tf_cum[term_starts[blk_term]]
+                  ).astype(np.int32)
+
+    blk_offsets = np.r_[0, np.cumsum(nblk)].astype(np.int64)
+
+    # segment identity: content-addressed over partition + doc keys
+    h = hashlib.sha256()
+    h.update(f"{config.index_uid}:{partition_id}:{chunk_idx}:{num_merge_ops}"
+             .encode())
+    for col in config.key_cols:
+        h.update(hashlib.sha256(
+            "\x00".join(map(str, pdf[col].tolist())).encode()).digest())
+    segment_id = f"seg-{h.hexdigest()[:20]}"
+    seg_dir = os.path.join(segments_root, segment_id)
+    os.makedirs(seg_dir, exist_ok=True)
+
+    # --- postings.parquet (one row per term) ---
+    postings_tbl = pa.table({
+        "term_id": pa.array(np.arange(nterms), type=pa.int64()),
+        "doc_freq": pa.array(doc_freq, type=pa.int64()),
+        "total_tf": pa.array(total_tf, type=pa.int64()),
+        "block_last": _list_array(block_last, blk_offsets, pa.int64()),
+        "block_max_tf": _list_array(block_max_tf, blk_offsets, pa.int32()),
+        "block_min_fn": _list_array(block_min_fn, blk_offsets, pa.int32()),
+        "doc_offsets": _list_array(doc_offsets, blk_offsets, pa.int32()),
+        "tf_offsets": _list_array(tf_offsets, blk_offsets, pa.int32()),
+        "docid_blob": _large_binary_array(
+            doc_blob, np.r_[doc_cum[term_starts], len(doc_blob)]),
+        "tf_blob": _large_binary_array(
+            tf_blob, np.r_[tf_cum[term_starts], len(tf_blob)]),
+    })
+    pq.write_table(postings_tbl, os.path.join(seg_dir, "postings.parquet"),
+                   compression="zstd")
+
+    # --- termdict.parquet (sorted by term => parquet min/max stats prune) ---
+    termdict_tbl = pa.table({
+        "term": pa.array(terms_sorted.tolist(), type=pa.string()),
+        "term_id": pa.array(np.arange(nterms), type=pa.int64()),
+        "doc_freq": pa.array(doc_freq, type=pa.int64()),
+        "total_tf": pa.array(total_tf, type=pa.int64()),
+    })
+    pq.write_table(termdict_tbl, os.path.join(seg_dir, "termdict.parquet"),
+                   compression="zstd")
+
+    # --- docs.parquet (doc map: keys, tags, sha, fieldnorm fast fields) ---
+    doc_cols: dict[str, pa.Array] = {
+        "doc_id": pa.array(np.arange(n), type=pa.int32()),
+    }
+    for col in config.key_cols:
+        doc_cols[col] = pa.array(pdf[col].tolist())
+    for col in config.tag_cols:
+        if col not in doc_cols and col in pdf.columns:
+            doc_cols[col] = pa.array(pdf[col].tolist())
+    if config.sha_col and config.sha_col in pdf.columns:
+        doc_cols[config.sha_col] = pa.array(pdf[config.sha_col].tolist())
+    doc_cols["fieldnorm"] = pa.array(fieldnorms, type=pa.int32())
+    doc_cols["fieldnorm_id"] = pa.array(fn_ids.astype(np.int32),
+                                        type=pa.int32())
+    pq.write_table(pa.table(doc_cols), os.path.join(seg_dir, "docs.parquet"),
+                   compression="zstd")
+
+    # --- metadata ---
+    tags: dict[str, list[str] | None] = {}
+    for col in config.tag_cols:
+        if col in pdf.columns:
+            vals = sorted(set(map(str, pdf[col].tolist())))
+            tags[col] = vals if len(vals) <= config.max_tag_values else None
+    bytes_raw = int(sum(len(t) for t in texts if isinstance(t, str)))
+    meta = {
+        "segment_id": segment_id,
+        "partition_id": int(partition_id),
+        "chunk_idx": int(chunk_idx),
+        "num_docs": int(n),
+        "num_terms": int(nterms),
+        "num_postings": int(npost),
+        "total_fieldnorm": int(id_to_fieldnorm(fn_ids).sum()),
+        "bytes_raw": bytes_raw,
+        "bytes_postings": len(doc_blob) + len(tf_blob),
+        "term_min": str(terms_sorted[0]),
+        "term_max": str(terms_sorted[-1]),
+        "tags": tags,
+        "num_merge_ops": int(num_merge_ops),
+        "parents": parents or [],
+        "schema_rev": config.schema_rev,
+        "tokenizer": config.tokenizer,
+        "record": config.record,
+        "fieldnorms": bool(config.fieldnorms),
+    }
+    with open(os.path.join(seg_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def build_partition(pdf: pd.DataFrame, config: IndexConfig,
+                    segments_root: str) -> list[dict]:
+    """Build all segments for one routed partition: stable-sort by doc key,
+    chunk by max_docs_per_segment, one segment per chunk."""
+    partition_id = int(pdf["_pid"].iloc[0])
+    pdf = pdf.sort_values(config.doc_sort_cols(), kind="mergesort"
+                          ).reset_index(drop=True)
+    rows = []
+    step = config.max_docs_per_segment
+    for ci, lo in enumerate(range(0, len(pdf), step)):
+        chunk = pdf.iloc[lo:lo + step].reset_index(drop=True)
+        rows.append(build_segment(chunk, config, partition_id,
+                                  segments_root, chunk_idx=ci))
+    return rows
+
+
+def route_partitions(df, config: IndexConfig, num_partitions: int):
+    """Add the deterministic routing column (reference: SipHash routing of
+    partition_key values, routing_expression/mod.rs:107-141; we use xxhash64
+    of the doc key — deterministic and shuffle-friendly)."""
+    from pyspark.sql import functions as F
+    return df.withColumn(
+        "_pid", F.pmod(F.xxhash64(*config.key_cols),
+                       F.lit(num_partitions)).cast("int"))
+
+
+def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
+                wave_size: int = 64, max_waves: int | None = None) -> Manifest:
+    """Distributed index build with per-partition checkpoints + resume.
+
+    Partitions already recorded in the manifest checkpoint map are skipped
+    (exactly-once publish; re-running is a no-op). Waves bound how much work
+    can be lost on failure: each wave is one Spark job, published atomically
+    when it completes.
+    """
+    from pyspark.sql import functions as F
+
+    manifest = Manifest.load_or_create(
+        config.index_dir, config.index_uid,
+        {"key_cols": list(config.key_cols), "text_col": config.text_col,
+         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
+         "tag_cols": list(config.tag_cols)})
+    done = manifest.published_partitions()
+    todo = [p for p in range(num_partitions) if p not in done]
+    if not todo:
+        return manifest
+
+    segments_root = os.path.join(config.index_dir, "segments")
+    os.makedirs(segments_root, exist_ok=True)
+    routed = route_partitions(df, config, num_partitions)
+
+    cfg = config  # capture for closure
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"manifest_json": []})
+        rows = build_partition(pdf, cfg, segments_root)
+        return pd.DataFrame({"manifest_json": [json.dumps(r) for r in rows]})
+
+    for wi, lo in enumerate(range(0, len(todo), wave_size)):
+        if max_waves is not None and wi >= max_waves:
+            break
+        wave = todo[lo:lo + wave_size]
+        wave_df = routed.filter(F.col("_pid").isin([int(p) for p in wave]))
+        out = (wave_df.groupBy("_pid")
+               .applyInPandas(_build, schema=MANIFEST_ROW_SCHEMA)
+               .collect())
+        rows = [json.loads(r.manifest_json) for r in out]
+        built_pids = {r["partition_id"] for r in rows}
+        delta = {}
+        for p in wave:
+            nd = sum(r["num_docs"] for r in rows if r["partition_id"] == p)
+            # empty partitions also advance their checkpoint
+            delta[p] = (None, f"docs={nd}")
+        _ = built_pids
+        manifest.publish(rows, checkpoint_delta=delta)
+    return manifest
+
+
+def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
+                       num_partitions: int = 4) -> Manifest:
+    """Driver-local build (tests / oracle): same code path, no Spark."""
+    manifest = Manifest.load_or_create(
+        config.index_dir, config.index_uid,
+        {"key_cols": list(config.key_cols), "text_col": config.text_col,
+         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
+         "tag_cols": list(config.tag_cols)})
+    segments_root = os.path.join(config.index_dir, "segments")
+    os.makedirs(segments_root, exist_ok=True)
+
+    keys = pdf[list(config.key_cols)].astype(str).agg("\x00".join, axis=1)
+    pids = np.array([_stable_hash(k) % num_partitions for k in keys])
+    done = manifest.published_partitions()
+    rows_all = []
+    delta = {}
+    for p in range(num_partitions):
+        if p in done:
+            continue
+        part = pdf[pids == p].copy()
+        part["_pid"] = p
+        if len(part):
+            rows = build_partition(part, config, segments_root)
+            rows_all.extend(rows)
+        nd = int((pids == p).sum())
+        delta[p] = (None, f"docs={nd}")
+    if delta:
+        manifest.publish(rows_all, checkpoint_delta=delta)
+    return manifest
+
+
+def _stable_hash(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "little")

@@ -1,0 +1,143 @@
+"""Delta + varint posting-list codecs, vectorized with numpy.
+
+Postings for one term are stored as 128-doc blocks (the reference engine's
+underlying index library uses the same block size for its skip data — see
+SURVEY.md §2.3): docids are delta-encoded (first docid of block j is a delta
+against the last docid of block j-1), varint-packed; per block we keep
+(last_docid, max_tf, min_fieldnorm_id) — the block-max metadata that powers
+block-max WAND pruning at query time.
+
+All encode/decode paths are numpy-vectorized: no per-value Python in the
+hot loop (a bounded loop over *byte positions*, <= 10 iterations, remains).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varint encoding of a uint64 array, vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp != 0)
+        tmp >>= np.uint64(7)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.zeros(v.shape, dtype=np.int64)
+    np.cumsum(nb[:-1], out=starts[1:])
+    cur = v.copy()
+    for j in range(int(nb.max())):
+        active = nb > j
+        idx = starts[active] + j
+        byte = (cur[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = (nb[active] > j + 1).astype(np.uint8) << 7
+        out[idx] = byte | more
+        cur >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview) -> np.ndarray:
+    """Decode a varint byte buffer back to a uint64 array, vectorized."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.nonzero((a & 0x80) == 0)[0]
+    starts = np.empty(ends.shape, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    vals = np.zeros(ends.shape, dtype=np.uint64)
+    for j in range(int(lens.max())):
+        active = lens > j
+        b = a[starts[active] + j].astype(np.uint64)
+        vals[active] |= (b & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals
+
+
+def encode_posting_blocks(docids: np.ndarray, tfs: np.ndarray,
+                          fieldnorm_ids: np.ndarray):
+    """Encode one term's postings (docids strictly increasing) into blocks.
+
+    Returns dict with:
+      block_last:  int64[]  last docid per block
+      block_max_tf: int32[] max tf per block
+      block_min_fn: int32[] min fieldnorm id per block
+      doc_offsets: int32[]  start byte offset of each block in docid_blob
+      tf_offsets:  int32[]  start byte offset of each block in tf_blob
+      docid_blob:  bytes
+      tf_blob:     bytes
+    """
+    n = len(docids)
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    fieldnorm_ids = np.asarray(fieldnorm_ids, dtype=np.int64)
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docids[0]
+    deltas[1:] = np.diff(docids).astype(np.uint64)
+    # block-aligned: delta of each block's first entry is vs prev block's last
+    # (true by construction since deltas are consecutive diffs)
+
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_last = np.empty(nblocks, dtype=np.int64)
+    block_max_tf = np.empty(nblocks, dtype=np.int32)
+    block_min_fn = np.empty(nblocks, dtype=np.int32)
+    doc_offsets = np.empty(nblocks, dtype=np.int32)
+    tf_offsets = np.empty(nblocks, dtype=np.int32)
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    dpos = tpos = 0
+    for bi in range(nblocks):
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+        block_last[bi] = docids[hi - 1]
+        block_max_tf[bi] = tfs[lo:hi].max()
+        block_min_fn[bi] = fieldnorm_ids[lo:hi].min()
+        d = varint_encode(deltas[lo:hi])
+        t = varint_encode(tfs[lo:hi].astype(np.uint64))
+        doc_offsets[bi] = dpos
+        tf_offsets[bi] = tpos
+        dpos += len(d)
+        tpos += len(t)
+        doc_parts.append(d)
+        tf_parts.append(t)
+    return {
+        "block_last": block_last,
+        "block_max_tf": block_max_tf,
+        "block_min_fn": block_min_fn,
+        "doc_offsets": doc_offsets,
+        "tf_offsets": tf_offsets,
+        "docid_blob": b"".join(doc_parts),
+        "tf_blob": b"".join(tf_parts),
+    }
+
+
+def decode_postings(docid_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full term posting list back to (docids int64, tfs int64)."""
+    deltas = varint_decode(docid_blob)
+    docids = np.cumsum(deltas.astype(np.int64))
+    tfs = varint_decode(tf_blob).astype(np.int64)
+    return docids, tfs
+
+
+def decode_block(docid_blob: bytes, tf_blob: bytes, doc_offsets: np.ndarray,
+                 tf_offsets: np.ndarray, block_last: np.ndarray,
+                 block_idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block independently (for WAND block skipping)."""
+    dstart = int(doc_offsets[block_idx])
+    dend = int(doc_offsets[block_idx + 1]) if block_idx + 1 < len(doc_offsets) \
+        else len(docid_blob)
+    tstart = int(tf_offsets[block_idx])
+    tend = int(tf_offsets[block_idx + 1]) if block_idx + 1 < len(tf_offsets) \
+        else len(tf_blob)
+    deltas = varint_decode(docid_blob[dstart:dend]).astype(np.int64)
+    base = int(block_last[block_idx - 1]) if block_idx > 0 else 0
+    docids = base + np.cumsum(deltas)
+    tfs = varint_decode(tf_blob[tstart:tend]).astype(np.int64)
+    return docids, tfs

@@ -1,0 +1,142 @@
+"""Segment manifest: the engine's metastore.
+
+One JSON document per index, updated by atomic rename (os.replace), holding
+segment metadata rows (mirroring the reference's SplitMetadata,
+quickwit-metastore/src/split_metadata.rs:61-135) and per-partition source
+checkpoints (checkpoint.rs:170-337).
+
+Publish semantics mirror the reference publisher
+(quickwit-indexing/src/actors/publisher.rs:130-155): staged segment rows are
+added, replaced segment ids are marked dead, and the checkpoint delta is
+applied in the SAME atomic commit. A delta whose `from` position does not
+equal the stored position is rejected (the reference's exactly-once publish
+guarantee, checkpoint.rs:285-324) — re-running an already-published build
+partition is therefore a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+SEGMENT_STATE_PUBLISHED = "published"
+SEGMENT_STATE_DEAD = "dead"
+
+
+class CheckpointConflict(Exception):
+    """Delta's from-position does not match the stored position."""
+
+
+class Manifest:
+    def __init__(self, index_dir: str, data: dict[str, Any]):
+        self.index_dir = index_dir
+        self.data = data
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def path(cls, index_dir: str) -> str:
+        return os.path.join(index_dir, "manifest.json")
+
+    @classmethod
+    def create(cls, index_dir: str, index_uid: str, config: dict[str, Any]
+               ) -> "Manifest":
+        os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+        data = {
+            "index_uid": index_uid,
+            "version": 0,
+            "config": config,
+            "segments": {},     # segment_id -> metadata dict
+            "checkpoints": {},  # partition_id (str) -> position (str)
+        }
+        m = cls(index_dir, data)
+        m._write()
+        return m
+
+    @classmethod
+    def load(cls, index_dir: str) -> "Manifest":
+        with open(cls.path(index_dir)) as f:
+            return cls(index_dir, json.load(f))
+
+    @classmethod
+    def load_or_create(cls, index_dir: str, index_uid: str,
+                       config: dict[str, Any]) -> "Manifest":
+        if os.path.exists(cls.path(index_dir)):
+            return cls.load(index_dir)
+        return cls.create(index_dir, index_uid, config)
+
+    def _write(self) -> None:
+        """Atomic write: tmp file + rename (single-writer CAS analog)."""
+        fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix=".manifest-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(self.data, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.path(self.index_dir))
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    # -- queries -----------------------------------------------------------
+
+    def segments(self, state: str = SEGMENT_STATE_PUBLISHED) -> list[dict]:
+        return [s for s in self.data["segments"].values()
+                if s["state"] == state]
+
+    def checkpoint(self, partition_id: int | str) -> str | None:
+        return self.data["checkpoints"].get(str(partition_id))
+
+    def published_partitions(self) -> set[int]:
+        return {int(p) for p in self.data["checkpoints"]}
+
+    # -- transactions ------------------------------------------------------
+
+    def publish(self, staged_segments: list[dict],
+                replaced_segment_ids: list[str] | None = None,
+                checkpoint_delta: dict[int | str, tuple[str | None, str]] | None = None,
+                ) -> None:
+        """Atomic publish: add segments + retire replaced + advance checkpoint.
+
+        checkpoint_delta maps partition -> (from_position, to_position); the
+        from_position must equal the stored position (None == no record).
+        """
+        replaced_segment_ids = replaced_segment_ids or []
+        checkpoint_delta = checkpoint_delta or {}
+        # validate checkpoint compatibility first (all-or-nothing)
+        for pid, (frm, to) in checkpoint_delta.items():
+            cur = self.data["checkpoints"].get(str(pid))
+            if cur != frm:
+                raise CheckpointConflict(
+                    f"partition {pid}: stored position {cur!r} != delta "
+                    f"from-position {frm!r}")
+        for sid in replaced_segment_ids:
+            if sid not in self.data["segments"]:
+                raise KeyError(f"unknown segment {sid}")
+        for seg in staged_segments:
+            seg = dict(seg)
+            seg["state"] = SEGMENT_STATE_PUBLISHED
+            self.data["segments"][seg["segment_id"]] = seg
+        for sid in replaced_segment_ids:
+            self.data["segments"][sid]["state"] = SEGMENT_STATE_DEAD
+        for pid, (_frm, to) in checkpoint_delta.items():
+            self.data["checkpoints"][str(pid)] = to
+        self.data["version"] += 1
+        self._write()
+
+    def vacuum(self) -> list[str]:
+        """Drop dead segment rows and delete their directories (GC/janitor
+        analog, quickwit-janitor garbage_collector.rs)."""
+        import shutil
+        dead = [sid for sid, s in self.data["segments"].items()
+                if s["state"] == SEGMENT_STATE_DEAD]
+        for sid in dead:
+            seg_dir = os.path.join(self.index_dir, "segments", sid)
+            if os.path.isdir(seg_dir):
+                shutil.rmtree(seg_dir)
+            del self.data["segments"][sid]
+        if dead:
+            self.data["version"] += 1
+            self._write()
+        return dead

@@ -1,0 +1,116 @@
+"""Query AST, mirroring the reference's QueryAst surface
+(quickwit-query/src/query_ast/mod.rs:50-70):
+Bool, Term, TermSet, FieldPresence, FullText, Range, Wildcard, Regex,
+MatchAll, MatchNone, Boost. (PhrasePrefix/UserInput handled by the parser;
+positions/phrases are deferred — SURVEY.md §7.3.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Any, Optional, Sequence
+
+
+class Node:
+    pass
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
+class TermSet(Node):
+    field: str
+    values: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class FullText(Node):
+    """Query text is tokenized with the field's tokenizer; tokens combined
+    with `operator` (and/or). 0 tokens => MatchNone; 1 token => Term.
+    (reference: full_text_query.rs:36-163)"""
+    field: str
+    text: str
+    operator: str = "and"  # reference default operator is AND
+
+
+@dataclass(frozen=True)
+class Range(Node):
+    field: str
+    gte: Optional[Any] = None
+    gt: Optional[Any] = None
+    lte: Optional[Any] = None
+    lt: Optional[Any] = None
+
+
+@dataclass(frozen=True)
+class FieldPresence(Node):
+    field: str
+
+
+@dataclass(frozen=True)
+class Wildcard(Node):
+    field: str
+    pattern: str  # `*` and `?` wildcards
+
+
+@dataclass(frozen=True)
+class Regex(Node):
+    field: str
+    pattern: str
+
+
+@dataclass(frozen=True)
+class MatchAll(Node):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNone(Node):
+    pass
+
+
+@dataclass(frozen=True)
+class Boost(Node):
+    inner: Node
+    boost: float
+
+
+@dataclass(frozen=True)
+class Bool(Node):
+    """must/should participate in scoring; filter/must_not do not.
+    With no must/filter clauses, at least `minimum_should_match` should
+    clauses must match (default 1)."""
+    must: tuple[Node, ...] = ()
+    must_not: tuple[Node, ...] = ()
+    should: tuple[Node, ...] = ()
+    filter: tuple[Node, ...] = ()
+    minimum_should_match: int = 1
+
+
+def bool_and(*nodes: Node) -> Bool:
+    return Bool(must=tuple(nodes))
+
+
+def bool_or(*nodes: Node) -> Bool:
+    return Bool(should=tuple(nodes))
+
+
+def collect_tag_filters(node: Node, tag_fields: Sequence[str]) -> list[tuple[str, set[str]]]:
+    """Extract (field, allowed-values) constraints usable for segment tag
+    pruning (reference: quickwit-doc-mapper/src/tag_pruning.rs:35-120).
+    Conservative: only top-level must/filter positions produce constraints."""
+    out: list[tuple[str, set[str]]] = []
+    if isinstance(node, Term) and node.field in tag_fields:
+        out.append((node.field, {node.value}))
+    elif isinstance(node, TermSet) and node.field in tag_fields:
+        out.append((node.field, set(node.values)))
+    elif isinstance(node, Boost):
+        out.extend(collect_tag_filters(node.inner, tag_fields))
+    elif isinstance(node, Bool):
+        for child in list(node.must) + list(node.filter):
+            out.extend(collect_tag_filters(child, tag_fields))
+    return out

@@ -1,0 +1,547 @@
+"""Search execution engine: segment pruning -> per-segment scoring ->
+global top-k merge -> fetch.
+
+Mirrors the reference's query lifecycle (SURVEY.md §3.1): the driver plays
+root (plan + merge: root.rs:1187-1230), executors play leaves
+(leaf.rs:436-565) via mapInPandas over the segment list, and the fetch
+phase re-joins winners to the source table (root.rs:808-889) as a broadcast
+join, verifying the per-row sha256 invariant.
+
+Scoring semantics (rank-identity contract, SURVEY.md §2.5):
+  - BM25 with per-segment statistics (the reference scores each split with
+    its own stats at the leaf), f32 arithmetic (functions/bm25.py);
+  - bool: must/should score, filter/must_not don't; clause scores summed
+    in clause order (f32);
+  - sort: score desc by default here; tie-break key is the global doc
+    address (segment_id, doc_id) compared in the direction of the first
+    sort order (collector.rs:1086-1145);
+  - count: num_hits is the exact match count collected alongside top-k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..functions.bm25 import Bm25Weight, avg_fieldnorm_f32, idf_f32
+from ..functions.tokenizers import tokenize_one
+from ..index.codecs import decode_postings
+from ..index.manifest import Manifest
+from . import ast as A
+
+# ---------------------------------------------------------------------------
+# Per-segment evaluation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Scored:
+    """Sorted unique docids + aligned f32 scores (None => non-scoring set)."""
+    docids: np.ndarray
+    scores: np.ndarray | None
+
+    @classmethod
+    def empty(cls):
+        return cls(np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
+
+    def with_scores(self) -> "_Scored":
+        if self.scores is not None:
+            return self
+        return _Scored(self.docids,
+                       np.ones(len(self.docids), dtype=np.float32))
+
+
+class SegmentReader:
+    """Lazy reader over one immutable segment directory."""
+
+    def __init__(self, seg_dir: str, tokenizer: str = "source_code_default"):
+        self.seg_dir = seg_dir
+        self.tokenizer = tokenizer
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.num_docs = int(self.meta["num_docs"])
+        self.record = self.meta.get("record", "freq")
+        self._avg_fieldnorm = (
+            np.float32(self.meta["total_fieldnorm"]) /
+            np.float32(self.num_docs)) if self.num_docs else np.float32(0)
+        self._fn_ids: np.ndarray | None = None
+        self._doc_cols: dict[str, np.ndarray] = {}
+
+    # -- raw data access ---------------------------------------------------
+
+    def fieldnorm_ids(self) -> np.ndarray:
+        if self._fn_ids is None:
+            t = pq.read_table(os.path.join(self.seg_dir, "docs.parquet"),
+                              columns=["fieldnorm_id"])
+            self._fn_ids = t.column(0).to_numpy().astype(np.int64)
+        return self._fn_ids
+
+    def doc_column(self, col: str) -> np.ndarray:
+        if col not in self._doc_cols:
+            t = pq.read_table(os.path.join(self.seg_dir, "docs.parquet"),
+                              columns=[col])
+            self._doc_cols[col] = np.asarray(t.column(0).to_pandas())
+        return self._doc_cols[col]
+
+    def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
+        """termdict rows for the given terms (predicate pushed to parquet)."""
+        t = pq.read_table(os.path.join(self.seg_dir, "termdict.parquet"),
+                          filters=[("term", "in", list(set(terms)))])
+        return t.to_pandas()
+
+    def scan_terms(self, predicate) -> pd.DataFrame:
+        """Full termdict scan with a pandas predicate (wildcard/regex/
+        list_terms path)."""
+        t = pq.read_table(os.path.join(self.seg_dir, "termdict.parquet"))
+        df = t.to_pandas()
+        return df[predicate(df["term"])]
+
+    def postings_rows(self, term_ids: list[int]) -> pd.DataFrame:
+        t = pq.read_table(os.path.join(self.seg_dir, "postings.parquet"),
+                          filters=[("term_id", "in",
+                                    [int(i) for i in term_ids])])
+        return t.to_pandas()
+
+    # -- leaf evaluation -----------------------------------------------------
+
+    def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray, int]:
+        """(docids, tfs, doc_freq) for one text term; empty if absent."""
+        td = self.lookup_terms([term])
+        if len(td) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, 0
+        row = td.iloc[0]
+        pr = self.postings_rows([int(row["term_id"])]).iloc[0]
+        docids, tfs = decode_postings(pr["docid_blob"], pr["tf_blob"])
+        return docids, tfs, int(row["doc_freq"])
+
+    def eval(self, node: A.Node, text_field: str, scoring: bool = True
+             ) -> _Scored:
+        if isinstance(node, A.MatchAll):
+            ids = np.arange(self.num_docs, dtype=np.int64)
+            return _Scored(ids, np.ones(self.num_docs, dtype=np.float32)
+                           if scoring else None)
+        if isinstance(node, A.MatchNone):
+            return _Scored.empty()
+        if isinstance(node, A.Boost):
+            inner = self.eval(node.inner, text_field, scoring)
+            if inner.scores is not None:
+                inner = _Scored(inner.docids,
+                                (inner.scores * np.float32(node.boost)
+                                 ).astype(np.float32))
+            return inner
+        if isinstance(node, A.FullText):
+            toks = tokenize_one(node.text, analyzer=self.tokenizer) \
+                if node.field == text_field else [node.text]
+            if not toks:
+                return _Scored.empty()
+            terms = tuple(A.Term(node.field, t) for t in toks)
+            if len(terms) == 1:
+                return self.eval(terms[0], text_field, scoring)
+            b = A.Bool(must=terms) if node.operator == "and" \
+                else A.Bool(should=terms)
+            return self.eval(b, text_field, scoring)
+        if isinstance(node, A.Term):
+            if node.field == text_field:
+                docids, tfs, df = self.term_postings(node.value)
+                if not scoring or df == 0:
+                    return _Scored(docids, None if not scoring else
+                                   np.zeros(0, dtype=np.float32))
+                w = Bm25Weight(df, self.num_docs, float(self._avg_fieldnorm))
+                fn = self.fieldnorm_ids()[docids]
+                if self.record == "basic":
+                    tfs = np.ones(len(tfs), dtype=np.int64)
+                return _Scored(docids, w.score(tfs, fn))
+            # attribute term (tag / keyword column)
+            col = self.doc_column(node.field)
+            mask = col == _coerce(node.value, col.dtype)
+            docids = np.nonzero(mask)[0].astype(np.int64)
+            if not scoring:
+                return _Scored(docids, None)
+            idf = idf_f32(len(docids), self.num_docs) if len(docids) else \
+                np.float32(0)
+            return _Scored(docids, np.full(len(docids), idf,
+                                           dtype=np.float32))
+        if isinstance(node, A.TermSet):
+            if node.field == text_field:
+                sets = [self.term_postings(v)[0] for v in node.values]
+                ids = _union_ids(sets)
+            else:
+                col = self.doc_column(node.field)
+                vals = {_coerce(v, col.dtype) for v in node.values}
+                ids = np.nonzero(np.isin(col, list(vals)))[0].astype(np.int64)
+            return _Scored(ids, np.ones(len(ids), dtype=np.float32)
+                           if scoring else None)
+        if isinstance(node, A.Range):
+            col = self.doc_column(node.field)
+            mask = np.ones(len(col), dtype=bool)
+            if node.gte is not None:
+                mask &= col >= _coerce(node.gte, col.dtype)
+            if node.gt is not None:
+                mask &= col > _coerce(node.gt, col.dtype)
+            if node.lte is not None:
+                mask &= col <= _coerce(node.lte, col.dtype)
+            if node.lt is not None:
+                mask &= col < _coerce(node.lt, col.dtype)
+            ids = np.nonzero(mask)[0].astype(np.int64)
+            return _Scored(ids, np.ones(len(ids), dtype=np.float32)
+                           if scoring else None)
+        if isinstance(node, A.FieldPresence):
+            col = self.doc_column(node.field)
+            mask = ~pd.isna(col)
+            ids = np.nonzero(np.asarray(mask))[0].astype(np.int64)
+            return _Scored(ids, np.ones(len(ids), dtype=np.float32)
+                           if scoring else None)
+        if isinstance(node, (A.Wildcard, A.Regex)):
+            import re
+            if isinstance(node, A.Wildcard):
+                pat = "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in node.pattern)
+            else:
+                pat = node.pattern
+            rx = re.compile(f"^(?:{pat})$")
+            if node.field == text_field:
+                td = self.scan_terms(lambda s: s.map(
+                    lambda t: rx.match(t) is not None))
+                sets = []
+                if len(td):
+                    pr = self.postings_rows(td["term_id"].tolist())
+                    for _, row in pr.iterrows():
+                        d, _t = decode_postings(row["docid_blob"],
+                                                row["tf_blob"])
+                        sets.append(d)
+                ids = _union_ids(sets)
+            else:
+                col = self.doc_column(node.field)
+                mask = np.array([bool(rx.match(str(v))) for v in col])
+                ids = np.nonzero(mask)[0].astype(np.int64)
+            return _Scored(ids, np.ones(len(ids), dtype=np.float32)
+                           if scoring else None)
+        if isinstance(node, A.Bool):
+            return self._eval_bool(node, text_field, scoring)
+        raise TypeError(f"unsupported query node {node!r}")
+
+    def _eval_bool(self, node: A.Bool, text_field: str, scoring: bool
+                   ) -> _Scored:
+        positives = list(node.must) + list(node.filter)
+        result: _Scored | None = None
+        # scoring AND over must clauses, in clause order
+        for clause in node.must:
+            s = self.eval(clause, text_field, scoring)
+            result = s if result is None else _intersect(result, s)
+        for clause in node.filter:
+            s = self.eval(clause, text_field, False)
+            result = _Scored(s.docids, None) if result is None \
+                else _intersect(result, _Scored(s.docids, None))
+        if node.should:
+            if result is None:
+                result = _union([self.eval(c, text_field, scoring)
+                                 for c in node.should],
+                                node.minimum_should_match)
+            else:
+                # should only adds score to docs already matching must
+                for clause in node.should:
+                    s = self.eval(clause, text_field, scoring)
+                    result = _add_optional(result, s)
+        if result is None:
+            return _Scored.empty()
+        if node.must_not:
+            for clause in node.must_not:
+                s = self.eval(clause, text_field, False)
+                keep = ~np.isin(result.docids, s.docids, assume_unique=True)
+                result = _Scored(
+                    result.docids[keep],
+                    result.scores[keep] if result.scores is not None else None)
+        return result
+
+
+def _coerce(value, dtype):
+    try:
+        if np.issubdtype(dtype, np.integer):
+            return int(value)
+        if np.issubdtype(dtype, np.floating):
+            return float(value)
+    except TypeError:
+        pass
+    return value
+
+
+def _intersect(a: _Scored, b: _Scored) -> _Scored:
+    common, ia, ib = np.intersect1d(a.docids, b.docids, assume_unique=True,
+                                    return_indices=True)
+    if a.scores is None and b.scores is None:
+        return _Scored(common, None)
+    sa = a.scores[ia] if a.scores is not None else np.float32(0)
+    sb = b.scores[ib] if b.scores is not None else np.float32(0)
+    return _Scored(common, (sa + sb).astype(np.float32))
+
+
+def _add_optional(base: _Scored, opt: _Scored) -> _Scored:
+    """Add opt's scores to base docs that also match opt (docs unchanged)."""
+    if base.scores is None:
+        base = base.with_scores()
+    common, ib, io = np.intersect1d(base.docids, opt.docids,
+                                    assume_unique=True, return_indices=True)
+    scores = base.scores.copy()
+    if opt.scores is not None:
+        scores[ib] = (scores[ib] + opt.scores[io]).astype(np.float32)
+    return _Scored(base.docids, scores)
+
+
+def _union_ids(sets: list[np.ndarray]) -> np.ndarray:
+    if not sets:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(sets)).astype(np.int64)
+
+
+def _union(parts: list[_Scored], minimum_should_match: int = 1) -> _Scored:
+    all_ids = _union_ids([p.docids for p in parts])
+    scores = np.zeros(len(all_ids), dtype=np.float32)
+    counts = np.zeros(len(all_ids), dtype=np.int64)
+    for p in parts:
+        idx = np.searchsorted(all_ids, p.docids)
+        counts[idx] += 1
+        if p.scores is not None:
+            scores[idx] = (scores[idx] + p.scores).astype(np.float32)
+        else:
+            scores[idx] = (scores[idx] + np.float32(1.0)).astype(np.float32)
+    keep = counts >= minimum_should_match
+    return _Scored(all_ids[keep], scores[keep])
+
+
+# ---------------------------------------------------------------------------
+# Root: segment pruning, leaf fan-out, merge, fetch
+# ---------------------------------------------------------------------------
+
+def prune_segments(segments: list[dict], node: A.Node,
+                   tag_fields: list[str]) -> list[dict]:
+    """Tag-based split pruning (reference: tag_pruning.rs +
+    file_backed_index/mod.rs:698-740)."""
+    constraints = A.collect_tag_filters(node, tag_fields)
+    if not constraints:
+        return segments
+    out = []
+    for seg in segments:
+        ok = True
+        for field, allowed in constraints:
+            vals = seg.get("tags", {}).get(field)
+            if vals is not None and not (set(vals) & allowed):
+                ok = False
+                break
+        if ok:
+            out.append(seg)
+    return out
+
+
+def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
+                  text_field: str) -> tuple[int, pd.DataFrame]:
+    """Leaf search on one segment: returns (match_count, top-k candidates
+    sorted by (score desc, doc_id desc))."""
+    reader = SegmentReader(seg_dir, tokenizer)
+    scored = reader.eval(node, text_field, scoring=True).with_scores()
+    count = len(scored.docids)
+    if count == 0:
+        return 0, pd.DataFrame({"doc_id": [], "score": []})
+    # order: score desc, then doc address desc (default desc tie-break)
+    order = np.lexsort((-scored.docids, -scored.scores.astype(np.float64)))
+    top = order[:k]
+    return count, pd.DataFrame({
+        "doc_id": scored.docids[top],
+        "score": scored.scores[top].astype(np.float64),
+    })
+
+
+@dataclass
+class SearchHit:
+    score: float
+    segment_id: str
+    doc_id: int
+    doc: dict
+
+
+@dataclass
+class SearchResult:
+    num_hits: int
+    hits: list[SearchHit]
+
+
+class IndexSearcher:
+    """Single entry point: plan -> leaf fan-out -> merge -> fetch.
+
+    With a SparkSession, leaf search fans out via mapInPandas over the
+    segment list (one task per segment); without, leaves run in-process
+    (the reference's single-node search path, SURVEY.md §3.3).
+    """
+
+    def __init__(self, index_dir: str, spark=None):
+        self.index_dir = index_dir
+        self.manifest = Manifest.load(index_dir)
+        cfg = self.manifest.data["config"]
+        self.text_field = cfg["text_col"]
+        self.tokenizer = cfg["tokenizer"]
+        self.tag_fields = list(cfg.get("tag_cols", []))
+        self.key_cols = list(cfg.get("key_cols", []))
+        self.spark = spark
+
+    def parse(self, query) -> A.Node:
+        if isinstance(query, A.Node):
+            return query
+        from .parser import parse_query
+        return parse_query(query, default_field=self.text_field)
+
+    def search(self, query, k: int = 10, offset: int = 0,
+               fetch_fields: bool = True) -> SearchResult:
+        node = self.parse(query)
+        segs = prune_segments(self.manifest.segments(), node, self.tag_fields)
+        need = offset + k
+        parts: list[tuple[str, int, pd.DataFrame]] = []
+        if self.spark is not None and len(segs) > 1:
+            parts = self._leaf_spark(segs, node, need)
+        else:
+            for seg in segs:
+                seg_dir = os.path.join(self.index_dir, "segments",
+                                       seg["segment_id"])
+                cnt, top = segment_top_k(seg_dir, node, need, self.tokenizer,
+                                         self.text_field)
+                parts.append((seg["segment_id"], cnt, top))
+        num_hits = sum(c for _, c, _ in parts)
+        frames = []
+        for sid, _cnt, top in parts:
+            if len(top):
+                t = top.copy()
+                t["segment_id"] = sid
+                frames.append(t)
+        if not frames:
+            return SearchResult(num_hits, [])
+        allc = pd.concat(frames, ignore_index=True)
+        # global merge: score desc, then (segment_id, doc_id) desc
+        allc = allc.sort_values(["score", "segment_id", "doc_id"],
+                                ascending=[False, False, False],
+                                kind="mergesort")
+        winners = allc.iloc[offset:offset + k]
+        hits = self._fetch(winners) if fetch_fields else [
+            SearchHit(float(r.score), str(r.segment_id), int(r.doc_id), {})
+            for r in winners.itertuples()]
+        return SearchResult(num_hits, hits)
+
+    def _leaf_spark(self, segs: list[dict], node: A.Node, need: int):
+        index_dir = self.index_dir
+        tokenizer = self.tokenizer
+        text_field = self.text_field
+        seg_ids = [s["segment_id"] for s in segs]
+        sdf = self.spark.createDataFrame(
+            [(s,) for s in seg_ids], "segment_id string"
+        ).repartition(min(len(seg_ids), 2 * _default_parallelism(self.spark)))
+
+        def leaf(iterator):
+            for pdf in iterator:
+                for sid in pdf["segment_id"].tolist():
+                    seg_dir = os.path.join(index_dir, "segments", sid)
+                    cnt, top = segment_top_k(seg_dir, node, need, tokenizer,
+                                             text_field)
+                    top = top.copy()
+                    top["segment_id"] = sid
+                    top["match_count"] = cnt
+                    if len(top) == 0:
+                        top = pd.DataFrame({
+                            "doc_id": [-1], "score": [0.0],
+                            "segment_id": [sid], "match_count": [cnt]})
+                    yield top[["segment_id", "doc_id", "score",
+                               "match_count"]]
+
+        rows = sdf.mapInPandas(
+            leaf, "segment_id string, doc_id long, score double, "
+                  "match_count long").toPandas()
+        parts = []
+        for sid, grp in rows.groupby("segment_id", sort=False):
+            cnt = int(grp["match_count"].iloc[0])
+            top = grp[grp["doc_id"] >= 0][["doc_id", "score"]]
+            parts.append((sid, cnt, top))
+        return parts
+
+    def _fetch(self, winners: pd.DataFrame) -> list[SearchHit]:
+        """Fetch doc keys/tags for winners from their segments' doc maps
+        (two-phase hit join, root.rs:808-889) and verify stored sha256
+        presence; content re-join happens against the source table via
+        fetch_content()."""
+        hits: list[SearchHit] = []
+        for sid, grp in winners.groupby("segment_id", sort=False):
+            seg_dir = os.path.join(self.index_dir, "segments", sid)
+            ids = [int(i) for i in grp["doc_id"].tolist()]
+            t = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
+                              filters=[("doc_id", "in", ids)]).to_pandas()
+            t = t.set_index("doc_id")
+            for r in grp.itertuples():
+                doc = t.loc[int(r.doc_id)].to_dict()
+                hits.append(SearchHit(float(r.score), sid, int(r.doc_id),
+                                      doc))
+        # restore global rank order
+        key = {(h.segment_id, h.doc_id): h for h in hits}
+        return [key[(r.segment_id, int(r.doc_id))]
+                for r in winners.itertuples()]
+
+    def fetch_content(self, result: SearchResult, source_df,
+                      verify_sha: bool = True) -> pd.DataFrame:
+        """Join hits back to the source table (broadcast join on doc keys)
+        and verify sha256(content) per returned row."""
+        from pyspark.sql import functions as F
+        if not result.hits:
+            return pd.DataFrame()
+        rows = [{**h.doc, "score": h.score, "segment_id": h.segment_id,
+                 "doc_id": h.doc_id} for h in result.hits]
+        keys = pd.DataFrame(rows)[self.key_cols + ["score", "segment_id",
+                                                   "doc_id"]]
+        spark = self.spark
+        kdf = spark.createDataFrame(keys)
+        joined = source_df.join(F.broadcast(kdf), on=self.key_cols,
+                                how="inner").toPandas()
+        if verify_sha and "sha256" in joined.columns:
+            for r in joined.itertuples():
+                actual = hashlib.sha256(r.content.encode()).hexdigest()
+                if actual != r.sha256:
+                    raise ValueError(
+                        f"sha256 mismatch for {tuple(getattr(r, c) for c in self.key_cols)}")
+        return joined.sort_values("score", ascending=False)
+
+    # -- auxiliary search surface -------------------------------------------
+
+    def list_terms(self, start: str | None = None, end: str | None = None,
+                   limit: int = 1000) -> list[str]:
+        """Range-scan the term dictionary across segments
+        (reference: quickwit-search/src/list_terms.rs:47-330)."""
+        terms: set[str] = set()
+        for seg in self.manifest.segments():
+            seg_dir = os.path.join(self.index_dir, "segments",
+                                   seg["segment_id"])
+            filters = []
+            if start is not None:
+                filters.append(("term", ">=", start))
+            if end is not None:
+                filters.append(("term", "<", end))
+            t = pq.read_table(os.path.join(seg_dir, "termdict.parquet"),
+                              columns=["term"],
+                              filters=filters or None)
+            terms.update(t.column(0).to_pylist())
+        return sorted(terms)[:limit]
+
+    def count(self, query) -> int:
+        """Metadata-only fast path for match-all (root.rs:638-685),
+        else exact count from leaf evaluation."""
+        node = self.parse(query)
+        if isinstance(node, A.MatchAll):
+            return sum(s["num_docs"] for s in self.manifest.segments())
+        return self.search(node, k=0, fetch_fields=False).num_hits
+
+
+def _default_parallelism(spark) -> int:
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return 8

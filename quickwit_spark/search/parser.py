@@ -1,0 +1,192 @@
+"""Query-string parser for the reference's query language
+(docs/reference/query-language.md; UserInput AST node,
+quickwit-query/src/query_ast/user_input_query.rs:35-120).
+
+Supported grammar subset:
+    clause   := orExpr
+    orExpr   := andExpr (OR andExpr)*
+    andExpr  := unary (AND? unary)*          # adjacency = AND (default op
+                                             # is AND, query_ast/mod.rs:319-329
+                                             # — contra Elasticsearch)
+    unary    := ('-' | 'NOT' | '+')? primary
+    primary  := '(' clause ')' | field ':' value | value
+    value    := word | "quoted text" | IN [w1 w2 ...]
+              | [a TO b] | {a TO b} | >x | >=x | <x | <=x | *
+
+Words containing `*` or `?` become Wildcard nodes; `*` alone is MatchAll.
+Quoted text becomes a FullText AND over its tokens (positions/phrases are
+deferred — the reference's phrase-fallback-to-intersection mode).
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import ast as A
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<lbrack>[\[{]) | (?P<rbrack>[\]}]) |
+        (?P<quote>"(?:[^"\\]|\\.)*") |
+        (?P<word>[^\s()\[\]{}":]+) |
+        (?P<colon>:)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    out = []
+    i = 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m or m.end() == i:
+            if q[i].isspace():
+                i += 1
+                continue
+            raise ValueError(f"cannot lex query at {q[i:]!r}")
+        i = m.end()
+        for kind in ("lparen", "rparen", "lbrack", "rbrack", "quote",
+                     "word", "colon"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens, default_field: str, default_operator: str):
+        self.toks = tokens
+        self.pos = 0
+        self.default_field = default_field
+        self.default_op = default_operator
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    def parse(self) -> A.Node:
+        node = self.or_expr()
+        if self.pos != len(self.toks):
+            raise ValueError(f"trailing tokens: {self.toks[self.pos:]}")
+        return node
+
+    def or_expr(self) -> A.Node:
+        parts = [self.and_expr()]
+        while self.peek() == ("word", "OR"):
+            self.next()
+            parts.append(self.and_expr())
+        if len(parts) == 1:
+            return parts[0]
+        return A.Bool(should=tuple(parts))
+
+    def and_expr(self) -> A.Node:
+        must: list[A.Node] = []
+        must_not: list[A.Node] = []
+        while True:
+            kind, val = self.peek()
+            if kind is None or kind == "rparen" or (kind, val) == ("word", "OR"):
+                break
+            if (kind, val) == ("word", "AND"):
+                self.next()
+                continue
+            neg = False
+            if (kind, val) == ("word", "NOT"):
+                self.next()
+                neg = True
+            elif kind == "word" and val.startswith("-") and len(val) > 1:
+                self.toks[self.pos] = ("word", val[1:])
+                neg = True
+            elif kind == "word" and val.startswith("+") and len(val) > 1:
+                self.toks[self.pos] = ("word", val[1:])
+            node = self.primary()
+            (must_not if neg else must).append(node)
+        if not must and not must_not:
+            raise ValueError("empty clause")
+        if len(must) == 1 and not must_not:
+            return must[0]
+        return A.Bool(must=tuple(must), must_not=tuple(must_not))
+
+    def primary(self) -> A.Node:
+        kind, val = self.next()
+        if kind == "lparen":
+            node = self.or_expr()
+            k, _ = self.next()
+            if k != "rparen":
+                raise ValueError("expected )")
+            return node
+        if kind == "quote":
+            text = re.sub(r"\\(.)", r"\1", val[1:-1])
+            return A.FullText(self.default_field, text, operator="and")
+        if kind == "word":
+            if self.peek()[0] == "colon":
+                self.next()
+                return self.field_value(val)
+            return self.value_node(self.default_field, val)
+        raise ValueError(f"unexpected token {kind}:{val}")
+
+    def field_value(self, field: str) -> A.Node:
+        kind, val = self.peek()
+        if kind == "quote":
+            self.next()
+            text = re.sub(r"\\(.)", r"\1", val[1:-1])
+            return A.FullText(field, text, operator="and")
+        if (kind, val) == ("word", "IN"):
+            self.next()
+            k, open_b = self.next()
+            if k != "lbrack":
+                raise ValueError("expected [ after IN")
+            vals = []
+            while self.peek()[0] == "word":
+                vals.append(self.next()[1])
+            k, _ = self.next()
+            if k != "rbrack":
+                raise ValueError("expected ] closing IN")
+            return A.TermSet(field, tuple(vals))
+        if kind == "lbrack":
+            lo_excl = val == "{"
+            self.next()
+            lo = self.next()[1]
+            to = self.next()[1]
+            if to != "TO":
+                raise ValueError("expected TO in range")
+            hi = self.next()[1]
+            k, close_b = self.next()
+            if k != "rbrack":
+                raise ValueError("expected ] closing range")
+            hi_excl = close_b == "}"
+            kw = {}
+            if lo != "*":
+                kw["gt" if lo_excl else "gte"] = lo
+            if hi != "*":
+                kw["lt" if hi_excl else "lte"] = hi
+            return A.Range(field, **kw)
+        if kind == "word":
+            self.next()
+            for op, key in ((">=", "gte"), ("<=", "lte"), (">", "gt"),
+                            ("<", "lt")):
+                if val.startswith(op):
+                    return A.Range(field, **{key: val[len(op):]})
+            return self.value_node(field, val)
+        raise ValueError(f"bad field value for {field}")
+
+    def value_node(self, field: str, word: str) -> A.Node:
+        if word == "*":
+            return A.MatchAll()
+        if "*" in word or "?" in word:
+            return A.Wildcard(field, word)
+        return A.FullText(field, word, operator=self.default_op)
+
+
+def parse_query(q: str, default_field: str = "content",
+                default_operator: str = "and") -> A.Node:
+    q = q.strip()
+    if not q or q == "*":
+        return A.MatchAll()
+    return _Parser(_lex(q), default_field, default_operator).parse()

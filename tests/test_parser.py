@@ -1,0 +1,56 @@
+"""Query-string grammar tests (docs/reference/query-language.md semantics:
+default operator AND, field:term, IN sets, ranges, NOT/-, grouping)."""
+
+from quickwit_spark.search import ast as A
+from quickwit_spark.search.parser import parse_query
+
+
+def test_default_and():
+    node = parse_query("quick sort", default_field="content")
+    assert node == A.Bool(must=(A.FullText("content", "quick"),
+                                A.FullText("content", "sort")))
+
+
+def test_or_and_grouping():
+    node = parse_query("a AND (b OR c)", default_field="content")
+    assert node == A.Bool(must=(
+        A.FullText("content", "a"),
+        A.Bool(should=(A.FullText("content", "b"),
+                       A.FullText("content", "c")))))
+
+
+def test_field_term_and_not():
+    node = parse_query("lang:python -content:slow")
+    assert node == A.Bool(must=(A.FullText("lang", "python"),),
+                          must_not=(A.FullText("content", "slow"),))
+
+
+def test_not_keyword():
+    node = parse_query("a NOT b", default_field="content")
+    assert node == A.Bool(must=(A.FullText("content", "a"),),
+                          must_not=(A.FullText("content", "b"),))
+
+
+def test_in_set():
+    node = parse_query("lang:IN [python rust go]")
+    assert node == A.TermSet("lang", ("python", "rust", "go"))
+
+
+def test_range_brackets():
+    assert parse_query("size:[10 TO 20]") == A.Range("size", gte="10",
+                                                     lte="20")
+    assert parse_query("size:{10 TO 20}") == A.Range("size", gt="10",
+                                                     lt="20")
+    assert parse_query("size:[* TO 20}") == A.Range("size", lt="20")
+    assert parse_query("size:>=5") == A.Range("size", gte="5")
+
+
+def test_wildcard_and_matchall():
+    assert parse_query("*") == A.MatchAll()
+    assert parse_query("wil?car*d", default_field="c") == \
+        A.Wildcard("c", "wil?car*d")
+
+
+def test_quoted_phrase_falls_back_to_and():
+    node = parse_query('"quick sort"', default_field="content")
+    assert node == A.FullText("content", "quick sort", operator="and")

@@ -1,0 +1,153 @@
+"""End-to-end rank-identity gate (FIXTURES.md F5): the engine's top-k
+(score f32, segment_id, doc_id) must equal the pure-Python scalar oracle,
+including tie order, on a deterministic query set spanning the df spectrum.
+Also checks num_hits and the per-row sha256 invariant."""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.index.builder import build_index_pandas
+from quickwit_spark.index.corpus import corpus_pandas
+from quickwit_spark.search import ast as A
+from quickwit_spark.search.engine import IndexSearcher
+from tests.oracle import OracleEngine, OracleSegment, scalar_analyze
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("idx")
+    pdf = corpus_pandas(N_DOCS, seed=42)
+    cfg = IndexConfig(index_uid="e2e", index_dir=str(tmp / "e2e"))
+    manifest = build_index_pandas(pdf, cfg, num_partitions=4)
+    return pdf, cfg, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle(built):
+    pdf, cfg, manifest = built
+    key = pdf.set_index(list(cfg.key_cols))
+    segs = []
+    for seg in sorted(manifest.segments(), key=lambda s: s["segment_id"]):
+        seg_dir = os.path.join(cfg.index_dir, "segments", seg["segment_id"])
+        docs_t = pq.read_table(os.path.join(seg_dir, "docs.parquet")
+                               ).to_pandas()
+        docs = []
+        for r in docs_t.itertuples():
+            src = key.loc[(r.repo, r.path, r.commit)]
+            docs.append({"repo": r.repo, "path": r.path, "commit": r.commit,
+                         "lang": r.lang, "content": src["content"],
+                         "sha256": src["sha256"]})
+        segs.append(OracleSegment(seg["segment_id"], docs, "content",
+                                  cfg.tokenizer))
+    return OracleEngine(segs)
+
+
+@pytest.fixture(scope="module")
+def query_set(oracle):
+    """Deterministic query set across the term-df spectrum (F5)."""
+    df_counts = {}
+    for seg in oracle.segments:
+        for t, pl in seg.postings.items():
+            df_counts[t] = df_counts.get(t, 0) + len(pl)
+    terms = sorted(df_counts, key=lambda t: (-df_counts[t], t))
+    head = terms[:10]
+    mid = terms[len(terms) // 2: len(terms) // 2 + 10]
+    tail = terms[-10:]
+    queries = []
+    for t in head + mid + tail:
+        queries.append(A.FullText("content", t))
+    for a, b in zip(head, mid):
+        queries.append(A.Bool(must=(A.Term("content", a),
+                                    A.Term("content", b))))
+    for a, b in zip(head, tail):
+        queries.append(A.Bool(should=(A.Term("content", a),
+                                      A.Term("content", b))))
+    for a, b, c in zip(head[:5], mid[:5], tail[:5]):
+        queries.append(A.Bool(must=(
+            A.Term("content", a),
+            A.Bool(should=(A.Term("content", b), A.Term("content", c))))))
+    for t, lang in zip(head[:6], ["python", "rust", "java", "go", "js", "c"]):
+        queries.append(A.Bool(must=(A.Term("content", t),),
+                              filter=(A.Term("lang", lang),)))
+    for t in head[:3]:
+        queries.append(A.Bool(must=(A.Term("content", t),),
+                              must_not=(A.Term("content", tail[0]),)))
+    return queries
+
+
+@pytest.mark.parametrize("k", [10, 100])
+def test_rank_identity(built, oracle, query_set, k):
+    pdf, cfg, manifest = built
+    searcher = IndexSearcher(cfg.index_dir)
+    for qi, node in enumerate(query_set):
+        want_hits, want = oracle.search(node, k=k)
+        res = searcher.search(node, k=k, fetch_fields=False)
+        got = [(float(np.float32(h.score)), h.segment_id, h.doc_id)
+               for h in res.hits]
+        want_cmp = [(float(np.float32(s)), sid, d) for s, sid, d in want]
+        assert res.num_hits == want_hits, f"query {qi}: num_hits"
+        assert got == want_cmp, f"query {qi}: {node}"
+
+
+def test_sha256_invariant(built):
+    pdf, cfg, manifest = built
+    searcher = IndexSearcher(cfg.index_dir)
+    src = pdf.set_index(list(cfg.key_cols))
+    res = searcher.search(A.MatchAll(), k=50)
+    assert res.hits
+    for h in res.hits:
+        row = src.loc[(h.doc["repo"], h.doc["path"], h.doc["commit"])]
+        assert hashlib.sha256(row["content"].encode()).hexdigest() \
+            == h.doc["sha256"]
+
+
+def test_docid_assignment_deterministic(built, tmp_path):
+    """Re-building from a shuffled input yields byte-identical segments."""
+    pdf, cfg, manifest = built
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    cfg2 = IndexConfig(index_uid="e2e", index_dir=str(tmp_path / "e2e2"))
+    m2 = build_index_pandas(shuffled, cfg2, num_partitions=4)
+    ids1 = sorted(s["segment_id"] for s in manifest.segments())
+    ids2 = sorted(s["segment_id"] for s in m2.segments())
+    assert ids1 == ids2
+    for sid in ids1:
+        for fname in ("postings.parquet", "termdict.parquet", "docs.parquet"):
+            a = open(os.path.join(cfg.index_dir, "segments", sid, fname),
+                     "rb").read()
+            b = open(os.path.join(cfg2.index_dir, "segments", sid, fname),
+                     "rb").read()
+            assert a == b, (sid, fname)
+
+
+def test_count_and_list_terms(built):
+    pdf, cfg, manifest = built
+    searcher = IndexSearcher(cfg.index_dir)
+    assert searcher.count("*") == N_DOCS
+    terms = searcher.list_terms(start="a", end="c", limit=50)
+    assert terms == sorted(terms)
+    assert all("a" <= t < "c" for t in terms)
+
+
+def test_range_and_termset_and_wildcard(built):
+    pdf, cfg, manifest = built
+    searcher = IndexSearcher(cfg.index_dir)
+    # attribute termset
+    res = searcher.search(A.TermSet("lang", ("python", "rust")), k=500,
+                          fetch_fields=True)
+    langs = {h.doc["lang"] for h in res.hits}
+    assert langs <= {"python", "rust"}
+    want = int((pdf["lang"].isin(["python", "rust"])).sum())
+    assert res.num_hits == want
+    # wildcard over the term dict
+    res2 = searcher.search(A.Wildcard("content", "merge*"), k=500,
+                           fetch_fields=False)
+    assert res2.num_hits > 0

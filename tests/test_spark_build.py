@@ -1,0 +1,80 @@
+"""Distributed build + search via Spark: results must equal the local
+(pandas) engine and the oracle; resume must skip published partitions."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.index.builder import build_index
+from quickwit_spark.index.corpus import corpus_df, corpus_pandas
+from quickwit_spark.index.manifest import CheckpointConflict, Manifest
+from quickwit_spark.search import ast as A
+from quickwit_spark.search.engine import IndexSearcher
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sparkidx")
+    cfg = IndexConfig(index_uid="sp", index_dir=str(tmp / "sp"))
+    df = corpus_df(spark, N_DOCS, seed=42, num_partitions=8)
+    manifest = build_index(spark, df, cfg, num_partitions=6)
+    return cfg, manifest
+
+
+def test_spark_build_and_search(spark, spark_index):
+    cfg, manifest = spark_index
+    assert sum(s["num_docs"] for s in manifest.segments()) == N_DOCS
+    searcher_local = IndexSearcher(cfg.index_dir)
+    searcher_spark = IndexSearcher(cfg.index_dir, spark=spark)
+    for q in ["merge", "query score", "mergeBatch OR splitIndex",
+              "lang:python merge"]:
+        r1 = searcher_local.search(q, k=20, fetch_fields=False)
+        r2 = searcher_spark.search(q, k=20, fetch_fields=False)
+        assert r1.num_hits == r2.num_hits
+        assert [(np.float32(h.score).item(), h.segment_id, h.doc_id)
+                for h in r1.hits] == \
+               [(np.float32(h.score).item(), h.segment_id, h.doc_id)
+                for h in r2.hits], q
+
+
+def test_spark_build_resume_is_noop(spark, spark_index):
+    cfg, manifest = spark_index
+    df = corpus_df(spark, N_DOCS, seed=42, num_partitions=8)
+    before = json.dumps(Manifest.load(cfg.index_dir).data["segments"],
+                        sort_keys=True)
+    m2 = build_index(spark, df, cfg, num_partitions=6)
+    after = json.dumps(m2.data["segments"], sort_keys=True)
+    assert before == after
+
+
+def test_partial_build_then_resume(spark, tmp_path):
+    """Interrupt after the first wave; rerun completes with the same final
+    manifest as an uninterrupted build (FIXTURES.md F6 resume)."""
+    cfg = IndexConfig(index_uid="resume", index_dir=str(tmp_path / "r1"))
+    df = corpus_df(spark, N_DOCS, seed=42, num_partitions=8)
+    build_index(spark, df, cfg, num_partitions=8, wave_size=3, max_waves=1)
+    m_partial = Manifest.load(cfg.index_dir)
+    assert len(m_partial.published_partitions()) == 3
+    build_index(spark, df, cfg, num_partitions=8, wave_size=3)
+    m_final = Manifest.load(cfg.index_dir)
+    assert len(m_final.published_partitions()) == 8
+
+    cfg2 = IndexConfig(index_uid="resume", index_dir=str(tmp_path / "r2"))
+    m_direct = build_index(spark, df, cfg2, num_partitions=8)
+    assert sorted(s["segment_id"] for s in m_final.segments()) == \
+        sorted(s["segment_id"] for s in m_direct.segments())
+
+
+def test_checkpoint_conflict(tmp_path):
+    m = Manifest.create(str(tmp_path), "x", {})
+    m.publish([], checkpoint_delta={0: (None, "docs=5")})
+    with pytest.raises(CheckpointConflict):
+        m.publish([], checkpoint_delta={0: (None, "docs=5")})
+    # correct from-position succeeds
+    m.publish([], checkpoint_delta={0: ("docs=5", "docs=9")})
+    assert m.checkpoint(0) == "docs=9"

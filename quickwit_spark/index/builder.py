@@ -86,34 +86,19 @@ def _list_array(values: np.ndarray, offsets: np.ndarray,
         pa.array(offsets.astype(np.int32)), pa.array(values, type=dtype))
 
 
-def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
-                  segments_root: str, chunk_idx: int = 0,
-                  num_merge_ops: int = 0,
-                  parents: list[str] | None = None) -> dict:
-    """Build one immutable segment from a sorted doc chunk. Returns the
-    segment metadata row (manifest format)."""
-    n = len(pdf)
-    assert n > 0
-    texts = pdf[config.text_col].tolist()
-    doc_idx, tokens = tokenize_batch(texts, analyzer=config.tokenizer)
+def write_segment(seg_dir: str, terms_sorted: np.ndarray,
+                  p_term: np.ndarray, p_doc: np.ndarray, tfs: np.ndarray,
+                  fn_ids: np.ndarray, doc_cols: dict, meta_extra: dict
+                  ) -> dict:
+    """Encode posting blocks + write the three segment files + meta.json.
 
-    fieldnorms = np.bincount(doc_idx, minlength=n).astype(np.int64)
-    if config.fieldnorms:
-        fn_ids = fieldnorm_to_id(fieldnorms)
-    else:
-        # fieldnorms disabled: constant length norm of 1 (score -> idf)
-        fn_ids = fieldnorm_to_id(np.ones(n, dtype=np.int64))
-
-    # (term, doc) -> tf, ordered by (term, doc) via integer keys
-    tok_arr = np.array(tokens, dtype=object)
-    terms_sorted, codes = np.unique(tok_arr, return_inverse=True)
+    p_term/p_doc/tfs are the posting triples sorted by (term, doc);
+    fn_ids are per-doc fieldnorm ids; doc_cols the docs.parquet columns.
+    Shared by the initial build and the merge executor.
+    """
     nterms = len(terms_sorted)
-    pair_key = codes.astype(np.int64) * n + doc_idx
-    pair_sorted, tfs = np.unique(pair_key, return_counts=True)
-    p_term = pair_sorted // n
-    p_doc = pair_sorted % n
-    tfs = tfs.astype(np.int64)
-    npost = len(pair_sorted)
+    n = len(fn_ids)
+    npost = len(p_term)
 
     # per-term ranges
     term_starts = np.nonzero(np.r_[True, p_term[1:] != p_term[:-1]])[0]
@@ -152,16 +137,6 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
                   ).astype(np.int32)
 
     blk_offsets = np.r_[0, np.cumsum(nblk)].astype(np.int64)
-
-    # segment identity: content-addressed over partition + doc keys
-    h = hashlib.sha256()
-    h.update(f"{config.index_uid}:{partition_id}:{chunk_idx}:{num_merge_ops}"
-             .encode())
-    for col in config.key_cols:
-        h.update(hashlib.sha256(
-            "\x00".join(map(str, pdf[col].tolist())).encode()).digest())
-    segment_id = f"seg-{h.hexdigest()[:20]}"
-    seg_dir = os.path.join(segments_root, segment_id)
     os.makedirs(seg_dir, exist_ok=True)
 
     # --- postings.parquet (one row per term) ---
@@ -193,6 +168,59 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
                    compression="zstd")
 
     # --- docs.parquet (doc map: keys, tags, sha, fieldnorm fast fields) ---
+    pq.write_table(pa.table(doc_cols), os.path.join(seg_dir, "docs.parquet"),
+                   compression="zstd")
+
+    # --- metadata ---
+    meta = {
+        "num_docs": int(n),
+        "num_terms": int(nterms),
+        "num_postings": int(npost),
+        "total_fieldnorm": int(id_to_fieldnorm(fn_ids).sum()),
+        "bytes_postings": len(doc_blob) + len(tf_blob),
+        "term_min": str(terms_sorted[0]),
+        "term_max": str(terms_sorted[-1]),
+    }
+    meta.update(meta_extra)
+    with open(os.path.join(seg_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
+                  segments_root: str, chunk_idx: int = 0) -> dict:
+    """Build one immutable segment from a sorted doc chunk. Returns the
+    segment metadata row (manifest format)."""
+    n = len(pdf)
+    assert n > 0
+    texts = pdf[config.text_col].tolist()
+    doc_idx, tokens = tokenize_batch(texts, analyzer=config.tokenizer)
+
+    fieldnorms = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    if config.fieldnorms:
+        fn_ids = fieldnorm_to_id(fieldnorms)
+    else:
+        # fieldnorms disabled: constant length norm of 1 (score -> idf)
+        fn_ids = fieldnorm_to_id(np.ones(n, dtype=np.int64))
+
+    # (term, doc) -> tf, ordered by (term, doc) via integer keys
+    tok_arr = np.array(tokens, dtype=object)
+    terms_sorted, codes = np.unique(tok_arr, return_inverse=True)
+    pair_key = codes.astype(np.int64) * n + doc_idx
+    pair_sorted, tfs = np.unique(pair_key, return_counts=True)
+    p_term = pair_sorted // n
+    p_doc = pair_sorted % n
+    tfs = tfs.astype(np.int64)
+
+    # segment identity: content-addressed over partition + doc keys
+    h = hashlib.sha256()
+    h.update(f"{config.index_uid}:{partition_id}:{chunk_idx}:0".encode())
+    for col in config.key_cols:
+        h.update(hashlib.sha256(
+            "\x00".join(map(str, pdf[col].tolist())).encode()).digest())
+    segment_id = f"seg-{h.hexdigest()[:20]}"
+    seg_dir = os.path.join(segments_root, segment_id)
+
     doc_cols: dict[str, pa.Array] = {
         "doc_id": pa.array(np.arange(n), type=pa.int32()),
     }
@@ -206,39 +234,27 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     doc_cols["fieldnorm"] = pa.array(fieldnorms, type=pa.int32())
     doc_cols["fieldnorm_id"] = pa.array(fn_ids.astype(np.int32),
                                         type=pa.int32())
-    pq.write_table(pa.table(doc_cols), os.path.join(seg_dir, "docs.parquet"),
-                   compression="zstd")
 
-    # --- metadata ---
     tags: dict[str, list[str] | None] = {}
     for col in config.tag_cols:
         if col in pdf.columns:
             vals = sorted(set(map(str, pdf[col].tolist())))
             tags[col] = vals if len(vals) <= config.max_tag_values else None
-    bytes_raw = int(sum(len(t) for t in texts if isinstance(t, str)))
-    meta = {
+    meta_extra = {
         "segment_id": segment_id,
         "partition_id": int(partition_id),
         "chunk_idx": int(chunk_idx),
-        "num_docs": int(n),
-        "num_terms": int(nterms),
-        "num_postings": int(npost),
-        "total_fieldnorm": int(id_to_fieldnorm(fn_ids).sum()),
-        "bytes_raw": bytes_raw,
-        "bytes_postings": len(doc_blob) + len(tf_blob),
-        "term_min": str(terms_sorted[0]),
-        "term_max": str(terms_sorted[-1]),
+        "bytes_raw": int(sum(len(t) for t in texts if isinstance(t, str))),
         "tags": tags,
-        "num_merge_ops": int(num_merge_ops),
-        "parents": parents or [],
+        "num_merge_ops": 0,
+        "parents": [],
         "schema_rev": config.schema_rev,
         "tokenizer": config.tokenizer,
         "record": config.record,
         "fieldnorms": bool(config.fieldnorms),
     }
-    with open(os.path.join(seg_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
-    return meta
+    return write_segment(seg_dir, terms_sorted, p_term, p_doc, tfs, fn_ids,
+                         doc_cols, meta_extra)
 
 
 def build_partition(pdf: pd.DataFrame, config: IndexConfig,

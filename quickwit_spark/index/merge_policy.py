@@ -1,0 +1,106 @@
+"""StableLogMergePolicy — a from-scratch Python port of the reference's
+default merge policy (behavioral spec:
+quickwit-indexing/src/merge_policy/stable_log_merge_policy.rs:99-298;
+defaults: merge_factor 10, max 12, min_level_num_docs 100k,
+split_num_docs_target 10M — merge_policy_config.rs:91-117,
+index_config/mod.rs:139-141).
+
+Algorithm over manifest segment rows:
+  1. mature segments (num_docs >= split_num_docs_target) never merge;
+  2. sort remaining by (reverse time_end [missing last], num_docs,
+     segment_id) — the segment_id tiebreak makes the policy invariant to
+     input shuffling;
+  3. group into levels: level boundary triples (l0 = max(3*first.num_docs,
+     min_level_num_docs); next level starts when num_docs >= boundary, new
+     boundary = 3*num_docs), capped by split_num_docs_target;
+  4. per level (deepest first), take the longest suffix of the level that
+     stays under max_merge_factor and split_num_docs_target; emit it if it
+     reaches merge_factor (or got capped).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..config import MergePolicyConfig
+
+TOO_SMALL, VALID, TOO_BIG = 0, 1, 2
+
+
+@dataclass
+class MergeOperation:
+    segments: list[dict]
+
+    def segment_ids(self) -> list[str]:
+        return [s["segment_id"] for s in self.segments]
+
+
+def _sort_key(seg: dict):
+    te = seg.get("time_end")
+    # reverse time end, None (no timestamp) after all values
+    rev_te = (0, -te) if te is not None else (1, 0)
+    return (rev_te, seg["num_docs"], seg["segment_id"])
+
+
+class StableLogMergePolicy:
+    def __init__(self, config: MergePolicyConfig | None = None):
+        self.config = config or MergePolicyConfig()
+
+    def is_mature(self, seg: dict) -> bool:
+        return seg["num_docs"] >= self.config.split_num_docs_target
+
+    def operations(self, segments: list[dict]) -> list[MergeOperation]:
+        if len(segments) < 2:
+            return []
+        splits = sorted((s for s in segments if not self.is_mature(s)),
+                        key=_sort_key)
+        if not splits:
+            return []
+        levels = self._build_levels(splits)
+        ops: list[MergeOperation] = []
+        taken: set[str] = set()
+        for lo, hi in reversed(levels):
+            rng = self._candidate_from_level(splits, lo, hi)
+            if rng is not None:
+                ops.append(MergeOperation(splits[rng[0]:rng[1]]))
+                for s in splits[rng[0]:rng[1]]:
+                    taken.add(s["segment_id"])
+        return ops
+
+    def _build_levels(self, splits: list[dict]) -> list[tuple[int, int]]:
+        assert all(s["num_docs"] < self.config.split_num_docs_target
+                   for s in splits)
+        levels: list[tuple[int, int]] = []
+        start = 0
+        max_docs = max(splits[0]["num_docs"] * 3,
+                       self.config.min_level_num_docs)
+        for ord_, s in enumerate(splits):
+            if s["num_docs"] >= max_docs:
+                levels.append((start, ord_))
+                start = ord_
+                max_docs = 3 * s["num_docs"]
+        levels.append((start, len(splits)))
+        return levels
+
+    def _candidate_from_level(self, splits: list[dict], lo: int, hi: int):
+        end = hi
+        start = end
+        for ord_ in range(hi - 1, lo - 1, -1):
+            if self._candidate_size(splits[start:end]) == TOO_BIG:
+                break
+            start = ord_
+        if self._candidate_size(splits[start:end]) == TOO_SMALL:
+            return None
+        return (start, end)
+
+    def _candidate_size(self, cand: list[dict]) -> int:
+        if len(cand) <= 1:
+            return TOO_SMALL
+        if len(cand) >= self.config.max_merge_factor:
+            return TOO_BIG
+        total = sum(s["num_docs"] for s in cand)
+        if total >= self.config.split_num_docs_target:
+            return TOO_BIG
+        if len(cand) < self.config.merge_factor:
+            return TOO_SMALL
+        return VALID

@@ -1,0 +1,180 @@
+"""Merge policy + executor tests (FIXTURES.md F6): policy determinism,
+merge idempotence (byte-identical re-run), merged-index rank identity vs
+the oracle, and hierarchical merge to a single mature-ish segment."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_spark.config import IndexConfig, MergePolicyConfig
+from quickwit_spark.index.builder import build_index_pandas
+from quickwit_spark.index.corpus import corpus_pandas
+from quickwit_spark.index.manifest import Manifest
+from quickwit_spark.index.merge import merge_segments, run_merges
+from quickwit_spark.index.merge_policy import StableLogMergePolicy
+from quickwit_spark.search import ast as A
+from quickwit_spark.search.engine import IndexSearcher
+from tests.oracle import OracleEngine, OracleSegment
+
+N_DOCS = 240
+
+
+def _mk_seg(i, num_docs, merge_ops=0):
+    return {"segment_id": f"seg-{i:04d}", "num_docs": num_docs,
+            "num_merge_ops": merge_ops, "schema_rev": "v1",
+            "tokenizer": "t", "record": "freq", "fieldnorms": True,
+            "tags": {}}
+
+
+class TestPolicy:
+    def test_ten_equal_segments_merge(self):
+        pol = StableLogMergePolicy(MergePolicyConfig(
+            min_level_num_docs=100, split_num_docs_target=10_000))
+        segs = [_mk_seg(i, 40) for i in range(10)]
+        ops = pol.operations(segs)
+        assert len(ops) == 1
+        assert len(ops[0].segments) == 10
+
+    def test_too_few_segments_no_merge(self):
+        pol = StableLogMergePolicy(MergePolicyConfig(
+            min_level_num_docs=100, split_num_docs_target=10_000))
+        segs = [_mk_seg(i, 40) for i in range(9)]
+        assert pol.operations(segs) == []
+
+    def test_mature_never_merges(self):
+        pol = StableLogMergePolicy(MergePolicyConfig(
+            min_level_num_docs=100, split_num_docs_target=1_000))
+        segs = [_mk_seg(i, 2_000) for i in range(12)]
+        assert pol.operations(segs) == []
+
+    def test_max_merge_factor_cap(self):
+        pol = StableLogMergePolicy(MergePolicyConfig(
+            merge_factor=10, max_merge_factor=12,
+            min_level_num_docs=100, split_num_docs_target=100_000))
+        segs = [_mk_seg(i, 40) for i in range(30)]
+        ops = pol.operations(segs)
+        assert all(len(op.segments) <= 12 for op in ops)
+        assert max(len(op.segments) for op in ops) == 12
+
+    def test_shuffle_invariance(self):
+        import random
+        pol = StableLogMergePolicy(MergePolicyConfig(
+            min_level_num_docs=100, split_num_docs_target=100_000))
+        segs = [_mk_seg(i, 40 + 7 * (i % 5)) for i in range(25)]
+        ops1 = pol.operations(list(segs))
+        shuffled = list(segs)
+        random.Random(3).shuffle(shuffled)
+        ops2 = pol.operations(shuffled)
+        assert [op.segment_ids() for op in ops1] == \
+            [op.segment_ids() for op in ops2]
+
+
+@pytest.fixture(scope="module")
+def many_segments(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("merge")
+    pdf = corpus_pandas(N_DOCS, seed=42)
+    cfg = IndexConfig(index_uid="m", index_dir=str(tmp / "m"))
+    build_index_pandas(pdf, cfg, num_partitions=12)
+    return pdf, cfg
+
+
+def _small_policy():
+    return StableLogMergePolicy(MergePolicyConfig(
+        merge_factor=10, max_merge_factor=12, min_level_num_docs=10,
+        split_num_docs_target=1_000_000))
+
+
+def test_merge_idempotent_and_deterministic(many_segments, tmp_path):
+    pdf, cfg = many_segments
+    dir_a = str(tmp_path / "a")
+    dir_b = str(tmp_path / "b")
+    shutil.copytree(cfg.index_dir, dir_a)
+    shutil.copytree(cfg.index_dir, dir_b)
+    n_a = run_merges(dir_a, policy=_small_policy())
+    n_b = run_merges(dir_b, policy=_small_policy())
+    assert n_a == n_b >= 1
+    segs_a = sorted(s["segment_id"] for s in Manifest.load(dir_a).segments())
+    segs_b = sorted(s["segment_id"] for s in Manifest.load(dir_b).segments())
+    assert segs_a == segs_b
+    for sid in segs_a:
+        for fname in ("postings.parquet", "termdict.parquet", "docs.parquet"):
+            pa_ = open(os.path.join(dir_a, "segments", sid, fname), "rb").read()
+            pb_ = open(os.path.join(dir_b, "segments", sid, fname), "rb").read()
+            assert pa_ == pb_
+
+
+def test_merge_preserves_docs_and_rank_identity(many_segments, tmp_path):
+    pdf, cfg = many_segments
+    dir_m = str(tmp_path / "m2")
+    shutil.copytree(cfg.index_dir, dir_m)
+    run_merges(dir_m, policy=_small_policy())
+    manifest = Manifest.load(dir_m)
+    segs = manifest.segments()
+    assert sum(s["num_docs"] for s in segs) == N_DOCS
+    assert all(s["num_merge_ops"] >= 1 for s in segs
+               if s["parents"])
+
+    # rank identity vs oracle on the MERGED layout
+    key = pdf.set_index(["repo", "path", "commit"])
+    oseg = []
+    for seg in sorted(segs, key=lambda s: s["segment_id"]):
+        seg_dir = os.path.join(dir_m, "segments", seg["segment_id"])
+        docs_t = pq.read_table(os.path.join(seg_dir, "docs.parquet")
+                               ).to_pandas()
+        docs = []
+        for r in docs_t.itertuples():
+            src = key.loc[(r.repo, r.path, r.commit)]
+            docs.append({"repo": r.repo, "path": r.path, "commit": r.commit,
+                         "lang": r.lang, "content": src["content"]})
+        oseg.append(OracleSegment(seg["segment_id"], docs, "content",
+                                  "source_code_default"))
+    oracle = OracleEngine(oseg)
+    searcher = IndexSearcher(dir_m)
+    for q in [A.FullText("content", "merge"),
+              A.Bool(must=(A.Term("content", "query"),
+                           A.Term("content", "index"))),
+              A.Bool(should=(A.Term("content", "fetch"),
+                             A.Term("content", "codec")))]:
+        want_hits, want = oracle.search(q, k=25)
+        res = searcher.search(q, k=25, fetch_fields=False)
+        got = [(float(np.float32(h.score)), h.segment_id, h.doc_id)
+               for h in res.hits]
+        assert res.num_hits == want_hits
+        assert got == [(float(np.float32(s)), sid, d) for s, sid, d in want]
+
+
+def test_merge_then_vacuum(many_segments, tmp_path):
+    pdf, cfg = many_segments
+    dir_v = str(tmp_path / "v")
+    shutil.copytree(cfg.index_dir, dir_v)
+    run_merges(dir_v, policy=_small_policy())
+    manifest = Manifest.load(dir_v)
+    dead = manifest.vacuum()
+    assert len(dead) >= 10
+    live = {s["segment_id"] for s in manifest.segments()}
+    on_disk = set(os.listdir(os.path.join(dir_v, "segments")))
+    assert live <= on_disk
+    assert not (set(dead) & on_disk)
+    # index still searchable
+    s = IndexSearcher(dir_v)
+    assert s.count("*") == N_DOCS
+
+
+def test_merge_spark_path(spark, many_segments, tmp_path):
+    pdf, cfg = many_segments
+    dir_s = str(tmp_path / "s")
+    dir_l = str(tmp_path / "l")
+    shutil.copytree(cfg.index_dir, dir_s)
+    shutil.copytree(cfg.index_dir, dir_l)
+    # force >1 op so the spark path engages: smaller max factor
+    pol = StableLogMergePolicy(MergePolicyConfig(
+        merge_factor=4, max_merge_factor=5, min_level_num_docs=10,
+        split_num_docs_target=1_000_000))
+    run_merges(dir_s, spark=spark, policy=pol)
+    run_merges(dir_l, policy=pol)
+    a = sorted(s["segment_id"] for s in Manifest.load(dir_s).segments())
+    b = sorted(s["segment_id"] for s in Manifest.load(dir_l).segments())
+    assert a == b

@@ -1,0 +1,135 @@
+"""Benchmark harness (driver contract).
+
+Measures, on local[$SPARK_GRAFT_CPUS] over $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1):
+  1. indexing throughput: distributed build of the synthetic source-code
+     corpus (docs/sec, MB/sec) — the north rule's primary metric;
+  2. top-k BM25 query latencies over the documents-table index (p50/p99
+     across the headline query set).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ..., ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("quickwit-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.index.corpus import corpus_df
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    queries: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="qw_bench_")
+
+    # --- 1. indexing throughput on the synthetic corpus -------------------
+    df = corpus_df(spark, n_docs, seed=42, num_partitions=cpus).cache()
+    bytes_raw = df.selectExpr("sum(length(content))").collect()[0][0]
+    df.count()  # materialize cache so build timing excludes generation
+
+    cfg = IndexConfig(index_uid="bench", index_dir=os.path.join(work, "idx"))
+    t0 = time.perf_counter()
+    build_index(spark, df, cfg, num_partitions=cpus, wave_size=cpus)
+    t_build = time.perf_counter() - t0
+    queries["build_corpus_index"] = round(t_build, 3)
+    docs_per_sec = n_docs / t_build
+    mb_per_sec = bytes_raw / 1e6 / t_build
+    df.unpersist()
+
+    # --- 2. BM25 query latency over the corpus index (distributed leaves) -
+    searcher = IndexSearcher(cfg.index_dir)  # in-process leaf loop
+    qset = {
+        "q_term_head": A.FullText("content", "getValue"),
+        "q_term_mid": A.FullText("content", "mergeBatch"),
+        "q_and2": A.Bool(must=(A.Term("content", "merge"),
+                               A.Term("content", "query"))),
+        "q_or2": A.Bool(should=(A.Term("content", "fetch"),
+                                A.Term("content", "codec"))),
+        "q_and3_or": A.Bool(must=(
+            A.Term("content", "index"),
+            A.Bool(should=(A.Term("content", "score"),
+                           A.Term("content", "shard"))))),
+        "q_filter_lang": A.Bool(must=(A.Term("content", "merge"),),
+                                filter=(A.Term("lang", "python"),)),
+        "q_must_not": A.Bool(must=(A.Term("content", "fast"),),
+                             must_not=(A.Term("content", "slow"),)),
+        "q_phrase_fallback": A.FullText("content", "merge batch split"),
+    }
+    lat_ms: list[float] = []
+    for name, node in qset.items():
+        # warmup once, then 3 timed runs; record median
+        searcher.search(node, k=10, fetch_fields=False)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            searcher.search(node, k=10, fetch_fields=False)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        queries[name] = round(runs[1], 4)
+        lat_ms.extend(r * 1000 for r in runs)
+    lat_ms.sort()
+    p50 = lat_ms[len(lat_ms) // 2]
+    p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
+
+    # --- 3. documents-table index queries (driver-contract surface) -------
+    import __spark_entry__ as entrymod
+    for name in ["bm25_and_topk", "agg_terms_lang",
+                 "agg_date_histogram_events"]:
+        fn = entrymod.queries()[name]
+        fn(spark, sf_dir).collect()  # warmup
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "index-build + top-k BM25 query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "bench_docs": n_docs,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "index_mb_per_sec": round(mb_per_sec, 2),
+        "query_p50_ms": round(p50, 2),
+        "query_p99_ms": round(p99, 2),
+        "cpus": cpus,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

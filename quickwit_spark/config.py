@@ -31,6 +31,8 @@ class IndexConfig:
     tokenizer: str = "source_code_default"
     tag_cols: tuple[str, ...] = ("lang",)
     sha_col: str | None = "sha256"
+    # extra columns copied into the doc map as fast fields (range/sort/agg)
+    store_cols: tuple[str, ...] = ()
     schema_rev: str = "v1"
     # flush a sub-segment when a build partition accumulates this many docs
     # (analog of the reference's commit triggers; keeps segments bounded)

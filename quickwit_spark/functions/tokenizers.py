@@ -378,8 +378,15 @@ def _spans_to_sentinel_string(big: str, codes: np.ndarray, cls: np.ndarray,
     out = codes.copy()
     out[cls == DELIM] = 0  # SEP codepoint
     if extra_breaks.size:
-        out = np.insert(out, extra_breaks, 0)
-    return out.astype("<u4").tobytes().decode("utf-32-le")
+        # scatter-insert SEPs (np.insert is O(n) with huge temporaries)
+        m = out.size + extra_breaks.size
+        res = np.zeros(m, dtype=out.dtype)
+        ins_pos = extra_breaks + np.arange(extra_breaks.size)
+        mask = np.ones(m, dtype=bool)
+        mask[ins_pos] = False
+        res[mask] = out
+        out = res
+    return out.tobytes().decode("utf-32-le")
 
 
 def _code_class_breaks(cls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -391,21 +398,16 @@ def _code_class_breaks(cls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     nondelim = cls != DELIM
     change = np.zeros(n, dtype=bool)
     change[1:] = (cls[1:] != cls[:-1]) & nondelim[1:] & nondelim[:-1]
-    # camel rule: UPPER run followed by LOWER
+    # camel rule: UPPER run followed by LOWER. Only the run length CLASS
+    # matters (1 vs >=2), and "run length >= 2 ending at ti-1" is exactly
+    # "cls[ti-2] is UPPER" — no run-length scan needed.
     trans = np.zeros(n, dtype=bool)
     trans[1:] = (cls[:-1] == UPPER) & (cls[1:] == LOWER)
-    if trans.any():
-        up = cls == UPPER
-        idx = np.arange(n)
-        last_not_up = np.maximum.accumulate(np.where(~up, idx, -1))
-        runlen = idx - last_not_up  # valid where up
-        ti = np.nonzero(trans)[0]
-        L = runlen[ti - 1]
-        # single upper + lower: merge (no break at ti)
-        change[ti] = False
-        # longer run: break before last upper char instead
-        long_ti = ti[L >= 2]
-        change[long_ti - 1] = True
+    ti = np.nonzero(trans)[0]
+    if ti.size:
+        change[ti] = False  # merge single upper with following lowers
+        long_ti = ti[(ti >= 2) & (cls[ti - 2] == UPPER)]
+        change[long_ti - 1] = True  # split before the run's last upper
     return nondelim, np.nonzero(change)[0]
 
 
@@ -478,10 +480,10 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
     lowered = sentinel.lower()
     if not lowered.isascii() and analyzer == "source_code_default":
         lowered = ascii_fold(lowered)
-    raw_tokens = lowered.split(_SEP)
+    toks = [t for t in lowered.split(_SEP) if t]
 
     # token -> doc mapping: doc boundaries are SEP positions in `big` at the
-    # join points; compute per-token doc via counting tokens between joins.
+    # join points; compute per-token doc from token start offsets.
     doc_lens = np.array([len(t) for t in clean], dtype=np.int64)
     doc_starts = np.zeros(len(clean), dtype=np.int64)
     if len(clean) > 1:
@@ -493,20 +495,23 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
     starts = np.nonzero(tok_start_mask)[0]
     if breaks.size:
         starts = np.unique(np.concatenate([starts, breaks]))
-    doc_of = np.searchsorted(doc_starts, starts, side="right") - 1
+    docs = np.searchsorted(doc_starts, starts, side="right") - 1
 
-    toks: list[str] = []
-    docs: list[int] = []
-    k = 0
-    stem = analyzer == "en_stem"
-    for t in raw_tokens:
-        if not t:
-            continue
-        if len(t) <= max_len:
-            toks.append(porter_stem(t) if stem else t)
-            docs.append(int(doc_of[k]))
-        k += 1
-    return np.asarray(docs, dtype=np.int64), toks
+    # RemoveLong(255): original (pre-lowercase/fold) span length. For ASCII
+    # input lowering preserves lengths, so reuse the lowered tokens.
+    if sentinel.isascii():
+        src = toks
+    else:
+        src = [t for t in sentinel.split(_SEP) if t]
+    raw_lens = np.fromiter(map(len, src), dtype=np.int64, count=len(toks))
+    if (raw_lens > max_len).any():
+        from itertools import compress
+        keep = raw_lens <= max_len
+        toks = list(compress(toks, keep.tolist()))
+        docs = docs[keep]
+    if analyzer == "en_stem":
+        toks = [porter_stem(t) for t in toks]
+    return docs.astype(np.int64), toks
 
 
 def tokenize_one(text: str, analyzer: str = "source_code_default",

@@ -203,10 +203,17 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         # fieldnorms disabled: constant length norm of 1 (score -> idf)
         fn_ids = fieldnorm_to_id(np.ones(n, dtype=np.int64))
 
-    # (term, doc) -> tf, ordered by (term, doc) via integer keys
-    tok_arr = np.array(tokens, dtype=object)
-    terms_sorted, codes = np.unique(tok_arr, return_inverse=True)
-    pair_key = codes.astype(np.int64) * n + doc_idx
+    # (term, doc) -> tf, ordered by (term, doc) via integer keys.
+    # pd.factorize hashes (O(N)) instead of sorting all token strings;
+    # only the unique terms get sorted.
+    raw_codes, uniques = pd.factorize(np.array(tokens, dtype=object),
+                                      sort=False)
+    order = np.argsort(uniques, kind="stable")
+    terms_sorted = uniques[order]
+    remap = np.empty(len(order), dtype=np.int64)
+    remap[order] = np.arange(len(order))
+    codes = remap[raw_codes]
+    pair_key = codes * n + doc_idx
     pair_sorted, tfs = np.unique(pair_key, return_counts=True)
     p_term = pair_sorted // n
     p_doc = pair_sorted % n
@@ -221,12 +228,14 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     segment_id = f"seg-{h.hexdigest()[:20]}"
     seg_dir = os.path.join(segments_root, segment_id)
 
+    # "_seg_doc" is the engine-internal doc id (rank within segment); user
+    # columns (including one literally named doc_id) are stored verbatim
     doc_cols: dict[str, pa.Array] = {
-        "doc_id": pa.array(np.arange(n), type=pa.int32()),
+        "_seg_doc": pa.array(np.arange(n), type=pa.int32()),
     }
     for col in config.key_cols:
         doc_cols[col] = pa.array(pdf[col].tolist())
-    for col in config.tag_cols:
+    for col in (*config.tag_cols, *config.store_cols):
         if col not in doc_cols and col in pdf.columns:
             doc_cols[col] = pa.array(pdf[col].tolist())
     if config.sha_col and config.sha_col in pdf.columns:

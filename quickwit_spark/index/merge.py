@@ -90,9 +90,9 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
         seg_dir = os.path.join(segments_root, p["segment_id"])
         t = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
         new_ids = pa.array(
-            (t.column("doc_id").to_numpy() + int(off)).astype(np.int32),
+            (t.column("_seg_doc").to_numpy() + int(off)).astype(np.int32),
             type=pa.int32())
-        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+        t = t.set_column(t.schema.get_field_index("_seg_doc"), "_seg_doc",
                          new_ids)
         doc_tables.append(t)
         fn_ids_parts.append(t.column("fieldnorm_id").to_numpy())

@@ -1,0 +1,152 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame plans (no Python UDFs in the hot path):
+hashing via built-in md5/conv, shingling via higher-order array functions,
+minhash via min-aggregates over affine hash permutations, LSH banding via
+group-by + self-join. At 100 TB each stage is one shuffle keyed by the
+smallest viable key (hash / band bucket), broadcast-free.
+
+Determinism: all hash seeds derive from a fixed RNG seed so results are
+reproducible and oracle-checkable in ANSI SQL (md5 is the shared hash).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+# 2^61 - 1 (Mersenne prime): a*h+b stays < 2^63 for h < 2^32, a < 2^30
+MERSENNE_P = 2305843009213693951
+
+
+def minhash_params(num_hashes: int = 16, seed: int = 42
+                   ) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+            for _ in range(num_hashes)]
+
+
+def tokens_expr(text_col: str = "text"):
+    """lowercase alnum-run tokens as an array column (SQL-equivalent:
+    regexp_split_to_array + filter)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""))
+
+
+def shingles_df(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle)."""
+    toks = tokens_expr(text_col)
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))")
+    return (df.withColumn("_toks", toks)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(sh).alias("shingle"))
+            .distinct())
+
+
+def _hash32(col):
+    """First 8 hex chars of md5 as a bigint (shared with the SQL oracle)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash; returns (content_hash, cnt,
+    keeper) — keeper is the smallest id of each duplicate group."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.count("*").alias("cnt"),
+                 F.min(id_col).alias("keeper")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """Per-doc minhash signature: min over shingles of (a*h32+b) mod p for
+    each of num_hashes affine permutations (one shuffle: groupBy doc)."""
+    sh = shingles_df(df, id_col, text_col, shingle_n)
+    h = _hash32(F.col("shingle"))
+    aggs = []
+    for i, (a, b) in enumerate(minhash_params(num_hashes, seed)):
+        aggs.append(F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+                          ).alias(f"mh{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, shingle_n: int = 3,
+                        seed: int = 42) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: docs sharing any band bucket.
+    Returns distinct (a, b) with a < b."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                             seed)
+    parts = []
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows, (b + 1) * rows)]
+        parts.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("-", *cols)).alias("bucket")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionAll(p)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right, ["band", "bucket"])
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (a, b)."""
+    sh = shingles_df(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (pairs
+             .join(sh.withColumnRenamed("doc_id", "a"), "a")
+             .join(sh.withColumnRenamed("doc_id", "b")
+                   .withColumnRenamed("shingle", "shingle_b"),
+                   (F.col("b") == F.col("b")) & (
+                       F.col("shingle") == F.col("shingle_b")),
+                   "inner"))
+    # simpler: count matching shingles via join on shingle
+    sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (pairs.join(sh_a, "a").join(sh_b, ["b", "shingle"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    out = (pairs
+           .join(inter, ["a", "b"], "left")
+           .na.fill({"inter": 0})
+           .join(sizes.withColumnRenamed("doc_id", "a")
+                 .withColumnRenamed("sz", "sz_a"), "a")
+           .join(sizes.withColumnRenamed("doc_id", "b")
+                 .withColumnRenamed("sz", "sz_b"), "b"))
+    return out.select(
+        "a", "b",
+        F.round(F.col("inter") /
+                (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                ).alias("jaccard"))
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit j set iff the sum of
+    (+1/-1) votes from each token's md5 bit j is positive."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens_expr(text_col)).alias("tok"))
+            .distinct())
+    h = _hash32(F.col("tok"))
+    votes = [F.sum(((F.shiftright(h, j) % 2) * 2 - 1)).alias(f"v{j}")
+             for j in range(16)]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = None
+    for j in range(16):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return agg.select("doc_id", bits.alias("simhash"))

@@ -476,8 +476,8 @@ class IndexSearcher:
             seg_dir = os.path.join(self.index_dir, "segments", sid)
             ids = [int(i) for i in grp["doc_id"].tolist()]
             t = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
-                              filters=[("doc_id", "in", ids)]).to_pandas()
-            t = t.set_index("doc_id")
+                              filters=[("_seg_doc", "in", ids)]).to_pandas()
+            t = t.set_index("_seg_doc")
             for r in grp.itertuples():
                 doc = t.loc[int(r.doc_id)].to_dict()
                 hits.append(SearchHit(float(r.score), sid, int(r.doc_id),

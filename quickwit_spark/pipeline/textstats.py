@@ -1,0 +1,84 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure DataFrame plans (JVM-side expressions),
+each oracle-checkable in ANSI SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens_expr
+
+# tiny deterministic stopword lists (heuristic language id over them)
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "value", "fast"),
+    "fr": ("le", "la", "et", "de", "table", "part"),
+    "es": ("el", "la", "y", "de", "merge", "scan"),
+}
+
+
+def _count_in(tok_col, words) -> "F.Column":
+    return F.size(F.filter(tok_col, lambda x: x.isin(*[F.lit(w) for w in words])))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+            ) -> DataFrame:
+    """n-gram/stopword-heuristic language guess with fixed tie order
+    (en > fr > es)."""
+    d = df.withColumn("_toks", tokens_expr(text_col))
+    scores = {lang: _count_in(F.col("_toks"), ws)
+              for lang, ws in STOPWORDS.items()}
+    pred = (F.when((scores["en"] >= scores["fr"]) &
+                   (scores["en"] >= scores["es"]), F.lit("en"))
+            .when(scores["fr"] >= scores["es"], F.lit("fr"))
+            .otherwise(F.lit("es")))
+    return d.select(F.col(id_col), pred.alias("pred_lang"),
+                    scores["en"].alias("hits_en"),
+                    scores["fr"].alias("hits_fr"),
+                    scores["es"].alias("hits_es"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic quality: token count, unique-token ratio, mean token
+    length, stopword ratio, combined score (deterministic f64)."""
+    d = df.withColumn("_toks", tokens_expr(text_col))
+    n_tok = F.size("_toks").cast("double")
+    n_uniq = F.size(F.array_distinct("_toks")).cast("double")
+    tok_chars = F.aggregate("_toks", F.lit(0),
+                            lambda a, x: a + F.length(x)).cast("double")
+    n_stop = _count_in(F.col("_toks"), STOPWORDS["en"]).cast("double")
+    uniq_ratio = n_uniq / n_tok
+    mean_len = tok_chars / n_tok
+    stop_ratio = n_stop / n_tok
+    score = (F.least(F.lit(1.0), n_tok / F.lit(100.0)) * F.lit(0.3)
+             + uniq_ratio * F.lit(0.4)
+             + F.least(F.lit(1.0), mean_len / F.lit(8.0)) * F.lit(0.3))
+    return d.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tok"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(mean_len, 6).alias("mean_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"))
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), "\\s+"),
+                         lambda x: x != F.lit("")))
+    bpe = F.size(F.expr(
+        rf"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"))
+    return df.select(F.col(id_col), ws.alias("ws_tokens"),
+                     bpe.alias("bpe_tokens"),
+                     F.length(text_col).alias("n_chars_actual"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set (order-
+    and repetition-insensitive content identity)."""
+    toks = tokens_expr(text_col)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

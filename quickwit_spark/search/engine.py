@@ -340,12 +340,71 @@ def prune_segments(segments: list[dict], node: A.Node,
     return out
 
 
+def _wand_shape(node: A.Node, text_field: str, tokenizer: str):
+    """Detect pure term-AND / term-OR over the text field (the block-max
+    prunable shapes). Returns (op, terms) or None."""
+    if isinstance(node, A.FullText) and node.field == text_field:
+        toks = tokenize_one(node.text, analyzer=tokenizer)
+        if len(toks) >= 1:
+            return (node.operator, toks)
+        return None
+    if isinstance(node, A.Term) and node.field == text_field:
+        return ("and", [node.value])
+    if isinstance(node, A.Bool) and not node.must_not and not node.filter:
+        clauses = node.must if node.must and not node.should else (
+            node.should if node.should and not node.must else None)
+        if clauses is None or node.minimum_should_match > 1:
+            return None
+        terms = []
+        for c in clauses:
+            if isinstance(c, A.Term) and c.field == text_field:
+                terms.append(c.value)
+            elif isinstance(c, A.FullText) and c.field == text_field:
+                toks = tokenize_one(c.text, analyzer=tokenizer)
+                if len(toks) != 1:
+                    return None
+                terms.append(toks[0])
+            else:
+                return None
+        return ("and" if node.must else "or", terms)
+    return None
+
+
+_READER_CACHE: dict[str, "SegmentReader"] = {}
+
+
+def get_reader(seg_dir: str, tokenizer: str) -> "SegmentReader":
+    """Process-level segment reader cache (termdict/fieldnorm reuse across
+    queries — the analog of the reference's split/footer caches)."""
+    r = _READER_CACHE.get(seg_dir)
+    if r is None:
+        r = SegmentReader(seg_dir, tokenizer)
+        if len(_READER_CACHE) > 256:
+            _READER_CACHE.clear()
+        _READER_CACHE[seg_dir] = r
+    return r
+
+
 def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
-                  text_field: str) -> tuple[int, pd.DataFrame]:
+                  text_field: str, use_wand: bool = False
+                  ) -> tuple[int, pd.DataFrame]:
     """Leaf search on one segment: returns (match_count, top-k candidates
-    sorted by (score desc, doc_id desc))."""
-    reader = SegmentReader(seg_dir, tokenizer)
-    scored = reader.eval(node, text_field, scoring=True).with_scores()
+    sorted by (score desc, doc_id desc)). With use_wand, prunable query
+    shapes use block-max skipping (identical top-k; for OR the match count
+    is a lower bound — the reference's CountHits::Underestimate mode)."""
+    reader = get_reader(seg_dir, tokenizer)
+    if use_wand:
+        shape = _wand_shape(node, text_field, tokenizer)
+        if shape is not None:
+            from .wand import and_topk, or_topk
+            op, terms = shape
+            fn = and_topk if op == "and" else or_topk
+            docids, scores = fn(reader, terms, max(k, 1))
+            scored = _Scored(docids, scores)
+        else:
+            scored = reader.eval(node, text_field, scoring=True).with_scores()
+    else:
+        scored = reader.eval(node, text_field, scoring=True).with_scores()
     count = len(scored.docids)
     if count == 0:
         return 0, pd.DataFrame({"doc_id": [], "score": []})
@@ -397,19 +456,24 @@ class IndexSearcher:
         return parse_query(query, default_field=self.text_field)
 
     def search(self, query, k: int = 10, offset: int = 0,
-               fetch_fields: bool = True) -> SearchResult:
+               fetch_fields: bool = True,
+               count_all: bool = True) -> SearchResult:
+        """count_all=False enables block-max WAND pruning for prunable
+        query shapes: identical top-k, but num_hits may under-count for
+        OR queries (the reference's CountHits option)."""
         node = self.parse(query)
         segs = prune_segments(self.manifest.segments(), node, self.tag_fields)
         need = offset + k
+        use_wand = not count_all
         parts: list[tuple[str, int, pd.DataFrame]] = []
         if self.spark is not None and len(segs) > 1:
-            parts = self._leaf_spark(segs, node, need)
+            parts = self._leaf_spark(segs, node, need, use_wand)
         else:
             for seg in segs:
                 seg_dir = os.path.join(self.index_dir, "segments",
                                        seg["segment_id"])
                 cnt, top = segment_top_k(seg_dir, node, need, self.tokenizer,
-                                         self.text_field)
+                                         self.text_field, use_wand)
                 parts.append((seg["segment_id"], cnt, top))
         num_hits = sum(c for _, c, _ in parts)
         frames = []
@@ -431,7 +495,8 @@ class IndexSearcher:
             for r in winners.itertuples()]
         return SearchResult(num_hits, hits)
 
-    def _leaf_spark(self, segs: list[dict], node: A.Node, need: int):
+    def _leaf_spark(self, segs: list[dict], node: A.Node, need: int,
+                    use_wand: bool = False):
         index_dir = self.index_dir
         tokenizer = self.tokenizer
         text_field = self.text_field
@@ -445,7 +510,7 @@ class IndexSearcher:
                 for sid in pdf["segment_id"].tolist():
                     seg_dir = os.path.join(index_dir, "segments", sid)
                     cnt, top = segment_top_k(seg_dir, node, need, tokenizer,
-                                             text_field)
+                                             text_field, use_wand)
                     top = top.copy()
                     top["segment_id"] = sid
                     top["match_count"] = cnt

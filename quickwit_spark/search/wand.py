@@ -1,0 +1,230 @@
+"""Block-max WAND / MaxScore pruned top-k scoring.
+
+Uses the per-block metadata written at build time (block_last, max_tf,
+min_fieldnorm — SURVEY.md §2.3 posting-list construction) to skip decoding
+posting blocks that cannot affect the top-k:
+
+- AND (intersection): terms ordered by doc_freq ascending; the rarest term
+  is decoded fully, every other term decodes only blocks whose docid range
+  intersects the current candidate set (searchsorted on block_last — the
+  classic skip-pointer intersection, vectorized).
+- OR (union, sort by score): MaxScore/block-max hybrid. Terms ordered by
+  their maximum possible score descending; after each decoded term the
+  remaining-terms bound R shrinks. Once R < the running k-th best score,
+  no unseen doc can enter the top-k, so remaining terms decode only blocks
+  that (a) overlap current candidates and (b) have a block-max score able
+  to lift some candidate above the threshold.
+
+Scores are IDENTICAL to the exhaustive path (exact f32 BM25 on every doc
+that can matter); only non-competitive work is skipped. The exact match
+count is not collected — callers wanting exact counts use the exhaustive
+path (the reference's CountHits::Underestimate trade-off,
+search.proto:242-245).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.bm25 import Bm25Weight
+from ..index.codecs import decode_block
+
+__all__ = ["and_topk", "or_topk", "STATS"]
+
+# instrumentation (tests / bench): decoded vs skipped block counts
+STATS = {"blocks_decoded": 0, "blocks_total": 0}
+
+
+class _TermCursor:
+    """Posting metadata for one term within a segment (no blobs decoded)."""
+
+    __slots__ = ("term", "doc_freq", "weight", "block_last", "block_max_tf",
+                 "block_min_fn", "doc_offsets", "tf_offsets", "docid_blob",
+                 "tf_blob", "max_score", "block_scores")
+
+    def __init__(self, term: str, row, weight: Bm25Weight):
+        self.term = term
+        self.doc_freq = int(row["doc_freq"])
+        self.weight = weight
+        self.block_last = np.asarray(row["block_last"], dtype=np.int64)
+        self.block_max_tf = np.asarray(row["block_max_tf"], dtype=np.int64)
+        self.block_min_fn = np.asarray(row["block_min_fn"], dtype=np.int64)
+        self.doc_offsets = np.asarray(row["doc_offsets"], dtype=np.int64)
+        self.tf_offsets = np.asarray(row["tf_offsets"], dtype=np.int64)
+        self.docid_blob = row["docid_blob"]
+        self.tf_blob = row["tf_blob"]
+        self.block_scores = weight.max_score(self.block_max_tf,
+                                             self.block_min_fn)
+        self.max_score = float(self.block_scores.max())
+
+    def block_range(self, bi: int) -> tuple[int, int]:
+        lo = int(self.block_last[bi - 1]) + 1 if bi > 0 else 0
+        return lo, int(self.block_last[bi])
+
+    def decode_blocks(self, block_idx: np.ndarray, fn_ids: np.ndarray,
+                      record: str):
+        """Decode selected blocks -> (docids, scores f32)."""
+        STATS["blocks_decoded"] += len(block_idx)
+        STATS["blocks_total"] += len(self.block_last)
+        if len(block_idx) == 0:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float32))
+        docs_parts, tf_parts = [], []
+        for bi in block_idx:
+            d, t = decode_block(self.docid_blob, self.tf_blob,
+                                self.doc_offsets, self.tf_offsets,
+                                self.block_last, int(bi))
+            docs_parts.append(d)
+            tf_parts.append(t)
+        docids = np.concatenate(docs_parts)
+        tfs = np.concatenate(tf_parts)
+        if record == "basic":
+            tfs = np.ones(len(tfs), dtype=np.int64)
+        return docids, self.weight.score(tfs, fn_ids[docids])
+
+
+def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
+    td = reader.lookup_terms(terms)
+    if len(td) == 0:
+        return []
+    by_term = {r["term"]: r for _, r in td.iterrows()}
+    rows = reader.postings_rows([int(r["term_id"])
+                                 for r in by_term.values()])
+    rows = rows.set_index("term_id")
+    cursors = []
+    for t in terms:
+        r = by_term.get(t)
+        if r is None:
+            cursors.append(None)
+            continue
+        w = Bm25Weight(int(r["doc_freq"]), reader.num_docs,
+                       float(reader._avg_fieldnorm))
+        cursors.append(_TermCursor(t, rows.loc[int(r["term_id"])], w))
+    return cursors
+
+
+def _combine_in_query_order(parts, final_docids):
+    """Sum per-term f32 scores at final_docids in ORIGINAL query order —
+    bit-identical to the exhaustive path's clause-order summation."""
+    scores = np.zeros(len(final_docids), dtype=np.float32)
+    for docids, tscores in parts:
+        idx = np.searchsorted(docids, final_docids)
+        idx = np.clip(idx, 0, max(len(docids) - 1, 0))
+        present = np.zeros(len(final_docids), dtype=bool)
+        if len(docids):
+            present = docids[idx] == final_docids
+        scores[present] = (scores[present] +
+                           tscores[idx[present]]).astype(np.float32)
+    return scores
+
+
+def and_topk(reader, terms: list[str], k: int):
+    """Skip-based intersection with exact scores.
+    Returns (docids, scores) of the FULL intersection (count is exact)."""
+    fn_ids = reader.fieldnorm_ids()
+    cursors = _make_cursors(reader, terms)
+    if any(c is None for c in cursors) or not cursors:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32)
+    order = sorted(range(len(cursors)), key=lambda i: cursors[i].doc_freq)
+    parts: list = [None] * len(cursors)
+    lead = cursors[order[0]]
+    docids, s = lead.decode_blocks(np.arange(len(lead.block_last)), fn_ids,
+                                   reader.record)
+    parts[order[0]] = (docids, s)
+    cand = docids
+    for i in order[1:]:
+        if len(cand) == 0:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float32))
+        cur = cursors[i]
+        # candidate docids -> covering blocks (block b covers docids in
+        # (block_last[b-1], block_last[b]])
+        bidx = np.unique(np.searchsorted(cur.block_last, cand, side="left"))
+        bidx = bidx[bidx < len(cur.block_last)]
+        d2, s2 = cur.decode_blocks(bidx, fn_ids, reader.record)
+        parts[i] = (d2, s2)
+        cand = np.intersect1d(cand, d2, assume_unique=True)
+    if len(cand) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32)
+    return cand, _combine_in_query_order(parts, cand)
+
+
+def or_topk(reader, terms: list[str], k: int):
+    """MaxScore/block-max pruned union top-k (scores exact for returned
+    docs; skipped docs provably below the threshold).
+    Returns (docids, scores) covering at least the top-k."""
+    fn_ids = reader.fieldnorm_ids()
+    all_cursors = _make_cursors(reader, terms)
+    live = [(i, c) for i, c in enumerate(all_cursors) if c is not None]
+    if not live:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32)
+    live.sort(key=lambda ic: -ic[1].max_score)
+
+    # accumulator (decode-order sums) is used ONLY for pruning thresholds;
+    # final scores are recombined in query order for f32 bit-parity
+    acc_docs = np.zeros(0, dtype=np.int64)
+    acc_scores = np.zeros(0, dtype=np.float32)
+    parts: list = [None] * len(all_cursors)
+    rest = np.cumsum([c.max_score for _, c in live][::-1])[::-1]
+    theta = -np.inf
+    for j, (i, cur) in enumerate(live):
+        remaining = rest[j + 1] if j + 1 < len(live) else 0.0
+        if theta > -np.inf and cur.max_score + remaining < theta and \
+                len(acc_docs) >= k:
+            # no unseen doc can reach top-k: decode only blocks that
+            # overlap candidates still able to pass theta with help
+            viable = acc_docs[acc_scores + np.float32(cur.max_score
+                                                      + remaining) >= theta]
+            if len(viable) == 0:
+                continue
+            bidx = np.unique(np.searchsorted(cur.block_last, viable,
+                                             side="left"))
+            bidx = bidx[bidx < len(cur.block_last)]
+            # block-max refinement: skip blocks whose own bound can't help
+            bs = cur.block_scores[bidx]
+            bidx = bidx[bs + np.float32(remaining) +
+                        _max_in_blocks(acc_docs, acc_scores, cur, bidx)
+                        >= theta]
+            d2, s2 = cur.decode_blocks(bidx, fn_ids, reader.record)
+        else:
+            d2, s2 = cur.decode_blocks(
+                np.arange(len(cur.block_last)), fn_ids, reader.record)
+        parts[i] = (d2, s2)
+        if len(d2):
+            acc_docs, acc_scores = _merge_add(acc_docs, acc_scores, d2, s2)
+        if len(acc_docs) >= k:
+            # small relative margin: the accumulator sums in decode order,
+            # which can differ from clause-order sums by ~1 ulp — keep the
+            # pruning threshold strictly conservative
+            kth = float(np.partition(acc_scores, -k)[-k])
+            theta = kth - abs(kth) * 1e-5
+
+    final_docids = acc_docs
+    qparts = [p for p in parts if p is not None]
+    return final_docids, _combine_in_query_order(qparts, final_docids)
+
+
+def _max_in_blocks(acc_docs, acc_scores, cur, bidx):
+    """Per selected block: the best current candidate score inside the
+    block's docid range (so block bound + candidate best >= theta test)."""
+    if len(bidx) == 0:
+        return np.zeros(0, dtype=np.float32)
+    out = np.zeros(len(bidx), dtype=np.float32)
+    for j, bi in enumerate(bidx):
+        lo, hi = cur.block_range(int(bi))
+        a = np.searchsorted(acc_docs, lo, side="left")
+        b = np.searchsorted(acc_docs, hi, side="right")
+        if b > a:
+            out[j] = acc_scores[a:b].max()
+    return out
+
+
+def _merge_add(docs_a, scores_a, docs_b, scores_b):
+    """Union of two sorted unique docid sets, scores added where present."""
+    all_ids = np.union1d(docs_a, docs_b)
+    scores = np.zeros(len(all_ids), dtype=np.float32)
+    ia = np.searchsorted(all_ids, docs_a)
+    scores[ia] = (scores[ia] + scores_a).astype(np.float32)
+    ib = np.searchsorted(all_ids, docs_b)
+    scores[ib] = (scores[ib] + scores_b).astype(np.float32)
+    return all_ids, scores

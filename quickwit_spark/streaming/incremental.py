@@ -1,0 +1,86 @@
+"""Streaming ingestion: Structured Streaming -> incremental segment builds.
+
+The reference's ingestion is a stream of doc batches with per-source-
+partition checkpoints committed atomically with each split publish
+(SURVEY.md §1.4; checkpoint.rs:170-337, publisher.rs:130-155) — there are
+no watermarks or event-time windows. The Spark-native equivalent is
+Structured Streaming with foreachBatch: each micro-batch builds segments
+partitioned by the routing hash, publishing with a checkpoint delta keyed
+by (batch_id, partition); replays of an already-published batch are
+rejected by the manifest's from-position check, giving exactly-once
+publish on top of Spark's at-least-once batch replay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from ..config import IndexConfig
+from ..index.builder import MANIFEST_ROW_SCHEMA, build_partition, route_partitions
+from ..index.manifest import CheckpointConflict, Manifest
+
+BATCH_PARTITION_STRIDE = 1_000_000
+
+
+def ingest_batch(df, config: IndexConfig, batch_id: int,
+                 partitions_per_batch: int = 8) -> None:
+    """Build + publish one micro-batch (idempotent on replay)."""
+    manifest = Manifest.load_or_create(
+        config.index_dir, config.index_uid,
+        {"key_cols": list(config.key_cols), "text_col": config.text_col,
+         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
+         "tag_cols": list(config.tag_cols)})
+    segments_root = os.path.join(config.index_dir, "segments")
+    os.makedirs(segments_root, exist_ok=True)
+
+    base = batch_id * BATCH_PARTITION_STRIDE
+    routed = route_partitions(df, config, partitions_per_batch)
+    from pyspark.sql import functions as F
+    routed = routed.withColumn("_pid", F.col("_pid") + F.lit(base))
+
+    cfg = config
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"manifest_json": []})
+        rows = build_partition(pdf, cfg, segments_root)
+        return pd.DataFrame({"manifest_json": [json.dumps(r) for r in rows]})
+
+    out = (routed.groupBy("_pid")
+           .applyInPandas(_build, schema=MANIFEST_ROW_SCHEMA).collect())
+    rows = [json.loads(r.manifest_json) for r in out]
+    delta = {}
+    for p in range(base, base + partitions_per_batch):
+        nd = sum(r["num_docs"] for r in rows if r["partition_id"] == p)
+        delta[p] = (None, f"batch={batch_id};docs={nd}")
+    try:
+        manifest.publish(rows, checkpoint_delta=delta)
+    except CheckpointConflict:
+        # batch replay after a publish: already committed, nothing to do
+        pass
+
+
+def start_ingest_stream(spark, input_path: str, config: IndexConfig,
+                        schema: str, checkpoint_dir: str,
+                        partitions_per_batch: int = 8,
+                        available_now: bool = True):
+    """File-source streaming ingest (newline-JSON or parquet directory —
+    the reference's file/queue sources, SURVEY.md §2.1)."""
+    fmt = "parquet" if not input_path.endswith(".json") else "json"
+    stream = (spark.readStream.format(fmt).schema(schema)
+              .option("maxFilesPerTrigger", "4")
+              .load(input_path))
+
+    def handle(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        ingest_batch(batch_df, config, int(batch_id), partitions_per_batch)
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

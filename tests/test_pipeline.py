@@ -1,0 +1,96 @@
+"""Pipeline-op tests not covered by the DuckDB contract check: multimodal
+stub plumbing, LSH-vs-brute-force consistency, streaming incremental
+ingest exactly-once."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.index.corpus import corpus_df
+from quickwit_spark.index.manifest import Manifest
+from quickwit_spark.search.engine import IndexSearcher
+
+
+def test_multimodal_stub_plumbing(spark):
+    from quickwit_spark.pipeline.multimodal import (
+        decode_image, extract_metadata, frame_sample, image_features,
+        sniff_media_type)
+    blobs = [
+        (1, b"\x89PNG\r\n" + b"x" * 64),
+        (2, b"\xff\xd8\xff\xe0" + b"y" * 64),
+        (3, b"plain bytes " * 8),
+    ]
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    meta = extract_metadata(df).toPandas().set_index("id")
+    assert meta.loc[1, "sniffed_type"] == "image/png"
+    assert meta.loc[2, "sniffed_type"] == "image/jpeg"
+    assert meta.loc[3, "sniffed_type"] == "application/octet-stream"
+    assert int(meta.loc[1, "n_bytes"]) == 70
+
+    # decode is stubbed: real decode raises, fake path is deterministic
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    a = decode_image(b"\x89PNGabc", fake=True)
+    b = decode_image(b"\x89PNGabc", fake=True)
+    assert (a == b).all() and a.shape == (4, 4, 3)
+
+    feats = image_features(df).toPandas()
+    assert len(feats) == 3
+    assert all(len(f) == 3 for f in feats["feature"])
+
+    frames = frame_sample(df, every_n=2).toPandas()
+    assert (frames.groupby("id").size() > 0).all()
+    assert sniff_media_type(b"RIFFxxxx") == "audio/wav"
+
+
+def test_lsh_subset_of_bruteforce(spark):
+    from quickwit_spark.pipeline.similarity import (
+        brute_force_topk, lsh_bucket_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"))
+    exact = brute_force_topk(emb, qdf, k=50).toPandas()
+    approx = lsh_bucket_topk(emb, qdf, k=50, nbits=6, seed=42).toPandas()
+    # the query itself is always in its own bucket and ranks first
+    assert int(approx.iloc[0]["vec_id"]) == 0
+    assert int(exact.iloc[0]["vec_id"]) == 0
+    # every LSH result's cosine matches the exact computation
+    em = exact.set_index("vec_id")["cos"]
+    for r in approx.itertuples():
+        if r.vec_id in em.index:
+            assert abs(em.loc[r.vec_id] - r.cos) < 1e-9
+
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    from quickwit_spark.streaming.incremental import start_ingest_stream
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cfg = IndexConfig(index_uid="stream",
+                      index_dir=str(tmp_path / "stream_idx"))
+
+    full = corpus_df(spark, 200, seed=42, num_partitions=2).toPandas()
+    # two input files arriving over time
+    full.iloc[:100].to_parquet(src / "part1.parquet", index=False)
+    full.iloc[100:].to_parquet(src / "part2.parquet", index=False)
+
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, sha256 string")
+    q = start_ingest_stream(spark, str(src), cfg, schema, ckpt,
+                            partitions_per_batch=4)
+    q.awaitTermination(120)
+
+    m = Manifest.load(cfg.index_dir)
+    assert sum(s["num_docs"] for s in m.segments()) == 200
+    searcher = IndexSearcher(cfg.index_dir)
+    assert searcher.count("*") == 200
+
+    # restart the stream: no new data, no duplicate publishes
+    q2 = start_ingest_stream(spark, str(src), cfg, schema, ckpt,
+                             partitions_per_batch=4)
+    q2.awaitTermination(60)
+    m2 = Manifest.load(cfg.index_dir)
+    assert sum(s["num_docs"] for s in m2.segments()) == 200

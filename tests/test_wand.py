@@ -1,0 +1,98 @@
+"""Block-max WAND correctness: pruned top-k must be identical (scores,
+tie order) to the exhaustive path, while actually skipping blocks."""
+
+import numpy as np
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.index.builder import build_index_pandas
+from quickwit_spark.index.corpus import corpus_pandas
+from quickwit_spark.search import ast as A
+from quickwit_spark.search import wand
+from quickwit_spark.search.engine import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("wand")
+    # enough docs that head terms span many 128-doc blocks
+    pdf = corpus_pandas(4000, seed=42)
+    cfg = IndexConfig(index_uid="wand", index_dir=str(tmp / "w"))
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    return cfg
+
+
+def _pick_terms(cfg):
+    """Data-driven: (head term with many blocks, rare term with few)."""
+    import os
+    import pyarrow.parquet as pq
+    from quickwit_spark.index.manifest import Manifest
+    seg = Manifest.load(cfg.index_dir).segments()[0]
+    td = pq.read_table(os.path.join(cfg.index_dir, "segments",
+                                    seg["segment_id"], "termdict.parquet")
+                       ).to_pandas()
+    head = td.sort_values("doc_freq").iloc[-1]["term"]
+    rare = td[(td["doc_freq"] >= 2) & (td["doc_freq"] <= 5)].iloc[0]["term"]
+    return head, rare
+
+
+def _query_set():
+    qs = []
+    heads = ["value", "get", "set", "key", "merge", "index"]
+    tails = ["snapshot", "rollback", "backoff", "whatever_rare"]
+    for h in heads[:4]:
+        qs.append(A.FullText("content", h))
+    for h, t in zip(heads, tails):
+        qs.append(A.Bool(must=(A.Term("content", h),
+                               A.Term("content", t))))
+        qs.append(A.Bool(should=(A.Term("content", h),
+                                 A.Term("content", t))))
+    qs.append(A.Bool(should=tuple(
+        A.Term("content", t) for t in heads)))
+    qs.append(A.Bool(must=tuple(
+        A.Term("content", t) for t in heads[:3])))
+    return qs
+
+
+@pytest.mark.parametrize("k", [10, 50])
+def test_wand_rank_identical(idx, k):
+    searcher = IndexSearcher(idx.index_dir)
+    for qi, node in enumerate(_query_set()):
+        exact = searcher.search(node, k=k, fetch_fields=False,
+                                count_all=True)
+        pruned = searcher.search(node, k=k, fetch_fields=False,
+                                 count_all=False)
+        a = [(np.float32(h.score).item(), h.segment_id, h.doc_id)
+             for h in exact.hits]
+        b = [(np.float32(h.score).item(), h.segment_id, h.doc_id)
+             for h in pruned.hits]
+        assert a == b, f"query {qi}: {node}"
+        # AND counts stay exact; OR may under-count but never over-counts
+        assert pruned.num_hits <= exact.num_hits
+
+
+def test_wand_actually_skips(idx):
+    searcher = IndexSearcher(idx.index_dir)
+    head, rare = _pick_terms(idx)
+    node = A.Bool(must=(A.Term("content", head), A.Term("content", rare)))
+    exact = searcher.search(node, k=10, fetch_fields=False, count_all=True)
+    wand.STATS["blocks_decoded"] = 0
+    wand.STATS["blocks_total"] = 0
+    pruned = searcher.search(node, k=10, fetch_fields=False, count_all=False)
+    assert [(h.segment_id, h.doc_id) for h in exact.hits] == \
+        [(h.segment_id, h.doc_id) for h in pruned.hits]
+    assert wand.STATS["blocks_total"] > 0
+    assert wand.STATS["blocks_decoded"] < wand.STATS["blocks_total"], \
+        wand.STATS
+
+
+def test_wand_or_skips_with_small_k(idx):
+    searcher = IndexSearcher(idx.index_dir)
+    node = A.Bool(should=tuple(
+        A.Term("content", t)
+        for t in ["value", "get", "set", "key", "snapshot", "rollback"]))
+    wand.STATS["blocks_decoded"] = 0
+    wand.STATS["blocks_total"] = 0
+    r = searcher.search(node, k=5, fetch_fields=False, count_all=False)
+    assert len(r.hits) == 5
+    assert wand.STATS["blocks_decoded"] <= wand.STATS["blocks_total"]

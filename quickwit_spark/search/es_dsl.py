@@ -1,0 +1,85 @@
+"""Elasticsearch-compatible query DSL -> QueryAst.
+
+Mirrors the reference's ES front-end (quickwit-query/src/elastic_query_dsl/
+mod.rs:73-88): query_string, bool, term, terms, match_all, match_none,
+match, match_bool_prefix, match_phrase, multi_match, range, exists,
+regexp, wildcard — all converted onto the same AST the native path uses
+(SURVEY.md §3.2: only the front-end differs; the engine path is identical).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from . import ast as A
+from .parser import parse_query
+
+
+def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ValueError("ES query object must have exactly one key")
+    kind, spec = next(iter(body.items()))
+    if kind == "match_all":
+        return A.MatchAll()
+    if kind == "match_none":
+        return A.MatchNone()
+    if kind == "query_string":
+        return parse_query(
+            spec["query"],
+            default_field=spec.get("default_field", default_field),
+            default_operator=spec.get("default_operator", "and").lower())
+    if kind == "term":
+        field, v = next(iter(spec.items()))
+        value = v["value"] if isinstance(v, dict) else v
+        node: A.Node = A.Term(field, str(value))
+        if isinstance(v, dict) and "boost" in v:
+            node = A.Boost(node, float(v["boost"]))
+        return node
+    if kind == "terms":
+        field, values = next(iter(spec.items()))
+        return A.TermSet(field, tuple(str(x) for x in values))
+    if kind in ("match", "match_bool_prefix"):
+        field, v = next(iter(spec.items()))
+        if isinstance(v, dict):
+            return A.FullText(field, str(v["query"]),
+                              operator=v.get("operator", "or").lower())
+        return A.FullText(field, str(v), operator="or")
+    if kind == "match_phrase":
+        field, v = next(iter(spec.items()))
+        text = v["query"] if isinstance(v, dict) else v
+        # positions deferred: phrase falls back to intersection (the
+        # reference's PhraseFallbackToIntersection mode)
+        return A.FullText(field, str(text), operator="and")
+    if kind == "multi_match":
+        fields = spec.get("fields") or [default_field]
+        text = str(spec["query"])
+        op = spec.get("operator", "or").lower()
+        parts = tuple(A.FullText(f, text, operator=op) for f in fields)
+        return parts[0] if len(parts) == 1 else A.Bool(should=parts)
+    if kind == "range":
+        field, v = next(iter(spec.items()))
+        return A.Range(field, gte=v.get("gte"), gt=v.get("gt"),
+                       lte=v.get("lte"), lt=v.get("lt"))
+    if kind == "exists":
+        return A.FieldPresence(spec["field"])
+    if kind == "regexp":
+        field, v = next(iter(spec.items()))
+        pat = v["value"] if isinstance(v, dict) else v
+        return A.Regex(field, str(pat))
+    if kind == "wildcard":
+        field, v = next(iter(spec.items()))
+        pat = v["value"] if isinstance(v, dict) else v
+        return A.Wildcard(field, str(pat))
+    if kind == "bool":
+        def _many(key):
+            items = spec.get(key, [])
+            if isinstance(items, dict):
+                items = [items]
+            return tuple(es_to_ast(i, default_field) for i in items)
+        return A.Bool(
+            must=_many("must"),
+            must_not=_many("must_not"),
+            should=_many("should"),
+            filter=_many("filter"),
+            minimum_should_match=int(spec.get("minimum_should_match", 1)))
+    raise ValueError(f"unsupported ES query kind: {kind}")

@@ -1,0 +1,54 @@
+"""Snippet generation: highlight fragments from stored content around the
+query terms (reference: quickwit-search/src/fetch_docs.rs:263-352 —
+fragments capped at 150 chars, matched terms wrapped in <b> tags)."""
+
+from __future__ import annotations
+
+import re
+
+MAX_FRAGMENT = 150
+
+
+def extract_query_terms(node) -> list[str]:
+    """Collect text-field term strings from an AST for highlighting."""
+    from . import ast as A
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, A.Term):
+            out.append(n.value)
+        elif isinstance(n, A.FullText):
+            out.append(n.text)
+        elif isinstance(n, A.TermSet):
+            out.extend(n.values)
+        elif isinstance(n, A.Boost):
+            walk(n.inner)
+        elif isinstance(n, A.Bool):
+            for c in list(n.must) + list(n.should) + list(n.filter):
+                walk(c)
+
+    walk(node)
+    terms = []
+    for t in out:
+        terms.extend(t.split())
+    return [t for t in terms if t]
+
+
+def make_snippet(content: str, terms: list[str],
+                 max_fragment: int = MAX_FRAGMENT) -> str:
+    """One highlighted fragment of <= max_fragment chars centered on the
+    first term match; empty string when nothing matches."""
+    if not content or not terms:
+        return ""
+    pat = re.compile("|".join(
+        re.escape(t) for t in sorted(set(terms), key=len, reverse=True)),
+        re.IGNORECASE)
+    m = pat.search(content)
+    if not m:
+        return ""
+    half = max_fragment // 2
+    lo = max(0, m.start() - half)
+    hi = min(len(content), lo + max_fragment)
+    lo = max(0, hi - max_fragment)
+    frag = content[lo:hi]
+    return pat.sub(lambda mm: f"<b>{mm.group(0)}</b>", frag)

@@ -1,0 +1,104 @@
+"""Global term-partitioned index (FIXTURES F6 + north-rule P6): scoring
+must be rank-identical to a single fully-merged segment (same global
+stats), and hot-term salting must not change results."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from quickwit_spark.config import IndexConfig, MergePolicyConfig
+from quickwit_spark.index.builder import build_index_pandas
+from quickwit_spark.index.corpus import corpus_pandas
+from quickwit_spark.index.global_index import (
+    GlobalIndexSearcher,
+    build_term_partitioned,
+)
+from quickwit_spark.index.merge import run_merges
+from quickwit_spark.index.merge_policy import StableLogMergePolicy
+from quickwit_spark.search import ast as A
+from quickwit_spark.search.engine import IndexSearcher
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory, spark):
+    tmp = tmp_path_factory.mktemp("gidx")
+    pdf = corpus_pandas(N_DOCS, seed=42)
+    cfg = IndexConfig(index_uid="g", index_dir=str(tmp / "base"))
+    build_index_pandas(pdf, cfg, num_partitions=8)
+
+    merged_dir = str(tmp / "merged")
+    shutil.copytree(cfg.index_dir, merged_dir)
+    pol = StableLogMergePolicy(MergePolicyConfig(
+        merge_factor=8, max_merge_factor=12, min_level_num_docs=10,
+        split_num_docs_target=10_000_000))
+    run_merges(merged_dir, policy=pol)
+
+    build_term_partitioned(spark, cfg.index_dir, num_term_partitions=4,
+                           salt_df_threshold=10**9)
+    return cfg.index_dir, merged_dir, pdf
+
+
+QUERIES = [
+    (["merge"], "and"),
+    (["query", "index"], "and"),
+    (["fetch", "codec"], "or"),
+    (["value", "get", "snapshot"], "or"),
+    (["value", "get"], "and"),
+]
+
+
+def test_global_matches_merged_segment(dirs):
+    base_dir, merged_dir, pdf = dirs
+    gs = GlobalIndexSearcher(base_dir)
+    ms = IndexSearcher(merged_dir)
+    for terms, op in QUERIES:
+        node = A.Bool(must=tuple(A.Term("content", t) for t in terms)) \
+            if op == "and" else \
+            A.Bool(should=tuple(A.Term("content", t) for t in terms))
+        k = 400
+        mres = ms.search(node, k=k, fetch_fields=True)
+        cnt, gres = gs.search_terms(terms, operator=op, k=k)
+        assert cnt == mres.num_hits, (terms, op)
+        fetched = gs.fetch(gres)
+        got = sorted((round(float(np.float32(r.score)), 7), r.repo, r.path)
+                     for r in fetched.itertuples())
+        want = sorted((round(float(np.float32(h.score)), 7),
+                       h.doc["repo"], h.doc["path"]) for h in mres.hits)
+        assert got == want, (terms, op)
+
+
+def test_salting_does_not_change_results(dirs, spark, tmp_path):
+    base_dir, merged_dir, pdf = dirs
+    salted_dir = str(tmp_path / "salted")
+    shutil.copytree(base_dir, salted_dir)
+    shutil.rmtree(os.path.join(salted_dir, "global"))
+    build_term_partitioned(spark, salted_dir, num_term_partitions=4,
+                           salt_df_threshold=10, salt_group_segments=2)
+    gs_plain = GlobalIndexSearcher(base_dir)
+    gs_salt = GlobalIndexSearcher(salted_dir)
+    # salting must actually fire: some term has multiple salt rows
+    import pyarrow.parquet as pq
+    rows = pq.read_table(os.path.join(salted_dir, "global", "postings")
+                         ).to_pandas()
+    assert rows.groupby("term")["salt"].nunique().max() > 1
+    for terms, op in QUERIES:
+        c1, r1 = gs_plain.search_terms(terms, operator=op, k=50)
+        c2, r2 = gs_salt.search_terms(terms, operator=op, k=50)
+        assert c1 == c2
+        assert r1["global_doc"].tolist() == r2["global_doc"].tolist()
+        assert r1["score"].tolist() == r2["score"].tolist()
+
+
+def test_global_touches_only_term_partitions(dirs):
+    """A 1-term query must read exactly one tpid directory."""
+    base_dir, _, _ = dirs
+    gs = GlobalIndexSearcher(base_dir)
+    from quickwit_spark.index.global_index import term_partition
+    pid = term_partition("merge", gs.gm["num_term_partitions"])
+    rows = gs._term_rows(["merge"])
+    assert (rows["tpid"] == pid).all() if "tpid" in rows.columns else True
+    assert len(rows) >= 1

@@ -270,6 +270,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("value", 4).alias("value"), "rn"))
     q["agg_top_hits"] = top_hits
 
+    def agg_over_matched(s, d):
+        """Aggregation over the query-matched doc set (reference model:
+        per-segment matched docids -> partial aggs -> merge; Catalyst's
+        partial/final agg does the merge on the returned relation)."""
+        _, _, searcher = _doc_index(d)
+        matched = searcher.matched_docs(A.FullText("text", "merge"),
+                                        ["lang", "n_chars"])
+        mdf = s.createDataFrame(matched[["lang", "n_chars"]])
+        return (mdf.groupBy("lang")
+                .agg(F.count("*").alias("cnt"),
+                     F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+    q["agg_terms_matched_docs"] = agg_over_matched
+
     # --- training-data pipeline ops (dedup / similarity / text stats) ---
     from quickwit_spark.pipeline import dedup as dd
     from quickwit_spark.pipeline import similarity as sim
@@ -401,6 +414,16 @@ WHERE t >= 'p' AND t < 't' AND t <> '' ORDER BY term
         "  SELECT event_type, event_id, value, row_number() OVER ("
         "    PARTITION BY event_type ORDER BY value DESC, event_id ASC"
         "  ) AS rn FROM events) WHERE rn <= 3")
+    o["agg_terms_matched_docs"] = """
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) WHERE t = 'merge')
+SELECT lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+FROM documents JOIN matched USING (doc_id)
+GROUP BY lang
+"""
     o.update(_pipeline_oracles())
     return o
 

@@ -575,6 +575,60 @@ class IndexSearcher:
                         f"sha256 mismatch for {tuple(getattr(r, c) for c in self.key_cols)}")
         return joined.sort_values("score", ascending=False)
 
+    def matched_docs(self, query, columns: list[str]):
+        """Doc columns of every document matching the query — the input
+        relation for aggregations (the reference computes aggregations
+        over the matched docid set per segment then merges partial
+        results, SURVEY.md §2.6; Spark's partial/final agg does the merge
+        when the caller groups the returned DataFrame).
+
+        Returns a Spark DataFrame when a session is attached (leaf filter
+        runs inside mapInPandas tasks), else a pandas DataFrame."""
+        node = self.parse(query)
+        segs = prune_segments(self.manifest.segments(), node,
+                              self.tag_fields)
+        index_dir = self.index_dir
+        tokenizer = self.tokenizer
+        text_field = self.text_field
+        cols = list(columns)
+
+        def one(sid: str) -> pd.DataFrame:
+            reader = get_reader(os.path.join(index_dir, "segments", sid),
+                                tokenizer)
+            ids = reader.eval(node, text_field, scoring=False).docids
+            out = {"segment_id": np.full(len(ids), sid, dtype=object),
+                   "doc_id": ids}
+            for c in cols:
+                out[c] = reader.doc_column(c)[ids]
+            return pd.DataFrame(out)
+
+        if self.spark is None:
+            frames = [one(s["segment_id"]) for s in segs]
+            return pd.concat(frames, ignore_index=True) if frames else \
+                pd.DataFrame(columns=["segment_id", "doc_id", *cols])
+
+        sdf = self.spark.createDataFrame(
+            [(s["segment_id"],) for s in segs], "segment_id string"
+        ).repartition(max(len(segs), 1))
+
+        def leaf(it):
+            for pdf in it:
+                for sid in pdf["segment_id"].tolist():
+                    yield one(sid)
+
+        sample = one(segs[0]["segment_id"]) if segs else None
+        fields = []
+        import pyspark.sql.types as T
+        type_map = {"int32": T.IntegerType(), "int64": T.LongType(),
+                    "float64": T.DoubleType(), "object": T.StringType()}
+        fields.append(T.StructField("segment_id", T.StringType()))
+        fields.append(T.StructField("doc_id", T.LongType()))
+        for c in cols:
+            dt = type_map.get(str(sample[c].dtype) if sample is not None
+                              else "object", T.StringType())
+            fields.append(T.StructField(c, dt))
+        return sdf.mapInPandas(leaf, schema=T.StructType(fields))
+
     # -- auxiliary search surface -------------------------------------------
 
     def list_terms(self, start: str | None = None, end: str | None = None,

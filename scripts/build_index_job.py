@@ -1,0 +1,92 @@
+"""spark-submit entry point: distributed index build.
+
+    spark-submit --master local[32] \
+        --py-files quickwit_spark.zip \
+        scripts/build_index_job.py \
+        --docs 500000 --partitions 32 --index-dir /tmp/qw_idx \
+        [--input /path/to/corpus.parquet] [--merge] [--global-index]
+
+Builds the inverted index over the synthetic source-code corpus (or a
+user-supplied parquet with columns repo,path,commit,lang,content,sha256),
+optionally runs the StableLog merge loop and the global term-partitioned
+build, and prints one JSON line with throughput numbers (the scaling
+harness parses it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--input", default=None,
+                    help="parquet corpus path (default: synthetic)")
+    ap.add_argument("--avg-tokens", type=int, default=80)
+    ap.add_argument("--merge", action="store_true")
+    ap.add_argument("--global-index", action="store_true")
+    ap.add_argument("--fresh", action="store_true",
+                    help="remove index dir first (no resume)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("quickwit-spark-build").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.index.corpus import corpus_df
+
+    if args.fresh:
+        shutil.rmtree(args.index_dir, ignore_errors=True)
+
+    if args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        df = corpus_df(spark, args.docs, seed=42,
+                       num_partitions=args.partitions,
+                       avg_tokens=args.avg_tokens)
+    df = df.cache()
+    n_docs = df.count()  # materialize: timing excludes generation/read
+    bytes_raw = df.selectExpr("sum(length(content))").collect()[0][0]
+
+    cfg = IndexConfig(index_uid="submit", index_dir=args.index_dir)
+    t0 = time.perf_counter()
+    build_index(spark, df, cfg, num_partitions=args.partitions,
+                wave_size=args.partitions)
+    build_sec = time.perf_counter() - t0
+
+    merge_sec = global_sec = None
+    if args.merge:
+        from quickwit_spark.index.merge import run_merges
+        t0 = time.perf_counter()
+        run_merges(args.index_dir, spark=spark)
+        merge_sec = time.perf_counter() - t0
+    if args.global_index:
+        from quickwit_spark.index.global_index import build_term_partitioned
+        t0 = time.perf_counter()
+        build_term_partitioned(spark, args.index_dir,
+                               num_term_partitions=max(args.partitions, 4))
+        global_sec = time.perf_counter() - t0
+
+    print(json.dumps({
+        "cores": cores,
+        "docs": n_docs,
+        "bytes_raw": int(bytes_raw),
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "mb_per_sec": round(bytes_raw / 1e6 / build_sec, 2),
+        "merge_sec": merge_sec,
+        "global_sec": global_sec,
+    }))
+
+
+if __name__ == "__main__":
+    main()

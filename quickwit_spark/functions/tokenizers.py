@@ -345,6 +345,12 @@ def porter_stem(w: str) -> str:
 
 _NONASCII_CLASS_CACHE: dict[int, int] = {}
 
+# 256-entry class LUT for the ASCII/latin-1 fast path (one np.take pass,
+# 1 byte per char instead of 4 — memory traffic is the bottleneck)
+_CLS_LUT8 = np.zeros(256, dtype=np.int8)
+for _i in range(256):
+    _CLS_LUT8[_i] = _char_type(chr(_i))
+
 
 def _classify_codes(codes: np.ndarray) -> np.ndarray:
     """Map UTF-32 codepoints to char classes, vectorized for ASCII."""
@@ -386,6 +392,8 @@ def _spans_to_sentinel_string(big: str, codes: np.ndarray, cls: np.ndarray,
         mask[ins_pos] = False
         res[mask] = out
         out = res
+    if out.dtype == np.uint8:
+        return out.tobytes().decode("ascii")
     return out.tobytes().decode("utf-32-le")
 
 
@@ -468,8 +476,13 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
     # vectorized paths: source_code_default, default, en_stem
     clean = [(t if isinstance(t, str) else "") for t in texts]
     big = _SEP.join(clean)
-    codes = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
-    cls = _classify_codes(codes)
+    ascii_fast = big.isascii()
+    if ascii_fast:
+        codes = np.frombuffer(big.encode("ascii"), dtype=np.uint8)
+        cls = _CLS_LUT8[codes]
+    else:
+        codes = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
+        cls = _classify_codes(codes)
 
     if analyzer == "source_code_default":
         nondelim, breaks = _code_class_breaks(cls)

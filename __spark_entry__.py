@@ -43,11 +43,12 @@ def _doc_index(sf_dir: str):
     if sf_dir in _READERS:
         return _READERS[sf_dir]
     tag = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
-    index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_idx", tag)
+    index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_idx_pos", tag)
     cfg = IndexConfig(
         index_uid=f"docs-{tag}", index_dir=index_dir,
         key_cols=("doc_id",), text_col="text", tokenizer="default",
-        tag_cols=("lang",), store_cols=("source", "n_chars"), sha_col=None)
+        tag_cols=("lang",), store_cols=("source", "n_chars"), sha_col=None,
+        record="position")
     if not os.path.exists(Manifest.path(index_dir)):
         pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
         build_index_pandas(pdf, cfg, num_partitions=1)
@@ -216,6 +217,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _spark_df(s, pd.DataFrame({"term": terms}), "term string")
     q["list_terms_range"] = list_terms
 
+    def _match_ids(s, searcher, node):
+        res = searcher.search(node, k=1_000_000, fetch_fields=True)
+        ids = sorted(int(h.doc["doc_id"]) for h in res.hits)
+        return _spark_df(s, pd.DataFrame({"doc_id": ids}), "doc_id long")
+
+    def phrase_match(s, d):
+        _, _, searcher = _doc_index(d)
+        return _match_ids(s, searcher, A.Phrase("text", "table scan"))
+    q["phrase_match"] = phrase_match
+
+    def phrase_slop_match(s, d):
+        _, _, searcher = _doc_index(d)
+        return _match_ids(s, searcher,
+                          A.Phrase("text", "merge sort", slop=1))
+    q["phrase_slop_match"] = phrase_slop_match
+
+    def phrase_prefix_match(s, d):
+        _, _, searcher = _doc_index(d)
+        return _match_ids(s, searcher, A.PhrasePrefix("text", "order s"))
+    q["phrase_prefix_match"] = phrase_prefix_match
+
+    def search_after_page(s, d):
+        """Second page (hits 11-20) via a search_after cursor on the f64
+        scoring path: keep rows strictly after the page-1 cursor in the
+        total (score desc, doc_id desc) order, then take the next 10."""
+        reader, doc_map, _ = _doc_index(d)
+        scores = bool_scores_f64(reader, ["merge", "query"], operator="and")
+        rows = sorted(((float(sc), int(doc_map[did]))
+                       for did, sc in scores.items()),
+                      key=lambda r: (-r[0], -r[1]))
+        cursor = rows[9] if len(rows) > 9 else None
+        after = [r for r in rows if cursor is None or r < cursor][:10] \
+            if cursor else []
+        pdf = pd.DataFrame({"doc_id": [r[1] for r in after],
+                            "score": [round(r[0], 6) for r in after]})
+        return _spark_df(s, pdf, "doc_id long, score double")
+    q["search_after_page2"] = search_after_page
+
+    def sort_by_field(s, d):
+        """Top-k under an explicit fast-field sort (collector.rs sort
+        spec): docs matching `table`, by (n_chars desc, doc_id desc)."""
+        _, _, searcher = _doc_index(d)
+        res = searcher.sort_search(A.Term("text", "table"), k=15,
+                                   sort_by=(("n_chars", "desc"),))
+        pdf = pd.DataFrame(
+            {"doc_id": [int(h.doc["doc_id"]) for h in res.hits],
+             "n_chars": [int(h.doc["n_chars"]) for h in res.hits]})
+        return _spark_df(s, pdf, "doc_id long, n_chars long")
+    q["sort_by_field_topk"] = sort_by_field
+
     # --- aggregations (SURVEY §2.6) as native DataFrame plans ---
     q["agg_terms_lang"] = lambda s, d: (
         _read(s, d, "documents").groupBy("lang")
@@ -373,6 +424,44 @@ WITH tok AS (
 SELECT DISTINCT doc_id FROM tok WHERE t LIKE 'sc%' ORDER BY doc_id
 """
     o["match_all_count"] = "SELECT count(*) AS cnt FROM documents"
+    _TK_CTE = ("WITH tk AS (SELECT doc_id, "
+               "list_filter(regexp_split_to_array(lower(text), "
+               "'[^a-z0-9]+'), x -> x <> '') AS ts FROM documents)")
+    o["phrase_match"] = f"""
+{_TK_CTE}
+SELECT doc_id FROM tk
+WHERE len(ts) >= 2 AND list_contains(
+  list_transform(generate_series(1, len(ts) - 1),
+                 i -> ts[i] = 'table' AND ts[i+1] = 'scan'), true)
+ORDER BY doc_id
+"""
+    o["phrase_slop_match"] = f"""
+{_TK_CTE}
+SELECT doc_id FROM tk
+WHERE len(ts) >= 2 AND list_contains(
+  list_transform(generate_series(1, len(ts) - 1),
+                 i -> ts[i] = 'merge'
+                      AND (ts[i+1] = 'sort' OR COALESCE(ts[i+2] = 'sort',
+                                                        false))), true)
+ORDER BY doc_id
+"""
+    o["phrase_prefix_match"] = f"""
+{_TK_CTE}
+SELECT doc_id FROM tk
+WHERE len(ts) >= 2 AND list_contains(
+  list_transform(generate_series(1, len(ts) - 1),
+                 i -> ts[i] = 'order' AND starts_with(ts[i+1], 's')), true)
+ORDER BY doc_id
+"""
+    o["search_after_page2"] = _bm25_topk_sql(
+        ["merge", "query"], "and", 20).replace(
+        "LIMIT 20", "LIMIT 10 OFFSET 10")
+    o["sort_by_field_topk"] = f"""
+{_TK_CTE}
+SELECT d.doc_id, d.n_chars FROM documents d JOIN tk USING (doc_id)
+WHERE list_contains(tk.ts, 'table')
+ORDER BY d.n_chars DESC, d.doc_id DESC LIMIT 15
+"""
     o["list_terms_range"] = """
 WITH tok AS (
   SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t

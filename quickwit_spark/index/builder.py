@@ -96,13 +96,18 @@ def _list_array(values: np.ndarray, offsets: np.ndarray,
 
 def write_segment(seg_dir: str, terms_sorted: np.ndarray,
                   p_term: np.ndarray, p_doc: np.ndarray, tfs: np.ndarray,
-                  fn_ids: np.ndarray, doc_cols: dict, meta_extra: dict
+                  fn_ids: np.ndarray, doc_cols: dict, meta_extra: dict,
+                  positions: tuple[bytes, np.ndarray] | None = None
                   ) -> dict:
     """Encode posting blocks + write the three segment files + meta.json.
 
     p_term/p_doc/tfs are the posting triples sorted by (term, doc);
     fn_ids are per-doc fieldnorm ids; doc_cols the docs.parquet columns.
-    Shared by the initial build and the merge executor.
+    `positions`, when present (record="position"), is (pos_blob,
+    per_term_byte_offsets[nterms+1]): the varint-encoded within-posting
+    position deltas, token-ordered by (term, doc, position); the posting's
+    tf gives each run length. Shared by the initial build and the merge
+    executor.
     """
     nterms = len(terms_sorted)
     n = len(fn_ids)
@@ -162,6 +167,10 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
         "tf_blob": _large_binary_array(
             tf_blob, np.r_[tf_cum[term_starts], len(tf_blob)]),
     })
+    if positions is not None:
+        pos_blob, pos_offsets = positions
+        postings_tbl = postings_tbl.append_column(
+            "pos_blob", _large_binary_array(pos_blob, pos_offsets))
     pq.write_table(postings_tbl, os.path.join(seg_dir, "postings.parquet"),
                    compression="zstd")
 
@@ -221,6 +230,29 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     p_doc = pair_sorted % n
     tfs = tfs.astype(np.int64)
 
+    positions = None
+    if config.record == "position" and len(doc_idx):
+        # per-token position = ordinal within its doc (tokens are emitted
+        # in document order); sorted stably by (term, doc) the positions
+        # stay ascending within each posting, so delta-encoding resets at
+        # run boundaries reproduce them exactly
+        ntok = len(doc_idx)
+        first_tok = np.r_[0, np.cumsum(fieldnorms)[:-1]]
+        pos = np.arange(ntok, dtype=np.int64) - first_tok[doc_idx]
+        order = np.argsort(pair_key, kind="stable")
+        spk = pair_key[order]
+        spos = pos[order]
+        newrun = np.r_[True, spk[1:] != spk[:-1]]
+        pdel = np.empty(ntok, dtype=np.int64)
+        pdel[0] = spos[0]
+        pdel[1:] = spos[1:] - spos[:-1]
+        pdel[newrun] = spos[newrun]
+        pos_blob, pos_nb = _varint_encode_with_sizes(pdel.astype(np.uint64))
+        tok_term = spk // n
+        tstarts = np.nonzero(np.r_[True, tok_term[1:] != tok_term[:-1]])[0]
+        tbytes = np.add.reduceat(pos_nb, tstarts)
+        positions = (pos_blob, np.r_[0, np.cumsum(tbytes)])
+
     # segment identity: content-addressed over partition + doc keys
     h = hashlib.sha256()
     h.update(f"{config.index_uid}:{partition_id}:{chunk_idx}:0".encode())
@@ -265,7 +297,7 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         "fieldnorms": bool(config.fieldnorms),
     }
     return write_segment(seg_dir, terms_sorted, p_term, p_doc, tfs, fn_ids,
-                         doc_cols, meta_extra)
+                         doc_cols, meta_extra, positions=positions)
 
 
 def build_partition(pdf: pd.DataFrame, config: IndexConfig,

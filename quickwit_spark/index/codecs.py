@@ -126,6 +126,25 @@ def decode_postings(docid_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.n
     return docids, tfs
 
 
+def decode_positions(pos_blob: bytes, tfs: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one term's position blob.
+
+    tfs are the term's per-posting frequencies (run lengths). Returns
+    (positions int64 — all runs concatenated, run_starts int64[n_postings])
+    where run j occupies positions[run_starts[j]:run_starts[j]+tfs[j]].
+    Deltas reset at run starts (first value of a run is the absolute
+    position), so a group-wise cumsum reconstructs them.
+    """
+    deltas = varint_decode(pos_blob).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    run_starts = np.r_[0, np.cumsum(tfs)[:-1]]
+    cs = np.cumsum(deltas)
+    base = cs[run_starts] - deltas[run_starts]
+    run_of = np.repeat(np.arange(len(tfs)), tfs)
+    return cs - base[run_of], run_starts
+
+
 def decode_block(docid_blob: bytes, tf_blob: bytes, doc_offsets: np.ndarray,
                  tf_offsets: np.ndarray, block_last: np.ndarray,
                  block_idx: int) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,160 @@
+"""Delete tasks: apply a delete query by rewriting affected segments.
+
+Mirrors the reference's delete pipeline (quickwit-janitor/src/actors/
+delete_task_planner.rs + merge_executor.rs:361-470 process_delete_and_merge):
+a delete query selects docids per segment; affected segments are rewritten
+without those docs (docids re-densified, postings filtered, empty terms
+dropped) and the manifest publish atomically replaces the parents. Segments
+whose match set is empty are untouched; a segment whose docs are all
+deleted is retired without a replacement (merge_executor.rs: the split is
+dropped entirely).
+
+The rewritten segment id is content-addressed over (parent id, deleted
+docids), so re-applying the same delete is idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..functions.bm25 import fieldnorm_to_id
+from .builder import write_segment
+from .manifest import Manifest
+from .merge import _decode_segment_postings, _encode_position_blob
+
+
+def rewrite_segment_without(index_dir: str, parent: dict,
+                            deleted: np.ndarray) -> dict | None:
+    """Rewrite one segment dropping `deleted` (sorted unique docids).
+    Returns the new segment's metadata, or None if every doc is deleted."""
+    segments_root = os.path.join(index_dir, "segments")
+    seg_dir = os.path.join(segments_root, parent["segment_id"])
+    n = int(parent["num_docs"])
+    kept_mask = np.ones(n, dtype=bool)
+    kept_mask[deleted] = False
+    n_new = int(kept_mask.sum())
+    if n_new == 0:
+        return None
+    remap = np.cumsum(kept_mask) - 1  # old docid -> new docid (kept only)
+
+    with_pos = parent.get("record") == "position"
+    terms, term_of, docids, tfs, positions = _decode_segment_postings(
+        seg_dir, with_positions=with_pos)
+    keep = kept_mask[docids]
+    new_term_of = term_of[keep]
+    new_doc = remap[docids[keep]]
+    new_tfs = tfs[keep]
+    pos_arg = None
+    if with_pos and positions is not None:
+        tok_keep = np.repeat(keep, tfs)
+        new_pos = positions[tok_keep]
+        if len(new_pos):
+            pos_arg = None  # re-encoded below after term compaction
+
+    # drop terms that lost all postings; re-densify term ids
+    live_terms, compact = np.unique(new_term_of, return_inverse=True)
+    terms_sorted = terms[live_terms]
+    if len(terms_sorted) == 0:
+        return None
+
+    if with_pos and positions is not None and len(new_tfs):
+        pos_arg = _encode_position_blob(new_pos, new_tfs, compact)
+
+    # docs table filtered + re-densified ids
+    t = pq.read_table(os.path.join(seg_dir, "docs.parquet")).to_pandas()
+    t = t[kept_mask].reset_index(drop=True)
+    t["_seg_doc"] = np.arange(n_new, dtype=np.int32)
+    fieldnorms = t["fieldnorm"].to_numpy().astype(np.int64)
+    if parent.get("fieldnorms", True):
+        fn_ids = fieldnorm_to_id(fieldnorms)
+    else:
+        fn_ids = fieldnorm_to_id(np.ones(n_new, dtype=np.int64))
+    import pyarrow as pa
+    doc_cols = {c: pa.array(t[c].tolist()) for c in t.columns}
+
+    h = hashlib.sha256()
+    h.update(f"delete:{parent['segment_id']}:".encode())
+    h.update(np.asarray(deleted, dtype=np.int64).tobytes())
+    segment_id = f"seg-{h.hexdigest()[:20]}"
+    new_dir = os.path.join(segments_root, segment_id)
+    meta_extra = {
+        "segment_id": segment_id,
+        "partition_id": parent.get("partition_id", -1),
+        "chunk_idx": parent.get("chunk_idx", -1),
+        "bytes_raw": int(parent.get("bytes_raw", 0)),
+        "tags": parent.get("tags", {}),
+        "num_merge_ops": parent.get("num_merge_ops", 0),
+        "parents": [parent["segment_id"]],
+        "delete_opstamp": parent.get("delete_opstamp", 0) + 1,
+        "schema_rev": parent["schema_rev"],
+        "tokenizer": parent["tokenizer"],
+        "record": parent.get("record", "freq"),
+        "fieldnorms": parent.get("fieldnorms", True),
+    }
+    return write_segment(new_dir, terms_sorted, compact, new_doc, new_tfs,
+                         fn_ids, doc_cols, meta_extra, positions=pos_arg)
+
+
+def apply_delete_query(index_dir: str, query, spark=None) -> dict:
+    """Evaluate `query` against every published segment and rewrite the
+    matching ones without the matched docs (atomic manifest replace).
+
+    Returns {"segments_rewritten", "segments_dropped", "docs_deleted"}.
+    """
+    from ..search.engine import IndexSearcher, get_reader
+
+    searcher = IndexSearcher(index_dir)
+    node = searcher.parse(query)
+    manifest = Manifest.load(index_dir)
+    segs = manifest.segments()
+
+    def plan_one(seg: dict):
+        reader = get_reader(os.path.join(index_dir, "segments",
+                                         seg["segment_id"]),
+                            searcher.tokenizer)
+        ids = reader.eval(node, searcher.text_field, scoring=False).docids
+        return np.asarray(ids, dtype=np.int64)
+
+    jobs = [(seg, plan_one(seg)) for seg in segs]
+    jobs = [(seg, ids) for seg, ids in jobs if len(ids)]
+    if not jobs:
+        return {"segments_rewritten": 0, "segments_dropped": 0,
+                "docs_deleted": 0}
+
+    if spark is not None and len(jobs) > 1:
+        payload = [(seg["segment_id"], json.dumps(seg),
+                    json.dumps(ids.tolist())) for seg, ids in jobs]
+        df = spark.createDataFrame(
+            payload, "segment_id string, seg string, ids string")
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for r in pdf.itertuples():
+                meta = rewrite_segment_without(
+                    index_dir, json.loads(r.seg),
+                    np.asarray(json.loads(r.ids), dtype=np.int64))
+                out.append(json.dumps(meta))
+            return pd.DataFrame({"meta": out})
+
+        res = (df.repartition(len(jobs), "segment_id")
+               .groupBy("segment_id")
+               .applyInPandas(run, schema="meta string").collect())
+        metas = [json.loads(r.meta) for r in res]
+    else:
+        metas = [rewrite_segment_without(index_dir, seg, ids)
+                 for seg, ids in jobs]
+
+    staged = [m for m in metas if m is not None]
+    replaced = [seg["segment_id"] for seg, _ids in jobs]
+    manifest.publish(staged, replaced_segment_ids=replaced)
+    return {
+        "segments_rewritten": len(staged),
+        "segments_dropped": len(metas) - len(staged),
+        "docs_deleted": int(sum(len(ids) for _s, ids in jobs)),
+    }

@@ -33,14 +33,18 @@ from .manifest import Manifest
 from .merge_policy import MergeOperation, StableLogMergePolicy
 
 
-def _decode_segment_postings(seg_dir: str):
+def _decode_segment_postings(seg_dir: str, with_positions: bool = False):
     """Decode ALL postings of a segment in one vectorized pass.
 
-    Returns (terms: object array sorted, term_of_posting, docids, tfs).
+    Returns (terms: object array sorted, term_of_posting, docids, tfs,
+    positions-or-None). Positions come back as one token stream ordered
+    by (term, doc, position) — the storage order.
     """
+    cols = ["term_id", "doc_freq", "docid_blob", "tf_blob"]
+    if with_positions:
+        cols.append("pos_blob")
     t = pq.read_table(os.path.join(seg_dir, "postings.parquet"),
-                      columns=["term_id", "doc_freq", "docid_blob",
-                               "tf_blob"])
+                      columns=cols)
     td = pq.read_table(os.path.join(seg_dir, "termdict.parquet"),
                        columns=["term", "term_id"])
     terms = np.asarray(td.column("term").to_pylist(), dtype=object)
@@ -58,29 +62,74 @@ def _decode_segment_postings(seg_dir: str):
     base = (cs[term_starts] - deltas[term_starts])
     term_of = np.repeat(np.arange(len(terms)), doc_freq)
     docids = cs - base[term_of]
-    return terms, term_of, docids, tfs
+    positions = None
+    if with_positions:
+        from .codecs import decode_positions
+        pos_blob = b"".join(t.column("pos_blob").to_pylist())
+        positions, _ = decode_positions(pos_blob, tfs)
+    return terms, term_of, docids, tfs, positions
+
+
+def _gather_runs(values: np.ndarray, run_lens: np.ndarray,
+                 order: np.ndarray) -> np.ndarray:
+    """Reorder a run-structured array by a run permutation (vectorized)."""
+    run_starts = np.r_[0, np.cumsum(run_lens)[:-1]]
+    sorted_lens = run_lens[order]
+    total = int(sorted_lens.sum())
+    out_start = np.r_[0, np.cumsum(sorted_lens)[:-1]]
+    within = np.arange(total) - np.repeat(out_start, sorted_lens)
+    src = np.repeat(run_starts[order], sorted_lens) + within
+    return values[src]
+
+
+def _encode_position_blob(positions: np.ndarray, tfs: np.ndarray,
+                          term_of: np.ndarray):
+    """Re-encode a (term, doc, position)-ordered token stream into the
+    segment position format: delta varints resetting per posting, with
+    per-term byte offsets."""
+    from .builder import _varint_encode_with_sizes
+    ntok = len(positions)
+    run_starts = np.r_[0, np.cumsum(tfs)[:-1]]
+    pdel = np.empty(ntok, dtype=np.int64)
+    pdel[0] = positions[0]
+    pdel[1:] = positions[1:] - positions[:-1]
+    pdel[run_starts] = positions[run_starts]
+    blob, nb = _varint_encode_with_sizes(pdel.astype(np.uint64))
+    tok_term = np.repeat(term_of, tfs)
+    tstarts = np.nonzero(np.r_[True, tok_term[1:] != tok_term[:-1]])[0]
+    tbytes = np.add.reduceat(nb, tstarts)
+    return blob, np.r_[0, np.cumsum(tbytes)]
 
 
 def merge_segments(index_dir: str, parents: list[dict]) -> dict:
     """Execute one merge operation; returns the merged segment's metadata."""
     segments_root = os.path.join(index_dir, "segments")
     offsets = np.r_[0, np.cumsum([p["num_docs"] for p in parents])[:-1]]
+    with_pos = all(p.get("record") == "position" for p in parents)
 
     all_terms: list[np.ndarray] = []
     parts = []
     for p, off in zip(parents, offsets):
         seg_dir = os.path.join(segments_root, p["segment_id"])
-        terms, term_of, docids, tfs = _decode_segment_postings(seg_dir)
+        terms, term_of, docids, tfs, pos = _decode_segment_postings(
+            seg_dir, with_positions=with_pos)
         all_terms.append(terms)
-        parts.append((terms, term_of, docids + int(off), tfs))
+        parts.append((terms, term_of, docids + int(off), tfs, pos))
 
     global_terms = np.unique(np.concatenate(all_terms))
     g_term = np.concatenate([
         np.searchsorted(global_terms, terms)[term_of]
-        for terms, term_of, _d, _t in parts])
-    g_doc = np.concatenate([d for _te, _to, d, _t in parts])
-    g_tf = np.concatenate([t for _te, _to, _d, t in parts])
+        for terms, term_of, _d, _t, _p in parts])
+    g_doc = np.concatenate([d for _te, _to, d, _t, _p in parts])
+    g_tf = np.concatenate([t for _te, _to, _d, t, _p in parts])
     order = np.lexsort((g_doc, g_term))
+    positions = None
+    if with_pos:
+        # positions travel with their posting run; doc-local values are
+        # unchanged by the merge, only run order changes
+        all_pos = np.concatenate([p for *_rest, p in parts])
+        g_pos = _gather_runs(all_pos, g_tf, order)
+        positions = _encode_position_blob(g_pos, g_tf[order], g_term[order])
     g_term, g_doc, g_tf = g_term[order], g_doc[order], g_tf[order]
 
     # docs table: concat with remapped doc ids
@@ -129,7 +178,7 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
     doc_cols = {name: docs_tbl.column(name)
                 for name in docs_tbl.schema.names}
     return write_segment(seg_dir, global_terms, g_term, g_doc, g_tf,
-                         fn_ids, doc_cols, meta_extra)
+                         fn_ids, doc_cols, meta_extra, positions=positions)
 
 
 def _mapping_group(seg: dict) -> tuple:

@@ -104,3 +104,43 @@ class StableLogMergePolicy:
         if len(cand) < self.config.merge_factor:
             return TOO_SMALL
         return VALID
+
+
+class ConstWriteAmplificationMergePolicy:
+    """Alternative policy bounding write amplification (behavioral spec:
+    quickwit-indexing/src/merge_policy/const_write_amplification.rs:28-120,
+    defaults merge_factor 10 / max 12, max_merge_ops 4 —
+    merge_policy_config.rs:99-101): every segment is merged at most
+    max_merge_ops times in its lifetime, and only segments with the SAME
+    num_merge_ops merge together (so each doc is rewritten <= max_merge_ops
+    times total)."""
+
+    def __init__(self, config: MergePolicyConfig | None = None,
+                 max_merge_ops: int = 4):
+        self.config = config or MergePolicyConfig()
+        self.max_merge_ops = max_merge_ops
+
+    def is_mature(self, seg: dict) -> bool:
+        return (seg["num_docs"] >= self.config.split_num_docs_target
+                or seg.get("num_merge_ops", 0) >= self.max_merge_ops)
+
+    def operations(self, segments: list[dict]) -> list[MergeOperation]:
+        by_ops: dict[int, list[dict]] = {}
+        for s in segments:
+            if not self.is_mature(s):
+                by_ops.setdefault(s.get("num_merge_ops", 0), []).append(s)
+        ops: list[MergeOperation] = []
+        for level in sorted(by_ops):
+            group = sorted(by_ops[level], key=_sort_key)
+            # full batches of merge_factor (up to max_merge_factor when the
+            # remainder would be left under-sized)
+            i = 0
+            while len(group) - i >= self.config.merge_factor:
+                take = self.config.merge_factor
+                rest = len(group) - i - take
+                if 0 < rest < self.config.merge_factor and \
+                        take + rest <= self.config.max_merge_factor:
+                    take += rest
+                ops.append(MergeOperation(group[i:i + take]))
+                i += take
+        return ops

@@ -1,8 +1,8 @@
 """Query AST, mirroring the reference's QueryAst surface
 (quickwit-query/src/query_ast/mod.rs:50-70):
 Bool, Term, TermSet, FieldPresence, FullText, Range, Wildcard, Regex,
-MatchAll, MatchNone, Boost. (PhrasePrefix/UserInput handled by the parser;
-positions/phrases are deferred — SURVEY.md §7.3.)
+MatchAll, MatchNone, Boost, Phrase, PhrasePrefix. (UserInput is handled by
+the parser.)
 """
 
 from __future__ import annotations
@@ -35,6 +35,27 @@ class FullText(Node):
     field: str
     text: str
     operator: str = "and"  # reference default operator is AND
+
+
+@dataclass(frozen=True)
+class Phrase(Node):
+    """Tokens must appear at consecutive positions (slop 0) or within
+    `slop` positional moves (reference: FullTextMode::Phrase{slop},
+    full_text_query.rs:36-163). On a freq-only index the engine degrades
+    to intersection — the reference's PhraseFallbackToIntersection mode."""
+    field: str
+    text: str
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class PhrasePrefix(Node):
+    """Phrase whose last token is a prefix, expanded against the term dict
+    up to max_expansions terms (reference: phrase_prefix_query.rs,
+    default max_expansions 50, user_input_query.rs:33)."""
+    field: str
+    text: str
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)

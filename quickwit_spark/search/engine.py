@@ -29,9 +29,9 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
-from ..functions.bm25 import Bm25Weight, avg_fieldnorm_f32, idf_f32
+from ..functions.bm25 import K1, Bm25Weight, avg_fieldnorm_f32, idf_f32
 from ..functions.tokenizers import tokenize_one
-from ..index.codecs import decode_postings
+from ..index.codecs import decode_positions, decode_postings
 from ..index.manifest import Manifest
 from . import ast as A
 
@@ -120,6 +120,23 @@ class SegmentReader:
         pr = self.postings_rows([int(row["term_id"])]).iloc[0]
         docids, tfs = decode_postings(pr["docid_blob"], pr["tf_blob"])
         return docids, tfs, int(row["doc_freq"])
+
+    @property
+    def has_positions(self) -> bool:
+        return self.record == "position"
+
+    def term_postings_positions(self, term: str):
+        """(docids, tfs, doc_freq, positions, run_starts); positions are
+        token ordinals grouped per posting (record="position" only)."""
+        td = self.lookup_terms([term])
+        if len(td) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, 0, z, z
+        row = td.iloc[0]
+        pr = self.postings_rows([int(row["term_id"])]).iloc[0]
+        docids, tfs = decode_postings(pr["docid_blob"], pr["tf_blob"])
+        pos, run_starts = decode_positions(pr["pos_blob"], tfs)
+        return docids, tfs, int(row["doc_freq"]), pos, run_starts
 
     def eval(self, node: A.Node, text_field: str, scoring: bool = True
              ) -> _Scored:
@@ -224,9 +241,148 @@ class SegmentReader:
                 ids = np.nonzero(mask)[0].astype(np.int64)
             return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                            if scoring else None)
+        if isinstance(node, A.Phrase):
+            return self._eval_phrase(node, text_field, scoring)
+        if isinstance(node, A.PhrasePrefix):
+            return self._eval_phrase_prefix(node, text_field, scoring)
         if isinstance(node, A.Bool):
             return self._eval_bool(node, text_field, scoring)
         raise TypeError(f"unsupported query node {node!r}")
+
+    def _eval_phrase(self, node: A.Phrase, text_field: str, scoring: bool,
+                     last_term_alternatives: list[str] | None = None
+                     ) -> _Scored:
+        """Positional phrase match. Without position postings, degrades to
+        term intersection (the reference's PhraseFallbackToIntersection,
+        full_text_query.rs:36-163). Scoring mirrors the underlying
+        library's phrase scorer: BM25 with tf = phrase frequency and
+        idf summed over the phrase's terms."""
+        toks = tokenize_one(node.text, analyzer=self.tokenizer) \
+            if node.field == text_field else [node.text]
+        if not toks:
+            return _Scored.empty()
+        if not self.has_positions or node.field != text_field:
+            terms = tuple(A.Term(node.field, t) for t in toks)
+            if last_term_alternatives is not None:
+                alts = tuple(A.Term(node.field, t)
+                             for t in last_term_alternatives)
+                terms = terms[:-1] + (A.Bool(should=alts),) if alts else \
+                    terms[:-1]
+            if len(terms) == 1:
+                return self.eval(terms[0], text_field, scoring)
+            return self.eval(A.Bool(must=terms), text_field, scoring)
+        posting_sets: list[list[tuple]] = []
+        for i, t in enumerate(toks):
+            is_last = i == len(toks) - 1
+            variants = ([t] if not (is_last and last_term_alternatives
+                                    is not None)
+                        else last_term_alternatives)
+            plist = []
+            for v in variants:
+                d, tf, df, pos, rs = self.term_postings_positions(v)
+                if df:
+                    plist.append((d, tf, df, pos, rs))
+            if not plist:
+                return _Scored.empty()
+            posting_sets.append(plist)
+        if len(toks) == 1:
+            # single-token phrase == term query (but honor expansions)
+            union = _union_ids([p[0] for p in posting_sets[0]])
+            if not scoring:
+                return _Scored(union, None)
+            w = self._phrase_weight([p[2] for p in posting_sets[0]])
+            tfs = np.zeros(len(union), dtype=np.int64)
+            for d, tf, _df, _pos, _rs in posting_sets[0]:
+                tfs[np.searchsorted(union, d)] += tf
+            fn = self.fieldnorm_ids()[union]
+            return _Scored(union, w.score(tfs, fn))
+        # candidate docs: intersection of (per-slot union of variants)
+        slot_docs = [_union_ids([p[0] for p in plist])
+                     for plist in posting_sets]
+        cand = slot_docs[0]
+        for d in slot_docs[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+        if len(cand) == 0:
+            return _Scored.empty()
+        slop = node.slop
+        match_ids: list[int] = []
+        freqs: list[int] = []
+        for doc in cand.tolist():
+            # positions of slot i in this doc, shifted by -i
+            slot_pos: list[np.ndarray] = []
+            for plist in posting_sets:
+                parts = []
+                for d, tf, _df, pos, rs in plist:
+                    j = np.searchsorted(d, doc)
+                    if j < len(d) and d[j] == doc:
+                        parts.append(pos[rs[j]:rs[j] + tf[j]])
+                if not parts:
+                    slot_pos.append(np.zeros(0, dtype=np.int64))
+                elif len(parts) == 1:
+                    slot_pos.append(parts[0])
+                else:
+                    slot_pos.append(np.sort(np.concatenate(parts)))
+            anchors = slot_pos[0]
+            for i, sp in enumerate(slot_pos[1:], start=1):
+                adj = sp - i
+                if slop == 0:
+                    anchors = np.intersect1d(anchors, adj)
+                else:
+                    # sloppy: anchor survives if this slot has a position
+                    # within `slop` of its expected place
+                    if len(adj) == 0:
+                        anchors = anchors[:0]
+                    else:
+                        j = np.searchsorted(adj, anchors)
+                        lo = np.abs(adj[np.clip(j - 1, 0, len(adj) - 1)]
+                                    - anchors) <= slop
+                        hi = np.abs(adj[np.clip(j, 0, len(adj) - 1)]
+                                    - anchors) <= slop
+                        anchors = anchors[lo | hi]
+                if len(anchors) == 0:
+                    break
+            if len(anchors):
+                match_ids.append(doc)
+                freqs.append(len(anchors))
+        if not match_ids:
+            return _Scored.empty()
+        docids = np.asarray(match_ids, dtype=np.int64)
+        if not scoring:
+            return _Scored(docids, None)
+        dfs = [min(p[2] for p in plist) for plist in posting_sets]
+        w = self._phrase_weight(dfs)
+        fn = self.fieldnorm_ids()[docids]
+        return _Scored(docids, w.score(np.asarray(freqs, dtype=np.int64),
+                                       fn))
+
+    def _phrase_weight(self, dfs: list[int]) -> Bm25Weight:
+        """BM25 weight whose idf is the sum over the phrase's terms (the
+        underlying library computes Bm25Weight::for_terms the same way)."""
+        w = Bm25Weight(max(dfs[0], 1), self.num_docs,
+                       float(self._avg_fieldnorm))
+        idf_total = np.float32(0.0)
+        for df in dfs:
+            idf_total = np.float32(idf_total + idf_f32(df, self.num_docs))
+        w.weight = np.float32(idf_total * (K1 + np.float32(1.0)))
+        return w
+
+    def _eval_phrase_prefix(self, node: A.PhrasePrefix, text_field: str,
+                            scoring: bool) -> _Scored:
+        """Expand the trailing prefix against the term dict (term order,
+        capped at max_expansions — phrase_prefix_query.rs), then run the
+        phrase with the expansion set in the last slot."""
+        toks = tokenize_one(node.text, analyzer=self.tokenizer) \
+            if node.field == text_field else [node.text]
+        if not toks:
+            return _Scored.empty()
+        prefix = toks[-1]
+        td = self.scan_terms(lambda s: s.str.startswith(prefix))
+        expansions = sorted(td["term"].tolist())[:node.max_expansions]
+        if not expansions:
+            return _Scored.empty()
+        phrase = A.Phrase(node.field, node.text)
+        return self._eval_phrase(phrase, text_field, scoring,
+                                 last_term_alternatives=expansions)
 
     def _eval_bool(self, node: A.Bool, text_field: str, scoring: bool
                    ) -> _Scored:
@@ -386,12 +542,15 @@ def get_reader(seg_dir: str, tokenizer: str) -> "SegmentReader":
 
 
 def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
-                  text_field: str, use_wand: bool = False
+                  text_field: str, use_wand: bool = False,
+                  search_after: tuple | None = None
                   ) -> tuple[int, pd.DataFrame]:
     """Leaf search on one segment: returns (match_count, top-k candidates
     sorted by (score desc, doc_id desc)). With use_wand, prunable query
     shapes use block-max skipping (identical top-k; for OR the match count
-    is a lower bound — the reference's CountHits::Underestimate mode)."""
+    is a lower bound — the reference's CountHits::Underestimate mode).
+    search_after=(score, segment_id, doc_id) keeps only hits strictly
+    after the cursor in global sort order (collector.rs search_after)."""
     reader = get_reader(seg_dir, tokenizer)
     if use_wand:
         shape = _wand_shape(node, text_field, tokenizer)
@@ -408,13 +567,67 @@ def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
     count = len(scored.docids)
     if count == 0:
         return 0, pd.DataFrame({"doc_id": [], "score": []})
+    docids, scores = scored.docids, scored.scores
+    if search_after is not None:
+        sa_score, sa_seg, sa_doc = search_after
+        sid = os.path.basename(seg_dir)
+        s64 = scores.astype(np.float64)
+        if sid > sa_seg:
+            mask = s64 < sa_score
+        elif sid < sa_seg:
+            mask = s64 <= sa_score
+        else:
+            mask = (s64 < sa_score) | ((s64 == sa_score)
+                                       & (docids < sa_doc))
+        docids, scores = docids[mask], scores[mask]
+        if len(docids) == 0:
+            return count, pd.DataFrame({"doc_id": [], "score": []})
     # order: score desc, then doc address desc (default desc tie-break)
-    order = np.lexsort((-scored.docids, -scored.scores.astype(np.float64)))
+    order = np.lexsort((-docids, -scores.astype(np.float64)))
     top = order[:k]
     return count, pd.DataFrame({
-        "doc_id": scored.docids[top],
-        "score": scored.scores[top].astype(np.float64),
+        "doc_id": docids[top],
+        "score": scores[top].astype(np.float64),
     })
+
+
+def segment_sort_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
+                       text_field: str, sort_by: tuple
+                       ) -> tuple[int, pd.DataFrame]:
+    """Leaf search sorted by an explicit sort spec (reference:
+    collector.rs:994-1029 — at most 2 sort fields, each `_score` | `_doc` |
+    a fast field; missing values sort last regardless of direction;
+    tie-break is the doc address in the direction of the FIRST sort order,
+    collector.rs:1086-1145)."""
+    if not 1 <= len(sort_by) <= 2:
+        raise ValueError("sort_by supports 1 or 2 sort fields")
+    reader = get_reader(seg_dir, tokenizer)
+    need_score = any(f == "_score" for f, _ in sort_by)
+    scored = reader.eval(node, text_field, scoring=need_score)
+    if need_score:
+        scored = scored.with_scores()
+    ids = scored.docids
+    count = len(ids)
+    cols: dict[str, np.ndarray] = {"doc_id": ids}
+    ascending: list[bool] = []
+    sort_cols: list[str] = []
+    for i, (f, direction) in enumerate(sort_by):
+        name = f"_sort{i}"
+        if f == "_score":
+            cols[name] = scored.scores.astype(np.float64)
+        elif f in ("_doc", "_shard_doc"):
+            cols[name] = ids
+        else:
+            cols[name] = reader.doc_column(f)[ids] if count else \
+                np.zeros(0)
+        sort_cols.append(name)
+        ascending.append(direction == "asc")
+    first_asc = ascending[0]
+    df = pd.DataFrame(cols)
+    df = df.sort_values(sort_cols + ["doc_id"],
+                        ascending=ascending + [first_asc],
+                        na_position="last", kind="mergesort").head(k)
+    return count, df.reset_index(drop=True)
 
 
 @dataclass
@@ -429,6 +642,14 @@ class SearchHit:
 class SearchResult:
     num_hits: int
     hits: list[SearchHit]
+
+    @property
+    def next_cursor(self) -> tuple | None:
+        """Pass as search_after to fetch the next page (scroll analog)."""
+        if not self.hits:
+            return None
+        h = self.hits[-1]
+        return (h.score, h.segment_id, h.doc_id)
 
 
 class IndexSearcher:
@@ -457,23 +678,31 @@ class IndexSearcher:
 
     def search(self, query, k: int = 10, offset: int = 0,
                fetch_fields: bool = True,
-               count_all: bool = True) -> SearchResult:
+               count_all: bool = True,
+               search_after: tuple | None = None) -> SearchResult:
         """count_all=False enables block-max WAND pruning for prunable
         query shapes: identical top-k, but num_hits may under-count for
-        OR queries (the reference's CountHits option)."""
+        OR queries (the reference's CountHits option).
+
+        search_after=(score, segment_id, doc_id) — the cursor of the last
+        hit of the previous page (SearchResult.next_cursor); deep
+        pagination without collecting offset+k everywhere
+        (search.proto:237-240)."""
         node = self.parse(query)
         segs = prune_segments(self.manifest.segments(), node, self.tag_fields)
         need = offset + k
-        use_wand = not count_all
+        use_wand = not count_all and search_after is None
         parts: list[tuple[str, int, pd.DataFrame]] = []
         if self.spark is not None and len(segs) > 1:
-            parts = self._leaf_spark(segs, node, need, use_wand)
+            parts = self._leaf_spark(segs, node, need, use_wand,
+                                     search_after)
         else:
             for seg in segs:
                 seg_dir = os.path.join(self.index_dir, "segments",
                                        seg["segment_id"])
                 cnt, top = segment_top_k(seg_dir, node, need, self.tokenizer,
-                                         self.text_field, use_wand)
+                                         self.text_field, use_wand,
+                                         search_after)
                 parts.append((seg["segment_id"], cnt, top))
         num_hits = sum(c for _, c, _ in parts)
         frames = []
@@ -496,7 +725,8 @@ class IndexSearcher:
         return SearchResult(num_hits, hits)
 
     def _leaf_spark(self, segs: list[dict], node: A.Node, need: int,
-                    use_wand: bool = False):
+                    use_wand: bool = False,
+                    search_after: tuple | None = None):
         index_dir = self.index_dir
         tokenizer = self.tokenizer
         text_field = self.text_field
@@ -510,7 +740,8 @@ class IndexSearcher:
                 for sid in pdf["segment_id"].tolist():
                     seg_dir = os.path.join(index_dir, "segments", sid)
                     cnt, top = segment_top_k(seg_dir, node, need, tokenizer,
-                                             text_field, use_wand)
+                                             text_field, use_wand,
+                                             search_after)
                     top = top.copy()
                     top["segment_id"] = sid
                     top["match_count"] = cnt
@@ -649,6 +880,75 @@ class IndexSearcher:
                               filters=filters or None)
             terms.update(t.column(0).to_pylist())
         return sorted(terms)[:limit]
+
+    def sort_search(self, query, k: int = 10,
+                    sort_by: tuple = (("_score", "desc"),),
+                    fetch_fields: bool = True) -> SearchResult:
+        """Top-k under an explicit sort spec (<= 2 fields, each `_score` |
+        `_doc` | fast-field column; collector.rs:994-1029). Global merge
+        re-applies the same key with the (segment_id, doc_id) tie-break in
+        the first sort order's direction."""
+        node = self.parse(query)
+        segs = prune_segments(self.manifest.segments(), node, self.tag_fields)
+        parts = []
+        for seg in segs:
+            seg_dir = os.path.join(self.index_dir, "segments",
+                                   seg["segment_id"])
+            cnt, top = segment_sort_top_k(seg_dir, node, k, self.tokenizer,
+                                          self.text_field, sort_by)
+            top = top.copy()
+            top["segment_id"] = seg["segment_id"]
+            parts.append((cnt, top))
+        num_hits = sum(c for c, _ in parts)
+        frames = [t for _c, t in parts if len(t)]
+        if not frames:
+            return SearchResult(num_hits, [])
+        allc = pd.concat(frames, ignore_index=True)
+        sort_cols = [f"_sort{i}" for i in range(len(sort_by))]
+        ascending = [d == "asc" for _f, d in sort_by]
+        first_asc = ascending[0]
+        allc = allc.sort_values(sort_cols + ["segment_id", "doc_id"],
+                                ascending=ascending + [first_asc, first_asc],
+                                na_position="last", kind="mergesort").head(k)
+        score_col = None
+        for i, (f, _d) in enumerate(sort_by):
+            if f == "_score":
+                score_col = f"_sort{i}"
+        winners = allc[["doc_id", "segment_id"]].copy()
+        winners["score"] = (allc[score_col].astype(float) if score_col
+                            else 0.0)
+        hits = self._fetch(winners) if fetch_fields else [
+            SearchHit(float(r.score), str(r.segment_id), int(r.doc_id), {})
+            for r in winners.itertuples()]
+        return SearchResult(num_hits, hits)
+
+    def list_fields(self) -> list[dict]:
+        """Schema/capability union across segments (reference:
+        quickwit-search/src/list_fields.rs — per-split field metadata
+        merged at the root). Reads only parquet footers."""
+        import pyarrow.parquet as _pq
+        fields: dict[str, dict] = {}
+        for seg in self.manifest.segments():
+            seg_dir = os.path.join(self.index_dir, "segments",
+                                   seg["segment_id"])
+            schema = _pq.read_schema(os.path.join(seg_dir, "docs.parquet"))
+            for f in schema:
+                if f.name == "_seg_doc":
+                    continue
+                e = fields.setdefault(f.name, {
+                    "field": f.name, "types": set(), "segments": 0,
+                    "searchable": f.name in (self.text_field,
+                                             *self.tag_fields),
+                    "tag": f.name in self.tag_fields,
+                })
+                e["types"].add(str(f.type))
+                e["segments"] += 1
+        out = []
+        for name in sorted(fields):
+            e = fields[name]
+            e["types"] = sorted(e["types"])
+            out.append(e)
+        return out
 
     def count(self, query) -> int:
         """Metadata-only fast path for match-all (root.rs:638-685),

@@ -47,9 +47,15 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
     if kind == "match_phrase":
         field, v = next(iter(spec.items()))
         text = v["query"] if isinstance(v, dict) else v
-        # positions deferred: phrase falls back to intersection (the
-        # reference's PhraseFallbackToIntersection mode)
-        return A.FullText(field, str(text), operator="and")
+        slop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
+        # positional phrase; freq-only indexes fall back to intersection
+        # (the reference's PhraseFallbackToIntersection mode)
+        return A.Phrase(field, str(text), slop=slop)
+    if kind == "match_phrase_prefix":
+        field, v = next(iter(spec.items()))
+        text = v["query"] if isinstance(v, dict) else v
+        maxe = int(v.get("max_expansions", 50)) if isinstance(v, dict) else 50
+        return A.PhrasePrefix(field, str(text), max_expansions=maxe)
     if kind == "multi_match":
         fields = spec.get("fields") or [default_field]
         text = str(spec["query"])

@@ -122,8 +122,7 @@ class _Parser:
                 raise ValueError("expected )")
             return node
         if kind == "quote":
-            text = re.sub(r"\\(.)", r"\1", val[1:-1])
-            return A.FullText(self.default_field, text, operator="and")
+            return self._phrase_node(self.default_field, val)
         if kind == "word":
             if self.peek()[0] == "colon":
                 self.next()
@@ -131,12 +130,39 @@ class _Parser:
             return self.value_node(self.default_field, val)
         raise ValueError(f"unexpected token {kind}:{val}")
 
+    def _phrase_node(self, field: str, quoted: str) -> A.Node:
+        """Quoted text => Phrase; `"..."~N` sets slop; `"..."*` => prefix
+        phrase (reference grammar, docs/reference/query-language.md).
+        Engines without position postings fall back to intersection."""
+        text = re.sub(r"\\(.)", r"\1", quoted[1:-1])
+        k, v = self.peek()
+        if k == "word" and v.startswith("~") and v[1:].isdigit():
+            self.next()
+            return A.Phrase(field, text, slop=int(v[1:]))
+        if (k, v) == ("word", "*"):
+            self.next()
+            return A.PhrasePrefix(field, text)
+        return A.Phrase(field, text)
+
     def field_value(self, field: str) -> A.Node:
         kind, val = self.peek()
+        if kind == "lparen":
+            # field:(a AND b OR c) — group scoped to the field
+            # (docs/reference/query-language.md grouping)
+            self.next()
+            saved = self.default_field
+            self.default_field = field
+            try:
+                node = self.or_expr()
+            finally:
+                self.default_field = saved
+            k, _ = self.next()
+            if k != "rparen":
+                raise ValueError("expected ) closing field group")
+            return node
         if kind == "quote":
             self.next()
-            text = re.sub(r"\\(.)", r"\1", val[1:-1])
-            return A.FullText(field, text, operator="and")
+            return self._phrase_node(field, val)
         if (kind, val) == ("word", "IN"):
             self.next()
             k, open_b = self.next()

@@ -19,7 +19,12 @@ def test_match_variants():
         "query": "quick sort", "operator": "AND"}}}) == \
         A.FullText("content", "quick sort", operator="and")
     assert es_to_ast({"match_phrase": {"content": "quick sort"}}) == \
-        A.FullText("content", "quick sort", operator="and")
+        A.Phrase("content", "quick sort")
+    assert es_to_ast({"match_phrase": {"content": {
+        "query": "quick sort", "slop": 1}}}) == \
+        A.Phrase("content", "quick sort", slop=1)
+    assert es_to_ast({"match_phrase_prefix": {"content": "quick so"}}) == \
+        A.PhrasePrefix("content", "quick so")
 
 
 def test_bool_nested():

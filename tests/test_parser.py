@@ -51,6 +51,13 @@ def test_wildcard_and_matchall():
         A.Wildcard("c", "wil?car*d")
 
 
-def test_quoted_phrase_falls_back_to_and():
+def test_quoted_phrase():
     node = parse_query('"quick sort"', default_field="content")
-    assert node == A.FullText("content", "quick sort", operator="and")
+    assert node == A.Phrase("content", "quick sort")
+
+
+def test_quoted_phrase_slop_and_prefix():
+    assert parse_query('title:"quick sort"~2', default_field="c") == \
+        A.Phrase("title", "quick sort", slop=2)
+    assert parse_query('c:"quick so"*', default_field="c") == \
+        A.PhrasePrefix("c", "quick so")

@@ -1,0 +1,117 @@
+"""Sort-spec top-k (collector.rs:994-1145 semantics) and the
+ConstWriteAmplification merge policy."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quickwit_spark.config import IndexConfig, MergePolicyConfig
+from quickwit_spark.index.builder import build_index_pandas
+from quickwit_spark.index.merge_policy import (
+    ConstWriteAmplificationMergePolicy, MergeOperation)
+from quickwit_spark.search import ast as A
+from quickwit_spark.search.engine import IndexSearcher
+
+WORDS = ["alpha", "beta", "gamma", "delta"]
+
+
+def _mk(tmp_path, n=40, parts=3):
+    rng = np.random.default_rng(7)
+    texts, sizes = [], []
+    for i in range(n):
+        k = int(rng.integers(3, 12))
+        toks = rng.choice(WORDS, size=k).tolist()
+        texts.append(" ".join(toks))
+        sizes.append(int(rng.integers(0, 500)))
+    pdf = pd.DataFrame({
+        "repo": [f"r{i % 5}" for i in range(n)],
+        "path": [f"f{i:03d}.py" for i in range(n)],
+        "commit": ["c"] * n,
+        "lang": ["python"] * n,
+        "content": texts,
+        "size": sizes,
+    })
+    cfg = IndexConfig(index_uid="srt", index_dir=str(tmp_path / "idx"),
+                      sha_col=None, store_cols=("size",))
+    build_index_pandas(pdf, cfg, num_partitions=parts)
+    return cfg, pdf
+
+
+def test_sort_by_fast_field_matches_pandas(tmp_path):
+    cfg, pdf = _mk(tmp_path)
+    s = IndexSearcher(cfg.index_dir)
+    res = s.sort_search(A.Term("content", "alpha"), k=10,
+                        sort_by=(("size", "desc"),))
+    got = [(h.doc["path"], h.doc["size"]) for h in res.hits]
+    expect = (pdf[pdf["content"].str.contains("alpha")]
+              .sort_values("size", ascending=False).head(100))
+    # same size multiset for the top-10 (ties break by doc address,
+    # which pandas does not model)
+    assert [g[1] for g in got] == expect["size"].head(10).tolist()
+    assert res.num_hits == len(expect)
+
+
+def test_sort_two_fields_and_asc(tmp_path):
+    cfg, pdf = _mk(tmp_path)
+    s = IndexSearcher(cfg.index_dir)
+    res = s.sort_search("*", k=len(pdf),
+                        sort_by=(("lang", "asc"), ("size", "asc")))
+    sizes = [h.doc["size"] for h in res.hits]
+    assert sizes == sorted(sizes)
+    with pytest.raises(ValueError):
+        s.sort_search("*", k=3, sort_by=(("a", "asc"), ("b", "asc"),
+                                         ("c", "asc")))
+
+
+def test_sort_by_score_equals_search(tmp_path):
+    cfg, _ = _mk(tmp_path)
+    s = IndexSearcher(cfg.index_dir)
+    q = A.Bool(should=(A.Term("content", "alpha"),
+                       A.Term("content", "beta")))
+    a = s.search(q, k=10, fetch_fields=False)
+    b = s.sort_search(q, k=10, sort_by=(("_score", "desc"),),
+                      fetch_fields=False)
+    assert [(h.segment_id, h.doc_id) for h in a.hits] == \
+        [(h.segment_id, h.doc_id) for h in b.hits]
+    assert [round(h.score, 5) for h in a.hits] == \
+        [round(h.score, 5) for h in b.hits]
+
+
+def _seg(sid, docs, merge_ops=0):
+    return {"segment_id": sid, "num_docs": docs,
+            "num_merge_ops": merge_ops, "time_end": None}
+
+
+def test_const_write_amplification_levels():
+    pol = ConstWriteAmplificationMergePolicy(
+        MergePolicyConfig(merge_factor=3, max_merge_factor=4))
+    segs = [_seg(f"s{i}", 100) for i in range(7)]
+    ops = pol.operations(segs)
+    # 7 = 3 + remainder 4 (<= max_merge_factor absorbs the remainder)
+    assert sorted(len(op.segments) for op in ops) == [3, 4]
+    # only same-level segments merge together
+    mixed = [_seg("a", 100, 0), _seg("b", 100, 0), _seg("c", 100, 1),
+             _seg("d", 100, 1), _seg("e", 100, 1), _seg("f", 100, 0)]
+    ops = pol.operations(mixed)
+    assert len(ops) == 2
+    for op in ops:
+        levels = {s["num_merge_ops"] for s in op.segments}
+        assert len(levels) == 1
+
+
+def test_const_write_amplification_maturity():
+    pol = ConstWriteAmplificationMergePolicy(
+        MergePolicyConfig(merge_factor=2, max_merge_factor=3),
+        max_merge_ops=2)
+    segs = [_seg(f"s{i}", 100, merge_ops=2) for i in range(6)]
+    assert pol.operations(segs) == []  # all mature: bounded amplification
+    assert all(pol.is_mature(s) for s in segs)
+
+
+def test_const_policy_deterministic_under_shuffle():
+    pol = ConstWriteAmplificationMergePolicy(
+        MergePolicyConfig(merge_factor=3, max_merge_factor=4))
+    segs = [_seg(f"s{i}", 100 + i) for i in range(9)]
+    a = [op.segment_ids() for op in pol.operations(segs)]
+    b = [op.segment_ids() for op in pol.operations(segs[::-1])]
+    assert a == b

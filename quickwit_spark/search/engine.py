@@ -72,6 +72,15 @@ class SegmentReader:
             np.float32(self.num_docs)) if self.num_docs else np.float32(0)
         self._fn_ids: np.ndarray | None = None
         self._doc_cols: dict[str, np.ndarray] = {}
+        self._termdict: pd.DataFrame | None = None
+        self._term_index: dict[str, int] | None = None
+        self._postings_tbl = None
+
+    # cache whole termdict/postings files when small enough — the analog
+    # of the reference's hotcache + leaf cache (split opened in one read,
+    # docs/internals/split-format.md; leaf_cache.rs). Above the cap we
+    # fall back to filtered parquet reads (predicate pushdown).
+    CACHE_FILE_BYTES = 256 * 1024 * 1024
 
     # -- raw data access ---------------------------------------------------
 
@@ -89,8 +98,24 @@ class SegmentReader:
             self._doc_cols[col] = np.asarray(t.column(0).to_pandas())
         return self._doc_cols[col]
 
+    def _cached_termdict(self) -> pd.DataFrame | None:
+        if self._termdict is None:
+            path = os.path.join(self.seg_dir, "termdict.parquet")
+            if os.path.getsize(path) > self.CACHE_FILE_BYTES:
+                return None
+            self._termdict = pq.read_table(path).to_pandas()
+            self._term_index = {t: i for i, t in
+                                enumerate(self._termdict["term"])}
+        return self._termdict
+
     def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
-        """termdict rows for the given terms (predicate pushed to parquet)."""
+        """termdict rows for the given terms (in-memory dict when cached,
+        else predicate pushed to parquet)."""
+        td = self._cached_termdict()
+        if td is not None:
+            rows = [self._term_index[t] for t in set(terms)
+                    if t in self._term_index]
+            return td.iloc[sorted(rows)]
         t = pq.read_table(os.path.join(self.seg_dir, "termdict.parquet"),
                           filters=[("term", "in", list(set(terms)))])
         return t.to_pandas()
@@ -98,28 +123,65 @@ class SegmentReader:
     def scan_terms(self, predicate) -> pd.DataFrame:
         """Full termdict scan with a pandas predicate (wildcard/regex/
         list_terms path)."""
-        t = pq.read_table(os.path.join(self.seg_dir, "termdict.parquet"))
-        df = t.to_pandas()
+        df = self._cached_termdict()
+        if df is None:
+            df = pq.read_table(os.path.join(self.seg_dir,
+                                            "termdict.parquet")).to_pandas()
         return df[predicate(df["term"])]
 
     def postings_rows(self, term_ids: list[int]) -> pd.DataFrame:
-        t = pq.read_table(os.path.join(self.seg_dir, "postings.parquet"),
-                          filters=[("term_id", "in",
-                                    [int(i) for i in term_ids])])
+        path = os.path.join(self.seg_dir, "postings.parquet")
+        if self._postings_tbl is None and \
+                os.path.getsize(path) <= self.CACHE_FILE_BYTES:
+            self._postings_tbl = pq.read_table(path)
+        ids = [int(i) for i in term_ids]
+        if self._postings_tbl is not None:
+            # postings rows are ordered by term_id == row index
+            return self._postings_tbl.take(sorted(ids)).to_pandas()
+        t = pq.read_table(path, filters=[("term_id", "in", ids)])
         return t.to_pandas()
 
     # -- leaf evaluation -----------------------------------------------------
 
+    def _term_row(self, term: str) -> tuple[int, int] | None:
+        """(term_id, doc_freq) via the in-memory term index when cached."""
+        td = self._cached_termdict()
+        if td is not None:
+            i = self._term_index.get(term)
+            if i is None:
+                return None
+            return (int(td["term_id"].iloc[i]),
+                    int(td["doc_freq"].iloc[i]))
+        rows = self.lookup_terms([term])
+        if len(rows) == 0:
+            return None
+        return int(rows.iloc[0]["term_id"]), int(rows.iloc[0]["doc_freq"])
+
+    def _postings_cells(self, term_id: int, cols: list[str]) -> list:
+        """Fetch posting-row cells straight from the cached arrow table —
+        no arrow->pandas conversion (that conversion dominates warm query
+        latency because of the per-block list columns)."""
+        if self._postings_tbl is None:
+            path = os.path.join(self.seg_dir, "postings.parquet")
+            if os.path.getsize(path) <= self.CACHE_FILE_BYTES:
+                self._postings_tbl = pq.read_table(path)
+        if self._postings_tbl is not None:
+            return [self._postings_tbl.column(c)[term_id].as_py()
+                    for c in cols]
+        row = self.postings_rows([term_id]).iloc[0]
+        return [row[c] for c in cols]
+
     def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray, int]:
         """(docids, tfs, doc_freq) for one text term; empty if absent."""
-        td = self.lookup_terms([term])
-        if len(td) == 0:
+        tr = self._term_row(term)
+        if tr is None:
             z = np.zeros(0, dtype=np.int64)
             return z, z, 0
-        row = td.iloc[0]
-        pr = self.postings_rows([int(row["term_id"])]).iloc[0]
-        docids, tfs = decode_postings(pr["docid_blob"], pr["tf_blob"])
-        return docids, tfs, int(row["doc_freq"])
+        term_id, doc_freq = tr
+        docid_blob, tf_blob = self._postings_cells(
+            term_id, ["docid_blob", "tf_blob"])
+        docids, tfs = decode_postings(docid_blob, tf_blob)
+        return docids, tfs, doc_freq
 
     @property
     def has_positions(self) -> bool:
@@ -128,15 +190,16 @@ class SegmentReader:
     def term_postings_positions(self, term: str):
         """(docids, tfs, doc_freq, positions, run_starts); positions are
         token ordinals grouped per posting (record="position" only)."""
-        td = self.lookup_terms([term])
-        if len(td) == 0:
+        tr = self._term_row(term)
+        if tr is None:
             z = np.zeros(0, dtype=np.int64)
             return z, z, 0, z, z
-        row = td.iloc[0]
-        pr = self.postings_rows([int(row["term_id"])]).iloc[0]
-        docids, tfs = decode_postings(pr["docid_blob"], pr["tf_blob"])
-        pos, run_starts = decode_positions(pr["pos_blob"], tfs)
-        return docids, tfs, int(row["doc_freq"]), pos, run_starts
+        term_id, doc_freq = tr
+        docid_blob, tf_blob, pos_blob = self._postings_cells(
+            term_id, ["docid_blob", "tf_blob", "pos_blob"])
+        docids, tfs = decode_postings(docid_blob, tf_blob)
+        pos, run_starts = decode_positions(pos_blob, tfs)
+        return docids, tfs, doc_freq, pos, run_starts
 
     def eval(self, node: A.Node, text_field: str, scoring: bool = True
              ) -> _Scored:

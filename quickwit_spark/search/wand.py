@@ -83,24 +83,26 @@ class _TermCursor:
         return docids, self.weight.score(tfs, fn_ids[docids])
 
 
+_CURSOR_COLS = ["doc_freq", "block_last", "block_max_tf", "block_min_fn",
+                "doc_offsets", "tf_offsets", "docid_blob", "tf_blob"]
+
+
 def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
-    td = reader.lookup_terms(terms)
-    if len(td) == 0:
-        return []
-    by_term = {r["term"]: r for _, r in td.iterrows()}
-    rows = reader.postings_rows([int(r["term_id"])
-                                 for r in by_term.values()])
-    rows = rows.set_index("term_id")
     cursors = []
+    any_found = False
     for t in terms:
-        r = by_term.get(t)
-        if r is None:
+        tr = reader._term_row(t)
+        if tr is None:
             cursors.append(None)
             continue
-        w = Bm25Weight(int(r["doc_freq"]), reader.num_docs,
+        any_found = True
+        term_id, doc_freq = tr
+        row = dict(zip(_CURSOR_COLS,
+                       reader._postings_cells(term_id, _CURSOR_COLS)))
+        w = Bm25Weight(doc_freq, reader.num_docs,
                        float(reader._avg_fieldnorm))
-        cursors.append(_TermCursor(t, rows.loc[int(r["term_id"])], w))
-    return cursors
+        cursors.append(_TermCursor(t, row, w))
+    return cursors if any_found else []
 
 
 def _combine_in_query_order(parts, final_docids):

@@ -35,6 +35,10 @@ def main() -> None:
                     help="remove index dir first (no resume)")
     ap.add_argument("--no-warm", action="store_true",
                     help="skip python-worker warmup before the timed build")
+    ap.add_argument("--record", default="freq",
+                    choices=["basic", "freq", "position"],
+                    help="indexing regime: basic (tf=1), freq, or "
+                         "position (enables phrase queries)")
     ap.add_argument("--routed-input", action="store_true",
                     help="lay the input out bucketed by routing key before "
                          "the timed build (models an Iceberg table bucketed "
@@ -84,7 +88,8 @@ def main() -> None:
         (spark.range(cores * 2, numPartitions=cores * 2)
          .mapInPandas(_warm, schema="ok long").count())
 
-    cfg = IndexConfig(index_uid="submit", index_dir=args.index_dir)
+    cfg = IndexConfig(index_uid="submit", index_dir=args.index_dir,
+                      record=args.record)
     t0 = time.perf_counter()
     build_index(spark, df, cfg, num_partitions=args.partitions,
                 wave_size=args.partitions, input_routed=args.routed_input)

@@ -334,6 +334,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.avg("n_chars"), 4).alias("avg_chars")))
     q["agg_terms_matched_docs"] = agg_over_matched
 
+    def agg_es_spec(s, d):
+        """Same computation through the ES-style aggregation front-end
+        (search/aggregations.py): terms bucket + sub-metric, executed as
+        matched_docs -> Catalyst partial/final agg."""
+        from quickwit_spark.search.aggregations import aggregate
+        from quickwit_spark.search.engine import IndexSearcher
+        _, _, searcher = _doc_index(d)
+        sp = IndexSearcher(searcher.index_dir, spark=s)
+        out = aggregate(sp, A.FullText("text", "merge"),
+                        {"langs": {"terms": {"field": "lang"},
+                                   "aggs": {"chars": {
+                                       "avg": {"field": "n_chars"}}}}})
+        return out.select(F.col("langs").alias("lang"),
+                          F.col("doc_count").alias("cnt"),
+                          F.round("chars", 4).alias("avg_chars"))
+    q["agg_es_terms_spec"] = agg_es_spec
+
     # --- training-data pipeline ops (dedup / similarity / text stats) ---
     from quickwit_spark.pipeline import dedup as dd
     from quickwit_spark.pipeline import similarity as sim
@@ -513,6 +530,7 @@ SELECT lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
 FROM documents JOIN matched USING (doc_id)
 GROUP BY lang
 """
+    o["agg_es_terms_spec"] = o["agg_terms_matched_docs"]
     o.update(_pipeline_oracles())
     return o
 

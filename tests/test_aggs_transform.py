@@ -1,0 +1,103 @@
+"""ES-style aggregations over matched docs + doc-processor transform."""
+
+import pandas as pd
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.index.builder import build_index_pandas
+from quickwit_spark.search import ast as A
+from quickwit_spark.search.aggregations import aggregate
+from quickwit_spark.search.engine import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    root = tmp_path_factory.mktemp("aggs")
+    docs = []
+    for i in range(60):
+        lang = ["en", "fr", "es"][i % 3]
+        text = "alpha beta" if i % 2 == 0 else "alpha gamma"
+        docs.append({"repo": f"r{i % 4}", "path": f"f{i}.py", "commit": "c",
+                     "lang": lang, "content": text, "size": 10 * i})
+    pdf = pd.DataFrame(docs)
+    cfg = IndexConfig(index_uid="agg", index_dir=str(root / "idx"),
+                      sha_col=None, store_cols=("size",))
+    build_index_pandas(pdf, cfg, num_partitions=2)
+    return cfg, pdf
+
+
+def test_terms_bucket_with_sub_metric(spark, idx):
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    out = aggregate(s, A.Term("content", "beta"),
+                    {"langs": {"terms": {"field": "lang"},
+                               "aggs": {"sz": {"avg": {"field": "size"}}}}}
+                    ).toPandas().set_index("langs")
+    sub = pdf[pdf.content.str.contains("beta")]
+    expect = sub.groupby("lang").agg(cnt=("lang", "size"),
+                                     avg=("size", "mean"))
+    assert sorted(out.index) == sorted(expect.index)
+    for lang in expect.index:
+        assert out.loc[lang, "doc_count"] == expect.loc[lang, "cnt"]
+        assert out.loc[lang, "sz"] == pytest.approx(expect.loc[lang, "avg"])
+
+
+def test_metric_only_and_histogram(spark, idx):
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    m = aggregate(s, "*", {"st": {"stats": {"field": "size"}}}
+                  ).toPandas().iloc[0]
+    assert m["doc_count"] == len(pdf)
+    assert m["st_min"] == pdf["size"].min()
+    assert m["st_max"] == pdf["size"].max()
+    h = aggregate(s, "*", {"hs": {"histogram": {"field": "size",
+                                                "interval": 100}}}
+                  ).toPandas()
+    expect = (pdf.assign(b=(pdf["size"] // 100) * 100)
+              .groupby("b").size())
+    assert dict(zip(h["hs"], h["doc_count"])) == \
+        {float(k): v for k, v in expect.items()}
+
+
+def test_range_buckets(spark, idx):
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    out = aggregate(s, "*", {"r": {"range": {
+        "field": "size",
+        "ranges": [{"to": 100, "key": "small"},
+                   {"from": 100, "to": 400, "key": "mid"},
+                   {"from": 400, "key": "big"}]}}}).toPandas()
+    got = dict(zip(out["r"], out["doc_count"]))
+    assert got["small"] == (pdf["size"] < 100).sum()
+    assert got["mid"] == ((pdf["size"] >= 100) & (pdf["size"] < 400)).sum()
+    assert got["big"] == (pdf["size"] >= 400).sum()
+
+
+def test_doc_processor_counters(spark):
+    from quickwit_spark.pipeline.transform import (
+        DocProcessorCounters, process_docs)
+    pdf = pd.DataFrame({
+        "repo": ["a", "b", None, "d", "e"],
+        "n": ["1", "2", "3", "oops", "5"],
+    })
+    df = spark.createDataFrame(pdf)
+    counters = DocProcessorCounters(spark.sparkContext)
+    out = process_docs(df, {"repo": "str", "n": "int64"},
+                       counters=counters).toPandas()
+    snap = counters.snapshot()
+    assert len(out) == 3  # row with None repo and row with bad n dropped
+    assert snap["valid"] == 3
+    assert snap["coercion_errors"] == 1
+    assert snap["missing_field"] == 1
+
+
+def test_doc_processor_transform_hook(spark):
+    from quickwit_spark.pipeline.transform import process_docs
+    df = spark.createDataFrame(pd.DataFrame({
+        "repo": ["x", "y"], "n": ["1", "2"]}))
+    out = process_docs(
+        df, {"repo": "str", "n": "int64"},
+        transform=lambda p: p.assign(repo=p["repo"].str.upper())
+    ).toPandas()
+    assert sorted(out["repo"]) == ["X", "Y"]
+    assert out["n"].dtype == "int64"

@@ -17,3 +17,30 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy public API (keeps `import quickwit_spark` free of pyspark cost)
+    _API = {
+        "IndexConfig": ("quickwit_spark.config", "IndexConfig"),
+        "build_index": ("quickwit_spark.index.builder", "build_index"),
+        "build_index_pandas": ("quickwit_spark.index.builder",
+                               "build_index_pandas"),
+        "Manifest": ("quickwit_spark.index.manifest", "Manifest"),
+        "run_merges": ("quickwit_spark.index.merge", "run_merges"),
+        "apply_delete_query": ("quickwit_spark.index.deletes",
+                               "apply_delete_query"),
+        "build_term_partitioned": ("quickwit_spark.index.global_index",
+                                   "build_term_partitioned"),
+        "GlobalIndexSearcher": ("quickwit_spark.index.global_index",
+                                "GlobalIndexSearcher"),
+        "IndexSearcher": ("quickwit_spark.search.engine", "IndexSearcher"),
+        "parse_query": ("quickwit_spark.search.parser", "parse_query"),
+        "es_to_ast": ("quickwit_spark.search.es_dsl", "es_to_ast"),
+        "aggregate": ("quickwit_spark.search.aggregations", "aggregate"),
+    }
+    if name in _API:
+        import importlib
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'quickwit_spark' has no attribute {name!r}")

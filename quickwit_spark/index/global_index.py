@@ -269,8 +269,7 @@ class GlobalIndexSearcher:
             path = os.path.join(self.post_dir, f"tpid={pid}")
             if not os.path.isdir(path):
                 continue
-            t = pq.read_dataset if False else pq.read_table(
-                path, filters=[("term", "in", ts)])
+            t = pq.read_table(path, filters=[("term", "in", ts)])
             frames.append(t.to_pandas())
         if not frames:
             return pd.DataFrame()

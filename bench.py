@@ -68,6 +68,18 @@ def main() -> None:
     mb_per_sec = bytes_raw / 1e6 / t_build
     df.unpersist()
 
+    # --- 1b. hierarchical merge (the reference's split-build-then-merge
+    # lifecycle); queries below run against the merged layout, where
+    # posting lists are long enough for block-max pruning to matter
+    from quickwit_spark.config import MergePolicyConfig
+    from quickwit_spark.index.merge import run_merges
+    from quickwit_spark.index.merge_policy import StableLogMergePolicy
+    t0 = time.perf_counter()
+    run_merges(cfg.index_dir, spark=spark, policy=StableLogMergePolicy(
+        MergePolicyConfig(merge_factor=8, max_merge_factor=12,
+                          min_level_num_docs=1_000_000)))
+    queries["merge_segments"] = round(time.perf_counter() - t0, 3)
+
     # --- 2. BM25 query latency over the corpus index (distributed leaves) -
     searcher = IndexSearcher(cfg.index_dir)  # in-process leaf loop
     qset = {
@@ -103,6 +115,43 @@ def main() -> None:
     p50 = lat_ms[len(lat_ms) // 2]
     p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
 
+    # block-max WAND pruned path (count_all=False): identical top-k,
+    # skipped posting blocks reported
+    from quickwit_spark.search.engine import get_reader
+    from quickwit_spark.search.wand import STATS
+    STATS["blocks_decoded"] = STATS["blocks_total"] = 0
+    # idf-skewed OR (rare + common terms): the MaxScore-prunable shape
+    segs = searcher.manifest.segments()
+    big = max(segs, key=lambda x: x["num_docs"])
+    td = get_reader(os.path.join(cfg.index_dir, "segments",
+                                 big["segment_id"]),
+                    searcher.tokenizer)._cached_termdict()
+    rare_rows = td[(td.doc_freq >= 5) & (td.doc_freq <= 100)].sort_values(
+        "doc_freq")
+    common_rows = td[td.doc_freq > 2000].sort_values("doc_freq")
+    if len(rare_rows) and len(common_rows) >= 2:
+        skew_terms = [rare_rows.iloc[0]["term"],
+                      *common_rows.iloc[:2]["term"].tolist()]
+    else:
+        skew_terms = ["getValue", "fetch", "codec"]
+    q_or_skew = A.Bool(should=tuple(A.Term("content", t)
+                                    for t in skew_terms))
+    wand_skip = 0.0
+    for name, node in [("q_or2_wand", qset["q_or2"]),
+                       ("q_or3_skew_wand", q_or_skew)]:
+        searcher.search(node, k=10, fetch_fields=False, count_all=False)
+        if name == "q_or3_skew_wand":
+            STATS["blocks_decoded"] = STATS["blocks_total"] = 0
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            searcher.search(node, k=10, fetch_fields=False, count_all=False)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        queries[name] = round(runs[1], 4)
+        if name == "q_or3_skew_wand" and STATS["blocks_total"]:
+            wand_skip = 1 - STATS["blocks_decoded"] / STATS["blocks_total"]
+
     # --- 3. documents-table index queries (driver-contract surface) -------
     import __spark_entry__ as entrymod
     for name in ["bm25_and_topk", "agg_terms_lang",
@@ -125,6 +174,7 @@ def main() -> None:
         "index_mb_per_sec": round(mb_per_sec, 2),
         "query_p50_ms": round(p50, 2),
         "query_p99_ms": round(p99, 2),
+        "wand_block_skip_ratio": round(wand_skip, 4),
         "cpus": cpus,
     }
     shutil.rmtree(work, ignore_errors=True)

@@ -87,6 +87,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
                              seed)
+    # the banded relation feeds BOTH sides of the self-join below; without
+    # persistence Spark recomputes the whole shingle+minhash lineage twice
+    # (at 100 TB: two full corpus scans instead of one)
+    sig = sig.persist()
     parts = []
     for b in range(bands):
         cols = [f"mh{i}" for i in range(b * rows, (b + 1) * rows)]
@@ -109,7 +113,9 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         shingle_n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (a, b)."""
-    sh = shingles_df(df, id_col, text_col, shingle_n)
+    # shingles feed three consumers (sizes + both join sides): persist so
+    # the corpus is shingled once, not three times
+    sh = shingles_df(df, id_col, text_col, shingle_n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")

@@ -67,6 +67,33 @@ def _spark_df(spark: SparkSession, pdf: pd.DataFrame, schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schema)
 
 
+_GLOBAL_IDX: dict[str, object] = {}
+
+
+def _doc_global_index(spark, sf_dir: str):
+    """3-segment documents index + global term-partitioned layout
+    (built once per sf_dir, cached on disk)."""
+    if sf_dir in _GLOBAL_IDX:
+        return _GLOBAL_IDX[sf_dir]
+    from quickwit_spark.index.global_index import (
+        GLOBAL_DIR, GlobalIndexSearcher, build_term_partitioned)
+    tag = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
+    index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_gidx", tag)
+    cfg = IndexConfig(
+        index_uid=f"gdocs-{tag}", index_dir=index_dir,
+        key_cols=("doc_id",), text_col="text", tokenizer="default",
+        tag_cols=("lang",), store_cols=("n_chars",), sha_col=None)
+    if not os.path.exists(Manifest.path(index_dir)):
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_index_pandas(pdf, cfg, num_partitions=3)
+    if not os.path.exists(os.path.join(index_dir, GLOBAL_DIR,
+                                       "global_manifest.json")):
+        build_term_partitioned(spark, index_dir, num_term_partitions=4)
+    g = GlobalIndexSearcher(index_dir)
+    _GLOBAL_IDX[sf_dir] = g
+    return g
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -176,6 +203,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, ["fast"], "and", 20, must_not=["slow"])
     q["bm25_range_filter"] = lambda s, d: _engine_bool_topk(
         s, d, ["query"], "and", 20, nchars_range=(150, 350))
+
+    def bm25_global_layout(s, d):
+        """Same AND query answered from the GLOBAL term-partitioned layout
+        built over a 3-segment index (hierarchical merge + salting path):
+        global stats == whole-corpus stats, so the same SQL oracle applies.
+        Sorted by (score, user doc_id) to stay layout-independent."""
+        g = _doc_global_index(s, d)
+        _cnt, res = g.search_terms(["merge", "query"], operator="and",
+                                   k=10_000_000, precision="f64")
+        fetched = g.fetch(res)[["doc_id", "score"]]
+        fetched = fetched.sort_values(["score", "doc_id"],
+                                      ascending=[False, False]).head(20)
+        pdf = pd.DataFrame({
+            "doc_id": fetched["doc_id"].astype("int64").to_numpy(),
+            "score": fetched["score"].round(6).to_numpy()})
+        return _spark_df(s, pdf.reset_index(drop=True),
+                         "doc_id long, score double")
+    q["bm25_global_term_partitioned"] = bm25_global_layout
 
     def term_set(s, d):
         _, _, searcher = _doc_index(d)
@@ -424,6 +469,8 @@ def oracle_sql() -> dict[str, str]:
                    "WHERE lang = 'en')")
     o["bm25_must_not"] = _bm25_topk_sql(["fast"], "and", 20,
                                         must_not=["slow"])
+    o["bm25_global_term_partitioned"] = _bm25_topk_sql(
+        ["merge", "query"], "and", 20)
     o["bm25_range_filter"] = _bm25_topk_sql(
         ["query"], "and", 20,
         extra_join="AND doc_id IN (SELECT doc_id FROM documents "

@@ -31,6 +31,11 @@ class IndexConfig:
     tokenizer: str = "source_code_default"
     tag_cols: tuple[str, ...] = ("lang",)
     sha_col: str | None = "sha256"
+    # concatenate field (field_mapping_entry.rs:357-365,
+    # rest-api-tests/scenarii/concat_fields/): when set, the indexed text
+    # is the space-join of these source columns and text_col is the
+    # virtual field's name
+    concat_cols: tuple[str, ...] = ()
     # extra columns copied into the doc map as fast fields (range/sort/agg)
     store_cols: tuple[str, ...] = ()
     schema_rev: str = "v1"

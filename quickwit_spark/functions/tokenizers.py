@@ -473,6 +473,27 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             docs.extend([i] * len(parts))
         return np.asarray(docs, dtype=np.int64), toks
 
+    if analyzer == "chinese_compatible":
+        toks, docs = [], []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            parts = chinese_compatible_tokenize(t, max_len)
+            toks.extend(parts)
+            docs.extend([i] * len(parts))
+        return np.asarray(docs, dtype=np.int64), toks
+
+    custom = _CUSTOM_ANALYZERS.get(analyzer)
+    if custom is not None:
+        toks, docs = [], []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            parts = custom.tokenize(t, max_len)
+            toks.extend(parts)
+            docs.extend([i] * len(parts))
+        return np.asarray(docs, dtype=np.int64), toks
+
     # vectorized paths: source_code_default, default, en_stem
     clean = [(t if isinstance(t, str) else "") for t in texts]
     big = _SEP.join(clean)
@@ -678,5 +699,109 @@ def tokenize_batch_ids(texts: Iterable[str],
 
 ANALYZERS = (
     "raw", "raw_lowercase", "lowercase", "default", "en_stem", "whitespace",
-    "source_code_default", "source_code_with_hex",
+    "source_code_default", "source_code_with_hex", "chinese_compatible",
 )
+
+
+# ---------------------------------------------------------------------------
+# chinese_compatible + custom tokenizer registry
+# ---------------------------------------------------------------------------
+
+def _is_cjk(cp: int) -> bool:
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0xF900 <= cp <= 0xFAFF or 0x3040 <= cp <= 0x30FF
+            or 0xAC00 <= cp <= 0xD7AF)
+
+
+def chinese_compatible_tokenize(text: str, max_len: int = 255) -> list[str]:
+    """CJK-aware tokenizer (reference registry entry
+    quickwit-query/src/tokenizers/mod.rs:71-75, chinese_compatible.rs):
+    every CJK character is its own token; other text forms simple
+    alphanumeric runs; lowercased, RemoveLong(255)."""
+    out: list[str] = []
+    run: list[str] = []
+    for ch in text:
+        cp = ord(ch)
+        if _is_cjk(cp):
+            if run:
+                out.append("".join(run))
+                run = []
+            out.append(ch)
+        elif ch.isalnum():
+            run.append(ch)
+        else:
+            if run:
+                out.append("".join(run))
+                run = []
+    if run:
+        out.append("".join(run))
+    return [t.lower() for t in out if len(t) <= max_len]
+
+
+class CustomAnalyzer:
+    """User tokenizer: base tokenizer + filter chain (reference:
+    quickwit-doc-mapper/src/doc_mapper/tokenizer_entry.rs — types
+    simple | regex | ngram; filters lower_caser | remove_long |
+    ascii_folding)."""
+
+    def __init__(self, kind: str, pattern: str | None = None,
+                 min_gram: int = 2, max_gram: int = 3,
+                 prefix_only: bool = False,
+                 filters: tuple[str, ...] = ("remove_long", "lower_caser")):
+        if kind not in ("simple", "regex", "ngram"):
+            raise ValueError(f"unknown tokenizer type {kind!r}")
+        if kind == "regex":
+            if not pattern:
+                raise ValueError("regex tokenizer requires a pattern")
+            import re as _re
+            self._rx = _re.compile(pattern)
+        if kind == "ngram" and not 0 < min_gram <= max_gram:
+            raise ValueError("ngram requires 0 < min_gram <= max_gram")
+        self.kind = kind
+        self.min_gram, self.max_gram = min_gram, max_gram
+        self.prefix_only = prefix_only
+        self.filters = filters
+
+    def tokenize(self, text: str, max_len: int = 255) -> list[str]:
+        if not text:
+            return []
+        if self.kind == "regex":
+            toks = self._rx.findall(text)
+            # a pattern with groups returns tuples; flatten to full match
+            if toks and isinstance(toks[0], tuple):
+                toks = ["".join(t) for t in toks]
+        elif self.kind == "ngram":
+            toks = []
+            starts = (0,) if self.prefix_only else range(len(text))
+            for i in starts:
+                for g in range(self.min_gram, self.max_gram + 1):
+                    if i + g <= len(text):
+                        toks.append(text[i:i + g])
+        else:  # simple
+            _, toks = tokenize_batch([text], analyzer="default",
+                                     max_len=max_len)
+        for f in self.filters:
+            if f == "lower_caser":
+                toks = [t.lower() for t in toks]
+            elif f == "remove_long":
+                toks = [t for t in toks if len(t) <= max_len]
+            elif f == "ascii_folding":
+                toks = [ascii_fold(t) for t in toks]
+            else:
+                raise ValueError(f"unknown token filter {f!r}")
+        return toks
+
+
+_CUSTOM_ANALYZERS: dict[str, CustomAnalyzer] = {}
+
+
+def register_custom_analyzer(name: str, kind: str, **kwargs) -> None:
+    """Register a user tokenizer usable anywhere an analyzer name is
+    accepted (IndexConfig.tokenizer, query-time tokenization)."""
+    if name in ANALYZERS:
+        raise ValueError(f"{name!r} is a built-in analyzer")
+    _CUSTOM_ANALYZERS[name] = CustomAnalyzer(kind, **kwargs)
+
+
+def get_custom_analyzer(name: str) -> CustomAnalyzer | None:
+    return _CUSTOM_ANALYZERS.get(name)

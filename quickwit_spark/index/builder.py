@@ -210,7 +210,12 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     segment metadata row (manifest format)."""
     n = len(pdf)
     assert n > 0
-    texts = pdf[config.text_col].tolist()
+    if config.concat_cols:
+        # concatenate virtual field: index several source columns as one
+        texts = (pdf[list(config.concat_cols)].astype(str)
+                 .agg(" ".join, axis=1).tolist())
+    else:
+        texts = pdf[config.text_col].tolist()
     # no-string hot path: token spans -> padded-byte np.unique -> sorted
     # term ids; falls back to tokenize_batch + factorize for non-ASCII or
     # exotic analyzers (property-tested equal)

@@ -308,9 +308,13 @@ class GlobalIndexSearcher:
         return np.concatenate(doc_parts), np.concatenate(tf_parts)
 
     def search_terms(self, terms: list[str], operator: str = "and",
-                     k: int = 10) -> tuple[int, pd.DataFrame]:
-        """AND/OR of terms, global BM25 (f32), top-k with (docid desc)
-        tie-break. Returns (num_hits, DataFrame[global_doc, score])."""
+                     k: int = 10, precision: str = "f32"
+                     ) -> tuple[int, pd.DataFrame]:
+        """AND/OR of terms, global BM25, top-k with (docid desc)
+        tie-break. Returns (num_hits, DataFrame[global_doc, score]).
+        precision="f32" is the production scorer (rank-identical to one
+        fully-merged segment); "f64" computes the same formula in doubles
+        (the SQL-oracle-comparable path, search/sqlmode.py)."""
         rows = self._term_rows(terms)
         per_term = []
         for t in terms:
@@ -323,8 +327,20 @@ class GlobalIndexSearcher:
             if df == 0:
                 per_term.append((docids, np.zeros(0, np.float32)))
                 continue
-            w = Bm25Weight(df, self.num_docs, float(self.avg_fieldnorm))
             fn = self._fieldnorms_for(docids)
+            if precision == "f64":
+                import math
+                from ..functions.bm25 import id_to_fieldnorm
+                n = self.num_docs
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                avg = float(self.gm["total_fieldnorm"]) / float(n)
+                qlen = id_to_fieldnorm(fn).astype(np.float64)
+                norm = 1.2 * (1.0 - 0.75 + 0.75 * qlen / avg)
+                tf64 = tfs.astype(np.float64)
+                s = idf * (1.2 + 1.0) * tf64 / (tf64 + norm)
+                per_term.append((docids, s))
+                continue
+            w = Bm25Weight(df, self.num_docs, float(self.avg_fieldnorm))
             per_term.append((docids, w.score(tfs, fn)))
         if operator == "and":
             docs = per_term[0][0]
@@ -333,7 +349,8 @@ class GlobalIndexSearcher:
         else:
             docs = np.unique(np.concatenate([d for d, _ in per_term])) \
                 if per_term else np.zeros(0, np.int64)
-        scores = np.zeros(len(docs), dtype=np.float32)
+        acc_dtype = np.float64 if precision == "f64" else np.float32
+        scores = np.zeros(len(docs), dtype=acc_dtype)
         for d, s in per_term:
             idx = np.searchsorted(d, docs)
             idx = np.clip(idx, 0, max(len(d) - 1, 0))
@@ -341,7 +358,7 @@ class GlobalIndexSearcher:
             if len(d):
                 present = d[idx] == docs
             scores[present] = (scores[present] +
-                               s[idx[present]]).astype(np.float32)
+                               s[idx[present]]).astype(acc_dtype)
         order = np.lexsort((-docs, -scores.astype(np.float64)))[:k]
         return len(docs), pd.DataFrame({
             "global_doc": docs[order], "score": scores[order]})

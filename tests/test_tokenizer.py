@@ -165,3 +165,78 @@ def test_raw_and_lowercase():
 def test_en_stem():
     docs, toks = tokenize_batch(["running caresses ponies"], analyzer="en_stem")
     assert toks == ["run", "caress", "poni"]
+
+
+def test_chinese_compatible():
+    from quickwit_spark.functions.tokenizers import tokenize_batch
+    docs, toks = tokenize_batch(["Hello世界abc 你好"],
+                                analyzer="chinese_compatible")
+    assert toks == ["hello", "世", "界", "abc", "你", "好"]
+    assert docs.tolist() == [0] * 6
+
+
+def test_custom_regex_analyzer_end_to_end(tmp_path):
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.functions.tokenizers import (
+        get_custom_analyzer, register_custom_analyzer)
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher
+
+    register_custom_analyzer("hashtags", "regex", pattern=r"#\w+",
+                            filters=("lower_caser",))
+    assert get_custom_analyzer("hashtags") is not None
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 3, "path": [f"f{i}" for i in range(3)],
+        "commit": ["c"] * 3, "lang": ["x"] * 3,
+        "content": ["see #Spark and #Index", "plain text only",
+                    "#spark again"],
+    })
+    cfg = IndexConfig(index_uid="rx", index_dir=str(tmp_path / "rx"),
+                      sha_col=None, tokenizer="hashtags")
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    from quickwit_spark.search import ast as A
+    r = s.search(A.Term("content", "#spark"), k=10)
+    assert sorted(h.doc["path"] for h in r.hits) == ["f0", "f2"]
+    assert s.search(A.Term("content", "plain"), k=10).num_hits == 0
+
+
+def test_custom_ngram_analyzer():
+    from quickwit_spark.functions.tokenizers import CustomAnalyzer
+    a = CustomAnalyzer("ngram", min_gram=2, max_gram=3)
+    assert a.tokenize("abcd") == ["ab", "abc", "bc", "bcd", "cd"]
+    p = CustomAnalyzer("ngram", min_gram=1, max_gram=2, prefix_only=True)
+    assert p.tokenize("abc") == ["a", "ab"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        CustomAnalyzer("ngram", min_gram=0, max_gram=2)
+    with _pt.raises(ValueError):
+        CustomAnalyzer("regex")
+
+
+def test_concat_field_indexing(tmp_path):
+    """Concatenate virtual field (field_mapping_entry.rs:357-365): several
+    source columns indexed as one searchable field."""
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 2, "path": ["a.py", "b.py"], "commit": ["c"] * 2,
+        "lang": ["x"] * 2,
+        "title": ["alpha topic", "beta topic"],
+        "body": ["body beta text", "body gamma text"],
+    })
+    cfg = IndexConfig(index_uid="cc", index_dir=str(tmp_path / "cc"),
+                      sha_col=None, text_col="all_text",
+                      concat_cols=("title", "body"), tokenizer="default")
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    # matches whether the term came from title OR body
+    assert {h.doc["path"] for h in
+            s.search(A.Term("all_text", "beta"), k=10).hits} == \
+        {"a.py", "b.py"}
+    assert [h.doc["path"] for h in
+            s.search(A.Term("all_text", "alpha"), k=10).hits] == ["a.py"]

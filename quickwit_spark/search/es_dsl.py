@@ -89,3 +89,62 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
             filter=_many("filter"),
             minimum_should_match=int(spec.get("minimum_should_match", 1)))
     raise ValueError(f"unsupported ES query kind: {kind}")
+
+
+def es_search(searcher, body: dict, default_field: str | None = None
+              ) -> dict:
+    """Execute an ES `_search`-shaped request body and return an
+    ES-shaped response (reference: quickwit-serve elasticsearch_api
+    rest_handler.rs:502+ — body -> QueryAst -> same engine path ->
+    response reshaped). Supports query, size, from, sort (fast fields /
+    _score / _doc), and aggs (one spec level via search/aggregations)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    node = es_to_ast(body.get("query", {"match_all": {}}),
+                     default_field or searcher.text_field)
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    sort_spec = body.get("sort")
+    if sort_spec:
+        sort_by = []
+        for s in sort_spec[:2]:
+            if isinstance(s, str):
+                sort_by.append((s, "asc" if s != "_score" else "desc"))
+            else:
+                (f, v), = s.items()
+                order = v.get("order", "desc") if isinstance(v, dict) \
+                    else str(v)
+                sort_by.append((f, order))
+        res = searcher.sort_search(node, k=offset + size,
+                                   sort_by=tuple(sort_by))
+        hits = res.hits[offset:offset + size]
+    else:
+        res = searcher.search(node, k=size, offset=offset)
+        hits = res.hits
+    out_hits = []
+    for h in hits:
+        src = {k: v for k, v in h.doc.items()
+               if not k.startswith("_") and k not in ("fieldnorm",
+                                                      "fieldnorm_id")}
+        out_hits.append({
+            "_id": f"{h.segment_id}:{h.doc_id}",
+            "_score": None if sort_spec else float(h.score),
+            "_source": src,
+        })
+    resp = {
+        "took": int((_time.perf_counter() - t0) * 1000),
+        "timed_out": False,
+        "hits": {
+            "total": {"value": res.num_hits, "relation": "eq"},
+            "max_score": (float(res.hits[0].score)
+                          if res.hits and not sort_spec else None),
+            "hits": out_hits,
+        },
+    }
+    if body.get("aggs"):
+        from .aggregations import aggregate
+        out = aggregate(searcher, node, body["aggs"])
+        pdf = out.toPandas() if hasattr(out, "toPandas") else out
+        resp["aggregations"] = pdf.to_dict("records")
+    return resp

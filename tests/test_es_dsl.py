@@ -60,3 +60,42 @@ def test_snippets():
     assert "<b>MERGE</b>" in s and "<b>batch</b>" in s
     assert len(s) <= 150 + 3 * 7  # fragment cap + tag overhead
     assert make_snippet(text, ["absent"]) == ""
+
+
+def test_es_search_response_shape(spark, tmp_path):
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.search.es_dsl import es_search
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"f{i}" for i in range(4)],
+        "commit": ["c"] * 4, "lang": ["go", "go", "rust", "rust"],
+        "content": ["alpha beta", "alpha alpha", "beta gamma", "delta"],
+        "stars": [5, 2, 9, 1],
+    })
+    cfg = IndexConfig(index_uid="es", index_dir=str(tmp_path / "es"),
+                      sha_col=None, store_cols=("stars",),
+                      tokenizer="default")
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+
+    r = es_search(s, {"query": {"match": {"content": "alpha"}}, "size": 5})
+    assert r["hits"]["total"] == {"value": 2, "relation": "eq"}
+    assert r["hits"]["hits"][0]["_source"]["path"] == "f1"  # higher tf
+    assert r["hits"]["max_score"] >= r["hits"]["hits"][1]["_score"]
+
+    r2 = es_search(s, {"query": {"match_all": {}},
+                       "sort": [{"stars": {"order": "desc"}}], "size": 2})
+    assert [h["_source"]["stars"] for h in r2["hits"]["hits"]] == [9, 5]
+
+    r3 = es_search(s, {"query": {"match_all": {}}, "size": 0,
+                       "aggs": {"langs": {"terms": {"field": "lang"}}}})
+    got = {row["langs"]: row["doc_count"] for row in r3["aggregations"]}
+    assert got == {"go": 2, "rust": 2}
+
+    # from/size paging
+    all4 = es_search(s, {"query": {"match_all": {}}, "size": 4})
+    page2 = es_search(s, {"query": {"match_all": {}}, "size": 2, "from": 2})
+    assert [h["_id"] for h in page2["hits"]["hits"]] == \
+        [h["_id"] for h in all4["hits"]["hits"][2:4]]

@@ -102,3 +102,45 @@ def test_global_touches_only_term_partitions(dirs):
     rows = gs._term_rows(["merge"])
     assert (rows["tpid"] == pid).all() if "tpid" in rows.columns else True
     assert len(rows) >= 1
+
+
+def test_salting_bounds_hot_term_group_size(tmp_path, spark):
+    """The north rule's skew defusal, measured: without salting the
+    Zipf-head term forms one giant reduce group; with salting its postings
+    split across contiguous seg_ord ranges, bounding the largest group a
+    single reducer must merge."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    pdf = corpus_pandas(600, seed=11)
+    cfg = IndexConfig(index_uid="skew", index_dir=str(tmp_path / "skew"))
+    build_index_pandas(pdf, cfg, num_partitions=12)
+
+    def max_group(salt_threshold, group_segments):
+        shutil.rmtree(os.path.join(cfg.index_dir, "global"),
+                      ignore_errors=True)
+        build_term_partitioned(spark, cfg.index_dir, num_term_partitions=4,
+                               salt_df_threshold=salt_threshold,
+                               salt_group_segments=group_segments)
+        post_dir = os.path.join(cfg.index_dir, "global", "postings")
+        frames = []
+        for pid in range(4):
+            p = os.path.join(post_dir, f"tpid={pid}")
+            if os.path.isdir(p):
+                frames.append(pq.read_table(
+                    p, columns=["term", "salt", "doc_freq"]).to_pandas())
+        allp = pd.concat(frames, ignore_index=True)
+        # one output row == one reduce group's merged postings
+        return allp, int(allp["doc_freq"].max())
+
+    unsalted, max_unsalted = max_group(10**9, 4)
+    salted, max_salted = max_group(50, 3)
+
+    # the head term was split: more rows, smaller biggest group
+    assert max_salted < max_unsalted
+    hot = unsalted.sort_values("doc_freq").iloc[-1]["term"]
+    n_salts = (salted["term"] == hot).sum()
+    assert n_salts > 1, "hot term should occupy multiple salt groups"
+    # and totals are preserved (no postings lost)
+    assert salted[salted["term"] == hot]["doc_freq"].sum() == \
+        unsalted[unsalted["term"] == hot]["doc_freq"].iloc[0]

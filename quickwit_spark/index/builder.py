@@ -288,12 +288,23 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         if col in pdf.columns:
             vals = sorted(set(map(str, pdf[col].tolist())))
             tags[col] = vals if len(vals) <= config.max_tag_values else None
+
+    # per-segment min/max stats for numeric doc columns — the analog of
+    # the reference's split time_range pruning (split_metadata.rs
+    # time_range; list_relevant_splits file_backed_index/mod.rs:734-740),
+    # generalized to every numeric fast field: the searcher prunes
+    # segments whose [min,max] cannot overlap a Range constraint
+    col_stats: dict[str, list] = {}
+    for col in (*config.store_cols, *config.key_cols):
+        if col in pdf.columns and pd.api.types.is_numeric_dtype(pdf[col]):
+            col_stats[col] = [float(pdf[col].min()), float(pdf[col].max())]
     meta_extra = {
         "segment_id": segment_id,
         "partition_id": int(partition_id),
         "chunk_idx": int(chunk_idx),
         "bytes_raw": int(sum(len(t) for t in texts if isinstance(t, str))),
         "tags": tags,
+        "col_stats": col_stats,
         "num_merge_ops": 0,
         "parents": [],
         "schema_rev": config.schema_rev,

@@ -89,6 +89,8 @@ def rewrite_segment_without(index_dir: str, parent: dict,
         "chunk_idx": parent.get("chunk_idx", -1),
         "bytes_raw": int(parent.get("bytes_raw", 0)),
         "tags": parent.get("tags", {}),
+        # parent bounds remain sound for the surviving subset
+        "col_stats": parent.get("col_stats", {}),
         "num_merge_ops": parent.get("num_merge_ops", 0),
         "parents": [parent["segment_id"]],
         "delete_opstamp": parent.get("delete_opstamp", 0) + 1,

@@ -161,6 +161,17 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
             elif tags.get(col, []) is not None:
                 tags.setdefault(col, [])
                 tags[col] = sorted(set(tags[col]) | set(vals))
+    # union numeric min/max stats (only columns present in every parent
+    # stay sound); mirrors the reference's merged time_range union
+    # (merge_executor.rs:199-210)
+    stat_keys = set.intersection(*(set(p.get("col_stats", {}))
+                                   for p in parents)) if parents else set()
+    col_stats = {}
+    for col in stat_keys:
+        los = [p["col_stats"][col][0] for p in parents]
+        his = [p["col_stats"][col][1] for p in parents]
+        col_stats[col] = [min(los), max(his)]
+
     first = parents[0]
     meta_extra = {
         "segment_id": segment_id,
@@ -168,6 +179,7 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
         "chunk_idx": -1,
         "bytes_raw": int(sum(p.get("bytes_raw", 0) for p in parents)),
         "tags": tags,
+        "col_stats": col_stats,
         "num_merge_ops": max(p.get("num_merge_ops", 0) for p in parents) + 1,
         "parents": [p["segment_id"] for p in parents],
         "schema_rev": first["schema_rev"],

@@ -120,6 +120,21 @@ def bool_or(*nodes: Node) -> Bool:
     return Bool(should=tuple(nodes))
 
 
+def collect_range_filters(node: Node) -> list["Range"]:
+    """Extract Range constraints from conjunctive (must/filter) positions —
+    used for segment min/max pruning (the reference extracts timestamp
+    bounds from the AST the same way, root.rs:1464+)."""
+    out: list[Range] = []
+    if isinstance(node, Range):
+        out.append(node)
+    elif isinstance(node, Boost):
+        out.extend(collect_range_filters(node.inner))
+    elif isinstance(node, Bool):
+        for child in list(node.must) + list(node.filter):
+            out.extend(collect_range_filters(child))
+    return out
+
+
 def collect_tag_filters(node: Node, tag_fields: Sequence[str]) -> list[tuple[str, set[str]]]:
     """Extract (field, allowed-values) constraints usable for segment tag
     pruning (reference: quickwit-doc-mapper/src/tag_pruning.rs:35-120).

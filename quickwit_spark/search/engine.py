@@ -481,6 +481,12 @@ class SegmentReader:
         return result
 
 
+class InvalidQueryValue(ValueError):
+    """A query value cannot be interpreted for the field's type (the
+    reference rejects these at AST build time, term_query.rs value
+    interpretation)."""
+
+
 def _coerce(value, dtype):
     try:
         if np.issubdtype(dtype, np.integer):
@@ -489,6 +495,10 @@ def _coerce(value, dtype):
             return float(value)
     except TypeError:
         pass
+    except ValueError:
+        raise InvalidQueryValue(
+            f"cannot interpret query value {value!r} for a "
+            f"{np.dtype(dtype).name} field") from None
     return value
 
 
@@ -541,19 +551,40 @@ def _union(parts: list[_Scored], minimum_should_match: int = 1) -> _Scored:
 
 def prune_segments(segments: list[dict], node: A.Node,
                    tag_fields: list[str]) -> list[dict]:
-    """Tag-based split pruning (reference: tag_pruning.rs +
-    file_backed_index/mod.rs:698-740)."""
-    constraints = A.collect_tag_filters(node, tag_fields)
-    if not constraints:
+    """Split pruning before any segment file is opened (reference:
+    tag_pruning.rs + time-range pruning in
+    file_backed_index/mod.rs:698-740): tag-set constraints and Range
+    constraints against per-segment numeric min/max stats."""
+    tag_constraints = A.collect_tag_filters(node, tag_fields)
+    range_constraints = A.collect_range_filters(node)
+    if not tag_constraints and not range_constraints:
         return segments
     out = []
     for seg in segments:
         ok = True
-        for field, allowed in constraints:
+        for field, allowed in tag_constraints:
             vals = seg.get("tags", {}).get(field)
             if vals is not None and not (set(vals) & allowed):
                 ok = False
                 break
+        for rng in range_constraints:
+            if not ok:
+                break
+            stats = seg.get("col_stats", {}).get(rng.field)
+            if stats is None:
+                continue
+            lo, hi = stats
+            try:
+                if rng.gte is not None and hi < float(rng.gte):
+                    ok = False
+                if rng.gt is not None and hi <= float(rng.gt):
+                    ok = False
+                if rng.lte is not None and lo > float(rng.lte):
+                    ok = False
+                if rng.lt is not None and lo >= float(rng.lt):
+                    ok = False
+            except (TypeError, ValueError):
+                continue  # non-numeric bound: no pruning
         if ok:
             out.append(seg)
     return out

@@ -115,3 +115,64 @@ def test_const_policy_deterministic_under_shuffle():
     a = [op.segment_ids() for op in pol.operations(segs)]
     b = [op.segment_ids() for op in pol.operations(segs[::-1])]
     assert a == b
+
+
+def test_range_stats_segment_pruning(tmp_path):
+    """Min/max stats pruning: a Range query outside a segment's bounds
+    skips the segment before any file is opened (reference: split
+    time_range pruning generalized to numeric fast fields)."""
+    import pandas as pd
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher, prune_segments
+
+    rows = []
+    for i in range(40):
+        rows.append({"repo": f"r{i}", "path": f"f{i}", "commit": "c",
+                     "lang": "x", "content": f"word{i} shared",
+                     "ts": 100 + i if i < 20 else 10_000 + i})
+    pdf = pd.DataFrame(rows)
+    cfg = IndexConfig(index_uid="pr", index_dir=str(tmp_path / "pr"),
+                      sha_col=None, store_cols=("ts",))
+    build_index_pandas(pdf, cfg, num_partitions=6)
+    s = IndexSearcher(cfg.index_dir)
+    segs = s.manifest.segments()
+    assert all("ts" in seg["col_stats"] for seg in segs)
+
+    node = s.parse("ts:>20000")  # beyond every segment's max
+    assert prune_segments(segs, node, s.tag_fields) == []
+    node2 = s.parse("ts:[100 TO 200]")
+    kept = prune_segments(segs, node2, s.tag_fields)
+    # only segments whose min <= 200 survive
+    assert 0 < len(kept) <= len(segs)
+    assert all(seg["col_stats"]["ts"][0] <= 200 for seg in kept)
+    # correctness unchanged: query answers match full evaluation
+    r = s.search(A.Bool(must=(A.Term("content", "shared"),),
+                        filter=(A.Range("ts", gte=10_000),)), k=50,
+                 fetch_fields=True)
+    assert {h.doc["repo"] for h in r.hits} == {f"r{i}" for i in range(20, 40)}
+
+
+def test_merge_unions_col_stats(tmp_path):
+    import pandas as pd
+    from quickwit_spark.config import MergePolicyConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.merge import run_merges
+    from quickwit_spark.index.merge_policy import StableLogMergePolicy
+    from quickwit_spark.index.manifest import Manifest
+    pdf = pd.DataFrame({
+        "repo": [f"r{i}" for i in range(30)],
+        "path": [f"f{i}" for i in range(30)],
+        "commit": ["c"] * 30, "lang": ["x"] * 30,
+        "content": ["a b c"] * 30,
+        "ts": list(range(1000, 1030)),
+    })
+    cfg = IndexConfig(index_uid="mu", index_dir=str(tmp_path / "mu"),
+                      sha_col=None, store_cols=("ts",))
+    build_index_pandas(pdf, cfg, num_partitions=4)
+    run_merges(cfg.index_dir, policy=StableLogMergePolicy(
+        MergePolicyConfig(merge_factor=2, max_merge_factor=4,
+                          min_level_num_docs=1)))
+    segs = Manifest.load(cfg.index_dir).segments()
+    los = min(s["col_stats"]["ts"][0] for s in segs)
+    his = max(s["col_stats"]["ts"][1] for s in segs)
+    assert (los, his) == (1000.0, 1029.0)

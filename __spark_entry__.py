@@ -438,6 +438,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.lsh_bucket_topk(emb, qdf, k=10, nbits=8, seed=42)
     q["ann_lsh_bucket_topk"] = ann_lsh
 
+    def emb_near_dup(s, d):
+        """Embedding-cosine near-dup over the embeddings table plus an
+        exact copy shifted by 1e6 (every vector gains one cos=1 twin)."""
+        emb = _read(s, d, "embeddings").select("vec_id", "embedding")
+        twin = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                          "embedding")
+        return dd.embedding_near_dup(emb.unionAll(twin), threshold=0.999,
+                                     nbits=8, seed=42)
+    q["dedup_embedding_cosine"] = emb_near_dup
+
     q["text_lang_id"] = lambda s, d: ts.lang_id(
         _read(s, d, "documents").select("doc_id", "text"))
     q["text_quality_score"] = lambda s, d: ts.quality_score(
@@ -683,6 +693,7 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
     planes = hyperplanes(64, 8, 42)
+
     def _sig(vec: str) -> str:
         parts = []
         for j, plane in enumerate(planes):
@@ -698,6 +709,22 @@ cand AS (SELECT e.vec_id, e.embedding, q.qv FROM embeddings e, q
 SELECT vec_id, round(cos, 6) AS cos FROM (
   SELECT vec_id, {cos} AS cos FROM cand)
 ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    pair_dot = "list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+    pcos = (pair_dot.format(x="l.embedding", y="r.embedding")
+            + " / (sqrt(" + pair_dot.format(x="l.embedding", y="l.embedding")
+            + ") * sqrt(" + pair_dot.format(x="r.embedding", y="r.embedding")
+            + "))")
+    o["dedup_embedding_cosine"] = f"""
+WITH doubled AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+sigs AS (SELECT vec_id, embedding, {_sig('embedding')} AS sig FROM doubled)
+SELECT a, b, round(cos, 6) AS cos FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b, {pcos} AS cos
+  FROM sigs l JOIN sigs r ON l.sig = r.sig AND l.vec_id < r.vec_id)
+WHERE cos >= 0.999
 """
 
     def _inlist(words):

@@ -36,6 +36,14 @@ class IndexConfig:
     # is the space-join of these source columns and text_col is the
     # virtual field's name
     concat_cols: tuple[str, ...] = ()
+    # partition routing expression (doc_mapping partition_key via SipHash,
+    # routing_expression/mod.rs:107-141): when set, docs route by the hash
+    # of THESE columns instead of the doc key — same-valued docs land in
+    # the same segments, which is what makes tag and min/max stats pruning
+    # effective. Mod-based routing bounds the partition count inherently
+    # (the reference's max_num_partitions/OTHER clamp solves the unbounded
+    # per-value partition space, indexer.rs:60,152-178).
+    partition_cols: tuple[str, ...] = ()
     # extra columns copied into the doc map as fast fields (range/sort/agg)
     store_cols: tuple[str, ...] = ()
     schema_rev: str = "v1"

@@ -335,10 +335,14 @@ def build_partition(pdf: pd.DataFrame, config: IndexConfig,
 def route_partitions(df, config: IndexConfig, num_partitions: int):
     """Add the deterministic routing column (reference: SipHash routing of
     partition_key values, routing_expression/mod.rs:107-141; we use xxhash64
-    of the doc key — deterministic and shuffle-friendly)."""
+    — deterministic and shuffle-friendly). With partition_cols set, docs
+    sharing a routing value co-locate in the same segments (clustered
+    layout => effective tag / min-max pruning); otherwise the doc key
+    spreads docs uniformly."""
     from pyspark.sql import functions as F
+    cols = config.partition_cols or config.key_cols
     return df.withColumn(
-        "_pid", F.pmod(F.xxhash64(*config.key_cols),
+        "_pid", F.pmod(F.xxhash64(*cols),
                        F.lit(num_partitions)).cast("int"))
 
 
@@ -438,7 +442,8 @@ def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 
-    keys = pdf[list(config.key_cols)].astype(str).agg("\x00".join, axis=1)
+    route_cols = list(config.partition_cols or config.key_cols)
+    keys = pdf[route_cols].astype(str).agg("\x00".join, axis=1)
     pids = np.array([_stable_hash(k) % num_partitions for k in keys])
     done = manifest.published_partitions()
     rows_all = []

@@ -135,6 +135,32 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                 ).alias("jaccard"))
 
 
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       nbits: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    buckets the corpus (one shuffle on an 8-bit signature), candidate
+    pairs form inside buckets only, exact cosine filters to >= threshold.
+    Returns (a, b, cos) with a < b. At 100 TB the bucket join bounds the
+    quadratic pair blow-up to 1/2^nbits of the cross product."""
+    from .similarity import _dot_expr, hyperplanes, signature_expr
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, nbits, seed)
+    b = emb.withColumn("_sig", signature_expr(vec_col, planes)).persist()
+    left = b.select(F.col(id_col).alias("a"),
+                    F.col(vec_col).alias("_va"), "_sig")
+    right = b.select(F.col(id_col).alias("b"),
+                     F.col(vec_col).alias("_vb"), "_sig")
+    pairs = left.join(right, "_sig").where(F.col("a") < F.col("b"))
+    dot = _dot_expr("_va", F.col("_vb"))
+    na = F.sqrt(_dot_expr("_va", F.col("_va")))
+    nb = F.sqrt(_dot_expr("_vb", F.col("_vb")))
+    scored = pairs.select("a", "b", (dot / (na * nb)).alias("_cos"))
+    return (scored.where(F.col("_cos") >= F.lit(threshold))
+            .select("a", "b", F.round("_cos", 6).alias("cos")))
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens: bit j set iff the sum of

@@ -89,6 +89,34 @@ def image_features(df: DataFrame, blob_col: str = "blob",
     return df.mapInPandas(feats, schema="id long, feature array<double>")
 
 
+def resize_images(df: DataFrame, width: int, height: int,
+                  blob_col: str = "blob", id_col: str = "id",
+                  fake: bool = True) -> DataFrame:
+    """Decode -> resize as a mapInPandas stage. STUB resampling: nearest-
+    neighbor index arithmetic over the (stub-)decoded array — the Spark
+    plumbing (schema, batch shape, output encoding) is real; swap
+    decode_image/fake for a codec library in production."""
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs, ws, hs = [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                img = decode_image(bytes(blob), fake=fake)
+                ih, iw = img.shape[:2]
+                yy = (np.arange(height) * ih // height)
+                xx = (np.arange(width) * iw // width)
+                out = img[yy[:, None], xx[None, :]]
+                ids.append(rid)
+                blobs.append(out.tobytes())
+                ws.append(width)
+                hs.append(height)
+            yield pd.DataFrame({"id": ids, "blob": blobs,
+                                "width": ws, "height": hs})
+
+    return df.mapInPandas(
+        resize, schema="id long, blob binary, width int, height int")
+
+
 def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
                  every_n: int = 2) -> DataFrame:
     """Deterministic frame sampling stub for video blobs: treats each

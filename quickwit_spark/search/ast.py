@@ -144,6 +144,11 @@ def collect_tag_filters(node: Node, tag_fields: Sequence[str]) -> list[tuple[str
         out.append((node.field, {node.value}))
     elif isinstance(node, TermSet) and node.field in tag_fields:
         out.append((node.field, set(node.values)))
+    elif isinstance(node, FullText) and node.field in tag_fields:
+        # the parser emits FullText for `field:value`; on a tag column the
+        # engine evaluates it as an exact attribute term, so it prunes the
+        # same way (tag values are never tokenized)
+        out.append((node.field, {node.text}))
     elif isinstance(node, Boost):
         out.extend(collect_tag_filters(node.inner, tag_fields))
     elif isinstance(node, Bool):

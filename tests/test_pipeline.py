@@ -94,3 +94,30 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     q2.awaitTermination(60)
     m2 = Manifest.load(cfg.index_dir)
     assert sum(s["num_docs"] for s in m2.segments()) == 200
+
+
+def test_embedding_near_dup_finds_planted_twins(spark):
+    import numpy as np
+    import pandas as pd
+    from quickwit_spark.pipeline.dedup import embedding_near_dup
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 16)).astype("float32")
+    rows = [(i, vecs[i].tolist()) for i in range(30)]
+    rows += [(100 + i, vecs[i].tolist()) for i in range(5)]  # 5 twins
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup(emb, threshold=0.999, nbits=6, seed=1
+                             ).toPandas()
+    got = {(int(r.a), int(r.b)) for r in out.itertuples()}
+    assert {(i, 100 + i) for i in range(5)} <= got
+    assert all(c >= 0.999 for c in out["cos"])
+
+
+def test_resize_images_stub(spark):
+    import pandas as pd
+    from quickwit_spark.pipeline.multimodal import resize_images
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "blob": [b"\x89PNGxxxx", b"RIFFdata"]}))
+    out = resize_images(df, width=2, height=3).toPandas()
+    assert set(out["id"]) == {1, 2}
+    assert all(len(b) == 2 * 3 * 3 for b in out["blob"])  # HxWx3 uint8
+    assert (out["width"] == 2).all() and (out["height"] == 3).all()

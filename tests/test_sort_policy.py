@@ -176,3 +176,35 @@ def test_merge_unions_col_stats(tmp_path):
     los = min(s["col_stats"]["ts"][0] for s in segs)
     his = max(s["col_stats"]["ts"][1] for s in segs)
     assert (los, his) == (1000.0, 1029.0)
+
+
+def test_partition_cols_cluster_segments_for_pruning(tmp_path):
+    """Routing by a partition expression (reference partition_key,
+    routing_expression/mod.rs) co-locates same-valued docs, making tag
+    pruning actually drop segments."""
+    import pandas as pd
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher, prune_segments
+    langs = ["go", "rust", "java", "py"]
+    pdf = pd.DataFrame({
+        "repo": [f"r{i}" for i in range(80)],
+        "path": [f"f{i}" for i in range(80)],
+        "commit": ["c"] * 80,
+        "lang": [langs[i % 4] for i in range(80)],
+        "content": ["alpha beta"] * 80,
+    })
+    cfg = IndexConfig(index_uid="rt", index_dir=str(tmp_path / "rt"),
+                      sha_col=None, partition_cols=("lang",))
+    build_index_pandas(pdf, cfg, num_partitions=16)
+    s = IndexSearcher(cfg.index_dir)
+    segs = s.manifest.segments()
+    # every segment is single-language (value-routed)
+    assert all(len(g["tags"]["lang"]) == 1 for g in segs)
+    node = s.parse("lang:rust alpha")
+    kept = prune_segments(segs, node, s.tag_fields)
+    assert 0 < len(kept) < len(segs)
+    assert all(g["tags"]["lang"] == ["rust"] for g in kept)
+    # results correct
+    r = s.search(node, k=100, fetch_fields=True)
+    assert r.num_hits == 20
+    assert all(h.doc["lang"] == "rust" for h in r.hits)

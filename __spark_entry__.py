@@ -38,11 +38,23 @@ from quickwit_spark.search.sqlmode import bool_scores_f64, topk_df
 _READERS: dict[str, tuple[SegmentReader, np.ndarray, IndexSearcher]] = {}
 
 
+def _cache_tag(sf_dir: str) -> str:
+    """On-disk cache key: path + source fingerprint, so a regenerated
+    documents.parquet never reuses a stale index."""
+    tag = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag += f"_{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        pass
+    return tag
+
+
 def _doc_index(sf_dir: str):
     """Build (or reuse) the inverted index over the documents table."""
     if sf_dir in _READERS:
         return _READERS[sf_dir]
-    tag = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
+    tag = _cache_tag(sf_dir)
     index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_idx_pos", tag)
     cfg = IndexConfig(
         index_uid=f"docs-{tag}", index_dir=index_dir,
@@ -77,7 +89,7 @@ def _doc_global_index(spark, sf_dir: str):
         return _GLOBAL_IDX[sf_dir]
     from quickwit_spark.index.global_index import (
         GLOBAL_DIR, GlobalIndexSearcher, build_term_partitioned)
-    tag = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
+    tag = _cache_tag(sf_dir)
     index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_gidx", tag)
     cfg = IndexConfig(
         index_uid=f"gdocs-{tag}", index_dir=index_dir,

@@ -142,6 +142,9 @@ class _Parser:
         if (k, v) == ("word", "*"):
             self.next()
             return A.PhrasePrefix(field, text)
+        if k == "word" and re.fullmatch(r"\^\d+(?:\.\d+)?", v or ""):
+            self.next()
+            return A.Boost(A.Phrase(field, text), float(v[1:]))
         return A.Phrase(field, text)
 
     def field_value(self, field: str) -> A.Node:
@@ -205,9 +208,15 @@ class _Parser:
     def value_node(self, field: str, word: str) -> A.Node:
         if word == "*":
             return A.MatchAll()
+        boost = None
+        m = re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", word)
+        if m:
+            word, boost = m.group(1), float(m.group(2))
         if "*" in word or "?" in word:
-            return A.Wildcard(field, word)
-        return A.FullText(field, word, operator=self.default_op)
+            node: A.Node = A.Wildcard(field, word)
+        else:
+            node = A.FullText(field, word, operator=self.default_op)
+        return A.Boost(node, boost) if boost is not None else node
 
 
 def parse_query(q: str, default_field: str = "content",

@@ -61,3 +61,14 @@ def test_quoted_phrase_slop_and_prefix():
         A.Phrase("title", "quick sort", slop=2)
     assert parse_query('c:"quick so"*', default_field="c") == \
         A.PhrasePrefix("c", "quick so")
+
+
+def test_boost_syntax():
+    node = parse_query("merge^2", default_field="c")
+    assert node == A.Boost(A.FullText("c", "merge", operator="and"), 2.0)
+    node = parse_query('t:"quick sort" ^0.5', default_field="c")
+    assert node == A.Boost(A.Phrase("t", "quick sort"), 0.5)
+    node = parse_query("a merge^2", default_field="c")
+    assert node == A.Bool(must=(
+        A.FullText("c", "a", operator="and"),
+        A.Boost(A.FullText("c", "merge", operator="and"), 2.0)))

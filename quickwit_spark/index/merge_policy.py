@@ -58,13 +58,19 @@ class StableLogMergePolicy:
             return []
         levels = self._build_levels(splits)
         ops: list[MergeOperation] = []
-        taken: set[str] = set()
         for lo, hi in reversed(levels):
-            rng = self._candidate_from_level(splits, lo, hi)
-            if rng is not None:
+            # emit EVERY disjoint candidate in the level, right to left —
+            # the reference's continuous planner reaches the same merges
+            # over successive cycles (stable_log_merge_policy.rs:99-150);
+            # emitting them in one pass lets a batch round run them in
+            # parallel instead of one-op-per-round re-planning
+            end = hi
+            while True:
+                rng = self._candidate_from_level(splits, lo, end)
+                if rng is None:
+                    break
                 ops.append(MergeOperation(splits[rng[0]:rng[1]]))
-                for s in splits[rng[0]:rng[1]]:
-                    taken.add(s["segment_id"])
+                end = rng[0]
         return ops
 
     def _build_levels(self, splits: list[dict]) -> list[tuple[int, int]]:

@@ -79,6 +79,11 @@ def _spark_df(spark: SparkSession, pdf: pd.DataFrame, schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def _ivf_centroids() -> "np.ndarray":
+    rng = np.random.default_rng(7)
+    return np.round(rng.standard_normal((8, 64)), 6)
+
+
 _GLOBAL_IDX: dict[str, object] = {}
 
 
@@ -450,6 +455,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.lsh_bucket_topk(emb, qdf, k=10, nbits=8, seed=42)
     q["ann_lsh_bucket_topk"] = ann_lsh
 
+    def ann_ivf(s, d):
+        """IVF ANN: assign vectors to the nearest of 8 fixed seeded
+        centroids (JVM-side argmin), probe the query's 2 nearest lists,
+        exact cosine inside them. (Trained-k-means centroids are covered
+        by pytest; fixed centroids keep the SQL oracle literal.)"""
+        emb = _read(s, d, "embeddings")
+        qdf = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q"))
+        return sim.ivf_topk(emb, qdf, _ivf_centroids(), k=10, nprobe=2)
+    q["ann_ivf_topk"] = ann_ivf
+
     def emb_near_dup(s, d):
         """Embedding-cosine near-dup over the embeddings table plus an
         exact copy shifted by 1e6 (every vector gains one cos=1 twin)."""
@@ -718,6 +734,34 @@ WITH q AS (SELECT embedding AS qv, {_sig('embedding')} AS qsig
            FROM embeddings WHERE vec_id = 0),
 cand AS (SELECT e.vec_id, e.embedding, q.qv FROM embeddings e, q
          WHERE {_sig('e.embedding')} = q.qsig)
+SELECT vec_id, round(cos, 6) AS cos FROM (
+  SELECT vec_id, {cos} AS cos FROM cand)
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    cents = _ivf_centroids()
+
+    def _cdist(vec: str, c) -> str:
+        lits = ",".join(repr(float(x)) for x in c)
+        cn = float((c * c).sum())
+        return (f"({cn!r} - 2.0 * list_dot_product("
+                f"CAST({vec} AS DOUBLE[]), [{lits}]))")
+
+    dist_list = "[" + ", ".join(_cdist("embedding", c) for c in cents) + "]"
+    qdist_list = "[" + ", ".join(_cdist("qv", c) for c in cents) + "]"
+    o["ann_ivf_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT i - 1 AS cid FROM (
+    SELECT unnest(ds) AS v, generate_subscripts(ds, 1) AS i
+    FROM (SELECT {qdist_list} AS ds FROM q))
+  ORDER BY v, i LIMIT 2),
+assigned AS (
+  SELECT vec_id, embedding,
+         list_indexof(ds, list_min(ds)) - 1 AS cid
+  FROM (SELECT vec_id, embedding, {dist_list} AS ds FROM embeddings)),
+cand AS (SELECT a.vec_id, a.embedding, q.qv
+         FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN q)
 SELECT vec_id, round(cos, 6) AS cos FROM (
   SELECT vec_id, {cos} AS cos FROM cand)
 ORDER BY cos DESC, vec_id ASC LIMIT 10

@@ -60,6 +60,74 @@ def signature_expr(vec_col: str, planes: np.ndarray):
     return sig
 
 
+def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        sample: int = 2048, iters: int = 10,
+                        seed: int = 42) -> np.ndarray:
+    """Deterministic k-means coarse quantizer trained on a driver-side
+    sample (IVF training is always a sampled, driver/parameter-server
+    step; assignment is the distributed part). Lloyd's algorithm with
+    seeded init over an id-ordered sample; empty clusters re-seeded
+    deterministically."""
+    pdf = emb.orderBy(id_col).select(vec_col).limit(sample).toPandas()
+    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                        replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+            else:
+                cent[c] = X[rng.integers(0, len(X))]
+    return np.round(cent, 6)
+
+
+def ivf_assign_expr(vec_col: str, centroids: np.ndarray):
+    """Nearest-centroid id as a JVM-side expression (argmin over squared
+    distances — no Python UDF)."""
+    best_id, best_d = None, None
+    for ci, c in enumerate(centroids):
+        lits = F.array(*[F.lit(float(x)) for x in c])
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; compare via -2v.c + ||c||^2
+        d = (F.lit(float((c * c).sum()))
+             - F.lit(2.0) * _dot_expr(vec_col, lits))
+        if best_d is None:
+            best_id, best_d = F.lit(ci), d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(ci)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_topk(emb: DataFrame, query_df: DataFrame, centroids: np.ndarray,
+             k: int = 10, nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: scan only the nprobe inverted lists nearest to the query.
+    At 100 TB the corpus is written partitioned by centroid id (one-time
+    assignment shuffle); a query reads nprobe/n_centroids of the data."""
+    import pandas as pd
+
+    q = query_df.first()["q"]
+    qv = np.asarray(q, dtype=np.float64)
+    d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    bucketed = emb.withColumn("_cid", ivf_assign_expr(vec_col, centroids))
+    cand = bucketed.filter(F.col("_cid").isin(probes)) \
+        .crossJoin(F.broadcast(query_df))
+    dot = _dot_expr(vec_col, F.col("q"))
+    na = F.sqrt(_dot_expr(vec_col, F.col(vec_col)))
+    nb = F.sqrt(_dot_expr("q", F.col("q")))
+    scored = cand.select(F.col(id_col), (dot / (na * nb)).alias("_cos"))
+    return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, F.round("_cos", 6).alias("cos")))
+
+
 def lsh_bucket_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     nbits: int = 8, seed: int = 42) -> DataFrame:

@@ -121,3 +121,29 @@ def test_resize_images_stub(spark):
     assert set(out["id"]) == {1, 2}
     assert all(len(b) == 2 * 3 * 3 for b in out["blob"])  # HxWx3 uint8
     assert (out["width"] == 2).all() and (out["height"] == 3).all()
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Trained IVF with enough probes recovers the brute-force top-k."""
+    import numpy as np
+    from quickwit_spark.pipeline.similarity import (
+        brute_force_topk, ivf_topk, train_ivf_centroids)
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((200, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame([(X[0].tolist(),)], "q array<float>")
+    cent = train_ivf_centroids(emb, n_centroids=4, sample=200, seed=9)
+    assert cent.shape == (4, 8)
+    exact = brute_force_topk(emb, qdf, k=5).toPandas()
+    # probing ALL lists must equal brute force exactly
+    full = ivf_topk(emb, qdf, cent, k=5, nprobe=4).toPandas()
+    assert full.equals(exact)
+    # probing 2/4 lists returns a subset of the corpus ranked exactly
+    part = ivf_topk(emb, qdf, cent, k=5, nprobe=2).toPandas()
+    assert len(part) == 5
+    assert part.iloc[0]["vec_id"] == exact.iloc[0]["vec_id"]  # q's own list
+    # training is deterministic
+    cent2 = train_ivf_centroids(emb, n_centroids=4, sample=200, seed=9)
+    assert (cent == cent2).all()

@@ -27,6 +27,11 @@ import numpy as np
 
 K1 = np.float32(1.2)
 B = np.float32(0.75)
+# exact-double variants for the SQL-oracle-comparable f64 scoring paths
+# (float(np.float32(1.2)) != 1.2 — the f32 round-trip must not leak into
+# the f64 formula the DuckDB oracle reproduces with literal 1.2)
+K1_F64 = 1.2
+B_F64 = 0.75
 
 
 def _build_fieldnorm_table() -> np.ndarray:

@@ -494,6 +494,17 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             docs.extend([i] * len(parts))
         return np.asarray(docs, dtype=np.int64), toks
 
+    if analyzer not in ("source_code_default", "default", "en_stem"):
+        # fail loudly: silently falling back to another tokenizer would
+        # build a wrong index with no error (e.g. a custom analyzer
+        # registered on the driver but not inside a Spark worker process)
+        raise ValueError(
+            f"unknown analyzer {analyzer!r}; built-ins: {ANALYZERS}; "
+            "custom analyzers must be registered with "
+            "register_custom_analyzer IN THIS PROCESS (Spark workers "
+            "re-import modules — register inside the UDF closure or a "
+            "module imported by it)")
+
     # vectorized paths: source_code_default, default, en_stem
     clean = [(t if isinstance(t, str) else "") for t in texts]
     big = _SEP.join(clean)
@@ -766,10 +777,9 @@ class CustomAnalyzer:
         if not text:
             return []
         if self.kind == "regex":
-            toks = self._rx.findall(text)
-            # a pattern with groups returns tuples; flatten to full match
-            if toks and isinstance(toks[0], tuple):
-                toks = ["".join(t) for t in toks]
+            # full matches, not capture groups (findall would return the
+            # groups and corrupt tokens for patterns like (\w+)@(\w+))
+            toks = [m.group(0) for m in self._rx.finditer(text)]
         elif self.kind == "ngram":
             toks = []
             starts = (0,) if self.prefix_only else range(len(text))
@@ -777,9 +787,10 @@ class CustomAnalyzer:
                 for g in range(self.min_gram, self.max_gram + 1):
                     if i + g <= len(text):
                         toks.append(text[i:i + g])
-        else:  # simple
-            _, toks = tokenize_batch([text], analyzer="default",
-                                     max_len=max_len)
+        else:  # simple: maximal alphanumeric runs, case PRESERVED —
+            # the filter chain below decides about lowercasing
+            import re as _re
+            toks = _re.findall(r"[^\W_]+", text, _re.UNICODE)
         for f in self.filters:
             if f == "lower_caser":
                 toks = [t.lower() for t in toks]

@@ -43,41 +43,10 @@ from .manifest import Manifest
 MANIFEST_ROW_SCHEMA = "manifest_json string"
 
 
-def _varint_sizes(v: np.ndarray) -> np.ndarray:
-    nb = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        nb += (tmp != 0)
-        tmp >>= np.uint64(7)
-    return nb
-
-
-def _varint_encode_with_sizes(v: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """Vectorized varint encode returning (buffer, per-value byte counts).
-    Values fitting 32 bits are processed as uint32 (the common case for
-    within-segment docid gaps and tfs — halves memory traffic, which is
-    the bottleneck in this environment)."""
-    if v.size == 0:
-        return b"", np.zeros(0, dtype=np.int64)
-    nb = _varint_sizes(v)
-    total = int(nb.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    starts = np.zeros(v.shape, dtype=np.int64)
-    np.cumsum(nb[:-1], out=starts[1:])
-    if int(nb.max()) <= 4:  # all values < 2^28: uint32 path is exact
-        cur = v.astype(np.uint32)
-        mask, seven = np.uint32(0x7F), np.uint32(7)
-    else:
-        cur = v.copy()
-        mask, seven = np.uint64(0x7F), np.uint64(7)
-    for j in range(int(nb.max())):
-        active = nb > j
-        idx = starts[active] + j
-        byte = (cur[active] & mask).astype(np.uint8)
-        more = (nb[active] > j + 1).astype(np.uint8) << 7
-        out[idx] = byte | more
-        cur >>= seven
-    return out.tobytes(), nb
+# shared codecs (single source of truth for bit-identical encoding across
+# build / merge / delete paths)
+from .codecs import encode_position_blob
+from .codecs import varint_encode_with_sizes as _varint_encode_with_sizes
 
 
 def _large_binary_array(data: bytes, offsets: np.ndarray) -> pa.Array:
@@ -245,18 +214,8 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         first_tok = np.r_[0, np.cumsum(fieldnorms)[:-1]]
         pos = np.arange(ntok, dtype=np.int64) - first_tok[doc_idx]
         order = np.argsort(pair_key, kind="stable")
-        spk = pair_key[order]
         spos = pos[order]
-        newrun = np.r_[True, spk[1:] != spk[:-1]]
-        pdel = np.empty(ntok, dtype=np.int64)
-        pdel[0] = spos[0]
-        pdel[1:] = spos[1:] - spos[:-1]
-        pdel[newrun] = spos[newrun]
-        pos_blob, pos_nb = _varint_encode_with_sizes(pdel.astype(np.uint64))
-        tok_term = spk // n
-        tstarts = np.nonzero(np.r_[True, tok_term[1:] != tok_term[:-1]])[0]
-        tbytes = np.add.reduceat(pos_nb, tstarts)
-        positions = (pos_blob, np.r_[0, np.cumsum(tbytes)])
+        positions = encode_position_blob(spos, tfs, p_term)
 
     # segment identity: content-addressed over partition + doc keys
     h = hashlib.sha256()
@@ -379,7 +338,15 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
 
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
-    if input_routed and "_pid" in df.columns:
+    if input_routed:
+        if "_pid" not in df.columns:
+            raise ValueError(
+                "input_routed=True requires the input to carry the _pid "
+                "routing column with complete groups per Spark partition "
+                "— run route_partitions(df, cfg, P).repartition(P, '_pid') "
+                "first (or read a table bucketed by the doc key). "
+                "Silently re-routing here would fragment routing groups "
+                "across partitions.")
         routed = df
     else:
         routed = route_partitions(df, config, num_partitions)

@@ -126,6 +126,58 @@ def decode_postings(docid_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.n
     return docids, tfs
 
 
+def varint_encode_with_sizes(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varint encode returning (buffer, per-value byte counts).
+    Values fitting 32 bits are processed as uint32 (the common case for
+    within-segment docid gaps and tfs — halves memory traffic)."""
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp != 0)
+        tmp >>= np.uint64(7)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.zeros(v.shape, dtype=np.int64)
+    np.cumsum(nb[:-1], out=starts[1:])
+    if int(nb.max()) <= 4:  # all values < 2^28: uint32 path is exact
+        cur = v.astype(np.uint32)
+        mask, seven = np.uint32(0x7F), np.uint32(7)
+    else:
+        cur = v.copy()
+        mask, seven = np.uint64(0x7F), np.uint64(7)
+    for j in range(int(nb.max())):
+        active = nb > j
+        idx = starts[active] + j
+        byte = (cur[active] & mask).astype(np.uint8)
+        more = (nb[active] > j + 1).astype(np.uint8) << 7
+        out[idx] = byte | more
+        cur >>= seven
+    return out.tobytes(), nb
+
+
+def encode_position_blob(positions: np.ndarray, tfs: np.ndarray,
+                         term_of: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a (term, doc, position)-ordered token stream into the
+    segment position format: delta varints resetting per posting run,
+    with per-term byte offsets [nterms+1]. The SINGLE encoder shared by
+    the initial build, the merge executor, and delete rewrites — the
+    content-addressed segment-id idempotence depends on all paths
+    producing bit-identical blobs."""
+    ntok = len(positions)
+    run_starts = np.r_[0, np.cumsum(tfs)[:-1]]
+    pdel = np.empty(ntok, dtype=np.int64)
+    pdel[0] = positions[0]
+    pdel[1:] = positions[1:] - positions[:-1]
+    pdel[run_starts] = positions[run_starts]
+    blob, nb = varint_encode_with_sizes(pdel.astype(np.uint64))
+    tok_term = np.repeat(term_of, tfs)
+    tstarts = np.nonzero(np.r_[True, tok_term[1:] != tok_term[:-1]])[0]
+    tbytes = np.add.reduceat(nb, tstarts)
+    return blob, np.r_[0, np.cumsum(tbytes)]
+
+
 def decode_positions(pos_blob: bytes, tfs: np.ndarray
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Decode one term's position blob.

@@ -113,50 +113,52 @@ def apply_delete_query(index_dir: str, query, spark=None) -> dict:
 
     searcher = IndexSearcher(index_dir)
     node = searcher.parse(query)
+    tokenizer, text_field = searcher.tokenizer, searcher.text_field
     manifest = Manifest.load(index_dir)
     segs = manifest.segments()
-
-    def plan_one(seg: dict):
-        reader = get_reader(os.path.join(index_dir, "segments",
-                                         seg["segment_id"]),
-                            searcher.tokenizer)
-        ids = reader.eval(node, searcher.text_field, scoring=False).docids
-        return np.asarray(ids, dtype=np.int64)
-
-    jobs = [(seg, plan_one(seg)) for seg in segs]
-    jobs = [(seg, ids) for seg, ids in jobs if len(ids)]
-    if not jobs:
+    if not segs:
         return {"segments_rewritten": 0, "segments_dropped": 0,
                 "docs_deleted": 0}
 
-    if spark is not None and len(jobs) > 1:
-        payload = [(seg["segment_id"], json.dumps(seg),
-                    json.dumps(ids.tolist())) for seg, ids in jobs]
-        df = spark.createDataFrame(
-            payload, "segment_id string, seg string, ids string")
+    def eval_and_rewrite(seg: dict) -> dict:
+        """Match + rewrite one segment (runs INSIDE the task when spark is
+        attached — the reference's delete pipeline evaluates delete
+        queries on the workers, not the control plane)."""
+        reader = get_reader(os.path.join(index_dir, "segments",
+                                         seg["segment_id"]), tokenizer)
+        ids = np.asarray(reader.eval(node, text_field, scoring=False
+                                     ).docids, dtype=np.int64)
+        if len(ids) == 0:
+            return {"unchanged": seg["segment_id"], "n_deleted": 0}
+        meta = rewrite_segment_without(index_dir, seg, ids)
+        return {"parent": seg["segment_id"], "n_deleted": int(len(ids)),
+                "meta": meta}
+
+    if spark is not None and len(segs) > 1:
+        payload = [(seg["segment_id"], json.dumps(seg)) for seg in segs]
+        df = spark.createDataFrame(payload, "segment_id string, seg string")
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for r in pdf.itertuples():
-                meta = rewrite_segment_without(
-                    index_dir, json.loads(r.seg),
-                    np.asarray(json.loads(r.ids), dtype=np.int64))
-                out.append(json.dumps(meta))
-            return pd.DataFrame({"meta": out})
+            return pd.DataFrame({"res": [
+                json.dumps(eval_and_rewrite(json.loads(r.seg)))
+                for r in pdf.itertuples()]})
 
-        res = (df.repartition(len(jobs), "segment_id")
-               .groupBy("segment_id")
-               .applyInPandas(run, schema="meta string").collect())
-        metas = [json.loads(r.meta) for r in res]
+        rows = (df.repartition(len(segs), "segment_id")
+                .groupBy("segment_id")
+                .applyInPandas(run, schema="res string").collect())
+        results = [json.loads(r.res) for r in rows]
     else:
-        metas = [rewrite_segment_without(index_dir, seg, ids)
-                 for seg, ids in jobs]
+        results = [eval_and_rewrite(seg) for seg in segs]
 
-    staged = [m for m in metas if m is not None]
-    replaced = [seg["segment_id"] for seg, _ids in jobs]
+    changed = [r for r in results if "unchanged" not in r]
+    if not changed:
+        return {"segments_rewritten": 0, "segments_dropped": 0,
+                "docs_deleted": 0}
+    staged = [r["meta"] for r in changed if r["meta"] is not None]
+    replaced = [r["parent"] for r in changed]
     manifest.publish(staged, replaced_segment_ids=replaced)
     return {
         "segments_rewritten": len(staged),
-        "segments_dropped": len(metas) - len(staged),
-        "docs_deleted": int(sum(len(ids) for _s, ids in jobs)),
+        "segments_dropped": len(changed) - len(staged),
+        "docs_deleted": int(sum(r["n_deleted"] for r in changed)),
     }

@@ -330,14 +330,15 @@ class GlobalIndexSearcher:
             fn = self._fieldnorms_for(docids)
             if precision == "f64":
                 import math
-                from ..functions.bm25 import id_to_fieldnorm
+                from ..functions.bm25 import B_F64, K1_F64, id_to_fieldnorm
+                k1, b = K1_F64, B_F64
                 n = self.num_docs
                 idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
                 avg = float(self.gm["total_fieldnorm"]) / float(n)
                 qlen = id_to_fieldnorm(fn).astype(np.float64)
-                norm = 1.2 * (1.0 - 0.75 + 0.75 * qlen / avg)
+                norm = k1 * (1.0 - b + b * qlen / avg)
                 tf64 = tfs.astype(np.float64)
-                s = idf * (1.2 + 1.0) * tf64 / (tf64 + norm)
+                s = idf * (k1 + 1.0) * tf64 / (tf64 + norm)
                 per_term.append((docids, s))
                 continue
             w = Bm25Weight(df, self.num_docs, float(self.avg_fieldnorm))

@@ -82,23 +82,9 @@ def _gather_runs(values: np.ndarray, run_lens: np.ndarray,
     return values[src]
 
 
-def _encode_position_blob(positions: np.ndarray, tfs: np.ndarray,
-                          term_of: np.ndarray):
-    """Re-encode a (term, doc, position)-ordered token stream into the
-    segment position format: delta varints resetting per posting, with
-    per-term byte offsets."""
-    from .builder import _varint_encode_with_sizes
-    ntok = len(positions)
-    run_starts = np.r_[0, np.cumsum(tfs)[:-1]]
-    pdel = np.empty(ntok, dtype=np.int64)
-    pdel[0] = positions[0]
-    pdel[1:] = positions[1:] - positions[:-1]
-    pdel[run_starts] = positions[run_starts]
-    blob, nb = _varint_encode_with_sizes(pdel.astype(np.uint64))
-    tok_term = np.repeat(term_of, tfs)
-    tstarts = np.nonzero(np.r_[True, tok_term[1:] != tok_term[:-1]])[0]
-    tbytes = np.add.reduceat(nb, tstarts)
-    return blob, np.r_[0, np.cumsum(tbytes)]
+# single shared encoder (codecs.py) — bit-identical across build/merge/
+# delete paths, which content-addressed idempotence depends on
+from .codecs import encode_position_blob as _encode_position_blob  # noqa: E402
 
 
 def merge_segments(index_dir: str, parents: list[dict]) -> dict:

@@ -8,6 +8,14 @@ smallest viable key (hash / band bucket), broadcast-free.
 
 Determinism: all hash seeds derive from a fixed RNG seed so results are
 reproducible and oracle-checkable in ANSI SQL (md5 is the shared hash).
+
+Memory note: lsh_candidate_pairs / ngram_jaccard_pairs /
+embedding_near_dup persist() their self-join input so one plan doesn't
+recompute the corpus scan per join side. Persisted blocks use
+MEMORY_AND_DISK and are evictable/spillable under executor memory
+pressure; long-lived sessions processing many corpora should
+`df.unpersist()` results (or call `spark.catalog.clearCache()`) between
+runs.
 """
 
 from __future__ import annotations

@@ -75,6 +75,16 @@ class SegmentReader:
         self._termdict: pd.DataFrame | None = None
         self._term_index: dict[str, int] | None = None
         self._postings_tbl = None
+        # conservative upper bound of what this reader may pin in memory
+        # (on-disk sizes of the cache-eligible files)
+        self.cache_footprint = 0
+        for f in ("termdict.parquet", "postings.parquet"):
+            try:
+                sz = os.path.getsize(os.path.join(seg_dir, f))
+                if sz <= self.CACHE_FILE_BYTES:
+                    self.cache_footprint += sz
+            except OSError:
+                pass
 
     # cache whole termdict/postings files when small enough — the analog
     # of the reference's hotcache + leaf cache (split opened in one read,
@@ -620,18 +630,30 @@ def _wand_shape(node: A.Node, text_field: str, tokenizer: str):
     return None
 
 
-_READER_CACHE: dict[str, "SegmentReader"] = {}
+from collections import OrderedDict
+
+_READER_CACHE: "OrderedDict[str, SegmentReader]" = OrderedDict()
+# aggregate byte budget for per-reader termdict/postings caches (the
+# analog of the reference's bounded split/fast-field caches,
+# node_config/mod.rs:264-286); env-tunable for executor sizing
+READER_CACHE_BUDGET_BYTES = int(os.environ.get(
+    "QW_READER_CACHE_BYTES", 4 << 30))
 
 
 def get_reader(seg_dir: str, tokenizer: str) -> "SegmentReader":
-    """Process-level segment reader cache (termdict/fieldnorm reuse across
-    queries — the analog of the reference's split/footer caches)."""
+    """Process-level LRU segment reader cache (termdict/fieldnorm reuse
+    across queries — the analog of the reference's split/footer caches),
+    evicting oldest readers past an aggregate byte budget."""
     r = _READER_CACHE.get(seg_dir)
-    if r is None:
-        r = SegmentReader(seg_dir, tokenizer)
-        if len(_READER_CACHE) > 256:
-            _READER_CACHE.clear()
-        _READER_CACHE[seg_dir] = r
+    if r is not None:
+        _READER_CACHE.move_to_end(seg_dir)
+        return r
+    r = SegmentReader(seg_dir, tokenizer)
+    _READER_CACHE[seg_dir] = r
+    total = sum(x.cache_footprint for x in _READER_CACHE.values())
+    while total > READER_CACHE_BUDGET_BYTES and len(_READER_CACHE) > 1:
+        _sid, old = _READER_CACHE.popitem(last=False)
+        total -= old.cache_footprint
     return r
 
 

@@ -20,10 +20,9 @@ import numpy as np
 import pandas as pd
 
 from ..functions.bm25 import FIELD_NORMS_TABLE, id_to_fieldnorm
+from ..functions.bm25 import B_F64 as B
+from ..functions.bm25 import K1_F64 as K1
 from .engine import SegmentReader
-
-K1 = 1.2
-B = 0.75
 
 
 def fieldnorm_sql_table() -> str:

@@ -1074,6 +1074,33 @@ class IndexSearcher:
             return sum(s["num_docs"] for s in self.manifest.segments())
         return self.search(node, k=0, fetch_fields=False).num_hits
 
+    def explain(self, query) -> dict:
+        """Search plan without executing it (the reference's
+        GET /search-plan, search_api/rest_handler.rs): parsed AST, segment
+        pruning outcome (tags + min/max stats), and whether the block-max
+        pruned path applies."""
+        node = self.parse(query)
+        all_segs = self.manifest.segments()
+        kept = prune_segments(all_segs, node, self.tag_fields)
+        kept_ids = {s["segment_id"] for s in kept}
+        wand = _wand_shape(node, self.text_field, self.tokenizer)
+        return {
+            "query_ast": repr(node),
+            "segments_total": len(all_segs),
+            "segments_after_pruning": len(kept),
+            "pruned_segment_ids": sorted(
+                s["segment_id"] for s in all_segs
+                if s["segment_id"] not in kept_ids),
+            "tag_filters": [(f, sorted(v)) for f, v in
+                            A.collect_tag_filters(node, self.tag_fields)],
+            "range_filters": [repr(r) for r in
+                              A.collect_range_filters(node)],
+            "wand_prunable": wand is not None,
+            "wand_shape": ({"op": wand[0], "terms": wand[1]}
+                           if wand else None),
+            "docs_to_consider": sum(s["num_docs"] for s in kept),
+        }
+
 
 def _default_parallelism(spark) -> int:
     try:

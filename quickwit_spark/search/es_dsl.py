@@ -148,3 +148,17 @@ def es_search(searcher, body: dict, default_field: str | None = None
         pdf = out.toPandas() if hasattr(out, "toPandas") else out
         resp["aggregations"] = pdf.to_dict("records")
     return resp
+
+
+def es_msearch(searcher, lines: list[dict],
+               default_field: str | None = None) -> dict:
+    """ES `_msearch`: alternating header/body pairs (headers may be empty
+    dicts — single-index engine), one response per body
+    (rest_handler.rs:806+ loops per-line requests the same way)."""
+    responses = []
+    bodies = [ln for i, ln in enumerate(lines) if i % 2 == 1] \
+        if lines and "query" not in lines[0] and "aggs" not in lines[0] \
+        and "size" not in lines[0] else lines
+    for body in bodies:
+        responses.append(es_search(searcher, body, default_field))
+    return {"responses": responses}

@@ -99,3 +99,36 @@ def test_es_search_response_shape(spark, tmp_path):
     page2 = es_search(s, {"query": {"match_all": {}}, "size": 2, "from": 2})
     assert [h["_id"] for h in page2["hits"]["hits"]] == \
         [h["_id"] for h in all4["hits"]["hits"][2:4]]
+
+
+def test_explain_and_msearch(spark, tmp_path):
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.search.es_dsl import es_msearch
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"f{i}" for i in range(4)],
+        "commit": ["c"] * 4, "lang": ["go", "go", "rust", "rust"],
+        "content": ["alpha beta", "alpha", "beta gamma", "delta"],
+    })
+    cfg = IndexConfig(index_uid="ex", index_dir=str(tmp_path / "ex"),
+                      sha_col=None, partition_cols=("lang",),
+                      tokenizer="default")
+    build_index_pandas(pdf, cfg, num_partitions=8)
+    s = IndexSearcher(cfg.index_dir)
+
+    plan = s.explain("lang:rust beta")
+    assert plan["segments_total"] == 2
+    assert plan["segments_after_pruning"] == 1
+    assert plan["tag_filters"] == [("lang", ["rust"])]
+    assert plan["docs_to_consider"] == 2
+    plan2 = s.explain("alpha OR beta")
+    assert plan2["wand_prunable"] and \
+        plan2["wand_shape"] == {"op": "or", "terms": ["alpha", "beta"]}
+
+    r = es_msearch(s, [{}, {"query": {"match": {"content": "alpha"}}},
+                       {}, {"query": {"match": {"content": "delta"}}}])
+    assert len(r["responses"]) == 2
+    assert r["responses"][0]["hits"]["total"]["value"] == 2
+    assert r["responses"][1]["hits"]["total"]["value"] == 1

@@ -28,6 +28,13 @@ Pipeline (one Spark job per stage, all Arrow-vectorized):
 Query: tpid = xxhash64(term) % P -> read only that partition (parquet
 filter pushdown on term), score with GLOBAL stats (equivalent to one
 fully-merged segment).
+
+Resumability: the global layout is a DERIVED, idempotent artifact of the
+checkpointed segment build (global_manifest records the source manifest
+version). A failed build leaves no partial global manifest; restarting
+reruns the job against the same immutable segments and produces identical
+output — per-partition checkpointing lives where state does, in the
+SOURCE build (builder.py waves + manifest checkpoint deltas).
 """
 
 from __future__ import annotations

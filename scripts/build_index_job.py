@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--input", default=None,
                     help="parquet corpus path (default: synthetic)")
+    ap.add_argument("--input-table", default=None,
+                    help="catalog table name (e.g. an Iceberg table "
+                         "'catalog.db.repos') read via spark.read.table — "
+                         "the production entry point; requires the "
+                         "catalog configured on the session")
     ap.add_argument("--avg-tokens", type=int, default=80)
     ap.add_argument("--merge", action="store_true")
     ap.add_argument("--global-index", action="store_true")
@@ -57,7 +62,9 @@ def main() -> None:
     if args.fresh:
         shutil.rmtree(args.index_dir, ignore_errors=True)
 
-    if args.input:
+    if args.input_table:
+        df = spark.read.table(args.input_table)
+    elif args.input:
         df = spark.read.parquet(args.input)
     else:
         df = corpus_df(spark, args.docs, seed=42,

@@ -119,33 +119,58 @@ def main() -> None:
     # skipped posting blocks reported
     from quickwit_spark.search.engine import get_reader
     from quickwit_spark.search.wand import STATS
-    STATS["blocks_decoded"] = STATS["blocks_total"] = 0
-    # idf-skewed OR (rare + common terms): the MaxScore-prunable shape
-    segs = searcher.manifest.segments()
-    big = max(segs, key=lambda x: x["num_docs"])
-    td = get_reader(os.path.join(cfg.index_dir, "segments",
-                                 big["segment_id"]),
-                    searcher.tokenizer)._cached_termdict()
-    rare_rows = td[(td.doc_freq >= 5) & (td.doc_freq <= 100)].sort_values(
-        "doc_freq")
-    common_rows = td[td.doc_freq > 2000].sort_values("doc_freq")
-    if len(rare_rows) and len(common_rows) >= 2:
-        skew_terms = [rare_rows.iloc[0]["term"],
-                      *common_rows.iloc[:2]["term"].tolist()]
-    else:
-        skew_terms = ["getValue", "fetch", "codec"]
+    node = qset["q_or2"]
+    searcher.search(node, k=10, fetch_fields=False, count_all=False)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        searcher.search(node, k=10, fetch_fields=False, count_all=False)
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    queries["q_or2_wand"] = round(runs[1], 4)
+
+    # --- 2b. score-skewed corpus: the block-max WAND payoff case --------
+    # log-normal doc lengths + bursty tf => BM25 score variance; an
+    # idf-asymmetric OR (mid-df term + very common terms) is answered
+    # from the mid term's candidates, skipping most common-term blocks
+    n_skew = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_DOCS", "20000"))
+    skew_df = corpus_df(spark, n_skew, seed=7, num_partitions=8,
+                        skew=True).cache()
+    skew_df.count()
+    skew_cfg = IndexConfig(index_uid="bench_skew",
+                           index_dir=os.path.join(work, "idx_skew"))
+    t0 = time.perf_counter()
+    build_index(spark, skew_df, skew_cfg, num_partitions=8, wave_size=8)
+    queries["build_skew_index"] = round(time.perf_counter() - t0, 3)
+    skew_df.unpersist()
+    run_merges(skew_cfg.index_dir, spark=spark, policy=StableLogMergePolicy(
+        MergePolicyConfig(merge_factor=8, max_merge_factor=12,
+                          min_level_num_docs=1_000_000)))
+    skew_searcher = IndexSearcher(skew_cfg.index_dir)
+    sk_segs = skew_searcher.manifest.segments()
+    sk_big = max(sk_segs, key=lambda x: x["num_docs"])
+    td = get_reader(os.path.join(skew_cfg.index_dir, "segments",
+                                 sk_big["segment_id"]),
+                    skew_searcher.tokenizer)._cached_termdict()
+    nd = int(sk_big["num_docs"])
+    mid_rows = td[(td.doc_freq >= nd // 200)
+                  & (td.doc_freq <= nd // 50)].sort_values("doc_freq")
+    big_rows = td.sort_values("doc_freq").iloc[-2:]
+    skew_terms = [mid_rows.iloc[0]["term"], *big_rows["term"].tolist()] \
+        if len(mid_rows) else ["merge", *big_rows["term"].tolist()]
     q_or_skew = A.Bool(should=tuple(A.Term("content", t)
                                     for t in skew_terms))
     wand_skip = 0.0
-    for name, node in [("q_or2_wand", qset["q_or2"]),
-                       ("q_or3_skew_wand", q_or_skew)]:
-        searcher.search(node, k=10, fetch_fields=False, count_all=False)
-        if name == "q_or3_skew_wand":
-            STATS["blocks_decoded"] = STATS["blocks_total"] = 0
+    for name, count_all in [("q_or3_skew_exh", True),
+                            ("q_or3_skew_wand", False)]:
+        skew_searcher.search(q_or_skew, k=10, fetch_fields=False,
+                             count_all=count_all)
+        STATS["blocks_decoded"] = STATS["blocks_total"] = 0
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            searcher.search(node, k=10, fetch_fields=False, count_all=False)
+            skew_searcher.search(q_or_skew, k=10, fetch_fields=False,
+                                 count_all=count_all)
             runs.append(time.perf_counter() - t0)
         runs.sort()
         queries[name] = round(runs[1], 4)

@@ -113,6 +113,22 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     block_last = p_doc[blk_end - 1]
     block_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
     block_min_fn = np.minimum.reduceat(fn_per_post, blk_start).astype(np.int32)
+    # jointly-achievable block score bound: max over the block's postings
+    # of tf/(tf + k1*(1-b+b*len/avg)) in the SAME f32 arithmetic as the
+    # query-time Bm25Weight cache. Far tighter than the decoupled
+    # (max_tf, min_fieldnorm) pair — the tf and the norm belong to the
+    # same document (tantivy's BlockWAND stores the same pairing).
+    from ..functions.bm25 import B, K1
+    avg_fn = (np.float32(id_to_fieldnorm(fn_ids).sum()) / np.float32(n)
+              ) if n else np.float32(1.0)
+    if avg_fn <= 0:
+        avg_fn = np.float32(1.0)
+    lens_f32 = id_to_fieldnorm(fn_per_post).astype(np.float32)
+    norm = (K1 * (np.float32(1.0) - B + B * lens_f32 / avg_fn)).astype(
+        np.float32)
+    tf_f32 = tfs.astype(np.float32)
+    ratio = (tf_f32 / (tf_f32 + norm)).astype(np.float32)
+    block_max_ratio = np.maximum.reduceat(ratio, blk_start).astype(np.float32)
     doc_offsets = (doc_cum[blk_start] - doc_cum[term_starts[blk_term]]
                    ).astype(np.int32)
     tf_offsets = (tf_cum[blk_start] - tf_cum[term_starts[blk_term]]
@@ -129,6 +145,8 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
         "block_last": _list_array(block_last, blk_offsets, pa.int64()),
         "block_max_tf": _list_array(block_max_tf, blk_offsets, pa.int32()),
         "block_min_fn": _list_array(block_min_fn, blk_offsets, pa.int32()),
+        "block_max_ratio": _list_array(block_max_ratio, blk_offsets,
+                                       pa.float32()),
         "doc_offsets": _list_array(doc_offsets, blk_offsets, pa.int32()),
         "tf_offsets": _list_array(tf_offsets, blk_offsets, pa.int32()),
         "docid_blob": _large_binary_array(

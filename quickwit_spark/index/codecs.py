@@ -197,6 +197,58 @@ def decode_positions(pos_blob: bytes, tfs: np.ndarray
     return cs - base[run_of], run_starts
 
 
+def decode_blocks_batch(docid_blob: bytes, tf_blob: bytes,
+                        doc_offsets: np.ndarray, tf_offsets: np.ndarray,
+                        block_last: np.ndarray, doc_freq: int,
+                        block_idx: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a sorted-unique set of blocks in ONE varint pass.
+
+    Consecutive block indices are grouped into contiguous byte ranges;
+    the ranges are joined and decoded with a single varint_decode
+    (varints are self-delimiting), then per-run delta bases are fixed up
+    vectorized. Decoding ALL blocks this way costs the same as a full
+    decode_postings — the WAND path pays no per-block Python overhead.
+
+    Block value counts are derivable without decoding: every block holds
+    BLOCK_SIZE postings except the final one (doc_freq mod BLOCK_SIZE).
+    """
+    block_idx = np.asarray(block_idx, dtype=np.int64)
+    if block_idx.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    nblocks = len(block_last)
+    # per-block posting counts
+    sizes = np.full(len(block_idx), BLOCK_SIZE, dtype=np.int64)
+    last_sz = doc_freq - (nblocks - 1) * BLOCK_SIZE
+    sizes[block_idx == nblocks - 1] = last_sz
+    # contiguous runs of selected blocks
+    breaks = np.nonzero(np.diff(block_idx) != 1)[0]
+    run_starts = np.r_[0, breaks + 1]
+    run_ends = np.r_[breaks, len(block_idx) - 1]  # inclusive
+    b0 = block_idx[run_starts]
+    b1 = block_idx[run_ends]
+    dlo = doc_offsets[b0]
+    dhi = np.where(b1 + 1 < nblocks, doc_offsets[np.minimum(b1 + 1, nblocks - 1)],
+                   len(docid_blob))
+    tlo = tf_offsets[b0]
+    thi = np.where(b1 + 1 < nblocks, tf_offsets[np.minimum(b1 + 1, nblocks - 1)],
+                   len(tf_blob))
+    counts = np.add.reduceat(sizes, run_starts)
+    dview = memoryview(docid_blob)
+    tview = memoryview(tf_blob)
+    joined_d = b"".join(dview[int(a):int(b)] for a, b in zip(dlo, dhi))
+    joined_t = b"".join(tview[int(a):int(b)] for a, b in zip(tlo, thi))
+    deltas = varint_decode(joined_d).astype(np.int64)
+    tfs = varint_decode(joined_t).astype(np.int64)
+    # per-run base: last docid of the block before the run (0 for block 0)
+    bases = np.where(b0 > 0, block_last[np.maximum(b0 - 1, 0)], 0)
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    cs = np.cumsum(deltas)
+    adjust = bases + deltas[starts] - cs[starts]
+    run_of = np.repeat(np.arange(len(starts)), counts)
+    return cs + adjust[run_of], tfs
+
+
 def decode_block(docid_blob: bytes, tf_blob: bytes, doc_offsets: np.ndarray,
                  tf_offsets: np.ndarray, block_last: np.ndarray,
                  block_idx: int) -> tuple[np.ndarray, np.ndarray]:

@@ -91,8 +91,16 @@ def build_vocab(seed: int, size: int = 4000) -> list[str]:
 
 
 def generate_batch(ids: np.ndarray, seed: int, vocab: np.ndarray,
-                   avg_tokens: int = 80) -> pd.DataFrame:
-    """Generate corpus rows for the given doc indices, vectorized."""
+                   avg_tokens: int = 80, skew: bool = False) -> pd.DataFrame:
+    """Generate corpus rows for the given doc indices, vectorized.
+
+    skew=True produces the score-skewed variant that rewards block-max
+    pruning (BM25 score variance across docs): log-normal doc lengths
+    (median avg_tokens, sigma 1.0 — two orders of magnitude spread) and
+    bursty in-doc term repetition (Markov repeat chains, geometric run
+    lengths, mean ~2.5) so per-posting tf is Zipf-like instead of ~1.
+    skew=False is byte-identical to the round-1 corpus.
+    """
     ids = ids.astype(np.uint64)
     n = len(ids)
     V = len(vocab)
@@ -102,7 +110,17 @@ def generate_batch(ids: np.ndarray, seed: int, vocab: np.ndarray,
 
     lang_u = (h0 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
     lang_idx = np.searchsorted(_LANG_CUM, lang_u, side="right").clip(0, len(LANGS) - 1)
-    ntok = (avg_tokens // 2 + (h1 % np.uint64(avg_tokens))).astype(np.int64)
+    if skew:
+        # log-normal lengths via Box-Muller on two counter-hash uniforms
+        u1 = ((splitmix64(h1 ^ np.uint64(0xA5A5)) >> np.uint64(11))
+              .astype(np.float64) / float(1 << 53)).clip(1e-12, 1.0)
+        u2 = ((splitmix64(h1 ^ np.uint64(0x5A5A)) >> np.uint64(11))
+              .astype(np.float64) / float(1 << 53))
+        z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+        ntok = np.exp(np.log(float(avg_tokens)) + 1.0 * z)
+        ntok = np.round(ntok).clip(8, 64 * avg_tokens).astype(np.int64)
+    else:
+        ntok = (avg_tokens // 2 + (h1 % np.uint64(avg_tokens))).astype(np.int64)
 
     # token ids: counter-based hashing, log-uniform rank => zipf-ish df
     total = int(ntok.sum())
@@ -115,6 +133,17 @@ def generate_batch(ids: np.ndarray, seed: int, vocab: np.ndarray,
     u = (ctr >> np.uint64(11)).astype(np.float64) / float(1 << 53)
     ranks = np.floor(np.power(float(V), u)).astype(np.int64) - 1
     ranks = ranks.clip(0, V - 1)
+    if skew and total:
+        # bursty repetition: position j repeats position j-1's term with
+        # p=0.6 (forced fresh at doc starts). rank[j] = fresh rank at the
+        # last non-repeat position in the same doc — a vectorized Markov
+        # scan via maximum.accumulate over "last fresh index".
+        ru = ((splitmix64(ctr ^ np.uint64(0xB0B0)) >> np.uint64(11))
+              .astype(np.float64) / float(1 << 53))
+        fresh = (ru >= 0.6) | (pos_in_doc == 0)
+        idx = np.where(fresh, np.arange(total), -1)
+        idx = np.maximum.accumulate(idx)
+        ranks = ranks[idx]
 
     words = vocab[ranks]
     # assemble content per doc: one C-level join per doc
@@ -153,7 +182,7 @@ CORPUS_SCHEMA = ("repo string, path string, commit string, lang string, "
 
 
 def corpus_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None,
-              avg_tokens: int = 80):
+              avg_tokens: int = 80, skew: bool = False):
     """Distributed deterministic corpus as a Spark DataFrame."""
     vocab = np.array(build_vocab(seed), dtype=object)
     parts = num_partitions or max(1, min(n_docs // 1000, 64))
@@ -162,14 +191,15 @@ def corpus_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = N
         for pdf in iterator:
             ids = pdf["id"].to_numpy()
             if len(ids):
-                yield generate_batch(ids, seed, vocab, avg_tokens)
+                yield generate_batch(ids, seed, vocab, avg_tokens, skew=skew)
 
     return (spark.range(0, n_docs, 1, parts)
             .mapInPandas(gen, schema=CORPUS_SCHEMA))
 
 
-def corpus_pandas(n_docs: int, seed: int = 42, avg_tokens: int = 80) -> pd.DataFrame:
+def corpus_pandas(n_docs: int, seed: int = 42, avg_tokens: int = 80,
+                  skew: bool = False) -> pd.DataFrame:
     """Local (driver-side) corpus for unit tests and the pure-Python oracle."""
     vocab = np.array(build_vocab(seed), dtype=object)
     return generate_batch(np.arange(n_docs, dtype=np.uint64), seed, vocab,
-                          avg_tokens)
+                          avg_tokens, skew=skew)

@@ -139,6 +139,13 @@ class SegmentReader:
                                             "termdict.parquet")).to_pandas()
         return df[predicate(df["term"])]
 
+    def has_postings_column(self, col: str) -> bool:
+        if self._postings_tbl is not None:
+            return col in self._postings_tbl.schema.names
+        schema = pq.read_schema(os.path.join(self.seg_dir,
+                                             "postings.parquet"))
+        return col in schema.names
+
     def postings_rows(self, term_ids: list[int]) -> pd.DataFrame:
         path = os.path.join(self.seg_dir, "postings.parquet")
         if self._postings_tbl is None and \
@@ -668,19 +675,21 @@ def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
     search_after=(score, segment_id, doc_id) keeps only hits strictly
     after the cursor in global sort order (collector.rs search_after)."""
     reader = get_reader(seg_dir, tokenizer)
+    count = None
     if use_wand:
         shape = _wand_shape(node, text_field, tokenizer)
         if shape is not None:
             from .wand import and_topk, or_topk
             op, terms = shape
             fn = and_topk if op == "and" else or_topk
-            docids, scores = fn(reader, terms, max(k, 1))
+            docids, scores, count = fn(reader, terms, max(k, 1))
             scored = _Scored(docids, scores)
         else:
             scored = reader.eval(node, text_field, scoring=True).with_scores()
     else:
         scored = reader.eval(node, text_field, scoring=True).with_scores()
-    count = len(scored.docids)
+    if count is None:
+        count = len(scored.docids)
     if count == 0:
         return 0, pd.DataFrame({"doc_id": [], "score": []})
     docids, scores = scored.docids, scored.scores

@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..functions.bm25 import Bm25Weight
-from ..index.codecs import decode_block
+from ..index.codecs import decode_blocks_batch
 
 __all__ = ["and_topk", "or_topk", "STATS"]
 
@@ -53,8 +53,13 @@ class _TermCursor:
         self.tf_offsets = np.asarray(row["tf_offsets"], dtype=np.int64)
         self.docid_blob = row["docid_blob"]
         self.tf_blob = row["tf_blob"]
-        self.block_scores = weight.max_score(self.block_max_tf,
-                                             self.block_min_fn)
+        if row.get("block_max_ratio") is not None:
+            # exact jointly-achievable bound written at build time
+            self.block_scores = (weight.weight * np.asarray(
+                row["block_max_ratio"], dtype=np.float32)).astype(np.float32)
+        else:  # pre-ratio segments: decoupled (max_tf, min_fn) bound
+            self.block_scores = weight.max_score(self.block_max_tf,
+                                                 self.block_min_fn)
         self.max_score = float(self.block_scores.max())
 
     def block_range(self, bi: int) -> tuple[int, int]:
@@ -63,21 +68,17 @@ class _TermCursor:
 
     def decode_blocks(self, block_idx: np.ndarray, fn_ids: np.ndarray,
                       record: str):
-        """Decode selected blocks -> (docids, scores f32)."""
+        """Decode selected blocks -> (docids, scores f32). Contiguous
+        block runs are decoded in one varint pass (decode_blocks_batch),
+        so a full-list decode costs the same as the exhaustive path."""
         STATS["blocks_decoded"] += len(block_idx)
         STATS["blocks_total"] += len(self.block_last)
         if len(block_idx) == 0:
             return (np.zeros(0, dtype=np.int64),
                     np.zeros(0, dtype=np.float32))
-        docs_parts, tf_parts = [], []
-        for bi in block_idx:
-            d, t = decode_block(self.docid_blob, self.tf_blob,
-                                self.doc_offsets, self.tf_offsets,
-                                self.block_last, int(bi))
-            docs_parts.append(d)
-            tf_parts.append(t)
-        docids = np.concatenate(docs_parts)
-        tfs = np.concatenate(tf_parts)
+        docids, tfs = decode_blocks_batch(
+            self.docid_blob, self.tf_blob, self.doc_offsets,
+            self.tf_offsets, self.block_last, self.doc_freq, block_idx)
         if record == "basic":
             tfs = np.ones(len(tfs), dtype=np.int64)
         return docids, self.weight.score(tfs, fn_ids[docids])
@@ -90,6 +91,9 @@ _CURSOR_COLS = ["doc_freq", "block_last", "block_max_tf", "block_min_fn",
 def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
     cursors = []
     any_found = False
+    cols = list(_CURSOR_COLS)
+    if reader.has_postings_column("block_max_ratio"):
+        cols.append("block_max_ratio")
     for t in terms:
         tr = reader._term_row(t)
         if tr is None:
@@ -97,8 +101,7 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
             continue
         any_found = True
         term_id, doc_freq = tr
-        row = dict(zip(_CURSOR_COLS,
-                       reader._postings_cells(term_id, _CURSOR_COLS)))
+        row = dict(zip(cols, reader._postings_cells(term_id, cols)))
         w = Bm25Weight(doc_freq, reader.num_docs,
                        float(reader._avg_fieldnorm))
         cursors.append(_TermCursor(t, row, w))
@@ -120,13 +123,18 @@ def _combine_in_query_order(parts, final_docids):
     return scores
 
 
+def _empty3():
+    return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32), 0)
+
+
 def and_topk(reader, terms: list[str], k: int):
     """Skip-based intersection with exact scores.
-    Returns (docids, scores) of the FULL intersection (count is exact)."""
+    Returns (docids, scores, match_count) of the FULL intersection
+    (count is exact)."""
     fn_ids = reader.fieldnorm_ids()
     cursors = _make_cursors(reader, terms)
     if any(c is None for c in cursors) or not cursors:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32)
+        return _empty3()
     order = sorted(range(len(cursors)), key=lambda i: cursors[i].doc_freq)
     parts: list = [None] * len(cursors)
     lead = cursors[order[0]]
@@ -136,8 +144,7 @@ def and_topk(reader, terms: list[str], k: int):
     cand = docids
     for i in order[1:]:
         if len(cand) == 0:
-            return (np.zeros(0, dtype=np.int64),
-                    np.zeros(0, dtype=np.float32))
+            return _empty3()
         cur = cursors[i]
         # candidate docids -> covering blocks (block b covers docids in
         # (block_last[b-1], block_last[b]])
@@ -147,19 +154,23 @@ def and_topk(reader, terms: list[str], k: int):
         parts[i] = (d2, s2)
         cand = np.intersect1d(cand, d2, assume_unique=True)
     if len(cand) == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32)
-    return cand, _combine_in_query_order(parts, cand)
+        return _empty3()
+    return cand, _combine_in_query_order(parts, cand), len(cand)
 
 
 def or_topk(reader, terms: list[str], k: int):
     """MaxScore/block-max pruned union top-k (scores exact for returned
     docs; skipped docs provably below the threshold).
-    Returns (docids, scores) covering at least the top-k."""
+    Returns (docids, scores, match_count_lower_bound) where docids is
+    exactly the top-k slice in (score desc, docid desc) order-defining
+    terms (unsorted set; caller sorts) and the count is the number of
+    matching docs SEEN (a lower bound — the reference's
+    CountHits::Underestimate)."""
     fn_ids = reader.fieldnorm_ids()
     all_cursors = _make_cursors(reader, terms)
     live = [(i, c) for i, c in enumerate(all_cursors) if c is not None]
     if not live:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32)
+        return _empty3()
     live.sort(key=lambda ic: -ic[1].max_score)
 
     # accumulator (decode-order sums) is used ONLY for pruning thresholds;
@@ -171,22 +182,26 @@ def or_topk(reader, terms: list[str], k: int):
     theta = -np.inf
     for j, (i, cur) in enumerate(live):
         remaining = rest[j + 1] if j + 1 < len(live) else 0.0
-        if theta > -np.inf and cur.max_score + remaining < theta and \
-                len(acc_docs) >= k:
-            # no unseen doc can reach top-k: decode only blocks that
-            # overlap candidates still able to pass theta with help
-            viable = acc_docs[acc_scores + np.float32(cur.max_score
-                                                      + remaining) >= theta]
-            if len(viable) == 0:
-                continue
-            bidx = np.unique(np.searchsorted(cur.block_last, viable,
-                                             side="left"))
-            bidx = bidx[bidx < len(cur.block_last)]
-            # block-max refinement: skip blocks whose own bound can't help
-            bs = cur.block_scores[bidx]
-            bidx = bidx[bs + np.float32(remaining) +
-                        _max_in_blocks(acc_docs, acc_scores, cur, bidx)
-                        >= theta]
+        if theta > -np.inf and len(acc_docs) >= k:
+            # block-max filter for EVERY cursor once theta is set: block b
+            # can matter iff (an unseen doc could qualify through it:
+            # block_score + remaining >= theta) or (a current candidate in
+            # its range could: best_acc_in_block + block_score + remaining
+            # >= theta). best >= 0 folds both into one test.
+            nblk = len(cur.block_last)
+            all_b = np.arange(nblk)
+            best = _max_in_blocks(acc_docs, acc_scores, cur, all_b)
+            if cur.max_score + remaining < theta:
+                # non-essential term: no unseen doc can qualify at all, so
+                # blocks with no viable candidate are dead even when their
+                # own bound is high
+                unseen_ok = np.zeros(nblk, dtype=bool)
+            else:
+                unseen_ok = (cur.block_scores + np.float32(remaining)
+                             >= theta)
+            keep = unseen_ok | (cur.block_scores + np.float32(remaining)
+                                + best >= theta)
+            bidx = all_b[keep]
             d2, s2 = cur.decode_blocks(bidx, fn_ids, reader.record)
         else:
             d2, s2 = cur.decode_blocks(
@@ -201,23 +216,41 @@ def or_topk(reader, terms: list[str], k: int):
             kth = float(np.partition(acc_scores, -k)[-k])
             theta = kth - abs(kth) * 1e-5
 
-    final_docids = acc_docs
+    count = len(acc_docs)
     qparts = [p for p in parts if p is not None]
-    return final_docids, _combine_in_query_order(qparts, final_docids)
+    final_scores = _combine_in_query_order(qparts, acc_docs)
+    if count > k:
+        # return only the top-k slice under the engine's order
+        # (score desc, docid desc), computed on the RECOMBINED scores so
+        # membership matches the exhaustive path bit-for-bit
+        order = np.lexsort((-acc_docs, -final_scores.astype(np.float64)))
+        top = order[:k]
+        return acc_docs[top], final_scores[top], count
+    return acc_docs, final_scores, count
 
 
 def _max_in_blocks(acc_docs, acc_scores, cur, bidx):
     """Per selected block: the best current candidate score inside the
-    block's docid range (so block bound + candidate best >= theta test)."""
+    block's docid range (so block bound + candidate best >= theta test).
+    Vectorized: interleaved-boundary maximum.reduceat over the
+    accumulator (blocks are disjoint and ascending)."""
     if len(bidx) == 0:
         return np.zeros(0, dtype=np.float32)
-    out = np.zeros(len(bidx), dtype=np.float32)
-    for j, bi in enumerate(bidx):
-        lo, hi = cur.block_range(int(bi))
-        a = np.searchsorted(acc_docs, lo, side="left")
-        b = np.searchsorted(acc_docs, hi, side="right")
-        if b > a:
-            out[j] = acc_scores[a:b].max()
+    los = np.where(bidx > 0, cur.block_last[np.maximum(bidx - 1, 0)] + 1, 0)
+    his = cur.block_last[bidx]
+    a = np.searchsorted(acc_docs, los, side="left")
+    b = np.searchsorted(acc_docs, his, side="right")
+    # blocks with no candidate in range get -inf (an unseen doc's chances
+    # are judged by the caller's unseen_ok test, not here)
+    out = np.full(len(bidx), -np.inf, dtype=np.float32)
+    nz = b > a
+    if not nz.any():
+        return out
+    # sentinel element keeps every reduceat index < len(arr)
+    xs = np.r_[acc_scores, np.float32(-np.inf)]
+    bounds = np.column_stack([a[nz], b[nz]]).ravel()
+    seg = np.maximum.reduceat(xs, bounds)
+    out[nz] = seg[::2]
     return out
 
 

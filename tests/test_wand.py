@@ -86,6 +86,63 @@ def test_wand_actually_skips(idx):
         wand.STATS
 
 
+@pytest.fixture(scope="module")
+def skew_idx(tmp_path_factory):
+    """Score-skewed corpus (log-normal lengths, bursty tf): the corpus
+    shape where block-max pruning pays off."""
+    tmp = tmp_path_factory.mktemp("wand_skew")
+    pdf = corpus_pandas(5000, seed=7, skew=True)
+    cfg = IndexConfig(index_uid="wand_skew", index_dir=str(tmp / "w"))
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    return cfg
+
+
+def test_wand_skewed_or_skips_majority(skew_idx):
+    """North-star perf assertion: on an idf-asymmetric OR (mid-df term +
+    very common terms) over the skewed corpus, the pruned path must skip
+    the majority of posting blocks while staying rank-identical."""
+    import os
+    from quickwit_spark.search.engine import get_reader
+    searcher = IndexSearcher(skew_idx.index_dir)
+    seg = searcher.manifest.segments()[0]
+    td = get_reader(os.path.join(skew_idx.index_dir, "segments",
+                                 seg["segment_id"]),
+                    searcher.tokenizer)._cached_termdict()
+    nd = seg["num_docs"]
+    mid = td[(td.doc_freq >= nd // 200)
+             & (td.doc_freq <= nd // 50)].sort_values("doc_freq")
+    big = td.sort_values("doc_freq").iloc[-2:]
+    terms = [mid.iloc[0]["term"], *big["term"].tolist()]
+    node = A.Bool(should=tuple(A.Term("content", t) for t in terms))
+    exact = searcher.search(node, k=10, fetch_fields=False, count_all=True)
+    wand.STATS["blocks_decoded"] = wand.STATS["blocks_total"] = 0
+    pruned = searcher.search(node, k=10, fetch_fields=False,
+                             count_all=False)
+    a = [(np.float32(h.score).item(), h.segment_id, h.doc_id)
+         for h in exact.hits]
+    b = [(np.float32(h.score).item(), h.segment_id, h.doc_id)
+         for h in pruned.hits]
+    assert a == b
+    skip = 1 - wand.STATS["blocks_decoded"] / wand.STATS["blocks_total"]
+    assert skip >= 0.5, wand.STATS
+
+
+def test_wand_or_topk_returns_slice(skew_idx):
+    """or_topk returns only the top-k slice (not the full accumulator),
+    with the seen-doc count as the lower-bound match count."""
+    import os
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.search.engine import get_reader
+    from quickwit_spark.search.wand import or_topk
+    seg = Manifest.load(skew_idx.index_dir).segments()[0]
+    reader = get_reader(os.path.join(skew_idx.index_dir, "segments",
+                                     seg["segment_id"]),
+                        "source_code_default")
+    docids, scores, count = or_topk(reader, ["merge", "id"], 10)
+    assert len(docids) == 10
+    assert count >= 10
+
+
 def test_wand_or_skips_with_small_k(idx):
     searcher = IndexSearcher(idx.index_dir)
     node = A.Bool(should=tuple(

@@ -66,7 +66,8 @@ def _list_array(values: np.ndarray, offsets: np.ndarray,
 def write_segment(seg_dir: str, terms_sorted: np.ndarray,
                   p_term: np.ndarray, p_doc: np.ndarray, tfs: np.ndarray,
                   fn_ids: np.ndarray, doc_cols: dict, meta_extra: dict,
-                  positions: tuple[bytes, np.ndarray] | None = None
+                  positions: tuple[bytes, np.ndarray] | None = None,
+                  preencoded: tuple | None = None
                   ) -> dict:
     """Encode posting blocks + write the three segment files + meta.json.
 
@@ -77,6 +78,12 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     position deltas, token-ordered by (term, doc, position); the posting's
     tf gives each run length. Shared by the initial build and the merge
     executor.
+
+    `preencoded`, when given, is (doc_blob, doc_nb, tf_blob, tf_nb): the
+    already-varint-encoded delta/tf streams plus per-value byte counts —
+    the merge executor splices parents' unchanged varint runs instead of
+    re-encoding (byte-identical by varint canonicity). Block metadata is
+    still recomputed here from the decoded arrays.
     """
     nterms = len(terms_sorted)
     n = len(fn_ids)
@@ -89,13 +96,18 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     doc_freq = term_lens
     total_tf = np.add.reduceat(tfs, term_starts)
 
-    # delta encoding: within a term, gap vs previous docid; first = docid
-    deltas = np.empty(npost, dtype=np.int64)
-    deltas[0] = p_doc[0]
-    deltas[1:] = p_doc[1:] - p_doc[:-1]
-    deltas[term_starts] = p_doc[term_starts]
-    doc_blob, doc_nb = _varint_encode_with_sizes(deltas.astype(np.uint64))
-    tf_blob, tf_nb = _varint_encode_with_sizes(tfs.astype(np.uint64))
+    if preencoded is not None:
+        doc_blob, doc_nb, tf_blob, tf_nb = preencoded
+    else:
+        # delta encoding: within a term, gap vs previous docid;
+        # first = docid
+        deltas = np.empty(npost, dtype=np.int64)
+        deltas[0] = p_doc[0]
+        deltas[1:] = p_doc[1:] - p_doc[:-1]
+        deltas[term_starts] = p_doc[term_starts]
+        doc_blob, doc_nb = _varint_encode_with_sizes(
+            deltas.astype(np.uint64))
+        tf_blob, tf_nb = _varint_encode_with_sizes(tfs.astype(np.uint64))
     doc_cum = np.r_[0, np.cumsum(doc_nb)]
     tf_cum = np.r_[0, np.cumsum(tf_nb)]
 

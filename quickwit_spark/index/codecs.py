@@ -61,6 +61,27 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
     return vals
 
 
+def varint_decode_with_sizes(buf: bytes | memoryview
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """varint_decode that also returns each value's encoded byte count
+    (the merge splicer reuses parents' unchanged bytes and needs the
+    per-value sizes to rebuild block byte offsets without re-encoding)."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    ends = np.nonzero((a & 0x80) == 0)[0]
+    starts = np.empty(ends.shape, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    vals = np.zeros(ends.shape, dtype=np.uint64)
+    for j in range(int(lens.max())):
+        active = lens > j
+        b = a[starts[active] + j].astype(np.uint64)
+        vals[active] |= (b & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals, lens
+
+
 def encode_posting_blocks(docids: np.ndarray, tfs: np.ndarray,
                           fieldnorm_ids: np.ndarray):
     """Encode one term's postings (docids strictly increasing) into blocks.

@@ -85,38 +85,178 @@ def _gather_runs(values: np.ndarray, run_lens: np.ndarray,
 # single shared encoder (codecs.py) — bit-identical across build/merge/
 # delete paths, which content-addressed idempotence depends on
 from .codecs import encode_position_blob as _encode_position_blob  # noqa: E402
+from .codecs import varint_decode_with_sizes as _varint_decode_with_sizes
+from .codecs import varint_encode_with_sizes as _varint_encode_with_sizes
+
+
+def _binary_cells(col) -> tuple[np.ndarray, np.ndarray]:
+    """(data uint8[], offsets int64[n+1]) of an arrow binary column —
+    zero-copy access to every cell's byte range."""
+    arr = col.combine_chunks()
+    import pyarrow.compute as pc
+    lens = pc.binary_length(arr).to_numpy().astype(np.int64)
+    offs = np.r_[0, np.cumsum(lens)]
+    # data buffer may be shared/offset; slice to this array's view
+    bufs = arr.buffers()
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off0 = int(np.frombuffer(bufs[1], dtype=odt)[arr.offset])
+    data = data[off0:off0 + offs[-1]]
+    return data, offs
+
+
+def _byte_gather(source: np.ndarray, starts: np.ndarray,
+                 lens: np.ndarray) -> np.ndarray:
+    """Concatenate source[starts[i]:starts[i]+lens[i]] — one fancy index."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=source.dtype)
+    dst = np.r_[0, np.cumsum(lens)[:-1]]
+    within = np.arange(total) - np.repeat(dst, lens)
+    return source[np.repeat(starts, lens) + within]
 
 
 def merge_segments(index_dir: str, parents: list[dict]) -> dict:
-    """Execute one merge operation; returns the merged segment's metadata."""
+    """Execute one merge operation; returns the merged segment's metadata.
+
+    Posting bytes are SPLICED, not re-encoded (merge_executor.rs's
+    union-concat-without-retokenizing, taken one level further): a merged
+    term's posting list is its parents' runs concatenated in parent
+    order, and every within-run delta gap is unchanged by the docid
+    remap (offsets cancel), so the parents' varint bytes are copied
+    verbatim; only each run's FIRST delta (absolute docid or gap vs the
+    previous parent's last docid) is re-encoded. The tf stream and the
+    position stream (deltas reset per posting) are pure byte
+    concatenations. Canonical varint encoding makes the result
+    byte-identical to a full re-encode (FIXTURES.md F6 idempotence).
+    Docids/tfs are still decoded once per parent — the 128-posting block
+    metadata (block_last/max_tf/min_fn/max_ratio) is realigned in
+    write_segment from the decoded arrays.
+    """
     segments_root = os.path.join(index_dir, "segments")
     offsets = np.r_[0, np.cumsum([p["num_docs"] for p in parents])[:-1]]
     with_pos = all(p.get("record") == "position" for p in parents)
 
-    all_terms: list[np.ndarray] = []
-    parts = []
-    for p, off in zip(parents, offsets):
+    # --- per-parent load: decoded values + raw byte ranges ---------------
+    all_terms = []
+    p_doc_parts, p_tf_parts = [], []      # decoded per-parent streams
+    doc_nb_parts, tf_nb_parts = [], []    # per-value byte sizes
+    doc_data_parts, tf_data_parts, pos_data_parts = [], [], []
+    run_rows = []                         # one row per (parent, term)
+    doc_base = tf_base = pos_base = 0     # bases into concatenated buffers
+    post_base = 0
+    for pi, (p, off) in enumerate(zip(parents, offsets)):
         seg_dir = os.path.join(segments_root, p["segment_id"])
-        terms, term_of, docids, tfs, pos = _decode_segment_postings(
-            seg_dir, with_positions=with_pos)
+        cols = ["doc_freq", "docid_blob", "tf_blob"]
+        if with_pos:
+            cols.append("pos_blob")
+        t = pq.read_table(os.path.join(seg_dir, "postings.parquet"),
+                          columns=cols)
+        td = pq.read_table(os.path.join(seg_dir, "termdict.parquet"),
+                           columns=["term"])
+        terms = np.asarray(td.column("term").to_pylist(), dtype=object)
+        doc_freq = t.column("doc_freq").to_numpy().astype(np.int64)
+        ddata, doffs = _binary_cells(t.column("docid_blob"))
+        tdata, toffs = _binary_cells(t.column("tf_blob"))
+        deltas, dnb = _varint_decode_with_sizes(ddata)
+        tfs, tnb = _varint_decode_with_sizes(tdata)
+        term_starts = np.r_[0, np.cumsum(doc_freq)[:-1]]
+        cs = np.cumsum(deltas.astype(np.int64))
+        base = cs[term_starts] - deltas[term_starts].astype(np.int64)
+        term_of = np.repeat(np.arange(len(terms)), doc_freq)
+        docids = cs - base[term_of] + int(off)
+
         all_terms.append(terms)
-        parts.append((terms, term_of, docids + int(off), tfs, pos))
+        p_doc_parts.append(docids)
+        p_tf_parts.append(tfs.astype(np.int64))
+        doc_nb_parts.append(dnb)
+        tf_nb_parts.append(tnb)
+        doc_data_parts.append(ddata)
+        tf_data_parts.append(tdata)
+        term_ends = term_starts + doc_freq
+        row = {
+            "parent": np.full(len(terms), pi, dtype=np.int64),
+            "len": doc_freq,
+            "post_start": term_starts + post_base,
+            "doc_byte_start": doffs[:-1] + doc_base,
+            "doc_byte_len": np.diff(doffs),
+            "first_len": dnb[term_starts],
+            "tf_byte_start": toffs[:-1] + tf_base,
+            "tf_byte_len": np.diff(toffs),
+            "first_doc": docids[term_starts],
+            "last_doc": docids[term_ends - 1],
+        }
+        if with_pos:
+            pdata, poffs = _binary_cells(t.column("pos_blob"))
+            pos_data_parts.append(pdata)
+            row["pos_byte_start"] = poffs[:-1] + pos_base
+            row["pos_byte_len"] = np.diff(poffs)
+            pos_base += len(pdata)
+        run_rows.append(row)
+        doc_base += len(ddata)
+        tf_base += len(tdata)
+        post_base += len(docids)
 
     global_terms = np.unique(np.concatenate(all_terms))
-    g_term = np.concatenate([
-        np.searchsorted(global_terms, terms)[term_of]
-        for terms, term_of, _d, _t, _p in parts])
-    g_doc = np.concatenate([d for _te, _to, d, _t, _p in parts])
-    g_tf = np.concatenate([t for _te, _to, _d, t, _p in parts])
-    order = np.lexsort((g_doc, g_term))
+    run_gterm = np.concatenate([
+        np.searchsorted(global_terms, terms) for terms in all_terms])
+    runs = {k: np.concatenate([r[k] for r in run_rows])
+            for k in run_rows[0]}
+    # runs ordered by (term, parent): stable sort keeps parent order
+    order = np.argsort(run_gterm, kind="stable")
+    for k in runs:
+        runs[k] = runs[k][order]
+    run_gterm = run_gterm[order]
+
+    # --- new first-delta per run (the ONLY re-encoded values) ------------
+    same_term = np.r_[False, run_gterm[1:] == run_gterm[:-1]]
+    prev_last = np.r_[0, runs["last_doc"][:-1]]
+    new_first = runs["first_doc"] - np.where(same_term, prev_last, 0)
+    nf_blob, nf_nb = _varint_encode_with_sizes(new_first.astype(np.uint64))
+    nf_data = np.frombuffer(nf_blob, dtype=np.uint8)
+    nf_starts = np.r_[0, np.cumsum(nf_nb)[:-1]]
+
+    # --- splice the docid stream: [new first][unchanged tail] per run ----
+    doc_source = np.concatenate([*doc_data_parts, nf_data])
+    nf_base = doc_source.size - nf_data.size
+    nruns = len(run_gterm)
+    piece_start = np.empty(2 * nruns, dtype=np.int64)
+    piece_len = np.empty(2 * nruns, dtype=np.int64)
+    piece_start[0::2] = nf_base + nf_starts
+    piece_len[0::2] = nf_nb
+    piece_start[1::2] = runs["doc_byte_start"] + runs["first_len"]
+    piece_len[1::2] = runs["doc_byte_len"] - runs["first_len"]
+    doc_blob = _byte_gather(doc_source, piece_start, piece_len).tobytes()
+
+    # --- tf stream: pure concatenation of run cells ----------------------
+    tf_source = np.concatenate(tf_data_parts)
+    tf_blob = _byte_gather(tf_source, runs["tf_byte_start"],
+                           runs["tf_byte_len"]).tobytes()
+
+    # --- merged posting value arrays (for block metadata) ----------------
+    p_doc_all = np.concatenate(p_doc_parts)
+    p_tf_all = np.concatenate(p_tf_parts)
+    doc_nb_all = np.concatenate(doc_nb_parts)
+    tf_nb_all = np.concatenate(tf_nb_parts)
+    val_src = _value_gather_index(runs["post_start"], runs["len"])
+    g_doc = p_doc_all[val_src]
+    g_tf = p_tf_all[val_src]
+    g_term = np.repeat(run_gterm, runs["len"])
+    doc_nb_m = doc_nb_all[val_src]
+    run_val_starts = np.r_[0, np.cumsum(runs["len"])[:-1]]
+    doc_nb_m[run_val_starts] = nf_nb  # patched firsts
+    tf_nb_m = tf_nb_all[val_src]
+
     positions = None
     if with_pos:
-        # positions travel with their posting run; doc-local values are
-        # unchanged by the merge, only run order changes
-        all_pos = np.concatenate([p for *_rest, p in parts])
-        g_pos = _gather_runs(all_pos, g_tf, order)
-        positions = _encode_position_blob(g_pos, g_tf[order], g_term[order])
-    g_term, g_doc, g_tf = g_term[order], g_doc[order], g_tf[order]
+        # per-posting delta runs reset at run starts: byte concat per term
+        pos_source = np.concatenate(pos_data_parts)
+        pos_blob = _byte_gather(pos_source, runs["pos_byte_start"],
+                                runs["pos_byte_len"]).tobytes()
+        term_first_run = np.nonzero(
+            np.r_[True, run_gterm[1:] != run_gterm[:-1]])[0]
+        term_bytes = np.add.reduceat(runs["pos_byte_len"], term_first_run)
+        positions = (pos_blob, np.r_[0, np.cumsum(term_bytes)])
 
     # docs table: concat with remapped doc ids
     doc_tables = []
@@ -176,7 +316,16 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
     doc_cols = {name: docs_tbl.column(name)
                 for name in docs_tbl.schema.names}
     return write_segment(seg_dir, global_terms, g_term, g_doc, g_tf,
-                         fn_ids, doc_cols, meta_extra, positions=positions)
+                         fn_ids, doc_cols, meta_extra, positions=positions,
+                         preencoded=(doc_blob, doc_nb_m, tf_blob, tf_nb_m))
+
+
+def _value_gather_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Index array concatenating [starts[i], starts[i]+lens[i]) ranges."""
+    total = int(lens.sum())
+    dst = np.r_[0, np.cumsum(lens)[:-1]]
+    within = np.arange(total) - np.repeat(dst, lens)
+    return np.repeat(starts, lens) + within
 
 
 def _mapping_group(seg: dict) -> tuple:
@@ -220,16 +369,20 @@ def run_merges(index_dir: str, spark=None,
 
 def _execute_spark(spark, index_dir: str, ops: list[MergeOperation]
                    ) -> list[dict]:
-    rows = [(i, json.dumps(op.segments)) for i, op in enumerate(ops)]
-    df = spark.createDataFrame(rows, "op_id int, parents string")
+    """One Spark task per merge op. Ops are independent, so a narrow
+    round-robin mapInPandas is enough — no shuffle, no groupBy (the
+    repartition+groupBy variant paid a full exchange at
+    spark.sql.shuffle.partitions width for a handful of rows)."""
+    rows = [(json.dumps(op.segments),) for op in ops]
+    rdd = spark.sparkContext.parallelize(rows, len(ops))
+    df = spark.createDataFrame(rdd, "parents string")
 
-    def run_op(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for r in pdf.itertuples():
-            meta = merge_segments(index_dir, json.loads(r.parents))
-            out.append(json.dumps(meta))
-        return pd.DataFrame({"meta": out})
+    def run_ops(batches):
+        for pdf in batches:
+            out = [json.dumps(merge_segments(index_dir,
+                                             json.loads(parents)))
+                   for parents in pdf["parents"].tolist()]
+            yield pd.DataFrame({"meta": out})
 
-    res = (df.repartition(len(ops), "op_id").groupBy("op_id")
-           .applyInPandas(run_op, schema="meta string").collect())
+    res = df.mapInPandas(run_ops, schema="meta string").collect()
     return [json.loads(r.meta) for r in res]

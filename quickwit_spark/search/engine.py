@@ -316,8 +316,15 @@ class SegmentReader:
                         sets.append(d)
                 ids = _union_ids(sets)
             else:
+                # factorize to uniques so the regex runs once per distinct
+                # value (vectorized str.match), not once per row
                 col = self.doc_column(node.field)
-                mask = np.array([bool(rx.match(str(v))) for v in col])
+                codes, uniques = pd.factorize(pd.Series(col))
+                matched = pd.Series(uniques).astype(str).str.match(
+                    rx, na=False).to_numpy()
+                mask = np.zeros(len(col), dtype=bool)
+                valid = codes >= 0
+                mask[valid] = matched[codes[valid]]
                 ids = np.nonzero(mask)[0].astype(np.int64)
             return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                            if scoring else None)
@@ -384,56 +391,47 @@ class SegmentReader:
             cand = np.intersect1d(cand, d, assume_unique=True)
         if len(cand) == 0:
             return _Scored.empty()
+        # Vectorized across ALL candidate docs at once: every slot's
+        # positions are gathered into one sorted array of packed
+        # (candidate_ordinal << 33) | (position - slot + L) keys, then
+        # phrase anchors survive slot-by-slot via sorted-set operations —
+        # no per-document Python (the run offsets rs/tf make the gather a
+        # single fancy-index per variant).
         slop = node.slop
-        match_ids: list[int] = []
-        freqs: list[int] = []
-        for doc in cand.tolist():
-            # positions of slot i in this doc, shifted by -i
-            slot_pos: list[np.ndarray] = []
-            for plist in posting_sets:
-                parts = []
-                for d, tf, _df, pos, rs in plist:
-                    j = np.searchsorted(d, doc)
-                    if j < len(d) and d[j] == doc:
-                        parts.append(pos[rs[j]:rs[j] + tf[j]])
-                if not parts:
-                    slot_pos.append(np.zeros(0, dtype=np.int64))
-                elif len(parts) == 1:
-                    slot_pos.append(parts[0])
-                else:
-                    slot_pos.append(np.sort(np.concatenate(parts)))
-            anchors = slot_pos[0]
-            for i, sp in enumerate(slot_pos[1:], start=1):
-                adj = sp - i
-                if slop == 0:
-                    anchors = np.intersect1d(anchors, adj)
-                else:
-                    # sloppy: anchor survives if this slot has a position
-                    # within `slop` of its expected place
-                    if len(adj) == 0:
-                        anchors = anchors[:0]
-                    else:
-                        j = np.searchsorted(adj, anchors)
-                        lo = np.abs(adj[np.clip(j - 1, 0, len(adj) - 1)]
-                                    - anchors) <= slop
-                        hi = np.abs(adj[np.clip(j, 0, len(adj) - 1)]
-                                    - anchors) <= slop
-                        anchors = anchors[lo | hi]
-                if len(anchors) == 0:
-                    break
-            if len(anchors):
-                match_ids.append(doc)
-                freqs.append(len(anchors))
-        if not match_ids:
+        L = np.int64(len(toks))  # offset keeps adjusted positions >= 0
+        slot_keys = [
+            _gather_phrase_keys(plist, cand, i, L)
+            for i, plist in enumerate(posting_sets)]
+        anchors = slot_keys[0]
+        for sk in slot_keys[1:]:
+            if len(anchors) == 0 or len(sk) == 0:
+                anchors = anchors[:0]
+                break
+            if slop == 0:
+                anchors = np.intersect1d(anchors, sk, assume_unique=True)
+            else:
+                # anchor survives if this slot has a position within
+                # `slop` of its expected place IN THE SAME DOC (the low
+                # bound is clamped to the doc's key range so a previous
+                # doc's high positions can't leak in)
+                adjp = anchors & np.int64((1 << 33) - 1)
+                doc_base = anchors - adjp
+                lo = doc_base + np.maximum(adjp - slop, 0)
+                hi = anchors + np.int64(slop)
+                j = np.searchsorted(sk, lo, side="left")
+                ok = (j < len(sk)) & (sk[np.minimum(j, len(sk) - 1)] <= hi)
+                anchors = anchors[ok]
+        if len(anchors) == 0:
             return _Scored.empty()
-        docids = np.asarray(match_ids, dtype=np.int64)
+        doc_ords = anchors >> np.int64(33)
+        uords, freqs = np.unique(doc_ords, return_counts=True)
+        docids = cand[uords]
         if not scoring:
             return _Scored(docids, None)
         dfs = [min(p[2] for p in plist) for plist in posting_sets]
         w = self._phrase_weight(dfs)
         fn = self.fieldnorm_ids()[docids]
-        return _Scored(docids, w.score(np.asarray(freqs, dtype=np.int64),
-                                       fn))
+        return _Scored(docids, w.score(freqs.astype(np.int64), fn))
 
     def _phrase_weight(self, dfs: list[int]) -> Bm25Weight:
         """BM25 weight whose idf is the sum over the phrase's terms (the
@@ -496,6 +494,44 @@ class SegmentReader:
                     result.docids[keep],
                     result.scores[keep] if result.scores is not None else None)
         return result
+
+
+def _gather_phrase_keys(plist, cand: np.ndarray, slot_idx: int,
+                        L: np.int64) -> np.ndarray:
+    """All positions of one phrase slot across the candidate docs, packed
+    as sorted (cand_ordinal << 33) | (pos - slot_idx + L) keys.
+
+    plist holds (docids, tfs, df, positions, run_starts) per variant
+    (several variants only for the prefix-expanded last slot). Positions
+    fit 32 bits (token ordinal within a doc), ordinals fit 30, so the
+    packing is collision-free in int64.
+    """
+    parts = []
+    C = len(cand)
+    for d, tf, _df, pos, rs in plist:
+        if len(d) == 0:
+            continue
+        j = np.clip(np.searchsorted(d, cand), 0, len(d) - 1)
+        present = d[j] == cand
+        doc_ord = np.nonzero(present)[0]
+        jj = j[present]
+        lens = tf[jj]
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        out_start = np.r_[0, np.cumsum(lens)[:-1]]
+        within = np.arange(total) - np.repeat(out_start, lens)
+        src = np.repeat(rs[jj], lens) + within
+        adj = pos[src] - np.int64(slot_idx) + L
+        keys = (np.repeat(doc_ord, lens).astype(np.int64)
+                << np.int64(33)) + adj
+        parts.append(keys)
+    _ = C
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    if len(parts) == 1:
+        return parts[0]  # variant runs are (doc, pos)-sorted already
+    return np.sort(np.concatenate(parts))
 
 
 class InvalidQueryValue(ValueError):

@@ -413,6 +413,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("chars", 4).alias("avg_chars"))
     q["agg_es_terms_spec"] = agg_es_spec
 
+    def agg_extended_stats(s, d):
+        """extended_stats metric under a terms bucket (aggregations.rs
+        extended stats: sum_of_squares / population variance / stddev)."""
+        from quickwit_spark.search.aggregations import aggregate
+        _, _, searcher = _doc_index(d)
+        sp = IndexSearcher(searcher.index_dir, spark=s)
+        out = aggregate(sp, "*", {
+            "langs": {"terms": {"field": "lang"},
+                      "aggs": {"st": {"extended_stats":
+                                      {"field": "n_chars"}}}}})
+        return out.select(
+            F.col("langs").alias("lang"),
+            F.col("doc_count").alias("cnt"),
+            F.col("st_count").cast("long").alias("st_count"),
+            F.col("st_min").cast("long").alias("st_min"),
+            F.col("st_max").cast("long").alias("st_max"),
+            F.round("st_avg", 4).alias("st_avg"),
+            F.col("st_sum").cast("long").alias("st_sum"),
+            F.round("st_sum_of_squares", 2).alias("st_sumsq"),
+            F.round("st_variance", 4).alias("st_var"),
+            F.round("st_std_deviation", 4).alias("st_std"))
+    q["agg_extended_stats"] = agg_extended_stats
+
+    def agg_nested_2level(s, d):
+        """Two bucket levels (terms > histogram) with a leaf metric —
+        arbitrary-depth nesting (collector.rs sub-agg tree)."""
+        from quickwit_spark.search.aggregations import aggregate
+        _, _, searcher = _doc_index(d)
+        sp = IndexSearcher(searcher.index_dir, spark=s)
+        out = aggregate(sp, A.FullText("text", "merge"), {
+            "langs": {"terms": {"field": "lang"},
+                      "aggs": {"hist": {
+                          "histogram": {"field": "n_chars",
+                                        "interval": 100},
+                          "aggs": {"chars": {
+                              "avg": {"field": "n_chars"}}}}}}})
+        return out.select(
+            F.col("langs").alias("lang"),
+            F.col("hist").cast("long").alias("bucket"),
+            F.col("doc_count").alias("cnt"),
+            F.round("chars", 4).alias("avg_chars"))
+    q["agg_nested_2level"] = agg_nested_2level
+
+    def agg_terms_sum_other(s, d):
+        """terms with size + sum_other_doc_count (the ES response field:
+        matched docs outside the returned buckets)."""
+        from quickwit_spark.search.aggregations import aggregate
+        _, _, searcher = _doc_index(d)
+        sp = IndexSearcher(searcher.index_dir, spark=s)
+        out = aggregate(sp, "*", {"langs": {"terms": {"field": "lang",
+                                                      "size": 3}}})
+        return out.select(
+            F.col("langs").alias("lang"),
+            F.col("doc_count").alias("cnt"),
+            F.col("langs_sum_other_doc_count").alias("sum_other"))
+    q["agg_terms_sum_other"] = agg_terms_sum_other
+
+    def agg_histogram_gap_filled(s, d):
+        """histogram with min_doc_count=0 + extended_bounds: empty
+        buckets zero-filled across the widened key range."""
+        from quickwit_spark.search.aggregations import aggregate
+        _, _, searcher = _doc_index(d)
+        sp = IndexSearcher(searcher.index_dir, spark=s)
+        out = aggregate(sp, "*", {"hist": {"histogram": {
+            "field": "n_chars", "interval": 50, "min_doc_count": 0,
+            "extended_bounds": {"min": 0, "max": 800}}}})
+        return out.select(F.col("hist").cast("long").alias("bucket"),
+                          F.col("doc_count").alias("cnt"))
+    q["agg_histogram_gap_filled"] = agg_histogram_gap_filled
+
     # --- training-data pipeline ops (dedup / similarity / text stats) ---
     from quickwit_spark.pipeline import dedup as dd
     from quickwit_spark.pipeline import similarity as sim
@@ -616,6 +686,54 @@ FROM documents JOIN matched USING (doc_id)
 GROUP BY lang
 """
     o["agg_es_terms_spec"] = o["agg_terms_matched_docs"]
+    o["agg_extended_stats"] = """
+SELECT lang, count(*) AS cnt,
+       count(n_chars) AS st_count,
+       CAST(min(n_chars) AS BIGINT) AS st_min,
+       CAST(max(n_chars) AS BIGINT) AS st_max,
+       round(avg(n_chars), 4) AS st_avg,
+       CAST(sum(n_chars) AS BIGINT) AS st_sum,
+       round(sum(n_chars::DOUBLE * n_chars::DOUBLE), 2) AS st_sumsq,
+       round(sum(n_chars::DOUBLE * n_chars::DOUBLE) / count(*)
+             - avg(n_chars) * avg(n_chars), 4) AS st_var,
+       round(sqrt(sum(n_chars::DOUBLE * n_chars::DOUBLE) / count(*)
+                  - avg(n_chars) * avg(n_chars)), 4) AS st_std
+FROM documents GROUP BY lang
+"""
+    o["agg_nested_2level"] = """
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) WHERE t = 'merge')
+SELECT lang, CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+       count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+FROM documents JOIN matched USING (doc_id)
+GROUP BY 1, 2
+"""
+    o["agg_terms_sum_other"] = """
+WITH b AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+ranked AS (
+  SELECT lang, cnt,
+         row_number() OVER (ORDER BY cnt DESC, lang ASC) AS rn,
+         sum(cnt) OVER () AS total
+  FROM b)
+SELECT lang, cnt, CAST(total - sum(cnt) OVER () AS BIGINT) AS sum_other
+FROM ranked WHERE rn <= 3
+"""
+    o["agg_histogram_gap_filled"] = """
+WITH counts AS (
+  SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM documents GROUP BY 1),
+rng AS (SELECT least(0, (SELECT min(bucket) FROM counts)) AS lo,
+               greatest(800, (SELECT max(bucket) FROM counts)) AS hi),
+keys AS (SELECT unnest(generate_series(lo // 50, hi // 50)) * 50 AS bucket
+         FROM rng)
+SELECT CAST(k.bucket AS BIGINT) AS bucket,
+       COALESCE(c.cnt, 0) AS cnt
+FROM keys k LEFT JOIN counts c USING (bucket)
+"""
     o.update(_pipeline_oracles())
     return o
 

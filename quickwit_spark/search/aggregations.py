@@ -2,12 +2,28 @@
 
 Mirrors the reference's aggregation surface (SURVEY.md §2.6;
 quickwit-query/src/aggregations.rs:85-172, docs/reference/aggregation.md):
-metrics (avg/count/min/max/sum/stats/percentiles/cardinality) and buckets
-(terms, histogram, date_histogram, range), with one level of
-sub-aggregation nesting. Execution model matches the reference's
-partial->final merge (collector.rs:565-911): the leaf filter runs
-per-segment inside `IndexSearcher.matched_docs`, and Catalyst's
-partial/final aggregation performs the merge when the returned plan runs.
+metrics (avg/count/min/max/sum/stats/extended_stats/percentiles/
+cardinality) and buckets (terms, histogram, date_histogram, range), with
+ARBITRARY bucket-in-bucket nesting depth (collector.rs:565-911 allows the
+same). Execution model matches the reference's partial->final merge: the
+leaf filter runs per-segment inside `IndexSearcher.matched_docs`, and
+Catalyst's partial/final aggregation performs the merge when the returned
+plan runs.
+
+Output shape: a FLAT DataFrame, one row per deepest bucket combination,
+with one column per bucket level (named after the agg name) plus
+`doc_count` and the leaf metrics. Metric sub-aggs are supported at the
+deepest level (an intermediate-level metric raises — flat rows cannot
+carry two granularities).
+
+Extras vs round 1:
+  - terms:      size + `sum_other_doc_count` column (total matched docs
+                falling outside the returned buckets — the ES response
+                field, computed windowed over the small bucket frame);
+  - histogram:  `min_doc_count` (default 1 = non-empty buckets; 0 fills
+                gaps between the data min/max) and `extended_bounds`
+                {min,max} widening the filled key range;
+  - extended_stats: sum_of_squares, variance (population), std_deviation.
 
     spec = {"langs": {"terms": {"field": "lang"},
                       "aggs": {"chars": {"avg": {"field": "n_chars"}}}}}
@@ -16,10 +32,17 @@ partial/final aggregation performs the merge when the returned plan runs.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 _METRICS = ("avg", "min", "max", "sum", "value_count", "cardinality",
-            "stats", "percentiles")
+            "stats", "extended_stats", "percentiles")
+_BUCKETS = ("terms", "histogram", "date_histogram", "range")
+
+
+class InvalidAggregation(ValueError):
+    """Malformed aggregation spec (unknown kind, bad nesting...) — the
+    reference rejects these at deserialization (aggregations.rs)."""
 
 
 def _metric_exprs(name: str, kind: str, body: dict) -> list:
@@ -43,12 +66,26 @@ def _metric_exprs(name: str, kind: str, body: dict) -> list:
                 F.max(field).alias(f"{name}_max"),
                 F.avg(field).alias(f"{name}_avg"),
                 F.sum(field).alias(f"{name}_sum")]
+    if kind == "extended_stats":
+        # population variance, ES-style: sumsq/n - mean^2
+        c = F.count(field).cast("double")
+        sumsq = F.sum(F.col(field).cast("double")
+                      * F.col(field).cast("double"))
+        var = sumsq / c - (F.avg(field) * F.avg(field))
+        return [F.count(field).alias(f"{name}_count"),
+                F.min(field).alias(f"{name}_min"),
+                F.max(field).alias(f"{name}_max"),
+                F.avg(field).alias(f"{name}_avg"),
+                F.sum(field).alias(f"{name}_sum"),
+                sumsq.alias(f"{name}_sum_of_squares"),
+                var.alias(f"{name}_variance"),
+                F.sqrt(var).alias(f"{name}_std_deviation")]
     if kind == "percentiles":
         pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
         return [F.expr(f"percentile({field}, {p / 100.0})")
                 .alias(f"{name}_p{str(p).replace('.', '_')}")
                 for p in pcts]
-    raise ValueError(f"unsupported metric {kind}")
+    raise InvalidAggregation(f"unsupported metric {kind}")
 
 
 def _bucket_col(kind: str, body: dict):
@@ -79,7 +116,40 @@ def _bucket_col(kind: str, body: dict):
             expr = F.when(cond, F.lit(label)) if expr is None else \
                 expr.when(cond, F.lit(label))
         return expr
-    raise ValueError(f"unsupported bucket {kind}")
+    raise InvalidAggregation(f"unsupported bucket {kind}")
+
+
+def _parse_level(spec: dict):
+    """Split one spec level into (bucket_entry|None, metric_entries).
+    bucket_entry = (name, kind, body, sub_spec)."""
+    buckets = []
+    metrics = []
+    for name, body in spec.items():
+        if not isinstance(body, dict) or not body:
+            raise InvalidAggregation(f"agg {name!r}: spec must be a dict")
+        kinds = [k for k in body if k != "aggs"]
+        if len(kinds) != 1:
+            raise InvalidAggregation(
+                f"agg {name!r}: exactly one aggregation kind expected, "
+                f"got {kinds}")
+        kind = kinds[0]
+        if kind in _BUCKETS:
+            buckets.append((name, kind, body[kind], body.get("aggs")))
+        elif kind in _METRICS:
+            if "aggs" in body:
+                raise InvalidAggregation(
+                    f"agg {name!r}: metric aggregations cannot have "
+                    "sub-aggregations")
+            metrics.append((name, kind, body[kind]))
+        else:
+            raise InvalidAggregation(
+                f"agg {name!r}: unknown aggregation kind {kind!r} "
+                f"(metrics: {_METRICS}; buckets: {_BUCKETS})")
+    if len(buckets) > 1:
+        raise InvalidAggregation(
+            "one bucket aggregation per spec level (flat-frame output "
+            "cannot hold sibling bucket trees)")
+    return (buckets[0] if buckets else None), metrics
 
 
 def _collect_fields(spec: dict) -> set[str]:
@@ -87,7 +157,7 @@ def _collect_fields(spec: dict) -> set[str]:
     for _name, body in spec.items():
         sub = dict(body)
         nested = sub.pop("aggs", None)
-        for kind, kb in sub.items():
+        for _kind, kb in sub.items():
             out.add(kb["field"])
         if nested:
             out |= _collect_fields(nested)
@@ -98,48 +168,102 @@ def aggregate(searcher, query, spec: dict):
     """Run an ES-style aggregation spec over the docs matching `query`.
 
     Returns a Spark DataFrame (when the searcher has a session) or pandas
-    DataFrame; one row per bucket for bucket aggs, one row for pure
-    metric specs. One nesting level (`aggs` inside a bucket) is supported.
-    """
+    DataFrame; one row per deepest bucket combination (see module doc)."""
     fields = sorted(_collect_fields(spec))
     matched = searcher.matched_docs(query, fields)
     is_spark = not hasattr(matched, "iloc")
     if not is_spark:
-        import pandas as pd
         spark = searcher.spark
         if spark is None:
             raise ValueError("aggregate() needs a SparkSession attached "
                              "to the searcher (IndexSearcher(dir, spark))")
         matched = spark.createDataFrame(matched)
 
-    bucket_aggs = {n: b for n, b in spec.items()
-                   if any(k not in _METRICS and k != "aggs" for k in b)}
-    metric_aggs = {n: b for n, b in spec.items() if n not in bucket_aggs}
+    # walk the nesting chain: bucket levels outside-in, metrics at leaf
+    levels = []  # [(name, kind, body)]
+    cur = spec
+    leaf_metrics = []
+    while True:
+        bucket, metrics = _parse_level(cur)
+        if bucket is None:
+            leaf_metrics = metrics
+            break
+        name, kind, body, sub = bucket
+        if metrics:
+            raise InvalidAggregation(
+                "metric aggregations are supported at the deepest level "
+                "only (flat rows carry one granularity)")
+        levels.append((name, kind, body))
+        if not sub:
+            break
+        cur = sub
 
     exprs = [F.count(F.lit(1)).alias("doc_count")]
-    for name, body in metric_aggs.items():
-        for kind, kb in body.items():
-            if kind == "aggs":
-                continue
-            exprs.extend(_metric_exprs(name, kind, kb))
+    for name, kind, body in leaf_metrics:
+        exprs.extend(_metric_exprs(name, kind, body))
 
-    if not bucket_aggs:
+    if not levels:
         return matched.agg(*exprs)
-    if len(bucket_aggs) > 1:
-        raise ValueError("one bucket aggregation per spec level")
-    (name, body), = bucket_aggs.items()
-    sub = body.get("aggs", {})
-    for sname, sbody in sub.items():
-        for kind, kb in sbody.items():
-            exprs.extend(_metric_exprs(sname, kind, kb))
-    (kind, kb), = ((k, v) for k, v in body.items() if k != "aggs")
-    out = (matched.withColumn(name, _bucket_col(kind, kb))
-           .groupBy(name).agg(*exprs))
-    size = kb.get("size")
-    if kind == "terms":
-        out = out.orderBy(F.col("doc_count").desc(), F.col(name).asc())
+
+    out = matched
+    level_names = []
+    for name, kind, body in levels:
+        out = out.withColumn(name, _bucket_col(kind, body))
+        level_names.append(name)
+    out = out.groupBy(*level_names).agg(*exprs)
+
+    # ordering + per-kind extras follow the OUTERMOST bucket agg; inner
+    # levels order ascending after it
+    name0, kind0, body0 = levels[0]
+    if kind0 == "terms":
+        order = [F.col("doc_count").desc(), F.col(name0).asc()]
+        order += [F.col(n).asc() for n in level_names[1:]]
+        out = out.orderBy(*order)
+        size = body0.get("size")
         if size:
-            out = out.limit(int(size))
+            w_all = Window.partitionBy()
+            ranked = out.withColumn(
+                "_total", F.sum("doc_count").over(w_all)).withColumn(
+                "_rank", F.dense_rank().over(
+                    Window.partitionBy().orderBy(
+                        F.col("doc_count").desc(), F.col(name0).asc())))
+            kept = ranked.filter(F.col("_rank") <= int(size))
+            kept = kept.withColumn(
+                f"{name0}_sum_other_doc_count",
+                (F.col("_total")
+                 - F.sum("doc_count").over(w_all)).cast("long"))
+            out = kept.drop("_total", "_rank")
+    elif kind0 == "histogram":
+        min_dc = int(body0.get("min_doc_count", 1))
+        bounds = body0.get("extended_bounds")
+        if min_dc < 1 or bounds:
+            interval = float(body0["interval"])
+            offset = float(body0.get("offset", 0.0))
+            agg_minmax = out.agg(F.min(name0).alias("lo"),
+                                 F.max(name0).alias("hi"))
+            if bounds:
+                key = (F.floor((F.lit(float(bounds["min"])) - offset)
+                               / interval) * interval + offset)
+                key_hi = (F.floor((F.lit(float(bounds["max"])) - offset)
+                                  / interval) * interval + offset)
+                agg_minmax = agg_minmax.select(
+                    F.least(F.col("lo"), key).alias("lo"),
+                    F.greatest(F.col("hi"), key_hi).alias("hi"))
+            keys = agg_minmax.select(F.explode(F.sequence(
+                ((F.col("lo") - offset) / interval).cast("long"),
+                ((F.col("hi") - offset) / interval).cast("long"))
+            ).alias("_k")).select(
+                (F.col("_k") * interval + offset).alias(name0))
+            if len(level_names) > 1:
+                raise InvalidAggregation(
+                    "gap-filled histogram (min_doc_count=0 / "
+                    "extended_bounds) must be the deepest bucket level")
+            out = (keys.join(out, on=name0, how="left")
+                   .withColumn("doc_count",
+                               F.coalesce("doc_count", F.lit(0))))
+        if min_dc >= 1:
+            out = out.filter(F.col("doc_count") >= min_dc)
+        out = out.orderBy(*[F.col(n).asc() for n in level_names])
     else:
-        out = out.orderBy(F.col(name).asc())
+        out = out.orderBy(*[F.col(n).asc() for n in level_names])
     return out

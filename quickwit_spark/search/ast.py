@@ -103,13 +103,17 @@ class Boost(Node):
 @dataclass(frozen=True)
 class Bool(Node):
     """must/should participate in scoring; filter/must_not do not.
-    With no must/filter clauses, at least `minimum_should_match` should
-    clauses must match (default 1)."""
+
+    minimum_should_match=None is the ES/reference default: with no
+    must/filter clauses at least 1 should clause must match; with
+    must/filter present, should clauses only add score. An EXPLICIT value
+    is always enforced, even alongside must/filter
+    (bool_query.rs minimum_should_match semantics)."""
     must: tuple[Node, ...] = ()
     must_not: tuple[Node, ...] = ()
     should: tuple[Node, ...] = ()
     filter: tuple[Node, ...] = ()
-    minimum_should_match: int = 1
+    minimum_should_match: int | None = None
 
 
 def bool_and(*nodes: Node) -> Bool:

@@ -475,15 +475,27 @@ class SegmentReader:
             result = _Scored(s.docids, None) if result is None \
                 else _intersect(result, _Scored(s.docids, None))
         if node.should:
+            msm = node.minimum_should_match
+            shoulds = [self.eval(c, text_field, scoring)
+                       for c in node.should]
             if result is None:
-                result = _union([self.eval(c, text_field, scoring)
-                                 for c in node.should],
-                                node.minimum_should_match)
+                result = _union(shoulds, msm if msm is not None else 1)
             else:
-                # should only adds score to docs already matching must
-                for clause in node.should:
-                    s = self.eval(clause, text_field, scoring)
+                # should adds score to docs already matching must/filter;
+                # an EXPLICIT minimum_should_match additionally gates on
+                # >= msm matching should clauses (ES semantics — the
+                # default with must present is msm=0)
+                for s in shoulds:
                     result = _add_optional(result, s)
+                if msm is not None and msm > 0:
+                    gate = _union([_Scored(s.docids, None)
+                                   for s in shoulds], msm)
+                    keep = np.isin(result.docids, gate.docids,
+                                   assume_unique=True)
+                    result = _Scored(
+                        result.docids[keep],
+                        result.scores[keep]
+                        if result.scores is not None else None)
         if result is None:
             return _Scored.empty()
         if node.must_not:
@@ -656,7 +668,7 @@ def _wand_shape(node: A.Node, text_field: str, tokenizer: str):
     if isinstance(node, A.Bool) and not node.must_not and not node.filter:
         clauses = node.must if node.must and not node.should else (
             node.should if node.should and not node.must else None)
-        if clauses is None or node.minimum_should_match > 1:
+        if clauses is None or (node.minimum_should_match or 1) > 1:
             return None
         terms = []
         for c in clauses:
@@ -1026,21 +1038,50 @@ class IndexSearcher:
     def list_terms(self, start: str | None = None, end: str | None = None,
                    limit: int = 1000) -> list[str]:
         """Range-scan the term dictionary across segments
-        (reference: quickwit-search/src/list_terms.rs:47-330)."""
-        terms: set[str] = set()
-        for seg in self.manifest.segments():
-            seg_dir = os.path.join(self.index_dir, "segments",
-                                   seg["segment_id"])
-            filters = []
+        (reference: quickwit-search/src/list_terms.rs:47-330).
+
+        The `limit` is pushed to every segment: termdicts are term-sorted,
+        so the global top-`limit` needs at most the first `limit` matching
+        terms per segment (the reference's per-split leaf limit,
+        list_terms.rs:219-247). With a SparkSession the scan runs as a
+        Catalyst plan over all termdict files (predicate pushdown + sorted
+        row-group pruning + partial LIMIT at the leaves); without, a
+        driver-side k-way merge of per-segment truncated streams — never
+        the full union in memory."""
+        paths = [os.path.join(self.index_dir, "segments",
+                              seg["segment_id"], "termdict.parquet")
+                 for seg in self.manifest.segments()]
+        if not paths:
+            return []
+        if self.spark is not None and len(paths) > 1:
+            from pyspark.sql import functions as F
+            df = self.spark.read.parquet(*paths).select("term")
             if start is not None:
-                filters.append(("term", ">=", start))
+                df = df.filter(F.col("term") >= start)
             if end is not None:
-                filters.append(("term", "<", end))
-            t = pq.read_table(os.path.join(seg_dir, "termdict.parquet"),
-                              columns=["term"],
+                df = df.filter(F.col("term") < end)
+            rows = (df.distinct().orderBy("term").limit(limit).collect())
+            return [r.term for r in rows]
+        import heapq
+        filters = []
+        if start is not None:
+            filters.append(("term", ">=", start))
+        if end is not None:
+            filters.append(("term", "<", end))
+        streams = []
+        for path in paths:
+            t = pq.read_table(path, columns=["term"],
                               filters=filters or None)
-            terms.update(t.column(0).to_pylist())
-        return sorted(terms)[:limit]
+            streams.append(t.column(0).to_pylist()[:limit])
+        out: list[str] = []
+        prev = None
+        for term in heapq.merge(*streams):
+            if term != prev:
+                out.append(term)
+                prev = term
+                if len(out) >= limit:
+                    break
+        return out
 
     def sort_search(self, query, k: int = 10,
                     sort_by: tuple = (("_score", "desc"),),
@@ -1051,15 +1092,19 @@ class IndexSearcher:
         the first sort order's direction."""
         node = self.parse(query)
         segs = prune_segments(self.manifest.segments(), node, self.tag_fields)
-        parts = []
-        for seg in segs:
-            seg_dir = os.path.join(self.index_dir, "segments",
-                                   seg["segment_id"])
-            cnt, top = segment_sort_top_k(seg_dir, node, k, self.tokenizer,
-                                          self.text_field, sort_by)
-            top = top.copy()
-            top["segment_id"] = seg["segment_id"]
-            parts.append((cnt, top))
+        if self.spark is not None and len(segs) > 1:
+            parts = self._leaf_spark_sort(segs, node, k, sort_by)
+        else:
+            parts = []
+            for seg in segs:
+                seg_dir = os.path.join(self.index_dir, "segments",
+                                       seg["segment_id"])
+                cnt, top = segment_sort_top_k(seg_dir, node, k,
+                                              self.tokenizer,
+                                              self.text_field, sort_by)
+                top = top.copy()
+                top["segment_id"] = seg["segment_id"]
+                parts.append((cnt, top))
         num_hits = sum(c for c, _ in parts)
         frames = [t for _c, t in parts if len(t)]
         if not frames:
@@ -1082,6 +1127,148 @@ class IndexSearcher:
             SearchHit(float(r.score), str(r.segment_id), int(r.doc_id), {})
             for r in winners.itertuples()]
         return SearchResult(num_hits, hits)
+
+    def _leaf_spark_sort(self, segs: list[dict], node: A.Node, k: int,
+                         sort_by: tuple):
+        """sort_search leaves as a mapInPandas fan-out (same shape as
+        _leaf_spark; reference: leaf sort collectors,
+        collector.rs:994-1145). The leaf result schema depends on the
+        sort spec's column dtypes, so one segment is probed driver-side
+        to type the _sort columns."""
+        import pyspark.sql.types as T
+        index_dir = self.index_dir
+        tokenizer = self.tokenizer
+        text_field = self.text_field
+
+        def one(sid: str) -> tuple[int, pd.DataFrame]:
+            seg_dir = os.path.join(index_dir, "segments", sid)
+            return segment_sort_top_k(seg_dir, node, k, tokenizer,
+                                      text_field, sort_by)
+
+        sample_cnt, sample = one(segs[0]["segment_id"])
+        type_map = {"int32": T.LongType(), "int64": T.LongType(),
+                    "float32": T.DoubleType(), "float64": T.DoubleType()}
+        fields = [T.StructField("segment_id", T.StringType()),
+                  T.StructField("doc_id", T.LongType()),
+                  T.StructField("match_count", T.LongType())]
+        sort_cols = [f"_sort{i}" for i in range(len(sort_by))]
+        np_casts: dict[str, str] = {}
+        for c in sort_cols:
+            dt = str(sample[c].dtype)
+            fields.append(T.StructField(c, type_map.get(dt, T.StringType())))
+            np_casts[c] = ("float64" if "float" in dt else
+                           "int64" if "int" in dt else "object")
+        schema = T.StructType(fields)
+        out_cols = ["segment_id", "doc_id", "match_count", *sort_cols]
+
+        sdf = self.spark.createDataFrame(
+            [(s["segment_id"],) for s in segs], "segment_id string"
+        ).repartition(min(len(segs), 2 * _default_parallelism(self.spark)))
+
+        def leaf(it):
+            for pdf in it:
+                for sid in pdf["segment_id"].tolist():
+                    cnt, top = one(sid)
+                    if len(top):
+                        top = top.copy()
+                        for c, dt in np_casts.items():
+                            if dt != "object":
+                                top[c] = top[c].astype(dt)
+                    else:  # sentinel row carries the match count
+                        top = pd.DataFrame({"doc_id": [-1],
+                                            **{c: [None]
+                                               for c in sort_cols}})
+                    top["segment_id"] = sid
+                    top["match_count"] = cnt
+                    yield top[out_cols]
+
+        rows = sdf.mapInPandas(leaf, schema=schema).toPandas()
+        parts = []
+        for sid, grp in rows.groupby("segment_id", sort=False):
+            cnt = int(grp["match_count"].iloc[0])
+            top = grp[grp["doc_id"] >= 0][["doc_id", *sort_cols]].copy()
+            top["segment_id"] = sid
+            parts.append((cnt, top))
+        return parts
+
+    # -- scroll API (TTL'd contexts over search_after) --------------------
+
+    def scroll(self, query, k: int = 10, ttl_seconds: float = 60.0,
+               fetch_fields: bool = True) -> tuple[SearchResult, str]:
+        """Open a scroll over the result set (reference:
+        quickwit-search/src/scroll_context.rs + root.rs:342-373 — the
+        scroll id addresses a TTL'd context in a KV; each fetch advances
+        the cursor and refreshes the TTL). Returns (first page,
+        scroll_id); page through with scroll_next(scroll_id)."""
+        import base64
+        import pickle
+        import time
+        import uuid
+        node = self.parse(query)
+        res = self.search(node, k=k, fetch_fields=fetch_fields)
+        sid = uuid.uuid4().hex
+        ctx = {
+            "query_b64": base64.b64encode(pickle.dumps(node)).decode(),
+            "k": int(k),
+            "ttl": float(ttl_seconds),
+            "expires_at": time.time() + ttl_seconds,
+            "cursor": list(res.next_cursor) if res.next_cursor else None,
+            "fetch_fields": bool(fetch_fields),
+        }
+        kv = self._scroll_kv()
+        kv[sid] = ctx
+        self._save_scroll_kv(kv)
+        return res, sid
+
+    def scroll_next(self, scroll_id: str) -> SearchResult:
+        """Next page for an open scroll; refreshes its TTL. An expired or
+        unknown id raises KeyError (the reference returns 404)."""
+        import base64
+        import pickle
+        import time
+        kv = self._scroll_kv()
+        ctx = kv.get(scroll_id)
+        if ctx is None or ctx["expires_at"] < time.time():
+            kv.pop(scroll_id, None)
+            self._save_scroll_kv(kv)
+            raise KeyError(f"scroll context {scroll_id!r} not found or "
+                           "expired")
+        if ctx["cursor"] is None:
+            return SearchResult(0, [])
+        node = pickle.loads(base64.b64decode(ctx["query_b64"]))
+        res = self.search(node, k=ctx["k"],
+                          fetch_fields=ctx["fetch_fields"],
+                          search_after=tuple(ctx["cursor"]))
+        ctx["cursor"] = (list(res.next_cursor)
+                         if res.next_cursor else None)
+        ctx["expires_at"] = time.time() + ctx["ttl"]
+        kv[scroll_id] = ctx
+        self._save_scroll_kv(kv)
+        return res
+
+    def scroll_clear(self, scroll_id: str) -> None:
+        kv = self._scroll_kv()
+        kv.pop(scroll_id, None)
+        self._save_scroll_kv(kv)
+
+    def _scroll_path(self) -> str:
+        return os.path.join(self.index_dir, "scroll_contexts.json")
+
+    def _scroll_kv(self) -> dict:
+        import time
+        try:
+            with open(self._scroll_path()) as f:
+                kv = json.load(f)
+        except (OSError, ValueError):
+            return {}
+        now = time.time()  # vacuum expired contexts on every access
+        return {k: v for k, v in kv.items() if v["expires_at"] >= now}
+
+    def _save_scroll_kv(self, kv: dict) -> None:
+        tmp = self._scroll_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(kv, f)
+        os.replace(tmp, self._scroll_path())
 
     def list_fields(self) -> list[dict]:
         """Schema/capability union across segments (reference:

@@ -87,7 +87,9 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
             must_not=_many("must_not"),
             should=_many("should"),
             filter=_many("filter"),
-            minimum_should_match=int(spec.get("minimum_should_match", 1)))
+            minimum_should_match=(
+                int(spec["minimum_should_match"])
+                if "minimum_should_match" in spec else None))
     raise ValueError(f"unsupported ES query kind: {kind}")
 
 
@@ -151,14 +153,21 @@ def es_search(searcher, body: dict, default_field: str | None = None
 
 
 def es_msearch(searcher, lines: list[dict],
-               default_field: str | None = None) -> dict:
-    """ES `_msearch`: alternating header/body pairs (headers may be empty
-    dicts — single-index engine), one response per body
-    (rest_handler.rs:806+ loops per-line requests the same way)."""
-    responses = []
-    bodies = [ln for i, ln in enumerate(lines) if i % 2 == 1] \
-        if lines and "query" not in lines[0] and "aggs" not in lines[0] \
-        and "size" not in lines[0] else lines
-    for body in bodies:
-        responses.append(es_search(searcher, body, default_field))
+               default_field: str | None = None,
+               headers: bool = True) -> dict:
+    """ES `_msearch`: strict NDJSON alternation — every even line is a
+    header (may be `{}`; single-index engine ignores it), every odd line a
+    body (rest_handler.rs:806+). headers=False accepts bodies only; the
+    framing is explicit, never guessed from a body's keys (a body without
+    query/aggs/size is still a body)."""
+    if headers:
+        if len(lines) % 2 != 0:
+            raise ValueError(
+                "_msearch expects alternating header/body lines; got an "
+                "odd count (pass headers=False for body-only input)")
+        bodies = lines[1::2]
+    else:
+        bodies = list(lines)
+    responses = [es_search(searcher, body, default_field)
+                 for body in bodies]
     return {"responses": responses}

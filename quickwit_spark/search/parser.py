@@ -36,8 +36,13 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _lex(q: str) -> list[tuple[str, str]]:
+def _lex(q: str) -> tuple[list[tuple[str, str]], list[tuple[int, int]]]:
+    """Tokens plus their (start, end) source spans — suffix operators
+    (`"..."~2`, `"..."*`, `"..."^3`) only bind when ADJACENT to the
+    closing quote (query-language.md grammar; `"phrase" *` is a phrase
+    AND match-all, not a prefix phrase)."""
     out = []
+    spans = []
     i = 0
     while i < len(q):
         m = _TOKEN_RE.match(q, i)
@@ -52,16 +57,26 @@ def _lex(q: str) -> list[tuple[str, str]]:
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
+                spans.append((m.end() - len(v), m.end()))
                 break
-    return out
+    return out, spans
 
 
 class _Parser:
-    def __init__(self, tokens, default_field: str, default_operator: str):
+    def __init__(self, tokens, default_field: str, default_operator: str,
+                 spans=None):
         self.toks = tokens
+        self.spans = spans or []
         self.pos = 0
         self.default_field = default_field
         self.default_op = default_operator
+
+    def _adjacent_to_prev(self) -> bool:
+        """True if the token at self.pos starts exactly where the previous
+        token ended (no whitespace between)."""
+        if not self.spans or self.pos >= len(self.spans) or self.pos == 0:
+            return False
+        return self.spans[self.pos][0] == self.spans[self.pos - 1][1]
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
@@ -136,15 +151,16 @@ class _Parser:
         Engines without position postings fall back to intersection."""
         text = re.sub(r"\\(.)", r"\1", quoted[1:-1])
         k, v = self.peek()
-        if k == "word" and v.startswith("~") and v[1:].isdigit():
-            self.next()
-            return A.Phrase(field, text, slop=int(v[1:]))
-        if (k, v) == ("word", "*"):
-            self.next()
-            return A.PhrasePrefix(field, text)
-        if k == "word" and re.fullmatch(r"\^\d+(?:\.\d+)?", v or ""):
-            self.next()
-            return A.Boost(A.Phrase(field, text), float(v[1:]))
+        if k == "word" and self._adjacent_to_prev():
+            if v.startswith("~") and v[1:].isdigit():
+                self.next()
+                return A.Phrase(field, text, slop=int(v[1:]))
+            if v == "*":
+                self.next()
+                return A.PhrasePrefix(field, text)
+            if re.fullmatch(r"\^\d+(?:\.\d+)?", v or ""):
+                self.next()
+                return A.Boost(A.Phrase(field, text), float(v[1:]))
         return A.Phrase(field, text)
 
     def field_value(self, field: str) -> A.Node:
@@ -224,4 +240,6 @@ def parse_query(q: str, default_field: str = "content",
     q = q.strip()
     if not q or q == "*":
         return A.MatchAll()
-    return _Parser(_lex(q), default_field, default_operator).parse()
+    toks, spans = _lex(q)
+    return _Parser(toks, default_field, default_operator,
+                   spans=spans).parse()

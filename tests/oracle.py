@@ -161,6 +161,7 @@ class OracleSegment:
             else:
                 result = {d: v for d, v in result.items() if d in s}
         if node.should:
+            msm = node.minimum_should_match
             if result is None:
                 counts: dict[int, int] = {}
                 sums: dict[int, np.float32] = {}
@@ -170,13 +171,18 @@ class OracleSegment:
                         counts[d] = counts.get(d, 0) + 1
                         sums[d] = f32(sums.get(d, f32(0.0)) + v)
                 result = {d: sums[d] for d in sums
-                          if counts[d] >= node.minimum_should_match}
+                          if counts[d] >= (msm if msm is not None else 1)}
             else:
+                counts = {}
                 for clause in node.should:
                     s = self.eval(clause, scoring)
                     for d in list(result):
                         if d in s:
                             result[d] = f32(result[d] + s[d])
+                            counts[d] = counts.get(d, 0) + 1
+                if msm is not None and msm > 0:
+                    result = {d: v for d, v in result.items()
+                              if counts.get(d, 0) >= msm}
         if result is None:
             return {}
         for clause in node.must_not:

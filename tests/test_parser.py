@@ -66,8 +66,11 @@ def test_quoted_phrase_slop_and_prefix():
 def test_boost_syntax():
     node = parse_query("merge^2", default_field="c")
     assert node == A.Boost(A.FullText("c", "merge", operator="and"), 2.0)
-    node = parse_query('t:"quick sort" ^0.5', default_field="c")
+    node = parse_query('t:"quick sort"^0.5', default_field="c")
     assert node == A.Boost(A.Phrase("t", "quick sort"), 0.5)
+    # suffix operators bind only when ADJACENT to the closing quote
+    spaced = parse_query('t:"quick sort" ^0.5', default_field="c")
+    assert not isinstance(spaced, A.Boost)
     node = parse_query("a merge^2", default_field="c")
     assert node == A.Bool(must=(
         A.FullText("c", "a", operator="and"),

@@ -137,6 +137,56 @@ def test_count_and_list_terms(built):
     assert all("a" <= t < "c" for t in terms)
 
 
+def test_minimum_should_match_with_must(built, oracle):
+    """Explicit minimum_should_match is enforced even alongside must
+    clauses (ES/bool_query.rs semantics); None keeps the round-1
+    default (should only boosts)."""
+    searcher = IndexSearcher(built[1].index_dir)
+    df_counts = {}
+    for seg in oracle.segments:
+        for t, pl in seg.postings.items():
+            df_counts[t] = df_counts.get(t, 0) + len(pl)
+    terms = sorted(df_counts, key=lambda t: (-df_counts[t], t))
+    a, b, c = terms[0], terms[1], terms[2]
+    base = A.Bool(must=(A.Term("content", a),),
+                  should=(A.Term("content", b), A.Term("content", c)))
+    gated1 = A.Bool(must=base.must, should=base.should,
+                    minimum_should_match=1)
+    gated2 = A.Bool(must=base.must, should=base.should,
+                    minimum_should_match=2)
+    n_base = searcher.search(base, k=1, fetch_fields=False).num_hits
+    n_g1 = searcher.search(gated1, k=1, fetch_fields=False).num_hits
+    n_g2 = searcher.search(gated2, k=1, fetch_fields=False).num_hits
+    assert n_base >= n_g1 >= n_g2
+    # oracle agreement incl. scores (scores of gated docs = boosted sums)
+    for node in (base, gated1, gated2):
+        want_hits, want = oracle.search(node, k=20)
+        res = searcher.search(node, k=20, fetch_fields=False)
+        got = [(float(np.float32(h.score)), h.segment_id, h.doc_id)
+               for h in res.hits]
+        assert res.num_hits == want_hits, node
+        assert got == [(float(np.float32(s)), sid, d)
+                       for s, sid, d in want], node
+    # hand-check: gated2 == docs matching a AND b AND c
+    inter = searcher.search(A.Bool(must=(A.Term("content", a),
+                                         A.Term("content", b),
+                                         A.Term("content", c))),
+                            k=1, fetch_fields=False).num_hits
+    assert n_g2 == inter
+
+
+def test_phrase_prefix_requires_adjacency(built):
+    """`c:"x y"*` is a prefix phrase; `c:"x y" *` is phrase AND match-all
+    (parser span tracking, query-language.md grammar)."""
+    from quickwit_spark.search.parser import parse_query
+    adj = parse_query('content:"quick sort"*')
+    assert isinstance(adj, A.PhrasePrefix)
+    spaced = parse_query('content:"quick sort" *')
+    assert isinstance(spaced, A.Bool)
+    assert any(isinstance(n, A.MatchAll) for n in spaced.must)
+    assert any(isinstance(n, A.Phrase) for n in spaced.must)
+
+
 def test_range_and_termset_and_wildcard(built):
     pdf, cfg, manifest = built
     searcher = IndexSearcher(cfg.index_dir)

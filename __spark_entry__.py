@@ -87,13 +87,10 @@ def _ivf_centroids() -> "np.ndarray":
 _GLOBAL_IDX: dict[str, object] = {}
 
 
-def _doc_global_index(spark, sf_dir: str):
-    """3-segment documents index + global term-partitioned layout
-    (built once per sf_dir, cached on disk)."""
-    if sf_dir in _GLOBAL_IDX:
-        return _GLOBAL_IDX[sf_dir]
-    from quickwit_spark.index.global_index import (
-        GLOBAL_DIR, GlobalIndexSearcher, build_term_partitioned)
+def _doc_multiseg_dir(sf_dir: str) -> str:
+    """3-segment documents index (built once per sf_dir, cached on disk)
+    — shared by the global term-partitioned layout and the distributed
+    mapInPandas-leaf gate rows."""
     tag = _cache_tag(sf_dir)
     index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_gidx", tag)
     cfg = IndexConfig(
@@ -103,6 +100,16 @@ def _doc_global_index(spark, sf_dir: str):
     if not os.path.exists(Manifest.path(index_dir)):
         pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
         build_index_pandas(pdf, cfg, num_partitions=3)
+    return index_dir
+
+
+def _doc_global_index(spark, sf_dir: str):
+    """Global term-partitioned layout over the 3-segment index."""
+    if sf_dir in _GLOBAL_IDX:
+        return _GLOBAL_IDX[sf_dir]
+    from quickwit_spark.index.global_index import (
+        GLOBAL_DIR, GlobalIndexSearcher, build_term_partitioned)
+    index_dir = _doc_multiseg_dir(sf_dir)
     if not os.path.exists(os.path.join(index_dir, GLOBAL_DIR,
                                        "global_manifest.json")):
         build_term_partitioned(spark, index_dir, num_term_partitions=4)
@@ -208,9 +215,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- full-text / BM25 (SURVEY §2.4-2.5) ---
-    q["bm25_term_topk"] = lambda s, d: _engine_bool_topk(
+    def _distributed_topk(s, d, terms, op, k):
+        """These two rows run on the PRODUCTION distributed path: a
+        3-segment index searched via IndexSearcher(dir, spark) with
+        mapInPandas leaves (stats pass -> global weights -> leaf top-k
+        -> root merge). Global stats == corpus stats, so the same
+        DuckDB oracle applies."""
+        from quickwit_spark.search.sqlmode import distributed_bool_topk_f64
+        searcher = IndexSearcher(_doc_multiseg_dir(d), spark=s)
+        pdf = distributed_bool_topk_f64(searcher, terms, operator=op, k=k)
+        return _spark_df(s, pdf.reset_index(drop=True),
+                         "doc_id long, score double")
+    q["bm25_term_topk"] = lambda s, d: _distributed_topk(
         s, d, ["merge"], "and", 20)
-    q["bm25_and_topk"] = lambda s, d: _engine_bool_topk(
+    q["bm25_and_topk"] = lambda s, d: _distributed_topk(
         s, d, ["merge", "query"], "and", 20)
     q["bm25_or_topk"] = lambda s, d: _engine_bool_topk(
         s, d, ["scan", "slow"], "or", 20)

@@ -57,6 +57,14 @@ class IndexConfig:
     # length norm (score degenerates to idf)
     record: str = "freq"
     fieldnorms: bool = True
+    # dynamic mapping mode (doc_mapping.rs:26-47 `mode: dynamic`): when
+    # set, this column holds a JSON object of UNMAPPED fields; its leaf
+    # paths are indexed as exact `path\0value` terms in a reserved
+    # namespace of the main term dictionary, so Term/TermSet/exists
+    # queries on any path work without schema changes (the reference's
+    # find_field_or_hit_dynamic resolution). Strict mode (None) stays
+    # the default for the fixed code corpus.
+    dynamic_col: str | None = None
     merge_policy: MergePolicyConfig = field(default_factory=MergePolicyConfig)
 
     def doc_sort_cols(self) -> list[str]:

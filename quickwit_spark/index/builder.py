@@ -203,6 +203,46 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     return meta
 
 
+DYNAMIC_TERM_PREFIX = "\x01"  # sorts before every printable token
+
+
+def _flatten_json(prefix: str, obj, out: list[str]) -> None:
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _flatten_json(f"{prefix}.{k}" if prefix else str(k), v, out)
+    elif isinstance(obj, (list, tuple)):
+        for v in obj:
+            _flatten_json(prefix, v, out)
+    elif obj is None:
+        pass
+    else:
+        if isinstance(obj, bool):
+            s = "true" if obj else "false"
+        else:
+            s = str(obj)
+        out.append(f"{DYNAMIC_TERM_PREFIX}{prefix}\x00{s}")
+
+
+def extract_dynamic_terms(values: list) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten each row's JSON object (string or dict) into exact
+    `\\x01path\\x00value` terms (doc_mapping.rs dynamic mode: every
+    unmapped leaf path becomes a typed exact term under the catch-all
+    field). Lists index each element under the same path; nested objects
+    use dotted paths. Returns (doc_ordinals, term_strings)."""
+    docs: list[int] = []
+    terms: list[str] = []
+    for i, v in enumerate(values):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            continue
+        obj = json.loads(v) if isinstance(v, str) else v
+        out: list[str] = []
+        _flatten_json("", obj, out)
+        docs.extend([i] * len(out))
+        terms.extend(out)
+    return (np.asarray(docs, dtype=np.int64),
+            np.asarray(terms, dtype=object))
+
+
 def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
                   segments_root: str, chunk_idx: int = 0) -> dict:
     """Build one immutable segment from a sorted doc chunk. Returns the
@@ -221,12 +261,37 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     doc_idx, codes, terms_sorted = tokenize_batch_ids(
         texts, analyzer=config.tokenizer)
 
+    # fieldnorms count TEXT tokens only (dynamic terms are exact
+    # attribute terms, not part of the scored text field)
     fieldnorms = np.bincount(doc_idx, minlength=n).astype(np.int64)
     if config.fieldnorms:
         fn_ids = fieldnorm_to_id(fieldnorms)
     else:
         # fieldnorms disabled: constant length norm of 1 (score -> idf)
         fn_ids = fieldnorm_to_id(np.ones(n, dtype=np.int64))
+
+    pos_stream = None
+    if config.record == "position" and len(doc_idx):
+        # per-token position = ordinal within its doc (tokens are emitted
+        # in document order)
+        first_tok = np.r_[0, np.cumsum(fieldnorms)[:-1]]
+        pos_stream = (np.arange(len(doc_idx), dtype=np.int64)
+                      - first_tok[doc_idx])
+
+    if config.dynamic_col and config.dynamic_col in pdf.columns:
+        dyn_doc, dyn_terms = extract_dynamic_terms(
+            pdf[config.dynamic_col].tolist())
+        if len(dyn_doc):
+            dyn_sorted, dyn_codes = np.unique(dyn_terms,
+                                              return_inverse=True)
+            # \x01-prefixed terms sort before every tokenizer output, so
+            # prepending keeps the merged vocabulary sorted
+            terms_sorted = np.concatenate([dyn_sorted, terms_sorted])
+            doc_idx = np.concatenate([doc_idx, dyn_doc])
+            codes = np.concatenate([codes + len(dyn_sorted), dyn_codes])
+            if pos_stream is not None:
+                pos_stream = np.concatenate(
+                    [pos_stream, np.zeros(len(dyn_doc), dtype=np.int64)])
 
     pair_key = codes * n + doc_idx
     pair_sorted, tfs = np.unique(pair_key, return_counts=True)
@@ -235,16 +300,12 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     tfs = tfs.astype(np.int64)
 
     positions = None
-    if config.record == "position" and len(doc_idx):
-        # per-token position = ordinal within its doc (tokens are emitted
-        # in document order); sorted stably by (term, doc) the positions
-        # stay ascending within each posting, so delta-encoding resets at
-        # run boundaries reproduce them exactly
-        ntok = len(doc_idx)
-        first_tok = np.r_[0, np.cumsum(fieldnorms)[:-1]]
-        pos = np.arange(ntok, dtype=np.int64) - first_tok[doc_idx]
+    if pos_stream is not None and len(doc_idx):
+        # sorted stably by (term, doc) the positions stay ascending
+        # within each posting, so delta-encoding resets at run
+        # boundaries reproduce them exactly
         order = np.argsort(pair_key, kind="stable")
-        spos = pos[order]
+        spos = pos_stream[order]
         positions = encode_position_blob(spos, tfs, p_term)
 
     # segment identity: content-addressed over partition + doc keys
@@ -300,6 +361,7 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         "tokenizer": config.tokenizer,
         "record": config.record,
         "fieldnorms": bool(config.fieldnorms),
+        "dynamic": bool(config.dynamic_col),
     }
     return write_segment(seg_dir, terms_sorted, p_term, p_doc, tfs, fn_ids,
                          doc_cols, meta_extra, positions=positions)

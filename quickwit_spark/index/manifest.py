@@ -125,6 +125,30 @@ class Manifest:
         self.data["version"] += 1
         self._write()
 
+    def apply_retention(self, column: str, cutoff: float,
+                        vacuum: bool = True) -> list[str]:
+        """Time-based retention (the janitor's
+        retention_policy_executor.rs): retire every published segment
+        whose per-segment max of `column` (col_stats, the split
+        time_range analog) is strictly below `cutoff`. Segment-granular
+        like the reference — a segment straddling the cutoff stays until
+        it ages out entirely. Returns the retired segment ids."""
+        expired = []
+        for sid, seg in self.data["segments"].items():
+            if seg["state"] != SEGMENT_STATE_PUBLISHED:
+                continue
+            stats = seg.get("col_stats", {}).get(column)
+            if stats is not None and float(stats[1]) < float(cutoff):
+                expired.append(sid)
+        for sid in expired:
+            self.data["segments"][sid]["state"] = SEGMENT_STATE_DEAD
+        if expired:
+            self.data["version"] += 1
+            self._write()
+            if vacuum:
+                self.vacuum()
+        return expired
+
     def vacuum(self) -> list[str]:
         """Drop dead segment rows and delete their directories (GC/janitor
         analog, quickwit-janitor garbage_collector.rs)."""

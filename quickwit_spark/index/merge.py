@@ -312,6 +312,7 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
         "tokenizer": first["tokenizer"],
         "record": first.get("record", "freq"),
         "fieldnorms": first.get("fieldnorms", True),
+        "dynamic": first.get("dynamic", False),
     }
     doc_cols = {name: docs_tbl.column(name)
                 for name in docs_tbl.schema.names}

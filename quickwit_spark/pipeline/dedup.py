@@ -143,30 +143,98 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                 ).alias("jaccard"))
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
-                       id_col: str = "vec_id", vec_col: str = "embedding",
-                       nbits: int = 8, seed: int = 42) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
-    buckets the corpus (one shuffle on an 8-bit signature), candidate
-    pairs form inside buckets only, exact cosine filters to >= threshold.
-    Returns (a, b, cos) with a < b. At 100 TB the bucket join bounds the
-    quadratic pair blow-up to 1/2^nbits of the cross product."""
-    from .similarity import _dot_expr, hyperplanes, signature_expr
+def bucketize_embeddings(emb: DataFrame, vec_col: str = "embedding",
+                         nbits: int | None = None, seed: int = 42,
+                         target_bucket_size: int = 1024,
+                         max_bucket_size: int | None = None,
+                         refine_rounds: int = 2) -> DataFrame:
+    """Add a `_sig` LSH bucket column sized for a bounded self-join.
+
+    nbits=None sizes the signature from the corpus: one count() job, then
+    nbits = ceil(log2(n / target_bucket_size)) clamped to [4, 24] — the
+    expected bucket is ~target_bucket_size rows regardless of corpus
+    scale (at 10^9 vectors and target 1024 that is nbits=20).
+
+    max_bucket_size caps SKEWED buckets (correlated embeddings pile into
+    few sign patterns): each refinement round measures bucket sizes
+    (groupBy + join, one extra shuffle per round) and re-splits oversized
+    buckets with `nbits` additional hyperplanes from a fresh seed.
+    Refined bucket ids are namespaced (sig * M + sub + 1) so they can
+    never collide with untouched buckets. Exact duplicates share every
+    signature and remain un-splittable — the cap bounds work for
+    correlated-but-distinct vectors, which is the 100 TB skew case.
+    """
+    from .similarity import hyperplanes, signature_expr
 
     dim = len(emb.select(vec_col).first()[0])
+    if nbits is None:
+        import math
+        n = emb.count()
+        nbits = max(4, min(24, math.ceil(
+            math.log2(max(n, 2) / max(target_bucket_size, 1)))))
     planes = hyperplanes(dim, nbits, seed)
-    b = emb.withColumn("_sig", signature_expr(vec_col, planes)).persist()
-    left = b.select(F.col(id_col).alias("a"),
-                    F.col(vec_col).alias("_va"), "_sig")
-    right = b.select(F.col(id_col).alias("b"),
-                     F.col(vec_col).alias("_vb"), "_sig")
-    pairs = left.join(right, "_sig").where(F.col("a") < F.col("b"))
-    dot = _dot_expr("_va", F.col("_vb"))
-    na = F.sqrt(_dot_expr("_va", F.col("_va")))
-    nb = F.sqrt(_dot_expr("_vb", F.col("_vb")))
-    scored = pairs.select("a", "b", (dot / (na * nb)).alias("_cos"))
-    return (scored.where(F.col("_cos") >= F.lit(threshold))
-            .select("a", "b", F.round("_cos", 6).alias("cos")))
+    b = emb.withColumn("_sig",
+                       signature_expr(vec_col, planes).cast("long"))
+    if max_bucket_size is None:
+        return b
+    M = (1 << nbits) + 1
+    for r in range(refine_rounds):
+        sizes = b.groupBy("_sig").agg(F.count("*").alias("_bsz"))
+        extra = signature_expr(
+            vec_col, hyperplanes(dim, nbits, seed + 1000 * (r + 1)))
+        b = (b.join(sizes, "_sig")
+             .withColumn(
+                 "_sig",
+                 F.when(F.col("_bsz") > F.lit(max_bucket_size),
+                        F.col("_sig") * F.lit(M) + extra.cast("long")
+                        + F.lit(1))
+                 .otherwise(F.col("_sig") * F.lit(M)))
+             .drop("_bsz"))
+    return b
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       nbits: int | None = 8, seed: int = 42,
+                       bands: int = 1,
+                       target_bucket_size: int = 1024,
+                       max_bucket_size: int | None = None,
+                       refine_rounds: int = 2) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    buckets the corpus (one shuffle on the signature), candidate pairs
+    form inside buckets only, exact cosine filters to >= threshold.
+    Returns distinct (a, b, cos) with a < b.
+
+    100 TB parameterization: nbits=None auto-sizes buckets to
+    target_bucket_size (see bucketize_embeddings), max_bucket_size caps
+    skew hot-spots via salted re-split with fresh hyperplanes, and
+    bands>1 unions candidates from `bands` independent signature tables
+    (recovers the recall a deeper signature costs — standard multiband
+    LSH). Per bucket the pair count is <= max_bucket_size^2/2; without a
+    cap the bucket join still bounds the quadratic blow-up to 1/2^nbits
+    of the cross product."""
+    from .similarity import _dot_expr
+
+    out = None
+    for band in range(bands):
+        b = bucketize_embeddings(
+            emb, vec_col, nbits=nbits, seed=seed + 7919 * band,
+            target_bucket_size=target_bucket_size,
+            max_bucket_size=max_bucket_size,
+            refine_rounds=refine_rounds).persist()
+        left = b.select(F.col(id_col).alias("a"),
+                        F.col(vec_col).alias("_va"), "_sig")
+        right = b.select(F.col(id_col).alias("b"),
+                         F.col(vec_col).alias("_vb"), "_sig")
+        pairs = left.join(right, "_sig").where(F.col("a") < F.col("b"))
+        dot = _dot_expr("_va", F.col("_vb"))
+        na = F.sqrt(_dot_expr("_va", F.col("_va")))
+        nb = F.sqrt(_dot_expr("_vb", F.col("_vb")))
+        scored = pairs.select("a", "b", (dot / (na * nb)).alias("_cos"))
+        hit = (scored.where(F.col("_cos") >= F.lit(threshold))
+               .select("a", "b", F.round("_cos", 6).alias("cos")))
+        out = hit if out is None else out.unionAll(hit)
+    return out.distinct() if bands > 1 else out
 
 
 def simhash16(df: DataFrame, id_col: str = "doc_id",

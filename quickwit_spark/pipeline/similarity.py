@@ -87,21 +87,19 @@ def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16,
 
 
 def ivf_assign_expr(vec_col: str, centroids: np.ndarray):
-    """Nearest-centroid id as a JVM-side expression (argmin over squared
-    distances — no Python UDF)."""
-    best_id, best_d = None, None
-    for ci, c in enumerate(centroids):
+    """Nearest-centroid id as a JVM-side expression: a flat distance
+    array + array_min/array_position argmin (first-min tie-break, same as
+    the SQL oracle's list_indexof(ds, list_min(ds))). Flat arrays keep
+    codegen linear in n_centroids — the earlier nested CASE-WHEN chain
+    blew up expression depth past ~64 centroids."""
+    dists = []
+    for c in centroids:
         lits = F.array(*[F.lit(float(x)) for x in c])
         # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; compare via -2v.c + ||c||^2
-        d = (F.lit(float((c * c).sum()))
-             - F.lit(2.0) * _dot_expr(vec_col, lits))
-        if best_d is None:
-            best_id, best_d = F.lit(ci), d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(ci)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_id
+        dists.append(F.lit(float((c * c).sum()))
+                     - F.lit(2.0) * _dot_expr(vec_col, lits))
+    ds = F.array(*dists)
+    return (F.array_position(ds, F.array_min(ds)) - F.lit(1)).cast("int")
 
 
 def ivf_topk(emb: DataFrame, query_df: DataFrame, centroids: np.ndarray,

@@ -130,14 +130,40 @@ class SegmentReader:
                           filters=[("term", "in", list(set(terms)))])
         return t.to_pandas()
 
-    def scan_terms(self, predicate) -> pd.DataFrame:
+    def scan_terms(self, predicate, include_dynamic: bool = False
+                   ) -> pd.DataFrame:
         """Full termdict scan with a pandas predicate (wildcard/regex/
-        list_terms path)."""
+        list_terms path). Dynamic-namespace terms (\\x01-prefixed) are
+        excluded unless asked for — a text-field wildcard must not match
+        them."""
         df = self._cached_termdict()
         if df is None:
             df = pq.read_table(os.path.join(self.seg_dir,
                                             "termdict.parquet")).to_pandas()
-        return df[predicate(df["term"])]
+        mask = predicate(df["term"])
+        if not include_dynamic and self.dynamic:
+            mask &= ~df["term"].str.startswith("\x01")
+        return df[mask]
+
+    @property
+    def dynamic(self) -> bool:
+        return bool(self.meta.get("dynamic", False))
+
+    def doc_fields(self) -> set[str]:
+        """Stored doc-map column names (schema read is footer-only)."""
+        if not hasattr(self, "_doc_field_names"):
+            schema = pq.read_schema(os.path.join(self.seg_dir,
+                                                 "docs.parquet"))
+            self._doc_field_names = set(schema.names)
+        return self._doc_field_names
+
+    def _dynamic_term(self, field: str, value) -> str:
+        """Dynamic-mode term for an unmapped path
+        (find_field_or_hit_dynamic, quickwit-query/src/query_ast/
+        utils.rs): exact `\\x01path\\x00value` in the shared termdict."""
+        if isinstance(value, bool):
+            value = "true" if value else "false"
+        return f"\x01{field}\x00{value}"
 
     def has_postings_column(self, col: str) -> bool:
         if self._postings_tbl is not None:
@@ -255,6 +281,16 @@ class SegmentReader:
                 if self.record == "basic":
                     tfs = np.ones(len(tfs), dtype=np.int64)
                 return _Scored(docids, w.score(tfs, fn))
+            if node.field not in self.doc_fields() and self.dynamic:
+                # unmapped path -> dynamic-field exact term
+                docids, _tfs, _df = self.term_postings(
+                    self._dynamic_term(node.field, node.value))
+                if not scoring:
+                    return _Scored(docids, None)
+                idf = idf_f32(len(docids), self.num_docs) \
+                    if len(docids) else np.float32(0)
+                return _Scored(docids, np.full(len(docids), idf,
+                                               dtype=np.float32))
             # attribute term (tag / keyword column)
             col = self.doc_column(node.field)
             mask = col == _coerce(node.value, col.dtype)
@@ -268,6 +304,11 @@ class SegmentReader:
         if isinstance(node, A.TermSet):
             if node.field == text_field:
                 sets = [self.term_postings(v)[0] for v in node.values]
+                ids = _union_ids(sets)
+            elif node.field not in self.doc_fields() and self.dynamic:
+                sets = [self.term_postings(
+                    self._dynamic_term(node.field, v))[0]
+                    for v in node.values]
                 ids = _union_ids(sets)
             else:
                 col = self.doc_column(node.field)
@@ -290,6 +331,21 @@ class SegmentReader:
             return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                            if scoring else None)
         if isinstance(node, A.FieldPresence):
+            if node.field not in self.doc_fields() and self.dynamic:
+                # exists on a dynamic path: prefix scan of its namespace
+                pfx = f"\x01{node.field}\x00"
+                td = self.scan_terms(lambda s: s.str.startswith(pfx),
+                                     include_dynamic=True)
+                sets = []
+                if len(td):
+                    pr = self.postings_rows(td["term_id"].tolist())
+                    for _, row in pr.iterrows():
+                        d, _t = decode_postings(row["docid_blob"],
+                                                row["tf_blob"])
+                        sets.append(d)
+                ids = _union_ids(sets)
+                return _Scored(ids, np.ones(len(ids), dtype=np.float32)
+                               if scoring else None)
             col = self.doc_column(node.field)
             mask = ~pd.isna(col)
             ids = np.nonzero(np.asarray(mask))[0].astype(np.int64)
@@ -1056,6 +1112,7 @@ class IndexSearcher:
         if self.spark is not None and len(paths) > 1:
             from pyspark.sql import functions as F
             df = self.spark.read.parquet(*paths).select("term")
+            df = df.filter(~F.col("term").startswith("\x01"))
             if start is not None:
                 df = df.filter(F.col("term") >= start)
             if end is not None:
@@ -1072,7 +1129,9 @@ class IndexSearcher:
         for path in paths:
             t = pq.read_table(path, columns=["term"],
                               filters=filters or None)
-            streams.append(t.column(0).to_pylist()[:limit])
+            terms = [x for x in t.column(0).to_pylist()
+                     if not x.startswith("\x01")]
+            streams.append(terms[:limit])
         out: list[str] = []
         prev = None
         for term in heapq.merge(*streams):
@@ -1276,6 +1335,14 @@ class IndexSearcher:
         merged at the root). Reads only parquet footers."""
         import pyarrow.parquet as _pq
         fields: dict[str, dict] = {}
+        # the indexed text field lives in the posting files, not the doc
+        # map — surface it explicitly (the reference lists indexed fields
+        # from the split schema the same way)
+        nsegs = len(self.manifest.segments())
+        fields[self.text_field] = {
+            "field": self.text_field, "types": {"text"},
+            "segments": nsegs, "searchable": True, "tag": False,
+        }
         for seg in self.manifest.segments():
             seg_dir = os.path.join(self.index_dir, "segments",
                                    seg["segment_id"])

@@ -152,6 +152,131 @@ def es_search(searcher, body: dict, default_field: str | None = None
     return resp
 
 
+def es_count(searcher, body: dict | None = None,
+             default_field: str | None = None) -> dict:
+    """ES `_count` (rest_handler.rs es_compat_index_count): exact match
+    count of the query, no hits."""
+    node = es_to_ast((body or {}).get("query", {"match_all": {}}),
+                     default_field or searcher.text_field)
+    return {"count": int(searcher.count(node))}
+
+
+def es_field_caps(searcher) -> dict:
+    """ES `_field_caps` response shape over list_fields (the reference
+    maps its ListFields service the same way,
+    rest_handler.rs es_compat_index_field_capabilities)."""
+    _ES_TYPES = {"string": "keyword", "large_string": "keyword",
+                 "int32": "integer", "int64": "long", "float": "float",
+                 "double": "double", "bool": "boolean"}
+    fields: dict = {}
+    for f in searcher.list_fields():
+        caps = {}
+        for t in f["types"]:
+            es_t = _ES_TYPES.get(t, t)
+            caps[es_t] = {
+                "type": es_t,
+                "metadata_field": False,
+                "searchable": bool(f["searchable"]),
+                "aggregatable": True,
+            }
+        fields[f["field"]] = caps
+    return {"indices": [searcher.manifest.data["index_uid"]],
+            "fields": fields}
+
+
+def _index_stats(searcher) -> tuple[int, int, int]:
+    """(num_docs, num_segments, store_bytes) from manifest metadata."""
+    import os as _os
+    segs = searcher.manifest.segments()
+    docs = sum(int(s["num_docs"]) for s in segs)
+    size = 0
+    for s in segs:
+        seg_dir = _os.path.join(searcher.index_dir, "segments",
+                                s["segment_id"])
+        for f in ("postings.parquet", "termdict.parquet", "docs.parquet"):
+            try:
+                size += _os.path.getsize(_os.path.join(seg_dir, f))
+            except OSError:
+                pass
+    return docs, len(segs), size
+
+
+def es_cat_indices(searcher) -> list[dict]:
+    """ES `_cat/indices?format=json` row (rest_handler.rs es_compat_cat
+    _indices)."""
+    docs, nsegs, size = _index_stats(searcher)
+    return [{
+        "health": "green", "status": "open",
+        "index": searcher.manifest.data["index_uid"],
+        "docs.count": str(docs), "docs.deleted": "0",
+        "store.size": f"{size // 1024}kb",
+        "pri.store.size": f"{size // 1024}kb",
+        "pri": str(nsegs), "rep": "0",
+    }]
+
+
+def es_stats(searcher) -> dict:
+    """ES `_stats` (docs + store + segments sections;
+    rest_handler.rs es_compat_index_stats)."""
+    docs, nsegs, size = _index_stats(searcher)
+    body = {"docs": {"count": docs, "deleted": 0},
+            "store": {"size_in_bytes": size},
+            "segments": {"count": nsegs}}
+    uid = searcher.manifest.data["index_uid"]
+    return {"_all": {"primaries": body, "total": body},
+            "indices": {uid: {"primaries": body, "total": body}}}
+
+
+def es_bulk(config, lines: list[dict]) -> dict:
+    """ES `_bulk` NDJSON (strict alternation: action line / doc line;
+    only `index`/`create` actions — the engine's segments are immutable,
+    like the reference's ingest API, rest_handler.rs es_compat_bulk).
+    Builds ONE segment from the batch and publishes it atomically with a
+    content-keyed checkpoint: replaying the same payload is a no-op
+    (exactly-once, publisher.rs:130-155)."""
+    import hashlib
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from ..index.builder import build_partition
+    from ..index.manifest import CheckpointConflict, Manifest
+    t0 = _time.perf_counter()
+    if len(lines) % 2 != 0:
+        raise ValueError("_bulk expects alternating action/doc lines")
+    docs = []
+    for i in range(0, len(lines), 2):
+        action = lines[i]
+        if not ({"index", "create"} & set(action)):
+            raise ValueError(f"unsupported bulk action: {list(action)}")
+        docs.append(lines[i + 1])
+    pdf = pd.DataFrame(docs)
+    payload_sha = hashlib.sha256(repr(lines).encode()).digest()
+    # high partition ids namespace bulk batches away from build waves
+    pid = (1 << 40) + int.from_bytes(payload_sha[:4], "little")
+    pdf["_pid"] = pid
+    manifest = Manifest.load_or_create(
+        config.index_dir, config.index_uid,
+        {"key_cols": list(config.key_cols), "text_col": config.text_col,
+         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
+         "tag_cols": list(config.tag_cols)})
+    segments_root = _os.path.join(config.index_dir, "segments")
+    _os.makedirs(segments_root, exist_ok=True)
+    errors = False
+    try:
+        rows = build_partition(pdf, config, segments_root)
+        manifest.publish(rows, checkpoint_delta={
+            pid: (None, f"bulk;docs={len(pdf)}")})
+        result = "created"
+    except CheckpointConflict:
+        result = "noop"  # identical payload already published
+    items = [{"index": {"_index": config.index_uid, "status": 201,
+                        "result": result}} for _ in docs]
+    return {"took": int((_time.perf_counter() - t0) * 1000),
+            "errors": errors, "items": items}
+
+
 def es_msearch(searcher, lines: list[dict],
                default_field: str | None = None,
                headers: bool = True) -> dict:

@@ -15,6 +15,7 @@ reproduce it exactly, so row hashes match after rounding.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -64,6 +65,96 @@ def bool_scores_f64(reader: SegmentReader, terms: list[str],
     for t in must_not_terms or []:
         docs -= set(term_scores_f64(reader, t))
     return {d: sum(s[d] for s in per_term if d in s) for d in docs}
+
+
+def distributed_bool_topk_f64(searcher, terms: list[str],
+                              operator: str = "and", k: int = 20,
+                              doc_id_col: str = "doc_id",
+                              ndigits: int = 6) -> pd.DataFrame:
+    """Two-phase distributed BM25 over a multi-segment index with GLOBAL
+    corpus statistics, every phase a mapInPandas fan-out over segments:
+
+      phase 1 (stats): leaves report each query term's per-segment doc
+        freq (the DFS-query-then-fetch stats pass; num_docs and
+        total_fieldnorm come from manifest metadata, no file reads);
+      phase 2 (score): leaves score their postings f64 with the
+        broadcast global weights and return per-segment top-k; the root
+        merges by (score desc, external doc id desc).
+
+    Global stats == whole-corpus stats, so the same DuckDB oracle SQL
+    that checks the single-segment harness applies unchanged."""
+    from .engine import get_reader
+    spark = searcher.spark
+    assert spark is not None, "needs IndexSearcher(dir, spark=spark)"
+    segs = searcher.manifest.segments()
+    index_dir, tokenizer = searcher.index_dir, searcher.tokenizer
+    n_total = sum(int(s["num_docs"]) for s in segs)
+    total_fn = sum(int(s["total_fieldnorm"]) for s in segs)
+    avg = float(total_fn) / float(n_total)
+    seg_df = spark.createDataFrame([(s["segment_id"],) for s in segs],
+                                   "segment_id string"
+                                   ).repartition(len(segs))
+    tlist = list(terms)
+
+    def stats_leaf(it):
+        for pdf in it:
+            rows = []
+            for sid in pdf["segment_id"].tolist():
+                r = get_reader(os.path.join(index_dir, "segments", sid),
+                               tokenizer)
+                for t in tlist:
+                    tr = r._term_row(t)
+                    rows.append((t, int(tr[1]) if tr else 0))
+            yield pd.DataFrame(rows, columns=["term", "df"])
+
+    stats = (seg_df.mapInPandas(stats_leaf, "term string, df long")
+             .groupBy("term").agg({"df": "sum"}).collect())
+    global_df = {r["term"]: int(r["sum(df)"]) for r in stats}
+    idf = {t: math.log(1.0 + (n_total - global_df.get(t, 0) + 0.5)
+                       / (global_df.get(t, 0) + 0.5)) for t in tlist}
+
+    def score_leaf(it):
+        for pdf in it:
+            for sid in pdf["segment_id"].tolist():
+                r = get_reader(os.path.join(index_dir, "segments", sid),
+                               tokenizer)
+                qlen = id_to_fieldnorm(r.fieldnorm_ids()
+                                       ).astype(np.float64)
+                per_term = {}
+                for t in tlist:
+                    docids, tfs, df = r.term_postings(t)
+                    if df == 0:
+                        per_term[t] = {}
+                        continue
+                    tf = tfs.astype(np.float64)
+                    norm = K1 * (1.0 - B + B * qlen[docids] / avg)
+                    sc = idf[t] * (K1 + 1.0) * tf / (tf + norm)
+                    per_term[t] = dict(zip(docids.tolist(), sc.tolist()))
+                if operator == "and":
+                    docs = set(per_term[tlist[0]]) if tlist else set()
+                    for t in tlist[1:]:
+                        docs &= set(per_term[t])
+                else:
+                    docs = set()
+                    for t in tlist:
+                        docs |= set(per_term[t])
+                ext = r.doc_column(doc_id_col)
+                rows = sorted(
+                    ((sum(per_term[t][d] for t in tlist
+                          if d in per_term[t]), int(ext[d]))
+                     for d in docs),
+                    key=lambda x: (-x[0], -x[1]))[:k]
+                yield pd.DataFrame(
+                    {"doc_id": [r2[1] for r2 in rows],
+                     "score": [r2[0] for r2 in rows]})
+
+    cand = seg_df.mapInPandas(score_leaf,
+                              "doc_id long, score double").toPandas()
+    cand = cand.sort_values(["score", "doc_id"],
+                            ascending=[False, False]).head(k)
+    return pd.DataFrame({
+        "doc_id": cand["doc_id"].astype("int64").to_numpy(),
+        "score": cand["score"].round(ndigits).to_numpy()})
 
 
 def topk_df(scores: dict[int, float], doc_id_map: np.ndarray, k: int,

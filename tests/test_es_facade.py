@@ -1,0 +1,96 @@
+"""ES facade breadth (_count, _field_caps, _cat/indices, _stats, _bulk —
+quickwit-serve elasticsearch_api rest_handler.rs:71-806) and the
+janitor's time-based retention policy."""
+
+import pandas as pd
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.index.builder import build_index_pandas
+from quickwit_spark.index.corpus import corpus_pandas
+from quickwit_spark.index.manifest import Manifest
+from quickwit_spark.search.engine import IndexSearcher
+from quickwit_spark.search.es_dsl import (es_bulk, es_cat_indices, es_count,
+                                          es_field_caps, es_stats)
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("esfacade")
+    pdf = corpus_pandas(200, seed=13)
+    cfg = IndexConfig(index_uid="esf", index_dir=str(tmp / "i"))
+    build_index_pandas(pdf, cfg, num_partitions=2)
+    return cfg
+
+
+def test_es_count(idx):
+    s = IndexSearcher(idx.index_dir)
+    assert es_count(s)["count"] == 200
+    n = es_count(s, {"query": {"match": {"content": "merge"}}})["count"]
+    assert 0 < n < 200
+
+
+def test_es_field_caps_and_cat_and_stats(idx):
+    s = IndexSearcher(idx.index_dir)
+    caps = es_field_caps(s)
+    assert caps["indices"] == ["esf"]
+    assert "content" in caps["fields"]
+    assert "lang" in caps["fields"]
+    (lang_caps,) = caps["fields"]["lang"].values()
+    assert lang_caps["searchable"]
+
+    cat = es_cat_indices(s)
+    assert cat[0]["index"] == "esf"
+    assert cat[0]["docs.count"] == "200"
+
+    st = es_stats(s)
+    assert st["_all"]["primaries"]["docs"]["count"] == 200
+    assert st["_all"]["primaries"]["store"]["size_in_bytes"] > 0
+    assert st["indices"]["esf"]["total"]["segments"]["count"] >= 2
+
+
+def test_es_bulk_append_and_replay(tmp_path):
+    cfg = IndexConfig(index_uid="blk", index_dir=str(tmp_path / "b"),
+                      sha_col=None)
+    lines = []
+    for i in range(6):
+        lines.append({"index": {"_id": str(i)}})
+        lines.append({"repo": f"r{i}", "path": f"p{i}.py", "commit": "c",
+                      "lang": "python", "content": f"bulk doc {i} merge"})
+    r1 = es_bulk(cfg, lines)
+    assert not r1["errors"] and len(r1["items"]) == 6
+    assert r1["items"][0]["index"]["result"] == "created"
+    s = IndexSearcher(cfg.index_dir)
+    assert es_count(s)["count"] == 6
+    # exact replay is a no-op (content-keyed checkpoint)
+    r2 = es_bulk(cfg, lines)
+    assert r2["items"][0]["index"]["result"] == "noop"
+    assert es_count(IndexSearcher(cfg.index_dir))["count"] == 6
+    # malformed framing rejected
+    with pytest.raises(ValueError):
+        es_bulk(cfg, lines[:3])
+    with pytest.raises(ValueError):
+        es_bulk(cfg, [{"delete": {}}, {"content": "x"}])
+
+
+def test_time_based_retention(tmp_path):
+    pdf = corpus_pandas(120, seed=3)
+    pdf["ts_num"] = [1000 + (i // 40) * 1000 for i in range(120)]
+    cfg = IndexConfig(index_uid="ret", index_dir=str(tmp_path / "r"),
+                      store_cols=("ts_num",), partition_cols=("ts_num",))
+    build_index_pandas(pdf, cfg, num_partitions=6)
+    m = Manifest.load(cfg.index_dir)
+    before = len(m.segments())
+    assert before >= 2
+    total_before = sum(s["num_docs"] for s in m.segments())
+    # retire segments wholly older than cutoff 2000 (the 1000-bucket)
+    expired = m.apply_retention("ts_num", cutoff=2000)
+    assert expired
+    after = m.segments()
+    assert len(after) < before
+    assert all(s.get("col_stats", {}).get("ts_num", [0, 1e18])[1] >= 2000
+               for s in after)
+    # count shrinks accordingly and index still searchable
+    s = IndexSearcher(cfg.index_dir)
+    assert s.count("*") == sum(seg["num_docs"] for seg in after)
+    assert s.count("*") < total_before

@@ -147,3 +147,49 @@ def test_ivf_trained_centroids_recall(spark):
     # training is deterministic
     cent2 = train_ivf_centroids(emb, n_centroids=4, sample=200, seed=9)
     assert (cent == cent2).all()
+
+
+def test_embedding_bucket_cap_and_multiband(spark):
+    """Scale-hardening of embedding near-dup (100 TB skew case): a
+    correlated cluster piles into one LSH bucket; the bucket-size cap
+    re-splits it with fresh hyperplanes (bounded per-bucket pair counts),
+    and multiband recovers the recall the deeper signature costs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from quickwit_spark.pipeline.dedup import (bucketize_embeddings,
+                                               embedding_near_dup)
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    clustered = base[None, :] + 0.6 * rng.standard_normal((500, 16))
+    noise = rng.standard_normal((100, 16))
+    X = np.vstack([clustered, noise])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+
+    def max_bucket(b):
+        return (b.groupBy("_sig").count()
+                .agg(F.max("count")).collect()[0][0])
+
+    uncapped = max_bucket(bucketize_embeddings(emb, nbits=3, seed=42))
+    capped = max_bucket(bucketize_embeddings(
+        emb, nbits=3, seed=42, max_bucket_size=64, refine_rounds=2))
+    assert uncapped > 150  # the skew exists
+    assert capped <= 100 and capped < uncapped / 2  # and is bounded
+
+    # auto-sizing: nbits from corpus size / target bucket size
+    auto = bucketize_embeddings(emb, nbits=None, target_bucket_size=64,
+                                seed=42)
+    assert max_bucket(auto) < 600
+
+    full = embedding_near_dup(emb, threshold=0.9, nbits=3, seed=42)
+    cap1 = embedding_near_dup(emb, threshold=0.9, nbits=3, seed=42,
+                              max_bucket_size=64)
+    cap2 = embedding_near_dup(emb, threshold=0.9, nbits=3, seed=42,
+                              max_bucket_size=64, bands=2)
+    n_full, n_cap1, n_cap2 = full.count(), cap1.count(), cap2.count()
+    assert n_cap1 <= n_full      # capping only drops candidates
+    assert n_cap1 < n_full       # it actually bounded the hot bucket
+    assert n_cap2 > n_cap1       # multiband recovers recall
+    # capped pairs are a subset of the uncapped result
+    assert cap1.join(full, ["a", "b"], "left_anti").count() == 0

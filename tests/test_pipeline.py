@@ -193,3 +193,23 @@ def test_embedding_bucket_cap_and_multiband(spark):
     assert n_cap2 > n_cap1       # multiband recovers recall
     # capped pairs are a subset of the uncapped result
     assert cap1.join(full, ["a", "b"], "left_anti").count() == 0
+
+
+def test_ivf_assign_expr_many_centroids(spark):
+    """The flat distance-array argmin must match numpy exactly at a
+    centroid count (80) where the old nested CASE-WHEN chain blew up
+    codegen depth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from quickwit_spark.pipeline.similarity import ivf_assign_expr
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((80, 8))
+    X = rng.standard_normal((60, 8))
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    got = (emb.withColumn("cid", ivf_assign_expr("embedding", cents))
+           .orderBy("vec_id").select("cid").toPandas()["cid"].to_numpy())
+    want = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2) \
+        .argmin(axis=1)
+    assert (got == want).all()

@@ -317,16 +317,24 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     segment_id = f"seg-{h.hexdigest()[:20]}"
     seg_dir = os.path.join(segments_root, segment_id)
 
+    def _pa_col(series: pd.Series) -> pa.Array:
+        # unsigned ints must go through numpy: tolist() yields python
+        # ints that overflow arrow's int64 inference above i64::MAX
+        # (the reference pins u64 semantics, quickwit-search tests.rs:743)
+        if pd.api.types.is_unsigned_integer_dtype(series):
+            return pa.array(series.to_numpy())
+        return pa.array(series.tolist())
+
     # "_seg_doc" is the engine-internal doc id (rank within segment); user
     # columns (including one literally named doc_id) are stored verbatim
     doc_cols: dict[str, pa.Array] = {
         "_seg_doc": pa.array(np.arange(n), type=pa.int32()),
     }
     for col in config.key_cols:
-        doc_cols[col] = pa.array(pdf[col].tolist())
+        doc_cols[col] = _pa_col(pdf[col])
     for col in (*config.tag_cols, *config.store_cols):
         if col not in doc_cols and col in pdf.columns:
-            doc_cols[col] = pa.array(pdf[col].tolist())
+            doc_cols[col] = _pa_col(pdf[col])
     if config.sha_col and config.sha_col in pdf.columns:
         doc_cols[config.sha_col] = pa.array(pdf[config.sha_col].tolist())
     doc_cols["fieldnorm"] = pa.array(fieldnorms, type=pa.int32())
@@ -347,7 +355,14 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     col_stats: dict[str, list] = {}
     for col in (*config.store_cols, *config.key_cols):
         if col in pdf.columns and pd.api.types.is_numeric_dtype(pdf[col]):
-            col_stats[col] = [float(pdf[col].min()), float(pdf[col].max())]
+            if pd.api.types.is_integer_dtype(pdf[col]):
+                # exact int bounds: float rounding near 2^63 could
+                # otherwise shrink [min,max] and wrongly prune a segment
+                col_stats[col] = [int(pdf[col].min()),
+                                  int(pdf[col].max())]
+            else:
+                col_stats[col] = [float(pdf[col].min()),
+                                  float(pdf[col].max())]
     meta_extra = {
         "segment_id": segment_id,
         "partition_id": int(partition_id),

@@ -50,8 +50,9 @@ import pyarrow.parquet as pq
 
 from ..functions.bm25 import Bm25Weight
 from .builder import _large_binary_array, _list_array, _varint_encode_with_sizes
-from .codecs import BLOCK_SIZE, varint_decode
+from .codecs import BLOCK_SIZE, varint_decode, varint_decode_with_sizes
 from .manifest import Manifest
+from .merge import _binary_cells, _byte_gather
 
 GLOBAL_DIR = "global"
 
@@ -112,13 +113,14 @@ def build_term_partitioned(spark, index_dir: str,
     sdf = sdf.repartition(min(len(seg_rows), 64), "segment_id")
     segments_root = os.path.join(index_dir, "segments")
 
-    def stage1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+    def stage1(it):
+        for batch in it:
+            pdf = batch.to_pandas()
             for r in pdf.itertuples():
                 yield _emit_segment_terms(segments_root, r.segment_id,
                                           int(r.seg_ord))
 
-    term_rows = sdf.mapInPandas(stage1, schema=_STAGE1_SCHEMA)
+    term_rows = sdf.mapInArrow(stage1, schema=_STAGE1_SCHEMA)
     term_rows.cache()
 
     from pyspark.sql import functions as F
@@ -130,17 +132,28 @@ def build_term_partitioned(spark, index_dir: str,
 
     nparts = num_term_partitions
     group = salt_group_segments
+    off_list = offsets
 
-    def stage2(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_term_group(key, pdf, offsets, nparts)
+    def stage2(it):
+        # one vectorized pass over the WHOLE reducer partition (all its
+        # (term, salt) groups at once) — per-group applyInPandas paid
+        # ~ms of Python per term, which at 10^8+ terms is the build
+        batches = list(it)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        out = _merge_partition_rows(tbl, off_list, nparts)
+        if out is not None:
+            yield from out.to_batches()
 
+    width = max(nparts, int(spark.sparkContext.defaultParallelism) * 2)
     salted = term_rows.withColumn(
         "salt",
         F.when(F.col("term").isin(list(hot_set)) if hot_set else F.lit(False),
                (F.col("seg_ord") / F.lit(group)).cast("int"))
         .otherwise(F.lit(0)))
-    merged = (salted.groupBy("term", "salt")
-              .applyInPandas(stage2, schema=_STAGE2_SCHEMA))
+    merged = (salted.repartition(width, "term", "salt")
+              .mapInArrow(stage2, schema=_STAGE2_SCHEMA))
     (merged.repartition(nparts, "tpid")
      .write.mode("overwrite").partitionBy("tpid")
      .option("compression", "zstd").parquet(post_dir))
@@ -162,20 +175,24 @@ def build_term_partitioned(spark, index_dir: str,
 
 
 def _emit_segment_terms(segments_root: str, segment_id: str,
-                        seg_ord: int) -> pd.DataFrame:
+                        seg_ord: int) -> pa.RecordBatch:
+    """Stage-1 worker, arrow-native: one output row per term with the
+    STILL ENCODED posting blobs taken zero-copy from the segment files
+    (no per-term Python)."""
     seg_dir = os.path.join(segments_root, segment_id)
-    td = pq.read_table(os.path.join(seg_dir, "termdict.parquet")).to_pandas()
+    td = pq.read_table(os.path.join(seg_dir, "termdict.parquet"),
+                       columns=["term", "doc_freq", "total_tf"])
     pr = pq.read_table(
         os.path.join(seg_dir, "postings.parquet"),
-        columns=["term_id", "docid_blob", "tf_blob"]).to_pandas()
+        columns=["docid_blob", "tf_blob"])
     fn_ids = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
                            columns=["fieldnorm_id"]
                            ).column(0).to_numpy().astype(np.int64)
     # per-posting fieldnorm blob, varint, aligned with docid order: decode
     # deltas only to recover docids (vectorized, one pass over the segment)
-    blobs_d = pr["docid_blob"].tolist()
-    df_counts = td["doc_freq"].to_numpy()
-    deltas = varint_decode(b"".join(blobs_d)).astype(np.int64)
+    dsuper, _doffs = _binary_cells(pr.column("docid_blob"))
+    df_counts = td.column("doc_freq").to_numpy().astype(np.int64)
+    deltas = varint_decode(dsuper).astype(np.int64)
     term_starts = np.r_[0, np.cumsum(df_counts)[:-1]].astype(np.int64)
     cs = np.cumsum(deltas)
     base = cs[term_starts] - deltas[term_starts]
@@ -184,68 +201,121 @@ def _emit_segment_terms(segments_root: str, segment_id: str,
     fn_per_post = fn_ids[docids].astype(np.uint64)
     fn_blob_all, fn_nb = _varint_encode_with_sizes(fn_per_post)
     fn_cum = np.r_[0, np.cumsum(fn_nb)]
-    fn_starts = fn_cum[term_starts]
-    fn_ends = np.r_[fn_starts[1:], len(fn_blob_all)]
-    fn_blobs = [fn_blob_all[a:b] for a, b in zip(fn_starts, fn_ends)]
-    return pd.DataFrame({
-        "term": td["term"],
-        "seg_ord": np.full(len(td), seg_ord, dtype=np.int32),
-        "doc_freq": td["doc_freq"],
-        "total_tf": td["total_tf"],
-        "docid_blob": blobs_d,
-        "tf_blob": pr["tf_blob"].tolist(),
-        "fn_blob": fn_blobs,
+    fn_offsets = np.r_[fn_cum[term_starts], len(fn_blob_all)]
+    n = len(td)
+    return pa.record_batch({
+        "term": td.column("term").combine_chunks().cast(pa.string()),
+        "seg_ord": pa.array(np.full(n, seg_ord, dtype=np.int32)),
+        "doc_freq": td.column("doc_freq").combine_chunks(),
+        "total_tf": td.column("total_tf").combine_chunks(),
+        "docid_blob": pr.column("docid_blob").combine_chunks()
+                        .cast(pa.binary()),
+        "tf_blob": pr.column("tf_blob").combine_chunks().cast(pa.binary()),
+        "fn_blob": _large_binary_array(fn_blob_all, fn_offsets)
+                   .cast(pa.binary()),
     })
 
 
-def _merge_term_group(key, pdf: pd.DataFrame, offsets: np.ndarray,
-                      nparts: int) -> pd.DataFrame:
-    term, salt = key[0], int(key[1])
-    pdf = pdf.sort_values("seg_ord")
-    doc_parts, tf_parts, fn_parts = [], [], []
-    for r in pdf.itertuples():
-        d = varint_decode(r.docid_blob).astype(np.int64)
-        d = np.cumsum(d) + int(offsets[int(r.seg_ord)])
-        doc_parts.append(d)
-        tf_parts.append(varint_decode(r.tf_blob).astype(np.int64))
-        fn_parts.append(varint_decode(r.fn_blob).astype(np.int64))
-    docids = np.concatenate(doc_parts)   # sorted: seg_ord-ordered offsets
-    tfs = np.concatenate(tf_parts)
-    fns = np.concatenate(fn_parts)
+def _merge_partition_rows(tbl: pa.Table, offsets: np.ndarray,
+                          nparts: int) -> pa.Table | None:
+    """Stage-2 worker: merge ALL (term, salt) groups of one reducer
+    partition in one vectorized pass (sort_by + splice), no per-group
+    Python. Like the segment merge executor, parents' varint bytes are
+    copied verbatim; only each row's FIRST docid delta (absolute global
+    docid, or gap vs the previous segment's last) is re-encoded."""
+    if tbl.num_rows == 0:
+        return None
+    tbl = tbl.sort_by([("term", "ascending"), ("salt", "ascending"),
+                       ("seg_ord", "ascending")])
+    R = tbl.num_rows
+    terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+    salts = tbl.column("salt").to_numpy().astype(np.int32)
+    seg_ord = tbl.column("seg_ord").to_numpy().astype(np.int64)
+    dfreq = tbl.column("doc_freq").to_numpy().astype(np.int64)
+    row_tf = tbl.column("total_tf").to_numpy().astype(np.int64)
+    dsuper, d_offs = _binary_cells(tbl.column("docid_blob"))
+    tsuper, t_offs = _binary_cells(tbl.column("tf_blob"))
+    fsuper, _f_offs = _binary_cells(tbl.column("fn_blob"))
 
-    n = len(docids)
-    deltas = np.empty(n, dtype=np.uint64)
-    deltas[0] = docids[0]
-    deltas[1:] = np.diff(docids).astype(np.uint64)
-    doc_blob, doc_nb = _varint_encode_with_sizes(deltas)
-    tf_blob, tf_nb = _varint_encode_with_sizes(tfs.astype(np.uint64))
-    doc_cum = np.r_[0, np.cumsum(doc_nb)]
-    tf_cum = np.r_[0, np.cumsum(tf_nb)]
+    deltas, dnb = varint_decode_with_sizes(dsuper)
+    tfs, tnb = varint_decode_with_sizes(tsuper)
+    fns = varint_decode(fsuper).astype(np.int64)
+    tfs = tfs.astype(np.int64)
+    row_starts = np.r_[0, np.cumsum(dfreq)[:-1]]
+    cs = np.cumsum(deltas.astype(np.int64))
+    base = cs[row_starts] - deltas[row_starts].astype(np.int64)
+    row_of = np.repeat(np.arange(R), dfreq)
+    docids = cs - base[row_of] + offsets[seg_ord[row_of]]
 
-    nblk = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    blk_start = np.arange(nblk) * BLOCK_SIZE
-    blk_end = np.minimum(blk_start + BLOCK_SIZE, n)
+    # groups = maximal runs of equal (term, salt)
+    grp_first_row = np.nonzero(np.r_[True, (terms[1:] != terms[:-1])
+                                     | (salts[1:] != salts[:-1])])[0]
+    G = len(grp_first_row)
+    rows_per_grp = np.diff(np.r_[grp_first_row, R])
+    grp_of_row = np.repeat(np.arange(G), rows_per_grp)
+    posts_per_grp = np.add.reduceat(dfreq, grp_first_row)
+    grp_post_start = np.r_[0, np.cumsum(posts_per_grp)[:-1]]
+
+    # patch each row's first delta (splice, merge.py semantics)
+    row_first = docids[row_starts]
+    row_last = docids[row_starts + dfreq - 1]
+    is_first = np.r_[True, grp_of_row[1:] != grp_of_row[:-1]]
+    prev_last = np.r_[0, row_last[:-1]]
+    new_first = np.where(is_first, row_first, row_first - prev_last)
+    nf_blob, nf_nb = _varint_encode_with_sizes(new_first.astype(np.uint64))
+    source = np.concatenate([dsuper, np.frombuffer(nf_blob, np.uint8)])
+    first_len = dnb[row_starts]
+    piece_start = np.empty(2 * R, dtype=np.int64)
+    piece_len = np.empty(2 * R, dtype=np.int64)
+    piece_start[0::2] = len(dsuper) + np.r_[0, np.cumsum(nf_nb)[:-1]]
+    piece_len[0::2] = nf_nb
+    piece_start[1::2] = d_offs[:-1] + first_len
+    piece_len[1::2] = np.diff(d_offs) - first_len
+    doc_bytes = _byte_gather(source, piece_start, piece_len)
+    dnb2 = dnb.copy()
+    dnb2[row_starts] = nf_nb
+    doc_cum = np.r_[0, np.cumsum(dnb2)]
+    t_cum = np.r_[0, np.cumsum(tnb)]
+
+    # 128-posting blocks per group (block-max metadata)
+    nblk = (posts_per_grp + BLOCK_SIZE - 1) // BLOCK_SIZE
+    tot_blk = int(nblk.sum())
+    blk_grp = np.repeat(np.arange(G), nblk)
+    blk_first = np.r_[0, np.cumsum(nblk)[:-1]]
+    blk_within = np.arange(tot_blk) - blk_first[blk_grp]
+    blk_start = grp_post_start[blk_grp] + blk_within * BLOCK_SIZE
+    grp_post_end = grp_post_start + posts_per_grp
+    blk_end = np.minimum(blk_start + BLOCK_SIZE, grp_post_end[blk_grp])
     block_last = docids[blk_end - 1]
     block_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
     block_min_fn = np.minimum.reduceat(fns, blk_start).astype(np.int32)
-    doc_offsets = doc_cum[blk_start].astype(np.int32)
-    tf_offsets = tf_cum[blk_start].astype(np.int32)
+    doc_offsets = (doc_cum[blk_start]
+                   - doc_cum[grp_post_start[blk_grp]]).astype(np.int32)
+    tf_offsets = (t_cum[blk_start]
+                  - t_cum[grp_post_start[blk_grp]]).astype(np.int32)
+    blk_offsets = np.r_[0, np.cumsum(nblk)].astype(np.int64)
 
-    tpid = term_partition(term, nparts)
-    return pd.DataFrame({
-        "tpid": [tpid],
-        "term": [term],
-        "salt": [salt],
-        "seg_lo": [int(pdf["seg_ord"].min())],
-        "doc_freq": [int(n)],
-        "total_tf": [int(tfs.sum())],
-        "block_last": [block_last.tolist()],
-        "block_max_tf": [block_max_tf.tolist()],
-        "block_min_fn": [block_min_fn.tolist()],
-        "doc_offsets": [doc_offsets.tolist()],
-        "tf_offsets": [tf_offsets.tolist()],
-        "docid_blob": [doc_blob],
-        "tf_blob": [tf_blob],
+    grp_terms = terms[grp_first_row]
+    tpid = _term_pid(pd.Series(grp_terms), nparts).astype(np.int32)
+    doc_grp_offsets = np.r_[doc_cum[grp_post_start], doc_cum[-1]]
+    tf_grp_offsets = np.r_[t_offs[grp_first_row], len(tsuper)]
+    return pa.table({
+        "tpid": pa.array(tpid),
+        "term": pa.array(grp_terms.tolist(), type=pa.string()),
+        "salt": pa.array(salts[grp_first_row]),
+        "seg_lo": pa.array(seg_ord[grp_first_row].astype(np.int32)),
+        "doc_freq": pa.array(posts_per_grp.astype(np.int64)),
+        "total_tf": pa.array(
+            np.add.reduceat(row_tf, grp_first_row).astype(np.int64)),
+        "block_last": _list_array(block_last, blk_offsets, pa.int64()),
+        "block_max_tf": _list_array(block_max_tf, blk_offsets, pa.int32()),
+        "block_min_fn": _list_array(block_min_fn, blk_offsets, pa.int32()),
+        "doc_offsets": _list_array(doc_offsets, blk_offsets, pa.int32()),
+        "tf_offsets": _list_array(tf_offsets, blk_offsets, pa.int32()),
+        "docid_blob": _large_binary_array(
+            doc_bytes.tobytes(), doc_grp_offsets).cast(pa.binary()),
+        "tf_blob": _large_binary_array(
+            tsuper.tobytes(), tf_grp_offsets).cast(pa.binary()),
     })
 
 

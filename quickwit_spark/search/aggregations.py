@@ -98,8 +98,28 @@ def _bucket_col(kind: str, body: dict):
         return (F.floor((F.col(field) - F.lit(offset)) / F.lit(interval))
                 * F.lit(interval) + F.lit(offset))
     if kind == "date_histogram":
-        unit = body.get("calendar_interval", body.get("fixed_interval",
-                                                      "day"))
+        fixed = body.get("fixed_interval")
+        if fixed is not None:
+            # ES fixed_interval: "<n>(ms|s|m|h|d)" — truncate to epoch
+            # multiples (aggregation.md fixed_interval)
+            import re as _re
+            m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(fixed))
+            if not m:
+                raise InvalidAggregation(
+                    f"bad fixed_interval {fixed!r} (expected e.g. "
+                    "'30s', '5m', '1h')")
+            mult = {"ms": 0.001, "s": 1, "m": 60, "h": 3600,
+                    "d": 86400}[m.group(2)]
+            step = int(m.group(1)) * mult
+            if step <= 0 or step != int(step):
+                raise InvalidAggregation(
+                    f"fixed_interval {fixed!r} must be a whole number "
+                    "of seconds")
+            step = int(step)
+            return F.timestamp_seconds(
+                F.floor(F.unix_timestamp(F.col(field)) / F.lit(step))
+                * F.lit(step))
+        unit = body.get("calendar_interval", "day")
         return F.date_trunc(str(unit), F.col(field))
     if kind == "range":
         ranges = body["ranges"]

@@ -696,19 +696,30 @@ def prune_segments(segments: list[dict], node: A.Node,
                 continue
             lo, hi = stats
             try:
-                if rng.gte is not None and hi < float(rng.gte):
+                # exact int comparison when possible (u64 > i64::MAX
+                # bounds lose precision through float)
+                if rng.gte is not None and hi < _prune_bound(rng.gte):
                     ok = False
-                if rng.gt is not None and hi <= float(rng.gt):
+                if rng.gt is not None and hi <= _prune_bound(rng.gt):
                     ok = False
-                if rng.lte is not None and lo > float(rng.lte):
+                if rng.lte is not None and lo > _prune_bound(rng.lte):
                     ok = False
-                if rng.lt is not None and lo >= float(rng.lt):
+                if rng.lt is not None and lo >= _prune_bound(rng.lt):
                     ok = False
             except (TypeError, ValueError):
                 continue  # non-numeric bound: no pruning
         if ok:
             out.append(seg)
     return out
+
+
+def _prune_bound(v):
+    """Numeric pruning bound, int-exact when the value is integral
+    (Python compares int vs float exactly, so mixed stats work)."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return float(v)
 
 
 def _wand_shape(node: A.Node, text_field: str, tokenizer: str):
@@ -1080,12 +1091,16 @@ class IndexSearcher:
         fields = []
         import pyspark.sql.types as T
         type_map = {"int32": T.IntegerType(), "int64": T.LongType(),
-                    "float64": T.DoubleType(), "object": T.StringType()}
+                    "float32": T.FloatType(), "float64": T.DoubleType(),
+                    "bool": T.BooleanType(), "object": T.StringType()}
         fields.append(T.StructField("segment_id", T.StringType()))
         fields.append(T.StructField("doc_id", T.LongType()))
         for c in cols:
-            dt = type_map.get(str(sample[c].dtype) if sample is not None
-                              else "object", T.StringType())
+            dts = str(sample[c].dtype) if sample is not None else "object"
+            if dts.startswith("datetime64"):
+                dt = T.TimestampType()
+            else:
+                dt = type_map.get(dts, T.StringType())
             fields.append(T.StructField(c, dt))
         return sdf.mapInPandas(leaf, schema=T.StructType(fields))
 

@@ -101,3 +101,65 @@ def test_doc_processor_transform_hook(spark):
     ).toPandas()
     assert sorted(out["repo"]) == ["X", "Y"]
     assert out["n"].dtype == "int64"
+
+
+def test_extended_stats_and_nested_and_fixed_interval(spark, tmp_path):
+    """Round-2 aggregation depth: extended_stats, 2-level nesting,
+    terms size + sum_other_doc_count, histogram gap filling, and
+    date_histogram fixed_interval."""
+    import numpy as np
+    docs = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(40):
+        docs.append({"repo": f"r{i}", "path": f"f{i}.py", "commit": "c",
+                     "lang": ["en", "fr"][i % 2], "content": "alpha",
+                     "size": 7 * i,
+                     "ts": base + pd.Timedelta(seconds=45 * i)})
+    pdf = pd.DataFrame(docs)
+    cfg = IndexConfig(index_uid="agg2", index_dir=str(tmp_path / "i"),
+                      sha_col=None, store_cols=("size", "ts"))
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+
+    es = aggregate(s, "*", {"st": {"extended_stats": {"field": "size"}}}
+                   ).toPandas().iloc[0]
+    x = pdf["size"].to_numpy(dtype=float)
+    assert es["st_sum_of_squares"] == pytest.approx((x * x).sum())
+    assert es["st_variance"] == pytest.approx(x.var())  # population
+    assert es["st_std_deviation"] == pytest.approx(x.std())
+
+    nested = aggregate(s, "*", {
+        "langs": {"terms": {"field": "lang"},
+                  "aggs": {"h": {"histogram": {"field": "size",
+                                               "interval": 100},
+                                 "aggs": {"m": {"max":
+                                                {"field": "size"}}}}}}}
+    ).toPandas()
+    expect = (pdf.assign(b=(pdf["size"] // 100) * 100)
+              .groupby(["lang", "b"])
+              .agg(cnt=("size", "size"), m=("size", "max")))
+    assert len(nested) == len(expect)
+    for row in nested.itertuples():
+        e = expect.loc[(row.langs, row.h)]
+        assert row.doc_count == e["cnt"] and row.m == e["m"]
+
+    topn = aggregate(s, "*", {"langs": {"terms": {"field": "lang",
+                                                  "size": 1}}}).toPandas()
+    assert len(topn) == 1
+    assert int(topn["langs_sum_other_doc_count"].iloc[0]) == \
+        40 - int(topn["doc_count"].iloc[0])
+
+    gap = aggregate(s, "*", {"h": {"histogram": {
+        "field": "size", "interval": 100, "min_doc_count": 0,
+        "extended_bounds": {"min": 0, "max": 500}}}}).toPandas()
+    assert sorted(gap["h"]) == [0.0, 100.0, 200.0, 300.0, 400.0, 500.0]
+    assert (gap[gap["h"] == 500.0]["doc_count"] == 0).all()
+
+    fx = aggregate(s, "*", {"d": {"date_histogram":
+                                  {"field": "ts",
+                                   "fixed_interval": "5m"}}}).toPandas()
+    expect_fx = (pdf.assign(
+        b=pdf["ts"].dt.floor("5min")).groupby("b").size())
+    assert len(fx) == len(expect_fx)
+    got = {pd.Timestamp(k): v for k, v in zip(fx["d"], fx["doc_count"])}
+    assert got == dict(expect_fx.items())

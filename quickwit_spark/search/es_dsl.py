@@ -124,16 +124,31 @@ def es_search(searcher, body: dict, default_field: str | None = None
     else:
         res = searcher.search(node, k=size, offset=offset)
         hits = res.hits
+    hl_spec = body.get("highlight", {}).get("fields", {})
+    hl_terms = None
+    if hl_spec:
+        from .snippets import extract_query_terms
+        hl_terms = extract_query_terms(node)
     out_hits = []
     for h in hits:
         src = {k: v for k, v in h.doc.items()
                if not k.startswith("_") and k not in ("fieldnorm",
                                                       "fieldnorm_id")}
-        out_hits.append({
+        hit = {
             "_id": f"{h.segment_id}:{h.doc_id}",
             "_score": None if sort_spec else float(h.score),
             "_source": src,
-        })
+        }
+        if hl_spec:
+            from .snippets import make_snippet
+            hl = {}
+            for f in hl_spec:
+                frag = make_snippet(str(src.get(f, "")), hl_terms)
+                if frag:
+                    hl[f] = [frag]
+            if hl:
+                hit["highlight"] = hl
+        out_hits.append(hit)
     resp = {
         "took": int((_time.perf_counter() - t0) * 1000),
         "timed_out": False,

@@ -132,3 +132,31 @@ def test_explain_and_msearch(spark, tmp_path):
     assert len(r["responses"]) == 2
     assert r["responses"][0]["hits"]["total"]["value"] == 2
     assert r["responses"][1]["hits"]["total"]["value"] == 1
+
+
+def test_es_search_highlight(spark, tmp_path):
+    """ES highlight: fragments from stored fields around the query terms
+    (fetch_docs.rs:263-352 snippet semantics via the ES response shape)."""
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.search.es_dsl import es_search
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 3, "path": [f"f{i}" for i in range(3)],
+        "commit": ["c"] * 3, "lang": ["go"] * 3,
+        "content": ["alpha beta gamma", "alpha delta", "no match here"],
+    })
+    cfg = IndexConfig(index_uid="hl", index_dir=str(tmp_path / "hl"),
+                      sha_col=None, store_cols=("content",),
+                      tokenizer="default")
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    r = es_search(s, {"query": {"match": {"content": "alpha"}},
+                      "highlight": {"fields": {"content": {}}}})
+    hits = r["hits"]["hits"]
+    assert len(hits) == 2
+    for h in hits:
+        assert "<b>alpha</b>" in h["highlight"]["content"][0]
+    r2 = es_search(s, {"query": {"match": {"content": "alpha"}}})
+    assert "highlight" not in r2["hits"]["hits"][0]

@@ -1087,21 +1087,17 @@ class IndexSearcher:
                 for sid in pdf["segment_id"].tolist():
                     yield one(sid)
 
-        sample = one(segs[0]["segment_id"]) if segs else None
-        fields = []
+        # output schema from the parquet FOOTER of one segment's doc map
+        # (metadata-only — never evaluate a leaf on the driver)
         import pyspark.sql.types as T
-        type_map = {"int32": T.IntegerType(), "int64": T.LongType(),
-                    "float32": T.FloatType(), "float64": T.DoubleType(),
-                    "bool": T.BooleanType(), "object": T.StringType()}
-        fields.append(T.StructField("segment_id", T.StringType()))
-        fields.append(T.StructField("doc_id", T.LongType()))
+        arrow_types = _doc_schema_types(
+            os.path.join(index_dir, "segments",
+                         segs[0]["segment_id"])) if segs else {}
+        fields = [T.StructField("segment_id", T.StringType()),
+                  T.StructField("doc_id", T.LongType())]
         for c in cols:
-            dts = str(sample[c].dtype) if sample is not None else "object"
-            if dts.startswith("datetime64"):
-                dt = T.TimestampType()
-            else:
-                dt = type_map.get(dts, T.StringType())
-            fields.append(T.StructField(c, dt))
+            fields.append(T.StructField(c, arrow_types.get(
+                c, T.StringType())))
         return sdf.mapInPandas(leaf, schema=T.StructType(fields))
 
     # -- auxiliary search surface -------------------------------------------
@@ -1219,19 +1215,31 @@ class IndexSearcher:
             return segment_sort_top_k(seg_dir, node, k, tokenizer,
                                       text_field, sort_by)
 
-        sample_cnt, sample = one(segs[0]["segment_id"])
-        type_map = {"int32": T.LongType(), "int64": T.LongType(),
-                    "float32": T.DoubleType(), "float64": T.DoubleType()}
+        # leaf schema from the doc-map parquet footer (metadata-only; a
+        # driver-side probe would evaluate a whole leaf)
+        doc_types = _doc_schema_types(
+            os.path.join(index_dir, "segments", segs[0]["segment_id"]))
         fields = [T.StructField("segment_id", T.StringType()),
                   T.StructField("doc_id", T.LongType()),
                   T.StructField("match_count", T.LongType())]
         sort_cols = [f"_sort{i}" for i in range(len(sort_by))]
         np_casts: dict[str, str] = {}
-        for c in sort_cols:
-            dt = str(sample[c].dtype)
-            fields.append(T.StructField(c, type_map.get(dt, T.StringType())))
-            np_casts[c] = ("float64" if "float" in dt else
-                           "int64" if "int" in dt else "object")
+        for c, (f, _d) in zip(sort_cols, sort_by):
+            if f == "_score":
+                st = T.DoubleType()
+            elif f in ("_doc", "_shard_doc"):
+                st = T.LongType()
+            else:
+                st = doc_types.get(f, T.StringType())
+            if isinstance(st, (T.IntegerType, T.LongType)):
+                st = T.LongType()
+                np_casts[c] = "int64"
+            elif isinstance(st, (T.FloatType, T.DoubleType)):
+                st = T.DoubleType()
+                np_casts[c] = "float64"
+            else:
+                np_casts[c] = "object"
+            fields.append(T.StructField(c, st))
         schema = T.StructType(fields)
         out_cols = ["segment_id", "doc_id", "match_count", *sort_cols]
 
@@ -1414,6 +1422,34 @@ class IndexSearcher:
                            if wand else None),
             "docs_to_consider": sum(s["num_docs"] for s in kept),
         }
+
+
+def _doc_schema_types(seg_dir: str) -> dict:
+    """Spark types for a segment's doc-map columns from the parquet
+    footer only (no data read, no leaf evaluation)."""
+    import pyarrow as pa
+    import pyspark.sql.types as T
+    schema = pq.read_schema(os.path.join(seg_dir, "docs.parquet"))
+    out = {}
+    for f in schema:
+        t = f.type
+        if pa.types.is_timestamp(t):
+            st = T.TimestampType()
+        elif pa.types.is_boolean(t):
+            st = T.BooleanType()
+        elif pa.types.is_int8(t) or pa.types.is_int16(t) or \
+                pa.types.is_int32(t):
+            st = T.IntegerType()
+        elif pa.types.is_integer(t):  # int64 + unsigned
+            st = T.LongType()
+        elif pa.types.is_float32(t):
+            st = T.FloatType()
+        elif pa.types.is_floating(t):
+            st = T.DoubleType()
+        else:
+            st = T.StringType()
+        out[f.name] = st
+    return out
 
 
 def _default_parallelism(spark) -> int:

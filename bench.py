@@ -113,8 +113,8 @@ def main() -> None:
                            A.Term("content", "shard"))))),
         "q_filter_lang": A.Bool(must=(A.Term("content", "merge"),),
                                 filter=(A.Term("lang", "python"),)),
-        "q_must_not": A.Bool(must=(A.Term("content", "fast"),),
-                             must_not=(A.Term("content", "slow"),)),
+        "q_must_not": A.Bool(must=(A.Term("content", "fetch"),),
+                             must_not=(A.Term("content", "cache"),)),
         "q_phrase_fallback": A.FullText("content", "merge batch split"),
     }
     lat_ms: list[float] = []

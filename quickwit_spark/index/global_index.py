@@ -154,7 +154,11 @@ def build_term_partitioned(spark, index_dir: str,
         .otherwise(F.lit(0)))
     merged = (salted.repartition(width, "term", "salt")
               .mapInArrow(stage2, schema=_STAGE2_SCHEMA))
+    # sort by term within each tpid file: parquet row-group min/max on
+    # `term` become tight ranges, so a point term lookup prunes to one
+    # row group instead of scanning the whole partition
     (merged.repartition(nparts, "tpid")
+     .sortWithinPartitions("term", "salt")
      .write.mode("overwrite").partitionBy("tpid")
      .option("compression", "zstd").parquet(post_dir))
     term_rows.unpersist()

@@ -62,7 +62,8 @@ _STAGE1_SCHEMA = ("term string, seg_ord int, doc_freq long, total_tf long, "
 _STAGE2_SCHEMA = ("tpid int, term string, salt int, seg_lo int, "
                   "doc_freq long, total_tf long, "
                   "block_last array<long>, block_max_tf array<int>, "
-                  "block_min_fn array<int>, doc_offsets array<int>, "
+                  "block_min_fn array<int>, "
+                  "block_max_ratio array<float>, doc_offsets array<int>, "
                   "tf_offsets array<int>, docid_blob binary, tf_blob binary")
 
 
@@ -133,6 +134,8 @@ def build_term_partitioned(spark, index_dir: str,
     nparts = num_term_partitions
     group = salt_group_segments
     off_list = offsets
+    global_avg = (float(total_fieldnorm) / float(num_docs)) if num_docs \
+        else 1.0
 
     def stage2(it):
         # one vectorized pass over the WHOLE reducer partition (all its
@@ -142,7 +145,7 @@ def build_term_partitioned(spark, index_dir: str,
         if not batches:
             return
         tbl = pa.Table.from_batches(batches)
-        out = _merge_partition_rows(tbl, off_list, nparts)
+        out = _merge_partition_rows(tbl, off_list, nparts, global_avg)
         if out is not None:
             yield from out.to_batches()
 
@@ -221,7 +224,9 @@ def _emit_segment_terms(segments_root: str, segment_id: str,
 
 
 def _merge_partition_rows(tbl: pa.Table, offsets: np.ndarray,
-                          nparts: int) -> pa.Table | None:
+                          nparts: int,
+                          global_avg_fieldnorm: float = 1.0
+                          ) -> pa.Table | None:
     """Stage-2 worker: merge ALL (term, salt) groups of one reducer
     partition in one vectorized pass (sort_by + splice), no per-group
     Python. Like the segment merge executor, parents' varint bytes are
@@ -293,6 +298,19 @@ def _merge_partition_rows(tbl: pa.Table, offsets: np.ndarray,
     block_last = docids[blk_end - 1]
     block_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
     block_min_fn = np.minimum.reduceat(fns, blk_start).astype(np.int32)
+    # jointly-achievable per-block score bound with GLOBAL statistics
+    # (same f32 arithmetic as the query-time Bm25Weight cache) — powers
+    # block-max WAND on the term-partitioned layout
+    from ..functions.bm25 import B, K1, id_to_fieldnorm
+    avg = np.float32(global_avg_fieldnorm) if global_avg_fieldnorm > 0 \
+        else np.float32(1.0)
+    lens_f32 = id_to_fieldnorm(fns).astype(np.float32)
+    norm = (K1 * (np.float32(1.0) - B + B * lens_f32 / avg)).astype(
+        np.float32)
+    tf_f32 = tfs.astype(np.float32)
+    ratio = (tf_f32 / (tf_f32 + norm)).astype(np.float32)
+    block_max_ratio = np.maximum.reduceat(ratio, blk_start).astype(
+        np.float32)
     doc_offsets = (doc_cum[blk_start]
                    - doc_cum[grp_post_start[blk_grp]]).astype(np.int32)
     tf_offsets = (t_cum[blk_start]
@@ -314,6 +332,8 @@ def _merge_partition_rows(tbl: pa.Table, offsets: np.ndarray,
         "block_last": _list_array(block_last, blk_offsets, pa.int64()),
         "block_max_tf": _list_array(block_max_tf, blk_offsets, pa.int32()),
         "block_min_fn": _list_array(block_min_fn, blk_offsets, pa.int32()),
+        "block_max_ratio": _list_array(block_max_ratio, blk_offsets,
+                                       pa.float32()),
         "doc_offsets": _list_array(doc_offsets, blk_offsets, pa.int32()),
         "tf_offsets": _list_array(tf_offsets, blk_offsets, pa.int32()),
         "docid_blob": _large_binary_array(
@@ -321,6 +341,18 @@ def _merge_partition_rows(tbl: pa.Table, offsets: np.ndarray,
         "tf_blob": _large_binary_array(
             tsuper.tobytes(), tf_grp_offsets).cast(pa.binary()),
     })
+
+
+class _GlobalFieldnormLookup:
+    """Lazy docid->fieldnorm-id lookup over the owning segments (the
+    global layout never materializes one num_docs-sized array)."""
+
+    def __init__(self, searcher: "GlobalIndexSearcher"):
+        self._s = searcher
+
+    def __getitem__(self, docids: np.ndarray) -> np.ndarray:
+        return self._s._fieldnorms_for(
+            np.asarray(docids, dtype=np.int64))
 
 
 class GlobalIndexSearcher:
@@ -389,13 +421,22 @@ class GlobalIndexSearcher:
         return np.concatenate(doc_parts), np.concatenate(tf_parts)
 
     def search_terms(self, terms: list[str], operator: str = "and",
-                     k: int = 10, precision: str = "f32"
-                     ) -> tuple[int, pd.DataFrame]:
+                     k: int = 10, precision: str = "f32",
+                     count_all: bool = True) -> tuple[int, pd.DataFrame]:
         """AND/OR of terms, global BM25, top-k with (docid desc)
         tie-break. Returns (num_hits, DataFrame[global_doc, score]).
         precision="f32" is the production scorer (rank-identical to one
         fully-merged segment); "f64" computes the same formula in doubles
-        (the SQL-oracle-comparable path, search/sqlmode.py)."""
+        (the SQL-oracle-comparable path, search/sqlmode.py).
+
+        count_all=False + operator="or" + f32 runs block-max WAND over
+        the term-partitioned rows (identical top-k; num_hits becomes a
+        lower bound — the north rule's pruned query path at the global
+        layout). Salted Zipf-head terms contribute one MaxScore cursor
+        per salt row; the rows cover disjoint docid ranges, so bounds
+        stay conservative."""
+        if not count_all and operator == "or" and precision == "f32":
+            return self._search_or_pruned(terms, k)
         rows = self._term_rows(terms)
         per_term = []
         for t in terms:
@@ -444,6 +485,34 @@ class GlobalIndexSearcher:
         order = np.lexsort((-docs, -scores.astype(np.float64)))[:k]
         return len(docs), pd.DataFrame({
             "global_doc": docs[order], "score": scores[order]})
+
+    def _search_or_pruned(self, terms: list[str], k: int
+                          ) -> tuple[int, pd.DataFrame]:
+        from ..search.wand import _TermCursor, or_topk_cursors
+        rows = self._term_rows(terms)
+        cursors = []
+        cursor_cols = ["doc_freq", "block_last", "block_max_tf",
+                       "block_min_fn", "doc_offsets", "tf_offsets",
+                       "docid_blob", "tf_blob", "block_max_ratio"]
+        for t in terms:
+            sub = rows[rows["term"] == t].sort_values("salt") \
+                if len(rows) else rows
+            if len(rows) == 0 or len(sub) == 0:
+                cursors.append(None)
+                continue
+            df_global = int(sub["doc_freq"].sum())
+            w = Bm25Weight(df_global, self.num_docs,
+                           float(self.avg_fieldnorm))
+            for r in sub.itertuples():
+                row = {c: getattr(r, c) for c in cursor_cols
+                       if hasattr(r, c)}  # pre-ratio layouts fall back
+                cursors.append(_TermCursor(t, row, w))
+        fn_lookup = _GlobalFieldnormLookup(self)
+        docids, scores, count = or_topk_cursors(cursors, fn_lookup,
+                                                "freq", k)
+        order = np.lexsort((-docids, -scores.astype(np.float64)))[:k]
+        return count, pd.DataFrame({"global_doc": docids[order],
+                                    "score": scores[order]})
 
     def fetch(self, result: pd.DataFrame) -> pd.DataFrame:
         """Resolve global docids to doc keys via the owning segments."""

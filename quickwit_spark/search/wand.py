@@ -184,8 +184,17 @@ def or_topk(reader, terms: list[str], k: int):
     terms (unsorted set; caller sorts) and the count is the number of
     matching docs SEEN (a lower bound — the reference's
     CountHits::Underestimate)."""
-    fn_ids = reader.fieldnorm_ids()
-    all_cursors = _make_cursors(reader, terms)
+    return or_topk_cursors(_make_cursors(reader, terms),
+                           reader.fieldnorm_ids(), reader.record, k)
+
+
+def or_topk_cursors(all_cursors: list, fn_ids, record: str, k: int):
+    """Cursor-level pruned OR (shared by the per-segment and the GLOBAL
+    term-partitioned searchers). Cursors may cover DISJOINT docid ranges
+    of the same term (salted Zipf-head rows): treating each as its own
+    MaxScore participant only over-estimates the remaining bound, which
+    is conservative. fn_ids is any fancy-indexable docid->fieldnorm-id
+    lookup (an array, or a lazy per-segment resolver)."""
     live = [(i, c) for i, c in enumerate(all_cursors) if c is not None]
     if not live:
         return _empty3()
@@ -220,10 +229,10 @@ def or_topk(reader, terms: list[str], k: int):
             keep = unseen_ok | (cur.block_scores + np.float32(remaining)
                                 + best >= theta)
             bidx = all_b[keep]
-            d2, s2 = cur.decode_blocks(bidx, fn_ids, reader.record)
+            d2, s2 = cur.decode_blocks(bidx, fn_ids, record)
         else:
             d2, s2 = cur.decode_blocks(
-                np.arange(len(cur.block_last)), fn_ids, reader.record)
+                np.arange(len(cur.block_last)), fn_ids, record)
         parts[i] = (d2, s2)
         if len(d2):
             acc_docs, acc_scores = _merge_add(acc_docs, acc_scores, d2, s2)

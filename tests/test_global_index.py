@@ -144,3 +144,43 @@ def test_salting_bounds_hot_term_group_size(tmp_path, spark):
     # and totals are preserved (no postings lost)
     assert salted[salted["term"] == hot]["doc_freq"].sum() == \
         unsalted[unsalted["term"] == hot]["doc_freq"].iloc[0]
+
+
+def test_global_wand_pruned_or(spark, tmp_path):
+    """Block-max WAND on the term-partitioned layout (the north rule's
+    pruned query path at the global scale): identical top-k to the
+    exhaustive f32 scorer, majority of blocks skipped on an
+    idf-asymmetric OR over a score-skewed corpus; salted hot terms
+    contribute one cursor per salt row."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.search import wand
+    pdf = corpus_pandas(6000, seed=7, skew=True)
+    cfg = IndexConfig(index_uid="gw", index_dir=str(tmp_path / "gw"))
+    build_index_pandas(pdf, cfg, num_partitions=4)
+    # low salt threshold so the head terms are salted (multi-cursor path)
+    build_term_partitioned(spark, cfg.index_dir, num_term_partitions=4,
+                           salt_df_threshold=2000, salt_group_segments=2)
+    g = GlobalIndexSearcher(cfg.index_dir)
+    frames = [pq.read_table(p, columns=["term", "doc_freq"]).to_pandas()
+              for p in glob.glob(os.path.join(
+                  cfg.index_dir, "global", "postings", "tpid=*"))]
+    dfsum = pd.concat(frames).groupby("term")["doc_freq"].sum() \
+        .sort_values()
+    mid = dfsum[(dfsum >= 30) & (dfsum <= 120)].index[0]
+    terms = [mid, *dfsum.index[-2:]]
+    n_ex, ex = g.search_terms(terms, operator="or", k=10,
+                              precision="f32")
+    wand.STATS["blocks_decoded"] = wand.STATS["blocks_total"] = 0
+    n_pr, pr = g.search_terms(terms, operator="or", k=10,
+                              precision="f32", count_all=False)
+    assert ex["global_doc"].tolist() == pr["global_doc"].tolist()
+    assert np.array_equal(ex["score"].to_numpy().astype(np.float32),
+                          pr["score"].to_numpy().astype(np.float32))
+    assert n_pr <= n_ex
+    skip = 1 - wand.STATS["blocks_decoded"] / wand.STATS["blocks_total"]
+    assert skip >= 0.5, wand.STATS

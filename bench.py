@@ -195,6 +195,34 @@ def main() -> None:
         if name == "q_or3_skew_wand" and STATS["blocks_total"]:
             wand_skip = 1 - STATS["blocks_decoded"] / STATS["blocks_total"]
 
+    # --- 2c. global term-partitioned layout over the skewed index ---------
+    # (the 10^12-scale query path: O(#terms) partitions touched, block-max
+    # WAND over the global rows)
+    from quickwit_spark.index.global_index import (GlobalIndexSearcher,
+                                                   build_term_partitioned)
+    t0 = time.perf_counter()
+    build_term_partitioned(spark, skew_cfg.index_dir,
+                           num_term_partitions=8)
+    queries["build_global_index"] = round(time.perf_counter() - t0, 3)
+    gsearch = GlobalIndexSearcher(skew_cfg.index_dir)
+    gterms = [t for t in skew_terms]
+    global_skip = 0.0
+    for name, ca in [("q_global_or_exh", True),
+                     ("q_global_or_wand", False)]:
+        gsearch.search_terms(gterms, operator="or", k=10, count_all=ca)
+        STATS["blocks_decoded"] = STATS["blocks_total"] = 0
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            gsearch.search_terms(gterms, operator="or", k=10,
+                                 count_all=ca)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        queries[name] = round(runs[1], 4)
+        if name == "q_global_or_wand" and STATS["blocks_total"]:
+            global_skip = 1 - (STATS["blocks_decoded"]
+                               / STATS["blocks_total"])
+
     # --- 3. documents-table index queries (driver-contract surface) -------
     import __spark_entry__ as entrymod
     for name in ["bm25_and_topk", "agg_terms_lang",
@@ -218,6 +246,7 @@ def main() -> None:
         "query_p50_ms": round(p50, 2),
         "query_p99_ms": round(p99, 2),
         "wand_block_skip_ratio": round(wand_skip, 4),
+        "global_wand_skip_ratio": round(global_skip, 4),
         "cpus": cpus,
     }
     shutil.rmtree(work, ignore_errors=True)

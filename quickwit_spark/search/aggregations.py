@@ -188,7 +188,10 @@ def aggregate(searcher, query, spec: dict):
     """Run an ES-style aggregation spec over the docs matching `query`.
 
     Returns a Spark DataFrame (when the searcher has a session) or pandas
-    DataFrame; one row per deepest bucket combination (see module doc)."""
+    DataFrame; one row per deepest bucket combination (see module doc).
+    SIBLING bucket aggregations at the top level return a dict
+    {agg_name: DataFrame} — the matched-doc relation is resolved once and
+    shared by every sibling plan."""
     fields = sorted(_collect_fields(spec))
     matched = searcher.matched_docs(query, fields)
     is_spark = not hasattr(matched, "iloc")
@@ -199,6 +202,18 @@ def aggregate(searcher, query, spec: dict):
                              "to the searcher (IndexSearcher(dir, spark))")
         matched = spark.createDataFrame(matched)
 
+    n_top_buckets = sum(
+        1 for body in spec.values()
+        if isinstance(body, dict)
+        and any(k in _BUCKETS for k in body if k != "aggs"))
+    if n_top_buckets > 1:
+        matched = matched.persist()
+        return {name: _aggregate_plan(matched, {name: body})
+                for name, body in spec.items()}
+    return _aggregate_plan(matched, spec)
+
+
+def _aggregate_plan(matched, spec: dict):
     # walk the nesting chain: bucket levels outside-in, metrics at leaf
     levels = []  # [(name, kind, body)]
     cur = spec

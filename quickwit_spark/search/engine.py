@@ -832,13 +832,20 @@ def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
 
 
 def segment_sort_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
-                       text_field: str, sort_by: tuple
+                       text_field: str, sort_by: tuple,
+                       search_after: tuple | None = None
                        ) -> tuple[int, pd.DataFrame]:
     """Leaf search sorted by an explicit sort spec (reference:
     collector.rs:994-1029 — at most 2 sort fields, each `_score` | `_doc` |
     a fast field; missing values sort last regardless of direction;
     tie-break is the doc address in the direction of the FIRST sort order,
-    collector.rs:1086-1145)."""
+    collector.rs:1086-1145).
+
+    search_after=(v0[, v1], segment_id, doc_id) — the previous page's
+    last sort key + doc address. Implemented by sorting a synthetic
+    cursor row into the leaf's total order (same comparator, including
+    null placement and the cross-segment address tie-break) and keeping
+    only rows strictly after it."""
     if not 1 <= len(sort_by) <= 2:
         raise ValueError("sort_by supports 1 or 2 sort fields")
     reader = get_reader(seg_dir, tokenizer)
@@ -864,6 +871,23 @@ def segment_sort_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
         ascending.append(direction == "asc")
     first_asc = ascending[0]
     df = pd.DataFrame(cols)
+    if search_after is not None:
+        *sa_vals, sa_seg, sa_doc = search_after
+        sid = os.path.basename(seg_dir)
+        df["_seg"] = sid
+        df["_cursor"] = False
+        cursor = {"doc_id": int(sa_doc), "_seg": str(sa_seg),
+                  "_cursor": True}
+        for name, v in zip(sort_cols, sa_vals):
+            cursor[name] = v
+        df = pd.concat([df, pd.DataFrame([cursor])], ignore_index=True)
+        df = df.sort_values(sort_cols + ["_seg", "doc_id"],
+                            ascending=ascending + [first_asc, first_asc],
+                            na_position="last",
+                            kind="mergesort").reset_index(drop=True)
+        pos = int(df.index[df["_cursor"]][0])
+        df = df.iloc[pos + 1:].drop(columns=["_seg", "_cursor"])
+        return count, df.head(k).reset_index(drop=True)
     df = df.sort_values(sort_cols + ["doc_id"],
                         ascending=ascending + [first_asc],
                         na_position="last", kind="mergesort").head(k)
@@ -882,6 +906,9 @@ class SearchHit:
 class SearchResult:
     num_hits: int
     hits: list[SearchHit]
+    # sort_search only: (sort values..., segment_id, doc_id) of the last
+    # hit — pass as search_after to sort_search for the next page
+    last_sort_key: tuple | None = None
 
     @property
     def next_cursor(self) -> tuple | None:
@@ -1155,15 +1182,21 @@ class IndexSearcher:
 
     def sort_search(self, query, k: int = 10,
                     sort_by: tuple = (("_score", "desc"),),
-                    fetch_fields: bool = True) -> SearchResult:
+                    fetch_fields: bool = True,
+                    search_after: tuple | None = None) -> SearchResult:
         """Top-k under an explicit sort spec (<= 2 fields, each `_score` |
         `_doc` | fast-field column; collector.rs:994-1029). Global merge
         re-applies the same key with the (segment_id, doc_id) tie-break in
-        the first sort order's direction."""
+        the first sort order's direction.
+
+        search_after=(sort values..., segment_id, doc_id) pages deep
+        without collecting offset+k everywhere (the ES sort+search_after
+        pattern; cursor = the previous page's last hit)."""
         node = self.parse(query)
         segs = prune_segments(self.manifest.segments(), node, self.tag_fields)
         if self.spark is not None and len(segs) > 1:
-            parts = self._leaf_spark_sort(segs, node, k, sort_by)
+            parts = self._leaf_spark_sort(segs, node, k, sort_by,
+                                          search_after)
         else:
             parts = []
             for seg in segs:
@@ -1171,7 +1204,8 @@ class IndexSearcher:
                                        seg["segment_id"])
                 cnt, top = segment_sort_top_k(seg_dir, node, k,
                                               self.tokenizer,
-                                              self.text_field, sort_by)
+                                              self.text_field, sort_by,
+                                              search_after)
                 top = top.copy()
                 top["segment_id"] = seg["segment_id"]
                 parts.append((cnt, top))
@@ -1196,10 +1230,16 @@ class IndexSearcher:
         hits = self._fetch(winners) if fetch_fields else [
             SearchHit(float(r.score), str(r.segment_id), int(r.doc_id), {})
             for r in winners.itertuples()]
-        return SearchResult(num_hits, hits)
+        last_key = None
+        if len(allc):
+            last = allc.iloc[-1]
+            last_key = tuple(last[c] for c in sort_cols) + (
+                str(last["segment_id"]), int(last["doc_id"]))
+        return SearchResult(num_hits, hits, last_sort_key=last_key)
 
     def _leaf_spark_sort(self, segs: list[dict], node: A.Node, k: int,
-                         sort_by: tuple):
+                         sort_by: tuple,
+                         search_after: tuple | None = None):
         """sort_search leaves as a mapInPandas fan-out (same shape as
         _leaf_spark; reference: leaf sort collectors,
         collector.rs:994-1145). The leaf result schema depends on the
@@ -1213,7 +1253,7 @@ class IndexSearcher:
         def one(sid: str) -> tuple[int, pd.DataFrame]:
             seg_dir = os.path.join(index_dir, "segments", sid)
             return segment_sort_top_k(seg_dir, node, k, tokenizer,
-                                      text_field, sort_by)
+                                      text_field, sort_by, search_after)
 
         # leaf schema from the doc-map parquet footer (metadata-only; a
         # driver-side probe would evaluate a whole leaf)

@@ -108,6 +108,7 @@ def es_search(searcher, body: dict, default_field: str | None = None
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     sort_spec = body.get("sort")
+    sa = body.get("search_after")
     if sort_spec:
         sort_by = []
         for s in sort_spec[:2]:
@@ -119,10 +120,13 @@ def es_search(searcher, body: dict, default_field: str | None = None
                     else str(v)
                 sort_by.append((f, order))
         res = searcher.sort_search(node, k=offset + size,
-                                   sort_by=tuple(sort_by))
+                                   sort_by=tuple(sort_by),
+                                   search_after=(tuple(sa) if sa
+                                                 else None))
         hits = res.hits[offset:offset + size]
     else:
-        res = searcher.search(node, k=size, offset=offset)
+        res = searcher.search(node, k=size, offset=offset,
+                              search_after=(tuple(sa) if sa else None))
         hits = res.hits
     hl_spec = body.get("highlight", {}).get("fields", {})
     hl_terms = None
@@ -139,6 +143,19 @@ def es_search(searcher, body: dict, default_field: str | None = None
             "_score": None if sort_spec else float(h.score),
             "_source": src,
         }
+        if sort_spec:
+            # round-trippable cursor: sort values + the doc address
+            # tie-break (ES uses _shard_doc the same way) — feed back
+            # verbatim as `search_after` for the next page
+            vals = []
+            for f, _d in sort_by:
+                if f == "_score":
+                    vals.append(float(h.score))
+                elif f in ("_doc", "_shard_doc"):
+                    vals.append(int(h.doc_id))
+                else:
+                    vals.append(src.get(f))
+            hit["sort"] = vals + [h.segment_id, int(h.doc_id)]
         if hl_spec:
             from .snippets import make_snippet
             hl = {}
@@ -162,8 +179,15 @@ def es_search(searcher, body: dict, default_field: str | None = None
     if body.get("aggs"):
         from .aggregations import aggregate
         out = aggregate(searcher, node, body["aggs"])
-        pdf = out.toPandas() if hasattr(out, "toPandas") else out
-        resp["aggregations"] = pdf.to_dict("records")
+
+        def _records(df):
+            pdf = df.toPandas() if hasattr(df, "toPandas") else df
+            return pdf.to_dict("records")
+        if isinstance(out, dict):  # sibling bucket aggs
+            resp["aggregations"] = {n: _records(df)
+                                    for n, df in out.items()}
+        else:
+            resp["aggregations"] = _records(out)
     return resp
 
 

@@ -163,3 +163,25 @@ def test_extended_stats_and_nested_and_fixed_interval(spark, tmp_path):
     assert len(fx) == len(expect_fx)
     got = {pd.Timestamp(k): v for k, v in zip(fx["d"], fx["doc_count"])}
     assert got == dict(expect_fx.items())
+
+
+def test_sibling_bucket_aggs(spark, idx):
+    """Sibling bucket aggregations return one DataFrame per sibling,
+    over a shared matched-doc relation."""
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    out = aggregate(s, "*", {
+        "langs": {"terms": {"field": "lang"}},
+        "sizes": {"histogram": {"field": "size", "interval": 200}},
+        "st": {"stats": {"field": "size"}},
+    })
+    assert set(out) == {"langs", "sizes", "st"}
+    langs = out["langs"].toPandas()
+    assert dict(zip(langs["langs"], langs["doc_count"])) == \
+        pdf.groupby("lang").size().to_dict()
+    sizes = out["sizes"].toPandas()
+    expect = (pdf.assign(b=(pdf["size"] // 200) * 200).groupby("b").size())
+    assert dict(zip(sizes["sizes"], sizes["doc_count"])) == \
+        {float(k): v for k, v in expect.items()}
+    st = out["st"].toPandas().iloc[0]
+    assert st["st_max"] == pdf["size"].max()

@@ -68,3 +68,44 @@ def test_list_terms_distributed_and_limit_pushdown(idx, spark):
     full = local.list_terms(start="a", end="z", limit=10**9)
     lim = local.list_terms(start="a", end="z", limit=25)
     assert lim == full[:25]
+
+
+def test_sort_search_after_pages_entire_set(idx, spark):
+    """sort+search_after deep pagination: stitching pages with the
+    last_sort_key cursor reproduces the one-shot ordering exactly, on
+    both the in-process and distributed leaf paths."""
+    for searcher in (IndexSearcher(idx.index_dir),
+                     IndexSearcher(idx.index_dir, spark=spark)):
+        sort_by = (("nchars", "desc"), ("_doc", "asc"))
+        node = A.Term("content", "merge")
+        full = searcher.sort_search(node, k=10_000, sort_by=sort_by,
+                                    fetch_fields=False)
+        want = [(h.segment_id, h.doc_id) for h in full.hits]
+        assert len(want) > 20
+        pages, cursor = [], None
+        while True:
+            res = searcher.sort_search(node, k=7, sort_by=sort_by,
+                                       fetch_fields=False,
+                                       search_after=cursor)
+            if not res.hits:
+                break
+            pages.extend((h.segment_id, h.doc_id) for h in res.hits)
+            cursor = res.last_sort_key
+        assert pages == want
+
+
+def test_es_sort_search_after_round_trip(idx, spark):
+    from quickwit_spark.search.es_dsl import es_search
+    s = IndexSearcher(idx.index_dir)
+    body = {"query": {"match": {"content": "merge"}},
+            "sort": [{"nchars": {"order": "desc"}}], "size": 5}
+    p1 = es_search(s, body)
+    assert all("sort" in h for h in p1["hits"]["hits"])
+    cursor = p1["hits"]["hits"][-1]["sort"]
+    p2 = es_search(s, {**body, "search_after": cursor})
+    ids1 = [h["_id"] for h in p1["hits"]["hits"]]
+    ids2 = [h["_id"] for h in p2["hits"]["hits"]]
+    assert not set(ids1) & set(ids2)
+    # stitching matches a single size-10 request
+    both = es_search(s, {**body, "size": 10})
+    assert ids1 + ids2 == [h["_id"] for h in both["hits"]["hits"]]

@@ -206,7 +206,10 @@ def aggregate(searcher, query, spec: dict):
         1 for body in spec.values()
         if isinstance(body, dict)
         and any(k in _BUCKETS for k in body if k != "aggs"))
-    if n_top_buckets > 1:
+    n_top_metrics = len(spec) - n_top_buckets
+    if n_top_buckets > 1 or (n_top_buckets >= 1 and n_top_metrics > 0):
+        # sibling aggs: one frame per sibling (ES computes a sibling
+        # metric over ALL matched docs, not per bucket)
         matched = matched.persist()
         return {name: _aggregate_plan(matched, {name: body})
                 for name, body in spec.items()}

@@ -519,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _doubled(s, d), num_hashes=16, bands=4)
     q["dedup_simhash"] = lambda s, d: dd.simhash16(
         _read(s, d, "documents").select("doc_id", "text"))
+    q["dedup_simhash_pairs"] = lambda s, d: dd.simhash_candidate_pairs(
+        _doubled(s, d), max_hamming=2)
 
     def jaccard_consecutive(s, d):
         docs = _read(s, d, "documents").select("doc_id", "text")
@@ -822,6 +824,33 @@ WITH toks AS (
 hs AS (SELECT doc_id, {_H32.format(c='t')} AS h FROM toks),
 v AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
 SELECT doc_id, {bits} AS simhash FROM v
+"""
+
+    # banding mirror of simhash_candidate_pairs: bands of the 16-bit
+    # simhash (pigeonhole over max_hamming=2 -> 3 bands: 0-4,5-10,11-15),
+    # bucket join, XOR popcount verify
+    _simhash_cte = f"""
+toks2 AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest({_TOKS}) AS t FROM {_DOUBLED})),
+hs2 AS (SELECT doc_id, {_H32.format(c='t')} AS h FROM toks2),
+v2 AS (SELECT doc_id, {votes} FROM hs2 GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS simhash FROM v2)
+"""
+    band_bounds = [round(16 * i / 3) for i in range(4)]
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"(simhash >> {band_bounds[b]}) % {1 << (band_bounds[b + 1] - band_bounds[b])} AS bv, "
+        f"simhash FROM sig"
+        for b in range(3))
+    o["dedup_simhash_pairs"] = f"""
+WITH {_simhash_cte},
+banded AS ({band_sel})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
 """
 
     o["dedup_ngram_jaccard"] = f"""

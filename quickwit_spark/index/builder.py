@@ -184,7 +184,8 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
                    compression="zstd")
 
     # --- docs.parquet (doc map: keys, tags, sha, fieldnorm fast fields) ---
-    pq.write_table(pa.table(doc_cols), os.path.join(seg_dir, "docs.parquet"),
+    docs_table = pa.table(doc_cols)
+    pq.write_table(docs_table, os.path.join(seg_dir, "docs.parquet"),
                    compression="zstd")
 
     # --- metadata ---
@@ -196,6 +197,9 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
         "bytes_postings": len(doc_blob) + len(tf_blob),
         "term_min": str(terms_sorted[0]),
         "term_max": str(terms_sorted[-1]),
+        # doc-map field names/types: list_fields serves from manifest
+        # rows alone (no per-segment footer reads at 100k segments)
+        "doc_fields": {f.name: str(f.type) for f in docs_table.schema},
     }
     meta.update(meta_extra)
     with open(os.path.join(seg_dir, "meta.json"), "w") as f:

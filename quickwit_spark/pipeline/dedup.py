@@ -237,6 +237,41 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
     return out.distinct() if bands > 1 else out
 
 
+def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """SimHash near-duplicate pairs: band the 16-bit simhash into
+    max_hamming+1 slices (pigeonhole: any pair within hamming distance
+    <= max_hamming agrees exactly on at least one slice), bucket-join on
+    (band, slice value), verify with XOR popcount. Returns distinct
+    (a, b, hamming) with a < b. One shuffle per band + the bucketed
+    self-join — never all-pairs, same scale shape as MinHash-LSH."""
+    sig = simhash16(df, id_col, text_col).persist()
+    nbands = max_hamming + 1
+    bounds = [round(16 * i / nbands) for i in range(nbands + 1)]
+    parts = []
+    for b in range(nbands):
+        lo, hi = bounds[b], bounds[b + 1]
+        bv = (F.shiftright(F.col("simhash"), lo) % F.lit(1 << (hi - lo)))
+        parts.append(sig.select("doc_id", F.lit(b).alias("band"),
+                                bv.alias("bv"), "simhash"))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionAll(p)
+    left = banded.select(F.col("doc_id").alias("a"), "band", "bv",
+                         F.col("simhash").alias("sa"))
+    right = banded.select(F.col("doc_id").alias("b"), "band", "bv",
+                          F.col("simhash").alias("sb"))
+    pairs = (left.join(right, ["band", "bv"])
+             .where(F.col("a") < F.col("b"))
+             .select("a", "b",
+                     F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                     .alias("hamming"))
+             .where(F.col("hamming") <= F.lit(max_hamming))
+             .distinct())
+    return pairs
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens: bit j set iff the sum of

@@ -1407,19 +1407,23 @@ class IndexSearcher:
             "segments": nsegs, "searchable": True, "tag": False,
         }
         for seg in self.manifest.segments():
-            seg_dir = os.path.join(self.index_dir, "segments",
-                                   seg["segment_id"])
-            schema = _pq.read_schema(os.path.join(seg_dir, "docs.parquet"))
-            for f in schema:
-                if f.name == "_seg_doc":
+            recorded = seg.get("doc_fields")
+            if recorded is None:  # pre-round-2 segments: footer read
+                seg_dir = os.path.join(self.index_dir, "segments",
+                                       seg["segment_id"])
+                schema = _pq.read_schema(os.path.join(seg_dir,
+                                                      "docs.parquet"))
+                recorded = {f.name: str(f.type) for f in schema}
+            for name, typ in recorded.items():
+                if name == "_seg_doc":
                     continue
-                e = fields.setdefault(f.name, {
-                    "field": f.name, "types": set(), "segments": 0,
-                    "searchable": f.name in (self.text_field,
-                                             *self.tag_fields),
-                    "tag": f.name in self.tag_fields,
+                e = fields.setdefault(name, {
+                    "field": name, "types": set(), "segments": 0,
+                    "searchable": name in (self.text_field,
+                                           *self.tag_fields),
+                    "tag": name in self.tag_fields,
                 })
-                e["types"].add(str(f.type))
+                e["types"].add(typ)
                 e["segments"] += 1
         out = []
         for name in sorted(fields):

@@ -972,11 +972,12 @@ s AS (SELECT doc_id, count(*)::DOUBLE AS n_tok,
              sum(CASE WHEN t IN ({en}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
       FROM toks GROUP BY doc_id)
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-       round(n_uniq / n_tok, 6) AS uniq_ratio,
-       round(chars / n_tok, 6) AS mean_len,
-       round(n_stop / n_tok, 6) AS stop_ratio,
-       round(least(1.0, n_tok / 100.0) * 0.3 + (n_uniq / n_tok) * 0.4 +
-             least(1.0, (chars / n_tok) / 8.0) * 0.3, 6) AS quality
+       floor((n_uniq / n_tok) * 1e6 + 0.5) / 1e6 AS uniq_ratio,
+       floor((chars / n_tok) * 1e6 + 0.5) / 1e6 AS mean_len,
+       floor((n_stop / n_tok) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+       floor((least(1.0, n_tok / 100.0) * 0.3 + (n_uniq / n_tok) * 0.4 +
+              least(1.0, (chars / n_tok) / 8.0) * 0.3) * 1e6 + 0.5) / 1e6
+           AS quality
 FROM s
 """
 

@@ -53,13 +53,21 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     score = (F.least(F.lit(1.0), n_tok / F.lit(100.0)) * F.lit(0.3)
              + uniq_ratio * F.lit(0.4)
              + F.least(F.lit(1.0), mean_len / F.lit(8.0)) * F.lit(0.3))
+
+    def r6(col):
+        # floor-based 6-decimal rounding: Spark's round() is decimal
+        # HALF_UP while DuckDB rounds the binary double — they disagree
+        # exactly at decimal midpoints (x.xxxxx5). floor(x*1e6 + 0.5) is
+        # the same arithmetic on the same doubles in both engines.
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return d.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tok"),
-        F.round(uniq_ratio, 6).alias("uniq_ratio"),
-        F.round(mean_len, 6).alias("mean_len"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality"))
+        r6(uniq_ratio).alias("uniq_ratio"),
+        r6(mean_len).alias("mean_len"),
+        r6(stop_ratio).alias("stop_ratio"),
+        r6(score).alias("quality"))
 
 
 def token_counts(df: DataFrame, id_col: str = "doc_id",

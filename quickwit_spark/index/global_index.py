@@ -372,18 +372,34 @@ class GlobalIndexSearcher:
         self.segment_ids = self.gm["segment_ids"]
         self._fn_cache: dict[int, np.ndarray] = {}
 
+    # bounded hot-term row cache (the leaf-cache analog for the global
+    # layout: repeated queries skip the parquet term lookup)
+    _ROW_CACHE_MAX = 512
+
     def _term_rows(self, terms: list[str]) -> pd.DataFrame:
-        by_pid: dict[int, list[str]] = {}
-        nparts = self.gm["num_term_partitions"]
-        for t in set(terms):
-            by_pid.setdefault(term_partition(t, nparts), []).append(t)
-        frames = []
-        for pid, ts in by_pid.items():
-            path = os.path.join(self.post_dir, f"tpid={pid}")
-            if not os.path.isdir(path):
-                continue
-            t = pq.read_table(path, filters=[("term", "in", ts)])
-            frames.append(t.to_pandas())
+        cache = getattr(self, "_row_cache", None)
+        if cache is None:
+            cache = self._row_cache = {}
+        missing = [t for t in set(terms) if t not in cache]
+        if missing:
+            by_pid: dict[int, list[str]] = {}
+            nparts = self.gm["num_term_partitions"]
+            for t in missing:
+                by_pid.setdefault(term_partition(t, nparts), []).append(t)
+            found: dict[str, pd.DataFrame] = {}
+            for pid, ts in by_pid.items():
+                path = os.path.join(self.post_dir, f"tpid={pid}")
+                if not os.path.isdir(path):
+                    continue
+                tbl = pq.read_table(path, filters=[("term", "in", ts)]
+                                    ).to_pandas()
+                for t, grp in tbl.groupby("term", sort=False):
+                    found[t] = grp
+            if len(cache) + len(missing) > self._ROW_CACHE_MAX:
+                cache.clear()
+            for t in missing:
+                cache[t] = found.get(t)
+        frames = [cache[t] for t in set(terms) if cache[t] is not None]
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)
@@ -435,8 +451,8 @@ class GlobalIndexSearcher:
         layout). Salted Zipf-head terms contribute one MaxScore cursor
         per salt row; the rows cover disjoint docid ranges, so bounds
         stay conservative."""
-        if not count_all and operator == "or" and precision == "f32":
-            return self._search_or_pruned(terms, k)
+        if not count_all and precision == "f32":
+            return self._search_pruned(terms, k, operator)
         rows = self._term_rows(terms)
         per_term = []
         for t in terms:
@@ -486,30 +502,45 @@ class GlobalIndexSearcher:
         return len(docs), pd.DataFrame({
             "global_doc": docs[order], "score": scores[order]})
 
-    def _search_or_pruned(self, terms: list[str], k: int
-                          ) -> tuple[int, pd.DataFrame]:
-        from ..search.wand import _TermCursor, or_topk_cursors
+    def _cursor_groups(self, terms: list[str]) -> list:
+        """One cursor GROUP per query term (one cursor per salt row,
+        disjoint ascending docid ranges); None for absent terms. Weights
+        use the term's GLOBAL doc freq (sum over salts)."""
+        from ..search.wand import _TermCursor
         rows = self._term_rows(terms)
-        cursors = []
         cursor_cols = ["doc_freq", "block_last", "block_max_tf",
                        "block_min_fn", "doc_offsets", "tf_offsets",
                        "docid_blob", "tf_blob", "block_max_ratio"]
+        groups = []
         for t in terms:
             sub = rows[rows["term"] == t].sort_values("salt") \
                 if len(rows) else rows
             if len(rows) == 0 or len(sub) == 0:
-                cursors.append(None)
+                groups.append(None)
                 continue
             df_global = int(sub["doc_freq"].sum())
             w = Bm25Weight(df_global, self.num_docs,
                            float(self.avg_fieldnorm))
+            g = []
             for r in sub.itertuples():
                 row = {c: getattr(r, c) for c in cursor_cols
                        if hasattr(r, c)}  # pre-ratio layouts fall back
-                cursors.append(_TermCursor(t, row, w))
+                g.append(_TermCursor(t, row, w))
+            groups.append(g)
+        return groups
+
+    def _search_pruned(self, terms: list[str], k: int, operator: str
+                       ) -> tuple[int, pd.DataFrame]:
+        from ..search.wand import and_topk_groups, or_topk_cursors
+        groups = self._cursor_groups(terms)
         fn_lookup = _GlobalFieldnormLookup(self)
-        docids, scores, count = or_topk_cursors(cursors, fn_lookup,
-                                                "freq", k)
+        if operator == "and":
+            docids, scores, count = and_topk_groups(groups, fn_lookup,
+                                                    "freq", k)
+        else:
+            flat = [c for g in groups if g is not None for c in g]
+            docids, scores, count = or_topk_cursors(flat, fn_lookup,
+                                                    "freq", k)
         order = np.lexsort((-docids, -scores.astype(np.float64)))[:k]
         return count, pd.DataFrame({"global_doc": docids[order],
                                     "score": scores[order]})

@@ -149,26 +149,47 @@ def and_topk(reader, terms: list[str], k: int):
     """Skip-based intersection with exact scores.
     Returns (docids, scores, match_count) of the FULL intersection
     (count is exact)."""
-    fn_ids = reader.fieldnorm_ids()
-    cursors = _make_cursors(reader, terms)
-    if any(c is None for c in cursors) or not cursors:
+    groups = [[c] if c is not None else None
+              for c in _make_cursors(reader, terms)]
+    return and_topk_groups(groups, reader.fieldnorm_ids(), reader.record,
+                           k)
+
+
+def and_topk_groups(groups: list, fn_ids, record: str, k: int):
+    """Skip-based intersection where each term is a GROUP of cursors
+    covering disjoint docid ranges (one per salt row in the global
+    term-partitioned layout; a single cursor per term in the segment
+    case). The rarest term's group is decoded fully; every other group
+    decodes only blocks whose docid range intersects the candidate set
+    (the classic skip-pointer intersection, vectorized)."""
+    if not groups or any(g is None for g in groups):
         return _empty3()
-    order = sorted(range(len(cursors)), key=lambda i: cursors[i].doc_freq)
-    parts: list = [None] * len(cursors)
-    lead = cursors[order[0]]
-    docids, s = lead.decode_blocks(np.arange(len(lead.block_last)), fn_ids,
-                                   reader.record)
+    df_of = [sum(c.doc_freq for c in g) for g in groups]
+    order = sorted(range(len(groups)), key=lambda i: df_of[i])
+    parts: list = [None] * len(groups)
+
+    def decode_group(g, bsel=None):
+        ds, ss = [], []
+        for c in g:
+            if bsel is None:
+                bidx = np.arange(len(c.block_last))
+            else:
+                bidx = np.unique(np.searchsorted(c.block_last, bsel,
+                                                 side="left"))
+                bidx = bidx[bidx < len(c.block_last)]
+            d, s = c.decode_blocks(bidx, fn_ids, record)
+            ds.append(d)
+            ss.append(s)
+        # salt cursors cover ascending disjoint ranges in salt order
+        return np.concatenate(ds), np.concatenate(ss)
+
+    docids, s = decode_group(groups[order[0]])
     parts[order[0]] = (docids, s)
     cand = docids
     for i in order[1:]:
         if len(cand) == 0:
             return _empty3()
-        cur = cursors[i]
-        # candidate docids -> covering blocks (block b covers docids in
-        # (block_last[b-1], block_last[b]])
-        bidx = np.unique(np.searchsorted(cur.block_last, cand, side="left"))
-        bidx = bidx[bidx < len(cur.block_last)]
-        d2, s2 = cur.decode_blocks(bidx, fn_ids, reader.record)
+        d2, s2 = decode_group(groups[i], bsel=cand)
         parts[i] = (d2, s2)
         cand = np.intersect1d(cand, d2, assume_unique=True)
     if len(cand) == 0:

@@ -184,3 +184,39 @@ def test_global_wand_pruned_or(spark, tmp_path):
     assert n_pr <= n_ex
     skip = 1 - wand.STATS["blocks_decoded"] / wand.STATS["blocks_total"]
     assert skip >= 0.5, wand.STATS
+
+
+def test_global_wand_pruned_and(spark, tmp_path):
+    """Pruned AND on the global layout (skip-pointer intersection over
+    salt-cursor groups): exact count, identical docids and f32 scores,
+    fewer blocks decoded than total."""
+    import numpy as np
+
+    from quickwit_spark.search import wand
+    pdf = corpus_pandas(3000, seed=7, skew=True)
+    cfg = IndexConfig(index_uid="ga", index_dir=str(tmp_path / "ga"))
+    build_index_pandas(pdf, cfg, num_partitions=4)
+    build_term_partitioned(spark, cfg.index_dir, num_term_partitions=4,
+                           salt_df_threshold=1000, salt_group_segments=2)
+    g = GlobalIndexSearcher(cfg.index_dir)
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    frames = [pq.read_table(p, columns=["term", "doc_freq"]).to_pandas()
+              for p in glob.glob(os.path.join(
+                  cfg.index_dir, "global", "postings", "tpid=*"))]
+    dfsum = pd.concat(frames).groupby("term")["doc_freq"].sum() \
+        .sort_values()
+    rare = dfsum[(dfsum >= 5) & (dfsum <= 30)].index[0]
+    terms = [rare, dfsum.index[-1]]  # rare + universal (salted) term
+    n_ex, ex = g.search_terms(terms, operator="and", k=10,
+                              precision="f32")
+    wand.STATS["blocks_decoded"] = wand.STATS["blocks_total"] = 0
+    n_pr, pr = g.search_terms(terms, operator="and", k=10,
+                              precision="f32", count_all=False)
+    assert n_pr == n_ex  # AND count stays exact
+    assert ex["global_doc"].tolist() == pr["global_doc"].tolist()
+    assert np.array_equal(ex["score"].to_numpy().astype(np.float32),
+                          pr["score"].to_numpy().astype(np.float32))
+    assert wand.STATS["blocks_decoded"] < wand.STATS["blocks_total"]

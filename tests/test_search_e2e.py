@@ -201,3 +201,37 @@ def test_range_and_termset_and_wildcard(built):
     res2 = searcher.search(A.Wildcard("content", "merge*"), k=500,
                            fetch_fields=False)
     assert res2.num_hits > 0
+
+
+def test_prune_index_equivalent_to_loop(built):
+    """The vectorized PruneIndex must keep exactly the segments the
+    reference row-walk keeps, across tag/range/mixed constraints."""
+    import random
+    from quickwit_spark.search.engine import PruneIndex, prune_segments
+    rng = random.Random(0)
+    segs = []
+    for i in range(3000):
+        seg = {"segment_id": f"s{i}", "num_docs": 100}
+        seg["tags"] = {"lang": (rng.sample(
+            ["python", "rust", "go", "js", "c"], rng.randrange(1, 4))
+            if rng.random() < 0.9 else None)}
+        if rng.random() < 0.95:
+            lo = rng.randrange(0, 10**6)
+            seg["col_stats"] = {"n": [lo, lo + rng.randrange(1, 1000)]}
+        segs.append(seg)
+    pi = PruneIndex(segs, ["lang"])
+    queries = [
+        A.Bool(filter=(A.Term("lang", "python"),)),
+        A.Bool(filter=(A.Range("n", gte=500_000),)),
+        A.Bool(filter=(A.Term("lang", "rust"),
+                       A.Range("n", gte=100_000, lt=200_000))),
+        A.Bool(filter=(A.TermSet("lang", ("go", "js")),)),
+        A.Term("content", "x"),
+        A.Bool(filter=(A.Range("n", gt=999_000),)),
+        A.Bool(filter=(A.Range("n", lte=123_456),)),
+        A.Bool(filter=(A.Range("n", lt=1),)),
+    ]
+    for q in queries:
+        a = [s["segment_id"] for s in prune_segments(segs, q, ["lang"])]
+        b = [s["segment_id"] for s in pi.prune(q, ["lang"])]
+        assert a == b, q

@@ -238,8 +238,9 @@ def main() -> None:
     # round-2 additions (skewed corpus build, global layout build, their
     # query pairs) are reported as components and dedicated fields.
     r1_comparable = [n for n in queries
-                     if not n.startswith(("build_skew", "build_global",
-                                          "q_or3_skew", "q_global"))]
+                     if not n.startswith(
+                         ("build_skew", "build_global", "q_or3_skew",
+                          "q_global", "build_corpus_index_shuffle"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

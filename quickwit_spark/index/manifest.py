@@ -89,7 +89,10 @@ class Manifest:
         return self.data["checkpoints"].get(str(partition_id))
 
     def published_partitions(self) -> set[int]:
-        return {int(p) for p in self.data["checkpoints"]}
+        # string-keyed checkpoints (e.g. bulk payload keys) are not
+        # build partitions
+        return {int(p) for p in self.data["checkpoints"]
+                if str(p).lstrip("-").isdigit()}
 
     # -- transactions ------------------------------------------------------
 

@@ -209,8 +209,11 @@ def aggregate(searcher, query, spec: dict):
     n_top_metrics = len(spec) - n_top_buckets
     if n_top_buckets > 1 or (n_top_buckets >= 1 and n_top_metrics > 0):
         # sibling aggs: one frame per sibling (ES computes a sibling
-        # metric over ALL matched docs, not per bucket)
-        matched = matched.persist()
+        # metric over ALL matched docs, not per bucket). The matched
+        # relation is NOT persisted here — each sibling re-evaluates it
+        # (bounded by the sibling count); persisting would leak cached
+        # blocks with no lifecycle hook to unpersist. Callers wanting
+        # reuse can persist/unpersist around the call themselves.
         return {name: _aggregate_plan(matched, {name: body})
                 for name, body in spec.items()}
     return _aggregate_plan(matched, spec)
@@ -259,18 +262,25 @@ def _aggregate_plan(matched, spec: dict):
         out = out.orderBy(*order)
         size = body0.get("size")
         if size:
+            # rank TERM buckets by their total doc_count (with nested
+            # sub-buckets a term spans several flat rows — ES keeps the
+            # top-N terms with ALL their sub-buckets)
             w_all = Window.partitionBy()
-            ranked = out.withColumn(
-                "_total", F.sum("doc_count").over(w_all)).withColumn(
-                "_rank", F.dense_rank().over(
-                    Window.partitionBy().orderBy(
-                        F.col("doc_count").desc(), F.col(name0).asc())))
+            w_term = Window.partitionBy(name0)
+            ranked = (out
+                      .withColumn("_tt",
+                                  F.sum("doc_count").over(w_term))
+                      .withColumn("_total",
+                                  F.sum("doc_count").over(w_all))
+                      .withColumn("_rank", F.dense_rank().over(
+                          Window.partitionBy().orderBy(
+                              F.col("_tt").desc(), F.col(name0).asc()))))
             kept = ranked.filter(F.col("_rank") <= int(size))
             kept = kept.withColumn(
                 f"{name0}_sum_other_doc_count",
                 (F.col("_total")
                  - F.sum("doc_count").over(w_all)).cast("long"))
-            out = kept.drop("_total", "_rank")
+            out = kept.drop("_total", "_rank", "_tt")
     elif kind0 == "histogram":
         min_dc = int(body0.get("min_doc_count", 1))
         bounds = body0.get("extended_bounds")

@@ -787,14 +787,37 @@ class PruneIndex:
             idx, lo, hi = st
             try:
                 ok_rows = np.ones(len(idx), dtype=bool)
-                if rng.gte is not None:
-                    ok_rows &= hi >= float(rng.gte)
-                if rng.gt is not None:
-                    ok_rows &= hi > float(rng.gt)
-                if rng.lte is not None:
-                    ok_rows &= lo <= float(rng.lte)
-                if rng.lt is not None:
-                    ok_rows &= lo < float(rng.lt)
+                # float compare decides the non-tied rows; rows tying
+                # with the bound in FLOAT space are re-checked exactly
+                # (int-exact, like _prune_bound) — floats alone would
+                # wrongly prune strict bounds past 2^53 (e.g. a stat of
+                # 2^53+1 vs gt=2^53 collapses to equality in float)
+                for bound, col, op in ((rng.gte, hi, "ge"),
+                                       (rng.gt, hi, "gt"),
+                                       (rng.lte, lo, "le"),
+                                       (rng.lt, lo, "lt")):
+                    if bound is None:
+                        continue
+                    bf = float(bound)
+                    if op == "ge":
+                        fast, tie = col > bf, col == bf
+                    elif op == "gt":
+                        fast, tie = col > bf, col == bf
+                    elif op == "le":
+                        fast, tie = col < bf, col == bf
+                    else:
+                        fast, tie = col < bf, col == bf
+                    res = fast.copy()
+                    for j in np.nonzero(tie)[0]:
+                        exact_stat = self.segments[idx[j]][
+                            "col_stats"][rng.field]
+                        v = exact_stat[1] if op in ("ge", "gt") \
+                            else exact_stat[0]
+                        b = _prune_bound(bound)
+                        res[j] = (v >= b if op == "ge" else
+                                  v > b if op == "gt" else
+                                  v <= b if op == "le" else v < b)
+                    ok_rows &= res
             except (TypeError, ValueError):
                 continue  # non-numeric bound: no pruning
             # segments WITHOUT stats for this column are never pruned
@@ -1189,7 +1212,11 @@ class IndexSearcher:
             out = {"segment_id": np.full(len(ids), sid, dtype=object),
                    "doc_id": ids}
             for c in cols:
-                out[c] = reader.doc_column(c)[ids]
+                v = reader.doc_column(c)[ids]
+                if getattr(v, "dtype", None) == np.uint64:
+                    v = v.astype(np.float64)  # Arrow transport (schema
+                    # maps uint64 -> double; see _doc_schema_types)
+                out[c] = v
             return pd.DataFrame(out)
 
         if self.spark is None:
@@ -1209,9 +1236,9 @@ class IndexSearcher:
         # output schema from the parquet FOOTER of one segment's doc map
         # (metadata-only — never evaluate a leaf on the driver)
         import pyspark.sql.types as T
-        arrow_types = _doc_schema_types(
+        arrow_types, _u64 = _doc_schema_types(
             os.path.join(index_dir, "segments",
-                         segs[0]["segment_id"])) if segs else {}
+                         segs[0]["segment_id"])) if segs else ({}, set())
         fields = [T.StructField("segment_id", T.StringType()),
                   T.StructField("doc_id", T.LongType())]
         for c in cols:
@@ -1286,7 +1313,17 @@ class IndexSearcher:
         pattern; cursor = the previous page's last hit)."""
         node = self.parse(query)
         segs = self._prune(node)
-        if self.spark is not None and len(segs) > 1:
+        use_spark = self.spark is not None and len(segs) > 1
+        if use_spark:
+            # u64 sort keys don't survive Arrow transport exactly
+            # (no unsigned long in Spark; doubles lose >2^53) — the
+            # pinned u64 ordering semantics run driver-side
+            _types, u64 = _doc_schema_types(
+                os.path.join(self.index_dir, "segments",
+                             segs[0]["segment_id"]))
+            if any(f in u64 for f, _d in sort_by):
+                use_spark = False
+        if use_spark:
             parts = self._leaf_spark_sort(segs, node, k, sort_by,
                                           search_after)
         else:
@@ -1348,8 +1385,11 @@ class IndexSearcher:
                                       text_field, sort_by, search_after)
 
         # leaf schema from the doc-map parquet footer (metadata-only; a
-        # driver-side probe would evaluate a whole leaf)
-        doc_types = _doc_schema_types(
+        # driver-side probe would evaluate a whole leaf). Numeric sort
+        # keys travel as doubles: a nullable int column materializes as
+        # float64-with-NaN in pandas, which a long schema cannot carry
+        # (the u64 case never reaches this path — driver fallback).
+        doc_types, _u64 = _doc_schema_types(
             os.path.join(index_dir, "segments", segs[0]["segment_id"]))
         fields = [T.StructField("segment_id", T.StringType()),
                   T.StructField("doc_id", T.LongType()),
@@ -1363,10 +1403,8 @@ class IndexSearcher:
                 st = T.LongType()
             else:
                 st = doc_types.get(f, T.StringType())
-            if isinstance(st, (T.IntegerType, T.LongType)):
-                st = T.LongType()
-                np_casts[c] = "int64"
-            elif isinstance(st, (T.FloatType, T.DoubleType)):
+            if isinstance(st, (T.IntegerType, T.LongType, T.FloatType,
+                               T.DoubleType)):
                 st = T.DoubleType()
                 np_casts[c] = "float64"
             else:
@@ -1560,23 +1598,30 @@ class IndexSearcher:
         }
 
 
-def _doc_schema_types(seg_dir: str) -> dict:
-    """Spark types for a segment's doc-map columns from the parquet
-    footer only (no data read, no leaf evaluation)."""
+def _doc_schema_types(seg_dir: str) -> tuple[dict, set]:
+    """(Spark types for a segment's doc-map columns, uint64 column names)
+    from the parquet footer only (no data read, no leaf evaluation).
+    uint64 maps to DoubleType for Arrow transport (Spark has no unsigned
+    long; values past 2^53 lose precision in transit — exact paths must
+    stay driver-side, see sort_search's fallback)."""
     import pyarrow as pa
     import pyspark.sql.types as T
     schema = pq.read_schema(os.path.join(seg_dir, "docs.parquet"))
     out = {}
+    u64: set[str] = set()
     for f in schema:
         t = f.type
         if pa.types.is_timestamp(t):
             st = T.TimestampType()
         elif pa.types.is_boolean(t):
             st = T.BooleanType()
+        elif pa.types.is_unsigned_integer(t) and t.bit_width == 64:
+            st = T.DoubleType()
+            u64.add(f.name)
         elif pa.types.is_int8(t) or pa.types.is_int16(t) or \
                 pa.types.is_int32(t):
             st = T.IntegerType()
-        elif pa.types.is_integer(t):  # int64 + unsigned
+        elif pa.types.is_integer(t):
             st = T.LongType()
         elif pa.types.is_float32(t):
             st = T.FloatType()
@@ -1585,7 +1630,7 @@ def _doc_schema_types(seg_dir: str) -> dict:
         else:
             st = T.StringType()
         out[f.name] = st
-    return out
+    return out, u64
 
 
 def _default_parallelism(spark) -> int:

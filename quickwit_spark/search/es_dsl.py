@@ -292,8 +292,12 @@ def es_bulk(config, lines: list[dict]) -> dict:
         docs.append(lines[i + 1])
     pdf = pd.DataFrame(docs)
     payload_sha = hashlib.sha256(repr(lines).encode()).digest()
-    # high partition ids namespace bulk batches away from build waves
-    pid = (1 << 40) + int.from_bytes(payload_sha[:4], "little")
+    # full-strength content key: 4 bytes would birthday-collide after
+    # ~2^16 batches and silently drop distinct payloads as replays
+    ckpt_key = f"bulk-{payload_sha.hex()}"
+    # numeric partition id for segment identity only (collisions here
+    # just co-name a build partition, they don't gate the publish)
+    pid = (1 << 40) + int.from_bytes(payload_sha[:8], "little") % (1 << 20)
     pdf["_pid"] = pid
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
@@ -304,9 +308,11 @@ def es_bulk(config, lines: list[dict]) -> dict:
     _os.makedirs(segments_root, exist_ok=True)
     errors = False
     try:
+        if manifest.checkpoint(ckpt_key) is not None:
+            raise CheckpointConflict(ckpt_key)
         rows = build_partition(pdf, config, segments_root)
         manifest.publish(rows, checkpoint_delta={
-            pid: (None, f"bulk;docs={len(pdf)}")})
+            ckpt_key: (None, f"bulk;docs={len(pdf)}")})
         result = "created"
     except CheckpointConflict:
         result = "noop"  # identical payload already published

@@ -110,7 +110,9 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
             continue
         tr = reader._term_row(t)
         if tr is None:
-            cache[t] = None
+            if len(cache) >= 512:
+                cache.clear()
+            cache[t] = None  # negative entries count toward the bound
             cursors.append(None)
             continue
         any_found = True

@@ -185,3 +185,24 @@ def test_sibling_bucket_aggs(spark, idx):
         {float(k): v for k, v in expect.items()}
     st = out["st"].toPandas().iloc[0]
     assert st["st_max"] == pdf["size"].max()
+
+
+def test_terms_size_with_nested_buckets(spark, idx):
+    """terms size ranks OUTER term buckets by total doc_count; the kept
+    terms retain ALL their sub-buckets (ES semantics)."""
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    out = aggregate(s, "*", {
+        "langs": {"terms": {"field": "lang", "size": 1},
+                  "aggs": {"h": {"histogram": {"field": "size",
+                                               "interval": 200}}}}}
+    ).toPandas()
+    top_lang = pdf.groupby("lang").size().sort_values(
+        ascending=False).index[0]
+    assert set(out["langs"]) == {top_lang}
+    sub = pdf[pdf["lang"] == top_lang]
+    expect = (sub.assign(b=(sub["size"] // 200) * 200).groupby("b").size())
+    assert dict(zip(out["h"], out["doc_count"])) == \
+        {float(k): v for k, v in expect.items()}
+    assert (out["langs_sum_other_doc_count"]
+            == len(pdf) - len(sub)).all()

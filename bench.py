@@ -195,6 +195,40 @@ def main() -> None:
         if name == "q_or3_skew_wand" and STATS["blocks_total"]:
             wand_skip = 1 - STATS["blocks_decoded"] / STATS["blocks_total"]
 
+    # --- 2b2. positional index: vectorized phrase matching at scale -------
+    n_pos = int(os.environ.get("SPARK_GRAFT_BENCH_POS_DOCS", "10000"))
+    pos_df = corpus_df(spark, n_pos, seed=13, num_partitions=8,
+                       skew=True).cache()
+    pos_df.count()
+    pos_cfg = IndexConfig(index_uid="bench_pos", record="position",
+                          index_dir=os.path.join(work, "idx_pos"))
+    t0 = time.perf_counter()
+    build_index(spark, pos_df, pos_cfg, num_partitions=8, wave_size=8)
+    queries["build_positional_index"] = round(time.perf_counter() - t0, 3)
+    pos_df.unpersist()
+    pos_searcher = IndexSearcher(pos_cfg.index_dir)
+    seg0 = max(pos_searcher.manifest.segments(),
+               key=lambda x: x["num_docs"])
+    ptd = get_reader(os.path.join(pos_cfg.index_dir, "segments",
+                                  seg0["segment_id"]),
+                     pos_searcher.tokenizer)._cached_termdict()
+    head_term = ptd.sort_values("doc_freq").iloc[-1]["term"]
+    # bursty corpus guarantees adjacent self-repeats of the head term
+    for name, node in [
+            ("q_phrase_pos", A.Phrase("content",
+                                      f"{head_term} {head_term}")),
+            ("q_phrase_slop_pos", A.Phrase("content",
+                                           f"{head_term} {head_term}",
+                                           slop=2))]:
+        pos_searcher.search(node, k=10, fetch_fields=False)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = pos_searcher.search(node, k=10, fetch_fields=False)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        queries[name] = round(runs[1], 4)
+
     # --- 2c. global term-partitioned layout over the skewed index ---------
     # (the 10^12-scale query path: O(#terms) partitions touched, block-max
     # WAND over the global rows)
@@ -240,7 +274,9 @@ def main() -> None:
     r1_comparable = [n for n in queries
                      if not n.startswith(
                          ("build_skew", "build_global", "q_or3_skew",
-                          "q_global", "build_corpus_index_shuffle"))]
+                          "q_global", "build_corpus_index_shuffle",
+                          "build_positional", "q_phrase_pos",
+                          "q_phrase_slop_pos"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

@@ -37,6 +37,14 @@ def __getattr__(name):
         "IndexSearcher": ("quickwit_spark.search.engine", "IndexSearcher"),
         "parse_query": ("quickwit_spark.search.parser", "parse_query"),
         "es_to_ast": ("quickwit_spark.search.es_dsl", "es_to_ast"),
+        "es_search": ("quickwit_spark.search.es_dsl", "es_search"),
+        "es_msearch": ("quickwit_spark.search.es_dsl", "es_msearch"),
+        "es_count": ("quickwit_spark.search.es_dsl", "es_count"),
+        "es_bulk": ("quickwit_spark.search.es_dsl", "es_bulk"),
+        "es_field_caps": ("quickwit_spark.search.es_dsl", "es_field_caps"),
+        "es_stats": ("quickwit_spark.search.es_dsl", "es_stats"),
+        "es_cat_indices": ("quickwit_spark.search.es_dsl",
+                           "es_cat_indices"),
         "aggregate": ("quickwit_spark.search.aggregations", "aggregate"),
     }
     if name in _API:

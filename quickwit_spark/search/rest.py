@@ -1,0 +1,92 @@
+"""Native search REST facade: the `POST /api/v1/{index}/search` surface
+(reference: quickwit-serve/src/search_api/rest_handler.rs:297-334,
+SearchRequestQueryString -> SearchRequest; response shape from
+root_search_aux, root.rs:962-1013).
+
+Params (the reference's query-string names):
+    query           query-string grammar (default `*`)
+    max_hits        top-k (default 20)
+    start_offset    pagination offset (default 0)
+    sort_by         comma list, `-field` = desc, `field`/`+field` = asc,
+                    `_score` allowed (<= 2 fields, collector.rs sort spec)
+    snippet_fields  comma list of stored fields to highlight
+    count_all       False enables the block-max pruned path (CountHits::
+                    Underestimate — num_hits may under-count for OR)
+    search_after    cursor from a previous response (pass back verbatim)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from .snippets import extract_query_terms, make_snippet
+
+_INTERNAL = ("fieldnorm", "fieldnorm_id")
+
+
+def _parse_sort_by(spec: str) -> tuple:
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part.startswith("-"):
+            out.append((part[1:], "desc"))
+        elif part.startswith("+"):
+            out.append((part[1:], "asc"))
+        else:
+            out.append((part, "asc"))
+    if not 1 <= len(out) <= 2:
+        raise ValueError("sort_by supports 1 or 2 fields")
+    return tuple(out)
+
+
+def native_search(searcher, params: dict[str, Any]) -> dict:
+    t0 = time.perf_counter()
+    query = params.get("query", "*")
+    max_hits = int(params.get("max_hits", 20))
+    start_offset = int(params.get("start_offset", 0))
+    sort_spec = params.get("sort_by")
+    snippet_fields = [f for f in str(
+        params.get("snippet_fields", "")).split(",") if f]
+    count_all = bool(params.get("count_all", True))
+    search_after = params.get("search_after")
+
+    node = searcher.parse(query)
+    if sort_spec:
+        sort_by = _parse_sort_by(sort_spec)
+        res = searcher.sort_search(
+            node, k=start_offset + max_hits, sort_by=sort_by,
+            search_after=(tuple(search_after) if search_after else None))
+        hits = res.hits[start_offset:start_offset + max_hits]
+        next_cursor = res.last_sort_key
+    else:
+        res = searcher.search(
+            node, k=max_hits, offset=start_offset, count_all=count_all,
+            search_after=(tuple(search_after) if search_after else None))
+        hits = res.hits
+        next_cursor = res.next_cursor
+    terms = extract_query_terms(node) if snippet_fields else []
+    out_hits = []
+    for h in hits:
+        doc = {k: v for k, v in h.doc.items()
+               if not k.startswith("_") and k not in _INTERNAL}
+        hit = {"document": doc, "score": float(h.score),
+               "split_id": h.segment_id, "doc_id": int(h.doc_id)}
+        if snippet_fields:
+            snip = {}
+            for f in snippet_fields:
+                frag = make_snippet(str(doc.get(f, "")), terms)
+                if frag:
+                    snip[f] = [frag]
+            if snip:
+                hit["snippet"] = snip
+        out_hits.append(hit)
+    return {
+        "num_hits": int(res.num_hits),
+        "hits": out_hits,
+        "elapsed_time_micros": int((time.perf_counter() - t0) * 1e6),
+        "errors": [],
+        "search_after": list(next_cursor) if next_cursor else None,
+    }

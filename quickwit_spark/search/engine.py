@@ -714,12 +714,20 @@ def prune_segments(segments: list[dict], node: A.Node,
 
 
 def _prune_bound(v):
-    """Numeric pruning bound, int-exact when the value is integral
-    (Python compares int vs float exactly, so mixed stats work)."""
-    try:
+    """Numeric pruning bound: ints (and int strings) stay int-exact,
+    everything else compares as float. int(2.5) would TRUNCATE a float
+    bound — Python compares int vs float exactly, so floats stay
+    floats."""
+    if isinstance(v, bool):
         return int(v)
-    except (TypeError, ValueError):
-        return float(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            return float(v)
+    return float(v)
 
 
 class PruneIndex:
@@ -1048,6 +1056,18 @@ class IndexSearcher:
         from .parser import parse_query
         return parse_query(query, default_field=self.text_field)
 
+    def _doc_types(self, segs: list[dict]) -> tuple[dict, set]:
+        """_doc_schema_types cached per manifest version (one footer
+        read per version, not per query)."""
+        ver = self.manifest.data["version"]
+        cached = getattr(self, "_doc_types_cache", None)
+        if cached is None or cached[0] != ver:
+            cached = (ver, _doc_schema_types(
+                os.path.join(self.index_dir, "segments",
+                             segs[0]["segment_id"])))
+            self._doc_types_cache = cached
+        return cached[1]
+
     def _prune(self, node: A.Node) -> list[dict]:
         """Segment pruning through a PruneIndex cached per manifest
         version (rebuilt when the manifest changes)."""
@@ -1205,7 +1225,7 @@ class IndexSearcher:
         text_field = self.text_field
         cols = list(columns)
 
-        def one(sid: str) -> pd.DataFrame:
+        def one(sid: str, for_arrow: bool = False) -> pd.DataFrame:
             reader = get_reader(os.path.join(index_dir, "segments", sid),
                                 tokenizer)
             ids = reader.eval(node, text_field, scoring=False).docids
@@ -1213,9 +1233,10 @@ class IndexSearcher:
                    "doc_id": ids}
             for c in cols:
                 v = reader.doc_column(c)[ids]
-                if getattr(v, "dtype", None) == np.uint64:
-                    v = v.astype(np.float64)  # Arrow transport (schema
-                    # maps uint64 -> double; see _doc_schema_types)
+                if for_arrow and getattr(v, "dtype", None) == np.uint64:
+                    # Arrow transport only (schema maps uint64 ->
+                    # double); the driver-local path stays exact
+                    v = v.astype(np.float64)
                 out[c] = v
             return pd.DataFrame(out)
 
@@ -1231,14 +1252,12 @@ class IndexSearcher:
         def leaf(it):
             for pdf in it:
                 for sid in pdf["segment_id"].tolist():
-                    yield one(sid)
+                    yield one(sid, for_arrow=True)
 
         # output schema from the parquet FOOTER of one segment's doc map
         # (metadata-only — never evaluate a leaf on the driver)
         import pyspark.sql.types as T
-        arrow_types, _u64 = _doc_schema_types(
-            os.path.join(index_dir, "segments",
-                         segs[0]["segment_id"])) if segs else ({}, set())
+        arrow_types, _u64 = self._doc_types(segs) if segs else ({}, set())
         fields = [T.StructField("segment_id", T.StringType()),
                   T.StructField("doc_id", T.LongType())]
         for c in cols:
@@ -1318,9 +1337,7 @@ class IndexSearcher:
             # u64 sort keys don't survive Arrow transport exactly
             # (no unsigned long in Spark; doubles lose >2^53) — the
             # pinned u64 ordering semantics run driver-side
-            _types, u64 = _doc_schema_types(
-                os.path.join(self.index_dir, "segments",
-                             segs[0]["segment_id"]))
+            _types, u64 = self._doc_types(segs)
             if any(f in u64 for f, _d in sort_by):
                 use_spark = False
         if use_spark:
@@ -1362,7 +1379,7 @@ class IndexSearcher:
         last_key = None
         if len(allc):
             last = allc.iloc[-1]
-            last_key = tuple(last[c] for c in sort_cols) + (
+            last_key = tuple(_py_scalar(last[c]) for c in sort_cols) + (
                 str(last["segment_id"]), int(last["doc_id"]))
         return SearchResult(num_hits, hits, last_sort_key=last_key)
 
@@ -1385,12 +1402,13 @@ class IndexSearcher:
                                       text_field, sort_by, search_after)
 
         # leaf schema from the doc-map parquet footer (metadata-only; a
-        # driver-side probe would evaluate a whole leaf). Numeric sort
-        # keys travel as doubles: a nullable int column materializes as
-        # float64-with-NaN in pandas, which a long schema cannot carry
-        # (the u64 case never reaches this path — driver fallback).
-        doc_types, _u64 = _doc_schema_types(
-            os.path.join(index_dir, "segments", segs[0]["segment_id"]))
+        # driver-side probe would evaluate a whole leaf). Integer sort
+        # keys travel as LONGS via the pandas nullable Int64 extension
+        # dtype (a nullable int column materializes as float64-with-NaN
+        # in pandas, which plain astype('int64') cannot carry; doubles
+        # would lose exactness past 2^53 — epoch-nanos territory). The
+        # u64 case never reaches this path (driver fallback).
+        doc_types, _u64 = self._doc_types(segs)
         fields = [T.StructField("segment_id", T.StringType()),
                   T.StructField("doc_id", T.LongType()),
                   T.StructField("match_count", T.LongType())]
@@ -1403,8 +1421,10 @@ class IndexSearcher:
                 st = T.LongType()
             else:
                 st = doc_types.get(f, T.StringType())
-            if isinstance(st, (T.IntegerType, T.LongType, T.FloatType,
-                               T.DoubleType)):
+            if isinstance(st, (T.IntegerType, T.LongType)):
+                st = T.LongType()
+                np_casts[c] = "Int64"  # pandas nullable int (NaN -> null)
+            elif isinstance(st, (T.FloatType, T.DoubleType)):
                 st = T.DoubleType()
                 np_casts[c] = "float64"
             else:
@@ -1596,6 +1616,19 @@ class IndexSearcher:
                            if wand else None),
             "docs_to_consider": sum(s["num_docs"] for s in kept),
         }
+
+
+# engine-internal doc-map columns, hidden from user-facing facades
+# (es_dsl, rest) — single source of truth for the filtering contract
+INTERNAL_DOC_FIELDS = ("fieldnorm", "fieldnorm_id")
+
+
+def _py_scalar(v):
+    """numpy scalar -> python native (JSON-serializable cursors); other
+    values (str, Timestamp, None) pass through."""
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
 
 
 def _doc_schema_types(seg_dir: str) -> tuple[dict, set]:

@@ -133,11 +133,11 @@ def es_search(searcher, body: dict, default_field: str | None = None
     if hl_spec:
         from .snippets import extract_query_terms
         hl_terms = extract_query_terms(node)
+    from .engine import INTERNAL_DOC_FIELDS
     out_hits = []
     for h in hits:
         src = {k: v for k, v in h.doc.items()
-               if not k.startswith("_") and k not in ("fieldnorm",
-                                                      "fieldnorm_id")}
+               if not k.startswith("_") and k not in INTERNAL_DOC_FIELDS}
         hit = {
             "_id": f"{h.segment_id}:{h.doc_id}",
             "_score": None if sort_spec else float(h.score),
@@ -295,9 +295,11 @@ def es_bulk(config, lines: list[dict]) -> dict:
     # full-strength content key: 4 bytes would birthday-collide after
     # ~2^16 batches and silently drop distinct payloads as replays
     ckpt_key = f"bulk-{payload_sha.hex()}"
-    # numeric partition id for segment identity only (collisions here
-    # just co-name a build partition, they don't gate the publish)
-    pid = (1 << 40) + int.from_bytes(payload_sha[:8], "little") % (1 << 20)
+    # the partition id participates in the content-addressed segment id
+    # (builder.py hashes index_uid:pid:chunk + doc keys) — full 8 bytes
+    # so two batches re-indexing the SAME doc keys with different
+    # content cannot collide onto one segment id and overwrite
+    pid = (1 << 40) + int.from_bytes(payload_sha[:8], "little")
     pdf["_pid"] = pid
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,

@@ -20,9 +20,18 @@ from __future__ import annotations
 import time
 from typing import Any
 
+from .engine import INTERNAL_DOC_FIELDS as _INTERNAL
 from .snippets import extract_query_terms, make_snippet
 
-_INTERNAL = ("fieldnorm", "fieldnorm_id")
+
+def _parse_bool(v, default: bool) -> bool:
+    """Query-string-friendly bool: 'false'/'0'/'no' are False (bool()
+    on a non-empty string would be True)."""
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return v.strip().lower() not in ("false", "0", "no", "")
+    return bool(v)
 
 
 def _parse_sort_by(spec: str) -> tuple:
@@ -50,7 +59,7 @@ def native_search(searcher, params: dict[str, Any]) -> dict:
     sort_spec = params.get("sort_by")
     snippet_fields = [f for f in str(
         params.get("snippet_fields", "")).split(",") if f]
-    count_all = bool(params.get("count_all", True))
+    count_all = _parse_bool(params.get("count_all"), True)
     search_after = params.get("search_after")
 
     node = searcher.parse(query)

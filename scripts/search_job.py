@@ -43,7 +43,9 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = None
-    if args.distributed:
+    if args.distributed and not args.global_layout:
+        # the global-layout query path is driver-side parquet pushdown
+        # (O(#terms) partitions); a session would sit unused
         from pyspark.sql import SparkSession
         spark = SparkSession.builder.appName("quickwit-spark-search") \
             .getOrCreate()
@@ -52,7 +54,12 @@ def main() -> None:
     if args.global_layout:
         from quickwit_spark.index.global_index import GlobalIndexSearcher
         g = GlobalIndexSearcher(args.index_dir)
-        terms = [t for t in args.query.split() if ":" not in t]
+        terms = [t for t in args.query.split()
+                 if ":" not in t and t != "*"]
+        if not terms:
+            raise SystemExit("--global-layout needs bare query terms "
+                             "(the term-partitioned layout answers "
+                             "term AND/OR queries)")
         cnt, res = g.search_terms(terms, operator="and", k=args.k,
                                   count_all=not args.wand)
         fetched = g.fetch(res)
@@ -71,10 +78,16 @@ def main() -> None:
         print(json.dumps({"count": s.count(args.query)}))
         return
     if args.sort:
-        sort_by = tuple(
-            (f, d) for f, d in
-            (part.split(":") for part in args.sort.split(",")))
-        res = s.sort_search(args.query, k=args.k, sort_by=sort_by)
+        sort_by = []
+        for part in args.sort.split(","):
+            f, _, d = part.partition(":")
+            d = d or "asc"
+            if d not in ("asc", "desc"):
+                raise SystemExit(
+                    f"bad sort direction {d!r} (asc|desc)")
+            sort_by.append((f, d))
+        res = s.sort_search(args.query, k=args.k,
+                            sort_by=tuple(sort_by))
     else:
         res = s.search(args.query, k=args.k,
                        count_all=not args.wand)

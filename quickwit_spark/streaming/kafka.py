@@ -1,0 +1,165 @@
+"""Kafka-shaped streaming ingestion: per-source-partition OFFSET
+checkpoints committed atomically with each publish.
+
+The reference's Kafka source (quickwit-indexing/src/source/kafka_source.rs,
+~1.5k LoC) is, at its core, the checkpoint contract of
+checkpoint.rs:170-337: every publish carries a per-topic-partition delta
+(from_position -> to_position); a delta whose from_position does not
+equal the stored position is rejected, making re-delivered batches
+(Kafka is at-least-once) exactly-once at publish time. That contract is
+implemented and TESTED here broker-independently; `kafka_stream` wires it
+to Spark's Kafka source but is gated on a broker + the
+spark-sql-kafka package existing (neither is in this sandbox).
+
+Positions are zero-padded offset strings (the reference's
+Position::Offset encoding) so they order lexicographically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from ..config import IndexConfig
+from ..index.builder import MANIFEST_ROW_SCHEMA, build_partition
+from ..index.manifest import CheckpointConflict, Manifest
+
+# manifest checkpoint key namespace for source partitions
+_SRC = "kafka"
+
+
+def offset_position(offset: int) -> str:
+    """Zero-padded offset string (Position::Offset encoding — ordering
+    by string equals ordering by number)."""
+    return f"{int(offset):020d}"
+
+
+def ingest_offset_batch(df, config: IndexConfig,
+                        partition_offsets: dict[int, tuple[int | None,
+                                                           int]],
+                        build_partitions: int = 8) -> bool:
+    """Build + publish one batch of rows read from source partitions.
+
+    partition_offsets maps source partition -> (last_committed_offset or
+    None, new_last_offset). The publish carries one checkpoint delta per
+    source partition; the manifest rejects the WHOLE publish if any
+    from-position mismatches the stored one (a replay or an offset gap),
+    so at-least-once delivery becomes exactly-once publish
+    (checkpoint.rs:285-324; publisher.rs:130-155). Returns True if the
+    batch was published, False if it was an exact replay."""
+    manifest = Manifest.load_or_create(
+        config.index_dir, config.index_uid,
+        {"key_cols": list(config.key_cols), "text_col": config.text_col,
+         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
+         "tag_cols": list(config.tag_cols)})
+    segments_root = os.path.join(config.index_dir, "segments")
+    os.makedirs(segments_root, exist_ok=True)
+
+    delta = {}
+    for sp, (frm, to) in partition_offsets.items():
+        key = f"{_SRC}-{int(sp)}"
+        delta[key] = (offset_position(frm) if frm is not None else None,
+                      offset_position(to))
+
+    # validate the checkpoint BEFORE building (a replay should not
+    # rebuild segment files only to have the publish rejected)
+    for key, (frm, _to) in delta.items():
+        if manifest.checkpoint(key) != frm:
+            return False  # replay or out-of-order delivery
+
+    from ..index.builder import route_partitions
+    try:
+        from pyspark.sql import DataFrame as _SparkDF
+        is_spark = isinstance(df, _SparkDF)
+    except Exception:  # pyspark absent: pandas-only path
+        is_spark = False
+    rows: list[dict] = []
+    if is_spark:
+        routed = route_partitions(df, config, build_partitions)
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"manifest_json": []})
+            built = build_partition(pdf, config, segments_root)
+            return pd.DataFrame(
+                {"manifest_json": [json.dumps(r) for r in built]})
+
+        out = (routed.groupBy("_pid")
+               .applyInPandas(_build, schema=MANIFEST_ROW_SCHEMA)
+               .collect())
+        rows = [json.loads(r.manifest_json) for r in out]
+    else:
+        import hashlib
+        pdf = df.copy()
+        # batch-scoped partition id derived deterministically from the
+        # offsets committed with it (sha256 — python hash() is
+        # per-process randomized), so re-processing an identical batch
+        # yields identical content-addressed segment ids
+        key_repr = repr(sorted((k, v[1]) for k, v in delta.items()))
+        pid = (1 << 41) + int.from_bytes(
+            hashlib.sha256(key_repr.encode()).digest()[:8], "little")
+        pdf["_pid"] = pid
+        if len(pdf):
+            rows = build_partition(pdf, config, segments_root)
+    try:
+        manifest.publish(rows, checkpoint_delta=delta)
+    except CheckpointConflict:
+        return False  # lost a race with an identical replay
+    return True
+
+
+def source_positions(config: IndexConfig) -> dict[int, int]:
+    """Last committed offset per source partition (resume point)."""
+    m = Manifest.load(config.index_dir)
+    out = {}
+    for key, pos in m.data["checkpoints"].items():
+        if str(key).startswith(f"{_SRC}-"):
+            out[int(str(key).split("-", 1)[1])] = int(pos)
+    return out
+
+
+def kafka_stream(spark, brokers: str, topic: str, config: IndexConfig,
+                 value_schema: str, checkpoint_dir: str,
+                 starting_offsets: str = "earliest",
+                 build_partitions: int = 8):
+    """Structured-Streaming Kafka source -> incremental segment builds.
+
+    GATED: requires a reachable broker and the spark-sql-kafka package
+    (neither exists in this sandbox — the offset-checkpoint contract
+    this wires up is proven by ingest_offset_batch's tests). Each
+    micro-batch commits per-topic-partition offset deltas atomically
+    with its segment publish, so Spark's at-least-once foreachBatch
+    replay is exactly-once at the manifest."""
+    from pyspark.sql import functions as F
+    stream = (spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", brokers)
+              .option("subscribe", topic)
+              .option("startingOffsets", starting_offsets)
+              .load())
+    parsed = (stream
+              .select(F.from_json(F.col("value").cast("string"),
+                                  value_schema).alias("d"),
+                      F.col("partition").alias("_src_partition"),
+                      F.col("offset").alias("_src_offset"))
+              .select("d.*", "_src_partition", "_src_offset"))
+
+    def handle(batch_df, _batch_id: int):
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        bounds = (batch_df.groupBy("_src_partition")
+                  .agg(F.min("_src_offset").alias("lo"),
+                       F.max("_src_offset").alias("hi")).collect())
+        committed = source_positions(config)
+        offsets = {int(r["_src_partition"]):
+                   (committed.get(int(r["_src_partition"])),
+                    int(r["hi"])) for r in bounds}
+        ingest_offset_batch(
+            batch_df.drop("_src_partition", "_src_offset"),
+            config, offsets)
+        batch_df.unpersist()
+
+    return (parsed.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir).start())

@@ -35,6 +35,10 @@ def __getattr__(name):
         "GlobalIndexSearcher": ("quickwit_spark.index.global_index",
                                 "GlobalIndexSearcher"),
         "IndexSearcher": ("quickwit_spark.search.engine", "IndexSearcher"),
+        "MultiIndexSearcher": ("quickwit_spark.search.multi",
+                               "MultiIndexSearcher"),
+        "native_search": ("quickwit_spark.search.rest",
+                          "native_search"),
         "parse_query": ("quickwit_spark.search.parser", "parse_query"),
         "es_to_ast": ("quickwit_spark.search.es_dsl", "es_to_ast"),
         "es_search": ("quickwit_spark.search.es_dsl", "es_search"),

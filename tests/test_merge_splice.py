@@ -93,3 +93,46 @@ def test_splice_byte_identical_to_reencode(tmp_path, record):
     for f in ("postings.parquet", "termdict.parquet"):
         assert _sha(os.path.join(spliced, f)) == \
             _sha(os.path.join(oracle, f)), f
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _random_corpus(draw):
+    n = draw(st.integers(min_value=6, max_value=40))
+    vocab = ["alpha", "beta", "gamma", "delta", "merge", "scan", "x1",
+             "veryLongIdentifierName", "snake_case_token"]
+    rows = []
+    for i in range(n):
+        ntok = draw(st.integers(min_value=1, max_value=30))
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=ntok,
+                             max_size=ntok))
+        rows.append({"repo": f"r{i % 3}", "path": f"f{i}.py",
+                     "commit": "c", "lang": "python",
+                     "content": " ".join(toks)})
+    return pd.DataFrame(rows)
+
+
+@given(_random_corpus(), st.integers(min_value=2, max_value=5),
+       st.sampled_from(["freq", "position"]))
+@settings(max_examples=15, deadline=None)
+def test_splice_property_random_corpora(tmp_path_factory, pdf, parts,
+                                        record):
+    """Property form of the byte-identity pin: random token streams,
+    random parent counts, both record modes."""
+    tmp = tmp_path_factory.mktemp("sprop")
+    cfg = IndexConfig(index_uid="sp", index_dir=str(tmp / "i"),
+                      sha_col=None, record=record)
+    build_index_pandas(pdf, cfg, num_partitions=parts)
+    parents = Manifest.load(cfg.index_dir).segments()
+    if len(parents) < 2:
+        return
+    meta = merge_segments(cfg.index_dir, parents)
+    spliced = os.path.join(cfg.index_dir, "segments", meta["segment_id"])
+    oracle = str(tmp / "oracle")
+    _merge_reencode(cfg.index_dir, parents, oracle)
+    for f in ("postings.parquet", "termdict.parquet"):
+        assert _sha(os.path.join(spliced, f)) == \
+            _sha(os.path.join(oracle, f)), f

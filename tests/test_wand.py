@@ -153,3 +153,28 @@ def test_wand_or_skips_with_small_k(idx):
     r = searcher.search(node, k=5, fetch_fields=False, count_all=False)
     assert len(r.hits) == 5
     assert wand.STATS["blocks_decoded"] <= wand.STATS["blocks_total"]
+
+
+def test_cursor_decoupled_bound_fallback():
+    """Segments written before block_max_ratio existed must still build
+    cursors (decoupled max_tf/min_fn bound) — forward compatibility of
+    the pruned path with round-1 layouts."""
+    import numpy as np
+    from quickwit_spark.functions.bm25 import Bm25Weight
+    from quickwit_spark.index.codecs import encode_posting_blocks
+    from quickwit_spark.search.wand import _TermCursor
+    docids = np.arange(0, 600, 2, dtype=np.int64)
+    tfs = np.ones(len(docids), dtype=np.int64) * 3
+    fns = np.full(len(docids), 10, dtype=np.int64)
+    enc = encode_posting_blocks(docids, tfs, fns)
+    row = {"doc_freq": len(docids), **{k: enc[k] for k in
+           ("block_last", "block_max_tf", "block_min_fn",
+            "doc_offsets", "tf_offsets", "docid_blob", "tf_blob")}}
+    w = Bm25Weight(len(docids), 1000, 40.0)
+    cur = _TermCursor("t", row, w)  # NO block_max_ratio key
+    assert len(cur.block_scores) == len(enc["block_last"])
+    assert cur.max_score > 0
+    d, s = cur.decode_blocks(np.arange(len(enc["block_last"])),
+                             fns.max() * np.ones(600, dtype=np.int64),
+                             "freq")
+    assert d.tolist() == docids.tolist()

@@ -92,10 +92,25 @@ def term_partition(term: str, num_partitions: int) -> int:
 def build_term_partitioned(spark, index_dir: str,
                            num_term_partitions: int = 16,
                            salt_df_threshold: int | None = None,
-                           salt_group_segments: int = 4) -> dict:
+                           salt_group_segments: int = 4,
+                           force: bool = False) -> dict:
     """Build the global term-partitioned index under
-    <index_dir>/global/. Returns the global manifest dict."""
+    <index_dir>/global/. Returns the global manifest dict.
+
+    Idempotent: when the existing global layout was derived from the
+    CURRENT source manifest version (and the same partitioning params),
+    the build is skipped — rerunning after a crash or in a scheduled
+    refresh job only pays when segments actually changed. force=True
+    rebuilds unconditionally."""
     manifest = Manifest.load(index_dir)
+    gm_path = os.path.join(index_dir, GLOBAL_DIR, "global_manifest.json")
+    if not force and os.path.exists(gm_path):
+        with open(gm_path) as f:
+            old = json.load(f)
+        if (old.get("source_manifest_version")
+                == manifest.data["version"]
+                and old.get("num_term_partitions") == num_term_partitions):
+            return old
     segs, offsets = _segment_order(manifest)
     if not segs:
         raise ValueError("no published segments")
@@ -371,6 +386,14 @@ class GlobalIndexSearcher:
         self.offsets = np.asarray(self.gm["doc_offsets"], dtype=np.int64)
         self.segment_ids = self.gm["segment_ids"]
         self._fn_cache: dict[int, np.ndarray] = {}
+
+    @property
+    def stale(self) -> bool:
+        """True when the source manifest moved past the version this
+        global layout was derived from (segments published/merged since;
+        rerun build_term_partitioned to refresh)."""
+        return (Manifest.load(self.index_dir).data["version"]
+                != self.gm.get("source_manifest_version"))
 
     # bounded hot-term row cache (the leaf-cache analog for the global
     # layout: repeated queries skip the parquet term lookup)

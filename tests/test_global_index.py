@@ -220,3 +220,31 @@ def test_global_wand_pruned_and(spark, tmp_path):
     assert np.array_equal(ex["score"].to_numpy().astype(np.float32),
                           pr["score"].to_numpy().astype(np.float32))
     assert wand.STATS["blocks_decoded"] < wand.STATS["blocks_total"]
+
+
+def test_global_build_idempotent_and_staleness(spark, tmp_path):
+    """Re-running the global build against an unchanged manifest is a
+    no-op; publishing new segments marks the layout stale."""
+    import time as _time
+    pdf = corpus_pandas(200, seed=4)
+    cfg = IndexConfig(index_uid="gi", index_dir=str(tmp_path / "gi"))
+    build_index_pandas(pdf, cfg, num_partitions=2)
+    gm1 = build_term_partitioned(spark, cfg.index_dir,
+                                 num_term_partitions=2)
+    g = GlobalIndexSearcher(cfg.index_dir)
+    assert not g.stale
+    t0 = _time.perf_counter()
+    gm2 = build_term_partitioned(spark, cfg.index_dir,
+                                 num_term_partitions=2)
+    assert _time.perf_counter() - t0 < 1.0  # fast-path skip, no job
+    assert gm2 == gm1
+    # a new publish bumps the manifest version -> stale
+    from quickwit_spark.index.manifest import Manifest
+    m = Manifest.load(cfg.index_dir)
+    m.publish([], checkpoint_delta={999: (None, "poke")})
+    assert GlobalIndexSearcher(cfg.index_dir).stale
+    gm3 = build_term_partitioned(spark, cfg.index_dir,
+                                 num_term_partitions=2)
+    assert gm3["source_manifest_version"] == \
+        Manifest.load(cfg.index_dir).data["version"]
+    assert not GlobalIndexSearcher(cfg.index_dir).stale

@@ -207,7 +207,17 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     return meta
 
 
-DYNAMIC_TERM_PREFIX = "\x01"  # sorts before every printable token
+DYNAMIC_TERM_PREFIX = "\x01"   # exact terms; sorts before every token
+DYNAMIC_NUM_PREFIX = "\x02"    # sortable numeric terms (range queries)
+_DYN_NUM_OFFSET = 1 << 63      # signed int -> non-negative, 20 digits
+
+
+def dynamic_num_key(path: str, value: int) -> str:
+    """Order-preserving encoding of an int under a dynamic path: fixed
+    20-digit zero-padded (value + 2^63), so lexicographic term order ==
+    numeric order (the reference's typed dynamic terms encode i64/u64
+    the same way in the json field's term space)."""
+    return f"{DYNAMIC_NUM_PREFIX}{path}\x00{value + _DYN_NUM_OFFSET:020d}"
 
 
 def _flatten_json(prefix: str, obj, out: list[str]) -> None:
@@ -225,6 +235,10 @@ def _flatten_json(prefix: str, obj, out: list[str]) -> None:
         else:
             s = str(obj)
         out.append(f"{DYNAMIC_TERM_PREFIX}{prefix}\x00{s}")
+        if isinstance(obj, int) and not isinstance(obj, bool):
+            # ints additionally get a sortable term => Range works on
+            # unmapped numeric paths
+            out.append(dynamic_num_key(prefix, obj))
 
 
 def extract_dynamic_terms(values: list) -> tuple[np.ndarray, np.ndarray]:

@@ -142,7 +142,9 @@ class SegmentReader:
                                             "termdict.parquet")).to_pandas()
         mask = predicate(df["term"])
         if not include_dynamic and self.dynamic:
-            mask &= ~df["term"].str.startswith("\x01")
+            # both dynamic namespaces (\x01 exact, \x02 numeric) sort
+            # below every tokenizer-produced term
+            mask &= df["term"] >= "\x03"
         return df[mask]
 
     @property
@@ -156,6 +158,39 @@ class SegmentReader:
                                                  "docs.parquet"))
             self._doc_field_names = set(schema.names)
         return self._doc_field_names
+
+    def _dynamic_range_ids(self, node: A.Range) -> np.ndarray:
+        """Range over an unmapped numeric path: the builder indexes int
+        leaves as sortable 20-digit terms in the \\x02 namespace, so a
+        numeric range is a lexicographic term-range scan + posting
+        union (the reference's typed dynamic-field range resolution)."""
+        import math
+
+        from ..index.builder import dynamic_num_key
+        lo = -(1 << 62)
+        hi = (1 << 62)  # exclusive
+        if node.gte is not None:
+            lo = max(lo, math.ceil(float(node.gte)))
+        if node.gt is not None:
+            lo = max(lo, math.floor(float(node.gt)) + 1)
+        if node.lte is not None:
+            hi = min(hi, math.floor(float(node.lte)) + 1)
+        if node.lt is not None:
+            hi = min(hi, math.ceil(float(node.lt)))
+        if hi <= lo:
+            return np.zeros(0, dtype=np.int64)
+        lo_key = dynamic_num_key(node.field, lo)
+        hi_key = dynamic_num_key(node.field, hi)
+        td = self.scan_terms(lambda s: (s >= lo_key) & (s < hi_key),
+                             include_dynamic=True)
+        sets = []
+        if len(td):
+            pr = self.postings_rows(td["term_id"].tolist())
+            for _, row in pr.iterrows():
+                d, _t = decode_postings(row["docid_blob"],
+                                        row["tf_blob"])
+                sets.append(d)
+        return _union_ids(sets)
 
     def _dynamic_term(self, field: str, value) -> str:
         """Dynamic-mode term for an unmapped path
@@ -317,6 +352,10 @@ class SegmentReader:
             return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                            if scoring else None)
         if isinstance(node, A.Range):
+            if node.field not in self.doc_fields() and self.dynamic:
+                ids = self._dynamic_range_ids(node)
+                return _Scored(ids, np.ones(len(ids), dtype=np.float32)
+                               if scoring else None)
             col = self.doc_column(node.field)
             mask = np.ones(len(col), dtype=bool)
             if node.gte is not None:
@@ -1288,7 +1327,7 @@ class IndexSearcher:
         if self.spark is not None and len(paths) > 1:
             from pyspark.sql import functions as F
             df = self.spark.read.parquet(*paths).select("term")
-            df = df.filter(~F.col("term").startswith("\x01"))
+            df = df.filter(F.col("term") >= "\x03")  # skip dynamic ns
             if start is not None:
                 df = df.filter(F.col("term") >= start)
             if end is not None:
@@ -1305,8 +1344,7 @@ class IndexSearcher:
         for path in paths:
             t = pq.read_table(path, columns=["term"],
                               filters=filters or None)
-            terms = [x for x in t.column(0).to_pylist()
-                     if not x.startswith("\x01")]
+            terms = [x for x in t.column(0).to_pylist() if x >= "\x03"]
             streams.append(terms[:limit])
         out: list[str] = []
         prev = None

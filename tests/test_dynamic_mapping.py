@@ -92,3 +92,26 @@ def test_dynamic_survives_merge(idx):
     assert len(s.manifest.segments()) == 1
     assert _ids(s, A.Term("severity", "error")) == ["a.py", "c.rs"]
     assert _ids(s, A.FieldPresence("attrs.stars")) == ["a.py", "c.rs"]
+
+
+def test_dynamic_numeric_range(idx):
+    """Range queries on unmapped numeric paths: int leaves get sortable
+    \\x02-namespace terms, so a numeric range resolves to a term-range
+    scan (typed dynamic-field semantics)."""
+    s = IndexSearcher(idx.index_dir)
+    # stars: a.py=5, c.rs=3
+    assert _ids(s, A.Range("attrs.stars", gte=4)) == ["a.py"]
+    assert _ids(s, A.Range("attrs.stars", gte=3)) == ["a.py", "c.rs"]
+    assert _ids(s, A.Range("attrs.stars", gt=3)) == ["a.py"]
+    assert _ids(s, A.Range("attrs.stars", lte=3)) == ["c.rs"]
+    assert _ids(s, A.Range("attrs.stars", lt=3)) == []
+    assert _ids(s, A.Range("attrs.stars", gte=3, lt=5)) == ["c.rs"]
+    # float bounds round to the enclosing int range
+    assert _ids(s, A.Range("attrs.stars", gte=3.5)) == ["a.py"]
+    assert _ids(s, A.Range("attrs.stars", lte=4.5)) == ["c.rs"]
+    # combined with mapped filters and text
+    node = A.Bool(must=(A.Term("content", "scan"),),
+                  filter=(A.Range("attrs.stars", gte=1),))
+    assert _ids(s, node) == ["c.rs"]
+    # numeric namespace stays hidden from text term listings
+    assert all(t >= "\x03" for t in s.list_terms(limit=100000))

@@ -118,6 +118,33 @@ def _doc_global_index(spark, sf_dir: str):
     return g
 
 
+_DYN_IDX: dict[str, IndexSearcher] = {}
+
+
+def _dyn_index(sf_dir: str) -> IndexSearcher:
+    """Dynamic-mapping index over documents: the unmapped-JSON column is
+    synthesized from table columns, so dynamic-path queries have literal
+    SQL oracles on those columns."""
+    if sf_dir in _DYN_IDX:
+        return _DYN_IDX[sf_dir]
+    import json as _json
+    tag = _cache_tag(sf_dir)
+    index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_dyn", tag)
+    cfg = IndexConfig(
+        index_uid=f"dyn-{tag}", index_dir=index_dir,
+        key_cols=("doc_id",), text_col="text", tokenizer="default",
+        tag_cols=(), sha_col=None, dynamic_col="extra")
+    if not os.path.exists(Manifest.path(index_dir)):
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        pdf["extra"] = [
+            _json.dumps({"meta": {"lang": l, "n": int(n)}})
+            for l, n in zip(pdf["lang"], pdf["n_chars"])]
+        build_index_pandas(pdf, cfg, num_partitions=2)
+    s = IndexSearcher(index_dir)
+    _DYN_IDX[sf_dir] = s
+    return s
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -431,6 +458,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("chars", 4).alias("avg_chars"))
     q["agg_es_terms_spec"] = agg_es_spec
 
+    def dynamic_mapping_query(s, d):
+        """Dynamic mode (doc_mapping.rs mode:dynamic): exact term +
+        numeric range on UNMAPPED JSON paths, no schema changes. The
+        paths mirror table columns, so the oracle is literal SQL."""
+        searcher = _dyn_index(d)
+        node = A.Bool(must=(A.Term("text", "merge"),),
+                      filter=(A.Term("meta.lang", "en"),
+                              A.Range("meta.n", gte=200, lt=400)))
+        res = searcher.search(node, k=1_000_000, fetch_fields=True)
+        ids = sorted(int(h.doc["doc_id"]) for h in res.hits)
+        return _spark_df(s, pd.DataFrame({"doc_id": ids}), "doc_id long")
+    q["dynamic_mapping_query"] = dynamic_mapping_query
+
     def agg_extended_stats(s, d):
         """extended_stats metric under a terms bucket (aggregations.rs
         extended stats: sum_of_squares / population variance / stddev)."""
@@ -706,6 +746,16 @@ FROM documents JOIN matched USING (doc_id)
 GROUP BY lang
 """
     o["agg_es_terms_spec"] = o["agg_terms_matched_docs"]
+    o["dynamic_mapping_query"] = """
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) WHERE t = 'merge')
+SELECT doc_id FROM documents JOIN matched USING (doc_id)
+WHERE lang = 'en' AND n_chars >= 200 AND n_chars < 400
+ORDER BY doc_id
+"""
     o["agg_extended_stats"] = """
 SELECT lang, count(*) AS cnt,
        count(n_chars) AS st_count,

@@ -129,7 +129,9 @@ def _dyn_index(sf_dir: str) -> IndexSearcher:
         return _DYN_IDX[sf_dir]
     import json as _json
     tag = _cache_tag(sf_dir)
-    index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_dyn", tag)
+    # v2: cache namespace versioned with the dynamic-term encoding (an
+    # mtime-keyed cache would otherwise survive an encoding change)
+    index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_dyn_v2", tag)
     cfg = IndexConfig(
         index_uid=f"dyn-{tag}", index_dir=index_dir,
         key_cols=("doc_id",), text_col="text", tokenizer="default",

@@ -209,15 +209,27 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
 
 DYNAMIC_TERM_PREFIX = "\x01"   # exact terms; sorts before every token
 DYNAMIC_NUM_PREFIX = "\x02"    # sortable numeric terms (range queries)
-_DYN_NUM_OFFSET = 1 << 63      # signed int -> non-negative, 20 digits
 
 
-def dynamic_num_key(path: str, value: int) -> str:
-    """Order-preserving encoding of an int under a dynamic path: fixed
-    20-digit zero-padded (value + 2^63), so lexicographic term order ==
-    numeric order (the reference's typed dynamic terms encode i64/u64
-    the same way in the json field's term space)."""
-    return f"{DYNAMIC_NUM_PREFIX}{path}\x00{value + _DYN_NUM_OFFSET:020d}"
+def _sortable_f64_bits(value: float) -> int:
+    """IEEE-754 double -> uint64 whose unsigned order equals numeric
+    order (the classic monotone transform: flip all bits of negatives,
+    flip only the sign bit of non-negatives — how typed columnar engines
+    index sortable doubles)."""
+    import struct
+    bits = struct.unpack("<Q", struct.pack("<d", float(value)))[0]
+    if bits & (1 << 63):
+        return bits ^ ((1 << 64) - 1)
+    return bits | (1 << 63)
+
+
+def dynamic_num_key(path: str, value) -> str:
+    """Order-preserving term for any JSON number under a dynamic path:
+    16 hex digits of the sortable f64 bits, so lexicographic term order
+    == numeric order across ints and floats (ints above 2^53 lose
+    precision here; their \\x01 exact term still answers equality)."""
+    return (f"{DYNAMIC_NUM_PREFIX}{path}\x00"
+            f"{_sortable_f64_bits(value):016x}")
 
 
 def _flatten_json(prefix: str, obj, out: list[str]) -> None:
@@ -235,9 +247,9 @@ def _flatten_json(prefix: str, obj, out: list[str]) -> None:
         else:
             s = str(obj)
         out.append(f"{DYNAMIC_TERM_PREFIX}{prefix}\x00{s}")
-        if isinstance(obj, int) and not isinstance(obj, bool):
-            # ints additionally get a sortable term => Range works on
-            # unmapped numeric paths
+        if isinstance(obj, (int, float)) and not isinstance(obj, bool):
+            # numbers additionally get a sortable term => Range works
+            # on unmapped numeric paths
             out.append(dynamic_num_key(prefix, obj))
 
 

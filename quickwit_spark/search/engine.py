@@ -160,28 +160,31 @@ class SegmentReader:
         return self._doc_field_names
 
     def _dynamic_range_ids(self, node: A.Range) -> np.ndarray:
-        """Range over an unmapped numeric path: the builder indexes int
-        leaves as sortable 20-digit terms in the \\x02 namespace, so a
-        numeric range is a lexicographic term-range scan + posting
-        union (the reference's typed dynamic-field range resolution)."""
+        """Range over an unmapped numeric path: the builder indexes
+        numeric leaves as sortable f64-bit terms in the \\x02 namespace,
+        so a numeric range is a lexicographic term-range scan + posting
+        union (the reference's typed dynamic-field range resolution).
+        Open bounds (gt/lt) use nextafter to stay exclusive."""
         import math
 
         from ..index.builder import dynamic_num_key
-        lo = -(1 << 62)
-        hi = (1 << 62)  # exclusive
+        lo = -math.inf
+        hi = math.inf  # keys compared as [lo_key, hi_key]; see below
         if node.gte is not None:
-            lo = max(lo, math.ceil(float(node.gte)))
+            lo = max(lo, float(node.gte))
         if node.gt is not None:
-            lo = max(lo, math.floor(float(node.gt)) + 1)
+            lo = max(lo, math.nextafter(float(node.gt), math.inf))
         if node.lte is not None:
-            hi = min(hi, math.floor(float(node.lte)) + 1)
+            hi = min(hi, float(node.lte))
         if node.lt is not None:
-            hi = min(hi, math.ceil(float(node.lt)))
-        if hi <= lo:
+            hi = min(hi, math.nextafter(float(node.lt), -math.inf))
+        if hi < lo:
             return np.zeros(0, dtype=np.int64)
         lo_key = dynamic_num_key(node.field, lo)
+        # inclusive hi: compare <= hi_key (every key is the same fixed
+        # width, so <= on the encoded string is exact)
         hi_key = dynamic_num_key(node.field, hi)
-        td = self.scan_terms(lambda s: (s >= lo_key) & (s < hi_key),
+        td = self.scan_terms(lambda s: (s >= lo_key) & (s <= hi_key),
                              include_dynamic=True)
         sets = []
         if len(td):

@@ -106,12 +106,47 @@ def test_dynamic_numeric_range(idx):
     assert _ids(s, A.Range("attrs.stars", lte=3)) == ["c.rs"]
     assert _ids(s, A.Range("attrs.stars", lt=3)) == []
     assert _ids(s, A.Range("attrs.stars", gte=3, lt=5)) == ["c.rs"]
-    # float bounds round to the enclosing int range
+    # float bounds are exact under the sortable-f64 encoding
     assert _ids(s, A.Range("attrs.stars", gte=3.5)) == ["a.py"]
     assert _ids(s, A.Range("attrs.stars", lte=4.5)) == ["c.rs"]
+    assert _ids(s, A.Range("attrs.stars", gte=5.0)) == ["a.py"]
+    assert _ids(s, A.Range("attrs.stars", gt=5.0)) == []
     # combined with mapped filters and text
     node = A.Bool(must=(A.Term("content", "scan"),),
                   filter=(A.Range("attrs.stars", gte=1),))
     assert _ids(s, node) == ["c.rs"]
     # numeric namespace stays hidden from text term listings
     assert all(t >= "\x03" for t in s.list_terms(limit=100000))
+
+
+def test_dynamic_float_leaves_range(tmp_path):
+    """Float JSON leaves are range-queryable too (sortable f64 bits:
+    order-preserving across negatives, zeros, and fractions)."""
+    import json as _json
+    vals = [-3.5, -0.25, 0.0, 0.25, 1.5, 2.0, 1000.125]
+    pdf = pd.DataFrame({
+        "repo": [f"r{i}" for i in range(len(vals))],
+        "path": [f"p{i}" for i in range(len(vals))],
+        "commit": ["c"] * len(vals), "lang": ["python"] * len(vals),
+        "content": ["alpha"] * len(vals),
+        "extra": [_json.dumps({"score": v}) for v in vals],
+    })
+    cfg = IndexConfig(index_uid="fd", index_dir=str(tmp_path / "f"),
+                      sha_col=None, dynamic_col="extra")
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+
+    def got(**kw):
+        res = s.search(A.Range("score", **kw), k=100, fetch_fields=True)
+        return sorted(h.doc["path"] for h in res.hits)
+
+    def want(pred):
+        return sorted(f"p{i}" for i, v in enumerate(vals) if pred(v))
+
+    assert got(gte=0.0) == want(lambda v: v >= 0.0)
+    assert got(gt=0.0) == want(lambda v: v > 0.0)
+    assert got(lt=0.0) == want(lambda v: v < 0.0)
+    assert got(lte=-0.25) == want(lambda v: v <= -0.25)
+    assert got(gte=-1.0, lt=2.0) == want(lambda v: -1.0 <= v < 2.0)
+    assert got(gt=1.5, lte=1000.125) == \
+        want(lambda v: 1.5 < v <= 1000.125)

@@ -110,9 +110,11 @@ def _doc_global_index(spark, sf_dir: str):
     from quickwit_spark.index.global_index import (
         GLOBAL_DIR, GlobalIndexSearcher, build_term_partitioned)
     index_dir = _doc_multiseg_dir(sf_dir)
-    if not os.path.exists(os.path.join(index_dir, GLOBAL_DIR,
-                                       "global_manifest.json")):
-        build_term_partitioned(spark, index_dir, num_term_partitions=4)
+    # always route through the builder: it is idempotent (skips when the
+    # manifest version, partitioning params AND layout_version all match)
+    # and transparently rebuilds a layout left behind by an older routing
+    # hash instead of handing the searcher a stale one
+    build_term_partitioned(spark, index_dir, num_term_partitions=4)
     g = GlobalIndexSearcher(index_dir)
     _GLOBAL_IDX[sf_dir] = g
     return g

@@ -73,16 +73,79 @@ def _segment_order(manifest: Manifest) -> tuple[list[dict], np.ndarray]:
     return segs, offsets
 
 
-def _term_pid(terms: pd.Series, num_partitions: int) -> np.ndarray:
-    """Deterministic term partition (matches Spark xxhash64? — no: we use
-    our own splitmix-based hash so driver and executors agree without JVM
-    round-trips)."""
+# Bump whenever the term->partition hash changes: persisted layouts carry
+# it in global_manifest.json and a mismatched reader/builder refuses the
+# stale layout instead of silently routing lookups to wrong partitions.
+LAYOUT_VERSION = 3
+
+
+def _hash_terms_u64(terms) -> np.ndarray:
+    """Vectorized order-aware 64-bit string hash (no per-term Python).
+
+    Terms are viewed as a fixed-width UCS4 codepoint matrix; each nonzero
+    codepoint contributes splitmix64(cp ^ mix(position)) XOR-folded into
+    the accumulator, and the true string length (np.char.str_len — NOT a
+    nonzero count, dynamic-mapping terms embed \\x00) is mixed in last.
+    Zero cells contribute nothing, so the result is independent of the
+    batch's padding width — the same term hashes identically on the
+    driver (single lookup) and in every stage-2 reducer batch.
+
+    Replaces the round-2 per-term hashlib.md5 loop (the last per-row
+    Python in the global build, see quickwit-doc-mapper
+    routing_expression/mod.rs:107-141 for the routing-hash contract this
+    mirrors: one deterministic hash shared by writers and readers).
+
+    Known quirk: numpy's fixed-width "U" dtype strips TRAILING nulls, so
+    "a\\x00" hashes like "a". Harmless for routing — driver and executors
+    truncate identically (consistent pid), and lookups always filter on
+    the exact term string — but don't use this as a general string hash.
+    """
+    obj = np.asarray(terms, dtype=object)
+    n = len(obj)
+    out = np.empty(n, dtype=np.uint64)
+    # chunked so one long outlier term only inflates its own chunk's
+    # fixed-width matrix (width = chunk max len; 64k rows * 255 cols * 4B
+    # = 67 MB transient worst case, vs GBs if the whole batch shared it)
+    step = 1 << 16
+    for s in range(0, n, step):
+        out[s:s + step] = _hash_chunk_u64(obj[s:s + step])
+    return out
+
+
+_POLY_P = np.uint64(0x100000001B3)               # FNV64 prime (odd)
+_POLY_P_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _hash_chunk_u64(obj: np.ndarray) -> np.ndarray:
     from .corpus import splitmix64
-    h = np.fromiter(
-        (int.from_bytes(__import__("hashlib").md5(t.encode()).digest()[:8],
-                        "little") for t in terms),
-        dtype=np.uint64, count=len(terms))
-    return (splitmix64(h) % np.uint64(num_partitions)).astype(np.int64)
+    arr = np.asarray(obj, dtype="U")
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    width = max(arr.dtype.itemsize // 4, 1)
+    mat = np.ascontiguousarray(arr).view(np.uint32).reshape(n, width)
+    lens = np.char.str_len(arr).astype(np.int64)
+    with np.errstate(over="ignore"):
+        # polynomial fold h = sum cp_j * P^(width-1-j); padding zeros only
+        # multiply by P, undone below by P^-(width-len) (P odd => invertible
+        # mod 2^64), so the result is independent of the chunk's width.
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(width):
+            h = h * _POLY_P + mat[:, j].astype(np.uint64)
+        inv_pows = np.empty(width + 1, dtype=np.uint64)
+        inv_pows[0] = np.uint64(1)
+        for k in range(1, width + 1):
+            inv_pows[k] = inv_pows[k - 1] * _POLY_P_INV
+        h = h * inv_pows[width - lens]
+        return splitmix64(splitmix64(h) ^ lens.astype(np.uint64))
+
+
+def _term_pid(terms: pd.Series, num_partitions: int) -> np.ndarray:
+    """Deterministic term partition: vectorized splitmix64-based string
+    hash mod num_partitions — driver and executors agree without JVM
+    round-trips, and there is no per-term Python on the build path."""
+    return (_hash_terms_u64(terms)
+            % np.uint64(num_partitions)).astype(np.int64)
 
 
 def term_partition(term: str, num_partitions: int) -> int:
@@ -109,7 +172,8 @@ def build_term_partitioned(spark, index_dir: str,
             old = json.load(f)
         if (old.get("source_manifest_version")
                 == manifest.data["version"]
-                and old.get("num_term_partitions") == num_term_partitions):
+                and old.get("num_term_partitions") == num_term_partitions
+                and old.get("layout_version") == LAYOUT_VERSION):
             return old
     segs, offsets = _segment_order(manifest)
     if not segs:
@@ -149,8 +213,11 @@ def build_term_partitioned(spark, index_dir: str,
     nparts = num_term_partitions
     group = salt_group_segments
     off_list = offsets
-    global_avg = (float(total_fieldnorm) / float(num_docs)) if num_docs \
-        else 1.0
+    # computed EXACTLY as GlobalIndexSearcher does (f32(total)/f32(n), not
+    # f32(f64 ratio)): for total > 2^24 the two differ by ulps, which would
+    # make stored block bounds an unsound WAND bound vs query-time scores.
+    global_avg = (float(np.float32(total_fieldnorm) / np.float32(num_docs))
+                  if num_docs else 1.0)
 
     def stage2(it):
         # one vectorized pass over the WHOLE reducer partition (all its
@@ -190,6 +257,7 @@ def build_term_partitioned(spark, index_dir: str,
         "num_docs": num_docs,
         "total_fieldnorm": total_fieldnorm,
         "source_manifest_version": manifest.data["version"],
+        "layout_version": LAYOUT_VERSION,
     }
     with open(os.path.join(out_dir, "global_manifest.json"), "w") as f:
         json.dump(gm, f, indent=1, sort_keys=True)
@@ -379,6 +447,11 @@ class GlobalIndexSearcher:
         out_dir = os.path.join(index_dir, GLOBAL_DIR)
         with open(os.path.join(out_dir, "global_manifest.json")) as f:
             self.gm = json.load(f)
+        if self.gm.get("layout_version") != LAYOUT_VERSION:
+            raise ValueError(
+                f"global layout version {self.gm.get('layout_version')} != "
+                f"{LAYOUT_VERSION}: term routing hash changed — rerun "
+                "build_term_partitioned(force=True)")
         self.post_dir = os.path.join(out_dir, "postings")
         self.num_docs = int(self.gm["num_docs"])
         self.avg_fieldnorm = (np.float32(self.gm["total_fieldnorm"]) /
@@ -419,10 +492,16 @@ class GlobalIndexSearcher:
                 for t, grp in tbl.groupby("term", sort=False):
                     found[t] = grp
             if len(cache) + len(missing) > self._ROW_CACHE_MAX:
-                cache.clear()
+                # evict only terms NOT referenced by the current query:
+                # clearing wholesale would drop this query's cache hits and
+                # the frame gather below would KeyError on them.
+                keep = set(terms)
+                for k in [k for k in cache if k not in keep]:
+                    del cache[k]
             for t in missing:
                 cache[t] = found.get(t)
-        frames = [cache[t] for t in set(terms) if cache[t] is not None]
+        frames = [f for f in (cache.get(t) for t in set(terms))
+                  if f is not None]
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)

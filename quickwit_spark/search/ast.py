@@ -116,6 +116,64 @@ class Bool(Node):
     minimum_should_match: int | None = None
 
 
+_NODE_TYPES: dict[str, type] = {}
+
+
+def _register_node_types() -> None:
+    for cls in (Term, TermSet, FullText, Phrase, PhrasePrefix, Range,
+                FieldPresence, Wildcard, Regex, MatchAll, MatchNone,
+                Boost, Bool):
+        _NODE_TYPES[cls.__name__] = cls
+
+
+def ast_to_json(node: Node) -> dict:
+    """Tagged-dict encoding of the AST ({"t": type, <fields>}), safe to
+    persist in world-readable KV files. The reference's scroll contexts
+    store serialized protos (scroll_context.rs) — never code objects;
+    pickle of attacker-writable files is arbitrary code execution."""
+    import dataclasses
+    import datetime
+    if not _NODE_TYPES:
+        _register_node_types()
+    out: dict[str, Any] = {"t": type(node).__name__}
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, Node):
+            v = ast_to_json(v)
+        elif isinstance(v, tuple):
+            v = [ast_to_json(x) if isinstance(x, Node) else x for x in v]
+        elif isinstance(v, datetime.datetime):
+            v = {"__dt__": v.isoformat()}
+        out[f.name] = v
+    return out
+
+
+def ast_from_json(d: dict) -> Node:
+    """Inverse of ast_to_json. Unknown tags raise ValueError (never
+    executes anything from the payload)."""
+    import dataclasses
+    import datetime
+    if not _NODE_TYPES:
+        _register_node_types()
+    cls = _NODE_TYPES.get(d.get("t"))
+    if cls is None:
+        raise ValueError(f"unknown AST node tag {d.get('t')!r}")
+    kw: dict[str, Any] = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if isinstance(v, dict) and "t" in v:
+            v = ast_from_json(v)
+        elif isinstance(v, dict) and "__dt__" in v:
+            v = datetime.datetime.fromisoformat(v["__dt__"])
+        elif isinstance(v, list):
+            v = tuple(ast_from_json(x) if isinstance(x, dict) and "t" in x
+                      else x for x in v)
+        kw[f.name] = v
+    return cls(**kw)
+
+
 def bool_and(*nodes: Node) -> Bool:
     return Bool(must=tuple(nodes))
 

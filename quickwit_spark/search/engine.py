@@ -1513,15 +1513,19 @@ class IndexSearcher:
         scroll id addresses a TTL'd context in a KV; each fetch advances
         the cursor and refreshes the TTL). Returns (first page,
         scroll_id); page through with scroll_next(scroll_id)."""
-        import base64
-        import pickle
         import time
         import uuid
+
+        from .ast import ast_to_json
         node = self.parse(query)
         res = self.search(node, k=k, fetch_fields=fetch_fields)
         sid = uuid.uuid4().hex
         ctx = {
-            "query_b64": base64.b64encode(pickle.dumps(node)).decode(),
+            # tagged-JSON AST, NOT pickle: scroll_contexts.json sits in a
+            # possibly-shared index dir; unpickling it would hand writers
+            # arbitrary code execution (scroll_context.rs stores
+            # serialized protos for the same reason)
+            "query_ast": ast_to_json(node),
             "k": int(k),
             "ttl": float(ttl_seconds),
             "expires_at": time.time() + ttl_seconds,
@@ -1536,9 +1540,9 @@ class IndexSearcher:
     def scroll_next(self, scroll_id: str) -> SearchResult:
         """Next page for an open scroll; refreshes its TTL. An expired or
         unknown id raises KeyError (the reference returns 404)."""
-        import base64
-        import pickle
         import time
+
+        from .ast import ast_from_json
         kv = self._scroll_kv()
         ctx = kv.get(scroll_id)
         if ctx is None or ctx["expires_at"] < time.time():
@@ -1548,7 +1552,7 @@ class IndexSearcher:
                            "expired")
         if ctx["cursor"] is None:
             return SearchResult(0, [])
-        node = pickle.loads(base64.b64decode(ctx["query_b64"]))
+        node = ast_from_json(ctx["query_ast"])
         res = self.search(node, k=ctx["k"],
                           fetch_fields=ctx["fetch_fields"],
                           search_after=tuple(ctx["cursor"]))

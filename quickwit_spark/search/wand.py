@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..functions.bm25 import Bm25Weight
-from ..index.codecs import decode_blocks_batch
+from ..index.codecs import decode_blocks_batch, decode_postings
 
 __all__ = ["and_topk", "or_topk", "STATS"]
 
@@ -76,9 +76,14 @@ class _TermCursor:
         if len(block_idx) == 0:
             return (np.zeros(0, dtype=np.int64),
                     np.zeros(0, dtype=np.float32))
-        docids, tfs = decode_blocks_batch(
-            self.docid_blob, self.tf_blob, self.doc_offsets,
-            self.tf_offsets, self.block_last, self.doc_freq, block_idx)
+        if len(block_idx) == len(self.block_last):
+            # nothing skipped: the plain full decode is cheaper than the
+            # run-splicing machinery (flat-corpus adaptive fallback)
+            docids, tfs = decode_postings(self.docid_blob, self.tf_blob)
+        else:
+            docids, tfs = decode_blocks_batch(
+                self.docid_blob, self.tf_blob, self.doc_offsets,
+                self.tf_offsets, self.block_last, self.doc_freq, block_idx)
         if record == "basic":
             tfs = np.ones(len(tfs), dtype=np.int64)
         return docids, self.weight.score(tfs, fn_ids[docids])
@@ -239,19 +244,30 @@ def or_topk_cursors(all_cursors: list, fn_ids, record: str, k: int):
             # its range could: best_acc_in_block + block_score + remaining
             # >= theta). best >= 0 folds both into one test.
             nblk = len(cur.block_last)
-            all_b = np.arange(nblk)
-            best = _max_in_blocks(acc_docs, acc_scores, cur, all_b)
+            rem32 = np.float32(remaining)
             if cur.max_score + remaining < theta:
                 # non-essential term: no unseen doc can qualify at all, so
                 # blocks with no viable candidate are dead even when their
                 # own bound is high
                 unseen_ok = np.zeros(nblk, dtype=bool)
             else:
-                unseen_ok = (cur.block_scores + np.float32(remaining)
-                             >= theta)
-            keep = unseen_ok | (cur.block_scores + np.float32(remaining)
-                                + best >= theta)
-            bidx = all_b[keep]
+                unseen_ok = cur.block_scores + rem32 >= theta
+            # adaptive engagement (tantivy leaf.rs:1255-1274 spirit — pay
+            # pruning bookkeeping only where it can actually skip): the
+            # expensive per-block candidate max is computed ONLY for
+            # blocks unseen_ok doesn't already keep. On a flat corpus
+            # unseen_ok is ~all-true and the pruned path degrades to the
+            # exhaustive decode plus one vectorized comparison, instead
+            # of losing to it.
+            need = ~unseen_ok
+            if need.any():
+                nb = np.nonzero(need)[0]
+                best = _max_in_blocks(acc_docs, acc_scores, cur, nb)
+                keep = unseen_ok
+                keep[nb] = cur.block_scores[nb] + rem32 + best >= theta
+            else:
+                keep = unseen_ok
+            bidx = np.nonzero(keep)[0]
             d2, s2 = cur.decode_blocks(bidx, fn_ids, record)
         else:
             d2, s2 = cur.decode_blocks(
@@ -268,15 +284,21 @@ def or_topk_cursors(all_cursors: list, fn_ids, record: str, k: int):
 
     count = len(acc_docs)
     qparts = [p for p in parts if p is not None]
-    final_scores = _combine_in_query_order(qparts, acc_docs)
     if count > k:
-        # return only the top-k slice under the engine's order
-        # (score desc, docid desc), computed on the RECOMBINED scores so
-        # membership matches the exhaustive path bit-for-bit
-        order = np.lexsort((-acc_docs, -final_scores.astype(np.float64)))
+        # recombine (query-order f32 summation, matching the exhaustive
+        # path bit-for-bit) only for COMPETITIVE candidates: recombined
+        # sums differ from the accumulator's decode-order sums by ulps,
+        # so anything below kth_acc minus the same relative slack the
+        # theta logic uses cannot enter the top-k
+        kth = float(np.partition(acc_scores, -k)[-k])
+        csel = np.nonzero(acc_scores >= kth - abs(kth) * 1e-5)[0]
+        cd = acc_docs[csel]
+        final_scores = _combine_in_query_order(qparts, cd)
+        # top-k slice under the engine's order (score desc, docid desc)
+        order = np.lexsort((-cd, -final_scores.astype(np.float64)))
         top = order[:k]
-        return acc_docs[top], final_scores[top], count
-    return acc_docs, final_scores, count
+        return cd[top], final_scores[top], count
+    return acc_docs, _combine_in_query_order(qparts, acc_docs), count
 
 
 def _max_in_blocks(acc_docs, acc_scores, cur, bidx):

@@ -30,6 +30,14 @@ from ..index.manifest import CheckpointConflict, Manifest
 _SRC = "kafka"
 
 
+class OffsetGap(RuntimeError):
+    """A batch's from-position is AHEAD of the committed position:
+    offsets in between were never ingested (data loss). Unlike a replay
+    (benign: silently skipped), a gap must surface as an error
+    (checkpoint.rs:285-324 treats any from!=stored as a publish-rejecting
+    conflict; we additionally distinguish the lossy direction)."""
+
+
 def offset_position(offset: int) -> str:
     """Zero-padded offset string (Position::Offset encoding — ordering
     by string equals ordering by number)."""
@@ -64,7 +72,17 @@ def ingest_offset_batch(df, config: IndexConfig,
                       offset_position(to))
 
     # validate the checkpoint BEFORE building (a replay should not
-    # rebuild segment files only to have the publish rejected)
+    # rebuild segment files only to have the publish rejected). Two
+    # failure directions: frm AHEAD of stored = offsets skipped -> raise
+    # OffsetGap (data loss must not be silent); frm BEHIND stored =
+    # re-delivery -> skip the whole batch (exactly-once publish).
+    for key, (frm, _to) in delta.items():
+        stored = manifest.checkpoint(key)
+        if frm is not None and (stored is None or frm > stored):
+            raise OffsetGap(
+                f"{key}: batch starts after committed position "
+                f"(committed={stored!r}, batch from={frm!r}) — offsets in "
+                "between were never ingested")
     for key, (frm, _to) in delta.items():
         if manifest.checkpoint(key) != frm:
             return False  # replay or out-of-order delivery
@@ -146,20 +164,46 @@ def kafka_stream(spark, brokers: str, topic: str, config: IndexConfig,
               .select("d.*", "_src_partition", "_src_offset"))
 
     def handle(batch_df, _batch_id: int):
-        if batch_df.isEmpty():
-            return
-        batch_df = batch_df.persist()
-        bounds = (batch_df.groupBy("_src_partition")
-                  .agg(F.min("_src_offset").alias("lo"),
-                       F.max("_src_offset").alias("hi")).collect())
-        committed = source_positions(config)
-        offsets = {int(r["_src_partition"]):
-                   (committed.get(int(r["_src_partition"])),
-                    int(r["hi"])) for r in bounds}
-        ingest_offset_batch(
-            batch_df.drop("_src_partition", "_src_offset"),
-            config, offsets)
-        batch_df.unpersist()
+        handle_kafka_batch(batch_df, config,
+                           build_partitions=build_partitions)
 
     return (parsed.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir).start())
+
+
+def handle_kafka_batch(batch_df, config: IndexConfig,
+                       build_partitions: int = 8) -> bool:
+    """One Kafka micro-batch -> checkpointed segment publish. Module-level
+    (not a closure) so the offset-derivation logic is testable without a
+    broker: any DataFrame carrying _src_partition/_src_offset columns
+    exercises the exact code the stream runs."""
+    from pyspark.sql import functions as F
+    if batch_df.isEmpty():
+        return False
+    batch_df = batch_df.persist()
+    try:
+        bounds = (batch_df.groupBy("_src_partition")
+                  .agg(F.min("_src_offset").alias("lo"),
+                       F.max("_src_offset").alias("hi")).collect())
+        committed = source_positions(config) \
+            if os.path.exists(os.path.join(config.index_dir,
+                                           "manifest.json")) else {}
+        # from-position comes from the BATCH'S OWN offsets (lo-1), not
+        # the live manifest — deriving it from the manifest would compare
+        # the manifest to itself and wave every replay/gap through. The
+        # only manifest input is "has this partition ever committed"
+        # (first batch from a compacted/late-start topic carries None).
+        # Spark foreachBatch replays are whole-batch-identical, so a
+        # replayed batch hits frm < stored and is skipped; a straddling
+        # batch cannot occur.
+        offsets = {}
+        for r in bounds:
+            sp, lo, hi = (int(r["_src_partition"]), int(r["lo"]),
+                          int(r["hi"]))
+            offsets[sp] = ((None if committed.get(sp) is None else lo - 1),
+                           hi)
+        return ingest_offset_batch(
+            batch_df.drop("_src_partition", "_src_offset"),
+            config, offsets, build_partitions=build_partitions)
+    finally:
+        batch_df.unpersist()

@@ -222,6 +222,66 @@ def test_global_wand_pruned_and(spark, tmp_path):
     assert wand.STATS["blocks_decoded"] < wand.STATS["blocks_total"]
 
 
+def test_term_hash_vectorized_contract(dirs):
+    """Routing-hash contract (quickwit-doc-mapper
+    routing_expression/mod.rs:107-141): ONE deterministic hash shared by
+    writers (stage-2 reducers stamping tpid) and readers (driver lookup).
+    Asserts batch==scalar agreement, chunk/padding-width independence,
+    golden pins (catch silent drift — stale layouts must be refused via
+    layout_version, not produce wrong routing), and that every term stored
+    under tpid=K actually hashes to K."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.index.global_index import (
+        _hash_terms_u64,
+        _term_pid,
+        term_partition,
+    )
+    probe = ["merge", "a\x00b", "ab", "", "\x01path\x00v", "x" * 255]
+    for t in probe:
+        assert int(_hash_terms_u64([t])[0]) == \
+            int(_hash_terms_u64([t, "y" * 300])[0])  # padding-independent
+        assert term_partition(t, 16) == int(_term_pid(
+            pd.Series([t]), 16)[0])
+    # golden pins: if these move, LAYOUT_VERSION must be bumped
+    assert [int(x) for x in _hash_terms_u64(["foo", "bar", "\x01k\x00v"])] \
+        == [3334522124964276173, 14113469487526901272,
+            10257267855825416166]
+    # chunk-boundary independence (chunked path vs scalar path)
+    big = pd.Series([f"t{i}" for i in range(70_000)])
+    assert int(_hash_terms_u64(big)[69_999]) == \
+        int(_hash_terms_u64(["t69999"])[0])
+    # stored layout agrees with the driver-side hash
+    base_dir, _, _ = dirs
+    for p in glob.glob(os.path.join(base_dir, "global", "postings",
+                                    "tpid=*")):
+        pid = int(p.rsplit("=", 1)[1])
+        terms = pq.read_table(p, columns=["term"]).column(0).to_pylist()
+        got = _term_pid(pd.Series(sorted(set(terms))), 4)
+        assert (got == pid).all()
+
+
+def test_row_cache_eviction_keeps_current_query_terms(dirs):
+    """Regression (round-2 advice): when the row cache overflows while
+    serving a query that mixes cached and new terms, eviction must not
+    drop the current query's cache hits — the frame gather used to
+    KeyError exactly there."""
+    base_dir, _, _ = dirs
+    gs = GlobalIndexSearcher(base_dir)
+    gs._ROW_CACHE_MAX = 2  # instance override; force overflow fast
+    r1 = gs._term_rows(["merge"])          # caches "merge"
+    assert len(r1) >= 1
+    # mixes the cached term with enough new ones to trip eviction
+    r2 = gs._term_rows(["merge", "query", "index", "fetch"])
+    assert set(r2["term"]) >= {"merge"}
+    # subsequent all-new query still works after the evictions
+    r3 = gs._term_rows(["value", "get"])
+    assert len(r3) >= 1
+
+
 def test_global_build_idempotent_and_staleness(spark, tmp_path):
     """Re-running the global build against an unchanged manifest is a
     no-op; publishing new segments marks the layout stale."""

@@ -8,7 +8,9 @@ import pytest
 
 from quickwit_spark.config import IndexConfig
 from quickwit_spark.search.engine import IndexSearcher
-from quickwit_spark.streaming.kafka import (ingest_offset_batch,
+from quickwit_spark.streaming.kafka import (OffsetGap,
+                                            handle_kafka_batch,
+                                            ingest_offset_batch,
                                             source_positions)
 
 
@@ -43,10 +45,13 @@ def test_replay_is_exactly_once(cfg):
     assert source_positions(cfg) == {0: 4}
 
 
-def test_offset_gap_rejected(cfg):
+def test_offset_gap_raises(cfg):
     assert ingest_offset_batch(_docs(0, 4, 0), cfg, {0: (None, 4)})
-    # claims to continue from offset 6 while the store committed 4
-    assert not ingest_offset_batch(_docs(7, 9, 0), cfg, {0: (6, 9)})
+    # claims to continue from offset 6 while the store committed 4:
+    # offsets 5..6 were never ingested — data loss is an ERROR, not a
+    # silently skipped batch (unlike a replay)
+    with pytest.raises(OffsetGap):
+        ingest_offset_batch(_docs(7, 9, 0), cfg, {0: (6, 9)})
     assert source_positions(cfg) == {0: 4}
 
 
@@ -62,6 +67,37 @@ def test_multi_partition_atomicity(cfg):
     nxt2 = pd.concat([_docs(3, 5, 0), _docs(4, 5, 1)], ignore_index=True)
     assert ingest_offset_batch(nxt2, cfg, {0: (2, 5), 1: (3, 5)})
     assert source_positions(cfg) == {0: 5, 1: 5}
+
+
+def _offset_batch(spark, lo, hi, part=0):
+    pdf = _docs(lo, hi, part)
+    pdf["_src_partition"] = part
+    pdf["_src_offset"] = list(range(lo, hi + 1))
+    return spark.createDataFrame(pdf)
+
+
+def test_handle_kafka_batch_replay_and_gap(cfg, spark):
+    """The micro-batch handler the stream actually runs (regression for
+    the round-2 advice: from-position must come from the batch's OWN lo,
+    not the live manifest — the old code compared the manifest to itself
+    and waved every replay and gap through)."""
+    assert handle_kafka_batch(_offset_batch(spark, 0, 4), cfg,
+                              build_partitions=2)
+    assert source_positions(cfg) == {0: 4}
+    # exact foreachBatch replay: skipped, not re-published
+    assert not handle_kafka_batch(_offset_batch(spark, 0, 4), cfg,
+                                  build_partitions=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 5
+    # a gap (offsets 5..6 lost) raises instead of publishing
+    with pytest.raises(OffsetGap):
+        handle_kafka_batch(_offset_batch(spark, 7, 9), cfg,
+                           build_partitions=2)
+    assert source_positions(cfg) == {0: 4}
+    # correct continuation advances
+    assert handle_kafka_batch(_offset_batch(spark, 5, 9), cfg,
+                              build_partitions=2)
+    assert source_positions(cfg) == {0: 9}
+    assert IndexSearcher(cfg.index_dir).count("*") == 10
 
 
 def test_resume_point_feeds_next_batch(cfg):

@@ -56,3 +56,27 @@ def test_scroll_survives_new_searcher_instance(idx):
     assert nxt.hits
     assert nxt.hits[0].doc_id != res.hits[0].doc_id or \
         nxt.hits[0].segment_id != res.hits[0].segment_id
+
+
+def test_scroll_context_is_json_not_pickle(tmp_path):
+    """Scroll contexts persist as tagged-JSON AST (scroll_context.rs
+    stores serialized protos): no pickle in the KV file — unpickling an
+    attacker-writable file would be arbitrary code execution."""
+    import datetime
+    import json
+
+    import pytest
+
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.ast import ast_from_json, ast_to_json
+    node = A.Bool(
+        must=(A.Term("content", "x"), A.Phrase("content", "a b", slop=2)),
+        must_not=(A.Wildcard("path", "*.py"),),
+        should=(A.Boost(A.TermSet("lang", ("py", "rs")), 2.5),),
+        filter=(A.Range("ts", gte=datetime.datetime(2024, 1, 2, 3, 4, 5),
+                        lt=10),),
+        minimum_should_match=1)
+    j = json.loads(json.dumps(ast_to_json(node)))  # JSON-serializable
+    assert ast_from_json(j) == node
+    with pytest.raises(ValueError):
+        ast_from_json({"t": "__import__"})  # unknown tags never execute

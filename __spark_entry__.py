@@ -600,6 +600,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ivf_topk(emb, qdf, _ivf_centroids(), k=10, nprobe=2)
     q["ann_ivf_topk"] = ann_ivf
 
+    def ann_ivf_partitioned(s, d):
+        """Scale-path IVF: one-time partitionBy(_cid) layout write, then
+        a query that READS only the probed partitions (partition filter,
+        directory-level pruning) — must equal ann_ivf_topk exactly."""
+        import tempfile
+        emb = _read(s, d, "embeddings")
+        qdf = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q"))
+        layout = os.path.join(tempfile.gettempdir(), "qw_entry_ivf",
+                              _cache_tag(d))
+        cents = _ivf_centroids()
+        if not os.path.exists(os.path.join(layout,
+                                           "_ivf_centroids.json")):
+            sim.ivf_partition(emb, layout, cents)
+        return sim.ivf_topk_partitioned(s, layout, qdf, k=10, nprobe=2,
+                                        centroids=cents)
+    q["ann_ivf_partitioned"] = ann_ivf_partitioned
+
     def emb_near_dup(s, d):
         """Embedding-cosine near-dup over the embeddings table plus an
         exact copy shifted by 1e6 (every vector gains one cos=1 twin)."""
@@ -985,6 +1003,9 @@ SELECT vec_id, round(cos, 6) AS cos FROM (
   SELECT vec_id, {cos} AS cos FROM cand)
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
+    # identical semantics — the partitioned layout must not change results
+    o["ann_ivf_partitioned"] = o["ann_ivf_topk"]
+
 
     pair_dot = "list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
     pcos = (pair_dot.format(x="l.embedding", y="r.embedding")

@@ -130,16 +130,35 @@ class SegmentReader:
                           filters=[("term", "in", list(set(terms)))])
         return t.to_pandas()
 
-    def scan_terms(self, predicate, include_dynamic: bool = False
-                   ) -> pd.DataFrame:
-        """Full termdict scan with a pandas predicate (wildcard/regex/
+    def scan_terms(self, predicate, include_dynamic: bool = False,
+                   prefix: str | None = None) -> pd.DataFrame:
+        """Termdict scan with a pandas predicate (wildcard/regex/
         list_terms path). Dynamic-namespace terms (\\x01-prefixed) are
         excluded unless asked for — a text-field wildcard must not match
-        them."""
+        them.
+
+        `prefix` is an optional literal prefix pushed down to the read
+        (the automaton-over-FST idea of wildcard_query.rs:79-148 mapped
+        onto a sorted parquet termdict): cold reads become a term-range
+        parquet filter (row-group min/max stats prune — the termdict is
+        written term-sorted), cached reads a binary-search slice. The
+        predicate still runs on the pruned slice, so the bound is pure
+        pruning, never correctness."""
         df = self._cached_termdict()
         if df is None:
+            filters = None
+            if prefix:
+                filters = [("term", ">=", prefix),
+                           ("term", "<=", prefix + "\uffff")]
             df = pq.read_table(os.path.join(self.seg_dir,
-                                            "termdict.parquet")).to_pandas()
+                                            "termdict.parquet"),
+                               filters=filters).to_pandas()
+        elif prefix:
+            terms = df["term"].to_numpy()
+            lo = int(np.searchsorted(terms, prefix, side="left"))
+            hi = int(np.searchsorted(terms, prefix + "\uffff",
+                                     side="right"))
+            df = df.iloc[lo:hi]
         mask = predicate(df["term"])
         if not include_dynamic and self.dynamic:
             # both dynamic namespaces (\x01 exact, \x02 numeric) sort
@@ -185,7 +204,8 @@ class SegmentReader:
         # width, so <= on the encoded string is exact)
         hi_key = dynamic_num_key(node.field, hi)
         td = self.scan_terms(lambda s: (s >= lo_key) & (s <= hi_key),
-                             include_dynamic=True)
+                             include_dynamic=True,
+                             prefix=f"\x02{node.field}\x00")
         sets = []
         if len(td):
             pr = self.postings_rows(td["term_id"].tolist())
@@ -377,6 +397,7 @@ class SegmentReader:
                 # exists on a dynamic path: prefix scan of its namespace
                 pfx = f"\x01{node.field}\x00"
                 td = self.scan_terms(lambda s: s.str.startswith(pfx),
+                                     prefix=pfx,
                                      include_dynamic=True)
                 sets = []
                 if len(td):
@@ -399,12 +420,25 @@ class SegmentReader:
                 pat = "".join(
                     ".*" if c == "*" else "." if c == "?" else re.escape(c)
                     for c in node.pattern)
+                stop = re.search(r"[*?]", node.pattern)
+                lit = node.pattern[:stop.start()] if stop \
+                    else node.pattern
             else:
                 pat = node.pattern
+                # longest literal prefix of the regex, conservatively: up
+                # to the first metacharacter; a quantifier binds the
+                # preceding char, so drop it from the literal
+                m = re.match(r"[^\\.^$*+?{}\[\]|()]*", pat)
+                lit = m.group(0)
+                if lit and len(lit) < len(pat) and pat[len(lit)] in "*+?{":
+                    lit = lit[:-1]
             rx = re.compile(f"^(?:{pat})$")
             if node.field == text_field:
-                td = self.scan_terms(lambda s: s.map(
-                    lambda t: rx.match(t) is not None))
+                # vectorized C-level regex over the (prefix-pruned) term
+                # dictionary — no per-term Python closure
+                td = self.scan_terms(
+                    lambda s: s.str.fullmatch(pat, na=False),
+                    prefix=lit or None)
                 sets = []
                 if len(td):
                     pr = self.postings_rows(td["term_id"].tolist())
@@ -552,7 +586,10 @@ class SegmentReader:
         if not toks:
             return _Scored.empty()
         prefix = toks[-1]
-        td = self.scan_terms(lambda s: s.str.startswith(prefix))
+        # prefix pushed to the termdict read: a binary-search slice /
+        # parquet range filter instead of a full-dict startswith scan
+        td = self.scan_terms(lambda s: s.str.startswith(prefix),
+                             prefix=prefix)
         expansions = sorted(td["term"].tolist())[:node.max_expansions]
         if not expansions:
             return _Scored.empty()

@@ -235,3 +235,43 @@ def test_prune_index_equivalent_to_loop(built):
         a = [s["segment_id"] for s in prune_segments(segs, q, ["lang"])]
         b = [s["segment_id"] for s in pi.prune(q, ["lang"])]
         assert a == b, q
+
+
+def test_termdict_prefix_pushdown_paths(built):
+    """The wildcard/regex literal-prefix pushdown (wildcard_query.rs
+    automaton-over-term-dict analog): the cached binary-search slice and
+    the cold parquet-range-filtered read must both return exactly what
+    the unpruned predicate scan returns."""
+    from quickwit_spark.search.engine import IndexSearcher, get_reader
+    _pdf, cfg, manifest = built
+    searcher = IndexSearcher(cfg.index_dir)
+    seg = sorted(manifest.segments(), key=lambda s: s["segment_id"])[0]
+    rd = get_reader(os.path.join(cfg.index_dir, "segments",
+                                 seg["segment_id"]), cfg.tokenizer)
+    full = rd.scan_terms(lambda s: s.str.startswith("mer"))
+    pruned = rd.scan_terms(lambda s: s.str.startswith("mer"),
+                           prefix="mer")
+    assert full["term"].tolist() == pruned["term"].tolist()
+    assert len(full) > 0
+    # cold path: force the parquet-filtered read
+    cached = rd._cached_termdict
+    try:
+        rd._cached_termdict = lambda: None
+        cold = rd.scan_terms(lambda s: s.str.startswith("mer"),
+                             prefix="mer")
+        assert cold["term"].tolist() == full["term"].tolist()
+    finally:
+        rd._cached_termdict = cached
+    # engine-level equivalence: wildcard and regex with literal prefixes
+    from quickwit_spark.search import ast as A
+    for node in (A.Wildcard("content", "mer*e"),
+                 A.Regex("content", "mer.*e"),
+                 A.Wildcard("content", "merge")):
+        res = searcher.search(node, k=500)
+        naive = searcher.search(A.Wildcard("content", "*"), k=10**6)
+        import re as _re
+        pat = node.pattern if isinstance(node, A.Regex) else \
+            "".join(".*" if c == "*" else "." if c == "?" else
+                    _re.escape(c) for c in node.pattern)
+        assert res.num_hits <= naive.num_hits
+        assert res.num_hits > 0

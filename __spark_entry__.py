@@ -366,6 +366,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _spark_df(s, pdf, "doc_id long, score double")
     q["search_after_page2"] = search_after_page
 
+    def sort2_search_after(s, d):
+        """Two-field sort + search_after deep pagination in one flow
+        (collector.rs:994-1145: ≤2 sort fields; tie-break by doc address
+        in the FIRST order's direction; cursor = sort values + address).
+        Returns PAGE 2 of docs matching `table` under
+        (lang asc, n_chars desc)."""
+        _, _, searcher = _doc_index(d)
+        sb = (("lang", "asc"), ("n_chars", "desc"))
+        p1 = searcher.sort_search(A.Term("text", "table"), k=10,
+                                  sort_by=sb)
+        p2 = searcher.sort_search(A.Term("text", "table"), k=10,
+                                  sort_by=sb,
+                                  search_after=p1.next_cursor)
+        pdf = pd.DataFrame(
+            {"doc_id": [int(h.doc["doc_id"]) for h in p2.hits],
+             "lang": [str(h.doc["lang"]) for h in p2.hits],
+             "n_chars": [int(h.doc["n_chars"]) for h in p2.hits]})
+        return _spark_df(s, pdf, "doc_id long, lang string, n_chars long")
+    q["sort2_search_after_page2"] = sort2_search_after
+
     def sort_by_field(s, d):
         """Top-k under an explicit fast-field sort (collector.rs sort
         spec): docs matching `table`, by (n_chars desc, doc_id desc)."""
@@ -461,6 +481,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("doc_count").alias("cnt"),
                           F.round("chars", 4).alias("avg_chars"))
     q["agg_es_terms_spec"] = agg_es_spec
+
+    def agg_es_top_hits(s, d):
+        """top_hits as a metric in the ES aggregation front-end
+        (aggregations.rs:85-172): per terms bucket, the top-2 matched
+        docs by n_chars — executed as one window row_number over the
+        bucket partitions."""
+        from quickwit_spark.search.aggregations import aggregate
+        from quickwit_spark.search.engine import IndexSearcher
+        _, _, searcher = _doc_index(d)
+        sp = IndexSearcher(searcher.index_dir, spark=s)
+        out = aggregate(sp, A.FullText("text", "merge"), {
+            "langs": {"terms": {"field": "lang"},
+                      "aggs": {"top": {"top_hits": {
+                          "size": 2,
+                          "sort": [{"n_chars": {"order": "desc"}},
+                                   {"doc_id": {"order": "asc"}}],
+                          "docvalue_fields": ["doc_id"]}}}}})
+        return out.select(F.col("langs").alias("lang"), "doc_id",
+                          "n_chars", F.col("top_rank").alias("rn"))
+    q["agg_es_top_hits"] = agg_es_top_hits
 
     def dynamic_mapping_query(s, d):
         """Dynamic mode (doc_mapping.rs mode:dynamic): exact term +
@@ -716,6 +756,17 @@ SELECT d.doc_id, d.n_chars FROM documents d JOIN tk USING (doc_id)
 WHERE list_contains(tk.ts, 'table')
 ORDER BY d.n_chars DESC, d.doc_id DESC LIMIT 15
 """
+    # page 2 under (lang asc, n_chars desc); the address tie-break follows
+    # the FIRST order's direction (asc) and the single-segment doc address
+    # equals doc_id order here
+    o["sort2_search_after_page2"] = f"""
+{_TK_CTE}
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN tk USING (doc_id)
+WHERE list_contains(tk.ts, 'table')
+ORDER BY d.lang ASC, d.n_chars DESC, d.doc_id ASC
+LIMIT 10 OFFSET 10
+"""
     o["list_terms_range"] = """
 WITH tok AS (
   SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
@@ -757,6 +808,20 @@ WHERE t >= 'p' AND t < 't' AND t <> '' ORDER BY term
         "  SELECT event_type, event_id, value, row_number() OVER ("
         "    PARTITION BY event_type ORDER BY value DESC, event_id ASC"
         "  ) AS rn FROM events) WHERE rn <= 3")
+    o["agg_es_top_hits"] = """
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) WHERE t = 'merge'),
+hits AS (
+  SELECT d.lang, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN matched USING (doc_id))
+SELECT lang, doc_id, n_chars, rn FROM hits WHERE rn <= 2
+ORDER BY lang, rn
+"""
     o["agg_terms_matched_docs"] = """
 WITH matched AS (
   SELECT DISTINCT doc_id FROM (

@@ -36,7 +36,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 _METRICS = ("avg", "min", "max", "sum", "value_count", "cardinality",
-            "stats", "extended_stats", "percentiles")
+            "stats", "extended_stats", "percentiles", "top_hits")
 _BUCKETS = ("terms", "histogram", "date_histogram", "range")
 
 
@@ -172,13 +172,27 @@ def _parse_level(spec: dict):
     return (buckets[0] if buckets else None), metrics
 
 
+def _top_hits_fields(body: dict) -> list[str]:
+    """Fields a top_hits metric touches: its sort keys plus the
+    docvalue_fields it returns (quickwit top_hits retrieves doc values,
+    aggregations.rs:85-172 — there is no stored-source fetch here)."""
+    fields = [f for s in body.get("sort", ()) for f in s]
+    for f in body.get("docvalue_fields", ()):
+        if f not in fields:
+            fields.append(f)
+    return fields
+
+
 def _collect_fields(spec: dict) -> set[str]:
     out: set[str] = set()
     for _name, body in spec.items():
         sub = dict(body)
         nested = sub.pop("aggs", None)
-        for _kind, kb in sub.items():
-            out.add(kb["field"])
+        for kind, kb in sub.items():
+            if kind == "top_hits":
+                out |= set(_top_hits_fields(kb))
+            else:
+                out.add(kb["field"])
         if nested:
             out |= _collect_fields(nested)
     return out
@@ -238,6 +252,14 @@ def _aggregate_plan(matched, spec: dict):
         if not sub:
             break
         cur = sub
+
+    th = [(n, b) for n, k, b in leaf_metrics if k == "top_hits"]
+    if th:
+        if len(leaf_metrics) > 1:
+            raise InvalidAggregation(
+                "top_hits cannot be combined with other metrics at the "
+                "same level (its output is per-hit rows, not per-bucket)")
+        return _top_hits_plan(matched, levels, *th[0])
 
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     for name, kind, body in leaf_metrics:
@@ -315,3 +337,41 @@ def _aggregate_plan(matched, spec: dict):
     else:
         out = out.orderBy(*[F.col(n).asc() for n in level_names])
     return out
+
+
+def _top_hits_plan(matched, levels, name: str, body: dict):
+    """top_hits as a deepest-level metric (quickwit supports it as a
+    metric retrieving doc values, aggregations.rs:85-172): per bucket
+    combination, the top `size` docs under the spec's sort, as one row
+    per hit with a `<name>_rank` column. Executes as a window
+    row_number over the bucket partitions — one shuffle on the bucket
+    keys, no per-bucket driver work."""
+    sort = body.get("sort") or ()
+    if not sort:
+        raise InvalidAggregation(
+            "top_hits requires an explicit sort spec (the aggregation "
+            "frame carries doc values, not scores)")
+    size = int(body.get("size", 3))
+    frm = int(body.get("from", 0))
+    order = []
+    for s in sort:
+        for f, o in s.items():
+            direction = o.get("order", "asc") if isinstance(o, dict) \
+                else str(o)
+            order.append(F.col(f).desc() if direction == "desc"
+                         else F.col(f).asc())
+    out = matched
+    level_names = []
+    for lname, lkind, lbody in levels:
+        out = out.withColumn(lname, _bucket_col(lkind, lbody))
+        level_names.append(lname)
+    w = Window.partitionBy(*[F.col(n) for n in level_names]) \
+        .orderBy(*order)
+    rank_col = f"{name}_rank"
+    out = (out.withColumn(rank_col, F.row_number().over(w))
+           .filter((F.col(rank_col) > frm)
+                   & (F.col(rank_col) <= frm + size)))
+    fields = _top_hits_fields(body)
+    out = out.select(*level_names, *fields, rank_col)
+    return out.orderBy(*[F.col(n).asc() for n in level_names],
+                       F.col(rank_col).asc())

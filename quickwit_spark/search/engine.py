@@ -1104,7 +1104,12 @@ class SearchResult:
 
     @property
     def next_cursor(self) -> tuple | None:
-        """Pass as search_after to fetch the next page (scroll analog)."""
+        """Pass as search_after to fetch the next page (scroll analog).
+        Sorted searches carry their own (sort values..., address) cursor
+        — returning the score cursor for them would silently paginate in
+        score order."""
+        if self.last_sort_key is not None:
+            return self.last_sort_key
         if not self.hits:
             return None
         h = self.hits[-1]
@@ -1340,6 +1345,11 @@ class IndexSearcher:
         fields = [T.StructField("segment_id", T.StringType()),
                   T.StructField("doc_id", T.LongType())]
         for c in cols:
+            if c in ("segment_id", "doc_id"):
+                # the leaf's dict overwrites the built-in ordinal with the
+                # stored column of the same name — don't duplicate the
+                # schema field (AMBIGUOUS_REFERENCE downstream)
+                continue
             fields.append(T.StructField(c, arrow_types.get(
                 c, T.StringType())))
         return sdf.mapInPandas(leaf, schema=T.StructType(fields))

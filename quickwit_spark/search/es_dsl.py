@@ -82,15 +82,52 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
             if isinstance(items, dict):
                 items = [items]
             return tuple(es_to_ast(i, default_field) for i in items)
+        should = _many("should")
         return A.Bool(
             must=_many("must"),
             must_not=_many("must_not"),
-            should=_many("should"),
+            should=should,
             filter=_many("filter"),
             minimum_should_match=(
-                int(spec["minimum_should_match"])
+                parse_minimum_should_match(
+                    spec["minimum_should_match"], len(should))
                 if "minimum_should_match" in spec else None))
     raise ValueError(f"unsupported ES query kind: {kind}")
+
+
+def parse_minimum_should_match(value, n_should: int) -> int:
+    """ES minimum_should_match forms (bool_query.rs parses the same
+    grammar): integer, "<n>", "-<n>" (all but n may be missing),
+    "<p>%" (floor of p percent of the optional clauses), "-<p>%"
+    (all but floor(p%) must match). Resolved against the bool's OWN
+    should-clause count, clamped to [0, n_should]."""
+    if isinstance(value, bool):
+        raise ValueError(f"bad minimum_should_match {value!r}")
+    if isinstance(value, int):
+        n = value
+    else:
+        s = str(value).strip()
+        if s.endswith("%"):
+            try:
+                pct = int(s[:-1])
+            except ValueError:
+                raise ValueError(
+                    f"bad minimum_should_match {value!r}") from None
+            if pct >= 0:
+                n = (n_should * pct) // 100
+            else:
+                n = n_should - (n_should * -pct) // 100
+        else:
+            try:
+                n = int(s)
+            except ValueError:
+                raise ValueError(
+                    f"bad minimum_should_match {value!r}") from None
+    if n < 0:
+        n = n_should + n
+    # NOT clamped to n_should: msm above the clause count legitimately
+    # matches nothing (ES semantics)
+    return max(0, n)
 
 
 def es_search(searcher, body: dict, default_field: str | None = None
@@ -110,8 +147,11 @@ def es_search(searcher, body: dict, default_field: str | None = None
     sort_spec = body.get("sort")
     sa = body.get("search_after")
     if sort_spec:
+        if len(sort_spec) > 2:
+            # the reference rejects >2 sort fields (collector.rs:1008-1029)
+            raise ValueError("sort supports at most 2 fields")
         sort_by = []
-        for s in sort_spec[:2]:
+        for s in sort_spec:
             if isinstance(s, str):
                 sort_by.append((s, "asc" if s != "_score" else "desc"))
             else:

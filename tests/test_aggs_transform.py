@@ -206,3 +206,49 @@ def test_terms_size_with_nested_buckets(spark, idx):
         {float(k): v for k, v in expect.items()}
     assert (out["langs_sum_other_doc_count"]
             == len(pdf) - len(sub)).all()
+
+
+def test_top_hits_metric(spark, idx):
+    """top_hits in the ES front-end (aggregations.rs:85-172): per bucket,
+    the top-N docs under the spec's sort as per-hit rows; combined with
+    other metrics or without a sort it is rejected."""
+    from quickwit_spark.search.aggregations import InvalidAggregation
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    out = aggregate(s, A.Term("content", "beta"), {
+        "langs": {"terms": {"field": "lang"},
+                  "aggs": {"top": {"top_hits": {
+                      "size": 2,
+                      "sort": [{"size": {"order": "desc"}}],
+                      "docvalue_fields": ["size"]}}}}}).toPandas()
+    sub = pdf[pdf.content.str.contains("beta")]
+    expect = (sub.sort_values("size", ascending=False)
+              .groupby("lang").head(2))
+    assert len(out) == len(expect)
+    for lang, grp in expect.groupby("lang"):
+        got = out[out["langs"] == lang]
+        assert got["size"].tolist() == grp["size"].tolist()
+        assert got["top_rank"].tolist() == list(range(1, len(grp) + 1))
+    # from/size paging: rank window shifts
+    page2 = aggregate(s, A.Term("content", "beta"), {
+        "langs": {"terms": {"field": "lang"},
+                  "aggs": {"top": {"top_hits": {
+                      "size": 2, "from": 2,
+                      "sort": [{"size": {"order": "desc"}}],
+                      "docvalue_fields": ["size"]}}}}}).toPandas()
+    assert set(page2["top_rank"]) == {3, 4}
+    # top_hits with no buckets: window over the whole matched set
+    flat = aggregate(s, A.Term("content", "beta"), {
+        "top": {"top_hits": {"size": 3,
+                             "sort": [{"size": {"order": "desc"}}],
+                             "docvalue_fields": ["size"]}}}).toPandas()
+    assert flat["size"].tolist() == \
+        sub["size"].nlargest(3).tolist()
+    with pytest.raises(InvalidAggregation):
+        aggregate(s, A.Term("content", "beta"), {
+            "top": {"top_hits": {"size": 2,
+                                 "sort": [{"size": "desc"}]}},
+            "avg_sz": {"avg": {"field": "size"}}})
+    with pytest.raises(InvalidAggregation):
+        aggregate(s, A.Term("content", "beta"), {
+            "top": {"top_hits": {"size": 2}}})

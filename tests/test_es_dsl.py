@@ -160,3 +160,65 @@ def test_es_search_highlight(spark, tmp_path):
         assert "<b>alpha</b>" in h["highlight"]["content"][0]
     r2 = es_search(s, {"query": {"match": {"content": "alpha"}}})
     assert "highlight" not in r2["hits"]["hits"][0]
+
+
+def test_minimum_should_match_forms():
+    """ES msm grammar (bool_query.rs): integer, "<n>", "-<n>",
+    "<p>%", "-<p>%" — resolved against the bool's own should count."""
+    import pytest
+
+    from quickwit_spark.search.es_dsl import parse_minimum_should_match
+    assert parse_minimum_should_match(2, 4) == 2
+    assert parse_minimum_should_match("3", 4) == 3
+    assert parse_minimum_should_match("-1", 4) == 3   # all but 1
+    assert parse_minimum_should_match("75%", 4) == 3  # floor(4*0.75)
+    assert parse_minimum_should_match("75%", 3) == 2  # floor(3*0.75)
+    assert parse_minimum_should_match("-25%", 4) == 3  # 4 - floor(1)
+    assert parse_minimum_should_match("-25%", 3) == 3  # 3 - floor(0.75)
+    assert parse_minimum_should_match("100%", 5) == 5
+    assert parse_minimum_should_match("0%", 5) == 0
+    assert parse_minimum_should_match("-10", 4) == 0   # clamped at 0
+    assert parse_minimum_should_match(7, 4) == 7       # > count: matches 0
+    with pytest.raises(ValueError):
+        parse_minimum_should_match("abc", 3)
+    with pytest.raises(ValueError):
+        parse_minimum_should_match("x%", 3)
+    # through the bool conversion
+    should = [{"term": {"lang": {"value": v}}} for v in "abcd"]
+    node = es_to_ast({"bool": {"should": should,
+                               "minimum_should_match": "50%"}})
+    assert node.minimum_should_match == 2
+
+
+def test_sort_rejects_more_than_two_fields(spark, tmp_path):
+    """collector.rs:1008-1029: at most 2 sort fields; the facade rejects
+    rather than silently truncating."""
+    import pandas as pd
+    import pytest
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.search.es_dsl import es_search
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 6, "path": [f"f{i}.py" for i in range(6)],
+        "commit": ["c"] * 6, "lang": ["python"] * 6,
+        "content": ["alpha beta"] * 6, "size": range(6)})
+    cfg = IndexConfig(index_uid="s3", index_dir=str(tmp_path / "s3"),
+                      sha_col=None, store_cols=("size",))
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    with pytest.raises(ValueError, match="at most 2"):
+        es_search(s, {"query": {"match": {"content": "alpha"}},
+                      "sort": [{"size": {"order": "asc"}},
+                               {"lang": {"order": "asc"}},
+                               {"path": {"order": "asc"}}]})
+    with pytest.raises(ValueError, match="1 or 2 sort fields"):
+        s.sort_search(A.Term("content", "alpha"), k=3,
+                      sort_by=(("size", "asc"), ("lang", "asc"),
+                               ("path", "asc")))
+    # 2 fields still fine
+    out = es_search(s, {"query": {"match": {"content": "alpha"}},
+                        "sort": [{"size": {"order": "desc"}},
+                                 {"lang": {"order": "asc"}}], "size": 3})
+    assert out["hits"]["total"]["value"] == 6

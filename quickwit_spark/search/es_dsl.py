@@ -294,6 +294,33 @@ def es_cat_indices(searcher) -> list[dict]:
     }]
 
 
+def es_resolve_index(root_dir: str, expression: str) -> dict:
+    """ES `_resolve/index/<expression>` (rest_handler.rs
+    es_compat_resolve_index): index-uid glob patterns resolved against
+    the indexes under root_dir, ES response shape (sorted by name; no
+    aliases or data streams here)."""
+    from .multi import resolve_index_patterns
+    dirs = resolve_index_patterns(root_dir, expression.split(","))
+    from ..index.manifest import Manifest
+    names = sorted({Manifest.load(d).data["index_uid"] for d in dirs})
+    return {"indices": [{"name": n, "attributes": ["open"]}
+                        for n in names],
+            "aliases": [], "data_streams": []}
+
+
+def es_cluster_health(searcher=None) -> dict:
+    """ES `_cluster/health` (rest_handler.rs es_compat_cluster_health):
+    a single-process engine is green by construction; populated with
+    real segment counts when a searcher is given."""
+    nsegs = len(searcher.manifest.segments()) if searcher else 0
+    return {"cluster_name": "quickwit-spark", "status": "green",
+            "timed_out": False, "number_of_nodes": 1,
+            "number_of_data_nodes": 1, "active_primary_shards": nsegs,
+            "active_shards": nsegs, "relocating_shards": 0,
+            "initializing_shards": 0, "unassigned_shards": 0,
+            "active_shards_percent_as_number": 100.0}
+
+
 def es_stats(searcher) -> dict:
     """ES `_stats` (docs + store + segments sections;
     rest_handler.rs es_compat_index_stats)."""

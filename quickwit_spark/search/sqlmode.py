@@ -82,7 +82,14 @@ def distributed_bool_topk_f64(searcher, terms: list[str],
         merges by (score desc, external doc id desc).
 
     Global stats == whole-corpus stats, so the same DuckDB oracle SQL
-    that checks the single-segment harness applies unchanged."""
+    that checks the single-segment harness applies unchanged.
+
+    NOT the production leaf: inside score_leaf, docids/scores go through
+    Python dicts and sorted() so the arithmetic is transparently
+    oracle-matchable in f64. The real query path is the vectorized f32
+    engine — IndexSearcher.search -> segment_top_k (engine.py) with
+    block-max WAND — which this harness exists to cross-check, not to
+    replace."""
     from .engine import get_reader
     spark = searcher.spark
     assert spark is not None, "needs IndexSearcher(dir, spark=spark)"

@@ -94,3 +94,20 @@ def test_time_based_retention(tmp_path):
     s = IndexSearcher(cfg.index_dir)
     assert s.count("*") == sum(seg["num_docs"] for seg in after)
     assert s.count("*") < total_before
+
+
+def test_es_resolve_and_cluster_health(idx, tmp_path):
+    """Minor ES endpoints (rest_handler.rs:71-806): _resolve/index glob
+    resolution and _cluster/health shape."""
+    from quickwit_spark.search.es_dsl import (es_cluster_health,
+                                              es_resolve_index)
+    cfg = idx
+    import os
+    root = os.path.dirname(cfg.index_dir)
+    got = es_resolve_index(root, "*")
+    assert any(r["name"] == "esf" for r in got["indices"])
+    assert es_resolve_index(root, "nope-*")["indices"] == []
+    assert es_resolve_index(root, "nope-*,es*")["indices"]
+    from quickwit_spark.search.engine import IndexSearcher
+    h = es_cluster_health(IndexSearcher(cfg.index_dir))
+    assert h["status"] == "green" and h["active_shards"] >= 1

@@ -120,6 +120,35 @@ def _doc_global_index(spark, sf_dir: str):
     return g
 
 
+_IP_IDX: dict[str, IndexSearcher] = {}
+
+
+def _ip_index(sf_dir: str) -> IndexSearcher:
+    """ip-typed fast-field index over documents: the ip column is
+    synthesized arithmetically from doc_id, so IP-range queries have a
+    pure-arithmetic SQL oracle (numeric IP order is exactly what the
+    oracle computes — a lexical-string implementation would diverge)."""
+    if sf_dir in _IP_IDX:
+        return _IP_IDX[sf_dir]
+    tag = _cache_tag(sf_dir)
+    index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_ip", tag)
+    cfg = IndexConfig(
+        index_uid=f"ip-{tag}", index_dir=index_dir,
+        key_cols=("doc_id",), text_col="text", tokenizer="default",
+        tag_cols=(), sha_col=None, store_cols=("client_ip",),
+        field_types={"client_ip": "ip"})
+    if not os.path.exists(Manifest.path(index_dir)):
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        d = pdf["doc_id"].to_numpy(np.int64)
+        pdf["client_ip"] = [
+            f"{10 + (i * 3) % 160}.{(i * 7) % 256}.{(i * 13) % 256}"
+            f".{i % 256}" for i in d]
+        build_index_pandas(pdf, cfg, num_partitions=2)
+    s = IndexSearcher(index_dir)
+    _IP_IDX[sf_dir] = s
+    return s
+
+
 _DYN_IDX: dict[str, IndexSearcher] = {}
 
 
@@ -307,6 +336,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             int(h.doc["doc_id"]) for h in res.hits)})
         return _spark_df(s, pdf, "doc_id long")
     q["presence_and_range"] = presence_range
+
+    def ip_range(s, d):
+        searcher = _ip_index(d)
+        # [96.0.0.0, 160.0.0.0): NUMERIC IP order — under lexical string
+        # order nothing matches ("96.x" > "160.x" as text), so this row
+        # fails for any implementation that skips ip normalization
+        node = A.Range("client_ip", gte="96.0.0.0", lt="160.0.0.0")
+        res = searcher.search(node, k=10_000_000, fetch_fields=True)
+        pdf = pd.DataFrame({"doc_id": sorted(
+            int(h.doc["doc_id"]) for h in res.hits)})
+        return _spark_df(s, pdf, "doc_id long")
+    q["ip_range_filter"] = ip_range
 
     def wildcard(s, d):
         reader, doc_map, searcher = _doc_index(d)
@@ -710,6 +751,10 @@ def oracle_sql() -> dict[str, str]:
     o["presence_and_range"] = (
         "SELECT doc_id FROM documents WHERE source IS NOT NULL "
         "AND n_chars >= 200 AND n_chars < 400 ORDER BY doc_id")
+    o["ip_range_filter"] = (
+        "SELECT doc_id FROM documents "
+        "WHERE (doc_id * 3) % 160 >= 86 AND (doc_id * 3) % 160 < 150 "
+        "ORDER BY doc_id")
     o["wildcard_scan"] = """
 WITH tok AS (
   SELECT doc_id,

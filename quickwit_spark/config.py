@@ -65,6 +65,13 @@ class IndexConfig:
     # find_field_or_hit_dynamic resolution). Strict mode (None) stays
     # the default for the fixed code corpus.
     dynamic_col: str | None = None
+    # typed fast fields (field_mapping_type.rs:42-44): maps a tag/store
+    # column name to "ip" (text IPs normalized to the sortable 32-hex
+    # IPv6-u128 form; v4 mapped per RFC 4291) or "bytes" (base64 text
+    # decoded to raw binary). Term/Range/sort on these columns coerce
+    # query values through the same codec, so ordering is numeric, not
+    # textual ("9.0.0.0" < "100.0.0.0" as IPs).
+    field_types: dict = field(default_factory=dict)
     merge_policy: MergePolicyConfig = field(default_factory=MergePolicyConfig)
 
     def doc_sort_cols(self) -> list[str]:

@@ -473,12 +473,14 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             docs.extend([i] * len(parts))
         return np.asarray(docs, dtype=np.int64), toks
 
-    if analyzer == "chinese_compatible":
+    if analyzer in ("chinese_compatible", "multilang"):
+        fn = (chinese_compatible_tokenize if analyzer == "chinese_compatible"
+              else multilang_tokenize)
         toks, docs = [], []
         for i, t in enumerate(texts):
             if not t:
                 continue
-            parts = chinese_compatible_tokenize(t, max_len)
+            parts = fn(t, max_len)
             toks.extend(parts)
             docs.extend([i] * len(parts))
         return np.asarray(docs, dtype=np.int64), toks
@@ -711,6 +713,7 @@ def tokenize_batch_ids(texts: Iterable[str],
 ANALYZERS = (
     "raw", "raw_lowercase", "lowercase", "default", "en_stem", "whitespace",
     "source_code_default", "source_code_with_hex", "chinese_compatible",
+    "multilang",
 )
 
 
@@ -744,6 +747,47 @@ def chinese_compatible_tokenize(text: str, max_len: int = 255) -> list[str]:
             if run:
                 out.append("".join(run))
                 run = []
+    if run:
+        out.append("".join(run))
+    return [t.lower() for t in out if len(t) <= max_len]
+
+
+def multilang_tokenize(text: str, max_len: int = 255) -> list[str]:
+    """Multi-language tokenizer (reference registry entry `multilang`,
+    quickwit-query/src/tokenizers/mod.rs:94-102 — feature-gated
+    Lindera morphological segmentation + Whatlang detection). The
+    morphological dictionaries are not public-dependency-free, so this
+    is the classic dictionary-less fallback with equivalent recall:
+    CJK runs emit every character unigram PLUS every adjacent-pair
+    bigram (bigrams approximate word units; phrase queries over
+    unigram positions stay exact), non-CJK text takes the simple
+    alphanumeric-run + lowercase pipeline the reference defaults to
+    for undetected languages."""
+    out: list[str] = []
+    run: list[str] = []
+    cjk_run: list[str] = []
+
+    def flush_cjk():
+        if cjk_run:
+            out.extend(cjk_run)
+            out.extend(a + b for a, b in zip(cjk_run, cjk_run[1:]))
+            cjk_run.clear()
+
+    for ch in text:
+        if _is_cjk(ord(ch)):
+            if run:
+                out.append("".join(run))
+                run = []
+            cjk_run.append(ch)
+        elif ch.isalnum():
+            flush_cjk()
+            run.append(ch)
+        else:
+            flush_cjk()
+            if run:
+                out.append("".join(run))
+                run = []
+    flush_cjk()
     if run:
         out.append("".join(run))
     return [t.lower() for t in out if len(t) <= max_len]

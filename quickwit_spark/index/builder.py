@@ -36,6 +36,7 @@ import pyarrow.parquet as pq
 
 from ..config import IndexConfig
 from ..functions.bm25 import fieldnorm_to_id, id_to_fieldnorm
+from ..functions.fieldtypes import bytes_from_b64, ip_to_hex
 from ..functions.tokenizers import tokenize_batch_ids
 from .codecs import BLOCK_SIZE
 from .manifest import Manifest
@@ -364,7 +365,18 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         doc_cols[col] = _pa_col(pdf[col])
     for col in (*config.tag_cols, *config.store_cols):
         if col not in doc_cols and col in pdf.columns:
-            doc_cols[col] = _pa_col(pdf[col])
+            ftype = config.field_types.get(col)
+            if ftype == "ip":
+                # sortable 32-hex IPv6-u128 transport (fieldtypes.py):
+                # string order == numeric IP order, so Range/sort/stats
+                # work on the plain string column
+                doc_cols[col] = pa.array(
+                    ip_to_hex(pdf[col]).tolist(), type=pa.string())
+            elif ftype == "bytes":
+                doc_cols[col] = pa.array(
+                    bytes_from_b64(pdf[col].tolist()), type=pa.binary())
+            else:
+                doc_cols[col] = _pa_col(pdf[col])
     if config.sha_col and config.sha_col in pdf.columns:
         doc_cols[config.sha_col] = pa.array(pdf[config.sha_col].tolist())
     doc_cols["fieldnorm"] = pa.array(fieldnorms, type=pa.int32())
@@ -383,6 +395,14 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     # generalized to every numeric fast field: the searcher prunes
     # segments whose [min,max] cannot overlap a Range constraint
     col_stats: dict[str, list] = {}
+    for col in (*config.store_cols, *config.tag_cols):
+        # ip fast fields get string min/max over the NORMALIZED hex form
+        # (lexical == numeric IP order), so segment pruning works for IP
+        # ranges exactly like numeric time ranges
+        if config.field_types.get(col) == "ip" and col in doc_cols:
+            vals = [v for v in doc_cols[col].to_pylist() if v is not None]
+            if vals:
+                col_stats[col] = [min(vals), max(vals)]
     for col in (*config.store_cols, *config.key_cols):
         if col in pdf.columns and pd.api.types.is_numeric_dtype(pdf[col]):
             if pd.api.types.is_integer_dtype(pdf[col]):
@@ -407,6 +427,7 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         "record": config.record,
         "fieldnorms": bool(config.fieldnorms),
         "dynamic": bool(config.dynamic_col),
+        "field_types": dict(config.field_types),
     }
     return write_segment(seg_dir, terms_sorted, p_term, p_doc, tfs, fn_ids,
                          doc_cols, meta_extra, positions=positions)

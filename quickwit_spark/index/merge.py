@@ -313,6 +313,7 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
         "record": first.get("record", "freq"),
         "fieldnorms": first.get("fieldnorms", True),
         "dynamic": first.get("dynamic", False),
+        "field_types": first.get("field_types", {}),
     }
     doc_cols = {name: docs_tbl.column(name)
                 for name in docs_tbl.schema.names}
@@ -331,7 +332,8 @@ def _value_gather_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 def _mapping_group(seg: dict) -> tuple:
     return (seg["schema_rev"], seg["tokenizer"], seg.get("record", "freq"),
-            seg.get("fieldnorms", True))
+            seg.get("fieldnorms", True),
+            tuple(sorted(seg.get("field_types", {}).items())))
 
 
 def plan_merges(segments: list[dict],

@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from ..functions.bm25 import K1, Bm25Weight, avg_fieldnorm_f32, idf_f32
+from ..functions.fieldtypes import (bytes_from_b64, hex_to_ip_display,
+                                    ip_norm_one)
 from ..functions.tokenizers import tokenize_one
 from ..index.codecs import decode_positions, decode_postings
 from ..index.manifest import Manifest
@@ -177,6 +179,25 @@ class SegmentReader:
                                                  "docs.parquet"))
             self._doc_field_names = set(schema.names)
         return self._doc_field_names
+
+    def _attr_value(self, field: str, value, dtype):
+        """Coerce one query literal for an attribute column, honoring
+        typed fast fields (field_mapping_type.rs:42-44): ip literals
+        normalize to the sortable hex transport the builder stored, so
+        equality AND range comparisons are numeric; bytes literals
+        base64-decode. Everything else falls through to dtype coercion."""
+        ftype = self.meta.get("field_types", {}).get(field)
+        if ftype == "ip":
+            try:
+                return ip_norm_one(value)
+            except ValueError as e:
+                raise InvalidQueryValue(str(e)) from None
+        if ftype == "bytes":
+            try:
+                return bytes_from_b64([value])[0]
+            except ValueError as e:
+                raise InvalidQueryValue(str(e)) from None
+        return _coerce(value, dtype)
 
     def _dynamic_range_ids(self, node: A.Range) -> np.ndarray:
         """Range over an unmapped numeric path: the builder indexes
@@ -351,7 +372,7 @@ class SegmentReader:
                                                dtype=np.float32))
             # attribute term (tag / keyword column)
             col = self.doc_column(node.field)
-            mask = col == _coerce(node.value, col.dtype)
+            mask = col == self._attr_value(node.field, node.value, col.dtype)
             docids = np.nonzero(mask)[0].astype(np.int64)
             if not scoring:
                 return _Scored(docids, None)
@@ -370,7 +391,8 @@ class SegmentReader:
                 ids = _union_ids(sets)
             else:
                 col = self.doc_column(node.field)
-                vals = {_coerce(v, col.dtype) for v in node.values}
+                vals = {self._attr_value(node.field, v, col.dtype)
+                        for v in node.values}
                 ids = np.nonzero(np.isin(col, list(vals)))[0].astype(np.int64)
             return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                            if scoring else None)
@@ -382,13 +404,17 @@ class SegmentReader:
             col = self.doc_column(node.field)
             mask = np.ones(len(col), dtype=bool)
             if node.gte is not None:
-                mask &= col >= _coerce(node.gte, col.dtype)
+                mask &= col >= self._attr_value(node.field, node.gte,
+                                                col.dtype)
             if node.gt is not None:
-                mask &= col > _coerce(node.gt, col.dtype)
+                mask &= col > self._attr_value(node.field, node.gt,
+                                               col.dtype)
             if node.lte is not None:
-                mask &= col <= _coerce(node.lte, col.dtype)
+                mask &= col <= self._attr_value(node.field, node.lte,
+                                                col.dtype)
             if node.lt is not None:
-                mask &= col < _coerce(node.lt, col.dtype)
+                mask &= col < self._attr_value(node.field, node.lt,
+                                               col.dtype)
             ids = np.nonzero(mask)[0].astype(np.int64)
             return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                            if scoring else None)
@@ -774,6 +800,22 @@ def prune_segments(segments: list[dict], node: A.Node,
             if stats is None:
                 continue
             lo, hi = stats
+            if seg.get("field_types", {}).get(rng.field) == "ip":
+                # hex-string stats over the normalized transport: string
+                # order == numeric IP order, so pruning mirrors the
+                # numeric path after normalizing the query bound
+                try:
+                    if rng.gte is not None and hi < ip_norm_one(rng.gte):
+                        ok = False
+                    if rng.gt is not None and hi <= ip_norm_one(rng.gt):
+                        ok = False
+                    if rng.lte is not None and lo > ip_norm_one(rng.lte):
+                        ok = False
+                    if rng.lt is not None and lo >= ip_norm_one(rng.lt):
+                        ok = False
+                except ValueError:
+                    pass
+                continue
             try:
                 # exact int comparison when possible (u64 > i64::MAX
                 # bounds lose precision through float)
@@ -809,6 +851,14 @@ def _prune_bound(v):
     return float(v)
 
 
+def _is_number(v) -> bool:
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
 class PruneIndex:
     """Vectorized segment pruning over manifest rows (built once per
     manifest version; prune_segments re-walks python dicts per query,
@@ -827,8 +877,22 @@ class PruneIndex:
         for i, s in enumerate(segments):
             for col, (lo, hi) in s.get("col_stats", {}).items():
                 cols.setdefault(col, []).append((i, lo, hi))
+        # string-stat columns (ip fast fields store hex-string min/max
+        # whose lexical order IS the numeric IP order)
+        self.str_stats: dict[str, tuple] = {}
+        self.ip_cols = {c for s in segments
+                        for c, t in s.get("field_types", {}).items()
+                        if t == "ip"}
         for col, rows in cols.items():
             idx = np.array([r[0] for r in rows], dtype=np.int64)
+            if col in self.ip_cols or any(
+                    isinstance(r[1], str) and not _is_number(r[1])
+                    for r in rows):
+                self.str_stats[col] = (
+                    idx,
+                    np.array([r[1] for r in rows], dtype=object),
+                    np.array([r[2] for r in rows], dtype=object))
+                continue
             # plain float bounds: rounding is monotone, so a segment
             # whose true range overlaps the query range always survives
             # (precision loss past 2^53 can only UNDER-prune)
@@ -868,6 +932,27 @@ class PruneIndex:
                     ok[ix] = True
             keep &= ok
         for rng in range_constraints:
+            sst = self.str_stats.get(rng.field)
+            if sst is not None:
+                idx, lo, hi = sst
+                try:
+                    def _b(v):
+                        return ip_norm_one(v) if rng.field in self.ip_cols \
+                            else str(v)
+                    ok_rows = np.ones(len(idx), dtype=bool)
+                    if rng.gte is not None:
+                        ok_rows &= hi >= _b(rng.gte)
+                    if rng.gt is not None:
+                        ok_rows &= hi > _b(rng.gt)
+                    if rng.lte is not None:
+                        ok_rows &= lo <= _b(rng.lte)
+                    if rng.lt is not None:
+                        ok_rows &= lo < _b(rng.lt)
+                except ValueError:
+                    continue
+                drop = idx[~ok_rows]
+                keep[drop] = False
+                continue
             st = self.stats.get(rng.field)
             if st is None:
                 continue
@@ -1261,6 +1346,16 @@ class IndexSearcher:
             t = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
                               filters=[("_seg_doc", "in", ids)]).to_pandas()
             t = t.set_index("_seg_doc")
+            # typed fast fields render back to their text form on fetch
+            # (the reference serializes IpAddr canonically on the hit
+            # json path); the sortable hex stays internal
+            ftypes = get_reader(seg_dir, self.tokenizer).meta.get(
+                "field_types", {})
+            for col, ft in ftypes.items():
+                if ft == "ip" and col in t.columns:
+                    t[col] = t[col].map(
+                        lambda v: None if v is None else
+                        hex_to_ip_display(v))
             for r in grp.itertuples():
                 doc = t.loc[int(r.doc_id)].to_dict()
                 hits.append(SearchHit(float(r.score), sid, int(r.doc_id),

@@ -1,0 +1,207 @@
+"""Queue-shaped sources (SQS / Pulsar / PubSub family): message-ack
+semantics with exactly-once publish via per-message checkpoint dedup.
+
+The reference's queue sources (quickwit-indexing/src/source/
+queue_sources/{sqs_queue.rs,message.rs,coordinator.rs,visibility.rs})
+differ from Kafka in delivery shape: there is no total per-partition
+offset order — the queue redelivers any message whose visibility
+timeout lapses before an acknowledge, so the consumer must make
+processing idempotent PER MESSAGE. The reference does this by using
+each message's stable identity (the notified file URI) as a source
+checkpoint partition: a redelivered message whose checkpoint is already
+committed is skipped and immediately re-acked
+(coordinator.rs message dedup + checkpointed publish; visibility.rs
+keeps in-flight messages invisible while indexing runs).
+
+That contract is implemented here broker-independently, exactly like
+streaming/kafka.py: `LocalDirQueue` is a durable directory-backed queue
+with receive/visibility-timeout/ack semantics standing in for
+SQS/Pulsar (the sandbox has no broker; the wiring point for a real one
+is `receive()`'s return shape), and `ingest_queue_batch` is the
+exactly-once consumer:
+
+  crash AFTER publish, BEFORE ack  -> redelivery -> dedup hit -> re-ack
+  crash BEFORE publish             -> redelivery -> normal processing
+  duplicate delivery (at-least-once quirk) -> dedup hit -> ack
+
+Both directions therefore converge on exactly-one manifest publish per
+message.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+import pandas as pd
+
+from ..config import IndexConfig
+from ..index.builder import build_partition
+from ..index.manifest import CheckpointConflict, Manifest
+
+# manifest checkpoint key namespace (kafka.py uses "kafka-<partition>")
+_SRC = "queue-msg"
+
+# terminal position for a processed message (message checkpoints are
+# presence markers, not ordered offsets)
+_DONE = "done"
+
+
+@dataclass(frozen=True)
+class QueueMessage:
+    """One received message. message_id is the STABLE identity (same
+    across redeliveries — SQS MessageId / the reference's file URI);
+    ack_id is the per-delivery receipt handle (SQS ReceiptHandle)."""
+    message_id: str
+    ack_id: str
+    payload: str  # JSON: {"docs": [...]} — a notification-style batch
+
+
+class LocalDirQueue:
+    """Durable directory-backed queue with SQS semantics: send/receive/
+    ack + visibility timeout redelivery. One file per message; an
+    in-flight message is marked with a visibility deadline; `now_fn` is
+    injectable so tests drive the clock deterministically."""
+
+    def __init__(self, root: str, visibility_sec: float = 30.0,
+                 now_fn=time.time):
+        self.root = root
+        self.visibility_sec = float(visibility_sec)
+        self.now_fn = now_fn
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, message_id: str) -> str:
+        return os.path.join(self.root, f"{message_id}.json")
+
+    def send(self, payload: str, message_id: str | None = None) -> str:
+        mid = message_id or uuid.uuid4().hex
+        tmp = self._path(mid) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"message_id": mid, "payload": payload,
+                       "invisible_until": 0.0}, f)
+        os.replace(tmp, self._path(mid))  # atomic enqueue
+        return mid
+
+    def receive(self, max_messages: int = 10) -> list[QueueMessage]:
+        """Visible messages become in-flight for visibility_sec; an
+        expired deadline makes the message deliverable again (the
+        at-least-once redelivery path)."""
+        now = self.now_fn()
+        out: list[QueueMessage] = []
+        for name in sorted(os.listdir(self.root)):
+            if not name.endswith(".json"):
+                continue
+            path = os.path.join(self.root, name)
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # racing ack/enqueue
+            if m["invisible_until"] > now:
+                continue
+            ack_id = uuid.uuid4().hex
+            m["invisible_until"] = now + self.visibility_sec
+            m["ack_id"] = ack_id
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, path)
+            out.append(QueueMessage(m["message_id"], ack_id, m["payload"]))
+            if len(out) >= max_messages:
+                break
+        return out
+
+    def ack(self, message: QueueMessage) -> bool:
+        """Delete iff this delivery's receipt is still current (a lapsed
+        visibility deadline invalidates the receipt, like SQS)."""
+        path = self._path(message.message_id)
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except OSError:
+            return False  # already acked
+        if m.get("ack_id") != message.ack_id:
+            return False
+        os.remove(path)
+        return True
+
+    def pending(self) -> int:
+        return sum(1 for n in os.listdir(self.root)
+                   if n.endswith(".json"))
+
+
+def _message_key(message_id: str) -> str:
+    return f"{_SRC}:{message_id}"
+
+
+def ingest_queue_batch(messages: list[QueueMessage], config: IndexConfig,
+                       queue: LocalDirQueue | None = None,
+                       spark=None, build_partitions: int = 4) -> int:
+    """Process one received batch exactly-once and ack it.
+
+    Returns the number of NEWLY published messages (redeliveries count
+    0 but are still acked). The publish commits one checkpoint delta
+    per fresh message (from=None -> "done"), atomically with the
+    segment rows — the same manifest transaction the Kafka path uses,
+    so a crash between publish and ack converges via dedup on
+    redelivery."""
+    manifest = Manifest.load_or_create(
+        config.index_dir, config.index_uid,
+        {"key_cols": list(config.key_cols), "text_col": config.text_col,
+         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
+         "tag_cols": list(config.tag_cols)})
+    segments_root = os.path.join(config.index_dir, "segments")
+    os.makedirs(segments_root, exist_ok=True)
+
+    fresh = [m for m in messages
+             if manifest.checkpoint(_message_key(m.message_id)) is None]
+    published = 0
+    if fresh:
+        frames = []
+        for m in fresh:
+            docs = json.loads(m.payload)["docs"]
+            pdf = pd.DataFrame(docs)
+            # deterministic per-message partition id (content-addressed
+            # segment ids then make replays byte-identical, like the
+            # kafka batch path)
+            pid = (1 << 42) + int.from_bytes(
+                hashlib.sha256(m.message_id.encode()).digest()[:8],
+                "little")
+            pdf["_pid"] = pid
+            frames.append(pdf)
+        rows: list[dict] = []
+        if spark is not None and len(fresh) > 1:
+            # one narrow task per message — queue messages are
+            # independent units, no shuffle needed
+            sc = spark.sparkContext
+            bc_cfg = sc.broadcast(config)
+            built = sc.parallelize(frames, len(frames)).map(
+                lambda pdf: build_partition(pdf, bc_cfg.value,
+                                            segments_root)).collect()
+            rows = [r for seg_rows in built for r in seg_rows]
+        else:
+            for pdf in frames:
+                if len(pdf):
+                    rows.extend(build_partition(pdf, config, segments_root))
+        delta = {_message_key(m.message_id): (None, _DONE) for m in fresh}
+        try:
+            manifest.publish(rows, checkpoint_delta=delta)
+            published = len(fresh)
+        except CheckpointConflict:
+            published = 0  # lost the race to a concurrent redelivery
+    if queue is not None:
+        for m in messages:
+            queue.ack(m)
+    return published
+
+
+def processed_message_ids(config: IndexConfig) -> set[str]:
+    """Message identities already published (resume/debug surface)."""
+    m = Manifest.load(config.index_dir)
+    pfx = f"{_SRC}:"
+    return {str(k)[len(pfx):] for k in m.data["checkpoints"]
+            if str(k).startswith(pfx)}

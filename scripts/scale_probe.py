@@ -1,0 +1,149 @@
+"""spark-submit entry point: scale-trend probe (build → merge → global →
+query latency, pruned vs exhaustive).
+
+    spark-submit --master local[32] --driver-memory 96g \
+        --conf spark.ui.enabled=false \
+        --py-files quickwit_spark.zip scripts/scale_probe.py \
+        --docs 10000000 --partitions 256 --work-dir /tmp/qw_probe10m \
+        [--skip-global] [--resume]
+
+Extends the committed 40k/400k/1M trend (BENCH/BASELINE.md): build wall +
+docs/sec, full StableLog merge-hierarchy wall, global term-partitioned
+build wall, and the query-side pruned-vs-exhaustive OR comparison with the
+block-skip ratio — the measured curve behind the 100x-scale claims (at
+10^12 docs exhaustive evaluation grows linearly with posting length while
+the block-max pruned path stays ~flat; reference behavior: tantivy
+block-max WAND [public], leaf.rs:1255-1274 pruning engagement).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+
+def _median3(fn) -> float:
+    fn()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return runs[1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, required=True)
+    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--avg-tokens", type=int, default=80)
+    ap.add_argument("--skip-global", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse an existing index dir (skip build/merge "
+                         "timing, re-run only the query probe)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("quickwit-spark-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index, route_partitions
+    from quickwit_spark.index.corpus import corpus_df
+    from quickwit_spark.index.merge import run_merges
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher, get_reader
+    from quickwit_spark.search.wand import STATS
+
+    index_dir = os.path.join(args.work_dir, "idx")
+    cfg = IndexConfig(index_uid=f"probe{args.docs}", index_dir=index_dir)
+    out: dict = {"cores": cores, "docs": args.docs}
+
+    if not args.resume:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        df = corpus_df(spark, args.docs, seed=42,
+                       num_partitions=args.partitions,
+                       avg_tokens=args.avg_tokens)
+        # routed layout (the 100 TB path): pre-bucketed input, the build
+        # itself is a narrow shuffle-free map
+        df = route_partitions(df, cfg, args.partitions).repartition(
+            args.partitions, "_pid")
+        df = df.persist()
+        n = df.count()
+        out["bytes_raw"] = int(
+            df.selectExpr("sum(length(content))").collect()[0][0])
+        t0 = time.perf_counter()
+        build_index(spark, df, cfg, num_partitions=args.partitions,
+                    wave_size=args.partitions, input_routed=True)
+        out["build_sec"] = round(time.perf_counter() - t0, 3)
+        out["docs_per_sec"] = round(n / out["build_sec"], 1)
+        out["mb_per_sec"] = round(out["bytes_raw"] / 1e6 / out["build_sec"],
+                                  2)
+        df.unpersist()
+
+        t0 = time.perf_counter()
+        run_merges(index_dir, spark=spark)
+        out["merge_hierarchy_sec"] = round(time.perf_counter() - t0, 3)
+
+        if not args.skip_global:
+            from quickwit_spark.index.global_index import \
+                build_term_partitioned
+            t0 = time.perf_counter()
+            build_term_partitioned(spark, index_dir,
+                                   num_term_partitions=max(
+                                       32, args.partitions // 8))
+            out["global_build_sec"] = round(time.perf_counter() - t0, 3)
+
+    searcher = IndexSearcher(index_dir)
+    segs = searcher.manifest.segments()
+    out["segments_after_merge"] = len(segs)
+
+    # idf-asymmetric OR: one mid-df term + the two most common terms —
+    # same shape as the 400k/1M trend rows
+    big = max(segs, key=lambda s: s["num_docs"])
+    td = get_reader(os.path.join(index_dir, "segments", big["segment_id"]),
+                    searcher.tokenizer)._cached_termdict()
+    nd = int(big["num_docs"])
+    mid = td[(td.doc_freq >= nd // 200) & (td.doc_freq <= nd // 50)] \
+        .sort_values("doc_freq")
+    heads = td.sort_values("doc_freq").iloc[-2:]["term"].tolist()
+    terms = ([mid.iloc[0]["term"]] if len(mid) else ["merge"]) + heads
+    q_or = A.Bool(should=tuple(A.Term("content", t) for t in terms))
+    out["or_terms"] = terms
+
+    q_term = A.FullText("content", terms[-1])
+    q_and = A.Bool(must=(A.Term("content", "merge"),
+                         A.Term("content", "query")))
+    out["q_term_sec"] = round(_median3(lambda: searcher.search(
+        q_term, k=10, fetch_fields=False)), 4)
+    out["q_and_sec"] = round(_median3(lambda: searcher.search(
+        q_and, k=10, fetch_fields=False)), 4)
+    out["q_or_exhaustive_sec"] = round(_median3(lambda: searcher.search(
+        q_or, k=10, fetch_fields=False, count_all=True)), 4)
+    STATS["blocks_decoded"] = STATS["blocks_total"] = 0
+    out["q_or_pruned_sec"] = round(_median3(lambda: searcher.search(
+        q_or, k=10, fetch_fields=False, count_all=False)), 4)
+    if STATS["blocks_total"]:
+        out["block_skip_ratio"] = round(
+            1 - STATS["blocks_decoded"] / STATS["blocks_total"], 4)
+    # rank identity between the two paths (the correctness side of the
+    # trend claim)
+    exh = searcher.search(q_or, k=10, fetch_fields=False, count_all=True)
+    prn = searcher.search(q_or, k=10, fetch_fields=False, count_all=False)
+    out["rank_identical"] = (
+        [(h.segment_id, h.doc_id) for h in exh.hits]
+        == [(h.segment_id, h.doc_id) for h in prn.hits])
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

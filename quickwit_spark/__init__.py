@@ -49,6 +49,10 @@ def __getattr__(name):
         "es_stats": ("quickwit_spark.search.es_dsl", "es_stats"),
         "es_cat_indices": ("quickwit_spark.search.es_dsl",
                            "es_cat_indices"),
+        "es_get_mapping": ("quickwit_spark.search.es_dsl",
+                           "es_get_mapping"),
+        "es_delete_by_query": ("quickwit_spark.search.es_dsl",
+                               "es_delete_by_query"),
         "aggregate": ("quickwit_spark.search.aggregations", "aggregate"),
     }
     if name in _API:

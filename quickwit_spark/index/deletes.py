@@ -76,7 +76,12 @@ def rewrite_segment_without(index_dir: str, parent: dict,
     else:
         fn_ids = fieldnorm_to_id(np.ones(n_new, dtype=np.int64))
     import pyarrow as pa
-    doc_cols = {c: pa.array(t[c].tolist()) for c in t.columns}
+    # unsigned ints via numpy (python ints above i64::MAX break arrow's
+    # int64 inference — same transport rule as builder._pa_col)
+    doc_cols = {c: (pa.array(t[c].to_numpy())
+                    if pd.api.types.is_unsigned_integer_dtype(t[c])
+                    else pa.array(t[c].tolist()))
+                for c in t.columns}
 
     h = hashlib.sha256()
     h.update(f"delete:{parent['segment_id']}:".encode())
@@ -98,6 +103,8 @@ def rewrite_segment_without(index_dir: str, parent: dict,
         "tokenizer": parent["tokenizer"],
         "record": parent.get("record", "freq"),
         "fieldnorms": parent.get("fieldnorms", True),
+        "field_types": parent.get("field_types", {}),
+        "dynamic": parent.get("dynamic", False),
     }
     return write_segment(new_dir, terms_sorted, compact, new_doc, new_tfs,
                          fn_ids, doc_cols, meta_extra, positions=pos_arg)

@@ -321,6 +321,61 @@ def es_cluster_health(searcher=None) -> dict:
             "active_shards_percent_as_number": 100.0}
 
 
+def es_get_mapping(searcher) -> dict:
+    """ES `GET /{index}/_mapping` (rest_handler.rs routes the doc
+    mapping back in ES property shape). Property types derive from the
+    stored doc-map schema plus the typed-fast-field declarations: the
+    indexed text field is `text` (with its analyzer named), ip/bytes
+    fast fields report `ip`/`binary`, everything else maps parquet
+    type -> ES scalar type."""
+    _ES_TYPES = {"string": "keyword", "large_string": "keyword",
+                 "int32": "integer", "int64": "long", "float": "float",
+                 "double": "double", "bool": "boolean",
+                 "binary": "binary"}
+    ftypes: dict[str, str] = {}
+    for seg in searcher.manifest.segments():
+        ftypes.update(seg.get("field_types", {}))
+    props: dict = {}
+    for f in searcher.list_fields():
+        name = f["field"]
+        if name in ("fieldnorm", "fieldnorm_id"):
+            continue  # engine-internal fast fields
+        if name == searcher.text_field:
+            props[name] = {"type": "text", "analyzer": searcher.tokenizer}
+        elif ftypes.get(name) == "ip":
+            props[name] = {"type": "ip"}
+        elif ftypes.get(name) == "bytes":
+            props[name] = {"type": "binary"}
+        else:
+            t = next(iter(f["types"]))
+            props[name] = {"type": _ES_TYPES.get(str(t), "keyword")}
+    uid = searcher.manifest.data["index_uid"]
+    dynamic = any(s.get("dynamic") for s in searcher.manifest.segments())
+    return {uid: {"mappings": {
+        "dynamic": "true" if dynamic else "strict",
+        "properties": props}}}
+
+
+def es_delete_by_query(searcher, body: dict, spark=None) -> dict:
+    """ES `POST /{index}/_delete_by_query` mapped onto the distributed
+    segment-rewrite delete pipeline (index/deletes.py; the reference
+    routes delete queries through its delete-task janitor,
+    rest_handler.rs es_compat_delete_query + delete_task_api). Returns
+    the ES response shape; the searcher's caches are invalidated by the
+    manifest version bump on publish."""
+    from ..index.deletes import apply_delete_query
+    node = es_to_ast(body.get("query", {"match_all": {}}),
+                     default_field=searcher.text_field)
+    stats = apply_delete_query(searcher.index_dir, node, spark=spark)
+    return {"took": 0, "timed_out": False,
+            "total": stats["docs_deleted"],
+            "deleted": stats["docs_deleted"],
+            "batches": stats["segments_rewritten"]
+            + stats["segments_dropped"],
+            "version_conflicts": 0, "noops": 0, "failures": [],
+            "retries": {"bulk": 0, "search": 0}}
+
+
 def es_stats(searcher) -> dict:
     """ES `_stats` (docs + store + segments sections;
     rest_handler.rs es_compat_index_stats)."""

@@ -111,3 +111,52 @@ def test_es_resolve_and_cluster_health(idx, tmp_path):
     from quickwit_spark.search.engine import IndexSearcher
     h = es_cluster_health(IndexSearcher(cfg.index_dir))
     assert h["status"] == "green" and h["active_shards"] >= 1
+
+
+def test_es_get_mapping(idx):
+    from quickwit_spark.search.es_dsl import es_get_mapping
+    s = IndexSearcher(idx.index_dir)
+    m = es_get_mapping(s)
+    props = m["esf"]["mappings"]["properties"]
+    assert props["content"] == {"type": "text",
+                                "analyzer": "source_code_default"}
+    assert props["lang"]["type"] == "keyword"
+    assert m["esf"]["mappings"]["dynamic"] == "strict"
+    assert "fieldnorm" not in props and "_seg_doc" not in props
+
+
+def test_es_get_mapping_typed_fields(tmp_path):
+    from quickwit_spark.search.es_dsl import es_get_mapping
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1], "text": ["a b", "c d"],
+        "ip": ["1.2.3.4", "5.6.7.8"], "blob": ["YWJj", "ZGVm"]})
+    cfg = IndexConfig(index_uid="tm", index_dir=str(tmp_path / "i"),
+                      key_cols=("doc_id",), text_col="text",
+                      tokenizer="default", tag_cols=(), sha_col=None,
+                      store_cols=("ip", "blob"),
+                      field_types={"ip": "ip", "blob": "bytes"})
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    props = es_get_mapping(IndexSearcher(cfg.index_dir))["tm"][
+        "mappings"]["properties"]
+    assert props["ip"] == {"type": "ip"}
+    assert props["blob"] == {"type": "binary"}
+
+
+def test_es_delete_by_query(tmp_path):
+    from quickwit_spark.search.es_dsl import es_delete_by_query
+    pdf = corpus_pandas(120, seed=5)
+    cfg = IndexConfig(index_uid="dbq", index_dir=str(tmp_path / "i"))
+    build_index_pandas(pdf, cfg, num_partitions=2)
+    s = IndexSearcher(cfg.index_dir)
+    before = s.count("*")
+    matching = es_count(s, {"query": {"match": {"content": "merge"}}})[
+        "count"]
+    assert matching > 0
+    resp = es_delete_by_query(
+        s, {"query": {"match": {"content": "merge"}}})
+    assert resp["deleted"] == matching
+    assert not resp["timed_out"] and resp["failures"] == []
+    s2 = IndexSearcher(cfg.index_dir)
+    assert s2.count("*") == before - matching
+    assert es_count(s2, {"query": {"match": {"content": "merge"}}})[
+        "count"] == 0

@@ -717,6 +717,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents").select("doc_id", "text"))
     q["text_fingerprint"] = lambda s, d: ts.fingerprint(
         _read(s, d, "documents").select("doc_id", "text"))
+    def pii_counts_row(s, d):
+        # deterministic PII injection (every 3rd doc an email, every 5th
+        # a URL + long digit run, every 7th an IPv4) so the extraction
+        # regexes are exercised on non-zero counts; the oracle applies
+        # the identical SQL injection
+        docs = _read(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.concat(
+                    F.lit(" user"), F.col("doc_id"),
+                    F.lit("@example.com"))).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 5 == 0, F.concat(
+                    F.lit(" https://ex.com/p?id="), F.col("doc_id"),
+                    F.lit(" 123456789"), F.col("doc_id"))
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 7 == 0, F.concat(
+                    F.lit(" 10.0."), F.col("doc_id") % 256,
+                    F.lit(".7"))).otherwise(F.lit("")),
+            ).alias("text"))
+        return ts.pii_counts(docs)
+    q["text_pii_counts"] = pii_counts_row
 
     def multimodal_meta(s, d):
         from quickwit_spark.pipeline.multimodal import extract_metadata
@@ -1181,6 +1203,37 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
            AS fingerprint
 FROM documents
+"""
+
+    o["text_pii_counts"] = r"""
+WITH docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' https://ex.com/p?id=' || doc_id
+                      || ' 123456789' || doc_id ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+             AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+           AS n_emails,
+       len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+       len(regexp_extract_all(text, '[0-9]{9,}')) AS n_long_digit_runs,
+       len(regexp_extract_all(text,
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+       + len(regexp_extract_all(text, 'https?://[^\s]+'))
+       + len(regexp_extract_all(text, '[0-9]{9,}'))
+       + len(regexp_extract_all(text,
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+           AS n_pii_signals
+FROM docs
 """
 
     o["multimodal_extract_meta"] = """

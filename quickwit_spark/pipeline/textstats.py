@@ -83,6 +83,29 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
                      F.length(text_col).alias("n_chars_actual"))
 
 
+def pii_counts(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII-pattern surface counts per document (training-data pipeline
+    redaction triage): emails, URLs, long digit runs (phone/account
+    shaped), IPv4 literals. Pure JVM regexp expressions — the patterns
+    stay in the portable RE subset both Spark (java.util.regex) and the
+    DuckDB oracle (RE2) interpret identically: no backreferences, no
+    lookaround, explicit character classes."""
+    def n(pattern: str) -> "F.Column":
+        return F.size(F.expr(
+            rf"regexp_extract_all({text_col}, '{pattern}', 0)"))
+    emails = n(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+")
+    urls = n(r"https?://[^\\s]+")
+    digit_runs = n(r"[0-9]{9,}")
+    ipv4 = n(r"[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+    total = emails + urls + digit_runs + ipv4
+    return df.select(F.col(id_col), emails.alias("n_emails"),
+                     urls.alias("n_urls"),
+                     digit_runs.alias("n_long_digit_runs"),
+                     ipv4.alias("n_ipv4"),
+                     total.alias("n_pii_signals"))
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set (order-

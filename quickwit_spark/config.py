@@ -74,6 +74,19 @@ class IndexConfig:
     field_types: dict = field(default_factory=dict)
     merge_policy: MergePolicyConfig = field(default_factory=MergePolicyConfig)
 
+    def __post_init__(self):
+        bad = set(self.field_types) & set(self.tag_cols)
+        if bad:
+            # tag sets are stored raw while typed columns store the
+            # normalized transport — the tag-pruning comparison would
+            # silently miss alternate spellings of the same IP. Typed
+            # fields belong in store_cols (min/max stats still prune).
+            raise ValueError(
+                f"typed fast fields cannot be tag_cols: {sorted(bad)}")
+        for col, t in self.field_types.items():
+            if t not in ("ip", "bytes"):
+                raise ValueError(f"unknown field type {t!r} for {col!r}")
+
     def doc_sort_cols(self) -> list[str]:
         """Stable within-partition doc order => deterministic doc ids."""
         return list(self.key_cols)

@@ -38,7 +38,8 @@ __all__ = [
 
 FIELD_TYPES = ("ip", "bytes")
 
-_IPV4_RE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+_OCT = r"(0|[1-9]\d{0,2})"  # no leading zeros (ipaddress rejects them)
+_IPV4_RE = rf"^{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}$"
 # IPv4 maps into the IPv6 ::ffff:0:0/96 block (RFC 4291 §2.5.5.2): the
 # u128 is 0x0000...0000ffff << 32 | v4_u32.
 _V4_PREFIX = "00000000000000000000ffff"

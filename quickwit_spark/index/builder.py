@@ -363,6 +363,7 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     }
     for col in config.key_cols:
         doc_cols[col] = _pa_col(pdf[col])
+    ip_hex_vals: dict[str, list] = {}  # kept for min/max stats below
     for col in (*config.tag_cols, *config.store_cols):
         if col not in doc_cols and col in pdf.columns:
             ftype = config.field_types.get(col)
@@ -370,8 +371,9 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
                 # sortable 32-hex IPv6-u128 transport (fieldtypes.py):
                 # string order == numeric IP order, so Range/sort/stats
                 # work on the plain string column
-                doc_cols[col] = pa.array(
-                    ip_to_hex(pdf[col]).tolist(), type=pa.string())
+                hexed = ip_to_hex(pdf[col]).tolist()
+                ip_hex_vals[col] = hexed
+                doc_cols[col] = pa.array(hexed, type=pa.string())
             elif ftype == "bytes":
                 doc_cols[col] = pa.array(
                     bytes_from_b64(pdf[col].tolist()), type=pa.binary())
@@ -395,14 +397,13 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     # generalized to every numeric fast field: the searcher prunes
     # segments whose [min,max] cannot overlap a Range constraint
     col_stats: dict[str, list] = {}
-    for col in (*config.store_cols, *config.tag_cols):
-        # ip fast fields get string min/max over the NORMALIZED hex form
-        # (lexical == numeric IP order), so segment pruning works for IP
-        # ranges exactly like numeric time ranges
-        if config.field_types.get(col) == "ip" and col in doc_cols:
-            vals = [v for v in doc_cols[col].to_pylist() if v is not None]
-            if vals:
-                col_stats[col] = [min(vals), max(vals)]
+    # ip fast fields get string min/max over the NORMALIZED hex form
+    # (lexical == numeric IP order), so segment pruning works for IP
+    # ranges exactly like numeric time ranges
+    for col, hexed in ip_hex_vals.items():
+        vals = [v for v in hexed if v is not None]
+        if vals:
+            col_stats[col] = [min(vals), max(vals)]
     for col in (*config.store_cols, *config.key_cols):
         if col in pdf.columns and pd.api.types.is_numeric_dtype(pdf[col]):
             if pd.api.types.is_integer_dtype(pdf[col]):

@@ -104,29 +104,49 @@ class Manifest:
 
         checkpoint_delta maps partition -> (from_position, to_position); the
         from_position must equal the stored position (None == no record).
-        """
+
+        Concurrency: the whole transaction runs under an exclusive file
+        lock and validates against a FRESH on-disk read, then applies the
+        staged changes to that fresh state — so two concurrent publishers
+        compose instead of last-writer-wins clobbering each other's
+        segment rows (the reference metastore's conditional publish;
+        file_backed_index/mod.rs mutate-with-version). The in-memory view
+        (self.data) is refreshed as a side effect."""
         replaced_segment_ids = replaced_segment_ids or []
         checkpoint_delta = checkpoint_delta or {}
-        # validate checkpoint compatibility first (all-or-nothing)
-        for pid, (frm, to) in checkpoint_delta.items():
-            cur = self.data["checkpoints"].get(str(pid))
-            if cur != frm:
-                raise CheckpointConflict(
-                    f"partition {pid}: stored position {cur!r} != delta "
-                    f"from-position {frm!r}")
-        for sid in replaced_segment_ids:
-            if sid not in self.data["segments"]:
-                raise KeyError(f"unknown segment {sid}")
-        for seg in staged_segments:
-            seg = dict(seg)
-            seg["state"] = SEGMENT_STATE_PUBLISHED
-            self.data["segments"][seg["segment_id"]] = seg
-        for sid in replaced_segment_ids:
-            self.data["segments"][sid]["state"] = SEGMENT_STATE_DEAD
-        for pid, (_frm, to) in checkpoint_delta.items():
-            self.data["checkpoints"][str(pid)] = to
-        self.data["version"] += 1
-        self._write()
+        lock_path = os.path.join(self.index_dir, ".manifest.lock")
+        with open(lock_path, "w") as lf:
+            try:
+                import fcntl
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # no flock (non-posix FS): single-writer assumption
+            path = self.path(self.index_dir)
+            if os.path.exists(path):
+                with open(path) as f:
+                    fresh = json.load(f)
+                if fresh["version"] >= self.data["version"]:
+                    self.data = fresh
+            # validate checkpoint compatibility first (all-or-nothing)
+            for pid, (frm, to) in checkpoint_delta.items():
+                cur = self.data["checkpoints"].get(str(pid))
+                if cur != frm:
+                    raise CheckpointConflict(
+                        f"partition {pid}: stored position {cur!r} != delta "
+                        f"from-position {frm!r}")
+            for sid in replaced_segment_ids:
+                if sid not in self.data["segments"]:
+                    raise KeyError(f"unknown segment {sid}")
+            for seg in staged_segments:
+                seg = dict(seg)
+                seg["state"] = SEGMENT_STATE_PUBLISHED
+                self.data["segments"][seg["segment_id"]] = seg
+            for sid in replaced_segment_ids:
+                self.data["segments"][sid]["state"] = SEGMENT_STATE_DEAD
+            for pid, (_frm, to) in checkpoint_delta.items():
+                self.data["checkpoints"][str(pid)] = to
+            self.data["version"] += 1
+            self._write()
 
     def apply_retention(self, column: str, cutoff: float,
                         vacuum: bool = True) -> list[str]:

@@ -402,6 +402,30 @@ class SegmentReader:
                 return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                                if scoring else None)
             col = self.doc_column(node.field)
+            if col.dtype == object:
+                # string/ip/bytes columns may hold None: Python-object
+                # comparison against None raises, so restrict the
+                # compare to non-null rows (nulls never match a range)
+                valid = pd.notna(col)
+                vals = col[valid]
+                m = np.ones(len(vals), dtype=bool)
+                if node.gte is not None:
+                    m &= vals >= self._attr_value(node.field, node.gte,
+                                                  col.dtype)
+                if node.gt is not None:
+                    m &= vals > self._attr_value(node.field, node.gt,
+                                                 col.dtype)
+                if node.lte is not None:
+                    m &= vals <= self._attr_value(node.field, node.lte,
+                                                  col.dtype)
+                if node.lt is not None:
+                    m &= vals < self._attr_value(node.field, node.lt,
+                                                 col.dtype)
+                mask = np.zeros(len(col), dtype=bool)
+                mask[np.nonzero(valid)[0][m]] = True
+                ids = np.nonzero(mask)[0].astype(np.int64)
+                return _Scored(ids, np.ones(len(ids), dtype=np.float32)
+                               if scoring else None)
             mask = np.ones(len(col), dtype=bool)
             if node.gte is not None:
                 mask &= col >= self._attr_value(node.field, node.gte,
@@ -1218,6 +1242,14 @@ class IndexSearcher:
         self.tag_fields = list(cfg.get("tag_cols", []))
         self.key_cols = list(cfg.get("key_cols", []))
         self.spark = spark
+
+    def reload(self) -> "IndexSearcher":
+        """Re-read the manifest from disk. Version-keyed caches
+        (_prune/_doc_types) invalidate themselves on the version bump;
+        callers that mutated the index through another handle (deletes,
+        merges, retention) use this instead of re-constructing."""
+        self.manifest = Manifest.load(self.index_dir)
+        return self
 
     def parse(self, query) -> A.Node:
         if isinstance(query, A.Node):

@@ -361,12 +361,13 @@ def es_delete_by_query(searcher, body: dict, spark=None) -> dict:
     segment-rewrite delete pipeline (index/deletes.py; the reference
     routes delete queries through its delete-task janitor,
     rest_handler.rs es_compat_delete_query + delete_task_api). Returns
-    the ES response shape; the searcher's caches are invalidated by the
-    manifest version bump on publish."""
+    the ES response shape; the given searcher is reload()ed so its next
+    query sees the post-delete manifest."""
     from ..index.deletes import apply_delete_query
     node = es_to_ast(body.get("query", {"match_all": {}}),
                      default_field=searcher.text_field)
     stats = apply_delete_query(searcher.index_dir, node, spark=spark)
+    searcher.reload()
     return {"took": 0, "timed_out": False,
             "total": stats["docs_deleted"],
             "deleted": stats["docs_deleted"],

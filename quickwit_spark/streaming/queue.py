@@ -174,28 +174,38 @@ def ingest_queue_batch(messages: list[QueueMessage], config: IndexConfig,
             pdf["_pid"] = pid
             frames.append(pdf)
         rows: list[dict] = []
-        if spark is not None and len(fresh) > 1:
+        nonempty = [pdf for pdf in frames if len(pdf)]
+        if spark is not None and len(nonempty) > 1:
             # one narrow task per message — queue messages are
             # independent units, no shuffle needed
             sc = spark.sparkContext
             bc_cfg = sc.broadcast(config)
-            built = sc.parallelize(frames, len(frames)).map(
+            built = sc.parallelize(nonempty, len(nonempty)).map(
                 lambda pdf: build_partition(pdf, bc_cfg.value,
                                             segments_root)).collect()
             rows = [r for seg_rows in built for r in seg_rows]
         else:
-            for pdf in frames:
-                if len(pdf):
-                    rows.extend(build_partition(pdf, config, segments_root))
+            for pdf in nonempty:
+                rows.extend(build_partition(pdf, config, segments_root))
         delta = {_message_key(m.message_id): (None, _DONE) for m in fresh}
         try:
             manifest.publish(rows, checkpoint_delta=delta)
             published = len(fresh)
         except CheckpointConflict:
-            published = 0  # lost the race to a concurrent redelivery
+            # a concurrent consumer committed SOME of this batch's
+            # messages between our dedup check and the publish; fall
+            # through — the committed-checkpoint ack filter below leaves
+            # the still-unpublished messages in the queue for redelivery
+            # (acking them here would lose their docs forever)
+            published = 0
     if queue is not None:
+        # ack ONLY messages whose checkpoint is durably committed
+        # (re-read: publish refreshes in-memory state, and on conflict
+        # another consumer's commits are what we must check against)
+        committed = Manifest.load(config.index_dir)
         for m in messages:
-            queue.ack(m)
+            if committed.checkpoint(_message_key(m.message_id)) is not None:
+                queue.ack(m)
     return published
 
 

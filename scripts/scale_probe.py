@@ -76,7 +76,12 @@ def main() -> None:
         # itself is a narrow shuffle-free map
         df = route_partitions(df, cfg, args.partitions).repartition(
             args.partitions, "_pid")
-        df = df.persist()
+        # DISK_ONLY: at 10M+ docs a MEMORY persist pins the whole corpus
+        # in driver-JVM heap (local mode) and invites the OOM killer;
+        # disk-backed blocks keep the heap flat and still avoid
+        # regenerating the corpus per action
+        from pyspark import StorageLevel
+        df = df.persist(StorageLevel.DISK_ONLY)
         n = df.count()
         out["bytes_raw"] = int(
             df.selectExpr("sum(length(content))").collect()[0][0])

@@ -200,3 +200,40 @@ def test_multilang_batch_analyzer_registered():
         ["日本語 text"], analyzer="multilang")
     assert "日本" in toks and "text" in toks
     assert (docs == 0).all()
+
+
+def test_ip_null_values_range_and_term(tmp_path):
+    """Docs with null ip survive indexing; ranges and terms skip them
+    instead of raising (object-column comparison vs None)."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b", "c d", "e f"],
+        "ip": ["10.0.0.1", None, "10.0.0.3"]})
+    cfg = IndexConfig(index_uid="nulls", index_dir=str(tmp_path / "i"),
+                      key_cols=("doc_id",), text_col="text",
+                      tokenizer="default", tag_cols=(), sha_col=None,
+                      store_cols=("ip",), field_types={"ip": "ip"})
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    r = s.search(A.Range("ip", gte="10.0.0.0", lte="10.0.0.9"), k=10)
+    assert _ids(r) == [0, 2]
+    r = s.search(A.Term("ip", "10.0.0.3"), k=10)
+    assert _ids(r) == [2]
+
+
+def test_ip_leading_zero_rejected_consistently():
+    """Leading-zero octets are rejected on BOTH paths (ipaddress
+    semantics) — the vectorized build path must not accept values the
+    scalar query path refuses."""
+    with pytest.raises(ValueError):
+        ip_norm_one("010.1.2.3")
+    with pytest.raises(ValueError):
+        ip_to_hex(pd.Series(["010.1.2.3"]))
+    # plain zero octets are fine everywhere
+    assert ip_to_hex(pd.Series(["0.0.0.0"]))[0] == ip_norm_one("0.0.0.0")
+
+
+def test_ip_tag_col_rejected():
+    with pytest.raises(ValueError, match="tag_cols"):
+        IndexConfig(index_uid="x", index_dir="/tmp/x",
+                    tag_cols=("ip",), field_types={"ip": "ip"})

@@ -134,3 +134,74 @@ def test_queryable_after_queue_ingest(tmp_path):
     res = s.search(A.Term("content", "number3"), k=5, fetch_fields=True)
     assert len(res.hits) == 1
     assert res.hits[0].doc["path"] == "p3"
+
+
+def test_concurrent_publishers_compose(tmp_path):
+    """Two manifest handles publishing interleaved must BOTH survive
+    (conditional publish against a fresh on-disk read — last-writer-wins
+    would drop the first publisher's segments and checkpoints)."""
+    idx = str(tmp_path / "idx")
+    m1 = Manifest.load_or_create(idx, "c", {})
+    m2 = Manifest.load(idx)  # stale handle
+    segA = {"segment_id": "seg-a", "num_docs": 1}
+    segB = {"segment_id": "seg-b", "num_docs": 2}
+    m1.publish([segA], checkpoint_delta={"k1": (None, "done")})
+    m2.publish([segB], checkpoint_delta={"k2": (None, "done")})
+    fresh = Manifest.load(idx)
+    assert {s["segment_id"] for s in fresh.segments()} == {"seg-a", "seg-b"}
+    assert fresh.checkpoint("k1") == "done"
+    assert fresh.checkpoint("k2") == "done"
+
+
+def test_stale_handle_conflict_detected(tmp_path):
+    """A stale handle replaying an already-committed delta hits
+    CheckpointConflict against the FRESH state, not its own stale view."""
+    from quickwit_spark.index.manifest import CheckpointConflict
+    idx = str(tmp_path / "idx")
+    m1 = Manifest.load_or_create(idx, "c", {})
+    m2 = Manifest.load(idx)
+    m1.publish([], checkpoint_delta={"k": (None, "v1")})
+    with pytest.raises(CheckpointConflict):
+        m2.publish([], checkpoint_delta={"k": (None, "v1")})
+
+
+def test_conflict_does_not_ack_unpublished(tmp_path, monkeypatch):
+    """If publish raises CheckpointConflict, messages without committed
+    checkpoints stay IN the queue (acking them would lose their docs)."""
+    from quickwit_spark.index.manifest import CheckpointConflict
+    import quickwit_spark.streaming.queue as qm
+    clk = _Clock()
+    q = LocalDirQueue(str(tmp_path / "q"), visibility_sec=30, now_fn=clk)
+    cfg = _cfg(tmp_path)
+    # seed the manifest so load_or_create finds it
+    Manifest.load_or_create(cfg.index_dir, cfg.index_uid, {})
+    q.send(_payload(0, 3), message_id="mA")
+    msgs = q.receive()
+
+    real_publish = Manifest.publish
+
+    def failing_publish(self, *a, **k):
+        raise CheckpointConflict("simulated race")
+
+    monkeypatch.setattr(Manifest, "publish", failing_publish)
+    assert ingest_queue_batch(msgs, cfg, queue=q) == 0
+    monkeypatch.setattr(Manifest, "publish", real_publish)
+    assert q.pending() == 1          # NOT acked
+    clk.t += 31                      # redelivery after visibility lapse
+    assert ingest_queue_batch(q.receive(), cfg, queue=q) == 1
+    assert q.pending() == 0
+
+
+def test_empty_docs_message_spark_path_schema(tmp_path):
+    """Empty-docs messages checkpoint + ack without building segments
+    (the Spark fan-out path must skip zero-row frames)."""
+    clk = _Clock()
+    q = LocalDirQueue(str(tmp_path / "q"), visibility_sec=30, now_fn=clk)
+    cfg = _cfg(tmp_path)
+    q.send(json.dumps({"docs": []}), message_id="hb1")
+    q.send(_payload(0, 3), message_id="m1")
+    assert ingest_queue_batch(q.receive(), cfg, queue=q) == 2
+    assert q.pending() == 0
+    m = Manifest.load(cfg.index_dir)
+    assert sum(s["num_docs"] for s in m.segments()) == 3
+    assert processed_message_ids(cfg) == {"hb1", "m1"}

@@ -350,9 +350,17 @@ def plan_merges(segments: list[dict],
 
 def run_merges(index_dir: str, spark=None,
                policy: StableLogMergePolicy | None = None,
-               max_rounds: int = 100) -> int:
+               max_rounds: int = 100,
+               max_docs_in_flight: int | None = None) -> int:
     """Drive merge rounds until the policy is satisfied (hierarchical
-    merge; each round publishes atomically, replacing parents)."""
+    merge; each round publishes atomically, replacing parents).
+
+    max_docs_in_flight bounds executor memory: a merge op decodes all
+    its parents' postings, so its working set scales with the op's doc
+    count. Ops are greedily packed into waves whose total doc count
+    stays under the budget (each wave is one Spark job); the reference
+    bounds the same resource with merge_concurrency / merge memory
+    budgets (merge_pipeline.rs). None = all ops in one wave."""
     policy = policy or StableLogMergePolicy()
     total_ops = 0
     for _ in range(max_rounds):
@@ -361,7 +369,9 @@ def run_merges(index_dir: str, spark=None,
         if not ops:
             break
         if spark is not None and len(ops) > 1:
-            metas = _execute_spark(spark, index_dir, ops)
+            metas = []
+            for wave in _merge_waves(ops, max_docs_in_flight):
+                metas.extend(_execute_spark(spark, index_dir, wave))
         else:
             metas = [merge_segments(index_dir, op.segments) for op in ops]
         replaced = [sid for op in ops for sid in op.segment_ids()]
@@ -370,12 +380,40 @@ def run_merges(index_dir: str, spark=None,
     return total_ops
 
 
+def _merge_waves(ops: list[MergeOperation],
+                 max_docs_in_flight: int | None
+                 ) -> list[list[MergeOperation]]:
+    """Greedy wave packing by op doc count (largest first, each wave at
+    least one op so an over-budget op still runs — alone)."""
+    if max_docs_in_flight is None:
+        return [ops]
+    sized = sorted(ops, key=lambda op: -sum(s["num_docs"]
+                                            for s in op.segments))
+    waves: list[list[MergeOperation]] = []
+    loads: list[int] = []
+    for op in sized:
+        n = sum(s["num_docs"] for s in op.segments)
+        placed = False
+        for i, load in enumerate(loads):
+            if load + n <= max_docs_in_flight:
+                waves[i].append(op)
+                loads[i] += n
+                placed = True
+                break
+        if not placed:
+            waves.append([op])
+            loads.append(n)
+    return waves
+
+
 def _execute_spark(spark, index_dir: str, ops: list[MergeOperation]
                    ) -> list[dict]:
     """One Spark task per merge op. Ops are independent, so a narrow
     round-robin mapInPandas is enough — no shuffle, no groupBy (the
     repartition+groupBy variant paid a full exchange at
     spark.sql.shuffle.partitions width for a handful of rows)."""
+    if len(ops) == 1:
+        return [merge_segments(index_dir, ops[0].segments)]
     rows = [(json.dumps(op.segments),) for op in ops]
     rdd = spark.sparkContext.parallelize(rows, len(ops))
     df = spark.createDataFrame(rdd, "parents string")

@@ -95,7 +95,9 @@ def main() -> None:
         df.unpersist()
 
         t0 = time.perf_counter()
-        run_merges(index_dir, spark=spark)
+        # bound merge memory: each in-flight doc costs ~25 decoded bytes
+        # in the merge working set; 4M docs in flight ~= a few GB/exec
+        run_merges(index_dir, spark=spark, max_docs_in_flight=4_000_000)
         out["merge_hierarchy_sec"] = round(time.perf_counter() - t0, 3)
 
         if not args.skip_global:

@@ -178,3 +178,55 @@ def test_merge_spark_path(spark, many_segments, tmp_path):
     a = sorted(s["segment_id"] for s in Manifest.load(dir_s).segments())
     b = sorted(s["segment_id"] for s in Manifest.load(dir_l).segments())
     assert a == b
+
+
+def test_merge_wave_packing():
+    """Greedy wave packing bounds docs in flight; an over-budget op
+    still runs (alone)."""
+    from quickwit_spark.index.merge import MergeOperation, _merge_waves
+
+    def op(n):
+        return MergeOperation(segments=[{"num_docs": n,
+                                         "segment_id": f"s{n}"}])
+
+    ops = [op(900), op(800), op(300), op(200), op(100)]
+    waves = _merge_waves(ops, 1000)
+    # every wave under budget except singleton over-budget ops
+    for w in waves:
+        total = sum(s["num_docs"] for o in w for s in o.segments)
+        assert total <= 1000 or len(w) == 1
+    # all ops scheduled exactly once
+    flat = sorted(s["segment_id"] for w in waves for o in w
+                  for s in o.segments)
+    assert flat == sorted(s["segment_id"] for o in ops
+                          for s in o.segments)
+    # None = one wave (unchanged default)
+    assert _merge_waves(ops, None) == [ops]
+    # over-budget op runs alone
+    assert any(len(w) == 1 and w[0].segments[0]["num_docs"] == 900
+               for w in _merge_waves(ops, 100))
+
+
+def test_run_merges_multi_wave_equivalent(tmp_path, spark):
+    """Wave-bounded merge produces the same final layout as unbounded
+    (content-addressed ids make this byte-checkable)."""
+    from quickwit_spark.config import IndexConfig, MergePolicyConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.corpus import corpus_pandas
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.index.merge import (StableLogMergePolicy,
+                                            run_merges)
+    pol = StableLogMergePolicy(MergePolicyConfig(
+        merge_factor=4, max_merge_factor=4, min_level_num_docs=1_000_000))
+    pdf = corpus_pandas(4000, seed=11)
+    layouts = []
+    for sub, budget in (("a", None), ("b", 600)):
+        cfg = IndexConfig(index_uid="wv", index_dir=str(tmp_path / sub))
+        build_index_pandas(pdf, cfg, num_partitions=16)
+        run_merges(cfg.index_dir, spark=spark, policy=pol,
+                   max_docs_in_flight=budget)
+        layouts.append(sorted(
+            s["segment_id"]
+            for s in Manifest.load(cfg.index_dir).segments()))
+    assert layouts[0] == layouts[1]
+    assert len(layouts[0]) < 16

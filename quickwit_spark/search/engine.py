@@ -1103,7 +1103,33 @@ def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
         else:
             scored = reader.eval(node, text_field, scoring=True).with_scores()
     else:
-        scored = reader.eval(node, text_field, scoring=True).with_scores()
+        # exact-count mode: a SINGLE text term's match count IS its
+        # doc_freq (already in the term dictionary), so the full posting
+        # decode exists only to find the top k — use the pruned scorer
+        # (rank-identical, test_wand) and read the count from metadata.
+        # At 10M docs this turns a 4 s head-term query into ~50 ms.
+        # Not applicable under search_after: the cursor filter needs the
+        # full ordered match list, not just the global top k.
+        shape = _wand_shape(node, text_field, tokenizer) \
+            if search_after is None else None
+        if shape is not None and len(shape[1]) == 1:
+            # single term: count == doc_freq from the term dict, top-k
+            # from the bound-ordered pruned scorer (rank-identical)
+            tr = reader._term_row(shape[1][0])
+            if tr is None:
+                return 0, pd.DataFrame({"doc_id": [], "score": []})
+            from .wand import single_term_topk
+            docids, scores, _cnt = single_term_topk(reader, shape[1][0],
+                                                    max(k, 1))
+            scored = _Scored(docids, scores)
+            count = tr[1]
+        else:
+            # multi-term AND measured SLOWER via skip-intersection here
+            # (head terms intersect everywhere, so the block bookkeeping
+            # is pure overhead over the plain union/intersect eval) —
+            # exact-count multi-term queries stay on the exhaustive path
+            scored = reader.eval(node, text_field,
+                                 scoring=True).with_scores()
     if count is None:
         count = len(scored.docids)
     if count == 0:

@@ -29,7 +29,7 @@ import numpy as np
 from ..functions.bm25 import Bm25Weight
 from ..index.codecs import decode_blocks_batch, decode_postings
 
-__all__ = ["and_topk", "or_topk", "STATS"]
+__all__ = ["and_topk", "or_topk", "single_term_topk", "STATS"]
 
 # instrumentation (tests / bench): decoded vs skipped block counts
 STATS = {"blocks_decoded": 0, "blocks_total": 0}
@@ -152,10 +152,78 @@ def _empty3():
     return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32), 0)
 
 
+def single_term_topk(reader, term: str, k: int):
+    """Bound-ordered top-k for ONE term: decode blocks in DESCENDING
+    block-bound order and stop once the next bound is strictly below the
+    running k-th score. Docid-order WAND cannot skip here (a single
+    cursor's threshold only catches up after most blocks are seen, and
+    on flat corpora the adaptive fallback decodes everything), while
+    bound-ordering touches only blocks whose bound >= final theta — on a
+    10M-doc head term that is a handful of blocks instead of 44k.
+
+    Exactness: every doc with score >= theta lies in a block whose bound
+    >= theta (bound is the jointly-achievable max), and ties AT theta
+    stay because pruning is strict-less-than. Scores are the same
+    w.score(tf, fieldnorm) f32 values the exhaustive path computes, so
+    top-k, tie-break and values are identical. Count returned is
+    doc_freq — EXACT for a single term (unlike the OR lower bound)."""
+    cursors = _make_cursors(reader, [term])
+    if not cursors or cursors[0] is None:
+        return _empty3()
+    cur = cursors[0]
+    fn_ids = reader.fieldnorm_ids()
+    record = reader.record
+    nblk = len(cur.block_last)
+    k = max(k, 1)
+    border = np.argsort(-cur.block_scores.astype(np.float64),
+                        kind="stable")
+    acc_d = np.zeros(0, dtype=np.int64)
+    acc_s = np.zeros(0, dtype=np.float32)
+    theta = None
+    decoded = 0
+    # chunk size: k blocks guarantee >= k candidates in round one when
+    # blocks are full; growing chunks amortize the varint-batch overhead
+    # if theta converges slowly
+    chunk_sz = max(8, min(64, k))
+    i = 0
+    while i < nblk:
+        chunk = border[i:i + chunk_sz]
+        if theta is not None:
+            chunk = chunk[cur.block_scores[chunk] >= theta]
+            if len(chunk) == 0:
+                break
+        bidx = np.sort(chunk)
+        if len(bidx) == nblk:
+            d, t = decode_postings(cur.docid_blob, cur.tf_blob)
+        else:
+            d, t = decode_blocks_batch(
+                cur.docid_blob, cur.tf_blob, cur.doc_offsets,
+                cur.tf_offsets, cur.block_last, cur.doc_freq, bidx)
+        decoded += len(bidx)
+        if record == "basic":
+            t = np.ones(len(t), dtype=np.int64)
+        s = cur.weight.score(t, fn_ids[d])
+        acc_d = np.concatenate([acc_d, d])
+        acc_s = np.concatenate([acc_s, s])
+        if len(acc_s) >= k:
+            theta = np.float32(np.partition(acc_s, -k)[-k])
+        i += chunk_sz
+        chunk_sz = min(chunk_sz * 2, 1024)
+        if theta is not None and i < nblk \
+                and cur.block_scores[border[i]] < theta:
+            break
+    STATS["blocks_decoded"] += decoded
+    STATS["blocks_total"] += nblk
+    top = np.lexsort((-acc_d, -acc_s.astype(np.float64)))[:k]
+    return acc_d[top], acc_s[top], cur.doc_freq
+
+
 def and_topk(reader, terms: list[str], k: int):
     """Skip-based intersection with exact scores.
     Returns (docids, scores, match_count) of the FULL intersection
     (count is exact)."""
+    if len(terms) == 1:
+        return single_term_topk(reader, terms[0], k)
     groups = [[c] if c is not None else None
               for c in _make_cursors(reader, terms)]
     return and_topk_groups(groups, reader.fieldnorm_ids(), reader.record,
@@ -212,6 +280,8 @@ def or_topk(reader, terms: list[str], k: int):
     terms (unsorted set; caller sorts) and the count is the number of
     matching docs SEEN (a lower bound — the reference's
     CountHits::Underestimate)."""
+    if len(terms) == 1:
+        return single_term_topk(reader, terms[0], k)
     return or_topk_cursors(_make_cursors(reader, terms),
                            reader.fieldnorm_ids(), reader.record, k)
 

@@ -178,3 +178,48 @@ def test_cursor_decoupled_bound_fallback():
                              fns.max() * np.ones(600, dtype=np.int64),
                              "freq")
     assert d.tolist() == docids.tolist()
+
+
+def test_single_term_exact_count_shortcut(tmp_path):
+    """count_all single-term queries read num_hits from the term dict
+    (df) and top-k from the pruned scorer — results must be identical
+    to full exhaustive evaluation (hits, order, scores, count)."""
+    import numpy as np
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.corpus import corpus_pandas
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import (IndexSearcher, get_reader,
+                                              segment_top_k)
+    import os
+    pdf = corpus_pandas(3000, seed=21)
+    cfg = IndexConfig(index_uid="cnt", index_dir=str(tmp_path / "i"))
+    build_index_pandas(pdf, cfg, num_partitions=2)
+    s = IndexSearcher(cfg.index_dir)
+    seg = s.manifest.segments()[0]
+    seg_dir = os.path.join(cfg.index_dir, "segments", seg["segment_id"])
+    reader = get_reader(seg_dir, s.tokenizer)
+    term = "merge"
+    node = A.Term("content", term)
+    # shortcut path (count_all=True, no cursor)
+    cnt, top = segment_top_k(seg_dir, node, 10, s.tokenizer, "content",
+                             use_wand=False)
+    # ground truth: full eval
+    scored = reader.eval(node, "content", scoring=True).with_scores()
+    assert cnt == len(scored.docids)  # df == true match count
+    order = np.lexsort((-scored.docids,
+                        -scored.scores.astype(np.float64)))[:10]
+    assert top["doc_id"].tolist() == scored.docids[order].tolist()
+    assert np.allclose(top["score"].to_numpy(),
+                       scored.scores[order].astype(np.float64))
+    # absent term: clean empty
+    cnt0, top0 = segment_top_k(seg_dir, A.Term("content", "zzznoterm"),
+                               5, s.tokenizer, "content", use_wand=False)
+    assert cnt0 == 0 and len(top0) == 0
+    # search_after still takes the exhaustive path (full match list):
+    res = s.search(node, k=5)
+    if len(res.hits) == 5 and res.next_cursor is not None:
+        page2 = s.search(node, k=5, search_after=res.next_cursor)
+        ids1 = {(h.segment_id, h.doc_id) for h in res.hits}
+        ids2 = {(h.segment_id, h.doc_id) for h in page2.hits}
+        assert not ids1 & ids2

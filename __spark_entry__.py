@@ -709,6 +709,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      nbits=8, seed=42)
     q["dedup_embedding_cosine"] = emb_near_dup
 
+    def dedup_clusters_row(s, d):
+        # deterministic chain edges (i, i+1) for i%10 in {0,1}: 3-doc
+        # clusters requiring a TRANSITIVE merge (0-1 and 1-2 pair, 0-2
+        # never does), so a pairwise-only implementation fails this row
+        docs = _read(s, d, "documents").select("doc_id")
+        ids = docs.select(F.col("doc_id").alias("b"))
+        pairs = (docs.where(F.col("doc_id") % 10 < 2)
+                 .select(F.col("doc_id").alias("a"),
+                         (F.col("doc_id") + 1).alias("b"))
+                 .join(ids, "b", "inner"))  # drop edges past the table end
+        from quickwit_spark.pipeline.dedup import dup_clusters
+        return (dup_clusters(pairs)
+                .select(F.col("doc_id").cast("long"),
+                        F.col("cluster_id").cast("long"))
+                .orderBy("doc_id"))
+    q["dedup_clusters"] = dedup_clusters_row
+
     q["text_lang_id"] = lambda s, d: ts.lang_id(
         _read(s, d, "documents").select("doc_id", "text"))
     q["text_quality_score"] = lambda s, d: ts.quality_score(
@@ -1203,6 +1220,26 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
            AS fingerprint
 FROM documents
+"""
+
+    o["dedup_clusters"] = """
+WITH RECURSIVE
+edges AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+  FROM documents d
+  WHERE d.doc_id % 10 < 2
+    AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)),
+sym AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT b AS src, a AS dst FROM edges),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
+SELECT id AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
 """
 
     o["text_pii_counts"] = r"""

@@ -288,3 +288,65 @@ def simhash16(df: DataFrame, id_col: str = "doc_id",
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bits = term if bits is None else bits + term
     return agg.select("doc_id", bits.alias("simhash"))
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs: (a, b) candidate/
+    verified pairs -> (doc_id, cluster_id) where cluster_id is the MIN
+    doc id reachable through any chain of pairs (the canonical
+    representative — transitive closure, so A~B and B~C cluster A,B,C
+    together even if A,C never paired directly).
+
+    Iterative min-label propagation: each round joins current labels to
+    the symmetrized edge list and takes the min over each node's
+    neighborhood (+itself), converging in rounds = cluster diameter
+    with one join+agg shuffle per round and an early-exit when a round
+    changes nothing. Duplicate clusters are short-diameter in practice
+    (near-identical docs pair with each other densely), so the cap of
+    max_iter rounds is generous; pathological million-hop chains would
+    need the log-round alternating-star variant instead. The pair table
+    consumed here is already the pruned LSH/simhash output, orders of
+    magnitude smaller than the corpus.
+
+    Returns ONLY docs that appear in at least one pair; callers treat
+    absent docs as singleton clusters of themselves."""
+    edges = (pairs.select(F.col("a").cast("long").alias("src"),
+                          F.col("b").cast("long").alias("dst"))
+             .unionAll(pairs.select(F.col("b").cast("long").alias("src"),
+                                    F.col("a").cast("long").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        # neighbor minimum, then min with own label
+        nbr = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+               .groupBy("src").agg(F.min("label").alias("nbr_min"))
+               .withColumnRenamed("src", "id"))
+        new_labels = (labels.join(nbr, "id", "left")
+                      .select("id",
+                              F.least("label", F.coalesce(
+                                  "nbr_min", "label")).alias("label"))
+                      .persist())
+        changed = (new_labels.withColumnRenamed("label", "new")
+                   .join(labels, "id")
+                   .where(F.col("new") != F.col("label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def canonical_filter(df: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Training-data dedup endgame: keep exactly ONE doc per duplicate
+    cluster (the min-id representative) plus every unpaired doc. The
+    anti-join ships only the non-canonical id set (cluster members
+    minus representatives), which is small relative to the corpus."""
+    clusters = dup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
+        .select(F.col("doc_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

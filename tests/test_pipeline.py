@@ -261,3 +261,30 @@ def test_ivf_assign_expr_many_centroids(spark):
     want = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2) \
         .argmin(axis=1)
     assert (got == want).all()
+
+
+def test_dup_clusters_transitive(spark):
+    """A~B and B~C must cluster {A,B,C} even though A,C never pair
+    (transitive closure), including a 4-hop chain that needs multiple
+    propagation rounds; disjoint clusters stay disjoint."""
+    from quickwit_spark.pipeline.dedup import dup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),                 # chain -> cluster 1
+         (10, 11),                       # pair  -> cluster 10
+         (20, 21), (21, 22), (22, 23), (23, 24)],  # 5-node chain
+        "a long, b long")
+    out = {r.doc_id: r.cluster_id
+           for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_canonical_filter_keeps_one_per_cluster(spark):
+    from quickwit_spark.pipeline.dedup import canonical_filter
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "a long, b long")
+    kept = sorted(r.doc_id for r in canonical_filter(df, pairs).collect())
+    # cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 0,4,7 unpaired
+    assert kept == [0, 1, 4, 5, 7]

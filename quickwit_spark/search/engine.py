@@ -1562,7 +1562,8 @@ class IndexSearcher:
     def sort_search(self, query, k: int = 10,
                     sort_by: tuple = (("_score", "desc"),),
                     fetch_fields: bool = True,
-                    search_after: tuple | None = None) -> SearchResult:
+                    search_after: tuple | None = None,
+                    count_all: bool = True) -> SearchResult:
         """Top-k under an explicit sort spec (<= 2 fields, each `_score` |
         `_doc` | fast-field column; collector.rs:994-1029). Global merge
         re-applies the same key with the (segment_id, doc_id) tie-break in
@@ -1570,7 +1571,17 @@ class IndexSearcher:
 
         search_after=(sort values..., segment_id, doc_id) pages deep
         without collecting offset+k everywhere (the ES sort+search_after
-        pattern; cursor = the previous page's last hit)."""
+        pattern; cursor = the previous page's last hit).
+
+        count_all=False enables segment early-exit when the FIRST sort
+        field is a fast-field column with per-segment min/max stats:
+        segments are visited best-bound-first and the walk stops once k
+        hits exist and the next segment's bound cannot beat the current
+        k-th key (strictly — ties keep walking for tie-break
+        correctness). The top-k is identical; num_hits becomes a lower
+        bound (the reference's split time-range ordering + CountHits
+        trade-off: "newest 20 logs" stops after the newest splits,
+        list_relevant_splits ordering / leaf.rs early-exit)."""
         node = self.parse(query)
         segs = self._prune(node)
         use_spark = self.spark is not None and len(segs) > 1
@@ -1581,12 +1592,37 @@ class IndexSearcher:
             _types, u64 = self._doc_types(segs)
             if any(f in u64 for f, _d in sort_by):
                 use_spark = False
+        field0, dir0 = sort_by[0]
+        early_exit = (not count_all and not use_spark
+                      and field0 not in ("_score", "_doc"))
         if use_spark:
             parts = self._leaf_spark_sort(segs, node, k, sort_by,
                                           search_after)
         else:
+            if early_exit:
+                def _bound(seg):
+                    st = seg.get("col_stats", {}).get(field0)
+                    if st is None:
+                        return None
+                    return st[1] if dir0 == "desc" else st[0]
+                keyed = [(_bound(s), s) for s in segs]
+                # stat-less segments can't be bounded: always visit, first
+                unknown = [s for b, s in keyed if b is None]
+                known = sorted([bs for bs in keyed if bs[0] is not None],
+                               key=lambda bs: bs[0],
+                               reverse=(dir0 == "desc"))
+                walk = [(None, s) for s in unknown] + known
+            else:
+                walk = [(None, s) for s in segs]
             parts = []
-            for seg in segs:
+            rows_seen = 0
+            kth_key = None
+            for bnd, seg in walk:
+                if early_exit and kth_key is not None and bnd is not None:
+                    worse = bnd < kth_key if dir0 == "desc" \
+                        else bnd > kth_key
+                    if worse:
+                        break  # best-first order: the rest are worse too
                 seg_dir = os.path.join(self.index_dir, "segments",
                                        seg["segment_id"])
                 cnt, top = segment_sort_top_k(seg_dir, node, k,
@@ -1596,6 +1632,20 @@ class IndexSearcher:
                 top = top.copy()
                 top["segment_id"] = seg["segment_id"]
                 parts.append((cnt, top))
+                if early_exit:
+                    rows_seen += len(top)
+                    if rows_seen >= k:
+                        cand = pd.concat([t for _c, t in parts],
+                                         ignore_index=True)
+                        asc = [d == "asc" for _f, d in sort_by]
+                        cand = cand.sort_values(
+                            [f"_sort{i}" for i in range(len(sort_by))]
+                            + ["segment_id", "doc_id"],
+                            ascending=asc + [asc[0], asc[0]],
+                            na_position="last", kind="mergesort")
+                        v = cand.iloc[k - 1]["_sort0"]
+                        # a null k-th key can't bound anything
+                        kth_key = None if pd.isna(v) else _py_scalar(v)
         num_hits = sum(c for c, _ in parts)
         frames = [t for _c, t in parts if len(t)]
         if not frames:

@@ -208,3 +208,64 @@ def test_partition_cols_cluster_segments_for_pruning(tmp_path):
     r = s.search(node, k=100, fetch_fields=True)
     assert r.num_hits == 20
     assert all(h.doc["lang"] == "rust" for h in r.hits)
+
+
+def test_sorted_early_exit_identical_topk(tmp_path, monkeypatch):
+    """count_all=False sorted search visits segments best-bound-first
+    and stops early — same top-k, fewer segments opened (the reference's
+    split time-range ordering for 'newest k' queries)."""
+    import numpy as np
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search import engine as E
+
+    n = 400
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["event common"] * n,
+        # ts clusters by partition when routed on ts_bucket
+        "ts_bucket": (np.arange(n) // 100).astype(np.int64),
+        "ts": np.arange(n, dtype=np.int64),
+    })
+    cfg = IndexConfig(index_uid="srt", index_dir=str(tmp_path / "i"),
+                      key_cols=("doc_id",), text_col="text",
+                      tokenizer="default", tag_cols=(), sha_col=None,
+                      store_cols=("ts", "ts_bucket"),
+                      partition_cols=("ts_bucket",))
+    build_index_pandas(pdf, cfg, num_partitions=4)
+    s = E.IndexSearcher(cfg.index_dir)
+    assert len(s.manifest.segments()) >= 3
+
+    calls = []
+    real = E.segment_sort_top_k
+
+    def counting(seg_dir, *a, **kw):
+        calls.append(seg_dir)
+        return real(seg_dir, *a, **kw)
+
+    monkeypatch.setattr(E, "segment_sort_top_k", counting)
+    exact = s.sort_search(A.Term("text", "event"), k=10,
+                          sort_by=(("ts", "desc"),), fetch_fields=False)
+    n_exact_calls = len(calls)
+    calls.clear()
+    fast = s.sort_search(A.Term("text", "event"), k=10,
+                         sort_by=(("ts", "desc"),), fetch_fields=False,
+                         count_all=False)
+    n_fast_calls = len(calls)
+    assert [(h.segment_id, h.doc_id) for h in fast.hits] == \
+        [(h.segment_id, h.doc_id) for h in exact.hits]
+    assert n_fast_calls < n_exact_calls  # actually skipped segments
+    assert fast.num_hits <= exact.num_hits
+    # ascending direction too
+    calls.clear()
+    exact_a = s.sort_search(A.Term("text", "event"), k=10,
+                            sort_by=(("ts", "asc"),), fetch_fields=False)
+    calls.clear()
+    fast_a = s.sort_search(A.Term("text", "event"), k=10,
+                           sort_by=(("ts", "asc"),), fetch_fields=False,
+                           count_all=False)
+    assert [(h.segment_id, h.doc_id) for h in fast_a.hits] == \
+        [(h.segment_id, h.doc_id) for h in exact_a.hits]
+    assert len(calls) < n_exact_calls

@@ -613,6 +613,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("langs_sum_other_doc_count").alias("sum_other"))
     q["agg_terms_sum_other"] = agg_terms_sum_other
 
+    def agg_terms_order_metric(s, d):
+        """terms ordered by a sub-metric (tantivy TermsAggregation
+        custom order, reference aggregations.rs:162): top-3 langs by
+        avg(n_chars) DESC, keeping sum_other_doc_count semantics (docs
+        outside the returned buckets) under the custom order."""
+        from quickwit_spark.search.aggregations import aggregate
+        _, _, searcher = _doc_index(d)
+        sp = IndexSearcher(searcher.index_dir, spark=s)
+        out = aggregate(sp, "*", {"langs": {
+            "terms": {"field": "lang", "size": 3,
+                      "order": {"chars": "desc"}},
+            "aggs": {"chars": {"avg": {"field": "n_chars"}}}}})
+        return out.select(
+            F.col("langs").alias("lang"),
+            F.col("doc_count").alias("cnt"),
+            F.round("chars", 4).alias("avg_chars"),
+            F.col("langs_sum_other_doc_count").alias("sum_other"))
+    q["agg_terms_order_metric"] = agg_terms_order_metric
+
     def agg_histogram_gap_filled(s, d):
         """histogram with min_doc_count=0 + extended_bounds: empty
         buckets zero-filled across the widened key range."""
@@ -960,6 +979,18 @@ ranked AS (
          sum(cnt) OVER () AS total
   FROM b)
 SELECT lang, cnt, CAST(total - sum(cnt) OVER () AS BIGINT) AS sum_other
+FROM ranked WHERE rn <= 3
+"""
+    o["agg_terms_order_metric"] = """
+WITH b AS (SELECT lang, count(*) AS cnt, round(avg(n_chars), 4)
+           AS avg_chars FROM documents GROUP BY lang),
+ranked AS (
+  SELECT lang, cnt, avg_chars,
+         row_number() OVER (ORDER BY avg_chars DESC, lang ASC) AS rn,
+         sum(cnt) OVER () AS total
+  FROM b)
+SELECT lang, cnt, avg_chars,
+       CAST(total - sum(cnt) OVER () AS BIGINT) AS sum_other
 FROM ranked WHERE rn <= 3
 """
     o["agg_histogram_gap_filled"] = """

@@ -88,6 +88,31 @@ def _metric_exprs(name: str, kind: str, body: dict) -> list:
     raise InvalidAggregation(f"unsupported metric {kind}")
 
 
+def _terms_order(body: dict) -> tuple[str, str]:
+    """Parse a terms-agg `order` spec into (target, direction).
+
+    ES/tantivy forms: {"_count": "desc"} | {"_key": "asc"} |
+    {"<metric>[.<sub>]": dir} | a one-element list of those (ES accepts
+    a list; tantivy — and therefore the reference — takes one
+    criterion). Default: _count desc."""
+    ospec = body.get("order")
+    if not ospec:
+        return "_count", "desc"
+    if isinstance(ospec, list):
+        if len(ospec) != 1:
+            raise InvalidAggregation(
+                "terms order: exactly one criterion is supported "
+                "(tantivy CustomOrder is a single target)")
+        ospec = ospec[0]
+    if not isinstance(ospec, dict) or len(ospec) != 1:
+        raise InvalidAggregation(f"bad terms order spec {ospec!r}")
+    (target, direction), = ospec.items()
+    if direction not in ("asc", "desc"):
+        raise InvalidAggregation(
+            f"terms order direction must be asc|desc, got {direction!r}")
+    return target, direction
+
+
 def _bucket_col(kind: str, body: dict):
     field = body["field"]
     if kind == "terms":
@@ -279,30 +304,55 @@ def _aggregate_plan(matched, spec: dict):
     # levels order ascending after it
     name0, kind0, body0 = levels[0]
     if kind0 == "terms":
-        order = [F.col("doc_count").desc(), F.col(name0).asc()]
+        # custom bucket order (tantivy TermsAggregation order, consumed
+        # by the reference via quickwit-query/src/aggregations.rs:162):
+        # {"_count": dir} (default desc) | {"_key": dir} |
+        # {"<metric>[.<sub>]": dir}; ties always break on the key asc.
+        target, direction = _terms_order(body0)
+        w_term = Window.partitionBy(name0)
+        if target == "_key":
+            tkey = F.col(name0)
+        elif target == "_count":
+            # with nested sub-buckets a term spans several flat rows —
+            # rank by the TERM's total doc_count, like ES
+            tkey = F.sum("doc_count").over(w_term)
+        else:
+            col = target.replace(".", "_")
+            if len(level_names) > 1:
+                raise InvalidAggregation(
+                    "terms order by a sub-metric requires the terms agg "
+                    "to be the deepest bucket level (flat rows carry "
+                    "leaf metrics only)")
+            if col not in out.columns:
+                raise InvalidAggregation(
+                    f"terms order target {target!r} is not a metric of "
+                    "this aggregation")
+            tkey = F.col(col)
+        key_ord = (F.col("_tkey").desc() if direction == "desc"
+                   else F.col("_tkey").asc())
+        out = out.withColumn("_tkey", tkey)
+        order = [key_ord, F.col(name0).asc()]
         order += [F.col(n).asc() for n in level_names[1:]]
         out = out.orderBy(*order)
         size = body0.get("size")
         if size:
-            # rank TERM buckets by their total doc_count (with nested
-            # sub-buckets a term spans several flat rows — ES keeps the
-            # top-N terms with ALL their sub-buckets)
+            # keep the top-N TERM buckets under the requested order,
+            # with ALL their sub-bucket rows (dense_rank over the term
+            # order key)
             w_all = Window.partitionBy()
-            w_term = Window.partitionBy(name0)
             ranked = (out
-                      .withColumn("_tt",
-                                  F.sum("doc_count").over(w_term))
                       .withColumn("_total",
                                   F.sum("doc_count").over(w_all))
                       .withColumn("_rank", F.dense_rank().over(
                           Window.partitionBy().orderBy(
-                              F.col("_tt").desc(), F.col(name0).asc()))))
+                              key_ord, F.col(name0).asc()))))
             kept = ranked.filter(F.col("_rank") <= int(size))
             kept = kept.withColumn(
                 f"{name0}_sum_other_doc_count",
                 (F.col("_total")
                  - F.sum("doc_count").over(w_all)).cast("long"))
-            out = kept.drop("_total", "_rank", "_tt")
+            out = kept.drop("_total", "_rank")
+        out = out.drop("_tkey")
     elif kind0 == "histogram":
         min_dc = int(body0.get("min_doc_count", 1))
         bounds = body0.get("extended_bounds")

@@ -208,6 +208,58 @@ def test_terms_size_with_nested_buckets(spark, idx):
             == len(pdf) - len(sub)).all()
 
 
+def test_terms_custom_order(spark, idx):
+    """terms `order` (tantivy TermsAggregation custom order, consumed by
+    the reference via aggregations.rs:162): _key asc, _count asc, and
+    order by a sub-metric; size trimming follows the custom order and
+    sum_other_doc_count still counts the excluded docs."""
+    from quickwit_spark.search.aggregations import InvalidAggregation
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    # _key asc: buckets in term order regardless of counts
+    out = aggregate(s, "*", {"langs": {"terms": {
+        "field": "lang", "order": {"_key": "asc"}}}}).toPandas()
+    assert out["langs"].tolist() == sorted(pdf["lang"].unique())
+    # _count asc + size 1: keeps the RAREST lang
+    out = aggregate(s, "*", {"langs": {"terms": {
+        "field": "lang", "size": 1,
+        "order": {"_count": "asc"}}}}).toPandas()
+    counts = pdf.groupby("lang").size()
+    rare = counts.sort_values(kind="mergesort").index[0]
+    assert set(out["langs"]) == {rare}
+    assert (out["langs_sum_other_doc_count"]
+            == len(pdf) - counts[rare]).all()
+    # order by sub-metric desc + size 2
+    out = aggregate(s, "*", {"langs": {
+        "terms": {"field": "lang", "size": 2,
+                  "order": {"sz": "desc"}},
+        "aggs": {"sz": {"avg": {"field": "size"}}}}}).toPandas()
+    means = pdf.groupby("lang")["size"].mean().sort_values(
+        ascending=False)
+    assert out["langs"].tolist() == means.index[:2].tolist()
+    # stats sub-column addressing: order by "st.max"
+    out = aggregate(s, "*", {"langs": {
+        "terms": {"field": "lang", "order": {"st.max": "asc"}},
+        "aggs": {"st": {"stats": {"field": "size"}}}}}).toPandas()
+    mx = pdf.groupby("lang")["size"].max().sort_values(kind="mergesort")
+    assert out["langs"].tolist() == mx.index.tolist()
+    # rejected: unknown metric target, bad direction, sub-metric order
+    # with nested bucket levels
+    with pytest.raises(InvalidAggregation):
+        aggregate(s, "*", {"langs": {"terms": {
+            "field": "lang", "order": {"nope": "desc"}}}})
+    with pytest.raises(InvalidAggregation):
+        aggregate(s, "*", {"langs": {"terms": {
+            "field": "lang", "order": {"_key": "down"}}}})
+    with pytest.raises(InvalidAggregation):
+        aggregate(s, "*", {"langs": {
+            "terms": {"field": "lang", "order": {"sz": "desc"}},
+            "aggs": {"h": {"histogram": {"field": "size",
+                                         "interval": 200},
+                           "aggs": {"sz": {"avg": {
+                               "field": "size"}}}}}}})
+
+
 def test_top_hits_metric(spark, idx):
     """top_hits in the ES front-end (aggregations.rs:85-172): per bucket,
     the top-N docs under the spec's sort as per-hit rows; combined with

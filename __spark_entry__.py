@@ -776,6 +776,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ts.pii_counts(docs)
     q["text_pii_counts"] = pii_counts_row
 
+    def repetition_row(s, d):
+        # every space becomes a newline (deterministic on both sides):
+        # token signals are unchanged (the tokenizer splits on \n too)
+        # while each whitespace token becomes a line, so the line-dup
+        # fractions are exercised non-degenerately on a corpus whose
+        # raw text has no newlines
+        docs = _read(s, d, "documents").select(
+            "doc_id", F.translate("text", " ", "\n").alias("text"))
+        return ts.repetition_signals(docs)
+    q["text_repetition"] = repetition_row
+
     def multimodal_meta(s, d):
         from quickwit_spark.pipeline.multimodal import extract_metadata
         docs = (_read(s, d, "documents")
@@ -1244,6 +1255,53 @@ SELECT doc_id,
            AS bpe_tokens,
        length(text) AS n_chars_actual
 FROM documents
+"""
+
+    o["text_repetition"] = f"""
+WITH src AS (SELECT doc_id, translate(text, ' ', chr(10)) AS text
+             FROM documents),
+tk AS (SELECT doc_id, {_TOKS} AS ts, text FROM src),
+tc AS (SELECT doc_id, max(c) AS top_tok FROM (
+         SELECT doc_id, t, count(*) AS c
+         FROM (SELECT doc_id, unnest(ts) AS t FROM tk) GROUP BY 1, 2)
+       GROUP BY doc_id),
+bc AS (SELECT doc_id, max(c) AS top_big, sum(c) AS n_big FROM (
+         SELECT doc_id, b, count(*) AS c FROM (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i + 1])) AS b
+           FROM tk) GROUP BY 1, 2)
+       GROUP BY doc_id),
+ln AS (SELECT doc_id,
+              list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+       FROM tk)
+SELECT tk.doc_id,
+       len(ts) AS n_tok,
+       CASE WHEN len(ts) > 0 THEN floor((len(ts) - len(list_distinct(ts)))
+            ::DOUBLE / len(ts)::DOUBLE * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(ts) > 0 THEN floor(COALESCE(tc.top_tok, 0)
+            ::DOUBLE / len(ts)::DOUBLE * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN COALESCE(bc.n_big, 0) > 0 THEN floor(bc.top_big
+            ::DOUBLE / bc.n_big::DOUBLE * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS top_bigram_frac,
+       len(ls) AS n_lines,
+       CASE WHEN len(ls) > 0 THEN floor((len(ls) - len(list_distinct(ls)))
+            ::DOUBLE / len(ls)::DOUBLE * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+                 > 0
+            THEN floor((list_sum(list_transform(ls, x -> length(x)))
+                 - list_sum(list_transform(list_distinct(ls),
+                                           x -> length(x))))::DOUBLE
+                 / list_sum(list_transform(ls, x -> length(x)))::DOUBLE
+                 * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_line_char_frac
+FROM tk
+LEFT JOIN tc USING (doc_id)
+LEFT JOIN bc USING (doc_id)
+JOIN ln USING (doc_id)
 """
 
     o["text_fingerprint"] = f"""

@@ -106,6 +106,79 @@ def pii_counts(df: DataFrame, id_col: str = "doc_id",
                      total.alias("n_pii_signals"))
 
 
+def _r6(col) -> "F.Column":
+    # floor-based 6-decimal rounding (see quality_score): identical
+    # double arithmetic in Spark and the DuckDB oracle at midpoints
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    the standard training-data quality filters that catch boilerplate
+    and degenerate generations.
+
+    Per document:
+      n_tok            token count
+      dup_token_frac   1 - distinct/total tokens (bulk repetitiveness)
+      top_token_frac   occurrences of the most frequent token / n_tok
+      top_bigram_frac  occurrences of the most frequent word bigram /
+                       bigram count (tie -> the max count, not the term)
+      n_lines          non-empty '\\n' lines
+      dup_line_frac    1 - distinct/total non-empty lines
+      dup_line_char_frac  chars inside REPEATED line instances / total
+                       line chars (each extra occurrence counts)
+
+    All pure JVM array expressions — no shuffle, no Python. The
+    most-frequent counts are computed as transform(distinct, u ->
+    count(u in toks)) + array_max: O(unique * n) per doc stays inside
+    whole-stage codegen and beats a per-doc Python frequency dict at any
+    scale; docs are bounded (a 100 TB corpus is wide, not per-doc deep).
+    Fractions are 0.0 for empty docs (no NULL poisoning downstream
+    filters)."""
+    d = df.withColumn("_toks", tokens_expr(text_col))
+    n_tok = F.size("_toks")
+    uniq = F.array_distinct("_toks")
+    top_tok = F.array_max(F.transform(
+        uniq, lambda u: F.size(F.filter(F.col("_toks"),
+                                        lambda x: x == u))))
+    n_big = F.greatest(n_tok - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(F.slice(F.col("_toks"), F.lit(1), n_big),
+                         F.slice(F.col("_toks"), F.lit(2), n_big),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    d = d.withColumn("_bi", bigrams)
+    top_big = F.array_max(F.transform(
+        F.array_distinct("_bi"),
+        lambda u: F.size(F.filter(F.col("_bi"), lambda x: x == u))))
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: x != F.lit(""))
+    d = d.withColumn("_lines", lines)
+    n_lines = F.size("_lines")
+    n_uline = F.size(F.array_distinct("_lines"))
+    line_chars = F.aggregate("_lines", F.lit(0),
+                             lambda a, x: a + F.length(x))
+    uline_chars = F.aggregate(F.array_distinct("_lines"), F.lit(0),
+                              lambda a, x: a + F.length(x))
+
+    def frac(num, den):
+        return F.when(den > 0, _r6(num.cast("double")
+                                   / den.cast("double"))) \
+            .otherwise(F.lit(0.0))
+
+    return d.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tok"),
+        frac(n_tok - F.size(uniq), n_tok).alias("dup_token_frac"),
+        frac(F.coalesce(top_tok, F.lit(0)), n_tok)
+        .alias("top_token_frac"),
+        frac(F.coalesce(top_big, F.lit(0)), F.size("_bi"))
+        .alias("top_bigram_frac"),
+        n_lines.cast("long").alias("n_lines"),
+        frac(n_lines - n_uline, n_lines).alias("dup_line_frac"),
+        frac(line_chars - uline_chars, line_chars)
+        .alias("dup_line_char_frac"))
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set (order-

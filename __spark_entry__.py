@@ -993,11 +993,13 @@ SELECT lang, cnt, CAST(total - sum(cnt) OVER () AS BIGINT) AS sum_other
 FROM ranked WHERE rn <= 3
 """
     o["agg_terms_order_metric"] = """
-WITH b AS (SELECT lang, count(*) AS cnt, round(avg(n_chars), 4)
-           AS avg_chars FROM documents GROUP BY lang),
+WITH b AS (SELECT lang, count(*) AS cnt, avg(n_chars) AS raw_avg
+           FROM documents GROUP BY lang),
 ranked AS (
-  SELECT lang, cnt, avg_chars,
-         row_number() OVER (ORDER BY avg_chars DESC, lang ASC) AS rn,
+  -- rank by the RAW average (what the engine's order key is); rounding
+  -- happens only in the displayed column
+  SELECT lang, cnt, round(raw_avg, 4) AS avg_chars,
+         row_number() OVER (ORDER BY raw_avg DESC, lang ASC) AS rn,
          sum(cnt) OVER () AS total
   FROM b)
 SELECT lang, cnt, avg_chars,

@@ -412,8 +412,9 @@ def _execute_spark(spark, index_dir: str, ops: list[MergeOperation]
     round-robin mapInPandas is enough — no shuffle, no groupBy (the
     repartition+groupBy variant paid a full exchange at
     spark.sql.shuffle.partitions width for a handful of rows)."""
-    if len(ops) == 1:
-        return [merge_segments(index_dir, ops[0].segments)]
+    # NOTE: no driver-side shortcut for len(ops) == 1 — singleton waves
+    # are often exactly the over-budget ops max_docs_in_flight isolates,
+    # and their working set belongs on an executor, not the driver.
     rows = [(json.dumps(op.segments),) for op in ops]
     rdd = spark.sparkContext.parallelize(rows, len(ops))
     df = spark.createDataFrame(rdd, "parents string")

@@ -318,8 +318,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("label", F.col("id")))
+    changed = None
     for _ in range(max_iter):
-        # neighbor minimum, then min with own label
+        # neighbor minimum, then min with own label. localCheckpoint
+        # (not persist): each round's plan references the previous
+        # labels TWICE (in nbr and in the join), so an un-truncated
+        # lineage doubles the logical plan every round — Catalyst
+        # re-analysis OOMs the driver after ~8 rounds. Checkpointing
+        # cuts the plan at each round and frees superseded rounds via
+        # the ContextCleaner when their frames are dropped.
         nbr = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
                .groupBy("src").agg(F.min("label").alias("nbr_min"))
                .withColumnRenamed("src", "id"))
@@ -327,15 +334,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                       .select("id",
                               F.least("label", F.coalesce(
                                   "nbr_min", "label")).alias("label"))
-                      .persist())
+                      .localCheckpoint(eager=True))
         changed = (new_labels.withColumnRenamed("label", "new")
                    .join(labels, "id")
                    .where(F.col("new") != F.col("label")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        # non-convergence is silently-wrong labels (one component split
+        # into several clusters) — refuse instead of returning them
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the pair graph has a "
+            f"component of diameter > {max_iter}; raise max_iter")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -286,6 +286,17 @@ def _aggregate_plan(matched, spec: dict):
                 "same level (its output is per-hit rows, not per-bucket)")
         return _top_hits_plan(matched, levels, *th[0])
 
+    # `order`/`size` are honored on the OUTERMOST bucket level only (the
+    # flat-row output has one global row order); accepting them deeper
+    # would silently return differently-ordered/untrimmed rows, so
+    # reject instead
+    for name, kind, body in levels[1:]:
+        if kind == "terms" and ("order" in body or "size" in body):
+            raise InvalidAggregation(
+                f"terms order/size on nested level {name!r} is not "
+                "supported — only the outermost bucket level orders and "
+                "trims the flat rows")
+
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     for name, kind, body in leaf_metrics:
         exprs.extend(_metric_exprs(name, kind, body))

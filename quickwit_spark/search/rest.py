@@ -67,7 +67,8 @@ def native_search(searcher, params: dict[str, Any]) -> dict:
         sort_by = _parse_sort_by(sort_spec)
         res = searcher.sort_search(
             node, k=start_offset + max_hits, sort_by=sort_by,
-            search_after=(tuple(search_after) if search_after else None))
+            search_after=(tuple(search_after) if search_after else None),
+            count_all=count_all)
         hits = res.hits[start_offset:start_offset + max_hits]
         next_cursor = res.last_sort_key
     else:

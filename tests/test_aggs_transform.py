@@ -258,6 +258,18 @@ def test_terms_custom_order(spark, idx):
                                          "interval": 200},
                            "aggs": {"sz": {"avg": {
                                "field": "size"}}}}}}})
+    # order/size on an INNER bucket level: rejected, not silently
+    # ignored (the flat-row output has one global row order)
+    with pytest.raises(InvalidAggregation):
+        aggregate(s, "*", {"h": {
+            "histogram": {"field": "size", "interval": 200},
+            "aggs": {"langs": {"terms": {
+                "field": "lang", "order": {"_count": "desc"}}}}}})
+    with pytest.raises(InvalidAggregation):
+        aggregate(s, "*", {"h": {
+            "histogram": {"field": "size", "interval": 200},
+            "aggs": {"langs": {"terms": {"field": "lang",
+                                         "size": 1}}}}})
 
 
 def test_top_hits_metric(spark, idx):

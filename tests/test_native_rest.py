@@ -54,6 +54,19 @@ def test_native_search_sort_and_snippets(idx):
                 & {h["doc_id"] for h in r2["hits"]})
 
 
+def test_native_sorted_count_all_false(idx):
+    """count_all=false on the SORTED path reaches sort_search's segment
+    early-exit: same hits, num_hits may be a lower bound."""
+    s = IndexSearcher(idx.index_dir)
+    exact = native_search(s, {"query": "*", "sort_by": "-nchars",
+                              "max_hits": 5})
+    pruned = native_search(s, {"query": "*", "sort_by": "-nchars",
+                               "max_hits": 5, "count_all": False})
+    assert [h["doc_id"] for h in exact["hits"]] == \
+        [h["doc_id"] for h in pruned["hits"]]
+    assert pruned["num_hits"] <= exact["num_hits"]
+
+
 def test_native_search_pruned_count(idx):
     s = IndexSearcher(idx.index_dir)
     exact = native_search(s, {"query": "merge OR scan", "max_hits": 10})

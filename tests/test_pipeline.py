@@ -279,6 +279,19 @@ def test_dup_clusters_transitive(spark):
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
 
 
+def test_dup_clusters_nonconvergence_raises(spark):
+    """Label propagation past max_iter must REFUSE (silently-wrong
+    split clusters otherwise) — and the generous default converges on
+    the same chain."""
+    from quickwit_spark.pipeline.dedup import dup_clusters
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iter=3)
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(chain).collect()}
+    assert set(out.values()) == {0}
+
+
 def test_canonical_filter_keeps_one_per_cluster(spark):
     from quickwit_spark.pipeline.dedup import canonical_filter
     df = spark.createDataFrame(

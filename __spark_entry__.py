@@ -795,6 +795,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_bytes", "content_sha", "sniffed_type"))
     q["multimodal_extract_meta"] = multimodal_meta
 
+    # --- corpus filtering ops (decontamination / sampling / quality) ---
+    from quickwit_spark.pipeline import filtering as fl
+
+    def decontaminate_row(s, d):
+        """Benchmark decontamination: eval set = every 50th document;
+        word 3-gram overlap (13-gram at production scale — the synthetic
+        docs are short). Benchmark shingles broadcast; the corpus side
+        is a narrow semi-join + one doc-keyed count shuffle."""
+        docs = _read(s, d, "documents").select("doc_id", "text")
+        bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
+        out = fl.decontaminate(docs, bench, n=3, min_overlap=2)
+        return out.select(
+            "doc_id", "n_contaminated",
+            F.col("contaminated").cast("int").alias("contaminated"))
+    q["decontaminate_ngrams"] = decontaminate_row
+
+    def stratified_sample_row(s, d):
+        """Deterministic stratified sampling: md5-derived uniform per
+        row vs per-lang keep rates — reproducible across retries and
+        cluster sizes (rand() is not)."""
+        docs = _read(s, d, "documents").select("doc_id", "lang")
+        return fl.stratified_sample(
+            docs, {"en": 0.5, "fr": 0.25, "zh": 1.0}, seed=7)
+    q["stratified_sample"] = stratified_sample_row
+
+    def gopher_filter_row(s, d):
+        """Gopher-rule composite quality filter (Rae et al. 2021
+        §A1.1) over deterministically mutated docs: every 4th doc
+        gains symbol runs (fires r_symbol/r_alpha), every 6th repeated
+        lines (fires r_dupline) — mirrored exactly in the SQL oracle."""
+        docs = _read(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.lit(" ## ## ... ... ...")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 6 == 0,
+                       F.lit("\nfoo\nfoo\nfoo\nfoo")).otherwise(F.lit("")),
+            ).alias("text"))
+        out = fl.gopher_filter(docs, min_tokens=30, min_stopword_hits=2)
+        flags = ["r_ntok", "r_meanlen", "r_alpha", "r_symbol",
+                 "r_dupline", "r_stop", "keep"]
+        return out.select(
+            "doc_id", "n_words", "mean_word_len", "alpha_frac",
+            "symbol_ratio", "dup_line_frac", "stopword_hits",
+            *[F.col(c).cast("int").alias(c) for c in flags])
+    q["gopher_quality_filter"] = gopher_filter_row
+
+    def training_mix_row(s, d):
+        """Training-mix token budgeting: per-lang sampling rates that
+        hit a 20k-token budget at 40/30/30 en/zh/de target shares
+        (strata outside the target map get rate 0)."""
+        docs = _read(s, d, "documents").select("lang", "text")
+        return fl.training_mix(
+            docs, {"en": 0.4, "zh": 0.3, "de": 0.3}, budget_tokens=20000)
+    q["training_mix_budget"] = training_mix_row
+
     return q
 
 
@@ -1369,5 +1426,120 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS content_sha,
        'application/octet-stream' AS sniffed_type
 FROM documents
+"""
+
+    o["decontaminate_ngrams"] = f"""
+WITH {_shingle_cte('documents')},
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+ov AS (SELECT s.doc_id, count(*) AS n
+       FROM sh s JOIN bsh USING (shingle) GROUP BY s.doc_id)
+SELECT d.doc_id, COALESCE(ov.n, 0) AS n_contaminated,
+       CASE WHEN COALESCE(ov.n, 0) >= 2 THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+"""
+
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE (({_H32.format(c="doc_id::VARCHAR || ':7'")}) % 1000000)
+      / 1000000.0 <
+      CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                WHEN 'fr' THEN CAST(0.25 AS DOUBLE)
+                WHEN 'zh' THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END
+"""
+
+    _stop_in = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    o["gopher_quality_filter"] = rf"""
+WITH docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0 THEN ' ## ## ... ... ...'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN chr(10)||'foo'||chr(10)||'foo'||chr(10)||'foo'
+                      ||chr(10)||'foo' ELSE '' END AS text
+  FROM documents),
+w AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS ws,
+             list_filter(string_split(text, chr(10)),
+                         x -> x <> '') AS ls,
+             {_TOKS} AS ts
+      FROM docs),
+m AS (SELECT doc_id,
+             len(ws) AS n_words,
+             COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                 AS wchars,
+             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS n_alpha,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             len(regexp_extract_all(text, '\.\.\.')) AS n_ell,
+             len(ls) AS n_lines,
+             len(list_distinct(ls)) AS n_uls,
+             len(list_filter(list_distinct(ts),
+                             x -> x IN ({_stop_in}))) AS stop_hits
+      FROM w),
+f AS (SELECT doc_id, n_words, stop_hits,
+             CASE WHEN n_words > 0
+                  THEN wchars::DOUBLE / n_words::DOUBLE
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN n_words > 0
+                  THEN n_alpha::DOUBLE / n_words::DOUBLE
+                  ELSE 0.0 END AS alpha_frac,
+             CASE WHEN n_words > 0
+                  THEN (n_hash + n_ell)::DOUBLE / n_words::DOUBLE
+                  ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN n_lines > 0
+                  THEN (n_lines - n_uls)::DOUBLE / n_lines::DOUBLE
+                  ELSE 0.0 END AS dup_line_frac
+      FROM m),
+g AS (SELECT *,
+             CASE WHEN n_words >= 30 AND n_words <= 100000
+                  THEN 1 ELSE 0 END AS r_ntok,
+             CASE WHEN mean_len >= CAST(3.0 AS DOUBLE)
+                   AND mean_len <= CAST(10.0 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS r_meanlen,
+             CASE WHEN alpha_frac >= CAST(0.8 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS r_alpha,
+             CASE WHEN symbol_ratio <= CAST(0.1 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS r_symbol,
+             CASE WHEN dup_line_frac <= CAST(0.3 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS r_dupline,
+             CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop
+      FROM f)
+SELECT doc_id, n_words,
+       floor(mean_len * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       floor(alpha_frac * 1e6 + 0.5) / 1e6 AS alpha_frac,
+       floor(symbol_ratio * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+       floor(dup_line_frac * 1e6 + 0.5) / 1e6 AS dup_line_frac,
+       stop_hits AS stopword_hits,
+       r_ntok, r_meanlen, r_alpha, r_symbol, r_dupline, r_stop,
+       r_ntok * r_meanlen * r_alpha * r_symbol * r_dupline * r_stop
+           AS keep
+FROM g
+"""
+
+    o["training_mix_budget"] = r"""
+WITH w AS (SELECT lang,
+                  len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS t
+           FROM documents),
+a AS (SELECT lang AS stratum, count(*) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_tokens
+      FROM w GROUP BY 1),
+r AS (SELECT stratum, n_docs, n_tokens,
+             CASE stratum WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                          WHEN 'zh' THEN CAST(0.3 AS DOUBLE)
+                          WHEN 'de' THEN CAST(0.3 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS share
+      FROM a),
+x AS (SELECT *, least(CAST(1.0 AS DOUBLE),
+                      20000.0 * share / n_tokens::DOUBLE) AS rate
+      FROM r)
+SELECT stratum, n_docs, n_tokens,
+       floor(share * 1e6 + 0.5) / 1e6 AS target_share,
+       floor(rate * 1e6 + 0.5) / 1e6 AS sample_rate,
+       CAST(floor(rate * n_tokens::DOUBLE) AS BIGINT) AS expected_tokens
+FROM x
 """
     return o

@@ -852,6 +852,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"en": 0.4, "zh": 0.3, "de": 0.3}, budget_tokens=20000)
     q["training_mix_budget"] = training_mix_row
 
+    def ann_pq_row(s, d):
+        """Product-quantization ADC ANN (m=4 subspaces, 8 centroids
+        each): encode the corpus to 4-byte codes, then approximate-
+        cosine top-10 via the query's lookup table — the ranking scan
+        touches only codes, never raw vectors. Fixed seeded codebooks
+        keep the SQL oracle literal; trained codebooks + the
+        mapInArrow bulk encoder are covered by pytest."""
+        emb = _read(s, d, "embeddings")
+        qdf = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q"))
+        cb = sim.fixed_pq_codebooks(64, m=4, ksub=8, seed=9)
+        codes = emb.select(
+            "vec_id", sim.pq_encode_expr("embedding", cb).alias("pq_code"))
+        return sim.pq_adc_topk(codes, qdf, cb, k=10)
+    q["ann_pq_adc_topk"] = ann_pq_row
+
     return q
 
 
@@ -1541,5 +1557,40 @@ SELECT stratum, n_docs, n_tokens,
        floor(rate * 1e6 + 0.5) / 1e6 AS sample_rate,
        CAST(floor(rate * n_tokens::DOUBLE) AS BIGINT) AS expected_tokens
 FROM x
+"""
+
+    from quickwit_spark.pipeline.similarity import fixed_pq_codebooks
+    cbq = fixed_pq_codebooks(64, m=4, ksub=8, seed=9)
+    m_, ksub_, dsub_ = cbq.shape
+
+    def _dlits(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    code_cols, lut_cols, n2_lists = [], [], []
+    for i in range(m_):
+        lo, hi = i * dsub_ + 1, (i + 1) * dsub_
+        ds = "[" + ", ".join(
+            f"({float((c * c).sum())!r} - 2.0 * list_dot_product("
+            f"CAST(embedding[{lo}:{hi}] AS DOUBLE[]), {_dlits(c)}))"
+            for c in cbq[i]) + "]"
+        code_cols.append(f"list_indexof({ds}, list_min({ds})) AS c{i}")
+        lut_cols.append("[" + ", ".join(
+            f"list_dot_product(CAST(embedding[{lo}:{hi}] AS DOUBLE[]), "
+            f"{_dlits(c)})" for c in cbq[i]) + f"] AS l{i}")
+        n2_lists.append("[" + ", ".join(
+            repr(float((c * c).sum())) for c in cbq[i]) + "]")
+    o["ann_pq_adc_topk"] = f"""
+WITH q AS (SELECT {", ".join(lut_cols)},
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))) AS nq
+           FROM embeddings WHERE vec_id = 0),
+codes AS (SELECT vec_id, {", ".join(code_cols)} FROM embeddings)
+SELECT vec_id, round(cos, 6) AS approx_cos FROM (
+  SELECT vec_id,
+         (l0[c0] + l1[c1] + l2[c2] + l3[c3])
+         / (sqrt(({n2_lists[0]})[c0] + ({n2_lists[1]})[c1]
+                 + ({n2_lists[2]})[c2] + ({n2_lists[3]})[c3]) * nq) AS cos
+  FROM codes, q)
+ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
     return o

@@ -18,11 +18,13 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
-def _dot_expr(a: str, b) -> "F.Column":
+def _dot_expr(a, b) -> "F.Column":
     """Deterministic f64 dot product: elementwise multiply then ordered
-    fold (matches a sequential SQL loop / DuckDB list_dot_product)."""
+    fold (matches a sequential SQL loop / DuckDB list_dot_product).
+    `a` is a column name or a Column (e.g. a slice expression)."""
+    ca = F.col(a) if isinstance(a, str) else a
     return F.aggregate(
-        F.zip_with(F.col(a), b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(ca, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -185,6 +187,157 @@ def ivf_topk_partitioned(spark, layout_dir: str, query_df: DataFrame,
     return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, F.round("_cos", 6).alias("cos")))
+
+
+def train_pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       sample: int = 2048, iters: int = 10,
+                       seed: int = 42) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011, public): split
+    each vector into m contiguous subspaces and k-means each subspace
+    independently on a driver-side sample (training is the sampled,
+    parameter-server step; encoding is the distributed part). Returns
+    (m, ksub, dim/m) float64 rounded to 6 decimals (literal-embeddable).
+    """
+    pdf = emb.orderBy(id_col).select(vec_col).limit(sample).toPandas()
+    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    out = np.empty((m, ksub, dsub), dtype=np.float64)
+    for i in range(m):
+        Xs = X[:, i * dsub:(i + 1) * dsub]
+        cent = Xs[rng.choice(len(Xs), size=min(ksub, len(Xs)),
+                             replace=False)]
+        for _ in range(iters):
+            d = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cent)):
+                msk = assign == c
+                cent[c] = Xs[msk].mean(axis=0) if msk.any() \
+                    else Xs[rng.integers(0, len(Xs))]
+        out[i] = cent
+    return np.round(out, 6)
+
+
+def fixed_pq_codebooks(dim: int, m: int = 4, ksub: int = 8,
+                       seed: int = 42) -> np.ndarray:
+    """Data-independent seeded codebooks (for oracle-checkable plans and
+    cold-start encoding; trained codebooks via train_pq_codebooks).
+    Entries are scaled to ~N(0, 1/dim) so centroid norms match
+    unit-normalized embeddings (standard-normal entries would have
+    subvector norms ~sqrt(dim/m), making the ||c||^2 term dominate the
+    assignment and collapsing every vector onto one code)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((m, ksub, dim // m))
+                    / np.sqrt(dim), 6)
+
+
+def pq_encode_expr(vec_col: str, codebooks: np.ndarray):
+    """PQ encode as a JVM-side expression: array<int> of per-subspace
+    nearest-centroid codes (0-based). Same flat-array argmin / first-min
+    tie-break as ivf_assign_expr; ||v_sub||^2 is constant per candidate
+    set so distances compare via ||c||^2 - 2 v_sub.c.
+
+    Codegen is O(m * ksub) aggregates — fine at gate scale (m=4,
+    ksub=8). For bulk encoding of a 100 TB corpus use pq_encode_arrow
+    (one matmul per Arrow batch), which produces identical codes."""
+    m, ksub, dsub = codebooks.shape
+    codes = []
+    for i in range(m):
+        vslice = F.slice(F.col(vec_col), i * dsub + 1, dsub)
+        dists = []
+        for c in codebooks[i]:
+            lits = F.array(*[F.lit(float(x)) for x in c])
+            dists.append(F.lit(float((c * c).sum()))
+                         - F.lit(2.0) * _dot_expr(vslice, lits))
+        ds = F.array(*dists)
+        codes.append((F.array_position(ds, F.array_min(ds)) - F.lit(1))
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def pq_encode_arrow(emb: DataFrame, codebooks: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    out_col: str = "pq_code") -> DataFrame:
+    """Scale-path PQ encoder: mapInArrow batches, one (batch x ksub)
+    matmul per subspace — no per-row Python, no shuffle. 100 TB of f32
+    embeddings compress to m bytes/vector (dim*4/m x smaller); the codes
+    DataFrame is what you persist, the raw vectors go cold.
+
+    Codes are identical to pq_encode_expr's (same first-min argmin);
+    only the distance arithmetic differs in the last ulp (matmul vs
+    sequential fold), which only matters on exact centroid ties."""
+    import pyarrow as pa
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    csum = (cb ** 2).sum(axis=2)          # (m, ksub)
+    cbt = [np.ascontiguousarray(cb[i].T) for i in range(m)]
+
+    def encode(batches):
+        for b in batches:
+            ids = b.column(id_col)
+            lst = b.column(vec_col)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            flat = np.asarray(lst.flatten(), dtype=np.float64)
+            X = flat.reshape(len(b), m * dsub)
+            codes = np.empty((len(b), m), dtype=np.int32)
+            for i in range(m):
+                Xs = X[:, i * dsub:(i + 1) * dsub]
+                d = csum[i][None, :] - 2.0 * (Xs @ cbt[i])
+                codes[:, i] = d.argmin(axis=1)
+            yield pa.record_batch(
+                [ids, pa.array(list(codes), type=pa.list_(pa.int32()))],
+                names=[id_col, out_col])
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        encode, f"{id_col} long, {out_col} array<int>")
+
+
+def pq_adc_topk(codes_df: DataFrame, query_df: DataFrame,
+                codebooks: np.ndarray, k: int = 10,
+                id_col: str = "vec_id", code_col: str = "pq_code"
+                ) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds an
+    (m x ksub) lookup table of subspace dot products; each row's
+    approximate cosine is LUT sums indexed by its codes — the scan
+    touches only the m-byte codes, never the raw vectors. Shuffle-free
+    map + global top-k, like brute_force_topk but over compressed data.
+
+    Score = sum_i dot(q_i, cb[i][code_i]) /
+            (||q|| * sqrt(sum_i ||cb[i][code_i]||^2))
+    (the standard ADC approximation of cosine; exact re-ranking of the
+    short-list against raw vectors composes downstream if needed)."""
+    m, ksub, dsub = codebooks.shape
+    j = codes_df.crossJoin(F.broadcast(query_df))
+    dot_terms = []
+    n2_terms = []
+    for i in range(m):
+        qslice = F.slice(F.col("q"), i * dsub + 1, dsub)
+        lut = F.array(*[
+            _dot_expr(qslice, F.array(*[F.lit(float(x)) for x in c]))
+            for c in codebooks[i]])
+        csums = F.array(*[F.lit(float((c * c).sum()))
+                          for c in codebooks[i]])
+        code_i = F.element_at(F.col(code_col), i + 1) + F.lit(1)
+        dot_terms.append(F.element_at(lut, code_i))
+        n2_terms.append(F.element_at(csums, code_i))
+    adc = dot_terms[0]
+    for t in dot_terms[1:]:
+        adc = adc + t
+    n2 = n2_terms[0]
+    for t in n2_terms[1:]:
+        n2 = n2 + t
+    nb = F.sqrt(_dot_expr("q", F.col("q")))
+    scored = j.select(F.col(id_col),
+                      (adc / (F.sqrt(n2) * nb)).alias("_cos"))
+    return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, F.round("_cos", 6).alias("approx_cos")))
 
 
 def lsh_bucket_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,

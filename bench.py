@@ -117,6 +117,13 @@ def main() -> None:
                              must_not=(A.Term("content", "cache"),)),
         "q_phrase_fallback": A.FullText("content", "merge batch split"),
     }
+    # the leaf partial-request cache would reduce repeat timings to dict
+    # lookups — disable it so latencies measure the real scoring path
+    # (reader/termdict caches stay warm, as before); its hit latency is
+    # reported separately as q_term_head_leafcached
+    import quickwit_spark.search.engine as _eng
+    _leaf_cache_max = _eng.LEAF_CACHE_MAX_ENTRIES
+    _eng.LEAF_CACHE_MAX_ENTRIES = 0
     lat_ms: list[float] = []
     for name, node in qset.items():
         # warmup once, then 3 timed runs; record median
@@ -129,6 +136,17 @@ def main() -> None:
         runs.sort()
         queries[name] = round(runs[1], 4)
         lat_ms.extend(r * 1000 for r in runs)
+    _eng.LEAF_CACHE_MAX_ENTRIES = _leaf_cache_max
+    _eng.clear_leaf_cache()
+    node = qset["q_term_head"]
+    searcher.search(node, k=10, fetch_fields=False)  # populate
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        searcher.search(node, k=10, fetch_fields=False)
+        runs.append(time.perf_counter() - t0)
+    queries["q_term_head_leafcached"] = round(sorted(runs)[1], 4)
+    _eng.LEAF_CACHE_MAX_ENTRIES = 0
     lat_ms.sort()
     p50 = lat_ms[len(lat_ms) // 2]
     p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]

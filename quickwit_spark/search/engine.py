@@ -1080,10 +1080,64 @@ def get_reader(seg_dir: str, tokenizer: str) -> "SegmentReader":
     return r
 
 
+# ---------------------------------------------------------------------------
+# Leaf partial-request cache (the reference's leaf_cache.rs: a bounded
+# cache of (split, request) -> LeafSearchResponse). Sound without any
+# invalidation protocol because segments are immutable and
+# content-addressed — a (seg_dir, request) pair can never go stale; a
+# delete/merge produces a NEW segment id (deletes.py:86-92) and the old
+# entries simply age out of the LRU. Lives at the leaf (segment_top_k)
+# so both the in-process path and the long-lived executor python workers
+# of the mapInPandas fan-out benefit.
+# ---------------------------------------------------------------------------
+_LEAF_CACHE: "OrderedDict[tuple, tuple[int, pd.DataFrame]]" = OrderedDict()
+LEAF_CACHE_MAX_ENTRIES = int(os.environ.get("QW_LEAF_CACHE_ENTRIES", "512"))
+LEAF_CACHE_MAX_ROWS = int(os.environ.get("QW_LEAF_CACHE_MAX_ROWS", "100000"))
+_LEAF_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def leaf_cache_stats() -> dict:
+    return dict(_LEAF_CACHE_STATS, entries=len(_LEAF_CACHE))
+
+
+def clear_leaf_cache() -> None:
+    _LEAF_CACHE.clear()
+    _LEAF_CACHE_STATS.update(hits=0, misses=0)
+
+
 def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
                   text_field: str, use_wand: bool = False,
                   search_after: tuple | None = None
                   ) -> tuple[int, pd.DataFrame]:
+    """Cached leaf search: repeat (segment, request) pairs — dashboards,
+    paginating clients re-issuing page 1, multi-user hot queries — are
+    served from the partial-result cache without touching postings."""
+    if LEAF_CACHE_MAX_ENTRIES <= 0:
+        return _segment_top_k_uncached(seg_dir, node, k, tokenizer,
+                                       text_field, use_wand, search_after)
+    key = (seg_dir, json.dumps(A.ast_to_json(node), sort_keys=True),
+           int(k), bool(use_wand), repr(search_after), tokenizer,
+           text_field)
+    ent = _LEAF_CACHE.get(key)
+    if ent is not None:
+        _LEAF_CACHE.move_to_end(key)
+        _LEAF_CACHE_STATS["hits"] += 1
+        return ent[0], ent[1].copy()
+    _LEAF_CACHE_STATS["misses"] += 1
+    cnt, top = _segment_top_k_uncached(seg_dir, node, k, tokenizer,
+                                       text_field, use_wand, search_after)
+    if len(top) <= LEAF_CACHE_MAX_ROWS:
+        _LEAF_CACHE[key] = (cnt, top.copy())
+        while len(_LEAF_CACHE) > LEAF_CACHE_MAX_ENTRIES:
+            _LEAF_CACHE.popitem(last=False)
+    return cnt, top
+
+
+def _segment_top_k_uncached(seg_dir: str, node: A.Node, k: int,
+                            tokenizer: str, text_field: str,
+                            use_wand: bool = False,
+                            search_after: tuple | None = None
+                            ) -> tuple[int, pd.DataFrame]:
     """Leaf search on one segment: returns (match_count, top-k candidates
     sorted by (score desc, doc_id desc)). With use_wand, prunable query
     shapes use block-max skipping (identical top-k; for OR the match count

@@ -1107,17 +1107,21 @@ def clear_leaf_cache() -> None:
 
 def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
                   text_field: str, use_wand: bool = False,
-                  search_after: tuple | None = None
+                  search_after: tuple | None = None,
+                  initial_theta: float = float("-inf")
                   ) -> tuple[int, pd.DataFrame]:
     """Cached leaf search: repeat (segment, request) pairs — dashboards,
     paginating clients re-issuing page 1, multi-user hot queries — are
-    served from the partial-result cache without touching postings."""
+    served from the partial-result cache without touching postings.
+    initial_theta (cross-segment bound walk) is part of the cache key:
+    a theta-pruned partial result is only reusable at the same bar."""
     if LEAF_CACHE_MAX_ENTRIES <= 0:
         return _segment_top_k_uncached(seg_dir, node, k, tokenizer,
-                                       text_field, use_wand, search_after)
+                                       text_field, use_wand, search_after,
+                                       initial_theta)
     key = (seg_dir, json.dumps(A.ast_to_json(node), sort_keys=True),
            int(k), bool(use_wand), repr(search_after), tokenizer,
-           text_field)
+           text_field, float(initial_theta))
     ent = _LEAF_CACHE.get(key)
     if ent is not None:
         _LEAF_CACHE.move_to_end(key)
@@ -1125,7 +1129,8 @@ def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
         return ent[0], ent[1].copy()
     _LEAF_CACHE_STATS["misses"] += 1
     cnt, top = _segment_top_k_uncached(seg_dir, node, k, tokenizer,
-                                       text_field, use_wand, search_after)
+                                       text_field, use_wand, search_after,
+                                       initial_theta)
     if len(top) <= LEAF_CACHE_MAX_ROWS:
         _LEAF_CACHE[key] = (cnt, top.copy())
         while len(_LEAF_CACHE) > LEAF_CACHE_MAX_ENTRIES:
@@ -1136,7 +1141,8 @@ def segment_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
 def _segment_top_k_uncached(seg_dir: str, node: A.Node, k: int,
                             tokenizer: str, text_field: str,
                             use_wand: bool = False,
-                            search_after: tuple | None = None
+                            search_after: tuple | None = None,
+                            initial_theta: float = float("-inf")
                             ) -> tuple[int, pd.DataFrame]:
     """Leaf search on one segment: returns (match_count, top-k candidates
     sorted by (score desc, doc_id desc)). With use_wand, prunable query
@@ -1152,7 +1158,8 @@ def _segment_top_k_uncached(seg_dir: str, node: A.Node, k: int,
             from .wand import and_topk, or_topk
             op, terms = shape
             fn = and_topk if op == "and" else or_topk
-            docids, scores, count = fn(reader, terms, max(k, 1))
+            docids, scores, count = fn(reader, terms, max(k, 1),
+                                       initial_theta)
             scored = _Scored(docids, scores)
         else:
             scored = reader.eval(node, text_field, scoring=True).with_scores()
@@ -1210,6 +1217,27 @@ def _segment_top_k_uncached(seg_dir: str, node: A.Node, k: int,
         "doc_id": docids[top],
         "score": scores[top].astype(np.float64),
     })
+
+
+def segment_wand_bound(seg_dir: str, node: A.Node, tokenizer: str,
+                       text_field: str) -> float | None:
+    """Upper bound on any single doc's score in this segment for a
+    WAND-shaped query, from cursor metadata only (no posting decode):
+    the sum of per-term max block scores. An AND with a term absent
+    from the segment bounds to 0.0 (cannot match). Returns None for
+    non-WAND shapes — the caller must process that segment."""
+    shape = _wand_shape(node, text_field, tokenizer)
+    if shape is None:
+        return None
+    op, terms = shape
+    reader = get_reader(seg_dir, tokenizer)
+    from .wand import _make_cursors
+    cursors = _make_cursors(reader, terms)
+    if not cursors:
+        return 0.0
+    if op == "and" and any(c is None for c in cursors):
+        return 0.0
+    return float(sum(c.max_score for c in cursors if c is not None))
 
 
 def segment_sort_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
@@ -1380,6 +1408,8 @@ class IndexSearcher:
         if self.spark is not None and len(segs) > 1:
             parts = self._leaf_spark(segs, node, need, use_wand,
                                      search_after)
+        elif use_wand and len(segs) > 1:
+            parts = self._leaf_bound_walk(segs, node, need)
         else:
             for seg in segs:
                 seg_dir = os.path.join(self.index_dir, "segments",
@@ -1408,12 +1438,86 @@ class IndexSearcher:
             for r in winners.itertuples()]
         return SearchResult(num_hits, hits)
 
+    def _leaf_bound_walk(self, segs: list[dict], node: A.Node,
+                         need: int) -> list[tuple[str, int, pd.DataFrame]]:
+        """Cross-segment early-skip for pruned top-k (the reference's
+        split-order walk, leaf.rs:1255-1274: order splits, convert
+        trailing ones to no-ops when they cannot beat the current worst
+        hit). Segments are walked in descending score-bound order; each
+        leaf's WAND threshold is seeded with the global k-th best so
+        far, and a segment whose bound falls below the bar is skipped
+        without opening a posting list.
+
+        Rank-identity: a skipped segment's every doc scores <= bound <
+        (k-th best - slack), so it cannot enter the global top-k; ties
+        at the k-th score survive because the seed is pre-slacked
+        downward. Hit counts undercount further than plain WAND —
+        that is the count_all=False contract. In-process path only: the
+        mapInPandas fan-out runs leaves concurrently with no shared
+        theta (its driver merge is already exact)."""
+        from .wand import STATS as _WSTATS
+        bounds = []
+        for seg in segs:
+            seg_dir = os.path.join(self.index_dir, "segments",
+                                   seg["segment_id"])
+            b = segment_wand_bound(seg_dir, node, self.tokenizer,
+                                   self.text_field)
+            bounds.append((b, seg, seg_dir))
+        # unbounded (non-WAND-shape) segments first — they must run
+        bounds.sort(key=lambda t: -(float("inf") if t[0] is None
+                                    else t[0]))
+        parts: list[tuple[str, int, pd.DataFrame]] = []
+        top_scores: list[float] = []
+        seed = float("-inf")
+        for b, seg, seg_dir in bounds:
+            if b is not None and b < seed:
+                _WSTATS["segments_skipped"] += 1
+                parts.append((seg["segment_id"], 0,
+                              pd.DataFrame({"doc_id": [], "score": []})))
+                continue
+            cnt, top = segment_top_k(seg_dir, node, need, self.tokenizer,
+                                     self.text_field, True, None, seed)
+            parts.append((seg["segment_id"], cnt, top))
+            if len(top):
+                top_scores.extend(float(s) for s in top["score"])
+                top_scores.sort(reverse=True)
+                del top_scores[need:]
+                if len(top_scores) >= need:
+                    kth = top_scores[need - 1]
+                    seed = kth - abs(kth) * 1e-5
+        return parts
+
     def _leaf_spark(self, segs: list[dict], node: A.Node, need: int,
                     use_wand: bool = False,
                     search_after: tuple | None = None):
         index_dir = self.index_dir
         tokenizer = self.tokenizer
         text_field = self.text_field
+        seed = float("-inf")
+        seed_parts: list[tuple[str, int, pd.DataFrame]] = []
+        if use_wand and search_after is None and len(segs) >= 4:
+            # two-phase seed (the root.rs split-batch spirit applied to
+            # one fan-out round): run the LARGEST segment first,
+            # in-process, and ship its k-th best score into every
+            # remaining leaf's WAND threshold. Costs one segment of
+            # serial latency; cuts total decoded blocks across the
+            # fan-out — the right trade at cluster scale, where
+            # aggregate work across thousands of concurrent queries,
+            # not one query's latency, is the bottleneck.
+            big = max(segs, key=lambda s: s.get("num_docs", 0))
+            big_dir = os.path.join(index_dir, "segments",
+                                   big["segment_id"])
+            cnt0, top0 = segment_top_k(big_dir, node, need, tokenizer,
+                                       text_field, True, None)
+            seed_parts.append((big["segment_id"], cnt0, top0))
+            if len(top0) >= need:
+                kth = float(top0["score"].iloc[need - 1])
+                seed = kth - abs(kth) * 1e-5
+            segs = [s for s in segs
+                    if s["segment_id"] != big["segment_id"]]
+            if not segs:
+                return seed_parts
+
         seg_ids = [s["segment_id"] for s in segs]
         sdf = self.spark.createDataFrame(
             [(s,) for s in seg_ids], "segment_id string"
@@ -1425,7 +1529,7 @@ class IndexSearcher:
                     seg_dir = os.path.join(index_dir, "segments", sid)
                     cnt, top = segment_top_k(seg_dir, node, need, tokenizer,
                                              text_field, use_wand,
-                                             search_after)
+                                             search_after, seed)
                     top = top.copy()
                     top["segment_id"] = sid
                     top["match_count"] = cnt
@@ -1439,7 +1543,7 @@ class IndexSearcher:
         rows = sdf.mapInPandas(
             leaf, "segment_id string, doc_id long, score double, "
                   "match_count long").toPandas()
-        parts = []
+        parts = list(seed_parts)
         for sid, grp in rows.groupby("segment_id", sort=False):
             cnt = int(grp["match_count"].iloc[0])
             top = grp[grp["doc_id"] >= 0][["doc_id", "score"]]

@@ -31,8 +31,9 @@ from ..index.codecs import decode_blocks_batch, decode_postings
 
 __all__ = ["and_topk", "or_topk", "single_term_topk", "STATS"]
 
-# instrumentation (tests / bench): decoded vs skipped block counts
-STATS = {"blocks_decoded": 0, "blocks_total": 0}
+# instrumentation (tests / bench): decoded vs skipped block counts, plus
+# whole segments skipped by the cross-segment bound walk (engine.search)
+STATS = {"blocks_decoded": 0, "blocks_total": 0, "segments_skipped": 0}
 
 
 class _TermCursor:
@@ -152,7 +153,8 @@ def _empty3():
     return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32), 0)
 
 
-def single_term_topk(reader, term: str, k: int):
+def single_term_topk(reader, term: str, k: int,
+                     initial_theta: float = float("-inf")):
     """Bound-ordered top-k for ONE term: decode blocks in DESCENDING
     block-bound order and stop once the next bound is strictly below the
     running k-th score. Docid-order WAND cannot skip here (a single
@@ -166,7 +168,13 @@ def single_term_topk(reader, term: str, k: int):
     stay because pruning is strict-less-than. Scores are the same
     w.score(tf, fieldnorm) f32 values the exhaustive path computes, so
     top-k, tie-break and values are identical. Count returned is
-    doc_freq — EXACT for a single term (unlike the OR lower bound)."""
+    doc_freq — EXACT for a single term (unlike the OR lower bound).
+
+    initial_theta seeds the threshold from OUTSIDE (the cross-segment
+    bound walk: the global k-th best so far, pre-slacked by the caller)
+    so later segments skip blocks from the first chunk. Local results
+    may then hold fewer than k rows — only docs below the global bar
+    are dropped, so the cross-segment merge is unaffected."""
     cursors = _make_cursors(reader, [term])
     if not cursors or cursors[0] is None:
         return _empty3()
@@ -179,7 +187,8 @@ def single_term_topk(reader, term: str, k: int):
                         kind="stable")
     acc_d = np.zeros(0, dtype=np.int64)
     acc_s = np.zeros(0, dtype=np.float32)
-    theta = None
+    theta = None if initial_theta == float("-inf") \
+        else np.float32(initial_theta)
     decoded = 0
     # chunk size: k blocks guarantee >= k candidates in round one when
     # blocks are full; growing chunks amortize the varint-batch overhead
@@ -206,7 +215,8 @@ def single_term_topk(reader, term: str, k: int):
         acc_d = np.concatenate([acc_d, d])
         acc_s = np.concatenate([acc_s, s])
         if len(acc_s) >= k:
-            theta = np.float32(np.partition(acc_s, -k)[-k])
+            kth = np.float32(np.partition(acc_s, -k)[-k])
+            theta = kth if theta is None else max(theta, kth)
         i += chunk_sz
         chunk_sz = min(chunk_sz * 2, 1024)
         if theta is not None and i < nblk \
@@ -218,12 +228,17 @@ def single_term_topk(reader, term: str, k: int):
     return acc_d[top], acc_s[top], cur.doc_freq
 
 
-def and_topk(reader, terms: list[str], k: int):
+def and_topk(reader, terms: list[str], k: int,
+             initial_theta: float = float("-inf")):
     """Skip-based intersection with exact scores.
     Returns (docids, scores, match_count) of the FULL intersection
-    (count is exact)."""
+    (count is exact). initial_theta is used only on the single-term
+    path; the multi-term intersection prunes by docid ranges, not
+    scores (score-thresholded AND measured slower — see the exact-count
+    note in segment_top_k), and the cross-segment walk still skips WHOLE
+    segments whose bound is below the seed before reaching here."""
     if len(terms) == 1:
-        return single_term_topk(reader, terms[0], k)
+        return single_term_topk(reader, terms[0], k, initial_theta)
     groups = [[c] if c is not None else None
               for c in _make_cursors(reader, terms)]
     return and_topk_groups(groups, reader.fieldnorm_ids(), reader.record,
@@ -272,7 +287,8 @@ def and_topk_groups(groups: list, fn_ids, record: str, k: int):
     return cand, _combine_in_query_order(parts, cand), len(cand)
 
 
-def or_topk(reader, terms: list[str], k: int):
+def or_topk(reader, terms: list[str], k: int,
+            initial_theta: float = float("-inf")):
     """MaxScore/block-max pruned union top-k (scores exact for returned
     docs; skipped docs provably below the threshold).
     Returns (docids, scores, match_count_lower_bound) where docids is
@@ -281,18 +297,25 @@ def or_topk(reader, terms: list[str], k: int):
     matching docs SEEN (a lower bound — the reference's
     CountHits::Underestimate)."""
     if len(terms) == 1:
-        return single_term_topk(reader, terms[0], k)
+        return single_term_topk(reader, terms[0], k, initial_theta)
     return or_topk_cursors(_make_cursors(reader, terms),
-                           reader.fieldnorm_ids(), reader.record, k)
+                           reader.fieldnorm_ids(), reader.record, k,
+                           initial_theta)
 
 
-def or_topk_cursors(all_cursors: list, fn_ids, record: str, k: int):
+def or_topk_cursors(all_cursors: list, fn_ids, record: str, k: int,
+                    initial_theta: float = float("-inf")):
     """Cursor-level pruned OR (shared by the per-segment and the GLOBAL
     term-partitioned searchers). Cursors may cover DISJOINT docid ranges
     of the same term (salted Zipf-head rows): treating each as its own
     MaxScore participant only over-estimates the remaining bound, which
     is conservative. fn_ids is any fancy-indexable docid->fieldnorm-id
-    lookup (an array, or a lazy per-segment resolver)."""
+    lookup (an array, or a lazy per-segment resolver).
+
+    initial_theta (the cross-segment bound walk's pre-slacked global
+    k-th best) lets pruning engage from the FIRST cursor, before k local
+    candidates exist; local results may then return fewer than k rows —
+    every dropped doc is provably below the global bar."""
     live = [(i, c) for i, c in enumerate(all_cursors) if c is not None]
     if not live:
         return _empty3()
@@ -304,10 +327,11 @@ def or_topk_cursors(all_cursors: list, fn_ids, record: str, k: int):
     acc_scores = np.zeros(0, dtype=np.float32)
     parts: list = [None] * len(all_cursors)
     rest = np.cumsum([c.max_score for _, c in live][::-1])[::-1]
-    theta = -np.inf
+    seeded = initial_theta > float("-inf")
+    theta = float(initial_theta) if seeded else -np.inf
     for j, (i, cur) in enumerate(live):
         remaining = rest[j + 1] if j + 1 < len(live) else 0.0
-        if theta > -np.inf and len(acc_docs) >= k:
+        if theta > -np.inf and (seeded or len(acc_docs) >= k):
             # block-max filter for EVERY cursor once theta is set: block b
             # can matter iff (an unseen doc could qualify through it:
             # block_score + remaining >= theta) or (a current candidate in
@@ -348,9 +372,10 @@ def or_topk_cursors(all_cursors: list, fn_ids, record: str, k: int):
         if len(acc_docs) >= k:
             # small relative margin: the accumulator sums in decode order,
             # which can differ from clause-order sums by ~1 ulp — keep the
-            # pruning threshold strictly conservative
+            # pruning threshold strictly conservative. Never drops below
+            # an external seed (max).
             kth = float(np.partition(acc_scores, -k)[-k])
-            theta = kth - abs(kth) * 1e-5
+            theta = max(theta, kth - abs(kth) * 1e-5)
 
     count = len(acc_docs)
     qparts = [p for p in parts if p is not None]

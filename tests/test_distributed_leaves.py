@@ -109,3 +109,21 @@ def test_es_sort_search_after_round_trip(idx, spark):
     # stitching matches a single size-10 request
     both = es_search(s, {**body, "size": 10})
     assert ids1 + ids2 == [h["_id"] for h in both["hits"]["hits"]]
+
+
+@pytest.mark.parametrize("node", [
+    A.Bool(should=(A.Term("content", "merge"), A.Term("content", "split"))),
+    A.Bool(must=(A.Term("content", "merge"), A.Term("content", "index"))),
+    A.Term("content", "get"),
+])
+def test_distributed_two_phase_seed_rank_identical(idx, spark, node):
+    """count_all=False on the spark path uses the two-phase seed (largest
+    segment first, its k-th score shipped into every leaf): top-k must be
+    rank-identical to the exhaustive distributed and in-process paths."""
+    local = IndexSearcher(idx.index_dir)
+    dist = IndexSearcher(idx.index_dir, spark=spark)
+    exact = dist.search(node, k=10, fetch_fields=False, count_all=True)
+    pruned = dist.search(node, k=10, fetch_fields=False, count_all=False)
+    inproc = local.search(node, k=10, fetch_fields=False, count_all=False)
+    assert _hits_key(exact) == _hits_key(pruned) == _hits_key(inproc)
+    assert pruned.num_hits <= exact.num_hits

@@ -1418,6 +1418,13 @@ class IndexSearcher:
                                          self.text_field, use_wand,
                                          search_after)
                 parts.append((seg["segment_id"], cnt, top))
+        return self._merge_and_fetch(parts, k, offset, fetch_fields)
+
+    def _merge_and_fetch(self, parts: list[tuple[str, int, pd.DataFrame]],
+                         k: int, offset: int,
+                         fetch_fields: bool) -> SearchResult:
+        """Root merge of leaf parts: global (score desc, segment_id desc,
+        doc_id desc) order, offset/k slice, optional doc-store fetch."""
         num_hits = sum(c for _, c, _ in parts)
         frames = []
         for sid, _cnt, top in parts:
@@ -1437,6 +1444,74 @@ class IndexSearcher:
             SearchHit(float(r.score), str(r.segment_id), int(r.doc_id), {})
             for r in winners.itertuples()]
         return SearchResult(num_hits, hits)
+
+    def search_many(self, queries: list, k: int = 10, offset: int = 0,
+                    fetch_fields: bool = True,
+                    count_all: bool = True) -> list[SearchResult]:
+        """Batched multi-query search: N queries, ONE leaf fan-out.
+
+        The distributed path ships (query, segment) PAIRS through a
+        single mapInPandas, so a dashboard's 30 panels or an _msearch
+        batch cost one Spark job and one round of task scheduling
+        instead of N — at cluster scale, scheduling latency dominates
+        warm top-k queries, so batching is the idiomatic execution of
+        concurrent query workloads. Per-query segment PRUNING still
+        applies (a pair is only emitted for segments the query's
+        filters cannot exclude). In-process it is a plain loop over
+        search(). Results are identical to per-query search() calls."""
+        nodes = [self.parse(qq) for qq in queries]
+        if self.spark is None or len(nodes) <= 1:
+            return [self.search(n, k=k, offset=offset,
+                                fetch_fields=fetch_fields,
+                                count_all=count_all) for n in nodes]
+        need = offset + k
+        use_wand = not count_all
+        pairs = []
+        for qi, node in enumerate(nodes):
+            for seg in self._prune(node):
+                pairs.append((qi, seg["segment_id"]))
+        if not pairs:
+            return [SearchResult(0, []) for _ in nodes]
+        index_dir = self.index_dir
+        tokenizer = self.tokenizer
+        text_field = self.text_field
+        sdf = self.spark.createDataFrame(
+            pairs, "query_id int, segment_id string"
+        ).repartition(min(len(pairs),
+                          2 * _default_parallelism(self.spark)))
+
+        def leaf(iterator):
+            for pdf in iterator:
+                for qi, sid in zip(pdf["query_id"].tolist(),
+                                   pdf["segment_id"].tolist()):
+                    seg_dir = os.path.join(index_dir, "segments", sid)
+                    cnt, top = segment_top_k(seg_dir, nodes[qi], need,
+                                             tokenizer, text_field,
+                                             use_wand, None)
+                    top = top.copy()
+                    top["query_id"] = qi
+                    top["segment_id"] = sid
+                    top["match_count"] = cnt
+                    if len(top) == 0:
+                        top = pd.DataFrame({
+                            "query_id": [qi], "doc_id": [-1],
+                            "score": [0.0], "segment_id": [sid],
+                            "match_count": [cnt]})
+                    yield top[["query_id", "segment_id", "doc_id",
+                               "score", "match_count"]]
+
+        rows = sdf.mapInPandas(
+            leaf, "query_id int, segment_id string, doc_id long, "
+                  "score double, match_count long").toPandas()
+        out = []
+        for qi in range(len(nodes)):
+            sub = rows[rows["query_id"] == qi]
+            parts = [(sid, int(grp["match_count"].iloc[0]),
+                      grp[grp["doc_id"] >= 0][["doc_id", "score"]])
+                     for sid, grp in sub.groupby("segment_id", sort=False)]
+            out.append(self._merge_and_fetch(parts, k, offset,
+                                             fetch_fields))
+        return out
 
     def _leaf_bound_walk(self, segs: list[dict], node: A.Node,
                          need: int) -> list[tuple[str, int, pd.DataFrame]]:

@@ -127,3 +127,34 @@ def test_distributed_two_phase_seed_rank_identical(idx, spark, node):
     inproc = local.search(node, k=10, fetch_fields=False, count_all=False)
     assert _hits_key(exact) == _hits_key(pruned) == _hits_key(inproc)
     assert pruned.num_hits <= exact.num_hits
+
+
+def test_search_many_batched_identical(idx, spark):
+    """search_many: N queries in ONE fan-out must equal per-query
+    search() on both counts and hit order, including a zero-hit query."""
+    dist = IndexSearcher(idx.index_dir, spark=spark)
+    queries = [
+        A.Term("content", "merge"),
+        A.Bool(should=(A.Term("content", "split"),
+                       A.Term("content", "index"))),
+        A.Term("content", "zzz_absent_term"),
+        A.Bool(must=(A.Term("content", "get"),),
+               must_not=(A.Term("content", "merge"),)),
+    ]
+    batched = dist.search_many(queries, k=8, fetch_fields=False)
+    single = [dist.search(q, k=8, fetch_fields=False) for q in queries]
+    assert len(batched) == len(single) == 4
+    for b, s in zip(batched, single):
+        assert b.num_hits == s.num_hits
+        assert _hits_key(b) == _hits_key(s)
+    assert batched[2].num_hits == 0 and not batched[2].hits
+
+
+def test_search_many_pruned_mode(idx, spark):
+    dist = IndexSearcher(idx.index_dir, spark=spark)
+    queries = [A.Term("content", "merge"), A.Term("content", "split")]
+    batched = dist.search_many(queries, k=5, fetch_fields=False,
+                               count_all=False)
+    exact = [dist.search(q, k=5, fetch_fields=False) for q in queries]
+    for b, s in zip(batched, exact):
+        assert _hits_key(b) == _hits_key(s)

@@ -1458,32 +1458,43 @@ class IndexSearcher:
         concurrent query workloads. Per-query segment PRUNING still
         applies (a pair is only emitted for segments the query's
         filters cannot exclude). In-process it is a plain loop over
-        search(). Results are identical to per-query search() calls."""
+        search(). Results are identical to per-query search() calls.
+
+        k / offset may be ints (shared) or per-query lists — _msearch
+        bodies carry their own size/from."""
         nodes = [self.parse(qq) for qq in queries]
+        ks = [int(k)] * len(nodes) if isinstance(k, int) else \
+            [int(x) for x in k]
+        offsets = [int(offset)] * len(nodes) if isinstance(offset, int) \
+            else [int(x) for x in offset]
+        if len(ks) != len(nodes) or len(offsets) != len(nodes):
+            raise ValueError("k/offset lists must match queries length")
         if self.spark is None or len(nodes) <= 1:
-            return [self.search(n, k=k, offset=offset,
+            return [self.search(n, k=ks[i], offset=offsets[i],
                                 fetch_fields=fetch_fields,
-                                count_all=count_all) for n in nodes]
-        need = offset + k
+                                count_all=count_all)
+                    for i, n in enumerate(nodes)]
         use_wand = not count_all
         pairs = []
         for qi, node in enumerate(nodes):
             for seg in self._prune(node):
-                pairs.append((qi, seg["segment_id"]))
+                pairs.append((qi, seg["segment_id"],
+                              ks[qi] + offsets[qi]))
         if not pairs:
             return [SearchResult(0, []) for _ in nodes]
         index_dir = self.index_dir
         tokenizer = self.tokenizer
         text_field = self.text_field
         sdf = self.spark.createDataFrame(
-            pairs, "query_id int, segment_id string"
+            pairs, "query_id int, segment_id string, need int"
         ).repartition(min(len(pairs),
                           2 * _default_parallelism(self.spark)))
 
         def leaf(iterator):
             for pdf in iterator:
-                for qi, sid in zip(pdf["query_id"].tolist(),
-                                   pdf["segment_id"].tolist()):
+                for qi, sid, need in zip(pdf["query_id"].tolist(),
+                                         pdf["segment_id"].tolist(),
+                                         pdf["need"].tolist()):
                     seg_dir = os.path.join(index_dir, "segments", sid)
                     cnt, top = segment_top_k(seg_dir, nodes[qi], need,
                                              tokenizer, text_field,
@@ -1509,7 +1520,7 @@ class IndexSearcher:
             parts = [(sid, int(grp["match_count"].iloc[0]),
                       grp[grp["doc_id"] >= 0][["doc_id", "score"]])
                      for sid, grp in sub.groupby("segment_id", sort=False)]
-            out.append(self._merge_and_fetch(parts, k, offset,
+            out.append(self._merge_and_fetch(parts, ks[qi], offsets[qi],
                                              fetch_fields))
         return out
 

@@ -130,13 +130,16 @@ def parse_minimum_should_match(value, n_should: int) -> int:
     return max(0, n)
 
 
-def es_search(searcher, body: dict, default_field: str | None = None
-              ) -> dict:
+def es_search(searcher, body: dict, default_field: str | None = None,
+              _pre=None) -> dict:
     """Execute an ES `_search`-shaped request body and return an
     ES-shaped response (reference: quickwit-serve elasticsearch_api
     rest_handler.rs:502+ — body -> QueryAst -> same engine path ->
     response reshaped). Supports query, size, from, sort (fast fields /
-    _score / _doc), and aggs (one spec level via search/aggregations)."""
+    _score / _doc), and aggs (one spec level via search/aggregations).
+
+    _pre: a SearchResult precomputed by es_msearch's batched fan-out
+    (search_many) for this body — skips the per-body engine call."""
     import time as _time
 
     t0 = _time.perf_counter()
@@ -165,8 +168,9 @@ def es_search(searcher, body: dict, default_field: str | None = None
                                                  else None))
         hits = res.hits[offset:offset + size]
     else:
-        res = searcher.search(node, k=size, offset=offset,
-                              search_after=(tuple(sa) if sa else None))
+        res = _pre if _pre is not None else searcher.search(
+            node, k=size, offset=offset,
+            search_after=(tuple(sa) if sa else None))
         hits = res.hits
     hl_spec = body.get("highlight", {}).get("fields", {})
     hl_terms = None
@@ -463,6 +467,23 @@ def es_msearch(searcher, lines: list[dict],
         bodies = lines[1::2]
     else:
         bodies = list(lines)
-    responses = [es_search(searcher, body, default_field)
-                 for body in bodies]
+    # batched fast path: plain-search bodies (no sort / search_after —
+    # aggs run separately and don't consume hits) share ONE distributed
+    # leaf fan-out via search_many instead of N engine calls
+    pre: dict[int, object] = {}
+    if getattr(searcher, "spark", None) is not None:
+        simple = [i for i, b in enumerate(bodies)
+                  if not b.get("sort") and not b.get("search_after")]
+        if len(simple) > 1:
+            df = default_field or searcher.text_field
+            nodes = [es_to_ast(bodies[i].get("query", {"match_all": {}}),
+                               df) for i in simple]
+            rs = searcher.search_many(
+                nodes,
+                k=[int(bodies[i].get("size", 10)) for i in simple],
+                offset=[int(bodies[i].get("from", 0)) for i in simple])
+            pre = dict(zip(simple, rs))
+    responses = [es_search(searcher, body, default_field,
+                           _pre=pre.get(i))
+                 for i, body in enumerate(bodies)]
     return {"responses": responses}

@@ -160,3 +160,27 @@ def test_es_delete_by_query(tmp_path):
     assert s2.count("*") == before - matching
     assert es_count(s2, {"query": {"match": {"content": "merge"}}})[
         "count"] == 0
+
+
+def test_es_msearch_batched_equals_serial(idx, spark):
+    """With a Spark session, _msearch routes plain-search bodies through
+    ONE search_many fan-out; responses must equal the serial path
+    (modulo the `took` timing field)."""
+    from quickwit_spark.search.es_dsl import es_msearch
+
+    def strip_took(resp):
+        for r in resp["responses"]:
+            r.pop("took", None)
+        return resp
+
+    lines = [
+        {}, {"query": {"match": {"content": "merge"}}, "size": 5},
+        {}, {"query": {"term": {"lang": "python"}}, "size": 3, "from": 2},
+        {}, {"query": {"match": {"content": "zzz_absent"}}},
+        {}, {"query": {"match": {"content": "merge"}},
+             "sort": [{"_score": {"order": "desc"}}], "size": 4},
+    ]
+    serial = strip_took(es_msearch(IndexSearcher(idx.index_dir), lines))
+    batched = strip_took(es_msearch(
+        IndexSearcher(idx.index_dir, spark=spark), lines))
+    assert batched == serial

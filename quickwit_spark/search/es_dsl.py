@@ -235,6 +235,70 @@ def es_search(searcher, body: dict, default_field: str | None = None,
     return resp
 
 
+def _parse_es_ttl(s: str) -> float:
+    """ES duration string -> seconds ("30s", "1m", "2h", "500ms")."""
+    s = str(s).strip().lower()
+    for suffix, mult in (("ms", 1e-3), ("s", 1.0), ("m", 60.0),
+                         ("h", 3600.0), ("d", 86400.0)):
+        if s.endswith(suffix) and s[:-len(suffix)].replace(
+                ".", "", 1).isdigit():
+            return float(s[:-len(suffix)]) * mult
+    return float(s)  # bare seconds
+
+
+def _scroll_hits_resp(res) -> dict:
+    from .engine import INTERNAL_DOC_FIELDS
+    out_hits = []
+    for h in res.hits:
+        src = {k: v for k, v in h.doc.items()
+               if not k.startswith("_") and k not in INTERNAL_DOC_FIELDS}
+        out_hits.append({"_id": f"{h.segment_id}:{h.doc_id}",
+                         "_score": float(h.score), "_source": src})
+    return {
+        "timed_out": False,
+        "hits": {"total": {"value": res.num_hits, "relation": "eq"},
+                 "max_score": (float(res.hits[0].score) if res.hits
+                               else None),
+                 "hits": out_hits},
+    }
+
+
+def es_scroll_search(searcher, body: dict, scroll: str = "1m",
+                     default_field: str | None = None) -> dict:
+    """`GET /{index}/_search?scroll=1m`: open a TTL'd scroll context over
+    a plain search body and return the first page with a `_scroll_id`
+    (reference: rest_handler.rs scroll param -> scroll_context.rs)."""
+    node = es_to_ast(body.get("query", {"match_all": {}}),
+                     default_field or searcher.text_field)
+    size = int(body.get("size", 10))
+    res, sid = searcher.scroll(node, k=size,
+                               ttl_seconds=_parse_es_ttl(scroll))
+    resp = _scroll_hits_resp(res)
+    resp["_scroll_id"] = sid
+    return resp
+
+
+def es_scroll(searcher, scroll_id: str) -> dict:
+    """`POST /_search/scroll`: next page; 404-shaped error for an
+    expired or unknown context (the reference's behavior)."""
+    try:
+        res = searcher.scroll_next(scroll_id)
+    except KeyError:
+        return {"error": {"type": "search_context_missing_exception",
+                          "reason": "No search context found for id "
+                                    f"[{scroll_id}]"},
+                "status": 404}
+    resp = _scroll_hits_resp(res)
+    resp["_scroll_id"] = scroll_id
+    return resp
+
+
+def es_clear_scroll(searcher, scroll_id: str) -> dict:
+    """`DELETE /_search/scroll`."""
+    searcher.scroll_clear(scroll_id)
+    return {"succeeded": True, "num_freed": 1}
+
+
 def es_count(searcher, body: dict | None = None,
              default_field: str | None = None) -> dict:
     """ES `_count` (rest_handler.rs es_compat_index_count): exact match

@@ -184,3 +184,28 @@ def test_es_msearch_batched_equals_serial(idx, spark):
     batched = strip_took(es_msearch(
         IndexSearcher(idx.index_dir, spark=spark), lines))
     assert batched == serial
+
+
+def test_es_scroll_endpoints(idx):
+    """ES scroll flow: ?scroll=30s first page -> /_search/scroll pages ->
+    concatenation equals one big search; clear -> 404-shaped error."""
+    from quickwit_spark.search.es_dsl import (es_clear_scroll, es_scroll,
+                                              es_scroll_search, es_search)
+    s = IndexSearcher(idx.index_dir)
+    body = {"query": {"match": {"content": "merge"}}, "size": 7}
+    first = es_scroll_search(s, body, scroll="30s")
+    sid = first["_scroll_id"]
+    assert sid and first["hits"]["hits"]
+    ids = [h["_id"] for h in first["hits"]["hits"]]
+    while True:
+        page = es_scroll(s, sid)
+        assert page.get("status") != 404
+        got = [h["_id"] for h in page["hits"]["hits"]]
+        if not got:
+            break
+        ids.extend(got)
+    big = es_search(s, {"query": {"match": {"content": "merge"}},
+                        "size": 10000})
+    assert ids == [h["_id"] for h in big["hits"]["hits"]]
+    assert es_clear_scroll(s, sid)["succeeded"]
+    assert es_scroll(s, sid)["status"] == 404

@@ -261,7 +261,8 @@ def pq_encode_expr(vec_col: str, codebooks: np.ndarray):
 
 def pq_encode_arrow(emb: DataFrame, codebooks: np.ndarray,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    out_col: str = "pq_code") -> DataFrame:
+                    out_col: str = "pq_code",
+                    keep_cols: tuple = ()) -> DataFrame:
     """Scale-path PQ encoder: mapInArrow batches, one (batch x ksub)
     matmul per subspace — no per-row Python, no shuffle. 100 TB of f32
     embeddings compress to m bytes/vector (dim*4/m x smaller); the codes
@@ -290,12 +291,19 @@ def pq_encode_arrow(emb: DataFrame, codebooks: np.ndarray,
                 Xs = X[:, i * dsub:(i + 1) * dsub]
                 d = csum[i][None, :] - 2.0 * (Xs @ cbt[i])
                 codes[:, i] = d.argmin(axis=1)
-            yield pa.record_batch(
-                [ids, pa.array(list(codes), type=pa.list_(pa.int32()))],
-                names=[id_col, out_col])
+            cols = [ids, pa.array(list(codes),
+                                  type=pa.list_(pa.int32()))]
+            names = [id_col, out_col]
+            for kc in keep_cols:
+                cols.append(b.column(kc))
+                names.append(kc)
+            yield pa.record_batch(cols, names=names)
 
-    return emb.select(id_col, vec_col).mapInArrow(
-        encode, f"{id_col} long, {out_col} array<int>")
+    keep_schema = "".join(
+        f", {kc} {emb.schema[kc].dataType.simpleString()}"
+        for kc in keep_cols)
+    return emb.select(id_col, vec_col, *keep_cols).mapInArrow(
+        encode, f"{id_col} long, {out_col} array<int>{keep_schema}")
 
 
 def pq_adc_topk(codes_df: DataFrame, query_df: DataFrame,
@@ -338,6 +346,60 @@ def pq_adc_topk(codes_df: DataFrame, query_df: DataFrame,
     return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, F.round("_cos", 6).alias("approx_cos")))
+
+
+def ivfpq_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
+                    codebooks: np.ndarray, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> str:
+    """IVF-PQ layout: the big-corpus ANN composition. Rows are assigned
+    to their nearest coarse centroid (JVM expression), PQ-encoded in
+    Arrow batches (one matmul per batch), and written partitioned by
+    centroid id — ONE pass, one shuffle-free write. A query then reads
+    only the probed partitions' CODES: nprobe/n_centroids of the files
+    times dim*4/m compression — at 10^9 vectors that is the difference
+    between scanning terabytes of floats and megabytes of codes.
+
+    Codes quantize the raw vector (not the residual v - centroid): the
+    ADC table stays list-independent, so one LUT serves every probed
+    partition and the layout is re-probeable without re-deriving
+    per-list tables. Residual coding is the classical refinement when
+    recall at tiny m matters more than table reuse."""
+    import json as _json
+    import os as _os
+    assigned = emb.withColumn("_cid", ivf_assign_expr(vec_col, centroids))
+    codes = pq_encode_arrow(assigned, codebooks, vec_col, id_col,
+                            keep_cols=("_cid",))
+    codes.write.mode("overwrite").partitionBy("_cid").parquet(out_dir)
+    try:  # POSIX/local path; on an object store ship params yourself
+        with open(_os.path.join(out_dir, "_ivfpq_params.json"), "w") as f:
+            _json.dump({"centroids": centroids.tolist(),
+                        "codebooks": codebooks.tolist()}, f)
+    except OSError:
+        pass
+    return out_dir
+
+
+def ivfpq_topk(spark, layout_dir: str, query_df: DataFrame, k: int = 10,
+               nprobe: int = 2, id_col: str = "vec_id",
+               centroids: np.ndarray | None = None,
+               codebooks: np.ndarray | None = None) -> DataFrame:
+    """ANN over an ivfpq_partition layout: probe the nprobe nearest
+    coarse lists (partition filter — directory-level pruning, check
+    .explain() for PartitionFilters), ADC-score their codes. Identical
+    to pq_adc_topk restricted to the probed lists' rows."""
+    import json as _json
+    import os as _os
+    if centroids is None or codebooks is None:
+        with open(_os.path.join(layout_dir, "_ivfpq_params.json")) as f:
+            params = _json.load(f)
+        centroids = np.asarray(params["centroids"], dtype=np.float64)
+        codebooks = np.asarray(params["codebooks"], dtype=np.float64)
+    qv = np.asarray(query_df.first()["q"], dtype=np.float64)
+    d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    scan = (spark.read.parquet(layout_dir)
+            .filter(F.col("_cid").isin(probes)))
+    return pq_adc_topk(scan, query_df, codebooks, k, id_col=id_col)
 
 
 def lsh_bucket_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,

@@ -105,3 +105,28 @@ def test_and_missing_term_bounds_zero(skewed_idx):
                               s.text_field) == 0.0
     res = s.search(node, k=5, fetch_fields=False, count_all=False)
     assert res.num_hits == 0 and not res.hits
+
+
+def test_randomized_equivalence_sweep(skewed_idx):
+    """30 seeded random queries (1-3 terms, AND/OR/single): pruned
+    bound-walk top-k must equal the exhaustive top-k on every one."""
+    s = IndexSearcher(skewed_idx)
+    clear_leaf_cache()
+    rng = np.random.default_rng(99)
+    vocab = ["hot", "value", "scan", "w1", "w17", "w333", "w42", "w7",
+             "w100", "w250", "absent_zz"]
+    for trial in range(30):
+        nterms = int(rng.integers(1, 4))
+        terms = list(rng.choice(vocab, size=nterms, replace=False))
+        kind = ["or", "and", "single"][int(rng.integers(0, 3))]
+        if kind == "single" or nterms == 1:
+            node = A.Term("content", terms[0])
+        elif kind == "and":
+            node = A.Bool(must=tuple(A.Term("content", t) for t in terms))
+        else:
+            node = A.Bool(should=tuple(A.Term("content", t)
+                                       for t in terms))
+        k = int(rng.integers(1, 25))
+        exact = s.search(node, k=k, fetch_fields=False, count_all=True)
+        pruned = s.search(node, k=k, fetch_fields=False, count_all=False)
+        assert _pairs(exact) == _pairs(pruned), (trial, terms, kind, k)

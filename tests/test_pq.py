@@ -78,3 +78,55 @@ def test_pq_code_width(spark, emb):
     out = pq_encode_arrow(emb, cb).toPandas()
     assert all(len(c) == 8 for c in out["pq_code"])
     assert all(0 <= v < 4 for c in out["pq_code"] for v in c)
+
+
+def test_ivfpq_layout_and_query(spark, emb, tmp_path):
+    """IVF-PQ: partitioned code layout, probed-list ADC equals plain PQ
+    ADC restricted to the probed lists; scan plan prunes partitions."""
+    from quickwit_spark.pipeline.similarity import (
+        ivf_assign_expr,
+        ivfpq_partition,
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+    cents = train_ivf_centroids(emb, n_centroids=6, sample=600, seed=3)
+    cb = train_pq_codebooks(emb, m=8, ksub=16, sample=600, seed=11)
+    layout = str(tmp_path / "ivfpq")
+    ivfpq_partition(emb, layout, cents, cb)
+    qdf = (emb.filter(F.col("vec_id") == 7)
+           .select(F.col("embedding").alias("q")))
+    got = ivfpq_topk(spark, layout, qdf, k=10, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cid" in plan
+    got_pd = got.toPandas()
+
+    # oracle: same probes computed by hand, plain PQ ADC over that subset
+    import numpy as np
+    qv = np.asarray(qdf.first()["q"], dtype=np.float64)
+    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:2]]
+    subset = emb.withColumn("_cid", ivf_assign_expr("embedding", cents)) \
+        .filter(F.col("_cid").isin(probes))
+    codes = pq_encode_arrow(subset, cb)
+    want_pd = pq_adc_topk(codes, qdf, cb, k=10).toPandas()
+    assert list(got_pd["vec_id"]) == list(want_pd["vec_id"])
+    assert list(got_pd["approx_cos"]) == list(want_pd["approx_cos"])
+
+
+def test_ivfpq_params_roundtrip(spark, emb, tmp_path):
+    from quickwit_spark.pipeline.similarity import (
+        ivfpq_partition,
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+    cents = train_ivf_centroids(emb, n_centroids=4, sample=600, seed=5)
+    cb = fixed_pq_codebooks(DIM, m=4, ksub=8, seed=3)
+    layout = str(tmp_path / "ivfpq2")
+    ivfpq_partition(emb, layout, cents, cb)
+    qdf = (emb.filter(F.col("vec_id") == 0)
+           .select(F.col("embedding").alias("q")))
+    # params loaded from the layout (no explicit centroids/codebooks)
+    a = ivfpq_topk(spark, layout, qdf, k=5, nprobe=1).toPandas()
+    b = ivfpq_topk(spark, layout, qdf, k=5, nprobe=1,
+                   centroids=cents, codebooks=cb).toPandas()
+    assert list(a["vec_id"]) == list(b["vec_id"])

@@ -852,6 +852,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"en": 0.4, "zh": 0.3, "de": 0.3}, budget_tokens=20000)
     q["training_mix_budget"] = training_mix_row
 
+    def _boiler_docs(s, d):
+        """Deterministic boilerplate injection: every 3rd doc gains a
+        2-line cookie-banner block (cross-doc repeated -> flagged);
+        every doc gains one unique line (never flagged)."""
+        return _read(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("\n---- COOKIE BANNER ----"
+                             "\nall rights reserved"))
+                .otherwise(F.lit("")),
+                F.lit("\nuniq "), F.col("doc_id"),
+            ).alias("text"))
+
+    def boilerplate_flagged_row(s, d):
+        return fl.boilerplate_lines(_boiler_docs(s, d), min_docs=3)
+    q["boilerplate_lines_flagged"] = boilerplate_flagged_row
+
+    def strip_boilerplate_row(s, d):
+        return fl.strip_boilerplate(_boiler_docs(s, d), min_docs=3)
+    q["strip_boilerplate"] = strip_boilerplate_row
+
     def ann_pq_row(s, d):
         """Product-quantization ADC ANN (m=4 subspaces, 8 centroids
         each): encode the corpus to 4-byte codes, then approximate-
@@ -1557,6 +1580,50 @@ SELECT stratum, n_docs, n_tokens,
        floor(rate * 1e6 + 0.5) / 1e6 AS sample_rate,
        CAST(floor(rate * n_tokens::DOUBLE) AS BIGINT) AS expected_tokens
 FROM x
+"""
+
+    _BOILER_DOCS = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0
+               THEN chr(10)||'---- COOKIE BANNER ----'
+                    ||chr(10)||'all rights reserved' ELSE '' END
+       || chr(10)||'uniq '||doc_id AS text
+FROM documents
+"""
+    o["boilerplate_lines_flagged"] = f"""
+WITH docs AS ({_BOILER_DOCS}),
+dl AS (SELECT DISTINCT doc_id, line FROM (
+  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                                    x -> x <> '')) AS line
+  FROM docs))
+SELECT line, count(DISTINCT doc_id) AS n_docs
+FROM dl GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+"""
+
+    o["strip_boilerplate"] = f"""
+WITH docs AS ({_BOILER_DOCS}),
+pos AS (
+  SELECT doc_id, ls[i] AS line, i AS pos FROM (
+    SELECT doc_id, list_filter(string_split(text, chr(10)),
+                               x -> x <> '') AS ls FROM docs),
+    LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
+dl AS (SELECT DISTINCT doc_id, line FROM pos),
+flagged AS (SELECT line FROM dl GROUP BY line
+            HAVING count(DISTINCT doc_id) >= 3),
+kept AS (SELECT p.* FROM pos p
+         WHERE p.line NOT IN (SELECT line FROM flagged)),
+rebuilt AS (SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM pos GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(r.text, '') AS text,
+       (COALESCE(t.n_lines, 0) - COALESCE(r.n_kept, 0)) AS n_removed
+FROM documents d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 """
 
     from quickwit_spark.pipeline.similarity import fixed_pq_codebooks

@@ -173,6 +173,69 @@ def gopher_filter(df: DataFrame, id_col: str = "doc_id",
         .alias("keep"))
 
 
+def boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_docs: int = 3) -> DataFrame:
+    """Cross-document repeated lines (C4 §2.2's boilerplate rule: a line
+    occurring in >= min_docs distinct documents is boilerplate — nav
+    bars, cookie banners, license headers). Returns (line, n_docs) for
+    flagged lines.
+
+    One explode + one count-distinct shuffle keyed by the line string;
+    hot boilerplate lines are exactly the high-frequency keys, but the
+    aggregation is a count (partial/final combine), not a collect — no
+    skew blowup at 100 TB."""
+    lines = (df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), "\n"),
+                           lambda x: x != F.lit(""))).alias("line"))
+        .distinct())
+    return (lines.groupBy("line")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= F.lit(min_docs)))
+
+
+def strip_boilerplate(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_docs: int = 3) -> DataFrame:
+    """Remove boilerplate lines from every document, preserving the
+    remaining lines' original order. Returns (doc_id, text, n_removed).
+
+    Plan shape: the flagged-line set from boilerplate_lines is joined
+    back line-by-line (left anti on the line string); at 100 TB the
+    flagged set is small (boilerplate is by definition high-frequency,
+    so few distinct strings) and broadcasts. Reassembly keeps order via
+    posexplode + sort-by-position, all JVM-side."""
+    flagged = F.broadcast(boilerplate_lines(df, id_col, text_col,
+                                            min_docs)
+                          .select(F.col("line").alias("_bline")))
+    pos = (df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.filter(F.split(F.col(text_col), "\n"),
+                              lambda x: x != F.lit("")))
+        .alias("pos", "line")))
+    kept = pos.join(flagged, pos["line"] == flagged["_bline"],
+                    "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(
+                   "\n",
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "line"))),
+                       lambda s: s["line"])).alias("text"),
+                   F.count("*").alias("_n_kept")))
+    totals = (pos.groupBy("doc_id")
+              .agg(F.count("*").alias("_n_lines")))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(totals, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .na.fill({"_n_lines": 0, "_n_kept": 0})
+            .na.fill({"text": ""})
+            .select("doc_id", "text",
+                    (F.col("_n_lines") - F.col("_n_kept")).cast("long")
+                    .alias("n_removed")))
+
+
 def training_mix(df: DataFrame, targets: dict[str, float],
                  budget_tokens: int, strata_col: str = "lang",
                  text_col: str = "text") -> DataFrame:

@@ -110,3 +110,33 @@ def test_mix_rates_feed_stratified_sample(spark):
     # each stratum lands within 25% of its 10k-token allocation
     assert abs(kept_tokens["en"] - 10000) < 2500
     assert abs(kept_tokens["fr"] - 10000) < 2500
+
+
+def test_boilerplate_flagging_and_strip(spark):
+    from quickwit_spark.pipeline.filtering import (boilerplate_lines,
+                                                   strip_boilerplate)
+    banner = "ALL RIGHTS RESERVED"
+    rows = [(i, f"unique body {i}\n{banner}\nmore text {i}"
+             if i < 5 else f"clean doc {i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = boilerplate_lines(df, min_docs=3).toPandas()
+    assert list(flagged["line"]) == [banner]
+    assert int(flagged["n_docs"].iloc[0]) == 5
+    out = (strip_boilerplate(df, min_docs=3)
+           .toPandas().set_index("doc_id").sort_index())
+    # banner removed, order of remaining lines preserved
+    assert out.loc[0, "text"] == "unique body 0\nmore text 0"
+    assert int(out.loc[0, "n_removed"]) == 1
+    # untouched docs round-trip with zero removals
+    assert out.loc[7, "text"] == "clean doc 7"
+    assert int(out.loc[7, "n_removed"]) == 0
+
+
+def test_strip_boilerplate_all_lines_removed(spark):
+    from quickwit_spark.pipeline.filtering import strip_boilerplate
+    rows = [(i, "spam line") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (strip_boilerplate(df, min_docs=3)
+           .toPandas().set_index("doc_id"))
+    assert (out["text"] == "").all()
+    assert (out["n_removed"] == 1).all()

@@ -258,8 +258,130 @@ def build_term_partitioned(spark, index_dir: str,
         "total_fieldnorm": total_fieldnorm,
         "source_manifest_version": manifest.data["version"],
         "layout_version": LAYOUT_VERSION,
+        # smallest avg_fieldnorm any row batch's ratio bounds were
+        # computed under: the searcher's block_max_ratio bounds are
+        # sound iff the CURRENT avg <= this (score rises with avg, so a
+        # bound computed under a larger avg stays conservative); after
+        # an incremental refresh that GREW the avg, the searcher falls
+        # back to the avg-independent (max_tf, min_fn) bounds
+        "ratio_bound_min_avg": global_avg,
     }
     with open(os.path.join(out_dir, "global_manifest.json"), "w") as f:
+        json.dump(gm, f, indent=1, sort_keys=True)
+    return gm
+
+
+def refresh_term_partitioned(spark, index_dir: str) -> dict:
+    """Incremental global refresh: append ONLY the newly published
+    segments' term rows to the partitioned layout — the 10^12-doc
+    operation, where a full rebuild per publish would re-shuffle the
+    entire vocabulary for a <1% delta.
+
+    Mechanics: new segments get doc offsets CONTINUING the existing
+    global docid space (existing rows stay byte-identical and valid);
+    their rows are appended with salt = seg_ord // salt_group_segments
+    unconditionally, which makes every new row's (salt, seg_lo) sort
+    AFTER all existing rows of the same term — readers order rows by
+    (salt, seg_lo), so concatenated postings stay globally ascending.
+    Scoring stays exact: global df/avg come from the refreshed manifest,
+    and raw tf/fieldnorms are read per row. Block-max ratio BOUNDS of
+    pre-existing rows were computed under the old avg_fieldnorm; if the
+    refresh GROWS the avg they would under-bound, so the searcher
+    compares the current avg against ratio_bound_min_avg and falls back
+    to the avg-independent (max_tf, min_fn) bounds — slightly weaker
+    pruning until the next full rebuild (compaction) re-tightens them.
+
+    Falls back to a FULL rebuild when any previously indexed segment is
+    gone (merge/delete/retention rewrote it): removing a segment shifts
+    every later segment's doc offset under rows that hard-code absolute
+    global docids."""
+    manifest = Manifest.load(index_dir)
+    out_dir = os.path.join(index_dir, GLOBAL_DIR)
+    gm_path = os.path.join(out_dir, "global_manifest.json")
+    if not os.path.exists(gm_path):
+        return build_term_partitioned(spark, index_dir)
+    with open(gm_path) as f:
+        gm = json.load(f)
+    if gm.get("layout_version") != LAYOUT_VERSION:
+        return build_term_partitioned(
+            spark, index_dir, gm.get("num_term_partitions", 16),
+            force=True)
+    if gm.get("source_manifest_version") == manifest.data["version"]:
+        return gm
+    seg_by_id = {s["segment_id"]: s for s in manifest.segments()}
+    old_ids = list(gm["segment_ids"])
+    if any(o not in seg_by_id for o in old_ids):
+        return build_term_partitioned(spark, index_dir,
+                                      gm["num_term_partitions"],
+                                      force=True)
+    new_ids = sorted(set(seg_by_id) - set(old_ids))
+    if not new_ids:  # version moved without segment changes
+        gm["source_manifest_version"] = manifest.data["version"]
+        with open(gm_path, "w") as f:
+            json.dump(gm, f, indent=1, sort_keys=True)
+        return gm
+
+    old_n = len(old_ids)
+    run = int(gm["num_docs"])
+    new_offsets = []
+    for sid in new_ids:
+        new_offsets.append(run)
+        run += int(seg_by_id[sid]["num_docs"])
+    num_docs = run
+    total_fieldnorm = int(gm["total_fieldnorm"]) + sum(
+        int(seg_by_id[s]["total_fieldnorm"]) for s in new_ids)
+    avg_new = (float(np.float32(total_fieldnorm) / np.float32(num_docs))
+               if num_docs else 1.0)
+    offsets_full = np.asarray(list(gm["doc_offsets"]) + new_offsets,
+                              dtype=np.int64)
+    nparts = int(gm["num_term_partitions"])
+    group = int(gm["salt_group_segments"])
+    post_dir = os.path.join(out_dir, "postings")
+    segments_root = os.path.join(index_dir, "segments")
+
+    seg_rows = [(old_n + i, sid) for i, sid in enumerate(new_ids)]
+    sdf = spark.createDataFrame(seg_rows, "seg_ord int, segment_id string")
+    sdf = sdf.repartition(min(len(seg_rows), 64), "segment_id")
+
+    def stage1(it):
+        for batch in it:
+            pdf = batch.to_pandas()
+            for r in pdf.itertuples():
+                yield _emit_segment_terms(segments_root, r.segment_id,
+                                          int(r.seg_ord))
+
+    def stage2(it):
+        batches = list(it)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        out = _merge_partition_rows(tbl, offsets_full, nparts, avg_new)
+        if out is not None:
+            yield from out.to_batches()
+
+    from pyspark.sql import functions as F
+    term_rows = sdf.mapInArrow(stage1, schema=_STAGE1_SCHEMA)
+    width = max(nparts, int(spark.sparkContext.defaultParallelism) * 2)
+    salted = term_rows.withColumn(
+        "salt", (F.col("seg_ord") / F.lit(group)).cast("int"))
+    merged = (salted.repartition(width, "term", "salt")
+              .mapInArrow(stage2, schema=_STAGE2_SCHEMA))
+    (merged.repartition(nparts, "tpid")
+     .sortWithinPartitions("term", "salt")
+     .write.mode("append").partitionBy("tpid")
+     .option("compression", "zstd").parquet(post_dir))
+
+    gm.update({
+        "segment_ids": old_ids + new_ids,
+        "doc_offsets": [int(x) for x in offsets_full],
+        "num_docs": num_docs,
+        "total_fieldnorm": total_fieldnorm,
+        "source_manifest_version": manifest.data["version"],
+        "ratio_bound_min_avg": min(
+            float(gm.get("ratio_bound_min_avg", avg_new)), avg_new),
+        "refresh_count": int(gm.get("refresh_count", 0)) + 1,
+    })
+    with open(gm_path, "w") as f:
         json.dump(gm, f, indent=1, sort_keys=True)
     return gm
 
@@ -459,6 +581,13 @@ class GlobalIndexSearcher:
         self.offsets = np.asarray(self.gm["doc_offsets"], dtype=np.int64)
         self.segment_ids = self.gm["segment_ids"]
         self._fn_cache: dict[int, np.ndarray] = {}
+        # block_max_ratio bounds are sound iff the avg they were computed
+        # under is >= the current avg (see refresh_term_partitioned);
+        # when stale, pruning falls back to (max_tf, min_fn) bounds
+        min_avg = self.gm.get("ratio_bound_min_avg")
+        self.ratio_bounds_sound = (
+            min_avg is None  # pre-field layout: single full build
+            or float(self.avg_fieldnorm) <= float(min_avg))
 
     @property
     def stale(self) -> bool:
@@ -527,7 +656,11 @@ class GlobalIndexSearcher:
 
     def term_postings(self, rows: pd.DataFrame, term: str
                       ) -> tuple[np.ndarray, np.ndarray]:
-        sub = rows[rows["term"] == term].sort_values("salt")
+        # (salt, seg_lo) order keeps concatenated docids globally
+        # ascending even when an incremental refresh appended rows for
+        # the same (term, salt) covering later segment ranges
+        sub = rows[rows["term"] == term].sort_values(
+            ["salt", "seg_lo"], kind="mergesort")
         if len(sub) == 0:
             z = np.zeros(0, dtype=np.int64)
             return z, z
@@ -613,9 +746,16 @@ class GlobalIndexSearcher:
         cursor_cols = ["doc_freq", "block_last", "block_max_tf",
                        "block_min_fn", "doc_offsets", "tf_offsets",
                        "docid_blob", "tf_blob", "block_max_ratio"]
+        if not self.ratio_bounds_sound:
+            # refresh grew avg_fieldnorm past the bounds' build-time avg:
+            # stored ratios may under-bound true scores; cursors fall
+            # back to the avg-independent (max_tf, min_fn) bound
+            cursor_cols = [c for c in cursor_cols
+                           if c != "block_max_ratio"]
         groups = []
         for t in terms:
-            sub = rows[rows["term"] == t].sort_values("salt") \
+            sub = rows[rows["term"] == t].sort_values(
+                ["salt", "seg_lo"], kind="mergesort") \
                 if len(rows) else rows
             if len(rows) == 0 or len(sub) == 0:
                 groups.append(None)

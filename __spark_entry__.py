@@ -852,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"en": 0.4, "zh": 0.3, "de": 0.3}, budget_tokens=20000)
     q["training_mix_budget"] = training_mix_row
 
+    q["text_token_rarity"] = lambda s, d: ts.token_rarity(
+        _read(s, d, "documents").select("doc_id", "text"), min_count=2)
+
     def _boiler_docs(s, d):
         """Deterministic boilerplate injection: every 3rd doc gains a
         2-line cookie-banner block (cross-doc repeated -> flagged);
@@ -1580,6 +1583,26 @@ SELECT stratum, n_docs, n_tokens,
        floor(rate * 1e6 + 0.5) / 1e6 AS sample_rate,
        CAST(floor(rate * n_tokens::DOUBLE) AS BIGINT) AS expected_tokens
 FROM x
+"""
+
+    o["text_token_rarity"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+per AS (
+  SELECT t.doc_id,
+         count(*) AS n_tok,
+         CAST(sum(CAST(floor(log2(v.cnt)) AS BIGINT)) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN v.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nr
+  FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_tok, 0) AS n_tok,
+       COALESCE(floor(p.sb::DOUBLE / p.n_tok::DOUBLE * 1e6 + 0.5) / 1e6,
+                0.0) AS mean_freq_bucket,
+       COALESCE(floor(p.nr::DOUBLE / p.n_tok::DOUBLE * 1e6 + 0.5) / 1e6,
+                0.0) AS rare_frac
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
 
     _BOILER_DOCS = """

@@ -179,6 +179,47 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
         .alias("dup_line_char_frac"))
 
 
+def token_rarity(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_count: int = 2) -> DataFrame:
+    """Corpus-relative token rarity (the deterministic stand-in for an
+    LM-perplexity filter: documents dominated by rare/garbled tokens
+    score low under any language model). Per document:
+
+      n_tok             token occurrences
+      mean_freq_bucket  mean of floor(log2(corpus count of the token))
+                        — high = common vocabulary, low = rare
+      rare_frac         fraction of occurrences whose corpus count
+                        <= min_count (hapax/garbage rate)
+
+    Determinism: buckets are INTEGERS (floor(log2(count)) is exact at
+    the only boundary values, powers of two), so per-doc sums are exact
+    bigint arithmetic — no float-summation-order dependence, unlike a
+    mean-log-probability, which is why this variant is the oracle-safe
+    one. Two shuffles (vocab count, doc re-agg); the token join skews
+    on Zipf heads — AQE skew-join splits them, and the join is a plain
+    count lookup, never a collect."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_expr(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    j = toks.join(vocab, "tok")
+    per = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.floor(F.log2("cnt")).cast("long")).alias("_sb"),
+        F.sum(F.when(F.col("cnt") <= F.lit(min_count), 1).otherwise(0))
+        .cast("long").alias("_nr"))
+    out = per.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+        _r6(F.col("_sb").cast("double") / F.col("n_tok").cast("double"))
+        .alias("mean_freq_bucket"),
+        _r6(F.col("_nr").cast("double") / F.col("n_tok").cast("double"))
+        .alias("rare_frac"))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(out, "doc_id", "left")
+            .na.fill({"n_tok": 0})
+            .na.fill({"mean_freq_bucket": 0.0, "rare_frac": 0.0}))
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set (order-

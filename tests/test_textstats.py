@@ -60,3 +60,22 @@ def test_repetition_signals_no_nulls(spark):
     out = _run(spark, [(i, t) for i, t in
                        enumerate(["", "a", "a a", "\n\n", "a\na"])])
     assert not out.isna().any().any()
+
+
+def test_token_rarity_signals(spark):
+    from quickwit_spark.pipeline.textstats import token_rarity
+    rows = [
+        (1, "common common common common"),      # all common
+        (2, "common rareword"),                  # half rare (cnt==1)
+        (3, ""),                                 # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_rarity(df, min_count=1).toPandas().set_index("doc_id")
+    # 'common' occurs 5x -> bucket floor(log2(5)) = 2; 'rareword' 1x -> 0
+    assert int(out.loc[1, "n_tok"]) == 4
+    assert out.loc[1, "mean_freq_bucket"] == 2.0
+    assert out.loc[1, "rare_frac"] == 0.0
+    assert out.loc[2, "mean_freq_bucket"] == 1.0  # (2 + 0) / 2
+    assert out.loc[2, "rare_frac"] == 0.5
+    assert int(out.loc[3, "n_tok"]) == 0
+    assert out.loc[3, "rare_frac"] == 0.0

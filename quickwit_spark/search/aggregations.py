@@ -82,6 +82,17 @@ def _metric_exprs(name: str, kind: str, body: dict) -> list:
                 F.sqrt(var).alias(f"{name}_std_deviation")]
     if kind == "percentiles":
         pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        if body.get("approx"):
+            # sketch path (the reference always sketches — tantivy
+            # percentiles use a t-digest-family structure): Spark's
+            # percentile_approx is a mergeable partial/final sketch
+            # with bounded memory, vs exact percentile() which sorts
+            # every group's values. At 100 TB use approx: true.
+            acc = int(body.get("accuracy", 10000))
+            return [F.expr(f"percentile_approx({field}, {p / 100.0}, "
+                           f"{acc})").cast("double")
+                    .alias(f"{name}_p{str(p).replace('.', '_')}")
+                    for p in pcts]
         return [F.expr(f"percentile({field}, {p / 100.0})")
                 .alias(f"{name}_p{str(p).replace('.', '_')}")
                 for p in pcts]

@@ -316,3 +316,20 @@ def test_top_hits_metric(spark, idx):
     with pytest.raises(InvalidAggregation):
         aggregate(s, A.Term("content", "beta"), {
             "top": {"top_hits": {"size": 2}}})
+
+
+def test_percentiles_approx_sketch(spark, idx):
+    """approx: true routes through percentile_approx (mergeable sketch,
+    the 100 TB path); values must sit within the sketch tolerance of
+    the exact sort-based percentiles."""
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    exact = aggregate(s, "*", {"p": {"percentiles": {
+        "field": "size", "percents": [50, 95]}}}).toPandas()
+    approx = aggregate(s, "*", {"p": {"percentiles": {
+        "field": "size", "percents": [50, 95],
+        "approx": True}}}).toPandas()
+    assert set(exact.columns) == set(approx.columns)
+    for c in ("p_p50", "p_p95"):
+        e, a = float(exact[c].iloc[0]), float(approx[c].iloc[0])
+        assert abs(e - a) <= max(10.0, 0.05 * abs(e)), (c, e, a)

@@ -277,6 +277,20 @@ def main() -> None:
 
     # --- 3. documents-table index queries (driver-contract surface) -------
     import __spark_entry__ as entrymod
+    # batched multi-query fan-out vs serial distributed calls (the
+    # cluster-scale amortization: one Spark job for N queries); leaf
+    # cache is disabled at this point so both sides pay real leaves
+    dist = IndexSearcher(cfg.index_dir, spark=spark)
+    batch_qs = list(qset.values())
+    dist.search(batch_qs[0], k=10, fetch_fields=False)  # warm workers
+    t0 = time.perf_counter()
+    for qq in batch_qs:
+        dist.search(qq, k=10, fetch_fields=False)
+    queries["q8_serial_dist"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    dist.search_many(batch_qs, k=10, fetch_fields=False)
+    queries["q8_batched_dist"] = round(time.perf_counter() - t0, 4)
+
     for name in ["bm25_and_topk", "agg_terms_lang",
                  "agg_date_histogram_events"]:
         fn = entrymod.queries()[name]
@@ -294,7 +308,8 @@ def main() -> None:
                          ("build_skew", "build_global", "q_or3_skew",
                           "q_global", "build_corpus_index_shuffle",
                           "build_positional", "q_phrase_pos",
-                          "q_phrase_slop_pos"))]
+                          "q_phrase_slop_pos", "q8_",
+                          "q_term_head_leafcached"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

@@ -1476,12 +1476,22 @@ class IndexSearcher:
                     for i, n in enumerate(nodes)]
         use_wand = not count_all
         pairs = []
+        per_query_segs = 0
         for qi, node in enumerate(nodes):
-            for seg in self._prune(node):
+            segs = self._prune(node)
+            per_query_segs = max(per_query_segs, len(segs))
+            for seg in segs:
                 pairs.append((qi, seg["segment_id"],
                               ks[qi] + offsets[qi]))
         if not pairs:
             return [SearchResult(0, []) for _ in nodes]
+        if per_query_segs <= 1:
+            # every query touches at most one segment: the in-process
+            # loop beats a Spark job (mirrors search()'s own fallback)
+            return [self.search(n, k=ks[i], offset=offsets[i],
+                                fetch_fields=fetch_fields,
+                                count_all=count_all)
+                    for i, n in enumerate(nodes)]
         index_dir = self.index_dir
         tokenizer = self.tokenizer
         text_field = self.text_field

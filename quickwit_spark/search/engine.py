@@ -2164,6 +2164,17 @@ class IndexSearcher:
             "wand_shape": ({"op": wand[0], "terms": wand[1]}
                            if wand else None),
             "docs_to_consider": sum(s["num_docs"] for s in kept),
+            # the cross-segment walk's planned visit order (bound desc):
+            # under count_all=False later entries are skipped once the
+            # running k-th best exceeds their bound
+            "segment_bounds": (sorted(
+                ((s["segment_id"],
+                  round(segment_wand_bound(
+                      os.path.join(self.index_dir, "segments",
+                                   s["segment_id"]),
+                      node, self.tokenizer, self.text_field) or 0.0, 4))
+                 for s in kept), key=lambda t: -t[1])
+                if wand is not None else None),
         }
 
 

@@ -130,3 +130,17 @@ def test_randomized_equivalence_sweep(skewed_idx):
         exact = s.search(node, k=k, fetch_fields=False, count_all=True)
         pruned = s.search(node, k=k, fetch_fields=False, count_all=False)
         assert _pairs(exact) == _pairs(pruned), (trial, terms, kind, k)
+
+
+def test_explain_reports_segment_bounds(skewed_idx):
+    s = IndexSearcher(skewed_idx)
+    ex = s.explain(A.Bool(should=(A.Term("content", "hot"),
+                                  A.Term("content", "value"))))
+    assert ex["wand_prunable"]
+    bounds = ex["segment_bounds"]
+    assert len(bounds) == ex["segments_after_pruning"]
+    vals = [b for _sid, b in bounds]
+    assert vals == sorted(vals, reverse=True) and vals[0] > 0
+    # non-WAND shapes report no bounds
+    ex2 = s.explain(A.Phrase("content", ("hot", "value")))
+    assert ex2["segment_bounds"] is None

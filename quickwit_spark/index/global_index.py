@@ -686,6 +686,11 @@ class GlobalIndexSearcher:
         layout). Salted Zipf-head terms contribute one MaxScore cursor
         per salt row; the rows cover disjoint docid ranges, so bounds
         stay conservative."""
+        if precision == "f32" and len(terms) == 1:
+            # single-term count is exact from metadata on the pruned
+            # path, so exact-count mode can take it too (top-k is
+            # rank-identical; only the decode is bound-ordered)
+            return self._search_pruned(terms, k, operator)
         if not count_all and precision == "f32":
             return self._search_pruned(terms, k, operator)
         rows = self._term_rows(terms)
@@ -776,6 +781,34 @@ class GlobalIndexSearcher:
         from ..search.wand import and_topk_groups, or_topk_cursors
         groups = self._cursor_groups(terms)
         fn_lookup = _GlobalFieldnormLookup(self)
+        if len(terms) == 1:
+            # single term: bound-ordered decode per salt row with a
+            # shared threshold (docid-order WAND cannot skip for one
+            # cursor), and the count is EXACT from term-dict metadata —
+            # the global twin of the segment layout's single-term fast
+            # path (wand.single_term_topk)
+            from ..search.wand import single_cursor_topk
+            g = groups[0]
+            if not g:
+                return 0, pd.DataFrame({"global_doc": [], "score": []})
+            acc_d = np.zeros(0, dtype=np.int64)
+            acc_s = np.zeros(0, dtype=np.float32)
+            theta = float("-inf")
+            for cur in sorted(g, key=lambda c: -c.max_score):
+                if cur.max_score < theta:
+                    continue
+                d, s = single_cursor_topk(cur, fn_lookup, "freq", k,
+                                          theta)
+                acc_d = np.concatenate([acc_d, d])
+                acc_s = np.concatenate([acc_s, s])
+                if len(acc_s) >= k:
+                    kth = float(np.partition(
+                        acc_s.astype(np.float64), -k)[-k])
+                    theta = kth - abs(kth) * 1e-5
+            order = np.lexsort((-acc_d, -acc_s.astype(np.float64)))[:k]
+            count = int(sum(c.doc_freq for c in g))
+            return count, pd.DataFrame({"global_doc": acc_d[order],
+                                        "score": acc_s[order]})
         if operator == "and":
             docids, scores, count = and_topk_groups(groups, fn_lookup,
                                                     "freq", k)

@@ -179,8 +179,18 @@ def single_term_topk(reader, term: str, k: int,
     if not cursors or cursors[0] is None:
         return _empty3()
     cur = cursors[0]
-    fn_ids = reader.fieldnorm_ids()
-    record = reader.record
+    d, s = single_cursor_topk(cur, reader.fieldnorm_ids(), reader.record,
+                              k, initial_theta)
+    return d, s, cur.doc_freq
+
+
+def single_cursor_topk(cur, fn_ids, record: str, k: int,
+                       initial_theta: float = float("-inf")
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Bound-ordered top-k over ONE cursor (the single_term_topk core,
+    also used per salt row by the global layout's single-term path).
+    Returns (docids, scores) of the top-k slice; the caller supplies
+    counts from term-dict metadata."""
     nblk = len(cur.block_last)
     k = max(k, 1)
     border = np.argsort(-cur.block_scores.astype(np.float64),
@@ -225,7 +235,7 @@ def single_term_topk(reader, term: str, k: int,
     STATS["blocks_decoded"] += decoded
     STATS["blocks_total"] += nblk
     top = np.lexsort((-acc_d, -acc_s.astype(np.float64)))[:k]
-    return acc_d[top], acc_s[top], cur.doc_freq
+    return acc_d[top], acc_s[top]
 
 
 def and_topk(reader, terms: list[str], k: int,

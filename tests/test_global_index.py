@@ -308,3 +308,18 @@ def test_global_build_idempotent_and_staleness(spark, tmp_path):
     assert gm3["source_manifest_version"] == \
         Manifest.load(cfg.index_dir).data["version"]
     assert not GlobalIndexSearcher(cfg.index_dir).stale
+
+
+def test_global_single_term_fast_path(spark, dirs):
+    """Single-term queries: exact metadata count + bound-ordered top-k,
+    rank/score-identical to the f64 exhaustive twin."""
+    d = dirs[0]
+    from quickwit_spark.index.global_index import GlobalIndexSearcher
+    g = GlobalIndexSearcher(d)
+    cnt_fast, fast = g.search_terms(["merge"], operator="or", k=10)
+    cnt_ex, exact = g.search_terms(["merge"], operator="or", k=10,
+                                   precision="f64")
+    assert cnt_fast == cnt_ex
+    assert list(fast["global_doc"]) == list(exact["global_doc"])
+    for a, b in zip(fast["score"], exact["score"]):
+        assert abs(float(a) - float(b)) < 1e-3

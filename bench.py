@@ -275,6 +275,16 @@ def main() -> None:
             global_skip = 1 - (STATS["blocks_decoded"]
                                / STATS["blocks_total"])
 
+    # single term on the global layout: bound-ordered fast path with the
+    # exact metadata count
+    gsearch.search_terms([gterms[0]], operator="or", k=10)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        gsearch.search_terms([gterms[0]], operator="or", k=10)
+        runs.append(time.perf_counter() - t0)
+    queries["q_global_term"] = round(sorted(runs)[1], 4)
+
     # --- 3. documents-table index queries (driver-contract surface) -------
     import __spark_entry__ as entrymod
     # batched multi-query fan-out vs serial distributed calls (the

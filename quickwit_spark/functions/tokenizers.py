@@ -757,10 +757,16 @@ def multilang_tokenize(text: str, max_len: int = 255) -> list[str]:
     quickwit-query/src/tokenizers/mod.rs:94-102 — feature-gated
     Lindera morphological segmentation + Whatlang detection). The
     morphological dictionaries are not public-dependency-free, so this
-    is the classic dictionary-less fallback with equivalent recall:
-    CJK runs emit every character unigram PLUS every adjacent-pair
-    bigram (bigrams approximate word units; phrase queries over
-    unigram positions stay exact), non-CJK text takes the simple
+    is the classic dictionary-less CJK-bigram fallback (Lucene
+    CJKAnalyzer semantics): a CJK run of length >= 2 emits its
+    adjacent-pair bigrams at CONSECUTIVE positions — never interleaved
+    with unigrams, which would corrupt position adjacency and silently
+    break phrase queries (doc "ABC" as [a,b,c,ab,bc] puts ab two
+    positions after b, so phrase "AB" = [a,b,ab] could never match).
+    An isolated CJK char emits its unigram. Tradeoff (same as
+    Lucene's): a single-char query only matches single-char runs — use
+    `chinese_compatible` (pure unigrams) when single-char recall
+    matters more than phrase exactness. Non-CJK text takes the simple
     alphanumeric-run + lowercase pipeline the reference defaults to
     for undetected languages."""
     out: list[str] = []
@@ -768,10 +774,11 @@ def multilang_tokenize(text: str, max_len: int = 255) -> list[str]:
     cjk_run: list[str] = []
 
     def flush_cjk():
-        if cjk_run:
-            out.extend(cjk_run)
+        if len(cjk_run) == 1:
+            out.append(cjk_run[0])
+        elif cjk_run:
             out.extend(a + b for a, b in zip(cjk_run, cjk_run[1:]))
-            cjk_run.clear()
+        cjk_run.clear()
 
     for ch in text:
         if _is_cjk(ord(ch)):

@@ -208,11 +208,26 @@ def _parse_level(spec: dict):
     return (buckets[0] if buckets else None), metrics
 
 
+def _norm_sort_entries(sort) -> list[tuple[str, str]]:
+    """ES sort entries come as "field", {"field": "desc"} or
+    {"field": {"order": "desc"}} — normalize to (field, direction)."""
+    out: list[tuple[str, str]] = []
+    for s in sort or ():
+        if isinstance(s, str):
+            out.append((s, "asc"))
+            continue
+        for f, o in s.items():
+            direction = o.get("order", "asc") if isinstance(o, dict) \
+                else str(o)
+            out.append((f, direction))
+    return out
+
+
 def _top_hits_fields(body: dict) -> list[str]:
     """Fields a top_hits metric touches: its sort keys plus the
     docvalue_fields it returns (quickwit top_hits retrieves doc values,
     aggregations.rs:85-172 — there is no stored-source fetch here)."""
-    fields = [f for s in body.get("sort", ()) for f in s]
+    fields = [f for f, _ in _norm_sort_entries(body.get("sort"))]
     for f in body.get("docvalue_fields", ()):
         if f not in fields:
             fields.append(f)
@@ -425,13 +440,8 @@ def _top_hits_plan(matched, levels, name: str, body: dict):
             "frame carries doc values, not scores)")
     size = int(body.get("size", 3))
     frm = int(body.get("from", 0))
-    order = []
-    for s in sort:
-        for f, o in s.items():
-            direction = o.get("order", "asc") if isinstance(o, dict) \
-                else str(o)
-            order.append(F.col(f).desc() if direction == "desc"
-                         else F.col(f).asc())
+    order = [F.col(f).desc() if direction == "desc" else F.col(f).asc()
+             for f, direction in _norm_sort_entries(sort)]
     out = matched
     level_names = []
     for lname, lkind, lbody in levels:

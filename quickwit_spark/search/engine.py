@@ -42,6 +42,50 @@ from . import ast as A
 # ---------------------------------------------------------------------------
 
 
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string > every string with this prefix (exclusive upper
+    bound for a startswith range), or None when no bound exists (prefix
+    is all U+10FFFF). `prefix + "\\uffff"` is NOT such a bound: terms
+    containing supplementary-plane code points (> U+FFFF) sort above it
+    and would be silently dropped from the scan."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # never emit a lone surrogate (not encodable as UTF-8 for
+                # the parquet filter); no valid term contains one either
+                nxt = 0xE000
+            return prefix[:i] + chr(nxt)
+    return None
+
+
+def _toplevel_alternation(pat: str) -> bool:
+    """True when the regex has a `|` outside every group / char class —
+    the one shape where a leading-literal prefix pushdown is unsound."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 @dataclass
 class _Scored:
     """Sorted unique docids + aligned f32 scores (None => non-scoring set)."""
@@ -150,16 +194,19 @@ class SegmentReader:
         if df is None:
             filters = None
             if prefix:
-                filters = [("term", ">=", prefix),
-                           ("term", "<=", prefix + "\uffff")]
+                filters = [("term", ">=", prefix)]
+                up = _prefix_upper(prefix)
+                if up is not None:
+                    filters.append(("term", "<", up))
             df = pq.read_table(os.path.join(self.seg_dir,
                                             "termdict.parquet"),
                                filters=filters).to_pandas()
         elif prefix:
             terms = df["term"].to_numpy()
             lo = int(np.searchsorted(terms, prefix, side="left"))
-            hi = int(np.searchsorted(terms, prefix + "\uffff",
-                                     side="right"))
+            up = _prefix_upper(prefix)
+            hi = int(np.searchsorted(terms, up, side="left")) \
+                if up is not None else len(terms)
             df = df.iloc[lo:hi]
         mask = predicate(df["term"])
         if not include_dynamic and self.dynamic:
@@ -477,11 +524,18 @@ class SegmentReader:
                 pat = node.pattern
                 # longest literal prefix of the regex, conservatively: up
                 # to the first metacharacter; a quantifier binds the
-                # preceding char, so drop it from the literal
-                m = re.match(r"[^\\.^$*+?{}\[\]|()]*", pat)
-                lit = m.group(0)
-                if lit and len(lit) < len(pat) and pat[len(lit)] in "*+?{":
-                    lit = lit[:-1]
+                # preceding char, so drop it from the literal. A TOP-LEVEL
+                # alternation voids the prefix entirely: in "foo|bar" the
+                # literal "foo" does not constrain the "bar" branch, so
+                # pushing it down would drop that branch's matches.
+                if _toplevel_alternation(pat):
+                    lit = ""
+                else:
+                    m = re.match(r"[^\\.^$*+?{}\[\]|()]*", pat)
+                    lit = m.group(0)
+                    if lit and len(lit) < len(pat) \
+                            and pat[len(lit)] in "*+?{":
+                        lit = lit[:-1]
             rx = re.compile(f"^(?:{pat})$")
             if node.field == text_field:
                 # vectorized C-level regex over the (prefix-pruned) term
@@ -972,7 +1026,10 @@ class PruneIndex:
                         ok_rows &= lo <= _b(rng.lte)
                     if rng.lt is not None:
                         ok_rows &= lo < _b(rng.lt)
-                except ValueError:
+                except (TypeError, ValueError):
+                    # mixed str/numeric stats across segments (schema
+                    # drift) compare as object arrays and raise TypeError;
+                    # either way keep the segments rather than crash
                     continue
                 drop = idx[~ok_rows]
                 keep[drop] = False

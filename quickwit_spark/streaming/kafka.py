@@ -141,7 +141,8 @@ def source_positions(config: IndexConfig) -> dict[int, int]:
 def kafka_stream(spark, brokers: str, topic: str, config: IndexConfig,
                  value_schema: str, checkpoint_dir: str,
                  starting_offsets: str = "earliest",
-                 build_partitions: int = 8):
+                 build_partitions: int = 8,
+                 allow_offset_gaps: bool = False):
     """Structured-Streaming Kafka source -> incremental segment builds.
 
     GATED: requires a reachable broker and the spark-sql-kafka package
@@ -165,18 +166,27 @@ def kafka_stream(spark, brokers: str, topic: str, config: IndexConfig,
 
     def handle(batch_df, _batch_id: int):
         handle_kafka_batch(batch_df, config,
-                           build_partitions=build_partitions)
+                           build_partitions=build_partitions,
+                           allow_offset_gaps=allow_offset_gaps)
 
     return (parsed.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir).start())
 
 
 def handle_kafka_batch(batch_df, config: IndexConfig,
-                       build_partitions: int = 8) -> bool:
+                       build_partitions: int = 8,
+                       allow_offset_gaps: bool = False) -> bool:
     """One Kafka micro-batch -> checkpointed segment publish. Module-level
     (not a closure) so the offset-derivation logic is testable without a
     broker: any DataFrame carrying _src_partition/_src_offset columns
-    exercises the exact code the stream runs."""
+    exercises the exact code the stream runs.
+
+    `allow_offset_gaps`: Kafka offsets are NOT contiguous on
+    transactional topics (commit/abort markers occupy offsets) or
+    compacted topics, so strict gap detection would raise a permanent
+    OffsetGap crash-loop there. With the flag set, a batch starting
+    AHEAD of the committed position is stitched to it (frm := committed)
+    instead of rejected; replays (frm behind) are still skipped."""
     from pyspark.sql import functions as F
     if batch_df.isEmpty():
         return False
@@ -200,8 +210,13 @@ def handle_kafka_batch(batch_df, config: IndexConfig,
         for r in bounds:
             sp, lo, hi = (int(r["_src_partition"]), int(r["lo"]),
                           int(r["hi"]))
-            offsets[sp] = ((None if committed.get(sp) is None else lo - 1),
-                           hi)
+            frm = None if committed.get(sp) is None else lo - 1
+            if (allow_offset_gaps and frm is not None
+                    and frm > committed[sp]):
+                # transactional markers / compaction holes: stitch to the
+                # committed position rather than raise a permanent gap
+                frm = committed[sp]
+            offsets[sp] = (frm, hi)
         return ingest_offset_batch(
             batch_df.drop("_src_partition", "_src_offset"),
             config, offsets, build_partitions=build_partitions)

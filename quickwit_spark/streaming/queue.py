@@ -126,7 +126,10 @@ class LocalDirQueue:
             return False  # already acked
         if m.get("ack_id") != message.ack_id:
             return False
-        os.remove(path)
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            return False  # concurrent ack won the race: already deleted
         return True
 
     def pending(self) -> int:

@@ -333,3 +333,32 @@ def test_percentiles_approx_sketch(spark, idx):
     for c in ("p_p50", "p_p95"):
         e, a = float(exact[c].iloc[0]), float(approx[c].iloc[0])
         assert abs(e - a) <= max(10.0, 0.05 * abs(e)), (c, e, a)
+
+
+def test_top_hits_string_sort_entries(spark, idx):
+    """ES also accepts string-form sort entries ('sort': ['field']) and
+    {'field': 'desc'} shorthand — both must behave like the dict form."""
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    spec_str = {"langs": {"terms": {"field": "lang"},
+                          "aggs": {"top": {"top_hits": {
+                              "size": 2, "sort": ["size"]}}}}}
+    spec_dict = {"langs": {"terms": {"field": "lang"},
+                           "aggs": {"top": {"top_hits": {
+                               "size": 2,
+                               "sort": [{"size": {"order": "asc"}}]}}}}}
+    got_str = aggregate(s, A.Term("content", "beta"),
+                        spec_str).toPandas()
+    got_dict = aggregate(s, A.Term("content", "beta"),
+                         spec_dict).toPandas()
+    pd.testing.assert_frame_equal(got_str, got_dict)
+    # {"field": "desc"} shorthand
+    spec_short = {"langs": {"terms": {"field": "lang"},
+                            "aggs": {"top": {"top_hits": {
+                                "size": 2, "sort": [{"size": "desc"}]}}}}}
+    got_short = aggregate(s, A.Term("content", "beta"),
+                          spec_short).toPandas()
+    sub = pdf[pdf.content.str.contains("beta")]
+    expect = (sub.sort_values("size", ascending=False)
+              .groupby("lang").head(2))
+    assert len(got_short) == len(expect)

@@ -182,12 +182,39 @@ def test_ip_sort_spec(ip_index):
 # multilang tokenizer
 # ---------------------------------------------------------------------------
 
-def test_multilang_cjk_unigrams_and_bigrams():
+def test_multilang_cjk_bigrams_consecutive():
+    # Lucene-CJKAnalyzer semantics: runs >= 2 emit ONLY adjacent bigrams
+    # (consecutive positions => phrase-exact); unigrams would interleave
+    # and corrupt position adjacency for phrase queries.
     toks = multilang_tokenize("Hello世界平 world")
-    assert "hello" in toks and "world" in toks
-    assert "世" in toks and "界" in toks and "平" in toks
-    assert "世界" in toks and "界平" in toks
-    assert "世界平" not in toks  # bigrams only, no trigram
+    assert toks == ["hello", "世界", "界平", "world"]
+
+
+def test_multilang_isolated_cjk_char_is_unigram():
+    assert multilang_tokenize("x 界 y") == ["x", "界", "y"]
+
+
+def test_multilang_phrase_positions_exact(tmp_path):
+    # doc contains the phrase 世界平 inside a longer run; the bigram
+    # stream [世界, 界平] must sit at consecutive positions so the
+    # phrase matches (the old unigram+bigram interleave never could)
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.search import ast as A
+
+    df = pd.DataFrame({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["c"] * 3,
+        "lang": ["zh"] * 3,
+        "content": ["前世界平後 tail", "世平界 scrambled", "plain latin"],
+    })
+    cfg = IndexConfig(index_uid="ml", index_dir=str(tmp_path / "ml"),
+                      tokenizer="multilang", record="position")
+    build_index_pandas(df, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    hits = s.search(A.Phrase("content", "世界平"), k=10).hits
+    assert [h.doc["path"] for h in hits] == ["a"]
 
 
 def test_multilang_latin_matches_simple_pipeline():

@@ -116,3 +116,24 @@ def test_resume_point_feeds_next_batch(cfg):
         assert ingest_offset_batch(df, cfg, {0: (frm, hi)})
     assert source_positions(cfg) == {0: 19}
     assert IndexSearcher(cfg.index_dir).count("*") == 20
+
+
+def test_allow_offset_gaps_stitches_transactional_holes(cfg, spark):
+    """Transactional topics: commit markers occupy offsets, so batch N+1
+    legitimately starts past committed+1. Strict mode raises (previous
+    test); allow_offset_gaps=True stitches frm to the committed position
+    and publishes — and still skips exact replays."""
+    assert handle_kafka_batch(_offset_batch(spark, 0, 4), cfg,
+                              build_partitions=2,
+                              allow_offset_gaps=True)
+    # offset 5 is a commit marker: next data batch starts at 6
+    assert handle_kafka_batch(_offset_batch(spark, 6, 8), cfg,
+                              build_partitions=2,
+                              allow_offset_gaps=True)
+    assert source_positions(cfg) == {0: 8}
+    assert IndexSearcher(cfg.index_dir).count("*") == 8
+    # replay of the stitched batch is still exactly-once
+    assert not handle_kafka_batch(_offset_batch(spark, 6, 8), cfg,
+                                  build_partitions=2,
+                                  allow_offset_gaps=True)
+    assert IndexSearcher(cfg.index_dir).count("*") == 8

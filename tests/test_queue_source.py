@@ -205,3 +205,23 @@ def test_empty_docs_message_spark_path_schema(tmp_path):
     m = Manifest.load(cfg.index_dir)
     assert sum(s["num_docs"] for s in m.segments()) == 3
     assert processed_message_ids(cfg) == {"hb1", "m1"}
+
+
+def test_concurrent_ack_race_returns_false(tmp_path, monkeypatch):
+    """Two consumers holding the same receipt (visibility lapse edge):
+    the loser of the os.remove race must get False, not
+    FileNotFoundError."""
+    import os as _os
+    q = LocalDirQueue(str(tmp_path / "q"), visibility_sec=60)
+    q.send("m1", "payload")
+    (msg,) = q.receive()
+    real_remove = _os.remove
+
+    def racing_remove(path):
+        real_remove(path)          # the other consumer wins first
+        real_remove(path)          # our own attempt -> FileNotFoundError
+    monkeypatch.setattr("quickwit_spark.streaming.queue.os.remove",
+                        racing_remove)
+    assert q.ack(msg) is False
+    monkeypatch.undo()
+    assert q.pending() == 0

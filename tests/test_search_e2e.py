@@ -275,3 +275,60 @@ def test_termdict_prefix_pushdown_paths(built):
                     _re.escape(c) for c in node.pattern)
         assert res.num_hits <= naive.num_hits
         assert res.num_hits > 0
+
+
+# ---------------------------------------------------------------------------
+# scan_terms pushdown soundness (round-3 review regressions)
+# ---------------------------------------------------------------------------
+
+def test_regex_toplevel_alternation_no_prefix_pushdown(tmp_path):
+    # "foo|bar": a naive literal-prefix pushdown of "foo" would slice the
+    # termdict to foo* and silently drop every "bar" match
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["c"] * 3,
+        "lang": ["py"] * 3,
+        "content": ["foothing here", "barthing here", "neither one"],
+    })
+    cfg = IndexConfig(index_uid="rx", index_dir=str(tmp_path / "rx"))
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    hits = s.search(A.Regex("content", "foothing|barthing"), k=10).hits
+    assert sorted(h.doc["path"] for h in hits) == ["a", "b"]
+
+
+def test_wildcard_prefix_bound_includes_astral_terms(tmp_path):
+    # a term with a supplementary-plane char sorts ABOVE "ab￿", so
+    # the old upper bound dropped it from the prefix slice
+    astral = "ab\U00020000x"
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 2, "path": ["a", "b"], "commit": ["c"] * 2,
+        "lang": ["py"] * 2,
+        "content": [f"{astral} stuff", "abplain stuff"],
+    })
+    cfg = IndexConfig(index_uid="as", index_dir=str(tmp_path / "as"))
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    hits = s.search(A.Wildcard("content", "ab*"), k=10).hits
+    assert sorted(h.doc["path"] for h in hits) == ["a", "b"]
+    # cold path (no cached termdict) takes the parquet range filter
+    from quickwit_spark.search import engine as eng
+    old = eng.SegmentReader.CACHE_FILE_BYTES
+    eng.clear_leaf_cache()
+    try:
+        eng.SegmentReader.CACHE_FILE_BYTES = 0
+        eng._READER_CACHE.clear()
+        s2 = IndexSearcher(cfg.index_dir)
+        hits2 = s2.search(A.Wildcard("content", "ab*"), k=10).hits
+        assert sorted(h.doc["path"] for h in hits2) == ["a", "b"]
+    finally:
+        eng.SegmentReader.CACHE_FILE_BYTES = old
+        eng._READER_CACHE.clear()
+
+
+def test_prefix_upper_helper():
+    from quickwit_spark.search.engine import _prefix_upper
+    assert _prefix_upper("ab") == "ac"
+    assert _prefix_upper("a\U0010FFFF") == "b"
+    assert _prefix_upper("\U0010FFFF") is None
+    # never a lone surrogate (unencodable in a parquet filter)
+    assert _prefix_upper("\ud7ff") == "\ue000"

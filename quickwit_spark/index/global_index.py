@@ -39,8 +39,10 @@ SOURCE build (builder.py waves + manifest checkpoint deltas).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 from typing import Iterator
 
 import numpy as np
@@ -265,9 +267,18 @@ def build_term_partitioned(spark, index_dir: str,
         # an incremental refresh that GREW the avg, the searcher falls
         # back to the avg-independent (max_tf, min_fn) bounds
         "ratio_bound_min_avg": global_avg,
+        # the posting directories a reader may open, in append order.
+        # Refreshes ADD directories (never touch existing ones); readers
+        # pin to the list their manifest snapshot names, so a mid-refresh
+        # or failed-refresh directory is invisible until committed here.
+        "posting_dirs": ["postings"],
     }
     with open(os.path.join(out_dir, "global_manifest.json"), "w") as f:
         json.dump(gm, f, indent=1, sort_keys=True)
+    # a full rebuild obsoletes every refresh delta: drop orphaned dirs
+    for name in os.listdir(out_dir):
+        if name.startswith("postings_r"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     return gm
 
 
@@ -294,7 +305,17 @@ def refresh_term_partitioned(spark, index_dir: str) -> dict:
     Falls back to a FULL rebuild when any previously indexed segment is
     gone (merge/delete/retention rewrote it): removing a segment shifts
     every later segment's doc offset under rows that hard-code absolute
-    global docids."""
+    global docids.
+
+    Atomicity/idempotence: each refresh writes its rows to its OWN
+    directory, named by a content address of the (old -> new) segment
+    transition, with mode("overwrite") — a refresh that died mid-write
+    leaves an orphan directory no reader ever opens (global_manifest's
+    posting_dirs is the read set), and a re-run of the same transition
+    overwrites it rather than duplicating rows. Readers pin the
+    posting_dirs list their manifest snapshot names, so a live searcher
+    never mixes committed offsets with in-flight rows. Orphans from
+    abandoned transitions are swept by the next full rebuild."""
     manifest = Manifest.load(index_dir)
     out_dir = os.path.join(index_dir, GLOBAL_DIR)
     gm_path = os.path.join(out_dir, "global_manifest.json")
@@ -336,7 +357,11 @@ def refresh_term_partitioned(spark, index_dir: str) -> dict:
                               dtype=np.int64)
     nparts = int(gm["num_term_partitions"])
     group = int(gm["salt_group_segments"])
-    post_dir = os.path.join(out_dir, "postings")
+    token = hashlib.sha256(
+        ("|".join(old_ids) + "->" + "|".join(new_ids)).encode()
+    ).hexdigest()[:12]
+    refresh_dir = f"postings_r{token}"
+    post_dir = os.path.join(out_dir, refresh_dir)
     segments_root = os.path.join(index_dir, "segments")
 
     seg_rows = [(old_n + i, sid) for i, sid in enumerate(new_ids)]
@@ -368,7 +393,7 @@ def refresh_term_partitioned(spark, index_dir: str) -> dict:
               .mapInArrow(stage2, schema=_STAGE2_SCHEMA))
     (merged.repartition(nparts, "tpid")
      .sortWithinPartitions("term", "salt")
-     .write.mode("append").partitionBy("tpid")
+     .write.mode("overwrite").partitionBy("tpid")
      .option("compression", "zstd").parquet(post_dir))
 
     gm.update({
@@ -380,6 +405,8 @@ def refresh_term_partitioned(spark, index_dir: str) -> dict:
         "ratio_bound_min_avg": min(
             float(gm.get("ratio_bound_min_avg", avg_new)), avg_new),
         "refresh_count": int(gm.get("refresh_count", 0)) + 1,
+        "posting_dirs": gm.get("posting_dirs", ["postings"])
+        + [refresh_dir],
     })
     with open(gm_path, "w") as f:
         json.dump(gm, f, indent=1, sort_keys=True)
@@ -574,7 +601,11 @@ class GlobalIndexSearcher:
                 f"global layout version {self.gm.get('layout_version')} != "
                 f"{LAYOUT_VERSION}: term routing hash changed — rerun "
                 "build_term_partitioned(force=True)")
-        self.post_dir = os.path.join(out_dir, "postings")
+        # pinned read set: ONLY the directories this manifest snapshot
+        # lists — an in-flight or failed refresh writes elsewhere and
+        # stays invisible until global_manifest.json commits it
+        self.post_dirs = [os.path.join(out_dir, d) for d in
+                          self.gm.get("posting_dirs", ["postings"])]
         self.num_docs = int(self.gm["num_docs"])
         self.avg_fieldnorm = (np.float32(self.gm["total_fieldnorm"]) /
                               np.float32(self.num_docs))
@@ -611,15 +642,21 @@ class GlobalIndexSearcher:
             nparts = self.gm["num_term_partitions"]
             for t in missing:
                 by_pid.setdefault(term_partition(t, nparts), []).append(t)
-            found: dict[str, pd.DataFrame] = {}
+            parts: dict[str, list[pd.DataFrame]] = {}
             for pid, ts in by_pid.items():
-                path = os.path.join(self.post_dir, f"tpid={pid}")
-                if not os.path.isdir(path):
-                    continue
-                tbl = pq.read_table(path, filters=[("term", "in", ts)]
-                                    ).to_pandas()
-                for t, grp in tbl.groupby("term", sort=False):
-                    found[t] = grp
+                for base in self.post_dirs:
+                    path = os.path.join(base, f"tpid={pid}")
+                    if not os.path.isdir(path):
+                        continue
+                    tbl = pq.read_table(path, filters=[("term", "in", ts)]
+                                        ).to_pandas()
+                    for t, grp in tbl.groupby("term", sort=False):
+                        # a term may have rows in the base layout AND in
+                        # refresh deltas: collect all, never overwrite
+                        parts.setdefault(t, []).append(grp)
+            found = {t: (fs[0] if len(fs) == 1
+                         else pd.concat(fs, ignore_index=True))
+                     for t, fs in parts.items()}
             if len(cache) + len(missing) > self._ROW_CACHE_MAX:
                 # evict only terms NOT referenced by the current query:
                 # clearing wholesale would drop this query's cache hits and

@@ -298,7 +298,8 @@ class SegmentReader:
                                              "postings.parquet"))
         return col in schema.names
 
-    def postings_rows(self, term_ids: list[int]) -> pd.DataFrame:
+    def postings_rows(self, term_ids: list[int],
+                      columns: list[str] | None = None) -> pd.DataFrame:
         path = os.path.join(self.seg_dir, "postings.parquet")
         if self._postings_tbl is None and \
                 os.path.getsize(path) <= self.CACHE_FILE_BYTES:
@@ -307,7 +308,10 @@ class SegmentReader:
         if self._postings_tbl is not None:
             # postings rows are ordered by term_id == row index
             return self._postings_tbl.take(sorted(ids)).to_pandas()
-        t = pq.read_table(path, filters=[("term_id", "in", ids)])
+        # cold path: prune to the requested columns so metadata-only
+        # lookups (WAND bounds) never pay the posting-blob byte read
+        t = pq.read_table(path, filters=[("term_id", "in", ids)],
+                          columns=columns)
         return t.to_pandas()
 
     # -- leaf evaluation -----------------------------------------------------
@@ -337,7 +341,7 @@ class SegmentReader:
         if self._postings_tbl is not None:
             return [self._postings_tbl.column(c)[term_id].as_py()
                     for c in cols]
-        row = self.postings_rows([term_id]).iloc[0]
+        row = self.postings_rows([term_id], columns=cols).iloc[0]
         return [row[c] for c in cols]
 
     def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray, int]:

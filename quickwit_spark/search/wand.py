@@ -37,23 +37,33 @@ STATS = {"blocks_decoded": 0, "blocks_total": 0, "segments_skipped": 0}
 
 
 class _TermCursor:
-    """Posting metadata for one term within a segment (no blobs decoded)."""
+    """Posting metadata for one term within a segment (no blobs decoded).
+
+    Blob columns are fetched LAZILY when `fetch_blobs` is given: the
+    cross-segment bound walk and explain() only read `max_score` /
+    `block_scores`, so a segment skipped by its bound never pays the
+    posting-blob byte read — the bound really is metadata-only."""
 
     __slots__ = ("term", "doc_freq", "weight", "block_last", "block_max_tf",
                  "block_min_fn", "doc_offsets", "tf_offsets", "docid_blob",
-                 "tf_blob", "max_score", "block_scores")
+                 "tf_blob", "max_score", "block_scores", "_fetch_blobs")
 
-    def __init__(self, term: str, row, weight: Bm25Weight):
+    _BLOB_COLS = ("doc_offsets", "tf_offsets", "docid_blob", "tf_blob")
+
+    def __init__(self, term: str, row, weight: Bm25Weight,
+                 fetch_blobs=None):
         self.term = term
         self.doc_freq = int(row["doc_freq"])
         self.weight = weight
         self.block_last = np.asarray(row["block_last"], dtype=np.int64)
         self.block_max_tf = np.asarray(row["block_max_tf"], dtype=np.int64)
         self.block_min_fn = np.asarray(row["block_min_fn"], dtype=np.int64)
-        self.doc_offsets = np.asarray(row["doc_offsets"], dtype=np.int64)
-        self.tf_offsets = np.asarray(row["tf_offsets"], dtype=np.int64)
-        self.docid_blob = row["docid_blob"]
-        self.tf_blob = row["tf_blob"]
+        self._fetch_blobs = fetch_blobs
+        if fetch_blobs is None:
+            self._set_blobs(row)
+        else:
+            self.docid_blob = self.tf_blob = None
+            self.doc_offsets = self.tf_offsets = None
         if row.get("block_max_ratio") is not None:
             # exact jointly-achievable bound written at build time
             self.block_scores = (weight.weight * np.asarray(
@@ -62,6 +72,17 @@ class _TermCursor:
             self.block_scores = weight.max_score(self.block_max_tf,
                                                  self.block_min_fn)
         self.max_score = float(self.block_scores.max())
+
+    def _set_blobs(self, row) -> None:
+        self.doc_offsets = np.asarray(row["doc_offsets"], dtype=np.int64)
+        self.tf_offsets = np.asarray(row["tf_offsets"], dtype=np.int64)
+        self.docid_blob = row["docid_blob"]
+        self.tf_blob = row["tf_blob"]
+
+    def ensure_blobs(self) -> None:
+        if self.docid_blob is None and self._fetch_blobs is not None:
+            self._set_blobs(self._fetch_blobs())
+            self._fetch_blobs = None
 
     def block_range(self, bi: int) -> tuple[int, int]:
         lo = int(self.block_last[bi - 1]) + 1 if bi > 0 else 0
@@ -77,6 +98,7 @@ class _TermCursor:
         if len(block_idx) == 0:
             return (np.zeros(0, dtype=np.int64),
                     np.zeros(0, dtype=np.float32))
+        self.ensure_blobs()
         if len(block_idx) == len(self.block_last):
             # nothing skipped: the plain full decode is cheaper than the
             # run-splicing machinery (flat-corpus adaptive fallback)
@@ -90,8 +112,9 @@ class _TermCursor:
         return docids, self.weight.score(tfs, fn_ids[docids])
 
 
-_CURSOR_COLS = ["doc_freq", "block_last", "block_max_tf", "block_min_fn",
-                "doc_offsets", "tf_offsets", "docid_blob", "tf_blob"]
+_CURSOR_META_COLS = ["doc_freq", "block_last", "block_max_tf",
+                     "block_min_fn"]
+_CURSOR_BLOB_COLS = list(_TermCursor._BLOB_COLS)
 
 
 def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
@@ -104,7 +127,7 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
         cache = reader._wand_cursors = {}
     cursors = []
     any_found = False
-    cols = list(_CURSOR_COLS)
+    cols = list(_CURSOR_META_COLS)
     if reader.has_postings_column("block_max_ratio"):
         cols.append("block_max_ratio")
     for t in terms:
@@ -123,10 +146,17 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
             continue
         any_found = True
         term_id, doc_freq = tr
+        # metadata-only fetch; the posting blobs load lazily on first
+        # decode, so bound-only consumers (segment_wand_bound / the
+        # cross-segment walk / explain) never read them
         row = dict(zip(cols, reader._postings_cells(term_id, cols)))
         w = Bm25Weight(doc_freq, reader.num_docs,
                        float(reader._avg_fieldnorm))
-        cur = _TermCursor(t, row, w)
+
+        def _fetch(_tid=term_id, _rdr=reader):
+            return dict(zip(_CURSOR_BLOB_COLS,
+                            _rdr._postings_cells(_tid, _CURSOR_BLOB_COLS)))
+        cur = _TermCursor(t, row, w, fetch_blobs=_fetch)
         if len(cache) >= 512:
             cache.clear()
         cache[t] = cur
@@ -212,6 +242,7 @@ def single_cursor_topk(cur, fn_ids, record: str, k: int,
             if len(chunk) == 0:
                 break
         bidx = np.sort(chunk)
+        cur.ensure_blobs()
         if len(bidx) == nblk:
             d, t = decode_postings(cur.docid_blob, cur.tf_blob)
         else:

@@ -144,3 +144,29 @@ def test_explain_reports_segment_bounds(skewed_idx):
     # non-WAND shapes report no bounds
     ex2 = s.explain(A.Phrase("content", ("hot", "value")))
     assert ex2["segment_bounds"] is None
+
+
+def test_bound_is_metadata_only_blobs_lazy(skewed_idx):
+    """segment_wand_bound must not read posting blobs: a segment skipped
+    by the walk saved the blob I/O, not just the decode. Blobs load
+    lazily on the first actual block decode."""
+    from quickwit_spark.search.engine import get_reader, _READER_CACHE
+    from quickwit_spark.search.wand import _make_cursors
+    from quickwit_spark.index.manifest import Manifest
+
+    m = Manifest.load(skewed_idx)
+    seg = sorted(s["segment_id"] for s in m.segments())[0]
+    seg_dir = f"{skewed_idx}/segments/{seg}"
+    _READER_CACHE.clear()
+    bound = segment_wand_bound(seg_dir, A.FullText("content", "hot"),
+                               "source_code_default", "content")
+    assert bound is not None and bound > 0
+    reader = get_reader(seg_dir, "source_code_default")
+    curs = [c for c in reader._wand_cursors.values() if c is not None]
+    assert curs and all(c.docid_blob is None for c in curs)
+    # first decode loads the blobs and scores correctly
+    docids, scores = curs[0].decode_blocks(
+        np.arange(len(curs[0].block_last)), reader.fieldnorm_ids(),
+        reader.record)
+    assert len(docids) > 0 and curs[0].docid_blob is not None
+    assert float(scores.max()) <= bound + 1e-6

@@ -118,3 +118,54 @@ def test_refresh_noop_and_removed_segment_fallback(spark, tmp_path):
     g = GlobalIndexSearcher(d)
     cnt, res = g.search_terms(["merge"], operator="or", k=5)
     assert cnt > 0 and len(res) == 5
+
+
+def test_refresh_crash_rerun_is_idempotent(spark, tmp_path):
+    """Crash AFTER the refresh's parquet write but BEFORE the manifest
+    commit: the delta directory is orphaned (invisible to readers), and
+    re-running the same transition overwrites it — no duplicate rows."""
+    d, cfg = _mk_base(spark, tmp_path)
+    gm_path = os.path.join(d, "global", "global_manifest.json")
+    with open(gm_path) as f:
+        gm_before = f.read()
+
+    _ingest_more(spark, cfg, seed=2, avg_tokens=80)
+    refresh_term_partitioned(spark, d)
+    # simulate the crash: parquet delta exists, manifest rolled back
+    with open(gm_path, "w") as f:
+        f.write(gm_before)
+
+    # reader pinned to the pre-refresh manifest never sees the orphan
+    g_old = GlobalIndexSearcher(d)
+    assert g_old.num_docs == 800
+    base_profile = [_score_profile(g_old, t, op) for t, op in QUERIES]
+
+    # re-run converges: same transition -> same delta dir, overwritten
+    gm2 = refresh_term_partitioned(spark, d)
+    assert gm2["refresh_count"] == 1
+    assert len(gm2["posting_dirs"]) == 2
+    refresh_dirs = [n for n in os.listdir(os.path.join(d, "global"))
+                    if n.startswith("postings_r")]
+    assert len(refresh_dirs) == 1
+    assert gm2["posting_dirs"][1] == refresh_dirs[0]
+
+    g = GlobalIndexSearcher(d)
+    after = [_score_profile(g, t, op) for t, op in QUERIES]
+    # full rebuild over the same manifest = ground truth (no dup rows:
+    # a duplicated posting would double tf contributions and counts)
+    build_term_partitioned(spark, d, num_term_partitions=8, force=True)
+    g_full = GlobalIndexSearcher(d)
+    truth = [_score_profile(g_full, t, op) for t, op in QUERIES]
+    assert after == truth
+    assert base_profile != truth  # refresh really added docs
+
+
+def test_full_rebuild_sweeps_orphan_refresh_dirs(spark, tmp_path):
+    d, cfg = _mk_base(spark, tmp_path)
+    orphan = os.path.join(d, "global", "postings_rdeadbeef0000")
+    os.makedirs(os.path.join(orphan, "tpid=0"), exist_ok=True)
+    build_term_partitioned(spark, d, num_term_partitions=8, force=True)
+    assert not os.path.exists(orphan)
+    gm = json.load(open(os.path.join(d, "global",
+                                     "global_manifest.json")))
+    assert gm["posting_dirs"] == ["postings"]

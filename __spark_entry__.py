@@ -894,6 +894,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.pq_adc_topk(codes, qdf, cb, k=10)
     q["ann_pq_adc_topk"] = ann_pq_row
 
+    def _substr_docs(s, d):
+        """docs with a fixed 26-token license block appended to every
+        4th doc: a cross-document duplicated SPAN (not a whole line /
+        whole doc), the exact-substring-dedup target shape."""
+        return _read(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.lit(" " + _LICENSE_BLOCK)).otherwise(F.lit("")),
+            ).alias("text"))
+
+    def substr_windows_row(s, d):
+        return dd.duplicate_windows(_substr_docs(s, d), window=20)
+    q["dedup_substr_windows"] = substr_windows_row
+
+    def substr_stats_row(s, d):
+        return dd.dup_span_stats(_substr_docs(s, d), window=20)
+    q["dedup_substr_stats"] = substr_stats_row
+
+    def strip_spans_row(s, d):
+        return dd.strip_duplicate_spans(_substr_docs(s, d), window=20)
+    q["strip_dup_spans"] = strip_spans_row
+
     return q
 
 
@@ -1128,6 +1152,28 @@ FROM keys k LEFT JOIN counts c USING (bucket)
 
 _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
          "x -> x <> '')")
+
+# 26 tokens >= the 20-token window: appended to every 4th doc so the
+# substring-dedup gates have a known cross-document duplicated span
+_LICENSE_BLOCK = (
+    "license grant copyright notice redistribution permitted provided "
+    "that the above notice and this permission text appear in all "
+    "copies of the software and its documentation thereof")
+
+_SUBSTR_DOCS = f"""(SELECT doc_id,
+  text || CASE WHEN doc_id % 4 = 0
+               THEN ' {_LICENSE_BLOCK}' ELSE '' END AS text
+  FROM documents)"""
+
+# one row per (doc_id, 0-based window start, 20-token-window md5)
+_WINDOW_CTE = f"""
+tk AS (SELECT doc_id, {_TOKS} AS ts FROM {_SUBSTR_DOCS}),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ts[i:i+19], ' ')) AS wh
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 19)) AS i)
+  WHERE len(ts) >= 20)
+"""
 _DOUBLED = ("(SELECT doc_id, text FROM documents UNION ALL "
             "SELECT doc_id + 1000000, text FROM documents)")
 _H32 = "CAST(('0x' || substr(md5({c}), 1, 8)) AS BIGINT)"
@@ -1647,6 +1693,57 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN totals t ON t.doc_id = d.doc_id
 LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+    o["dedup_substr_windows"] = f"""
+WITH {_WINDOW_CTE}
+SELECT wh, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM w GROUP BY wh HAVING count(*) >= 2
+"""
+
+    o["dedup_substr_stats"] = f"""
+WITH {_WINDOW_CTE},
+flagged AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+hit AS (SELECT doc_id, pos FROM w
+        WHERE wh IN (SELECT wh FROM flagged)),
+cov AS (SELECT doc_id, count(*) AS n_dup_windows FROM hit
+        GROUP BY doc_id),
+covtok AS (
+  SELECT doc_id, count(DISTINCT t) AS n_dup_tokens FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 19)) AS t
+    FROM hit) GROUP BY doc_id),
+base AS (SELECT doc_id, len(ts) AS n_tokens,
+                greatest(0, len(ts) - 19) AS n_windows FROM tk)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+       COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(ct.n_dup_tokens, 0) AS n_dup_tokens
+FROM base b
+LEFT JOIN cov c ON c.doc_id = b.doc_id
+LEFT JOIN covtok ct ON ct.doc_id = b.doc_id
+"""
+
+    o["strip_dup_spans"] = f"""
+WITH {_WINDOW_CTE},
+flagged AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+hit AS (SELECT doc_id, pos FROM w
+        WHERE wh IN (SELECT wh FROM flagged)),
+covered AS (SELECT DISTINCT doc_id, t FROM (
+  SELECT doc_id, unnest(generate_series(pos, pos + 19)) AS t FROM hit)),
+tokrows AS (
+  SELECT doc_id, i - 1 AS tpos, ts[i] AS tok
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+kept AS (SELECT k.doc_id, k.tpos, k.tok FROM tokrows k
+         LEFT JOIN covered c
+         ON c.doc_id = k.doc_id AND c.t = k.tpos
+         WHERE c.doc_id IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, len(ts) AS n_toks FROM tk)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       (t.n_toks - COALESCE(r.n_kept, 0)) AS n_removed_tokens
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 """
 
     from quickwit_spark.pipeline.similarity import fixed_pq_codebooks

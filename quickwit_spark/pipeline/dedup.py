@@ -363,3 +363,125 @@ def canonical_filter(df: DataFrame, pairs: DataFrame,
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
         .select(F.col("doc_id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (token-window) deduplication — the suffix-array dedup of
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# [public], re-expressed for Spark: instead of one global suffix array
+# (inherently sequential), every W-token window is rolling-hashed and
+# duplicated windows are found with ONE count shuffle keyed by the window
+# hash. A span duplicated across (or within) documents is exactly a run of
+# duplicated windows, so coverage/removal operate on flagged window
+# positions.
+# ---------------------------------------------------------------------------
+
+
+def _window_rows(df: DataFrame, id_col: str, text_col: str,
+                 window: int) -> DataFrame:
+    """One row per (doc_id, pos, window-hash): pos is the 0-based token
+    index where the W-token window starts. Docs shorter than W emit no
+    windows (they are handled by whole-doc dedup instead)."""
+    toks = tokens_expr(text_col)
+    wins = F.expr(
+        f"CASE WHEN size(_toks) < {window} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {window - 1}), "
+        f"i -> md5(concat_ws(' ', slice(_toks, i, {window})))) END")
+    return (df.withColumn("_toks", toks)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(wins).alias("pos", "wh")))
+
+
+def duplicate_windows(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", window: int = 20,
+                      min_count: int = 2) -> DataFrame:
+    """Flag W-token windows occurring >= min_count times corpus-wide
+    (within one doc or across docs). Returns (wh, n_occurrences,
+    n_docs).
+
+    Scale shape: the window explode is ~n_tokens rows per doc, reduced
+    by ONE partial/final count aggregation keyed by the 128-bit window
+    hash — no skew blowup (a hot window is still one counter per
+    partition), no collect, no all-pairs."""
+    win = _window_rows(df, id_col, text_col, window)
+    return (win.groupBy("wh")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .where(F.col("n_occurrences") >= F.lit(min_count)))
+
+
+def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", window: int = 20,
+                   min_count: int = 2) -> DataFrame:
+    """Per-document duplicated-span coverage: (doc_id, n_tokens,
+    n_windows, n_dup_windows, n_dup_tokens) where n_dup_tokens counts
+    token positions covered by at least one duplicated window.
+
+    The flagged set joins back on the window hash (shuffle join — AQE
+    broadcasts it when small, but unlike boilerplate lines a dup-heavy
+    corpus can flag many windows, so we don't force a broadcast);
+    coverage is computed with array ops, no per-row Python."""
+    win = _window_rows(df, id_col, text_col, window)
+    flagged = (duplicate_windows(df, id_col, text_col, window, min_count)
+               .select("wh"))
+    hit = win.join(flagged, "wh")
+    cov = (hit.groupBy("doc_id")
+           .agg(F.count("*").alias("n_dup_windows"),
+                F.size(F.array_distinct(F.flatten(F.collect_list(
+                    F.expr(f"sequence(pos, pos + {window} - 1)")))))
+                .alias("n_dup_tokens")))
+    toks = tokens_expr(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.greatest(F.lit(0),
+                   F.size(toks) - F.lit(window - 1)).alias("n_windows"))
+    return (base.join(cov, "doc_id", "left")
+            .na.fill({"n_dup_windows": 0, "n_dup_tokens": 0})
+            .select("doc_id", "n_tokens", "n_windows",
+                    F.col("n_dup_windows").cast("long"),
+                    F.col("n_dup_tokens").cast("long")))
+
+
+def strip_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", window: int = 20,
+                          min_count: int = 2) -> DataFrame:
+    """Remove every token covered by a duplicated window, preserving the
+    order of survivors; text is rebuilt space-joined (tokens are the
+    unit, exactly as in the suffix-array method). Returns (doc_id,
+    text, n_removed_tokens).
+
+    Semantics note: the reference method keeps ONE copy of each
+    duplicated span (requires a global occurrence order); we drop ALL
+    copies — idempotent, order-independent, and the common policy for
+    contamination-style spans (cf. C4 dropping every copy of a
+    boilerplate line). Callers wanting keep-one compose canonical_filter
+    over whole-doc duplicates first."""
+    win = _window_rows(df, id_col, text_col, window)
+    flagged = (duplicate_windows(df, id_col, text_col, window, min_count)
+               .select("wh"))
+    covered = (win.join(flagged, "wh")
+               .select("doc_id",
+                       F.explode(F.expr(
+                           f"sequence(pos, pos + {window} - 1)"))
+                       .alias("tpos"))
+               .distinct())
+    toks = tokens_expr(text_col)
+    tok_rows = (df.select(F.col(id_col).alias("doc_id"),
+                          F.posexplode(toks).alias("tpos", "tok")))
+    kept = tok_rows.join(covered, ["doc_id", "tpos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(
+                   " ",
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("tpos", "tok"))),
+                       lambda s: s["tok"])).alias("text"),
+                   F.count("*").alias("_n_kept")))
+    totals = df.select(F.col(id_col).alias("doc_id"),
+                       F.size(toks).alias("_n_toks"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .na.fill({"_n_kept": 0}).na.fill({"text": ""})
+            .select("doc_id", "text",
+                    (F.col("_n_toks") - F.col("_n_kept")).cast("long")
+                    .alias("n_removed_tokens")))

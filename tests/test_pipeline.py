@@ -301,3 +301,81 @@ def test_canonical_filter_keeps_one_per_cluster(spark):
     kept = sorted(r.doc_id for r in canonical_filter(df, pairs).collect())
     # cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 0,4,7 unpaired
     assert kept == [0, 1, 4, 5, 7]
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (token-window) dedup
+# ---------------------------------------------------------------------------
+
+def _substr_corpus(spark):
+    """4 docs: a+b share a 22-token span (cross-doc); c repeats its own
+    21-token span twice (within-doc); d is short (< window, no windows);
+    all docs carry unique prefixes/suffixes that must survive strip."""
+    span = " ".join(f"s{i}" for i in range(22))
+    inner = " ".join(f"r{i}" for i in range(21))
+    rows = [
+        (0, f"alpha unique {span} tail0"),
+        (1, f"beta other {span} tail1"),
+        (2, f"gamma {inner} mid {inner} end2"),
+        (3, "tiny doc under window"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_windows_cross_and_within_doc(spark):
+    from quickwit_spark.pipeline.dedup import duplicate_windows
+    df = _substr_corpus(spark)
+    out = duplicate_windows(df, window=20).toPandas()
+    assert len(out) > 0
+    # cross-doc windows appear in 2 docs; within-doc repeats in 1
+    assert set(out["n_docs"].unique()) == {1, 2}
+    assert (out["n_occurrences"] >= 2).all()
+
+
+def test_dup_span_stats_coverage(spark):
+    from quickwit_spark.pipeline.dedup import dup_span_stats
+    df = _substr_corpus(spark)
+    out = (dup_span_stats(df, window=20).toPandas()
+           .set_index("doc_id").sort_index())
+    # doc 0: tokens = 2 + 22 + 1 = 25 -> 6 windows; the 22 span tokens
+    # are covered only where a full 20-window of shared tokens exists:
+    # windows starting at the 3 span positions (s0..s2) hash-match doc 1
+    # => covered tokens = s0..s21 = 22
+    assert out.loc[0, "n_tokens"] == 25
+    assert out.loc[0, "n_windows"] == 6
+    assert out.loc[0, "n_dup_windows"] == 3
+    assert out.loc[0, "n_dup_tokens"] == 22
+    assert out.loc[1, "n_dup_tokens"] == 22
+    # doc 2 repeats a 21-token run twice -> both copies covered
+    assert out.loc[2, "n_dup_windows"] == 4
+    assert out.loc[2, "n_dup_tokens"] == 42
+    # short doc: no windows, nothing covered
+    assert out.loc[3, "n_windows"] == 0
+    assert out.loc[3, "n_dup_tokens"] == 0
+
+
+def test_strip_duplicate_spans_order_and_removal(spark):
+    from quickwit_spark.pipeline.dedup import strip_duplicate_spans
+    df = _substr_corpus(spark)
+    out = (strip_duplicate_spans(df, window=20).toPandas()
+           .set_index("doc_id").sort_index())
+    # every copy of the duplicated span is dropped; survivors keep order
+    assert out.loc[0, "text"] == "alpha unique tail0"
+    assert out.loc[0, "n_removed_tokens"] == 22
+    assert out.loc[1, "text"] == "beta other tail1"
+    assert out.loc[2, "text"] == "gamma mid end2"
+    assert out.loc[2, "n_removed_tokens"] == 42
+    assert out.loc[3, "text"] == "tiny doc under window"
+    assert out.loc[3, "n_removed_tokens"] == 0
+
+
+def test_strip_duplicate_spans_idempotent(spark):
+    from quickwit_spark.pipeline.dedup import strip_duplicate_spans
+    df = _substr_corpus(spark)
+    once = strip_duplicate_spans(df, window=20)
+    twice = (strip_duplicate_spans(
+        once.select("doc_id", "text"), window=20).toPandas()
+        .set_index("doc_id").sort_index())
+    assert (twice["n_removed_tokens"] == 0).all()
+    op = once.toPandas().set_index("doc_id").sort_index()
+    assert (twice["text"] == op["text"]).all()

@@ -33,7 +33,7 @@ from ..functions.bm25 import K1, Bm25Weight, avg_fieldnorm_f32, idf_f32
 from ..functions.fieldtypes import (bytes_from_b64, hex_to_ip_display,
                                     ip_norm_one)
 from ..functions.tokenizers import tokenize_one
-from ..index.codecs import decode_positions, decode_postings
+from ..index.codecs import decode_positions, decode_postings, varint_decode
 from ..index.manifest import Manifest
 from . import ast as A
 
@@ -274,13 +274,19 @@ class SegmentReader:
         td = self.scan_terms(lambda s: (s >= lo_key) & (s <= hi_key),
                              include_dynamic=True,
                              prefix=f"\x02{node.field}\x00")
-        sets = []
-        if len(td):
-            pr = self.postings_rows(td["term_id"].tolist())
-            for _, row in pr.iterrows():
-                d, _t = decode_postings(row["docid_blob"],
-                                        row["tf_blob"])
-                sets.append(d)
+        return self._union_postings_docids(td["term_id"].tolist())
+
+    def _union_postings_docids(self, term_ids: list) -> np.ndarray:
+        """Docid union across many terms (the wildcard / dynamic-exists /
+        dynamic-range multi-term shapes): fetches ONLY the docid blobs
+        (column-pruned) and skips the tf varint decode — no pandas
+        per-row objects in the loop."""
+        if not term_ids:
+            return _union_ids([])
+        pr = self.postings_rows([int(t) for t in term_ids],
+                                columns=["docid_blob"])
+        sets = [np.cumsum(varint_decode(b).astype(np.int64))
+                for b in pr["docid_blob"].to_numpy()]
         return _union_ids(sets)
 
     def _dynamic_term(self, field: str, value) -> str:
@@ -500,14 +506,8 @@ class SegmentReader:
                 td = self.scan_terms(lambda s: s.str.startswith(pfx),
                                      prefix=pfx,
                                      include_dynamic=True)
-                sets = []
-                if len(td):
-                    pr = self.postings_rows(td["term_id"].tolist())
-                    for _, row in pr.iterrows():
-                        d, _t = decode_postings(row["docid_blob"],
-                                                row["tf_blob"])
-                        sets.append(d)
-                ids = _union_ids(sets)
+                ids = self._union_postings_docids(
+                    td["term_id"].tolist())
                 return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                                if scoring else None)
             col = self.doc_column(node.field)
@@ -547,14 +547,8 @@ class SegmentReader:
                 td = self.scan_terms(
                     lambda s: s.str.fullmatch(pat, na=False),
                     prefix=lit or None)
-                sets = []
-                if len(td):
-                    pr = self.postings_rows(td["term_id"].tolist())
-                    for _, row in pr.iterrows():
-                        d, _t = decode_postings(row["docid_blob"],
-                                                row["tf_blob"])
-                        sets.append(d)
-                ids = _union_ids(sets)
+                ids = self._union_postings_docids(
+                    td["term_id"].tolist())
             else:
                 # factorize to uniques so the regex runs once per distinct
                 # value (vectorized str.match), not once per row

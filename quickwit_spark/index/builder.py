@@ -90,12 +90,18 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     n = len(fn_ids)
     npost = len(p_term)
 
-    # per-term ranges
-    term_starts = np.nonzero(np.r_[True, p_term[1:] != p_term[:-1]])[0]
+    # per-term ranges. npost == 0 (a chunk whose docs all have blank
+    # text and no dynamic terms) degrades to an EMPTY but valid segment
+    # — the np.r_[True, ...] idiom would fabricate term_starts=[0] and
+    # crash reduceat; every array below handles zero rows.
+    if npost:
+        term_starts = np.nonzero(np.r_[True, p_term[1:] != p_term[:-1]])[0]
+    else:
+        term_starts = np.zeros(0, dtype=np.int64)
     # np.unique(codes) guarantees every term has >= 1 posting
     term_lens = np.diff(np.r_[term_starts, npost])
     doc_freq = term_lens
-    total_tf = np.add.reduceat(tfs, term_starts)
+    total_tf = np.add.reduceat(tfs, term_starts) if npost else term_lens
 
     if preencoded is not None:
         doc_blob, doc_nb, tf_blob, tf_nb = preencoded
@@ -103,9 +109,10 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
         # delta encoding: within a term, gap vs previous docid;
         # first = docid
         deltas = np.empty(npost, dtype=np.int64)
-        deltas[0] = p_doc[0]
-        deltas[1:] = p_doc[1:] - p_doc[:-1]
-        deltas[term_starts] = p_doc[term_starts]
+        if npost:
+            deltas[0] = p_doc[0]
+            deltas[1:] = p_doc[1:] - p_doc[:-1]
+            deltas[term_starts] = p_doc[term_starts]
         doc_blob, doc_nb = _varint_encode_with_sizes(
             deltas.astype(np.uint64))
         tf_blob, tf_nb = _varint_encode_with_sizes(tfs.astype(np.uint64))
@@ -196,8 +203,8 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
         "num_postings": int(npost),
         "total_fieldnorm": int(id_to_fieldnorm(fn_ids).sum()),
         "bytes_postings": len(doc_blob) + len(tf_blob),
-        "term_min": str(terms_sorted[0]),
-        "term_max": str(terms_sorted[-1]),
+        "term_min": str(terms_sorted[0]) if nterms else "",
+        "term_max": str(terms_sorted[-1]) if nterms else "",
         # doc-map field names/types: list_fields serves from manifest
         # rows alone (no per-segment footer reads at 100k segments)
         "doc_fields": {f.name: str(f.type) for f in docs_table.schema},
@@ -302,9 +309,13 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         fn_ids = fieldnorm_to_id(np.ones(n, dtype=np.int64))
 
     pos_stream = None
-    if config.record == "position" and len(doc_idx):
+    if config.record == "position":
         # per-token position = ordinal within its doc (tokens are emitted
-        # in document order)
+        # in document order). ALWAYS built in position mode — even for a
+        # chunk with zero text tokens — so the segment carries a pos_blob
+        # column consistent with its meta (dynamic-only or blank-text
+        # chunks would otherwise crash merges/phrase reads that select
+        # the column)
         first_tok = np.r_[0, np.cumsum(fieldnorms)[:-1]]
         pos_stream = (np.arange(len(doc_idx), dtype=np.int64)
                       - first_tok[doc_idx])
@@ -331,7 +342,7 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
     tfs = tfs.astype(np.int64)
 
     positions = None
-    if pos_stream is not None and len(doc_idx):
+    if pos_stream is not None:
         # sorted stably by (term, doc) the positions stay ascending
         # within each posting, so delta-encoding resets at run
         # boundaries reproduce them exactly
@@ -547,12 +558,17 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
                    .collect())
         rows = [json.loads(r.manifest_json) for r in out]
         built_pids = {r["partition_id"] for r in rows}
+        stray = built_pids - {int(p) for p in wave}
+        if stray:
+            raise RuntimeError(
+                f"wave returned segments for partitions outside it: "
+                f"{sorted(stray)} — routing hash drift between driver "
+                "and executors would corrupt checkpoints")
         delta = {}
         for p in wave:
             nd = sum(r["num_docs"] for r in rows if r["partition_id"] == p)
             # empty partitions also advance their checkpoint
             delta[p] = (None, f"docs={nd}")
-        _ = built_pids
         manifest.publish(rows, checkpoint_delta=delta)
     return manifest
 

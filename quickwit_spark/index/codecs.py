@@ -187,6 +187,9 @@ def encode_position_blob(positions: np.ndarray, tfs: np.ndarray,
     content-addressed segment-id idempotence depends on all paths
     producing bit-identical blobs."""
     ntok = len(positions)
+    if ntok == 0:
+        # zero postings (blank-text chunk): 0 terms => offsets [0]
+        return b"", np.zeros(1, dtype=np.int64)
     run_starts = np.r_[0, np.cumsum(tfs)[:-1]]
     pdel = np.empty(ntok, dtype=np.int64)
     pdel[0] = positions[0]

@@ -368,7 +368,11 @@ def run_merges(index_dir: str, spark=None,
         ops = plan_merges(manifest.segments(), policy)
         if not ops:
             break
-        if spark is not None and len(ops) > 1:
+        if spark is not None:
+            # even a single-op round runs on an executor: the final
+            # hierarchy round IS typically one giant op whose working
+            # set is exactly what max_docs_in_flight keeps off the
+            # driver (see the NOTE in _execute_spark)
             metas = []
             for wave in _merge_waves(ops, max_docs_in_flight):
                 metas.extend(_execute_spark(spark, index_dir, wave))

@@ -25,10 +25,27 @@ def resolve_index_patterns(root_dir: str, patterns: list[str]
         d = os.path.join(root_dir, name)
         if not os.path.isfile(Manifest.path(d)):
             continue
-        uid = Manifest.load(d).data["index_uid"]
+        uid = _read_index_uid(Manifest.path(d))
         if any(fnmatch.fnmatch(uid, p) for p in patterns):
             out.append(d)
     return out
+
+
+def _read_index_uid(manifest_path: str) -> str:
+    """Just the index_uid, without json-parsing the whole manifest —
+    at 100k segment rows the full parse is tens of MB of JSON per
+    candidate index per pattern resolution. The top-level key is
+    matched textually (checkpoint keys are partition ids / source
+    names by construction, so the literal cannot occur earlier);
+    falls back to a full parse if the pattern is not found."""
+    import json
+    import re
+    with open(manifest_path, "rb") as f:
+        raw = f.read()
+    m = re.search(rb'"index_uid":\s*"((?:[^"\\]|\\.)*)"', raw)
+    if m:
+        return json.loads(b'"' + m.group(1) + b'"')
+    return json.loads(raw)["index_uid"]
 
 
 class MultiIndexSearcher:

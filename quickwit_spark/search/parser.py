@@ -115,6 +115,16 @@ class _Parser:
             if (kind, val) == ("word", "NOT"):
                 self.next()
                 neg = True
+            elif (kind, val) in (("word", "-"), ("word", "+")):
+                # bare -/+ before a quoted phrase or group: the sign
+                # lexes as its own token (`-"bad phrase"`, `-(a b)`),
+                # so consume it and apply to the NEXT primary — leaving
+                # it would turn into an always-empty FullText("-") must
+                # clause that zeroes the whole query
+                self.next()
+                neg = val == "-"
+                if self.peek()[0] in (None, "rparen"):
+                    break  # dangling sign at end of clause: drop it
             elif kind == "word" and val.startswith("-") and len(val) > 1:
                 self.toks[self.pos] = ("word", val[1:])
                 neg = True
@@ -214,6 +224,11 @@ class _Parser:
             return A.Range(field, **kw)
         if kind == "word":
             self.next()
+            if val == "*":
+                # `field:*` is the exists query (reference grammar,
+                # docs/reference/query-language.md) — NOT MatchAll,
+                # which would silently drop the presence constraint
+                return A.FieldPresence(field)
             for op, key in ((">=", "gte"), ("<=", "lte"), (">", "gt"),
                             ("<", "lt")):
                 if val.startswith(op):

@@ -19,6 +19,10 @@ def extract_query_terms(node) -> list[str]:
             out.append(n.value)
         elif isinstance(n, A.FullText):
             out.append(n.text)
+        elif isinstance(n, (A.Phrase, A.PhrasePrefix)):
+            # quoted queries must highlight too — without this every
+            # phrase search returned an empty snippet
+            out.append(n.text)
         elif isinstance(n, A.TermSet):
             out.extend(n.values)
         elif isinstance(n, A.Boost):

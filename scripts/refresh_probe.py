@@ -102,10 +102,23 @@ def main() -> None:
     truth = [_keys(g2, g2.search_terms(t, operator=op, k=10)[1])
              for t, op in queries]
     # docid-order tie-breaks legitimately differ between the two docid
-    # spaces, so compare as score-sorted sets of stable addresses
-    rank_identical = all(sorted(r) == sorted(t_)
+    # spaces: the score lists must be identical, and the hit addresses
+    # must match for every score strictly above the k-th (docs TIED at
+    # the boundary are interchangeable — either layout may pick any of
+    # them, exactly like the reference's address tie-break)
+    def _tie_aware_equal(r, t_):
+        rs, ts = [x[2] for x in r], [x[2] for x in t_]
+        if rs != ts:
+            return False
+        if not rs:
+            return True
+        boundary = rs[-1]
+        return (sorted(x for x in r if x[2] != boundary)
+                == sorted(x for x in t_ if x[2] != boundary))
+
+    rank_identical = all(_tie_aware_equal(r, t_)
                          for r, t_ in zip(refreshed, truth))
-    pruned_identical = all(sorted(p) == sorted(t_)
+    pruned_identical = all(_tie_aware_equal(p, t_)
                            for p, t_ in zip(pruned, truth))
 
     print(json.dumps({

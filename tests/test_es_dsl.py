@@ -222,3 +222,16 @@ def test_sort_rejects_more_than_two_fields(spark, tmp_path):
                         "sort": [{"size": {"order": "desc"}},
                                  {"lang": {"order": "asc"}}], "size": 3})
     assert out["hits"]["total"]["value"] == 6
+
+
+def test_phrase_query_snippets_highlight():
+    """Quoted-phrase queries must produce highlighted snippets (Phrase /
+    PhrasePrefix previously contributed zero terms => empty snippet)."""
+    from quickwit_spark.search.parser import parse_query
+    node = parse_query('"segmentation fault"')
+    terms = extract_query_terms(node)
+    assert "segmentation" in terms and "fault" in terms
+    s = make_snippet("a segmentation fault occurred here", terms)
+    assert "<b>segmentation</b>" in s and "<b>fault</b>" in s
+    prefix = parse_query('"quick so"*')
+    assert extract_query_terms(prefix)

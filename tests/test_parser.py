@@ -75,3 +75,29 @@ def test_boost_syntax():
     assert node == A.Bool(must=(
         A.FullText("c", "a", operator="and"),
         A.Boost(A.FullText("c", "merge", operator="and"), 2.0)))
+
+
+def test_negated_phrase_and_group():
+    """`-"..."` and `-(...)`: the sign lexes as its own token and must
+    negate the NEXT primary — not become an always-empty must clause."""
+    n = parse_query('error -"false positive"')
+    assert isinstance(n, A.Bool)
+    assert len(n.must) == 1 and isinstance(n.must[0], A.FullText)
+    assert len(n.must_not) == 1 and isinstance(n.must_not[0], A.Phrase)
+    assert n.must_not[0].text == "false positive"
+
+    g = parse_query('error -(warn info)')
+    assert len(g.must_not) == 1
+    # dangling sign is dropped, not an empty clause
+    d = parse_query('error -')
+    assert isinstance(d, A.FullText)
+
+
+def test_field_star_is_exists():
+    n = parse_query('status:*')
+    assert isinstance(n, A.FieldPresence) and n.field == "status"
+    both = parse_query('status:* AND error')
+    kinds = {type(c) for c in both.must}
+    assert A.FieldPresence in kinds
+    # bare * stays match-all
+    assert isinstance(parse_query('*'), A.MatchAll)

@@ -78,3 +78,78 @@ def test_checkpoint_conflict(tmp_path):
     # correct from-position succeeds
     m.publish([], checkpoint_delta={0: ("docs=5", "docs=9")})
     assert m.checkpoint(0) == "docs=9"
+
+
+def test_blank_text_chunk_builds_empty_segment(tmp_path):
+    """A partition whose docs all have empty/whitespace text must build a
+    valid (empty-postings) segment instead of crashing the wave — one
+    blank partition in a 100 TB build must not stall the checkpoint."""
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"f{i}" for i in range(4)],
+        "commit": ["c"] * 4, "lang": ["py"] * 4,
+        "content": ["", "   ", "", "real tokens here"],
+    })
+    cfg = IndexConfig(index_uid="blank", index_dir=str(tmp_path / "b"),
+                      sha_col=None)
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    assert s.count("*") == 4
+    hits = s.search(A.Term("content", "tokens"), k=5).hits
+    assert [h.doc["path"] for h in hits] == ["f3"]
+    # all-blank chunk alone: zero terms, still queryable
+    pdf2 = pdf.head(3)
+    cfg2 = IndexConfig(index_uid="blank2", index_dir=str(tmp_path / "b2"),
+                       sha_col=None)
+    build_index_pandas(pdf2, cfg2, num_partitions=1)
+    s2 = IndexSearcher(cfg2.index_dir)
+    assert s2.count("*") == 3
+    assert s2.search(A.Term("content", "tokens"), k=5).num_hits == 0
+
+
+def test_blank_text_position_mode_and_merge(tmp_path):
+    """Position-mode segments from blank-text / dynamic-only chunks must
+    still carry the pos_blob column so merges and phrase queries that
+    select it do not crash."""
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    pdf = pd.DataFrame({
+        "repo": ["r0", "r0", "r1", "r1"],
+        "path": [f"f{i}" for i in range(4)],
+        "commit": ["c"] * 4, "lang": ["py"] * 4,
+        # partition r1 is dynamic-only (blank text, attrs present)
+        "content": ["quick sort here", "quick brown sort", "", ""],
+        "extra": [None, None, '{"sev": "err"}', '{"sev": "warn"}'],
+    })
+    # route by repo so one segment is the dynamic-only shape
+    cfg = IndexConfig(index_uid="posblank",
+                      index_dir=str(tmp_path / "p"),
+                      sha_col=None, record="position",
+                      dynamic_col="extra", partition_cols=("repo",))
+    build_index_pandas(pdf, cfg, num_partitions=2)
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.Phrase("content", "quick sort"), k=5).num_hits == 1
+    assert s.search('sev:err', k=5).num_hits == 1
+    # the merge must read pos_blob from BOTH parents without error —
+    # call the executor directly (the policy would not merge 2 segments)
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.index.merge import merge_segments
+    m = Manifest.load(cfg.index_dir)
+    segs = sorted(m.segments(), key=lambda x: x["segment_id"])
+    assert len(segs) == 2
+    meta = merge_segments(cfg.index_dir, segs)
+    m.publish([meta],
+              replaced_segment_ids=[x["segment_id"] for x in segs])
+    s2 = IndexSearcher(cfg.index_dir)
+    assert s2.search(A.Phrase("content", "quick sort"), k=5).num_hits == 1
+    assert s2.search('sev:err', k=5).num_hits == 1
+    assert s2.count("*") == 4

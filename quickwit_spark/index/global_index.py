@@ -431,6 +431,19 @@ def _emit_segment_terms(segments_root: str, segment_id: str,
     # deltas only to recover docids (vectorized, one pass over the segment)
     dsuper, _doffs = _binary_cells(pr.column("docid_blob"))
     df_counts = td.column("doc_freq").to_numpy().astype(np.int64)
+    if len(df_counts) == 0:
+        # valid EMPTY segment (blank-text chunk): contributes no term
+        # rows — the np.r_[0, ...] idiom below would fabricate a
+        # term_start into the empty delta array and crash the stage
+        return pa.record_batch({
+            "term": pa.array([], type=pa.string()),
+            "seg_ord": pa.array([], type=pa.int32()),
+            "doc_freq": pa.array([], type=pa.int64()),
+            "total_tf": pa.array([], type=pa.int64()),
+            "docid_blob": pa.array([], type=pa.binary()),
+            "tf_blob": pa.array([], type=pa.binary()),
+            "fn_blob": pa.array([], type=pa.binary()),
+        })
     deltas = varint_decode(dsuper).astype(np.int64)
     term_starts = np.r_[0, np.cumsum(df_counts)[:-1]].astype(np.int64)
     cs = np.cumsum(deltas)
@@ -765,16 +778,10 @@ class GlobalIndexSearcher:
         else:
             docs = np.unique(np.concatenate([d for d, _ in per_term])) \
                 if per_term else np.zeros(0, np.int64)
-        acc_dtype = np.float64 if precision == "f64" else np.float32
-        scores = np.zeros(len(docs), dtype=acc_dtype)
-        for d, s in per_term:
-            idx = np.searchsorted(d, docs)
-            idx = np.clip(idx, 0, max(len(d) - 1, 0))
-            present = np.zeros(len(docs), dtype=bool)
-            if len(d):
-                present = d[idx] == docs
-            scores[present] = (scores[present] +
-                               s[idx[present]]).astype(acc_dtype)
+        from ..search.wand import _combine_in_query_order
+        scores = _combine_in_query_order(
+            per_term, docs,
+            dtype=np.float64 if precision == "f64" else np.float32)
         order = np.lexsort((-docs, -scores.astype(np.float64)))[:k]
         return len(docs), pd.DataFrame({
             "global_doc": docs[order], "score": scores[order]})

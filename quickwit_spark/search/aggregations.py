@@ -252,20 +252,20 @@ def _collect_fields(spec: dict) -> set[str]:
 def aggregate(searcher, query, spec: dict):
     """Run an ES-style aggregation spec over the docs matching `query`.
 
-    Returns a Spark DataFrame (when the searcher has a session) or pandas
-    DataFrame; one row per deepest bucket combination (see module doc).
+    Returns a Spark DataFrame (the searcher MUST carry a SparkSession —
+    the spec front-end builds Spark plans, there is no pandas twin);
+    one row per deepest bucket combination (see module doc).
     SIBLING bucket aggregations at the top level return a dict
     {agg_name: DataFrame} — the matched-doc relation is resolved once and
     shared by every sibling plan."""
     fields = sorted(_collect_fields(spec))
     matched = searcher.matched_docs(query, fields)
-    is_spark = not hasattr(matched, "iloc")
-    if not is_spark:
-        spark = searcher.spark
-        if spark is None:
-            raise ValueError("aggregate() needs a SparkSession attached "
-                             "to the searcher (IndexSearcher(dir, spark))")
-        matched = spark.createDataFrame(matched)
+    if hasattr(matched, "iloc"):
+        # matched_docs returns pandas exactly when the searcher has no
+        # SparkSession, so there is nothing to convert with — the spec
+        # front-end is a Spark plan builder by design
+        raise ValueError("aggregate() needs a SparkSession attached "
+                         "to the searcher (IndexSearcher(dir, spark))")
 
     n_top_buckets = sum(
         1 for body in spec.values()
@@ -406,9 +406,13 @@ def _aggregate_plan(matched, spec: dict):
                 agg_minmax = agg_minmax.select(
                     F.least(F.col("lo"), key).alias("lo"),
                     F.greatest(F.col("hi"), key_hi).alias("hi"))
+            # lo/hi are already bucket keys => the quotient is an integer
+            # up to float ulps; round to nearest, never cast-truncate
+            # (floor(-42.5)*0.1 divides back to -42.99999999999999, and a
+            # cast would truncate to -42, dropping the real -4.3 bucket)
             keys = agg_minmax.select(F.explode(F.sequence(
-                ((F.col("lo") - offset) / interval).cast("long"),
-                ((F.col("hi") - offset) / interval).cast("long"))
+                F.round((F.col("lo") - offset) / interval, 0).cast("long"),
+                F.round((F.col("hi") - offset) / interval, 0).cast("long"))
             ).alias("_k")).select(
                 (F.col("_k") * interval + offset).alias(name0))
             if len(level_names) > 1:

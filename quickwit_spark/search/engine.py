@@ -701,8 +701,17 @@ class SegmentReader:
 
     def _eval_bool(self, node: A.Bool, text_field: str, scoring: bool
                    ) -> _Scored:
-        positives = list(node.must) + list(node.filter)
         result: _Scored | None = None
+        if not node.must and not node.filter and not node.should:
+            # positive-less bool (must_not only): the reference inserts
+            # an implicit match-all so `-foo` excludes from ALL docs
+            # (tantivy_query_ast.rs:310-321) — except an explicit
+            # minimum_should_match > 0 with no shoulds matches nothing
+            if (node.minimum_should_match or 0) > 0:
+                return _Scored.empty()
+            ids = np.arange(self.num_docs, dtype=np.int64)
+            result = _Scored(ids, np.ones(len(ids), dtype=np.float32)
+                             if scoring else None)
         # scoring AND over must clauses, in clause order
         for clause in node.must:
             s = self.eval(clause, text_field, scoring)
@@ -756,7 +765,6 @@ def _gather_phrase_keys(plist, cand: np.ndarray, slot_idx: int,
     packing is collision-free in int64.
     """
     parts = []
-    C = len(cand)
     for d, tf, _df, pos, rs in plist:
         if len(d) == 0:
             continue
@@ -775,7 +783,6 @@ def _gather_phrase_keys(plist, cand: np.ndarray, slot_idx: int,
         keys = (np.repeat(doc_ord, lens).astype(np.int64)
                 << np.int64(33)) + adj
         parts.append(keys)
-    _ = C
     if not parts:
         return np.zeros(0, dtype=np.int64)
     if len(parts) == 1:

@@ -164,10 +164,13 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
     return cursors if any_found else []
 
 
-def _combine_in_query_order(parts, final_docids):
-    """Sum per-term f32 scores at final_docids in ORIGINAL query order —
-    bit-identical to the exhaustive path's clause-order summation."""
-    scores = np.zeros(len(final_docids), dtype=np.float32)
+def _combine_in_query_order(parts, final_docids, dtype=np.float32):
+    """Sum per-term scores at final_docids in ORIGINAL query order —
+    bit-identical to the exhaustive path's clause-order summation.
+    `dtype` is the accumulator precision (f64 for the SQL-oracle twin);
+    the SINGLE implementation shared by the pruned paths and the global
+    searcher, so the rank-identity contract has one copy to keep."""
+    scores = np.zeros(len(final_docids), dtype=dtype)
     for docids, tscores in parts:
         idx = np.searchsorted(docids, final_docids)
         idx = np.clip(idx, 0, max(len(docids) - 1, 0))
@@ -175,7 +178,7 @@ def _combine_in_query_order(parts, final_docids):
         if len(docids):
             present = docids[idx] == final_docids
         scores[present] = (scores[present] +
-                           tscores[idx[present]]).astype(np.float32)
+                           tscores[idx[present]]).astype(dtype)
     return scores
 
 

@@ -147,6 +147,12 @@ class OracleSegment:
 
     def _eval_bool(self, node: A.Bool, scoring: bool) -> dict[int, np.float32]:
         result: dict[int, np.float32] | None = None
+        if not node.must and not node.filter and not node.should:
+            # positive-less bool: implicit match-all, minus must_not
+            # (tantivy_query_ast.rs:310-321) — mirrors the engine
+            if (node.minimum_should_match or 0) > 0:
+                return {}
+            result = {d: f32(1.0) for d in range(self.n)}
         for clause in node.must:
             s = self.eval(clause, scoring)
             if result is None:

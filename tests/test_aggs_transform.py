@@ -362,3 +362,31 @@ def test_top_hits_string_sort_entries(spark, idx):
     expect = (sub.sort_values("size", ascending=False)
               .groupby("lang").head(2))
     assert len(got_short) == len(expect)
+
+
+def test_histogram_fractional_interval_edge_buckets(spark, tmp_path):
+    """interval=0.1 with negative values: the gap-fill key range must be
+    rounded, not cast-truncated (floor(-42.5)*0.1 divides back to
+    -42.99999999999999; truncation dropped the real -4.3 bucket)."""
+    docs = []
+    vals = [-4.25, -1.05, 0.0, 1.15, 4.25]
+    for i, v in enumerate(vals):
+        docs.append({"repo": "r", "path": f"f{i}", "commit": "c",
+                     "lang": "en", "content": "alpha", "ratio": v})
+    pdf = pd.DataFrame(docs)
+    cfg = IndexConfig(index_uid="hfrac", index_dir=str(tmp_path / "h"),
+                      sha_col=None, store_cols=("ratio",))
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    out = aggregate(s, A.Term("content", "alpha"), {
+        "h": {"histogram": {"field": "ratio", "interval": 0.1,
+                            "min_doc_count": 0}}}).toPandas()
+    nonzero = out[out.doc_count > 0]["h"].round(6).tolist()
+    import math
+    expect = sorted({round(math.floor(v / 0.1) * 0.1, 6) for v in vals})
+    assert sorted(nonzero) == expect
+    assert int(out["doc_count"].sum()) == len(vals)
+    # the full key range is contiguous at 0.1 steps
+    ks = out["h"].round(6).tolist()
+    assert ks == sorted(ks)
+    assert abs((ks[-1] - ks[0]) - 0.1 * (len(ks) - 1)) < 1e-6

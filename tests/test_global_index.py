@@ -323,3 +323,29 @@ def test_global_single_term_fast_path(spark, dirs):
     assert list(fast["global_doc"]) == list(exact["global_doc"])
     for a, b in zip(fast["score"], exact["score"]):
         assert abs(float(a) - float(b)) < 1e-3
+
+
+def test_global_build_with_empty_segment(spark, tmp_path):
+    """An index containing a valid EMPTY segment (blank-text chunk) must
+    still build/refresh the global layout — stage 1 previously crashed
+    on the zero-term termdict."""
+    import pandas as pd
+    import quickwit_spark as q
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.global_index import (
+        GlobalIndexSearcher, build_term_partitioned)
+
+    pdf = pd.DataFrame({
+        "repo": ["a", "a", "b"], "path": ["f0", "f1", "f2"],
+        "commit": ["c"] * 3, "lang": ["py"] * 3,
+        # partition b is all-blank => empty segment
+        "content": ["merge sort impl", "quick merge here", ""],
+    })
+    cfg = IndexConfig(index_uid="ge", index_dir=str(tmp_path / "ge"),
+                      sha_col=None, partition_cols=("repo",))
+    q.build_index_pandas(pdf, cfg, num_partitions=2)
+    build_term_partitioned(spark, cfg.index_dir, num_term_partitions=4)
+    g = GlobalIndexSearcher(cfg.index_dir)
+    assert g.num_docs == 3
+    n, res = g.search_terms(["merge"], operator="or", k=5)
+    assert n == 2 and len(res) == 2

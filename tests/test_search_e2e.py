@@ -332,3 +332,25 @@ def test_prefix_upper_helper():
     assert _prefix_upper("\U0010FFFF") is None
     # never a lone surrogate (unencodable in a parquet filter)
     assert _prefix_upper("\ud7ff") == "\ue000"
+
+
+def test_must_not_only_bool_matches_all_minus(built, oracle):
+    """A bool with ONLY must_not clauses carries an implicit match-all
+    (tantivy_query_ast.rs:310-321) — previously it matched nothing."""
+    pdf, cfg, manifest = built
+    s = IndexSearcher(cfg.index_dir)
+    node = A.Bool(must_not=(A.Term("lang", "python"),))
+    res = s.search(node, k=10)
+    n_not_python = int((pdf["lang"] != "python").sum())
+    assert res.num_hits == n_not_python > 0
+    assert all(h.doc["lang"] != "python" for h in res.hits)
+    # engine == scalar oracle on the same node
+    ocount = sum(len(seg.eval(node)) for seg in oracle.segments)
+    assert ocount == n_not_python
+    # the parser's pure negation goes through the same path
+    res2 = s.search('-lang:python', k=5)
+    assert res2.num_hits == n_not_python
+    # explicit msm>0 with no shoulds: reference matches nothing
+    none = s.search(A.Bool(must_not=(A.Term("lang", "python"),),
+                           minimum_should_match=1), k=5)
+    assert none.num_hits == 0

@@ -90,3 +90,15 @@ class IndexConfig:
     def doc_sort_cols(self) -> list[str]:
         """Stable within-partition doc order => deterministic doc ids."""
         return list(self.key_cols)
+
+    def manifest_config(self) -> dict:
+        """The config dict persisted in the manifest (what the searcher
+        reads back, engine `manifest.data['config']`). The SINGLE source
+        for every Manifest.load_or_create call site — a key added here
+        reaches all ingest paths (batch, streaming, kafka, queue, bulk)
+        at once instead of drifting across six hand-typed dicts."""
+        return {"key_cols": list(self.key_cols),
+                "text_col": self.text_col,
+                "tokenizer": self.tokenizer,
+                "schema_rev": self.schema_rev,
+                "tag_cols": list(self.tag_cols)}

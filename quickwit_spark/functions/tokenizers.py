@@ -231,21 +231,17 @@ def porter_stem(w: str) -> str:
     if len(w) <= 2:
         return w
 
-    def cons(i):
-        c = w[i]
-        if c in "aeiou":
-            return False
-        if c == "y":
-            return i == 0 or not cons(i - 1)
-        return True
-
     def m(stem):
-        # measure: number of VC sequences
-        forms = ""
+        # measure: number of VC sequences == count of v->c transitions
+        # (per-token hot path: a counting loop, no regex/string build)
+        count = 0
+        prev_v = False
         for i in range(len(stem)):
-            forms += "c" if _p_cons(stem, i) else "v"
-        import re as _re
-        return len(_re.findall("vc", forms))
+            is_v = not _p_cons(stem, i)
+            if prev_v and not is_v:
+                count += 1
+            prev_v = is_v
+        return count
 
     def _p_cons(s, i):
         c = s[i]
@@ -438,7 +434,11 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
     source_code_with_hex (falls back to the exact scalar machine per doc —
     hex backtracking is inherently sequential).
     """
-    texts = list(texts)
+    # nulls in a text column arrive as NaN (float) from pandas: normalize
+    # to "" up front so EVERY analyzer path sees strings — the per-doc
+    # loop paths (whitespace / hex / cjk / custom) would otherwise crash
+    # the whole indexing task on one null cell ('if not t' is truthy NaN)
+    texts = [t if isinstance(t, str) else "" for t in texts]
     if not texts:
         return np.zeros(0, dtype=np.int64), []
 

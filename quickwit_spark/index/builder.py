@@ -498,9 +498,7 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
 
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
-        {"key_cols": list(config.key_cols), "text_col": config.text_col,
-         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
-         "tag_cols": list(config.tag_cols)})
+        config.manifest_config())
     done = manifest.published_partitions()
     todo = [p for p in range(num_partitions) if p not in done]
     if not todo:
@@ -578,9 +576,7 @@ def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
     """Driver-local build (tests / oracle): same code path, no Spark."""
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
-        {"key_cols": list(config.key_cols), "text_col": config.text_col,
-         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
-         "tag_cols": list(config.tag_cols)})
+        config.manifest_config())
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 

@@ -19,46 +19,20 @@ BLOCK_SIZE = 128
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varint encoding of a uint64 array, vectorized."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    nb = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        nb += (tmp != 0)
-        tmp >>= np.uint64(7)
-    total = int(nb.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    starts = np.zeros(v.shape, dtype=np.int64)
-    np.cumsum(nb[:-1], out=starts[1:])
-    cur = v.copy()
-    for j in range(int(nb.max())):
-        active = nb > j
-        idx = starts[active] + j
-        byte = (cur[active] & np.uint64(0x7F)).astype(np.uint8)
-        more = (nb[active] > j + 1).astype(np.uint8) << 7
-        out[idx] = byte | more
-        cur >>= np.uint64(7)
-    return out.tobytes()
+    """LEB128-style varint encoding of a uint64 array, vectorized.
+    Delegates to varint_encode_with_sizes — ONE encoder body, so the
+    byte-identity contract (content-addressed segment ids, merge
+    splicing) has a single implementation to keep."""
+    return varint_encode_with_sizes(
+        np.ascontiguousarray(values, dtype=np.uint64))[0]
 
 
 def varint_decode(buf: bytes | memoryview) -> np.ndarray:
-    """Decode a varint byte buffer back to a uint64 array, vectorized."""
-    a = np.frombuffer(buf, dtype=np.uint8)
-    if a.size == 0:
-        return np.zeros(0, dtype=np.uint64)
-    ends = np.nonzero((a & 0x80) == 0)[0]
-    starts = np.empty(ends.shape, dtype=np.int64)
-    starts[0] = 0
-    starts[1:] = ends[:-1] + 1
-    lens = ends - starts + 1
-    vals = np.zeros(ends.shape, dtype=np.uint64)
-    for j in range(int(lens.max())):
-        active = lens > j
-        b = a[starts[active] + j].astype(np.uint64)
-        vals[active] |= (b & np.uint64(0x7F)) << np.uint64(7 * j)
-    return vals
+    """Decode a varint byte buffer back to a uint64 array, vectorized.
+    Delegates to varint_decode_with_sizes: ONE decoder body to keep —
+    the content-addressed idempotence contract requires every path to
+    agree byte-for-byte, so there must be no second copy to drift."""
+    return varint_decode_with_sizes(buf)[0]
 
 
 def varint_decode_with_sizes(buf: bytes | memoryview
@@ -214,6 +188,11 @@ def decode_positions(pos_blob: bytes, tfs: np.ndarray
     """
     deltas = varint_decode(pos_blob).astype(np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
+    if len(deltas) == 0:
+        # empty posting stream (blank-text position segment): mirror the
+        # encoder's ntok==0 guard — np.r_[0, ...] would fabricate a run
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
     run_starts = np.r_[0, np.cumsum(tfs)[:-1]]
     cs = np.cumsum(deltas)
     base = cs[run_starts] - deltas[run_starts]

@@ -53,9 +53,9 @@ def rewrite_segment_without(index_dir: str, parent: dict,
     pos_arg = None
     if with_pos and positions is not None:
         tok_keep = np.repeat(keep, tfs)
+        # pos_arg stays None here: the blob is re-encoded below, after
+        # term compaction fixes the term ids
         new_pos = positions[tok_keep]
-        if len(new_pos):
-            pos_arg = None  # re-encoded below after term compaction
 
     # drop terms that lost all postings; re-densify term ids
     live_terms, compact = np.unique(new_term_of, return_inverse=True)
@@ -66,22 +66,25 @@ def rewrite_segment_without(index_dir: str, parent: dict,
     if with_pos and positions is not None and len(new_tfs):
         pos_arg = _encode_position_blob(new_pos, new_tfs, compact)
 
-    # docs table filtered + re-densified ids
-    t = pq.read_table(os.path.join(seg_dir, "docs.parquet")).to_pandas()
-    t = t[kept_mask].reset_index(drop=True)
-    t["_seg_doc"] = np.arange(n_new, dtype=np.int32)
-    fieldnorms = t["fieldnorm"].to_numpy().astype(np.int64)
+    # docs table filtered + re-densified ids: filter the ARROW table and
+    # keep the parent's exact column types — a pandas round-trip would
+    # re-infer (int32 -> int64, all-null string -> null), making the
+    # rewritten segment's doc_fields drift from its siblings'
+    import pyarrow as pa
+    tbl = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+    kept_tbl = tbl.filter(pa.array(kept_mask))
+    doc_cols = {}
+    for i, name in enumerate(kept_tbl.schema.names):
+        if name == "_seg_doc":
+            doc_cols[name] = pa.array(
+                np.arange(n_new), type=kept_tbl.schema.field(i).type)
+        else:
+            doc_cols[name] = kept_tbl.column(i).combine_chunks()
+    fieldnorms = kept_tbl.column("fieldnorm").to_numpy().astype(np.int64)
     if parent.get("fieldnorms", True):
         fn_ids = fieldnorm_to_id(fieldnorms)
     else:
         fn_ids = fieldnorm_to_id(np.ones(n_new, dtype=np.int64))
-    import pyarrow as pa
-    # unsigned ints via numpy (python ints above i64::MAX break arrow's
-    # int64 inference — same transport rule as builder._pa_col)
-    doc_cols = {c: (pa.array(t[c].to_numpy())
-                    if pd.api.types.is_unsigned_integer_dtype(t[c])
-                    else pa.array(t[c].tolist()))
-                for c in t.columns}
 
     h = hashlib.sha256()
     h.update(f"delete:{parent['segment_id']}:".encode())

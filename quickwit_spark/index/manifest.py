@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 import tempfile
 from typing import Any
 
@@ -96,6 +97,29 @@ class Manifest:
 
     # -- transactions ------------------------------------------------------
 
+    @contextmanager
+    def _locked_fresh(self):
+        """Exclusive manifest lock + fresh on-disk re-read: EVERY mutating
+        transaction (publish, retention, vacuum) goes through this so a
+        janitor holding a stale in-memory view cannot clobber a concurrent
+        publish's segment rows. flock is per-open-fd, so nested use in one
+        process would self-deadlock — callers must not stack transactions
+        (apply_retention releases before delegating to vacuum)."""
+        lock_path = os.path.join(self.index_dir, ".manifest.lock")
+        with open(lock_path, "w") as lf:
+            try:
+                import fcntl
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # no flock (non-posix FS): single-writer assumption
+            path = self.path(self.index_dir)
+            if os.path.exists(path):
+                with open(path) as f:
+                    fresh = json.load(f)
+                if fresh["version"] >= self.data["version"]:
+                    self.data = fresh
+            yield
+
     def publish(self, staged_segments: list[dict],
                 replaced_segment_ids: list[str] | None = None,
                 checkpoint_delta: dict[int | str, tuple[str | None, str]] | None = None,
@@ -114,19 +138,7 @@ class Manifest:
         (self.data) is refreshed as a side effect."""
         replaced_segment_ids = replaced_segment_ids or []
         checkpoint_delta = checkpoint_delta or {}
-        lock_path = os.path.join(self.index_dir, ".manifest.lock")
-        with open(lock_path, "w") as lf:
-            try:
-                import fcntl
-                fcntl.flock(lf, fcntl.LOCK_EX)
-            except (ImportError, OSError):
-                pass  # no flock (non-posix FS): single-writer assumption
-            path = self.path(self.index_dir)
-            if os.path.exists(path):
-                with open(path) as f:
-                    fresh = json.load(f)
-                if fresh["version"] >= self.data["version"]:
-                    self.data = fresh
+        with self._locked_fresh():
             # validate checkpoint compatibility first (all-or-nothing)
             for pid, (frm, to) in checkpoint_delta.items():
                 cur = self.data["checkpoints"].get(str(pid))
@@ -156,34 +168,37 @@ class Manifest:
         time_range analog) is strictly below `cutoff`. Segment-granular
         like the reference — a segment straddling the cutoff stays until
         it ages out entirely. Returns the retired segment ids."""
-        expired = []
-        for sid, seg in self.data["segments"].items():
-            if seg["state"] != SEGMENT_STATE_PUBLISHED:
-                continue
-            stats = seg.get("col_stats", {}).get(column)
-            if stats is not None and float(stats[1]) < float(cutoff):
-                expired.append(sid)
-        for sid in expired:
-            self.data["segments"][sid]["state"] = SEGMENT_STATE_DEAD
-        if expired:
-            self.data["version"] += 1
-            self._write()
-            if vacuum:
-                self.vacuum()
+        with self._locked_fresh():
+            expired = []
+            for sid, seg in self.data["segments"].items():
+                if seg["state"] != SEGMENT_STATE_PUBLISHED:
+                    continue
+                stats = seg.get("col_stats", {}).get(column)
+                if stats is not None and float(stats[1]) < float(cutoff):
+                    expired.append(sid)
+            for sid in expired:
+                self.data["segments"][sid]["state"] = SEGMENT_STATE_DEAD
+            if expired:
+                self.data["version"] += 1
+                self._write()
+        # own transaction: nested flock on the same file self-deadlocks
+        if expired and vacuum:
+            self.vacuum()
         return expired
 
     def vacuum(self) -> list[str]:
         """Drop dead segment rows and delete their directories (GC/janitor
         analog, quickwit-janitor garbage_collector.rs)."""
         import shutil
-        dead = [sid for sid, s in self.data["segments"].items()
-                if s["state"] == SEGMENT_STATE_DEAD]
-        for sid in dead:
-            seg_dir = os.path.join(self.index_dir, "segments", sid)
-            if os.path.isdir(seg_dir):
-                shutil.rmtree(seg_dir)
-            del self.data["segments"][sid]
-        if dead:
-            self.data["version"] += 1
-            self._write()
+        with self._locked_fresh():
+            dead = [sid for sid, s in self.data["segments"].items()
+                    if s["state"] == SEGMENT_STATE_DEAD]
+            for sid in dead:
+                seg_dir = os.path.join(self.index_dir, "segments", sid)
+                if os.path.isdir(seg_dir):
+                    shutil.rmtree(seg_dir)
+                del self.data["segments"][sid]
+            if dead:
+                self.data["version"] += 1
+                self._write()
         return dead

@@ -160,11 +160,17 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
         tdata, toffs = _binary_cells(t.column("tf_blob"))
         deltas, dnb = _varint_decode_with_sizes(ddata)
         tfs, tnb = _varint_decode_with_sizes(tdata)
-        term_starts = np.r_[0, np.cumsum(doc_freq)[:-1]]
-        cs = np.cumsum(deltas.astype(np.int64))
-        base = cs[term_starts] - deltas[term_starts].astype(np.int64)
-        term_of = np.repeat(np.arange(len(terms)), doc_freq)
-        docids = cs - base[term_of] + int(off)
+        if len(doc_freq):
+            term_starts = np.r_[0, np.cumsum(doc_freq)[:-1]]
+            cs = np.cumsum(deltas.astype(np.int64))
+            base = cs[term_starts] - deltas[term_starts].astype(np.int64)
+            term_of = np.repeat(np.arange(len(terms)), doc_freq)
+            docids = cs - base[term_of] + int(off)
+        else:
+            # valid EMPTY parent (blank-text chunk): contributes no
+            # postings; the np.r_ idiom would fabricate term_starts=[0]
+            term_starts = np.zeros(0, dtype=np.int64)
+            docids = np.zeros(0, dtype=np.int64)
 
         all_terms.append(terms)
         p_doc_parts.append(docids)

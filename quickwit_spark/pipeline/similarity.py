@@ -118,7 +118,7 @@ def ivf_topk(emb: DataFrame, query_df: DataFrame, centroids: np.ndarray,
     q = query_df.first()["q"]
     qv = np.asarray(q, dtype=np.float64)
     d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
     bucketed = emb.withColumn("_cid", ivf_assign_expr(vec_col, centroids))
     cand = bucketed.filter(F.col("_cid").isin(probes)) \
         .crossJoin(F.broadcast(query_df))

@@ -494,9 +494,7 @@ def es_bulk(config, lines: list[dict]) -> dict:
     pdf["_pid"] = pid
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
-        {"key_cols": list(config.key_cols), "text_col": config.text_col,
-         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
-         "tag_cols": list(config.tag_cols)})
+        config.manifest_config())
     segments_root = _os.path.join(config.index_dir, "segments")
     _os.makedirs(segments_root, exist_ok=True)
     errors = False

@@ -30,9 +30,7 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
     """Build + publish one micro-batch (idempotent on replay)."""
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
-        {"key_cols": list(config.key_cols), "text_col": config.text_col,
-         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
-         "tag_cols": list(config.tag_cols)})
+        config.manifest_config())
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 
@@ -59,8 +57,18 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
     try:
         manifest.publish(rows, checkpoint_delta=delta)
     except CheckpointConflict:
-        # batch replay after a publish: already committed, nothing to do
-        pass
+        # Only an EXACT replay is benign. A batch-id collision that is
+        # NOT a replay (stream restarted with a fresh Spark checkpoint
+        # dir, so batch ids restart at 0 over different data) must NOT
+        # be swallowed — that would silently drop the batch. Replay test:
+        # the stored positions equal what this batch would write AND all
+        # of its (content-addressed) segment ids are already published.
+        replay = (all(manifest.checkpoint(p) == to
+                      for p, (_f, to) in delta.items())
+                  and all(r["segment_id"] in manifest.data["segments"]
+                          for r in rows))
+        if not replay:
+            raise
 
 
 def start_ingest_stream(spark, input_path: str, config: IndexConfig,

@@ -59,9 +59,7 @@ def ingest_offset_batch(df, config: IndexConfig,
     batch was published, False if it was an exact replay."""
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
-        {"key_cols": list(config.key_cols), "text_col": config.text_col,
-         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
-         "tag_cols": list(config.tag_cols)})
+        config.manifest_config())
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 

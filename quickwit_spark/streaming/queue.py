@@ -154,9 +154,7 @@ def ingest_queue_batch(messages: list[QueueMessage], config: IndexConfig,
     redelivery."""
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
-        {"key_cols": list(config.key_cols), "text_col": config.text_col,
-         "tokenizer": config.tokenizer, "schema_rev": config.schema_rev,
-         "tag_cols": list(config.tag_cols)})
+        config.manifest_config())
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 

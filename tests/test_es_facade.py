@@ -2,6 +2,8 @@
 quickwit-serve elasticsearch_api rest_handler.rs:71-806) and the
 janitor's time-based retention policy."""
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -209,3 +211,30 @@ def test_es_scroll_endpoints(idx):
     assert ids == [h["_id"] for h in big["hits"]["hits"]]
     assert es_clear_scroll(s, sid)["succeeded"]
     assert es_scroll(s, sid)["status"] == 404
+
+
+def test_delete_rewrite_preserves_doc_schema(tmp_path):
+    """The rewritten segment's docs.parquet must keep the parent's exact
+    Arrow types — a pandas round-trip re-inferred int32 -> int64, making
+    doc_fields drift from sibling segments."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from quickwit_spark.index.deletes import apply_delete_query
+
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"f{i}" for i in range(4)],
+        "commit": ["c"] * 4, "lang": ["py", "go", "py", "go"],
+        "content": ["alpha beta", "gamma delta", "alpha x", "y z"]})
+    cfg = IndexConfig(index_uid="dl", index_dir=str(tmp_path / "dl"),
+                      sha_col=None)
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    m = Manifest.load(cfg.index_dir)
+    old = m.segments()[0]["segment_id"]
+    sch0 = pq.read_schema(
+        os.path.join(cfg.index_dir, "segments", old, "docs.parquet"))
+    apply_delete_query(cfg.index_dir, 'lang:go')
+    new = Manifest.load(cfg.index_dir).segments()[0]["segment_id"]
+    sch1 = pq.read_schema(
+        os.path.join(cfg.index_dir, "segments", new, "docs.parquet"))
+    assert new != old
+    assert sch0.equals(sch1)

@@ -379,3 +379,34 @@ def test_strip_duplicate_spans_idempotent(spark):
     assert (twice["n_removed_tokens"] == 0).all()
     op = once.toPandas().set_index("doc_id").sort_index()
     assert (twice["text"] == op["text"]).all()
+
+
+def test_batch_id_collision_not_swallowed(spark, tmp_path):
+    """A batch-id collision that is NOT an exact replay (stream restarted
+    with a fresh Spark checkpoint dir => batch ids restart over new data)
+    must raise, not silently drop the batch; an exact replay stays
+    idempotent."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.manifest import CheckpointConflict
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    cfg = IndexConfig(index_uid="bc", index_dir=str(tmp_path / "bc"),
+                      sha_col=None)
+
+    def docs(tag, n):
+        return spark.createDataFrame(pd.DataFrame({
+            "repo": ["r"] * n, "path": [f"{tag}{i}" for i in range(n)],
+            "commit": ["c"] * n, "lang": ["py"] * n,
+            "content": [f"{tag} body {i}" for i in range(n)]}))
+
+    ingest_batch(docs("a", 6), cfg, batch_id=0, partitions_per_batch=2)
+    n0 = IndexSearcher(cfg.index_dir).count("*")
+    assert n0 == 6
+    # exact replay: no error, no new docs
+    ingest_batch(docs("a", 6), cfg, batch_id=0, partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 6
+    # DIFFERENT data under the same batch id: must surface, not vanish
+    with pytest.raises(CheckpointConflict):
+        ingest_batch(docs("b", 6), cfg, batch_id=0,
+                     partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 6

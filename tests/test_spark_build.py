@@ -153,3 +153,34 @@ def test_blank_text_position_mode_and_merge(tmp_path):
     assert s2.search(A.Phrase("content", "quick sort"), k=5).num_hits == 1
     assert s2.search('sev:err', k=5).num_hits == 1
     assert s2.count("*") == 4
+
+
+def test_fully_blank_position_segment_merges(tmp_path):
+    """A position-mode segment with ZERO postings (all-blank text, no
+    dynamic terms) must decode and merge cleanly."""
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.index.merge import merge_segments
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    pdf = pd.DataFrame({
+        "repo": ["r0", "r0", "r1"], "path": ["f0", "f1", "f2"],
+        "commit": ["c"] * 3, "lang": ["py"] * 3,
+        "content": ["quick sort here", "quick brown sort", "  "],
+    })
+    cfg = IndexConfig(index_uid="pb2", index_dir=str(tmp_path / "pb2"),
+                      sha_col=None, record="position",
+                      partition_cols=("repo",))
+    build_index_pandas(pdf, cfg, num_partitions=2)
+    m = Manifest.load(cfg.index_dir)
+    segs = sorted(m.segments(), key=lambda x: x["segment_id"])
+    assert len(segs) == 2
+    meta = merge_segments(cfg.index_dir, segs)
+    m.publish([meta],
+              replaced_segment_ids=[x["segment_id"] for x in segs])
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.Phrase("content", "quick sort"), k=5).num_hits == 1
+    assert s.count("*") == 3

@@ -319,7 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def term_set(s, d):
         _, _, searcher = _doc_index(d)
-        res = searcher.search(A.TermSet("lang", ("fr", "es")), k=10_000,
+        res = searcher.search(A.TermSet("lang", ("fr", "es")), k=10_000_000,
                               fetch_fields=True)
         pdf = pd.DataFrame({"doc_id": sorted(
             int(h.doc["doc_id"]) for h in res.hits)})
@@ -331,7 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node = A.Bool(filter=(A.FieldPresence("source"),
                               A.Range("n_chars", gte=200, lt=400)),
                       must=(A.MatchAll(),))
-        res = searcher.search(node, k=10_000, fetch_fields=True)
+        res = searcher.search(node, k=10_000_000, fetch_fields=True)
         pdf = pd.DataFrame({"doc_id": sorted(
             int(h.doc["doc_id"]) for h in res.hits)})
         return _spark_df(s, pdf, "doc_id long")
@@ -351,7 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wildcard(s, d):
         reader, doc_map, searcher = _doc_index(d)
-        res = searcher.search(A.Wildcard("text", "sc*"), k=10_000,
+        res = searcher.search(A.Wildcard("text", "sc*"), k=10_000_000,
                               fetch_fields=False)
         ids = sorted(int(doc_map[h.doc_id]) for h in res.hits)
         return _spark_df(s, pd.DataFrame({"doc_id": ids}), "doc_id long")

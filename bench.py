@@ -29,7 +29,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+                   or 0.1)
+    except ValueError:
+        sf = 0.1  # non-"sf<float>" dir names: label only, not an error
 
     from pyspark.sql import SparkSession
 

@@ -878,5 +878,9 @@ class GlobalIndexSearcher:
                                         [int(x) for x in local])]).to_pandas()
             t["global_doc"] = t["_seg_doc"] + int(self.offsets[int(si)])
             frames.append(t)
+        if not frames:
+            # zero hits: pd.concat([]) raises — return the (empty)
+            # result unchanged so callers print num_hits=0 cleanly
+            return result.copy()
         docs = pd.concat(frames, ignore_index=True)
         return result.merge(docs, on="global_doc", how="left")

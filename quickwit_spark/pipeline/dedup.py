@@ -63,6 +63,12 @@ def _hash32(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _hash60(col):
+    """First 15 hex chars of md5 as a bigint: 60 bits, always < 2^63 —
+    the overflow-free bucket-id mixer for skew refinement."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Exact dedup: group by content hash; returns (content_hash, cnt,
@@ -159,14 +165,22 @@ def bucketize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     few sign patterns): each refinement round measures bucket sizes
     (groupBy + join, one extra shuffle per round) and re-splits oversized
     buckets with `nbits` additional hyperplanes from a fresh seed.
-    Refined bucket ids are namespaced (sig * M + sub + 1) so they can
-    never collide with untouched buckets. Exact duplicates share every
-    signature and remain un-splittable — the cap bounds work for
-    correlated-but-distinct vectors, which is the 100 TB skew case.
+    Round ids are remixed through the shared md5 hash into 60 bits —
+    arithmetic namespacing (sig * M + sub) would overflow int64 after
+    two rounds at auto-sized nbits=24, crashing under ANSI or silently
+    colliding under legacy wraparound; a 2^-60 hash collision merely
+    merges two buckets (the exact-cosine verify stays correct). Exact
+    duplicates share every signature and remain un-splittable — the cap
+    bounds work for correlated-but-distinct vectors, the 100 TB skew
+    case.
     """
     from .similarity import hyperplanes, signature_expr
 
-    dim = len(emb.select(vec_col).first()[0])
+    row = emb.select(vec_col).first()
+    if row is None or row[0] is None:
+        # empty (or fully pre-filtered) corpus: nothing to bucket
+        return emb.withColumn("_sig", F.lit(0).cast("long"))
+    dim = len(row[0])
     if nbits is None:
         import math
         n = emb.count()
@@ -177,18 +191,18 @@ def bucketize_embeddings(emb: DataFrame, vec_col: str = "embedding",
                        signature_expr(vec_col, planes).cast("long"))
     if max_bucket_size is None:
         return b
-    M = (1 << nbits) + 1
     for r in range(refine_rounds):
         sizes = b.groupBy("_sig").agg(F.count("*").alias("_bsz"))
         extra = signature_expr(
             vec_col, hyperplanes(dim, nbits, seed + 1000 * (r + 1)))
+        mixed = _hash60(F.concat_ws(
+            "|", F.lit(f"r{r}"), F.col("_sig"), extra.cast("long")))
+        kept = _hash60(F.concat_ws("|", F.lit(f"k{r}"), F.col("_sig")))
         b = (b.join(sizes, "_sig")
              .withColumn(
                  "_sig",
-                 F.when(F.col("_bsz") > F.lit(max_bucket_size),
-                        F.col("_sig") * F.lit(M) + extra.cast("long")
-                        + F.lit(1))
-                 .otherwise(F.col("_sig") * F.lit(M)))
+                 F.when(F.col("_bsz") > F.lit(max_bucket_size), mixed)
+                 .otherwise(kept))
              .drop("_bsz"))
     return b
 
@@ -232,7 +246,14 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
         nb = F.sqrt(_dot_expr("_vb", F.col("_vb")))
         scored = pairs.select("a", "b", (dot / (na * nb)).alias("_cos"))
         hit = (scored.where(F.col("_cos") >= F.lit(threshold))
-               .select("a", "b", F.round("_cos", 6).alias("cos")))
+               .select("a", "b", F.round("_cos", 6).alias("cos"))
+               .persist())
+        # materialize the (small) pair set while the band's bucketized
+        # corpus is cached, then RELEASE the corpus-sized block — it is
+        # unreachable to the caller, and bands of them would otherwise
+        # pin memory for the session lifetime
+        hit.count()
+        b.unpersist()
         out = hit if out is None else out.unionAll(hit)
     return out.distinct() if bands > 1 else out
 
@@ -310,10 +331,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Returns ONLY docs that appear in at least one pair; callers treat
     absent docs as singleton clusters of themselves."""
-    edges = (pairs.select(F.col("a").cast("long").alias("src"),
-                          F.col("b").cast("long").alias("dst"))
-             .unionAll(pairs.select(F.col("b").cast("long").alias("src"),
-                                    F.col("a").cast("long").alias("dst")))
+    # keep the ids' NATIVE type: a cast("long") would crash (ANSI) or
+    # null out (legacy) string doc ids like "repo/path@commit", silently
+    # keeping every duplicate; min-label propagation only needs an
+    # ordering, which strings have
+    edges = (pairs.select(F.col("a").alias("src"),
+                          F.col("b").alias("dst"))
+             .unionAll(pairs.select(F.col("b").alias("src"),
+                                    F.col("a").alias("dst")))
              .distinct().persist())
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
@@ -425,11 +450,18 @@ def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
     flagged = (duplicate_windows(df, id_col, text_col, window, min_count)
                .select("wh"))
     hit = win.join(flagged, "wh")
+    # coverage via explode + distinct + count — NOT a per-doc
+    # collect_list of position arrays, which materializes
+    # O(n_dup_windows x window) ints in one aggregation buffer and
+    # OOMs an executor on a single fully-duplicated multi-MB document
+    covered = (hit.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(pos, pos + {window} - 1)"))
+        .alias("_tpos")).distinct())
     cov = (hit.groupBy("doc_id")
-           .agg(F.count("*").alias("n_dup_windows"),
-                F.size(F.array_distinct(F.flatten(F.collect_list(
-                    F.expr(f"sequence(pos, pos + {window} - 1)")))))
-                .alias("n_dup_tokens")))
+           .agg(F.count("*").alias("n_dup_windows"))
+           .join(covered.groupBy("doc_id")
+                 .agg(F.count("*").alias("n_dup_tokens")), "doc_id"))
     toks = tokens_expr(text_col)
     base = df.select(
         F.col(id_col).alias("doc_id"),

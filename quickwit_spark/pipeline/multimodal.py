@@ -128,7 +128,10 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
             ids, idxs, hashes = [], [], []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob)
-                for fi in range(0, max(len(b) // 16, 1), every_n):
+                # len(b)//16 full frames; an empty/short blob yields NO
+                # frames (max(...,1) fabricated a phantom frame hashing
+                # b"" that made all empty blobs frame-dedup together)
+                for fi in range(0, len(b) // 16, every_n):
                     ids.append(rid)
                     idxs.append(fi)
                     hashes.append(hashlib.sha256(

@@ -63,6 +63,14 @@ def process_docs(df, required: dict[str, str],
                     if counters:
                         counters.transform_errors.add(len(pdf))
                     continue
+                dropped = [c for c in cols if c not in pdf.columns]
+                if dropped:
+                    # a transform that drops/renames a passthrough
+                    # column is a TRANSFORM ERROR for the batch, not a
+                    # job-killing KeyError at the final projection
+                    if counters:
+                        counters.transform_errors.add(len(pdf))
+                    continue
             ok = pd.Series(True, index=pdf.index)
             for col, dtype in required.items():
                 if col not in pdf.columns:

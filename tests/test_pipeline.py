@@ -410,3 +410,70 @@ def test_batch_id_collision_not_swallowed(spark, tmp_path):
         ingest_batch(docs("b", 6), cfg, batch_id=0,
                      partitions_per_batch=2)
     assert IndexSearcher(cfg.index_dir).count("*") == 6
+
+
+def test_dup_clusters_string_ids(spark):
+    """Connected components must work on STRING doc ids (repo/path keys)
+    — the old cast('long') crashed under ANSI or nulled every label."""
+    from quickwit_spark.pipeline.dedup import canonical_filter, dup_clusters
+    pairs = spark.createDataFrame(
+        [("org/a", "org/b"), ("org/b", "org/c"), ("x/y", "x/z")],
+        "a string, b string")
+    out = (dup_clusters(pairs).toPandas()
+           .set_index("doc_id")["cluster_id"].to_dict())
+    assert out == {"org/a": "org/a", "org/b": "org/a",
+                   "org/c": "org/a", "x/y": "x/y", "x/z": "x/y"}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in [("org/a", "t"), ("org/b", "t"),
+                             ("org/c", "t"), ("x/y", "u"),
+                             ("x/z", "u"), ("solo", "v")]],
+        "doc_id string, text string")
+    kept = sorted(r.doc_id for r in
+                  canonical_filter(docs, pairs).collect())
+    assert kept == ["org/a", "solo", "x/y"]
+
+
+def test_embedding_near_dup_empty_corpus(spark):
+    from quickwit_spark.pipeline.dedup import embedding_near_dup
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    out = embedding_near_dup(emb, threshold=0.9, nbits=4)
+    assert out.count() == 0
+
+
+def test_transform_dropping_column_counts_as_error(spark):
+    """A transform that drops a passthrough column must be counted as a
+    transform error for the batch, not crash the job with KeyError."""
+    from quickwit_spark.pipeline.transform import (
+        DocProcessorCounters, process_docs)
+    df = spark.createDataFrame(
+        [("r", "p", "c", "py", "hello world", 1)],
+        "repo string, path string, commit string, lang string, "
+        "content string, extra int")
+    counters = DocProcessorCounters(spark.sparkContext)
+    out = process_docs(
+        df, required={"content": "str"},
+        transform=lambda pdf: pdf.drop(columns=["extra"]),
+        counters=counters)
+    assert out.count() == 0
+    assert counters.transform_errors.value == 1
+
+
+def test_global_fetch_zero_hits(spark, tmp_path):
+    import pandas as pd
+    import quickwit_spark as q
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.global_index import (
+        GlobalIndexSearcher, build_term_partitioned)
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 2, "path": ["a", "b"], "commit": ["c"] * 2,
+        "lang": ["py"] * 2, "content": ["alpha beta", "gamma"]})
+    cfg = IndexConfig(index_uid="gz", index_dir=str(tmp_path / "gz"),
+                      sha_col=None)
+    q.build_index_pandas(pdf, cfg, num_partitions=1)
+    build_term_partitioned(spark, cfg.index_dir, num_term_partitions=2)
+    g = GlobalIndexSearcher(cfg.index_dir)
+    n, res = g.search_terms(["zzznotaterm"], operator="or", k=5)
+    assert n == 0 and len(res) == 0
+    fetched = g.fetch(res)
+    assert len(fetched) == 0

@@ -543,6 +543,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_chars", F.col("top_rank").alias("rn"))
     q["agg_es_top_hits"] = agg_es_top_hits
 
+    def agg_es_range_empty(s, d):
+        """Range agg through the ES front-end: EVERY declared range is
+        emitted, including empty ones (reference rest-api-tests
+        aggregations/0001 — the 'medium' bucket appears with
+        doc_count 0). The [-3,-2) range matches nothing by
+        construction (n_chars >= 0)."""
+        from quickwit_spark.search.aggregations import aggregate
+        from quickwit_spark.search.engine import IndexSearcher
+        _, _, searcher = _doc_index(d)
+        sp = IndexSearcher(searcher.index_dir, spark=s)
+        out = aggregate(sp, A.FullText("text", "merge"), {
+            "sizes": {"range": {"field": "n_chars", "ranges": [
+                {"to": -2, "key": "impossible"},
+                {"from": -2, "to": 500, "key": "short"},
+                {"from": 500, "key": "long"}]}}})
+        return out.select(F.col("sizes").alias("bucket"),
+                          F.col("doc_count").alias("cnt"))
+    q["agg_es_range_empty"] = agg_es_range_empty
+
     def dynamic_mapping_query(s, d):
         """Dynamic mode (doc_mapping.rs mode:dynamic): exact term +
         numeric range on UNMAPPED JSON paths, no schema changes. The
@@ -1070,6 +1089,22 @@ FROM documents JOIN matched USING (doc_id)
 GROUP BY lang
 """
     o["agg_es_terms_spec"] = o["agg_terms_matched_docs"]
+    o["agg_es_range_empty"] = """
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents) WHERE t = 'merge'),
+labeled AS (
+  SELECT CASE WHEN n_chars < -2 THEN 'impossible'
+              WHEN n_chars < 500 THEN 'short' ELSE 'long' END AS bucket
+  FROM documents JOIN matched USING (doc_id)),
+declared(bucket) AS (VALUES ('impossible'), ('short'), ('long'))
+SELECT d.bucket, COALESCE(c.cnt, 0) AS cnt
+FROM declared d LEFT JOIN (
+  SELECT bucket, count(*) AS cnt FROM labeled GROUP BY bucket) c
+ON c.bucket = d.bucket
+"""
     o["dynamic_mapping_query"] = """
 WITH matched AS (
   SELECT DISTINCT doc_id FROM (

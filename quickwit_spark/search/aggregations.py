@@ -425,6 +425,24 @@ def _aggregate_plan(matched, spec: dict):
         if min_dc >= 1:
             out = out.filter(F.col("doc_count") >= min_dc)
         out = out.orderBy(*[F.col(n).asc() for n in level_names])
+    elif kind0 == "range" and len(level_names) == 1:
+        # the reference emits EVERY declared range, including empty
+        # ones (rest-api-tests/scenarii/aggregations/0001: the
+        # "medium" bucket appears with doc_count 0) — gap-fill from
+        # the declared range list, like histogram min_doc_count=0
+        labels = []
+        for r in body0["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+            labels.append(
+                r.get("key") or f"{lo if lo is not None else '*'}-"
+                                f"{hi if hi is not None else '*'}")
+        keys = (out.sparkSession.createDataFrame(
+            [(lb,) for lb in labels], "_rk string")
+            .select(F.col("_rk").alias(name0)))
+        out = (keys.join(out, on=name0, how="left")
+               .withColumn("doc_count",
+                           F.coalesce("doc_count", F.lit(0)))
+               .orderBy(F.col(name0).asc()))
     else:
         out = out.orderBy(*[F.col(n).asc() for n in level_names])
     return out

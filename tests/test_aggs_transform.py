@@ -390,3 +390,20 @@ def test_histogram_fractional_interval_edge_buckets(spark, tmp_path):
     ks = out["h"].round(6).tolist()
     assert ks == sorted(ks)
     assert abs((ks[-1] - ks[0]) - 0.1 * (len(ks) - 1)) < 1e-6
+
+
+def test_range_agg_emits_empty_declared_buckets(spark, idx):
+    """Every declared range appears, empty ones with doc_count 0
+    (reference rest-api-tests aggregations/0001: 'medium' bucket)."""
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    out = aggregate(s, A.Term("content", "alpha"), {
+        "r": {"range": {"field": "size", "ranges": [
+            {"to": -5, "key": "neg"},
+            {"from": -5, "to": 300, "key": "small"},
+            {"from": 300, "key": "big"}]}}}).toPandas()
+    got = out.set_index("r")["doc_count"].to_dict()
+    assert got["neg"] == 0
+    assert got["small"] == int((pdf["size"] < 300).sum())
+    assert got["big"] == int((pdf["size"] >= 300).sum())
+    assert len(out) == 3

@@ -131,12 +131,19 @@ def parse_minimum_should_match(value, n_should: int) -> int:
 
 
 def es_search(searcher, body: dict, default_field: str | None = None,
-              _pre=None) -> dict:
+              _pre=None, extra_filters: list[str] | str | None = None
+              ) -> dict:
     """Execute an ES `_search`-shaped request body and return an
     ES-shaped response (reference: quickwit-serve elasticsearch_api
     rest_handler.rs:502+ — body -> QueryAst -> same engine path ->
     response reshaped). Supports query, size, from, sort (fast fields /
     _score / _doc), and aggs (one spec level via search/aggregations).
+
+    extra_filters: the reference's `?extra_filters=` query param
+    (rest-api-tests es_compatibility/0023): query-string filters ANDed
+    into the body's query as non-scoring filter clauses — the
+    permission-scoping hook. Accepts the raw comma-separated string or
+    a pre-split list.
 
     _pre: a SearchResult precomputed by es_msearch's batched fan-out
     (search_many) for this body — skips the per-body engine call."""
@@ -145,6 +152,15 @@ def es_search(searcher, body: dict, default_field: str | None = None,
     t0 = _time.perf_counter()
     node = es_to_ast(body.get("query", {"match_all": {}}),
                      default_field or searcher.text_field)
+    if extra_filters:
+        parts = (extra_filters.split(",")
+                 if isinstance(extra_filters, str) else extra_filters)
+        filters = tuple(
+            parse_query(p.strip(),
+                        default_field or searcher.text_field)
+            for p in parts if p.strip())
+        if filters:
+            node = A.Bool(must=(node,), filter=filters)
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     sort_spec = body.get("sort")

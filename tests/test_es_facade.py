@@ -238,3 +238,31 @@ def test_delete_rewrite_preserves_doc_schema(tmp_path):
         os.path.join(cfg.index_dir, "segments", new, "docs.parquet"))
     assert new != old
     assert sch0.equals(sch1)
+
+
+def test_es_search_extra_filters(tmp_path):
+    """The reference's ?extra_filters= param (es_compatibility/0023):
+    comma-separated query-string filters ANDed into the body's query as
+    non-scoring filters (the permission-scoping hook)."""
+    from quickwit_spark.search.es_dsl import es_search
+    pdf = pd.DataFrame({
+        "repo": ["org1", "org1", "org2", "org2"],
+        "path": [f"f{i}" for i in range(4)],
+        "commit": ["c"] * 4, "lang": ["py", "go", "py", "go"],
+        "content": ["merge a", "merge b", "merge c", "other d"]})
+    cfg = IndexConfig(index_uid="xf", index_dir=str(tmp_path / "xf"),
+                      sha_col=None)
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    base = es_search(s, {"query": {"match": {"content": "merge"}}})
+    assert base["hits"]["total"]["value"] == 3
+    one = es_search(s, {"query": {"match": {"content": "merge"}}},
+                    extra_filters="lang:py")
+    assert one["hits"]["total"]["value"] == 2
+    two = es_search(s, {"query": {"match": {"content": "merge"}}},
+                    extra_filters="lang:py,repo:org1")
+    assert two["hits"]["total"]["value"] == 1
+    # filters are non-scoring: scores match the unfiltered query's
+    uf = {h["_id"]: h["_score"] for h in base["hits"]["hits"]}
+    for h in two["hits"]["hits"]:
+        assert h["_score"] == uf[h["_id"]]

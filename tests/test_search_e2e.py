@@ -354,3 +354,25 @@ def test_must_not_only_bool_matches_all_minus(built, oracle):
     none = s.search(A.Bool(must_not=(A.Term("lang", "python"),),
                            minimum_should_match=1), k=5)
     assert none.num_hits == 0
+
+
+def test_reference_negative_search_scenario(tmp_path):
+    """qw_search_api/0002_negative_search.yaml: '-a AND -b', 'NOT a AND
+    NOT b', and the mixed forms all mean match-all minus both — the
+    reference pins all four spellings to the same hit count."""
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 6, "path": [f"f{i}" for i in range(6)],
+        "commit": ["c"] * 6,
+        "lang": ["a", "a", "b", "b", "c", "c"],
+        "content": [f"doc {i}" for i in range(6)],
+    })
+    cfg = IndexConfig(index_uid="neg", index_dir=str(tmp_path / "neg"),
+                      sha_col=None)
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    for qs in ["-lang:a AND -lang:b",
+               "NOT lang:a AND NOT lang:b",
+               "NOT lang:a AND -lang:b",
+               "-lang:a AND NOT lang:b"]:
+        assert s.search(qs, k=10).num_hits == 2, qs
+        assert all(h.doc["lang"] == "c" for h in s.search(qs, k=10).hits)

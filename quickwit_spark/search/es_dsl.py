@@ -58,9 +58,22 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
         return A.PhrasePrefix(field, str(text), max_expansions=maxe)
     if kind == "multi_match":
         fields = spec.get("fields") or [default_field]
+        if isinstance(fields, str):  # ES accepts a bare string here
+            fields = [fields]
         text = str(spec["query"])
-        op = spec.get("operator", "or").lower()
-        parts = tuple(A.FullText(f, text, operator=op) for f in fields)
+        mtype = spec.get("type", "most_fields")
+        if mtype == "phrase":
+            slop = int(spec.get("slop", 0))
+            parts: tuple[A.Node, ...] = tuple(
+                A.Phrase(f, text, slop=slop) for f in fields)
+        elif mtype == "phrase_prefix":
+            maxe = int(spec.get("max_expansions", 50))
+            parts = tuple(A.PhrasePrefix(f, text, max_expansions=maxe)
+                          for f in fields)
+        else:
+            op = spec.get("operator", "or").lower()
+            parts = tuple(A.FullText(f, text, operator=op)
+                          for f in fields)
         return parts[0] if len(parts) == 1 else A.Bool(should=parts)
     if kind == "range":
         field, v = next(iter(spec.items()))
@@ -131,8 +144,9 @@ def parse_minimum_should_match(value, n_should: int) -> int:
 
 
 def es_search(searcher, body: dict, default_field: str | None = None,
-              _pre=None, extra_filters: list[str] | str | None = None
-              ) -> dict:
+              _pre=None, extra_filters: list[str] | str | None = None,
+              source_includes: list[str] | str | None = None,
+              source_excludes: list[str] | str | None = None) -> dict:
     """Execute an ES `_search`-shaped request body and return an
     ES-shaped response (reference: quickwit-serve elasticsearch_api
     rest_handler.rs:502+ — body -> QueryAst -> same engine path ->
@@ -194,10 +208,19 @@ def es_search(searcher, body: dict, default_field: str | None = None,
         from .snippets import extract_query_terms
         hl_terms = extract_query_terms(node)
     from .engine import INTERNAL_DOC_FIELDS
+    inc = body.get("_source_includes") or source_includes
+    exc = body.get("_source_excludes") or source_excludes
+    inc = inc.split(",") if isinstance(inc, str) else inc
+    exc = set(exc.split(",") if isinstance(exc, str) else (exc or ()))
     out_hits = []
     for h in hits:
         src = {k: v for k, v in h.doc.items()
                if not k.startswith("_") and k not in INTERNAL_DOC_FIELDS}
+        if inc is not None:
+            src = {k: v for k, v in src.items() if k in set(inc)}
+        if exc:
+            # excludes win over includes (es_compatibility/0022)
+            src = {k: v for k, v in src.items() if k not in exc}
         hit = {
             "_id": f"{h.segment_id}:{h.doc_id}",
             "_score": None if sort_spec else float(h.score),

@@ -266,3 +266,61 @@ def test_es_search_extra_filters(tmp_path):
     uf = {h["_id"]: h["_score"] for h in base["hits"]["hits"]}
     for h in two["hits"]["hits"]:
         assert h["_score"] == uf[h["_id"]]
+
+
+def test_es_search_source_filtering(tmp_path):
+    """_source_includes / _source_excludes (es_compatibility/0022);
+    excludes win over includes; both accept string or list form."""
+    from quickwit_spark.search.es_dsl import es_search
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 2, "path": ["a", "b"], "commit": ["c"] * 2,
+        "lang": ["py", "go"], "content": ["merge x", "merge y"]})
+    cfg = IndexConfig(index_uid="sf", index_dir=str(tmp_path / "sf"),
+                      sha_col=None)
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    body = {"query": {"match": {"content": "merge"}}, "size": 1}
+    full = es_search(s, body)["hits"]["hits"][0]["_source"]
+    assert "lang" in full and "repo" in full
+    only = es_search(s, body, source_includes="lang")[
+        "hits"]["hits"][0]["_source"]
+    assert set(only) == {"lang"}
+    none_ = es_search(s, body, source_includes=["lang", "repo"],
+                      source_excludes=["lang"])[
+        "hits"]["hits"][0]["_source"]
+    assert set(none_) == {"repo"}
+    exc = es_search(s, body, source_excludes="lang,repo")[
+        "hits"]["hits"][0]["_source"]
+    assert "lang" not in exc and "repo" not in exc
+
+
+def test_es_multi_match_phrase_types(tmp_path):
+    from quickwit_spark.search.es_dsl import es_search
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["c"] * 3,
+        "lang": ["py"] * 3,
+        "content": ["sign decoration here", "decoration of sign",
+                    "zone gap explosion"]})
+    cfg = IndexConfig(index_uid="mm", index_dir=str(tmp_path / "mm"),
+                      sha_col=None, record="position")
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+
+    def hits(q):
+        return es_search(s, {"query": q})["hits"]["total"]["value"]
+    assert hits({"multi_match": {"type": "phrase",
+                                 "query": "sign decoration",
+                                 "fields": ["content"]}}) == 1
+    # slop=1 lets one gap in (reference 0014 zone/explosion case)
+    assert hits({"multi_match": {"type": "phrase",
+                                 "query": "zone explosion",
+                                 "fields": ["content"]}}) == 0
+    assert hits({"multi_match": {"type": "phrase", "slop": 1,
+                                 "query": "zone explosion",
+                                 "fields": ["content"]}}) == 1
+    # ES accepts a bare string for fields
+    assert hits({"multi_match": {"query": "decoration",
+                                 "fields": "content"}}) == 2
+    assert hits({"multi_match": {"type": "phrase_prefix",
+                                 "query": "sign deco",
+                                 "fields": ["content"]}}) == 1

@@ -24,6 +24,21 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
     if kind == "match_none":
         return A.MatchNone()
     if kind == "query_string":
+        fields = spec.get("fields")
+        if isinstance(fields, str):
+            fields = [fields]
+        if fields:
+            # multi-field query_string (rest_handler / scenario 0005):
+            # bare terms search EVERY listed field; explicitly-fielded
+            # clauses are untouched. Parse once against a sentinel
+            # default field, then expand sentinel-field leaves into a
+            # should-of-fields.
+            sentinel = "\x00default\x00"
+            node = parse_query(
+                spec["query"], default_field=sentinel,
+                default_operator=spec.get("default_operator",
+                                          "and").lower())
+            return _expand_default_fields(node, sentinel, list(fields))
         return parse_query(
             spec["query"],
             default_field=spec.get("default_field", default_field),
@@ -106,6 +121,33 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
                     spec["minimum_should_match"], len(should))
                 if "minimum_should_match" in spec else None))
     raise ValueError(f"unsupported ES query kind: {kind}")
+
+
+def _expand_default_fields(node: A.Node, sentinel: str,
+                           fields: list[str]) -> A.Node:
+    """Rewrite every leaf whose field is the parse-time sentinel into a
+    should-of-fields copy (multi-field query_string); explicit-field
+    leaves and tree structure pass through unchanged."""
+    import dataclasses
+
+    def walk(n: A.Node) -> A.Node:
+        if isinstance(n, A.Bool):
+            return A.Bool(
+                must=tuple(walk(c) for c in n.must),
+                must_not=tuple(walk(c) for c in n.must_not),
+                should=tuple(walk(c) for c in n.should),
+                filter=tuple(walk(c) for c in n.filter),
+                minimum_should_match=n.minimum_should_match)
+        if isinstance(n, A.Boost):
+            return A.Boost(walk(n.inner), n.boost)
+        if getattr(n, "field", None) == sentinel:
+            copies = tuple(dataclasses.replace(n, field=f)
+                           for f in fields)
+            return copies[0] if len(copies) == 1 \
+                else A.Bool(should=copies)
+        return n
+
+    return walk(node)
 
 
 def parse_minimum_should_match(value, n_should: int) -> int:

@@ -235,3 +235,20 @@ def test_phrase_query_snippets_highlight():
     assert "<b>segmentation</b>" in s and "<b>fault</b>" in s
     prefix = parse_query('"quick so"*')
     assert extract_query_terms(prefix)
+
+
+def test_query_string_fields_multi_field():
+    """query_string with a `fields` list (scenario 0005): bare terms
+    search every listed field; explicit field: clauses are untouched."""
+    node = es_to_ast({"query_string": {
+        "query": "merge AND lang:py", "fields": ["content", "path"]}})
+    assert isinstance(node, A.Bool)
+    (expanded,) = [c for c in node.must if isinstance(c, A.Bool)]
+    assert {c.field for c in expanded.should} == {"content", "path"}
+    (explicit,) = [c for c in node.must
+                   if getattr(c, "field", None) == "lang"]
+    assert explicit.field == "lang"
+    # single-entry fields list and bare-string form degrade to one field
+    one = es_to_ast({"query_string": {"query": "merge",
+                                      "fields": "path"}})
+    assert one.field == "path"

@@ -289,6 +289,18 @@ def main() -> None:
         runs.append(time.perf_counter() - t0)
     queries["q_global_term"] = round(sorted(runs)[1], 4)
 
+    # incremental refresh (the 10^12-doc publish path): append a 5%
+    # delta's rows to the term-partitioned layout WITHOUT re-shuffling
+    # the vocabulary — compare against build_global_index above
+    from quickwit_spark.index.global_index import refresh_term_partitioned
+    from quickwit_spark.streaming.incremental import ingest_batch
+    delta_docs = corpus_df(spark, max(n_docs // 20, 100), seed=991)
+    ingest_batch(delta_docs, skew_cfg, batch_id=97,
+                 partitions_per_batch=2)
+    t0 = time.perf_counter()
+    refresh_term_partitioned(spark, skew_cfg.index_dir)
+    queries["refresh_global_index"] = round(time.perf_counter() - t0, 3)
+
     # --- 3. documents-table index queries (driver-contract surface) -------
     import __spark_entry__ as entrymod
     # batched multi-query fan-out vs serial distributed calls (the

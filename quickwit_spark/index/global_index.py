@@ -879,8 +879,19 @@ class GlobalIndexSearcher:
             t["global_doc"] = t["_seg_doc"] + int(self.offsets[int(si)])
             frames.append(t)
         if not frames:
-            # zero hits: pd.concat([]) raises — return the (empty)
-            # result unchanged so callers print num_hits=0 cleanly
-            return result.copy()
+            # zero hits: pd.concat([]) raises — return an empty frame
+            # with the SAME schema the non-empty path produces (result
+            # columns + the doc-store columns), so generic
+            # post-processing doesn't KeyError only on the empty edge
+            out = result.copy()
+            if self.segment_ids:
+                seg_dir = os.path.join(self.index_dir, "segments",
+                                       self.segment_ids[0])
+                schema = pq.read_schema(
+                    os.path.join(seg_dir, "docs.parquet"))
+                for name in schema.names:
+                    if name not in out.columns:
+                        out[name] = pd.Series(dtype=object)
+            return out
         docs = pd.concat(frames, ignore_index=True)
         return result.merge(docs, on="global_doc", how="left")

@@ -176,9 +176,14 @@ def bucketize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     """
     from .similarity import hyperplanes, signature_expr
 
-    row = emb.select(vec_col).first()
-    if row is None or row[0] is None:
-        # empty (or fully pre-filtered) corpus: nothing to bucket
+    # probe a NON-NULL vector for the dimensionality: a null embedding
+    # in the arbitrary first row must not masquerade as an empty corpus
+    # (that would assign _sig=0 everywhere and collapse the LSH join
+    # into a full cross product)
+    row = (emb.where(F.col(vec_col).isNotNull())
+           .select(vec_col).first())
+    if row is None:
+        # empty (or all-null) corpus: nothing to bucket
         return emb.withColumn("_sig", F.lit(0).cast("long"))
     dim = len(row[0])
     if nbits is None:

@@ -57,11 +57,12 @@ def process_docs(df, required: dict[str, str],
     def handle(it):
         for pdf in it:
             if transform is not None:
+                n_in = len(pdf)  # error counts reconcile against INPUT
                 try:
                     pdf = transform(pdf)
                 except Exception:
                     if counters:
-                        counters.transform_errors.add(len(pdf))
+                        counters.transform_errors.add(n_in)
                     continue
                 dropped = [c for c in cols if c not in pdf.columns]
                 if dropped:
@@ -69,7 +70,7 @@ def process_docs(df, required: dict[str, str],
                     # column is a TRANSFORM ERROR for the batch, not a
                     # job-killing KeyError at the final projection
                     if counters:
-                        counters.transform_errors.add(len(pdf))
+                        counters.transform_errors.add(n_in)
                     continue
             ok = pd.Series(True, index=pdf.index)
             for col, dtype in required.items():

@@ -124,6 +124,14 @@ def _terms_order(body: dict) -> tuple[str, str]:
     return target, direction
 
 
+def _range_label(r: dict) -> str:
+    """One range bucket's label — shared by the bucket expression and
+    the gap-fill join so the formats cannot drift."""
+    lo, hi = r.get("from"), r.get("to")
+    return r.get("key") or (f"{lo if lo is not None else '*'}-"
+                            f"{hi if hi is not None else '*'}")
+
+
 def _bucket_col(kind: str, body: dict):
     field = body["field"]
     if kind == "terms":
@@ -159,11 +167,11 @@ def _bucket_col(kind: str, body: dict):
         return F.date_trunc(str(unit), F.col(field))
     if kind == "range":
         ranges = body["ranges"]
-        expr = None
+        expr = None  # labels via _range_label — the ONE formatter shared
+        # with the gap-fill join, so the two can never drift apart
         for r in ranges:
             lo, hi = r.get("from"), r.get("to")
-            label = r.get("key") or f"{lo if lo is not None else '*'}-" \
-                                    f"{hi if hi is not None else '*'}"
+            label = _range_label(r)
             cond = F.lit(True)
             if lo is not None:
                 cond = cond & (F.col(field) >= F.lit(lo))
@@ -429,20 +437,19 @@ def _aggregate_plan(matched, spec: dict):
         # the reference emits EVERY declared range, including empty
         # ones (rest-api-tests/scenarii/aggregations/0001: the
         # "medium" bucket appears with doc_count 0) — gap-fill from
-        # the declared range list, like histogram min_doc_count=0
-        labels = []
-        for r in body0["ranges"]:
-            lo, hi = r.get("from"), r.get("to")
-            labels.append(
-                r.get("key") or f"{lo if lo is not None else '*'}-"
-                                f"{hi if hi is not None else '*'}")
+        # the declared range list, like histogram min_doc_count=0.
+        # Output order = DECLARATION order (the reference returns
+        # buckets positionally as declared, not alphabetically).
+        labels = [_range_label(r) for r in body0["ranges"]]
         keys = (out.sparkSession.createDataFrame(
-            [(lb,) for lb in labels], "_rk string")
-            .select(F.col("_rk").alias(name0)))
+            [(lb, i) for i, lb in enumerate(labels)],
+            "_rk string, _rord int")
+            .select(F.col("_rk").alias(name0), "_rord"))
         out = (keys.join(out, on=name0, how="left")
                .withColumn("doc_count",
                            F.coalesce("doc_count", F.lit(0)))
-               .orderBy(F.col(name0).asc()))
+               .orderBy(F.col("_rord").asc())
+               .drop("_rord"))
     else:
         out = out.orderBy(*[F.col(n).asc() for n in level_names])
     return out

@@ -77,18 +77,23 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
             fields = [fields]
         text = str(spec["query"])
         mtype = spec.get("type", "most_fields")
-        if mtype == "phrase":
-            slop = int(spec.get("slop", 0))
-            parts: tuple[A.Node, ...] = tuple(
-                A.Phrase(f, text, slop=slop) for f in fields)
-        elif mtype == "phrase_prefix":
-            maxe = int(spec.get("max_expansions", 50))
-            parts = tuple(A.PhrasePrefix(f, text, max_expansions=maxe)
-                          for f in fields)
-        else:
-            op = spec.get("operator", "or").lower()
-            parts = tuple(A.FullText(f, text, operator=op)
-                          for f in fields)
+
+        def _per_field(f: str) -> A.Node:
+            name, boost = _field_boost(f)
+            if mtype == "phrase":
+                n: A.Node = A.Phrase(name, text,
+                                     slop=int(spec.get("slop", 0)))
+            elif mtype == "phrase_prefix":
+                n = A.PhrasePrefix(
+                    name, text,
+                    max_expansions=int(spec.get("max_expansions", 50)))
+            else:
+                n = A.FullText(name, text,
+                               operator=spec.get("operator",
+                                                 "or").lower())
+            return A.Boost(n, boost) if boost is not None else n
+
+        parts = tuple(_per_field(f) for f in fields)
         return parts[0] if len(parts) == 1 else A.Bool(should=parts)
     if kind == "range":
         field, v = next(iter(spec.items()))
@@ -123,12 +128,22 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
     raise ValueError(f"unsupported ES query kind: {kind}")
 
 
+def _field_boost(f: str) -> tuple[str, float | None]:
+    """ES `fields` entries carry boosts as "name^2" / "name^2.5"."""
+    import re
+    m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", f)
+    return (m.group(1), float(m.group(2))) if m else (f, None)
+
+
 def _expand_default_fields(node: A.Node, sentinel: str,
                            fields: list[str]) -> A.Node:
     """Rewrite every leaf whose field is the parse-time sentinel into a
     should-of-fields copy (multi-field query_string); explicit-field
-    leaves and tree structure pass through unchanged."""
+    leaves and tree structure pass through unchanged. "name^2" field
+    entries boost their copy."""
     import dataclasses
+
+    parsed = [_field_boost(f) for f in fields]
 
     def walk(n: A.Node) -> A.Node:
         if isinstance(n, A.Bool):
@@ -141,8 +156,10 @@ def _expand_default_fields(node: A.Node, sentinel: str,
         if isinstance(n, A.Boost):
             return A.Boost(walk(n.inner), n.boost)
         if getattr(n, "field", None) == sentinel:
-            copies = tuple(dataclasses.replace(n, field=f)
-                           for f in fields)
+            copies = tuple(
+                dataclasses.replace(n, field=f) if b is None
+                else A.Boost(dataclasses.replace(n, field=f), b)
+                for f, b in parsed)
             return copies[0] if len(copies) == 1 \
                 else A.Bool(should=copies)
         return n
@@ -252,21 +269,27 @@ def es_search(searcher, body: dict, default_field: str | None = None,
     from .engine import INTERNAL_DOC_FIELDS
     inc = body.get("_source_includes") or source_includes
     exc = body.get("_source_excludes") or source_excludes
-    inc = inc.split(",") if isinstance(inc, str) else inc
+    inc = set(inc.split(",") if isinstance(inc, str) else inc) \
+        if inc is not None else None
     exc = set(exc.split(",") if isinstance(exc, str) else (exc or ()))
     out_hits = []
     for h in hits:
+        # src stays UNFILTERED: sort cursors and highlighting read real
+        # field values regardless of _source shaping (ES highlights and
+        # pages independently of source filtering); the include/exclude
+        # projection applies only to the emitted _source
         src = {k: v for k, v in h.doc.items()
                if not k.startswith("_") and k not in INTERNAL_DOC_FIELDS}
+        emitted = src
         if inc is not None:
-            src = {k: v for k, v in src.items() if k in set(inc)}
+            emitted = {k: v for k, v in emitted.items() if k in inc}
         if exc:
             # excludes win over includes (es_compatibility/0022)
-            src = {k: v for k, v in src.items() if k not in exc}
+            emitted = {k: v for k, v in emitted.items() if k not in exc}
         hit = {
             "_id": f"{h.segment_id}:{h.doc_id}",
             "_score": None if sort_spec else float(h.score),
-            "_source": src,
+            "_source": emitted,
         }
         if sort_spec:
             # round-trippable cursor: sort values + the doc address

@@ -13,6 +13,7 @@ publish on top of Spark's at-least-once batch replay.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -52,21 +53,25 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
     rows = [json.loads(r.manifest_json) for r in out]
     delta = {}
     for p in range(base, base + partitions_per_batch):
+        prows = sorted(r["segment_id"] for r in rows
+                       if r["partition_id"] == p)
         nd = sum(r["num_docs"] for r in rows if r["partition_id"] == p)
-        delta[p] = (None, f"batch={batch_id};docs={nd}")
+        # the position embeds a hash of the partition's content-addressed
+        # segment ids: position equality then PROVES an exact replay, and
+        # stays provable after the segments themselves are merged or
+        # vacuumed away (a presence check on manifest['segments'] would
+        # re-raise on a benign replay of a since-compacted batch)
+        sig = hashlib.sha256("|".join(prows).encode()).hexdigest()[:12]
+        delta[p] = (None, f"batch={batch_id};docs={nd};ids={sig}")
     try:
         manifest.publish(rows, checkpoint_delta=delta)
     except CheckpointConflict:
         # Only an EXACT replay is benign. A batch-id collision that is
         # NOT a replay (stream restarted with a fresh Spark checkpoint
         # dir, so batch ids restart at 0 over different data) must NOT
-        # be swallowed — that would silently drop the batch. Replay test:
-        # the stored positions equal what this batch would write AND all
-        # of its (content-addressed) segment ids are already published.
-        replay = (all(manifest.checkpoint(p) == to
-                      for p, (_f, to) in delta.items())
-                  and all(r["segment_id"] in manifest.data["segments"]
-                          for r in rows))
+        # be swallowed — that would silently drop the batch.
+        replay = all(manifest.checkpoint(p) == to
+                     for p, (_f, to) in delta.items())
         if not replay:
             raise
 

@@ -252,3 +252,15 @@ def test_query_string_fields_multi_field():
     one = es_to_ast({"query_string": {"query": "merge",
                                       "fields": "path"}})
     assert one.field == "path"
+
+
+def test_fields_boost_syntax():
+    node = es_to_ast({"query_string": {
+        "query": "merge", "fields": ["content^2", "path"]}})
+    assert isinstance(node, A.Bool)
+    boosted = [c for c in node.should if isinstance(c, A.Boost)]
+    assert len(boosted) == 1 and boosted[0].boost == 2.0
+    assert boosted[0].inner.field == "content"
+    mm = es_to_ast({"multi_match": {"query": "merge",
+                                    "fields": ["content^3"]}})
+    assert isinstance(mm, A.Boost) and mm.boost == 3.0

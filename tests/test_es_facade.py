@@ -324,3 +324,30 @@ def test_es_multi_match_phrase_types(tmp_path):
     assert hits({"multi_match": {"type": "phrase_prefix",
                                  "query": "sign deco",
                                  "fields": ["content"]}}) == 1
+
+
+def test_source_filtering_keeps_sort_cursor_and_highlight(tmp_path):
+    """_source filtering must not leak into sort cursors or highlight
+    input — ES pages and highlights independently of source shaping."""
+    from quickwit_spark.search.es_dsl import es_search
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["c"] * 3,
+        "lang": ["py"] * 3, "n": [3, 1, 2],
+        "content": ["merge one", "merge two", "merge three"]})
+    cfg = IndexConfig(index_uid="sc", index_dir=str(tmp_path / "sc"),
+                      sha_col=None, store_cols=("n", "content"))
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    s = IndexSearcher(cfg.index_dir)
+    body = {"query": {"match": {"content": "merge"}}, "size": 2,
+            "sort": [{"n": {"order": "desc"}}],
+            "highlight": {"fields": {"content": {}}}}
+    r = es_search(s, body, source_includes="lang")
+    h0 = r["hits"]["hits"][0]
+    assert set(h0["_source"]) == {"lang"}
+    assert h0["sort"][0] == 3  # real n value, not None
+    # page 2 via the cursor works
+    body2 = dict(body)
+    body2["search_after"] = r["hits"]["hits"][-1]["sort"]
+    r2 = es_search(s, body2, source_includes="lang")
+    assert r2["hits"]["hits"][0]["sort"][0] == 1
+    assert "highlight" in h0  # content highlighted though excluded

@@ -477,3 +477,35 @@ def test_global_fetch_zero_hits(spark, tmp_path):
     assert n == 0 and len(res) == 0
     fetched = g.fetch(res)
     assert len(fetched) == 0
+
+
+def test_replay_after_merge_is_benign(spark, tmp_path):
+    """Replay of a batch whose segments were since merged away must be a
+    no-op (the checkpoint position embeds the content-addressed segment
+    ids, so position equality proves the replay without requiring the
+    original segment rows to still exist)."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.index.merge import merge_segments
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    cfg = IndexConfig(index_uid="rm", index_dir=str(tmp_path / "rm"),
+                      sha_col=None)
+
+    def docs(tag, n):
+        return spark.createDataFrame(pd.DataFrame({
+            "repo": ["r"] * n, "path": [f"{tag}{i}" for i in range(n)],
+            "commit": ["c"] * n, "lang": ["py"] * n,
+            "content": [f"{tag} body {i}" for i in range(n)]}))
+
+    ingest_batch(docs("a", 4), cfg, batch_id=0, partitions_per_batch=2)
+    ingest_batch(docs("b", 4), cfg, batch_id=1, partitions_per_batch=2)
+    m = Manifest.load(cfg.index_dir)
+    segs = sorted(m.segments(), key=lambda x: x["segment_id"])
+    meta = merge_segments(cfg.index_dir, segs)
+    m.publish([meta],
+              replaced_segment_ids=[x["segment_id"] for x in segs])
+    m.vacuum()  # original batch segments are GONE from the manifest
+    # exact replay of batch 0: benign no-op, count unchanged
+    ingest_batch(docs("a", 4), cfg, batch_id=0, partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 8

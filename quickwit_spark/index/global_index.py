@@ -889,9 +889,12 @@ class GlobalIndexSearcher:
                                        self.segment_ids[0])
                 schema = pq.read_schema(
                     os.path.join(seg_dir, "docs.parquet"))
-                for name in schema.names:
+                # real pandas dtypes, not object: schema-strict
+                # consumers must see identical dtypes on the empty edge
+                empty = schema.empty_table().to_pandas()
+                for name in empty.columns:
                     if name not in out.columns:
-                        out[name] = pd.Series(dtype=object)
+                        out[name] = empty[name]
             return out
         docs = pd.concat(frames, ignore_index=True)
         return result.merge(docs, on="global_doc", how="left")

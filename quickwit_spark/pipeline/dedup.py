@@ -192,8 +192,16 @@ def bucketize_embeddings(emb: DataFrame, vec_col: str = "embedding",
         nbits = max(4, min(24, math.ceil(
             math.log2(max(n, 2) / max(target_bucket_size, 1)))))
     planes = hyperplanes(dim, nbits, seed)
-    b = emb.withColumn("_sig",
-                       signature_expr(vec_col, planes).cast("long"))
+    # null vectors get a UNIQUE negative _sig: under the real signature
+    # expression every null hashes to bit-pattern 0, piling all nulls
+    # (an embedding-service failure mode) into one unsplittable bucket
+    # and re-inflating the self-join; unique sigs mean they pair with
+    # nothing, which is also the correct near-dup semantics for a null
+    b = emb.withColumn(
+        "_sig",
+        F.when(F.col(vec_col).isNull(),
+               -(F.monotonically_increasing_id() + F.lit(1)))
+        .otherwise(signature_expr(vec_col, planes).cast("long")))
     if max_bucket_size is None:
         return b
     for r in range(refine_rounds):

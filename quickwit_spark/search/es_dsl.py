@@ -129,10 +129,10 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
 
 
 def _field_boost(f: str) -> tuple[str, float | None]:
-    """ES `fields` entries carry boosts as "name^2" / "name^2.5"."""
-    import re
-    m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", f)
-    return (m.group(1), float(m.group(2))) if m else (f, None)
+    """ES `fields` entries carry boosts as "name^2" / "name^2.5" —
+    parsed by the shared query-grammar helper."""
+    from .parser import split_boost
+    return split_boost(f)
 
 
 def _expand_default_fields(node: A.Node, sentinel: str,

@@ -239,15 +239,20 @@ class _Parser:
     def value_node(self, field: str, word: str) -> A.Node:
         if word == "*":
             return A.MatchAll()
-        boost = None
-        m = re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", word)
-        if m:
-            word, boost = m.group(1), float(m.group(2))
+        word, boost = split_boost(word)
         if "*" in word or "?" in word:
             node: A.Node = A.Wildcard(field, word)
         else:
             node = A.FullText(field, word, operator=self.default_op)
         return A.Boost(node, boost) if boost is not None else node
+
+
+def split_boost(word: str) -> tuple[str, float | None]:
+    """Split the `text^2` / `name^2.5` boost suffix — the ONE parser of
+    the boost grammar, shared by the query-string grammar and the ES
+    `fields` lists (a second copy could drift on accepted forms)."""
+    m = re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", word)
+    return (m.group(1), float(m.group(2))) if m else (word, None)
 
 
 def parse_query(q: str, default_field: str = "content",

@@ -69,11 +69,24 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
         # Only an EXACT replay is benign. A batch-id collision that is
         # NOT a replay (stream restarted with a fresh Spark checkpoint
         # dir, so batch ids restart at 0 over different data) must NOT
-        # be swallowed — that would silently drop the batch.
-        replay = all(manifest.checkpoint(p) == to
-                     for p, (_f, to) in delta.items())
-        if not replay:
+        # be swallowed — that would silently drop the batch. Positions
+        # written before the ids= suffix existed are accepted by their
+        # prefix (same strength the old format had).
+        def _is_replay(p, to):
+            stored = manifest.checkpoint(p)
+            return stored == to or stored == to.rsplit(";ids=", 1)[0]
+        if not all(_is_replay(p, to) for p, (_f, to) in delta.items()):
             raise
+        # the replay re-wrote segment files before the publish was
+        # rejected; if the originals were merged/vacuumed away since,
+        # those dirs are referenced by nothing — remove them instead of
+        # leaking full posting/doc data on every post-compaction replay
+        import shutil
+        for r in rows:
+            if r["segment_id"] not in manifest.data["segments"]:
+                shutil.rmtree(
+                    os.path.join(segments_root, r["segment_id"]),
+                    ignore_errors=True)
 
 
 def start_ingest_stream(spark, input_path: str, config: IndexConfig,

@@ -509,3 +509,80 @@ def test_replay_after_merge_is_benign(spark, tmp_path):
     # exact replay of batch 0: benign no-op, count unchanged
     ingest_batch(docs("a", 4), cfg, batch_id=0, partitions_per_batch=2)
     assert IndexSearcher(cfg.index_dir).count("*") == 8
+
+
+def test_bucketize_null_embeddings_never_collapse(spark):
+    """Null embeddings must get UNIQUE signatures — hashing them all to
+    _sig=0 would pile every null row into one unsplittable bucket and
+    re-inflate the self-join; they also must not pair with anything."""
+    from quickwit_spark.pipeline.dedup import (bucketize_embeddings,
+                                               embedding_near_dup)
+    rows = [(i, None) for i in range(6)] + \
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0001])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = bucketize_embeddings(emb, nbits=4).toPandas()
+    null_sigs = b[b.embedding.isna()]["_sig"]
+    assert null_sigs.nunique() == 6  # all distinct
+    assert (null_sigs < 0).all()     # never collide with real sigs
+    pairs = embedding_near_dup(emb, threshold=0.9, nbits=4).toPandas()
+    assert set(map(tuple, pairs[["a", "b"]].values)) == {(10, 11)}
+
+
+def test_replay_after_merge_cleans_orphan_dirs(spark, tmp_path):
+    """The benign replay rewrites segment files before the publish is
+    rejected; when the originals were merged/vacuumed away those dirs
+    must be removed, not leaked."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.index.merge import merge_segments
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    cfg = IndexConfig(index_uid="rl", index_dir=str(tmp_path / "rl"),
+                      sha_col=None)
+
+    def docs(tag, n):
+        return spark.createDataFrame(pd.DataFrame({
+            "repo": ["r"] * n, "path": [f"{tag}{i}" for i in range(n)],
+            "commit": ["c"] * n, "lang": ["py"] * n,
+            "content": [f"{tag} body {i}" for i in range(n)]}))
+
+    ingest_batch(docs("a", 4), cfg, batch_id=0, partitions_per_batch=2)
+    ingest_batch(docs("b", 4), cfg, batch_id=1, partitions_per_batch=2)
+    m = Manifest.load(cfg.index_dir)
+    segs = sorted(m.segments(), key=lambda x: x["segment_id"])
+    meta = merge_segments(cfg.index_dir, segs)
+    m.publish([meta],
+              replaced_segment_ids=[x["segment_id"] for x in segs])
+    m.vacuum()
+    seg_root = os.path.join(cfg.index_dir, "segments")
+    assert len(os.listdir(seg_root)) == 1  # only the merged child
+    ingest_batch(docs("a", 4), cfg, batch_id=0, partitions_per_batch=2)
+    # replay was benign AND its rewritten dirs were swept
+    assert len(os.listdir(seg_root)) == 1
+    assert IndexSearcher(cfg.index_dir).count("*") == 8
+
+
+def test_legacy_position_format_replay_accepted(spark, tmp_path):
+    """Positions written before the ids= suffix must still be accepted
+    as replays by their prefix (no crash-loop after an upgrade)."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    cfg = IndexConfig(index_uid="lg", index_dir=str(tmp_path / "lg"),
+                      sha_col=None)
+    df = spark.createDataFrame(pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"f{i}" for i in range(4)],
+        "commit": ["c"] * 4, "lang": ["py"] * 4,
+        "content": [f"body {i}" for i in range(4)]}))
+    ingest_batch(df, cfg, batch_id=0, partitions_per_batch=2)
+    # rewrite the stored positions to the LEGACY (ids-less) format
+    m = Manifest.load(cfg.index_dir)
+    cps = m.data["checkpoints"]
+    for k, v in list(cps.items()):
+        cps[k] = str(v).rsplit(";ids=", 1)[0]
+    m.data["version"] += 1
+    m._write()
+    # exact replay against legacy positions: benign
+    ingest_batch(df, cfg, batch_id=0, partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 4

@@ -101,3 +101,26 @@ def test_field_star_is_exists():
     assert A.FieldPresence in kinds
     # bare * stays match-all
     assert isinstance(parse_query('*'), A.MatchAll)
+
+
+def test_parser_fuzz_no_unexpected_exceptions():
+    """Any input must either parse or raise ValueError — no IndexError/
+    AttributeError/RecursionError escapes the grammar (user-facing
+    query strings are attacker-controlled input)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list(
+        'abc x:"()-+*?~^[]{}<>\\\'0 9.AND OR NOT TO IN'))
+    texts = st.text(alphabet=alphabet, min_size=0, max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(texts)
+    def run(q):
+        try:
+            node = parse_query(q)
+        except ValueError:
+            return
+        assert node is not None
+
+    run()

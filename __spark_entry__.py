@@ -680,7 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = lambda s, d: dd.exact_duplicates(_doubled(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dd.lsh_candidate_pairs(
         _doubled(s, d), num_hashes=16, bands=4)
-    q["dedup_simhash"] = lambda s, d: dd.simhash16(
+    q["dedup_simhash"] = lambda s, d: dd.simhash60(
         _read(s, d, "documents").select("doc_id", "text"))
     q["dedup_simhash_pairs"] = lambda s, d: dd.simhash_candidate_pairs(
         _doubled(s, d), max_hamming=2)
@@ -1258,31 +1258,34 @@ FROM bands l JOIN bands r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 """
 
+    # 60-bit simhash (dedup.SIMHASH_BITS): 15 md5 hex chars keep the
+    # signature positive in a signed i64 in both engines (sign-safe >>/%)
     votes = ",\n       ".join(
-        f"sum(((h >> {j}) % 2) * 2 - 1) AS v{j}" for j in range(16))
+        f"sum(((h >> {j}) % 2) * 2 - 1) AS v{j}" for j in range(60))
     bits = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60))
+    _H60 = "CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
     o["dedup_simhash"] = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, t FROM (
     SELECT doc_id, unnest({_TOKS}) AS t FROM documents)),
-hs AS (SELECT doc_id, {_H32.format(c='t')} AS h FROM toks),
+hs AS (SELECT doc_id, {_H60.format(c='t')} AS h FROM toks),
 v AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
-SELECT doc_id, {bits} AS simhash FROM v
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
 """
 
-    # banding mirror of simhash_candidate_pairs: bands of the 16-bit
-    # simhash (pigeonhole over max_hamming=2 -> 3 bands: 0-4,5-10,11-15),
+    # banding mirror of simhash_candidate_pairs: bands of the 60-bit
+    # simhash (pigeonhole over max_hamming=2 -> 3 bands of 20 bits),
     # bucket join, XOR popcount verify
     _simhash_cte = f"""
 toks2 AS (
   SELECT DISTINCT doc_id, t FROM (
     SELECT doc_id, unnest({_TOKS}) AS t FROM {_DOUBLED})),
-hs2 AS (SELECT doc_id, {_H32.format(c='t')} AS h FROM toks2),
+hs2 AS (SELECT doc_id, {_H60.format(c='t')} AS h FROM toks2),
 v2 AS (SELECT doc_id, {votes} FROM hs2 GROUP BY doc_id),
-sig AS (SELECT doc_id, {bits} AS simhash FROM v2)
+sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v2)
 """
-    band_bounds = [round(16 * i / 3) for i in range(4)]
+    band_bounds = [round(60 * i / 3) for i in range(4)]
     band_sel = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         f"(simhash >> {band_bounds[b]}) % {1 << (band_bounds[b + 1] - band_bounds[b])} AS bv, "

@@ -586,3 +586,48 @@ def test_legacy_position_format_replay_accepted(spark, tmp_path):
     # exact replay against legacy positions: benign
     ingest_batch(df, cfg, batch_id=0, partitions_per_batch=2)
     assert IndexSearcher(cfg.index_dir).count("*") == 4
+
+
+def test_simhash60_hamming_neighbor_recall(spark):
+    """Pigeonhole guarantee: every pair within max_hamming of each other
+    MUST surface in simhash_candidate_pairs (banding can only add
+    candidates, never lose a true neighbor), and the signature space is
+    60-bit (positive i64, far past the old 16-bit bucket ceiling)."""
+    from quickwit_spark.pipeline.dedup import (
+        SIMHASH_BITS, simhash60, simhash_candidate_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank while seven wizards brew strong coffee at midnight")
+    rows = []
+    # 6 heavy-overlap variants of the same doc + 6 unrelated docs
+    words = base.split()
+    for i in range(6):
+        w = list(words)
+        w[i] = f"variant{i}"
+        rows.append((i, " ".join(w)))
+    for i in range(6, 12):
+        rows.append((i, " ".join(f"tok{i}x{j}" for j in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    assert SIMHASH_BITS == 60
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash60(df).collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+
+    # near-identical variants must be hamming-close; unrelated docs sit
+    # near the random-pair expectation of SIMHASH_BITS/2 = 30
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")
+    variant_max = max(ham(a, b) for a in range(6) for b in range(a + 1, 6))
+    unrelated_min = min(ham(a, b) for a in range(6, 12)
+                        for b in range(a + 1, 12))
+    assert variant_max < unrelated_min
+
+    max_h = variant_max
+    truth = {(a, b) for a in sigs for b in sigs if a < b
+             and ham(a, b) <= max_h}
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= truth
+    got = {(r["a"], r["b"]) for r in
+           simhash_candidate_pairs(df, max_hamming=max_h).collect()}
+    assert truth <= got  # 100% recall within the hamming radius
+    # and verification bounds what banding lets through
+    assert all(ham(a, b) <= max_h for a, b in got)

@@ -372,6 +372,18 @@ def _classify_codes(codes: np.ndarray) -> np.ndarray:
 
 _SEP = "\x00"
 
+# hex-category flag LUT for the ASCII fast path:
+# digit=1, lowerhex=2, upperhex=4, everything else (non-hex)=8
+_HEXFLAG_LUT8 = np.full(256, 8, dtype=np.uint8)
+for _i in range(256):
+    _c = chr(_i)
+    if "0" <= _c <= "9":
+        _HEXFLAG_LUT8[_i] = 1
+    elif "a" <= _c <= "f":
+        _HEXFLAG_LUT8[_i] = 2
+    elif "A" <= _c <= "F":
+        _HEXFLAG_LUT8[_i] = 4
+
 
 def _spans_to_sentinel_string(big: str, codes: np.ndarray, cls: np.ndarray,
                               extra_breaks: np.ndarray) -> str:
@@ -420,6 +432,70 @@ def _simple_breaks(cls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return cls != DELIM, np.zeros(0, dtype=np.int64)
 
 
+def _hex_class_breaks(codes: np.ndarray,
+                      cls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized source_code_with_hex: class-mode breaks, minus all
+    internal breaks inside runs the hex machine emits whole.
+
+    The scalar machine (_PendingScanner, pinned by the reference goldens
+    code_tokenizer.rs:335-419) reduces per delimiter-separated run to:
+
+      emit the WHOLE run as one hex token  iff  every char is ASCII hex,
+      letter case is consistent (never both a-f and A-F), and the length
+      is even OR the run is single-class (all digits / all a-f / all A-F
+      — the odd-length recover path hands the prefix to the class machine
+      which then emits the same whole-run span);
+
+      otherwise every failure path ("recover" with a single-class prefix,
+      "backtrack" on a mixed prefix) produces EXACTLY the plain class-mode
+      tokens for the run: a single-class hex prefix already carries the
+      uniform char class the class machine would have assigned, so the
+      recovered in-flight state is indistinguishable from a plain scan.
+
+    Property-tested equal to the scalar machine (test_tokenizer)."""
+    nondelim, breaks = _code_class_breaks(cls)
+    if breaks.size == 0 or not nondelim.any():
+        # a run with no internal class breaks is single-class: whole-run
+        # hex emit and class mode produce the same one-token span, so
+        # only break-containing runs ever need hex analysis
+        return nondelim, breaks
+    starts_mask = nondelim.copy()
+    starts_mask[1:] &= ~nondelim[:-1]
+    starts = np.nonzero(starts_mask)[0]
+    ends_mask = nondelim.copy()
+    ends_mask[:-1] &= ~nondelim[1:]
+    ends = np.nonzero(ends_mask)[0] + 1  # exclusive
+    # breaks always sit strictly inside a run (both neighbors nondelim)
+    run_of = np.searchsorted(starts, breaks, side="right") - 1
+    u = np.unique(run_of)
+    s_u, e_u = starts[u], ends[u]
+    ln = e_u - s_u
+    # the hex decision only needs per-run PRESENCE of each category
+    # (digit=1, lowerhex=2, upperhex=4, nonhex=8): one uint8 flag gather
+    # + one bitwise_or.reduceat, no counting
+    if codes.dtype == np.uint8:
+        flags = _HEXFLAG_LUT8[codes]
+    else:
+        flags = np.full(codes.shape, 8, dtype=np.uint8)
+        flags[(codes >= 48) & (codes <= 57)] = 1
+        flags[(codes >= 97) & (codes <= 102)] = 2
+        flags[(codes >= 65) & (codes <= 70)] = 4
+    bounds = np.empty(2 * u.size, dtype=np.int64)
+    bounds[0::2] = s_u
+    bounds[1::2] = e_u
+    if bounds[-1] >= codes.shape[0]:
+        bounds = bounds[:-1]  # reduceat's last segment runs to EOF
+    red = np.bitwise_or.reduceat(flags, bounds)[0::2]
+    all_hex = (red & 8) == 0
+    single_class = all_hex & ((red == 1) | (red == 2) | (red == 4))
+    case_mixed = (red & 6) == 6  # both lowerhex and upperhex present
+    whole = all_hex & ~case_mixed & ((ln % 2 == 0) | single_class)
+    if whole.any():
+        sel = np.searchsorted(u, run_of)
+        breaks = breaks[~whole[sel]]
+    return nondelim, breaks
+
+
 def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
                    max_len: int = 255) -> tuple[np.ndarray, list[str]]:
     """Tokenize a batch of documents with one vectorized pass.
@@ -429,10 +505,10 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
     C speed over the concatenated batch; no per-char Python.
 
     Supported analyzers here: source_code_default (class-mode code
-    tokenizer + lowercase + ascii-fold), default (simple + lowercase),
-    whitespace, lowercase, raw, raw_lowercase, en_stem,
-    source_code_with_hex (falls back to the exact scalar machine per doc —
-    hex backtracking is inherently sequential).
+    tokenizer + lowercase + ascii-fold), source_code_with_hex (class-mode
+    breaks minus whole-hex-run internal breaks, see _hex_class_breaks —
+    fully vectorized, no per-doc state machine), default (simple +
+    lowercase), whitespace, lowercase, raw, raw_lowercase, en_stem.
     """
     # nulls in a text column arrive as NaN (float) from pandas: normalize
     # to "" up front so EVERY analyzer path sees strings — the per-doc
@@ -461,18 +537,6 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             docs.extend([i] * len(parts))
         return np.asarray(docs, dtype=np.int64), toks
 
-    if analyzer == "source_code_with_hex":
-        toks, docs = [], []
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            parts = [ascii_fold(t[a:b].lower())
-                     for a, b in _PendingScanner(t, True).tokens()
-                     if b - a <= max_len]
-            toks.extend(parts)
-            docs.extend([i] * len(parts))
-        return np.asarray(docs, dtype=np.int64), toks
-
     if analyzer in ("chinese_compatible", "multilang"):
         fn = (chinese_compatible_tokenize if analyzer == "chinese_compatible"
               else multilang_tokenize)
@@ -496,7 +560,8 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             docs.extend([i] * len(parts))
         return np.asarray(docs, dtype=np.int64), toks
 
-    if analyzer not in ("source_code_default", "default", "en_stem"):
+    if analyzer not in ("source_code_default", "source_code_with_hex",
+                        "default", "en_stem"):
         # fail loudly: silently falling back to another tokenizer would
         # build a wrong index with no error (e.g. a custom analyzer
         # registered on the driver but not inside a Spark worker process)
@@ -507,7 +572,8 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             "re-import modules — register inside the UDF closure or a "
             "module imported by it)")
 
-    # vectorized paths: source_code_default, default, en_stem
+    # vectorized paths: source_code_default, source_code_with_hex,
+    # default, en_stem
     clean = [(t if isinstance(t, str) else "") for t in texts]
     big = _SEP.join(clean)
     ascii_fast = big.isascii()
@@ -520,12 +586,14 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
 
     if analyzer == "source_code_default":
         nondelim, breaks = _code_class_breaks(cls)
+    elif analyzer == "source_code_with_hex":
+        nondelim, breaks = _hex_class_breaks(codes, cls)
     else:  # default / en_stem -> simple tokenizer
         nondelim, breaks = _simple_breaks(cls)
 
     sentinel = _spans_to_sentinel_string(big, codes, cls, breaks)
     lowered = sentinel.lower()
-    if not lowered.isascii() and analyzer == "source_code_default":
+    if not lowered.isascii() and analyzer.startswith("source_code"):
         lowered = ascii_fold(lowered)
     toks = [t for t in lowered.split(_SEP) if t]
 

@@ -312,7 +312,15 @@ def main() -> None:
     t0 = time.perf_counter()
     for qq in batch_qs:
         dist.search(qq, k=10, fetch_fields=False)
+    # cost-based placement (root.rs:1643-1648 analog): this corpus is
+    # under inprocess_doc_budget, so serial queries run in-process
     queries["q8_serial_dist"] = round(time.perf_counter() - t0, 4)
+    forced = IndexSearcher(cfg.index_dir, spark=spark,
+                           force_distributed=True)
+    t0 = time.perf_counter()
+    for qq in batch_qs:
+        forced.search(qq, k=10, fetch_fields=False)
+    queries["q8_serial_forced_dist"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
     dist.search_many(batch_qs, k=10, fetch_fields=False)
     queries["q8_batched_dist"] = round(time.perf_counter() - t0, 4)

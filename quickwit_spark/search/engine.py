@@ -1401,9 +1401,19 @@ class IndexSearcher:
     With a SparkSession, leaf search fans out via mapInPandas over the
     segment list (one task per segment); without, leaves run in-process
     (the reference's single-node search path, SURVEY.md §3.3).
+
+    Leaf placement is cost-based (the reference's job-cost function,
+    root.rs:1643-1648): a single query whose pruned segments hold fewer
+    than `inprocess_doc_budget` docs runs in-process even when a
+    SparkSession is attached — at that size Spark job scheduling costs
+    ~100x the scan itself. Larger queries fan out. force_distributed
+    pins the fan-out path regardless (used by the correctness gate so
+    the production distributed path stays oracle-verified).
     """
 
-    def __init__(self, index_dir: str, spark=None):
+    def __init__(self, index_dir: str, spark=None,
+                 inprocess_doc_budget: int = 100_000,
+                 force_distributed: bool = False):
         self.index_dir = index_dir
         self.manifest = Manifest.load(index_dir)
         cfg = self.manifest.data["config"]
@@ -1412,6 +1422,8 @@ class IndexSearcher:
         self.tag_fields = list(cfg.get("tag_cols", []))
         self.key_cols = list(cfg.get("key_cols", []))
         self.spark = spark
+        self.inprocess_doc_budget = inprocess_doc_budget
+        self.force_distributed = force_distributed
 
     def reload(self) -> "IndexSearcher":
         """Re-read the manifest from disk. Version-keyed caches
@@ -1467,7 +1479,10 @@ class IndexSearcher:
         need = offset + k
         use_wand = not count_all and search_after is None
         parts: list[tuple[str, int, pd.DataFrame]] = []
-        if self.spark is not None and len(segs) > 1:
+        if self.spark is not None and len(segs) > 1 and (
+                self.force_distributed
+                or sum(int(s.get("num_docs", 0)) for s in segs)
+                >= self.inprocess_doc_budget):
             parts = self._leaf_spark(segs, node, need, use_wand,
                                      search_after)
         elif use_wand and len(segs) > 1:

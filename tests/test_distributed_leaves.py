@@ -37,7 +37,7 @@ def _hits_key(res):
 ])
 def test_sort_search_distributed_identical(idx, spark, sort_by):
     local = IndexSearcher(idx.index_dir)
-    dist = IndexSearcher(idx.index_dir, spark=spark)
+    dist = IndexSearcher(idx.index_dir, spark=spark, force_distributed=True)
     node = A.Term("content", "merge")
     a = local.sort_search(node, k=15, sort_by=sort_by, fetch_fields=False)
     b = dist.sort_search(node, k=15, sort_by=sort_by, fetch_fields=False)
@@ -47,7 +47,7 @@ def test_sort_search_distributed_identical(idx, spark, sort_by):
 
 def test_sort_search_distributed_string_field(idx, spark):
     local = IndexSearcher(idx.index_dir)
-    dist = IndexSearcher(idx.index_dir, spark=spark)
+    dist = IndexSearcher(idx.index_dir, spark=spark, force_distributed=True)
     node = A.MatchAll()
     a = local.sort_search(node, k=10, sort_by=(("lang", "asc"),),
                           fetch_fields=False)
@@ -58,7 +58,7 @@ def test_sort_search_distributed_string_field(idx, spark):
 
 def test_list_terms_distributed_and_limit_pushdown(idx, spark):
     local = IndexSearcher(idx.index_dir)
-    dist = IndexSearcher(idx.index_dir, spark=spark)
+    dist = IndexSearcher(idx.index_dir, spark=spark, force_distributed=True)
     for kw in ({}, {"start": "m", "end": "n"}, {"start": "get"},
                {"limit": 7}):
         a = local.list_terms(**kw)
@@ -75,7 +75,7 @@ def test_sort_search_after_pages_entire_set(idx, spark):
     last_sort_key cursor reproduces the one-shot ordering exactly, on
     both the in-process and distributed leaf paths."""
     for searcher in (IndexSearcher(idx.index_dir),
-                     IndexSearcher(idx.index_dir, spark=spark)):
+                     IndexSearcher(idx.index_dir, spark=spark, force_distributed=True)):
         sort_by = (("nchars", "desc"), ("_doc", "asc"))
         node = A.Term("content", "merge")
         full = searcher.sort_search(node, k=10_000, sort_by=sort_by,
@@ -121,7 +121,7 @@ def test_distributed_two_phase_seed_rank_identical(idx, spark, node):
     segment first, its k-th score shipped into every leaf): top-k must be
     rank-identical to the exhaustive distributed and in-process paths."""
     local = IndexSearcher(idx.index_dir)
-    dist = IndexSearcher(idx.index_dir, spark=spark)
+    dist = IndexSearcher(idx.index_dir, spark=spark, force_distributed=True)
     exact = dist.search(node, k=10, fetch_fields=False, count_all=True)
     pruned = dist.search(node, k=10, fetch_fields=False, count_all=False)
     inproc = local.search(node, k=10, fetch_fields=False, count_all=False)
@@ -132,7 +132,7 @@ def test_distributed_two_phase_seed_rank_identical(idx, spark, node):
 def test_search_many_batched_identical(idx, spark):
     """search_many: N queries in ONE fan-out must equal per-query
     search() on both counts and hit order, including a zero-hit query."""
-    dist = IndexSearcher(idx.index_dir, spark=spark)
+    dist = IndexSearcher(idx.index_dir, spark=spark, force_distributed=True)
     queries = [
         A.Term("content", "merge"),
         A.Bool(should=(A.Term("content", "split"),
@@ -151,10 +151,44 @@ def test_search_many_batched_identical(idx, spark):
 
 
 def test_search_many_pruned_mode(idx, spark):
-    dist = IndexSearcher(idx.index_dir, spark=spark)
+    dist = IndexSearcher(idx.index_dir, spark=spark, force_distributed=True)
     queries = [A.Term("content", "merge"), A.Term("content", "split")]
     batched = dist.search_many(queries, k=5, fetch_fields=False,
                                count_all=False)
     exact = [dist.search(q, k=5, fetch_fields=False) for q in queries]
     for b, s in zip(batched, exact):
         assert _hits_key(b) == _hits_key(s)
+
+
+def test_cost_based_leaf_placement(idx, spark, monkeypatch):
+    """A query whose pruned segments hold fewer docs than
+    inprocess_doc_budget must run in-process even with a SparkSession
+    attached (root.rs:1643-1648 cost function analog); force_distributed
+    pins the fan-out path for the gate."""
+    node = A.Term("content", "merge")
+
+    small = IndexSearcher(idx.index_dir, spark=spark)  # 1200 docs < budget
+    calls = []
+    orig = IndexSearcher._leaf_spark
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IndexSearcher, "_leaf_spark", spy)
+    res_in = small.search(node, k=15, fetch_fields=False)
+    assert not calls  # stayed in-process
+
+    forced = IndexSearcher(idx.index_dir, spark=spark,
+                           force_distributed=True)
+    res_dist = forced.search(node, k=15, fetch_fields=False)
+    assert calls  # took the mapInPandas fan-out
+    assert res_in.num_hits == res_dist.num_hits
+    assert _hits_key(res_in) == _hits_key(res_dist)
+
+    # a tiny budget sends even this corpus to the fan-out path
+    calls.clear()
+    eager = IndexSearcher(idx.index_dir, spark=spark,
+                          inprocess_doc_budget=1)
+    eager.search(node, k=15, fetch_fields=False)
+    assert calls

@@ -62,6 +62,114 @@ def signature_expr(vec_col: str, planes: np.ndarray):
     return sig
 
 
+# above this many plan literals (nbits*dim or n_centroids*dim), the
+# Catalyst expression path bloats the driver plan / codegen (e.g. dim
+# 1536 x nbits 24 = 37k literals) — corpus-side call sites switch to the
+# mapInArrow twin; the expression twin stays for oracle-comparable rows
+# and single-row query-side signatures
+_ARROW_LITERAL_THRESHOLD = 4096
+
+
+def signature_arrow(emb: DataFrame, planes: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    out_col: str = "_sig",
+                    keep_cols: tuple = ()) -> DataFrame:
+    """mapInArrow twin of signature_expr: ONE (batch x nbits) matmul per
+    Arrow batch instead of nbits*dim plan literals. Bit j set iff
+    v . plane_j > 0 — identical to the expression path except on exact
+    sign-boundary ties (matmul vs sequential fold, last-ulp only).
+    Returns (id_col, out_col long, *keep_cols)."""
+    import pyarrow as pa
+
+    P = np.ascontiguousarray(planes, dtype=np.float64).T  # (dim, nbits)
+    nbits = P.shape[1]
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+
+    def encode(batches):
+        for b in batches:
+            lst = b.column(vec_col)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            flat = np.asarray(lst.flatten(), dtype=np.float64)
+            X = flat.reshape(len(b), P.shape[0])
+            sig = ((X @ P) > 0) @ weights
+            cols = [b.column(id_col), pa.array(sig, type=pa.int64())]
+            names = [id_col, out_col]
+            for kc in keep_cols:
+                cols.append(b.column(kc))
+                names.append(kc)
+            yield pa.record_batch(cols, names=names)
+
+    keep_schema = "".join(
+        f", {kc} {emb.schema[kc].dataType.simpleString()}"
+        for kc in keep_cols)
+    sel = [id_col, vec_col] + [c for c in keep_cols
+                               if c not in (id_col, vec_col)]
+    return emb.select(*sel).mapInArrow(
+        encode, f"{id_col} long, {out_col} long{keep_schema}")
+
+
+def ivf_assign_arrow(emb: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     out_col: str = "_cid",
+                     keep_cols: tuple = ()) -> DataFrame:
+    """mapInArrow twin of ivf_assign_expr: one (batch x n_centroids)
+    matmul per Arrow batch; np.argmin's first-min tie-break matches the
+    expression path's array_position(ds, array_min(ds)). keep_cols may
+    include vec_col itself (the IVF layout writers keep the vectors)."""
+    import pyarrow as pa
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    csum = (C ** 2).sum(axis=1)  # (n_centroids,)
+    Ct = np.ascontiguousarray(C.T)
+
+    def assign(batches):
+        for b in batches:
+            lst = b.column(vec_col)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            flat = np.asarray(lst.flatten(), dtype=np.float64)
+            X = flat.reshape(len(b), C.shape[1])
+            d = csum[None, :] - 2.0 * (X @ Ct)
+            cid = d.argmin(axis=1).astype(np.int32)
+            cols = [b.column(id_col), pa.array(cid, type=pa.int32())]
+            names = [id_col, out_col]
+            for kc in keep_cols:
+                cols.append(b.column(kc))
+                names.append(kc)
+            yield pa.record_batch(cols, names=names)
+
+    keep_schema = "".join(
+        f", {kc} {emb.schema[kc].dataType.simpleString()}"
+        for kc in keep_cols)
+    sel = [id_col, vec_col] + [c for c in keep_cols
+                               if c not in (id_col, vec_col)]
+    return emb.select(*sel).mapInArrow(
+        assign, f"{id_col} long, {out_col} int{keep_schema}")
+
+
+def _with_sig(emb: DataFrame, planes: np.ndarray, vec_col: str,
+              id_col: str, out_col: str = "_sig") -> DataFrame:
+    """Corpus-side signature with automatic path choice: expression tree
+    below _ARROW_LITERAL_THRESHOLD literals (oracle-exact), mapInArrow
+    matmul above it (plan stays O(1) at production dims)."""
+    if planes.size > _ARROW_LITERAL_THRESHOLD:
+        return signature_arrow(emb, planes, vec_col, id_col, out_col,
+                               keep_cols=(vec_col,))
+    return emb.withColumn(out_col, signature_expr(vec_col, planes))
+
+
+def _with_cid(emb: DataFrame, centroids: np.ndarray, vec_col: str,
+              id_col: str, out_col: str = "_cid") -> DataFrame:
+    """Corpus-side IVF assignment with automatic path choice (see
+    _with_sig); keeps every input column either way."""
+    if centroids.size > _ARROW_LITERAL_THRESHOLD:
+        keep = tuple(c for c in emb.columns if c != id_col)
+        return ivf_assign_arrow(emb, centroids, vec_col, id_col, out_col,
+                                keep_cols=keep)
+    return emb.withColumn(out_col, ivf_assign_expr(vec_col, centroids))
+
+
 def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16,
                         vec_col: str = "embedding", id_col: str = "vec_id",
                         sample: int = 2048, iters: int = 10,
@@ -119,7 +227,7 @@ def ivf_topk(emb: DataFrame, query_df: DataFrame, centroids: np.ndarray,
     qv = np.asarray(q, dtype=np.float64)
     d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
-    bucketed = emb.withColumn("_cid", ivf_assign_expr(vec_col, centroids))
+    bucketed = _with_cid(emb, centroids, vec_col, id_col)
     cand = bucketed.filter(F.col("_cid").isin(probes)) \
         .crossJoin(F.broadcast(query_df))
     dot = _dot_expr(vec_col, F.col("q"))
@@ -132,7 +240,8 @@ def ivf_topk(emb: DataFrame, query_df: DataFrame, centroids: np.ndarray,
 
 
 def ivf_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
-                  vec_col: str = "embedding") -> str:
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> str:
     """One-time IVF layout write: assign every row to its nearest
     centroid and write the corpus partitioned by the centroid id (ONE
     assignment shuffle, ever). After this, ivf_topk_partitioned reads
@@ -143,7 +252,7 @@ def ivf_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
     Centroids are persisted beside the data so queries don't re-train."""
     import json as _json
     import os as _os
-    assigned = emb.withColumn("_cid", ivf_assign_expr(vec_col, centroids))
+    assigned = _with_cid(emb, centroids, vec_col, id_col)
     (assigned.write.mode("overwrite").partitionBy("_cid")
      .parquet(out_dir))
     try:  # POSIX/local path; on an object store ship centroids yourself
@@ -366,7 +475,7 @@ def ivfpq_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
     recall at tiny m matters more than table reuse."""
     import json as _json
     import os as _os
-    assigned = emb.withColumn("_cid", ivf_assign_expr(vec_col, centroids))
+    assigned = _with_cid(emb, centroids, vec_col, id_col)
     codes = pq_encode_arrow(assigned, codebooks, vec_col, id_col,
                             keep_cols=("_cid",))
     codes.write.mode("overwrite").partitionBy("_cid").parquet(out_dir)
@@ -408,7 +517,7 @@ def lsh_bucket_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     """ANN: restrict the exact cosine scan to the query's LSH bucket."""
     dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(dim, nbits, seed)
-    bucketed = emb.withColumn("_sig", signature_expr(vec_col, planes))
+    bucketed = _with_sig(emb, planes, vec_col, id_col)
     qb = query_df.withColumn("_qsig", signature_expr("q", planes))
     cand = bucketed.join(F.broadcast(qb),
                          F.col("_sig") == F.col("_qsig"))

@@ -130,3 +130,39 @@ def test_ivfpq_params_roundtrip(spark, emb, tmp_path):
     b = ivfpq_topk(spark, layout, qdf, k=5, nprobe=1,
                    centroids=cents, codebooks=cb).toPandas()
     assert list(a["vec_id"]) == list(b["vec_id"])
+
+
+def test_arrow_twins_match_expression_paths(spark):
+    """signature_arrow / ivf_assign_arrow must agree with the Catalyst
+    expression twins at production dims (768-dim, nbits 20, 64
+    centroids) — the expression path is the oracle, the Arrow path is
+    what corpus-side call sites use above _ARROW_LITERAL_THRESHOLD."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from quickwit_spark.pipeline.similarity import (
+        _ARROW_LITERAL_THRESHOLD, hyperplanes, ivf_assign_arrow,
+        ivf_assign_expr, signature_arrow, signature_expr)
+
+    dim, nbits, ncent, n = 768, 20, 64, 300
+    rng = np.random.default_rng(99)
+    rows = [(i, rng.standard_normal(dim).astype(np.float32).tolist())
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    planes = hyperplanes(dim, nbits, seed=7)
+    assert planes.size > _ARROW_LITERAL_THRESHOLD  # arrow territory
+    want_sig = {r["vec_id"]: r["s"] for r in emb.withColumn(
+        "s", signature_expr("embedding", planes)).select(
+        "vec_id", "s").collect()}
+    got_sig = {r["vec_id"]: r["_sig"] for r in
+               signature_arrow(emb, planes).collect()}
+    assert got_sig == want_sig
+
+    cents = rng.standard_normal((ncent, dim)).round(4)
+    assert cents.size > _ARROW_LITERAL_THRESHOLD
+    want_cid = {r["vec_id"]: r["c"] for r in emb.withColumn(
+        "c", ivf_assign_expr("embedding", cents)).select(
+        "vec_id", "c").collect()}
+    got = ivf_assign_arrow(emb, cents, keep_cols=("embedding",)).collect()
+    assert {r["vec_id"]: r["_cid"] for r in got} == want_cid
+    assert len(got[0]["embedding"]) == dim  # keep_cols carries vectors

@@ -226,8 +226,8 @@ scored AS (
 
 
 def _bm25_topk_sql(terms: list[str], op: str, k: int,
-                   extra_join: str = "", must_not: list[str] | None = None
-                   ) -> str:
+                   extra_join: str = "", must_not: list[str] | None = None,
+                   boosts: list[float] | None = None) -> str:
     tl = ",".join(f"'{t}'" for t in terms)
     having = f"count(*) = {len(terms)}" if op == "and" else "count(*) >= 1"
     mn = ""
@@ -235,9 +235,16 @@ def _bm25_topk_sql(terms: list[str], op: str, k: int,
         mnl = ",".join(f"'{t}'" for t in must_not)
         mn = (f" AND doc_id NOT IN (SELECT doc_id FROM scored "
               f"WHERE term IN ({mnl}))")
+    sum_expr = "sum(score)"
+    if boosts is not None:
+        w = ("CASE term "
+             + " ".join(f"WHEN '{t}' THEN {float(b)}"
+                        for t, b in zip(terms, boosts))
+             + " ELSE 1.0 END")
+        sum_expr = f"sum(score * {w})"
     return f"""{_BM25_CTE}
 SELECT doc_id, round(score, 6) AS score FROM (
-  SELECT doc_id, sum(score) AS score
+  SELECT doc_id, {sum_expr} AS score
   FROM scored WHERE term IN ({tl}){mn} {extra_join}
   GROUP BY doc_id HAVING {having}
 ) ORDER BY score DESC, doc_id DESC LIMIT {k}
@@ -245,7 +252,7 @@ SELECT doc_id, round(score, 6) AS score FROM (
 
 
 def _engine_bool_topk(spark, sf_dir, terms, op, k, lang=None, must_not=None,
-                      nchars_range=None):
+                      nchars_range=None, boosts=None):
     reader, doc_map, _ = _doc_index(sf_dir)
     filt = None
     if lang is not None:
@@ -256,7 +263,7 @@ def _engine_bool_topk(spark, sf_dir, terms, op, k, lang=None, must_not=None,
                          )[0]
         filt = ids if filt is None else np.intersect1d(filt, ids)
     scores = bool_scores_f64(reader, terms, operator=op, filter_docids=filt,
-                             must_not_terms=must_not)
+                             must_not_terms=must_not, boosts=boosts)
     pdf = topk_df(scores, doc_map, k)
     return _spark_df(spark, pdf, "doc_id long, score double")
 
@@ -356,6 +363,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ids = sorted(int(doc_map[h.doc_id]) for h in res.hits)
         return _spark_df(s, pd.DataFrame({"doc_id": ids}), "doc_id long")
     q["wildcard_scan"] = wildcard
+
+    def regex_scan(s, d):
+        """Regex query (regex_query.rs:1-377 analog): full-match over
+        the term dictionary, postings union. The top-level alternation
+        voids the literal-prefix pushdown (engine.py), so this row also
+        pins that planner edge."""
+        reader, doc_map, searcher = _doc_index(d)
+        res = searcher.search(A.Regex("text", "sc[a-z]n|m[ae]rge"),
+                              k=10_000_000, fetch_fields=False)
+        ids = sorted(int(doc_map[h.doc_id]) for h in res.hits)
+        return _spark_df(s, pd.DataFrame({"doc_id": ids}), "doc_id long")
+    q["regex_scan"] = regex_scan
+
+    # term^2 boost (query_ast/mod.rs:207-218): 'scan' contributes twice
+    # its BM25 weight to the OR sum; ranking provably differs from the
+    # unboosted bm25_or_topk row on this corpus
+    q["bm25_boost_or_topk"] = lambda s, d: _engine_bool_topk(
+        s, d, ["scan", "slow"], "or", 20, boosts=[2.0, 1.0])
 
     def match_all_count(s, d):
         _, _, searcher = _doc_index(d)
@@ -973,6 +998,16 @@ WITH tok AS (
   FROM documents)
 SELECT DISTINCT doc_id FROM tok WHERE t LIKE 'sc%' ORDER BY doc_id
 """
+    o["regex_scan"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+  FROM documents)
+SELECT DISTINCT doc_id FROM tok
+WHERE regexp_full_match(t, 'sc[a-z]n|m[ae]rge') ORDER BY doc_id
+"""
+    o["bm25_boost_or_topk"] = _bm25_topk_sql(
+        ["scan", "slow"], "or", 20, boosts=[2.0, 1.0])
     o["match_all_count"] = "SELECT count(*) AS cnt FROM documents"
     _TK_CTE = ("WITH tk AS (SELECT doc_id, "
                "list_filter(regexp_split_to_array(lower(text), "

@@ -49,9 +49,17 @@ def term_scores_f64(reader: SegmentReader, term: str) -> dict[int, float]:
 def bool_scores_f64(reader: SegmentReader, terms: list[str],
                     operator: str = "and",
                     filter_docids: np.ndarray | None = None,
-                    must_not_terms: list[str] | None = None
+                    must_not_terms: list[str] | None = None,
+                    boosts: list[float] | None = None
                     ) -> dict[int, float]:
+    """boosts: optional per-term multipliers (the reference's `term^2`
+    boost, query_ast/mod.rs:207-218) applied to that term's BM25
+    contribution before the bool sum — f64 twin of engine.py's
+    A.Boost handling."""
     per_term = [term_scores_f64(reader, t) for t in terms]
+    if boosts is not None:
+        per_term = [{d: s * b for d, s in scores.items()}
+                    for scores, b in zip(per_term, boosts)]
     if operator == "and":
         docs = set(per_term[0]) if per_term else set()
         for s in per_term[1:]:

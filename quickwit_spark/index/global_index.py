@@ -275,10 +275,27 @@ def build_term_partitioned(spark, index_dir: str,
     }
     with open(os.path.join(out_dir, "global_manifest.json"), "w") as f:
         json.dump(gm, f, indent=1, sort_keys=True)
-    # a full rebuild obsoletes every refresh delta: drop orphaned dirs
-    for name in os.listdir(out_dir):
-        if name.startswith("postings_r"):
+    # A full rebuild obsoletes every refresh delta, but a live
+    # GlobalIndexSearcher pinned to the just-replaced manifest still has
+    # those directories in its read set — deleting them now would fail
+    # that reader mid-query. Two-phase sweep instead: RECORD the current
+    # refresh dirs as orphans and delete only the set recorded by the
+    # PREVIOUS rebuild (readers pinned two manifests back have drained).
+    orphans_path = os.path.join(out_dir, "_orphan_dirs.json")
+    prev: list[str] = []
+    if os.path.exists(orphans_path):
+        try:
+            with open(orphans_path) as f:
+                prev = json.load(f).get("dirs", [])
+        except (OSError, ValueError):
+            prev = []
+    for name in prev:
+        if name.startswith("postings_r"):  # never sweep the base layout
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    current = sorted(n for n in os.listdir(out_dir)
+                     if n.startswith("postings_r"))
+    with open(orphans_path, "w") as f:
+        json.dump({"dirs": current}, f)
     return gm
 
 

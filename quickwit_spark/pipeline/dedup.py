@@ -153,7 +153,8 @@ def bucketize_embeddings(emb: DataFrame, vec_col: str = "embedding",
                          nbits: int | None = None, seed: int = 42,
                          target_bucket_size: int = 1024,
                          max_bucket_size: int | None = None,
-                         refine_rounds: int = 2) -> DataFrame:
+                         refine_rounds: int = 2,
+                         id_col: str = "vec_id") -> DataFrame:
     """Add a `_sig` LSH bucket column sized for a bounded self-join.
 
     nbits=None sizes the signature from the corpus: one count() job, then
@@ -196,11 +197,16 @@ def bucketize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     # expression every null hashes to bit-pattern 0, piling all nulls
     # (an embedding-service failure mode) into one unsplittable bucket
     # and re-inflating the self-join; unique sigs mean they pair with
-    # nothing, which is also the correct near-dup semantics for a null
+    # nothing, which is also the correct near-dup semantics for a null.
+    # Derived DETERMINISTICALLY from the row's id (not
+    # monotonically_increasing_id): the refine loop self-joins on _sig,
+    # and a non-deterministic sig re-evaluated on each side of the join
+    # would silently drop null rows (2^-60 id-hash collision merely
+    # merges two null buckets; cosine against a null fails anyway)
     b = emb.withColumn(
         "_sig",
         F.when(F.col(vec_col).isNull(),
-               -(F.monotonically_increasing_id() + F.lit(1)))
+               -(F.abs(_hash60(F.col(id_col).cast("string"))) + F.lit(1)))
         .otherwise(signature_expr(vec_col, planes).cast("long")))
     if max_bucket_size is None:
         return b
@@ -248,7 +254,7 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
             emb, vec_col, nbits=nbits, seed=seed + 7919 * band,
             target_bucket_size=target_bucket_size,
             max_bucket_size=max_bucket_size,
-            refine_rounds=refine_rounds).persist()
+            refine_rounds=refine_rounds, id_col=id_col).persist()
         left = b.select(F.col(id_col).alias("a"),
                         F.col(vec_col).alias("_va"), "_sig")
         right = b.select(F.col(id_col).alias("b"),

@@ -18,12 +18,24 @@ from .parser import parse_query
 def _single_entry(kind: str, spec) -> tuple:
     """The {field: value} shape every field-keyed ES query uses; an
     empty/non-dict spec must be a ValueError (-> HTTP 400), not a
-    StopIteration that can silently terminate a surrounding iterator."""
+    StopIteration that can silently terminate a surrounding iterator.
+    ES allows a sibling `boost` key next to the field entry (e.g.
+    {"terms": {"tags": [...], "boost": 0.5}}) — popped here and returned
+    as the third element, not an error."""
+    boost = None
+    if isinstance(spec, dict) and "boost" in spec and len(spec) == 2:
+        spec = dict(spec)
+        boost = float(spec.pop("boost"))
     if not isinstance(spec, dict) or len(spec) != 1:
         raise ValueError(
             f"{kind} query expects exactly one {{field: value}} entry, "
             f"got {spec!r}")
-    return next(iter(spec.items()))
+    field, v = next(iter(spec.items()))
+    return field, v, boost
+
+
+def _maybe_boost(node: A.Node, boost) -> A.Node:
+    return A.Boost(node, boost) if boost is not None else node
 
 
 def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
@@ -55,33 +67,36 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
             default_field=spec.get("default_field", default_field),
             default_operator=spec.get("default_operator", "and").lower())
     if kind == "term":
-        field, v = _single_entry(kind, spec)
+        field, v, boost = _single_entry(kind, spec)
         value = v["value"] if isinstance(v, dict) else v
         node: A.Node = A.Term(field, str(value))
         if isinstance(v, dict) and "boost" in v:
             node = A.Boost(node, float(v["boost"]))
-        return node
+        return _maybe_boost(node, boost)
     if kind == "terms":
-        field, values = _single_entry(kind, spec)
-        return A.TermSet(field, tuple(str(x) for x in values))
+        field, values, boost = _single_entry(kind, spec)
+        return _maybe_boost(
+            A.TermSet(field, tuple(str(x) for x in values)), boost)
     if kind in ("match", "match_bool_prefix"):
-        field, v = _single_entry(kind, spec)
+        field, v, boost = _single_entry(kind, spec)
         if isinstance(v, dict):
-            return A.FullText(field, str(v["query"]),
-                              operator=v.get("operator", "or").lower())
-        return A.FullText(field, str(v), operator="or")
+            return _maybe_boost(
+                A.FullText(field, str(v["query"]),
+                           operator=v.get("operator", "or").lower()), boost)
+        return _maybe_boost(A.FullText(field, str(v), operator="or"), boost)
     if kind == "match_phrase":
-        field, v = _single_entry(kind, spec)
+        field, v, boost = _single_entry(kind, spec)
         text = v["query"] if isinstance(v, dict) else v
         slop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
         # positional phrase; freq-only indexes fall back to intersection
         # (the reference's PhraseFallbackToIntersection mode)
-        return A.Phrase(field, str(text), slop=slop)
+        return _maybe_boost(A.Phrase(field, str(text), slop=slop), boost)
     if kind == "match_phrase_prefix":
-        field, v = _single_entry(kind, spec)
+        field, v, boost = _single_entry(kind, spec)
         text = v["query"] if isinstance(v, dict) else v
         maxe = int(v.get("max_expansions", 50)) if isinstance(v, dict) else 50
-        return A.PhrasePrefix(field, str(text), max_expansions=maxe)
+        return _maybe_boost(
+            A.PhrasePrefix(field, str(text), max_expansions=maxe), boost)
     if kind == "multi_match":
         fields = spec.get("fields") or [default_field]
         if isinstance(fields, str):  # ES accepts a bare string here
@@ -107,19 +122,20 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
         parts = tuple(_per_field(f) for f in fields)
         return parts[0] if len(parts) == 1 else A.Bool(should=parts)
     if kind == "range":
-        field, v = _single_entry(kind, spec)
-        return A.Range(field, gte=v.get("gte"), gt=v.get("gt"),
-                       lte=v.get("lte"), lt=v.get("lt"))
+        field, v, boost = _single_entry(kind, spec)
+        return _maybe_boost(
+            A.Range(field, gte=v.get("gte"), gt=v.get("gt"),
+                    lte=v.get("lte"), lt=v.get("lt")), boost)
     if kind == "exists":
         return A.FieldPresence(spec["field"])
     if kind == "regexp":
-        field, v = _single_entry(kind, spec)
+        field, v, boost = _single_entry(kind, spec)
         pat = v["value"] if isinstance(v, dict) else v
-        return A.Regex(field, str(pat))
+        return _maybe_boost(A.Regex(field, str(pat)), boost)
     if kind == "wildcard":
-        field, v = _single_entry(kind, spec)
+        field, v, boost = _single_entry(kind, spec)
         pat = v["value"] if isinstance(v, dict) else v
-        return A.Wildcard(field, str(pat))
+        return _maybe_boost(A.Wildcard(field, str(pat)), boost)
     if kind == "bool":
         def _many(key):
             items = spec.get(key, [])

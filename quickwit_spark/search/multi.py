@@ -34,18 +34,45 @@ def resolve_index_patterns(root_dir: str, patterns: list[str]
 def _read_index_uid(manifest_path: str) -> str:
     """Just the index_uid, without json-parsing the whole manifest —
     at 100k segment rows the full parse is tens of MB of JSON per
-    candidate index per pattern resolution. The top-level key is
-    matched textually (checkpoint keys are partition ids / source
-    names by construction, so the literal cannot occur earlier);
-    falls back to a full parse if the pattern is not found."""
+    candidate index per pattern resolution. Each textual match is
+    verified to sit at TOP-LEVEL nesting (depth-1 brace scan of the
+    prefix, string-aware): a nested "index_uid" key — e.g. a user doc
+    field or source name inside "config"/"checkpoints", both of which
+    sort before "index_uid" under sort_keys=True — can no longer
+    shadow the real one. Falls back to a full parse when no top-level
+    match exists. The scanned prefix ends at the first top-level match,
+    well before the "segments" bulk."""
     import json
     import re
     with open(manifest_path, "rb") as f:
         raw = f.read()
-    m = re.search(rb'"index_uid":\s*"((?:[^"\\]|\\.)*)"', raw)
-    if m:
-        return json.loads(b'"' + m.group(1) + b'"')
+    for m in re.finditer(rb'"index_uid":\s*"((?:[^"\\]|\\.)*)"', raw):
+        if _json_depth_at(raw, m.start()) == 1:
+            return json.loads(b'"' + m.group(1) + b'"')
     return json.loads(raw)["index_uid"]
+
+
+def _json_depth_at(raw: bytes, pos: int) -> int:
+    """Brace/bracket nesting depth at byte offset `pos` (-1 if inside a
+    string literal): one pass over the prefix, escape-aware."""
+    depth = 0
+    in_str = False
+    esc = False
+    for c in raw[:pos]:
+        if in_str:
+            if esc:
+                esc = False
+            elif c == 0x5C:  # backslash
+                esc = True
+            elif c == 0x22:  # quote
+                in_str = False
+        elif c == 0x22:
+            in_str = True
+        elif c in (0x7B, 0x5B):  # { [
+            depth += 1
+        elif c in (0x7D, 0x5D):  # } ]
+            depth -= 1
+    return -1 if in_str else depth
 
 
 class MultiIndexSearcher:

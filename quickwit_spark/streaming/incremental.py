@@ -77,6 +77,17 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
             return stored == to or stored == to.rsplit(";ids=", 1)[0]
         if not all(_is_replay(p, to) for p, (_f, to) in delta.items()):
             raise
+        # upgrade accepted legacy-format positions (no ids= suffix) to
+        # the full position IN PLACE: otherwise a later non-replay
+        # batch-id collision with an equal doc count would keep matching
+        # the weak prefix forever and be silently swallowed
+        upgrade = {}
+        for p, (_f, to) in delta.items():
+            stored = manifest.checkpoint(p)
+            if stored != to and stored == to.rsplit(";ids=", 1)[0]:
+                upgrade[p] = (stored, to)
+        if upgrade:
+            manifest.publish([], checkpoint_delta=upgrade)
         # the replay re-wrote segment files before the publish was
         # rejected; if the originals were merged/vacuumed away since,
         # those dirs are referenced by nothing — remove them instead of

@@ -161,11 +161,22 @@ def test_refresh_crash_rerun_is_idempotent(spark, tmp_path):
 
 
 def test_full_rebuild_sweeps_orphan_refresh_dirs(spark, tmp_path):
+    """Two-phase orphan sweep: a rebuild RECORDS refresh dirs and only
+    the NEXT rebuild deletes them — a reader pinned to the just-replaced
+    manifest snapshot can still drain its read set (the r3 advisor's
+    reader-pinning gap)."""
     d, cfg = _mk_base(spark, tmp_path)
     orphan = os.path.join(d, "global", "postings_rdeadbeef0000")
     os.makedirs(os.path.join(orphan, "tpid=0"), exist_ok=True)
     build_term_partitioned(spark, d, num_term_partitions=8, force=True)
-    assert not os.path.exists(orphan)
+    # grace period: still on disk (pinned readers can finish), invisible
+    # to new readers via the manifest
+    assert os.path.exists(orphan)
     gm = json.load(open(os.path.join(d, "global",
                                      "global_manifest.json")))
     assert gm["posting_dirs"] == ["postings"]
+    rec = json.load(open(os.path.join(d, "global", "_orphan_dirs.json")))
+    assert rec["dirs"] == ["postings_rdeadbeef0000"]
+    # the next rebuild sweeps what the previous one recorded
+    build_term_partitioned(spark, d, num_term_partitions=8, force=True)
+    assert not os.path.exists(orphan)

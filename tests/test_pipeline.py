@@ -526,6 +526,12 @@ def test_bucketize_null_embeddings_never_collapse(spark):
     assert (null_sigs < 0).all()     # never collide with real sigs
     pairs = embedding_near_dup(emb, threshold=0.9, nbits=4).toPandas()
     assert set(map(tuple, pairs[["a", "b"]].values)) == {(10, 11)}
+    # null sigs are DETERMINISTIC (id-derived): the refine loop's
+    # self-join on _sig must not drop null rows even without a persist
+    b2 = bucketize_embeddings(emb, nbits=4, max_bucket_size=2,
+                              refine_rounds=2).toPandas()
+    assert len(b2) == 8
+    assert b2[b2.embedding.isna()]["_sig"].nunique() == 6
 
 
 def test_replay_after_merge_cleans_orphan_dirs(spark, tmp_path):
@@ -586,6 +592,17 @@ def test_legacy_position_format_replay_accepted(spark, tmp_path):
     # exact replay against legacy positions: benign
     ingest_batch(df, cfg, batch_id=0, partitions_per_batch=2)
     assert IndexSearcher(cfg.index_dir).count("*") == 4
+    # the accepted replay UPGRADES the stored position to the strong
+    # ids= format, so a later same-batch-id/same-doc-count collision
+    # over different data can no longer match the weak prefix
+    m2 = Manifest.load(cfg.index_dir)
+    assert all(";ids=" in str(v) for v in m2.data["checkpoints"].values())
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"g{i}" for i in range(4)],
+        "commit": ["c"] * 4, "lang": ["py"] * 4,
+        "content": [f"other {i}" for i in range(4)]}))
+    with pytest.raises(Exception):
+        ingest_batch(df2, cfg, batch_id=0, partitions_per_batch=2)
 
 
 def test_simhash60_hamming_neighbor_recall(spark):

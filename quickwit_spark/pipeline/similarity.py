@@ -301,15 +301,25 @@ def ivf_topk_partitioned(spark, layout_dir: str, query_df: DataFrame,
 def train_pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        sample: int = 2048, iters: int = 10,
-                       seed: int = 42) -> np.ndarray:
+                       seed: int = 42,
+                       residual_centroids: np.ndarray | None = None
+                       ) -> np.ndarray:
     """Product-quantization codebooks (Jegou et al. 2011, public): split
     each vector into m contiguous subspaces and k-means each subspace
     independently on a driver-side sample (training is the sampled,
     parameter-server step; encoding is the distributed part). Returns
     (m, ksub, dim/m) float64 rounded to 6 decimals (literal-embeddable).
+
+    residual_centroids: train on v - nearest_centroid(v) instead of v
+    (for residual IVF-PQ layouts — the codebooks then model the
+    within-list spread, matching how the layout encodes).
     """
     pdf = emb.orderBy(id_col).select(vec_col).limit(sample).toPandas()
     X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    if residual_centroids is not None:
+        C = np.asarray(residual_centroids, dtype=np.float64)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        X = X - C[d.argmin(axis=1)]
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -371,7 +381,9 @@ def pq_encode_expr(vec_col: str, codebooks: np.ndarray):
 def pq_encode_arrow(emb: DataFrame, codebooks: np.ndarray,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     out_col: str = "pq_code",
-                    keep_cols: tuple = ()) -> DataFrame:
+                    keep_cols: tuple = (),
+                    residual_centroids: np.ndarray | None = None,
+                    cid_col: str = "_cid") -> DataFrame:
     """Scale-path PQ encoder: mapInArrow batches, one (batch x ksub)
     matmul per subspace — no per-row Python, no shuffle. 100 TB of f32
     embeddings compress to m bytes/vector (dim*4/m x smaller); the codes
@@ -379,13 +391,24 @@ def pq_encode_arrow(emb: DataFrame, codebooks: np.ndarray,
 
     Codes are identical to pq_encode_expr's (same first-min argmin);
     only the distance arithmetic differs in the last ulp (matmul vs
-    sequential fold), which only matters on exact centroid ties."""
+    sequential fold), which only matters on exact centroid ties.
+
+    residual_centroids: when given, each row's coarse centroid (row
+    `cid_col`, which must be in keep_cols) is subtracted BEFORE encoding
+    — classical residual IVF-PQ, better recall at small m because the
+    codebooks only have to cover the within-list spread."""
     import pyarrow as pa
 
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
     csum = (cb ** 2).sum(axis=2)          # (m, ksub)
     cbt = [np.ascontiguousarray(cb[i].T) for i in range(m)]
+    RC = None
+    if residual_centroids is not None:
+        if cid_col not in keep_cols:
+            raise ValueError(f"residual encoding needs {cid_col!r} "
+                             "in keep_cols")
+        RC = np.ascontiguousarray(residual_centroids, dtype=np.float64)
 
     def encode(batches):
         for b in batches:
@@ -395,6 +418,9 @@ def pq_encode_arrow(emb: DataFrame, codebooks: np.ndarray,
                 lst = lst.combine_chunks()
             flat = np.asarray(lst.flatten(), dtype=np.float64)
             X = flat.reshape(len(b), m * dsub)
+            if RC is not None:
+                cids = np.asarray(b.column(cid_col))
+                X = X - RC[cids]
             codes = np.empty((len(b), m), dtype=np.int32)
             for i in range(m):
                 Xs = X[:, i * dsub:(i + 1) * dsub]
@@ -459,7 +485,7 @@ def pq_adc_topk(codes_df: DataFrame, query_df: DataFrame,
 
 def ivfpq_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
                     codebooks: np.ndarray, vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> str:
+                    id_col: str = "vec_id", residual: bool = False) -> str:
     """IVF-PQ layout: the big-corpus ANN composition. Rows are assigned
     to their nearest coarse centroid (JVM expression), PQ-encoded in
     Arrow batches (one matmul per batch), and written partitioned by
@@ -468,21 +494,27 @@ def ivfpq_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
     times dim*4/m compression — at 10^9 vectors that is the difference
     between scanning terabytes of floats and megabytes of codes.
 
-    Codes quantize the raw vector (not the residual v - centroid): the
-    ADC table stays list-independent, so one LUT serves every probed
-    partition and the layout is re-probeable without re-deriving
-    per-list tables. Residual coding is the classical refinement when
-    recall at tiny m matters more than table reuse."""
+    By default codes quantize the raw vector (not the residual
+    v - centroid): the ADC table stays list-independent, so one LUT
+    serves every probed partition and the layout is re-probeable
+    without re-deriving per-list tables. residual=True encodes
+    v - centroid[cid] instead — the classical refinement when recall at
+    tiny m matters more than table reuse (the codebooks only cover the
+    within-list spread; ivfpq_topk rebuilds one shifted LUT per probed
+    list, nprobe tables per query). Train the codebooks with the same
+    residual_centroids for best recall."""
     import json as _json
     import os as _os
     assigned = _with_cid(emb, centroids, vec_col, id_col)
-    codes = pq_encode_arrow(assigned, codebooks, vec_col, id_col,
-                            keep_cols=("_cid",))
+    codes = pq_encode_arrow(
+        assigned, codebooks, vec_col, id_col, keep_cols=("_cid",),
+        residual_centroids=centroids if residual else None)
     codes.write.mode("overwrite").partitionBy("_cid").parquet(out_dir)
     try:  # POSIX/local path; on an object store ship params yourself
         with open(_os.path.join(out_dir, "_ivfpq_params.json"), "w") as f:
             _json.dump({"centroids": centroids.tolist(),
-                        "codebooks": codebooks.tolist()}, f)
+                        "codebooks": codebooks.tolist(),
+                        "residual": bool(residual)}, f)
     except OSError:
         pass
     return out_dir
@@ -491,24 +523,49 @@ def ivfpq_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
 def ivfpq_topk(spark, layout_dir: str, query_df: DataFrame, k: int = 10,
                nprobe: int = 2, id_col: str = "vec_id",
                centroids: np.ndarray | None = None,
-               codebooks: np.ndarray | None = None) -> DataFrame:
+               codebooks: np.ndarray | None = None,
+               residual: bool | None = None) -> DataFrame:
     """ANN over an ivfpq_partition layout: probe the nprobe nearest
     coarse lists (partition filter — directory-level pruning, check
     .explain() for PartitionFilters), ADC-score their codes. Identical
-    to pq_adc_topk restricted to the probed lists' rows."""
+    to pq_adc_topk restricted to the probed lists' rows.
+
+    Residual layouts (auto-detected from the layout params): a residual
+    code reconstructs v̂ = c_p + codeword, and since the subspaces are
+    disjoint, ADC over list p is EXACTLY plain ADC with the codebooks
+    shifted by that list's centroid (cb'[i] = cb[i] + c_p,i) — one
+    shifted LUT per probed list, merged by a final top-k."""
     import json as _json
     import os as _os
-    if centroids is None or codebooks is None:
+    if centroids is None or codebooks is None or residual is None:
         with open(_os.path.join(layout_dir, "_ivfpq_params.json")) as f:
             params = _json.load(f)
-        centroids = np.asarray(params["centroids"], dtype=np.float64)
-        codebooks = np.asarray(params["codebooks"], dtype=np.float64)
+        if centroids is None:
+            centroids = np.asarray(params["centroids"], dtype=np.float64)
+        if codebooks is None:
+            codebooks = np.asarray(params["codebooks"], dtype=np.float64)
+        if residual is None:
+            residual = bool(params.get("residual", False))
     qv = np.asarray(query_df.first()["q"], dtype=np.float64)
     d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
-    scan = (spark.read.parquet(layout_dir)
-            .filter(F.col("_cid").isin(probes)))
-    return pq_adc_topk(scan, query_df, codebooks, k, id_col=id_col)
+    if not residual:
+        scan = (spark.read.parquet(layout_dir)
+                .filter(F.col("_cid").isin(probes)))
+        return pq_adc_topk(scan, query_df, codebooks, k, id_col=id_col)
+    m, ksub, dsub = codebooks.shape
+    parts = []
+    for p in probes:
+        scan_p = (spark.read.parquet(layout_dir)
+                  .filter(F.col("_cid") == p))
+        cb_p = codebooks + centroids[p].reshape(m, 1, dsub)
+        parts.append(pq_adc_topk(scan_p, query_df, cb_p, k,
+                                 id_col=id_col))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return (out.orderBy(F.col("approx_cos").desc(), F.col(id_col).asc())
+            .limit(k))
 
 
 def lsh_bucket_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,

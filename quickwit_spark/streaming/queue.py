@@ -132,9 +132,135 @@ class LocalDirQueue:
             return False  # concurrent ack won the race: already deleted
         return True
 
+    def change_visibility(self, message: QueueMessage,
+                          timeout_sec: float) -> bool:
+        """Extend/shrink this delivery's visibility deadline (SQS
+        ChangeMessageVisibility — the reference's visibility.rs keeps
+        long-indexing messages invisible by re-upping the deadline).
+        Fails if the receipt is no longer current."""
+        path = self._path(message.message_id)
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except OSError:
+            return False
+        if m.get("ack_id") != message.ack_id:
+            return False
+        m["invisible_until"] = self.now_fn() + float(timeout_sec)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, path)
+        return True
+
     def pending(self) -> int:
         return sum(1 for n in os.listdir(self.root)
                    if n.endswith(".json"))
+
+
+class SqsProtocolQueue:
+    """SQS-protocol adapter: every operation is expressed as the AWS SQS
+    JSON-protocol request/response DOCUMENT (SendMessage /
+    ReceiveMessage / DeleteMessage / ChangeMessageVisibility /
+    GetQueueAttributes — public AWS API shapes), routed through a
+    pluggable `transport(action, request_doc) -> response_doc`.
+
+    The default transport executes the documents against a
+    LocalDirQueue (this runtime provisions no broker); the production
+    wiring point is a transport that POSTs the SAME documents to a real
+    or compatible endpoint (AWS SQS, ElasticMQ, LocalStack) with
+    `X-Amz-Target: AmazonSQS.<action>` — nothing above the transport
+    changes. ReceiptHandle packs (message_id, delivery receipt) so
+    DeleteMessage needs only the handle, like real SQS.
+
+    Duck-types LocalDirQueue's consumer surface (receive/ack/
+    change_visibility/pending), so ingest_queue_batch takes either.
+    Reference: quickwit-indexing/src/source/queue_sources/sqs_queue.rs.
+    """
+
+    def __init__(self, queue_url: str = "local://queue",
+                 transport=None, local_root: str | None = None,
+                 visibility_sec: float = 30.0, now_fn=time.time):
+        self.queue_url = queue_url
+        if transport is None:
+            if local_root is None:
+                raise ValueError("file-backed mode needs local_root "
+                                 "(or pass a real transport)")
+            self._local = LocalDirQueue(local_root, visibility_sec, now_fn)
+            transport = self._local_transport
+        self.transport = transport
+
+    # -- the file-backed reference transport -------------------------------
+
+    def _local_transport(self, action: str, doc: dict) -> dict:
+        q = self._local
+        if action == "SendMessage":
+            body = doc["MessageBody"]
+            mid = q.send(body,
+                         message_id=doc.get("MessageDeduplicationId"))
+            return {"MessageId": mid,
+                    "MD5OfMessageBody":
+                        hashlib.md5(body.encode()).hexdigest()}
+        if action == "ReceiveMessage":
+            msgs = q.receive(int(doc.get("MaxNumberOfMessages", 1)))
+            return {"Messages": [
+                {"MessageId": m.message_id,
+                 "ReceiptHandle": f"{m.message_id}|{m.ack_id}",
+                 "Body": m.payload,
+                 "MD5OfBody":
+                     hashlib.md5(m.payload.encode()).hexdigest()}
+                for m in msgs]}
+        if action == "DeleteMessage":
+            mid, _, ack = doc["ReceiptHandle"].partition("|")
+            if not q.ack(QueueMessage(mid, ack, "")):
+                return {"__type": "ReceiptHandleIsInvalid"}
+            return {}
+        if action == "ChangeMessageVisibility":
+            mid, _, ack = doc["ReceiptHandle"].partition("|")
+            if not q.change_visibility(QueueMessage(mid, ack, ""),
+                                       float(doc["VisibilityTimeout"])):
+                return {"__type": "ReceiptHandleIsInvalid"}
+            return {}
+        if action == "GetQueueAttributes":
+            return {"Attributes":
+                    {"ApproximateNumberOfMessages": str(q.pending())}}
+        raise ValueError(f"unknown SQS action {action!r}")
+
+    # -- consumer surface (QueueMessage.ack_id == ReceiptHandle) -----------
+
+    def send(self, payload: str, message_id: str | None = None) -> str:
+        doc = {"QueueUrl": self.queue_url, "MessageBody": payload}
+        if message_id is not None:
+            doc["MessageDeduplicationId"] = message_id
+        return self.transport("SendMessage", doc)["MessageId"]
+
+    def receive(self, max_messages: int = 10) -> list[QueueMessage]:
+        resp = self.transport("ReceiveMessage", {
+            "QueueUrl": self.queue_url,
+            "MaxNumberOfMessages": max_messages,
+            "AttributeNames": ["All"]})
+        return [QueueMessage(m["MessageId"], m["ReceiptHandle"], m["Body"])
+                for m in resp.get("Messages", [])]
+
+    def ack(self, message: QueueMessage) -> bool:
+        resp = self.transport("DeleteMessage", {
+            "QueueUrl": self.queue_url,
+            "ReceiptHandle": message.ack_id})
+        return "__type" not in resp
+
+    def change_visibility(self, message: QueueMessage,
+                          timeout_sec: float) -> bool:
+        resp = self.transport("ChangeMessageVisibility", {
+            "QueueUrl": self.queue_url,
+            "ReceiptHandle": message.ack_id,
+            "VisibilityTimeout": int(timeout_sec)})
+        return "__type" not in resp
+
+    def pending(self) -> int:
+        resp = self.transport("GetQueueAttributes", {
+            "QueueUrl": self.queue_url,
+            "AttributeNames": ["ApproximateNumberOfMessages"]})
+        return int(resp["Attributes"]["ApproximateNumberOfMessages"])
 
 
 def _message_key(message_id: str) -> str:

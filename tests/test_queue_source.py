@@ -225,3 +225,50 @@ def test_concurrent_ack_race_returns_false(tmp_path, monkeypatch):
     assert q.ack(msg) is False
     monkeypatch.undo()
     assert q.pending() == 0
+
+
+def test_sqs_protocol_adapter_end_to_end(tmp_path):
+    """Full smoke through the SQS PROTOCOL adapter (sqs_queue.rs analog):
+    produce -> two receive/ingest batches -> crash-shaped replay ->
+    exactly-once manifest. Every operation travels as an AWS SQS
+    JSON-protocol document through the transport seam — swapping the
+    file-backed transport for an HTTP one is the only production delta."""
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.streaming.queue import SqsProtocolQueue
+
+    clk = _Clock()
+    q = SqsProtocolQueue(local_root=str(tmp_path / "q"),
+                         visibility_sec=30, now_fn=clk)
+    cfg = _cfg(tmp_path)
+    q.send(_payload(0, 5), message_id="m1")
+    q.send(_payload(5, 9), message_id="m2")
+    assert q.pending() == 2
+
+    # batch 1: one message at a time (MaxNumberOfMessages=1)
+    b1 = q.receive(max_messages=1)
+    assert len(b1) == 1
+    assert ingest_queue_batch(b1, cfg, queue=q) == 1
+    # batch 2: the rest
+    b2 = q.receive(max_messages=10)
+    assert len(b2) == 1
+    # crash AFTER publish BEFORE ack: publish but drop the ack
+    assert ingest_queue_batch(b2, cfg, queue=None) == 1
+    # visibility lapses -> redelivery of the unacked message
+    clk.t += 31
+    b3 = q.receive(max_messages=10)
+    assert {m.message_id for m in b3} == {b2[0].message_id}
+    # replay: dedup hit (0 new publishes), message finally acked
+    assert ingest_queue_batch(b3, cfg, queue=q) == 0
+    assert q.pending() == 0
+    assert processed_message_ids(cfg) == {"m1", "m2"}
+    assert IndexSearcher(cfg.index_dir).count("*") == 9
+
+    # receipt-scoped protocol ops: a lapsed receipt can't delete
+    q.send(_payload(9, 10), message_id="m3")
+    (m3,) = q.receive(max_messages=1)
+    assert q.change_visibility(m3, 5)
+    clk.t += 6
+    (m3b,) = q.receive(max_messages=1)  # redelivered, new receipt
+    assert not q.ack(m3)                # stale ReceiptHandle rejected
+    assert q.ack(m3b)
+    assert q.pending() == 0

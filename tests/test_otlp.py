@@ -1,0 +1,83 @@
+"""OTLP input formats + trace-ID collector (doc_processor.rs:142-190,
+logs.rs:142-190/:531, traces.rs:184-230, find_trace_ids_collector.rs)."""
+
+import json
+
+from quickwit_spark.pipeline.otlp import (
+    find_trace_ids, otlp_logs_to_rows, otlp_spans_to_rows)
+
+
+def _span(trace, span, name, start, end):
+    return {"traceId": trace, "spanId": span, "parentSpanId": "",
+            "name": name, "kind": 2,
+            "startTimeUnixNano": str(start), "endTimeUnixNano": str(end),
+            "attributes": [{"key": "k", "value": {"intValue": "7"}}],
+            "status": {"code": 1, "message": ""}}
+
+
+def _trace_payload(spans, service="svc"):
+    return json.dumps({"resourceSpans": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": service}}]},
+        "scopeSpans": [{"scope": {"name": "s", "version": "1"},
+                        "spans": spans}]}]})
+
+
+def test_otlp_spans_flatten_and_collect(spark):
+    t1, t2 = "a" * 32, "b" * 32
+    payloads = [
+        _trace_payload([_span(t1, "1" * 16, "root", 100, 5_100_000),
+                        _span(t1, "2" * 16, "child", 900, 1_000)]),
+        _trace_payload([_span(t2, "3" * 16, "other", 500, 600)]),
+        "{not json",  # malformed payload -> NULL struct, dropped
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    rows = otlp_spans_to_rows(df)
+    pdf = rows.toPandas().sort_values("span_id").reset_index(drop=True)
+    assert len(pdf) == 3
+    assert set(pdf["service_name"]) == {"svc"}
+    assert pdf.loc[0, "span_name"] == "root"
+    assert pdf.loc[0, "span_duration_millis"] == 5  # (5.1e6-100) ns -> ms
+    assert pdf.loc[0, "span_attributes"]["k"] == "7"
+    assert pdf.loc[0, "span_status_code"] == 1
+
+    # collector: per-trace MAX start, recency order, trace asc tie-break
+    top = find_trace_ids(rows, k=2).toPandas()
+    assert list(top["trace_id"]) == [t1, t2]
+    assert list(top["span_timestamp_nanos"]) == [900, 500]
+    top1 = find_trace_ids(rows, k=1).toPandas()
+    assert list(top1["trace_id"]) == [t1]
+
+
+def test_otlp_logs_flatten(spark):
+    payload = json.dumps({"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "api"}}]},
+        "scopeLogs": [{"scope": {"name": "lib", "version": "2"},
+                       "logRecords": [
+            {"timeUnixNano": "123", "severityText": "WARN",
+             "severityNumber": 13,
+             "body": {"stringValue": "disk nearly full"},
+             "attributes": [
+                 {"key": "host", "value": {"stringValue": "h1"}},
+                 {"key": "ratio", "value": {"doubleValue": 0.9}},
+                 {"key": "up", "value": {"boolValue": True}}],
+             "traceId": "AB" * 16, "spanId": "CD" * 8},
+            {"timeUnixNano": "456", "severityNumber": 9},  # minimal
+        ]}]}]})
+    df = spark.createDataFrame([(payload,)], "payload string")
+    pdf = (otlp_logs_to_rows(df).toPandas()
+           .sort_values("timestamp_nanos").reset_index(drop=True))
+    assert len(pdf) == 2
+    r = pdf.loc[0]
+    assert r["service_name"] == "api" and r["severity_text"] == "WARN"
+    assert r["body_message"] == "disk nearly full"
+    assert r["attributes"]["host"] == "h1"
+    assert r["attributes"]["ratio"] == "0.9"
+    assert r["attributes"]["up"] == "true"
+    assert r["trace_id"] == "ab" * 16  # normalized lowercase
+    assert r["scope_name"] == "lib" and r["scope_version"] == "2"
+    m = pdf.loc[1]  # defaults for the minimal record
+    assert m["observed_timestamp_nanos"] == 456
+    assert m["severity_number"] == 9 and m["body_message"] is None
+    assert len(m["attributes"]) == 0

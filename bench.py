@@ -82,6 +82,18 @@ def main() -> None:
     mb_per_sec = bytes_raw / 1e6 / t_build
     routed.unpersist()
 
+    # analyzer throughput, driver-local numpy path (r4: the hex variant
+    # is fully vectorized — it must stay within ~1.2-1.4x of default)
+    from quickwit_spark.functions.tokenizers import tokenize_batch
+    sample = [r["content"] for r in df.limit(4000).collect()]
+    for an, key in (("source_code_default", "tok_default_mb_s"),
+                    ("source_code_with_hex", "tok_hex_mb_s")):
+        tokenize_batch(sample[:200], analyzer=an)  # warm
+        t0 = time.perf_counter()
+        tokenize_batch(sample, analyzer=an)
+        dt = time.perf_counter() - t0
+        queries[key] = round(sum(map(len, sample)) / 1e6 / dt, 2)
+
     cfg_sh = IndexConfig(index_uid="bench_sh",
                          index_dir=os.path.join(work, "idx_sh"))
     t0 = time.perf_counter()

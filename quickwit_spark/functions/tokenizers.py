@@ -672,14 +672,15 @@ def tokenize_batch_ids(texts: Iterable[str],
     np.unique on uint64/void views — C-speed dedup with exact keys.
 
     Fast path requires ASCII input and analyzer in {source_code_default,
-    default}; anything else falls back to tokenize_batch + factorize,
-    which is property-tested equal.
+    source_code_with_hex, default}; anything else falls back to
+    tokenize_batch + factorize, which is property-tested equal.
     """
     texts = list(texts)
     if not texts:
         return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
                 np.array([], dtype=object))
-    if analyzer not in ("source_code_default", "default"):
+    if analyzer not in ("source_code_default", "source_code_with_hex",
+                        "default"):
         return _ids_via_strings(texts, analyzer, max_len)
     clean = [(t if isinstance(t, str) else "") for t in texts]
     big = _SEP.join(clean)
@@ -690,6 +691,8 @@ def tokenize_batch_ids(texts: Iterable[str],
     cls = _CLS_LUT8[codes]
     if analyzer == "source_code_default":
         nondelim, breaks = _code_class_breaks(cls)
+    elif analyzer == "source_code_with_hex":
+        nondelim, breaks = _hex_class_breaks(codes, cls)
     else:
         nondelim, breaks = _simple_breaks(cls)
     if not nondelim.any():

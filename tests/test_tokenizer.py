@@ -240,3 +240,27 @@ def test_concat_field_indexing(tmp_path):
         {"a.py", "b.py"}
     assert [h.doc["path"] for h in
             s.search(A.Term("all_text", "alpha"), k=10).hits] == ["a.py"]
+
+
+def test_batch_ids_hex_matches_string_path():
+    """The no-string term-id fast path must produce the same (doc, term)
+    multiset as tokenize_batch for source_code_with_hex (r4: the hex
+    analyzer joined the vectorized ids path)."""
+    import random
+    from collections import Counter
+
+    from quickwit_spark.functions.tokenizers import tokenize_batch_ids
+
+    rng = random.Random(77)
+    alpha = "0123456789abcdefABCDEFgxyzGXYZ ._-"
+    texts = ["".join(rng.choice(alpha)
+                     for _ in range(rng.randrange(0, 60)))
+             for _ in range(800)]
+    texts += ["DEADBEEF cafe12 0xFF", "f" * 254, ""]
+    docs_s, toks_s = tokenize_batch(texts, analyzer="source_code_with_hex")
+    di, codes, terms = tokenize_batch_ids(
+        texts, analyzer="source_code_with_hex")
+    got = Counter((int(d), terms[c])
+                  for d, c in zip(di.tolist(), codes.tolist()))
+    want = Counter(zip(docs_s.tolist(), toks_s))
+    assert got == want

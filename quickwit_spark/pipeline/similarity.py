@@ -487,7 +487,7 @@ def ivfpq_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
                     codebooks: np.ndarray, vec_col: str = "embedding",
                     id_col: str = "vec_id", residual: bool = False) -> str:
     """IVF-PQ layout: the big-corpus ANN composition. Rows are assigned
-    to their nearest coarse centroid (JVM expression), PQ-encoded in
+    to their nearest coarse centroid (_with_cid auto path), PQ-encoded in
     Arrow batches (one matmul per batch), and written partitioned by
     centroid id — ONE pass, one shuffle-free write. A query then reads
     only the probed partitions' CODES: nprobe/n_centroids of the files

@@ -355,7 +355,8 @@ def main() -> None:
                           "q_global", "build_corpus_index_shuffle",
                           "build_positional", "q_phrase_pos",
                           "q_phrase_slop_pos", "q8_",
-                          "q_term_head_leafcached"))]
+                          "q_term_head_leafcached",
+                          "tok_"))]  # tok_* are MB/s rates, not seconds
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

@@ -134,6 +134,14 @@ def main() -> None:
     q_term = A.FullText("content", terms[-1])
     q_and = A.Bool(must=(A.Term("content", "merge"),
                          A.Term("content", "query")))
+    # disable the leaf partial-request cache for the latency probes —
+    # repeat timings would otherwise measure a dict hit, not the scoring
+    # path (same discipline as bench.py); its hit latency is reported
+    # separately below
+    from quickwit_spark.search import engine as _eng
+    _leaf_cache_max = _eng.LEAF_CACHE_MAX_ENTRIES
+    _eng.LEAF_CACHE_MAX_ENTRIES = 0
+    _eng.clear_leaf_cache()
     out["q_term_sec"] = round(_median3(lambda: searcher.search(
         q_term, k=10, fetch_fields=False)), 4)
     out["q_and_sec"] = round(_median3(lambda: searcher.search(
@@ -143,6 +151,7 @@ def main() -> None:
     STATS["blocks_decoded"] = STATS["blocks_total"] = 0
     out["q_or_pruned_sec"] = round(_median3(lambda: searcher.search(
         q_or, k=10, fetch_fields=False, count_all=False)), 4)
+    _eng.LEAF_CACHE_MAX_ENTRIES = _leaf_cache_max
     if STATS["blocks_total"]:
         out["block_skip_ratio"] = round(
             1 - STATS["blocks_decoded"] / STATS["blocks_total"], 4)

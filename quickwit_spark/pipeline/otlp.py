@@ -167,3 +167,51 @@ def find_trace_ids(spans: DataFrame, k: int = 10,
     return (agg.orderBy(F.col("span_timestamp_nanos").desc(),
                         F.col("trace_id").asc())
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Jaeger query surface over Span rows (quickwit-jaeger/src/lib.rs)
+# ---------------------------------------------------------------------------
+
+def jaeger_get_services(spans: DataFrame, max_hits: int = 1000
+                        ) -> DataFrame:
+    """GetServices (lib.rs:89-119): sorted distinct service names.
+    The reference answers it with a list_terms over the service_name
+    term dictionary; over a Spark table the same answer is a distinct
+    + ordered limit (apply the lookback filter to `spans` upstream)."""
+    return (spans.select("service_name").where(
+        F.col("service_name").isNotNull())
+        .distinct().orderBy("service_name").limit(max_hits))
+
+
+def jaeger_get_operations(spans: DataFrame, service: str,
+                          span_kind: int | None = None,
+                          max_hits: int = 1000) -> DataFrame:
+    """GetOperations (lib.rs:121-160): distinct (span_name, span_kind)
+    for one service, optionally kind-filtered. The reference range-scans
+    span_fingerprint terms (service|kind|name encoding) — the
+    fingerprint is an index-time trick for that scan; the relational
+    answer is the same set."""
+    out = spans.where(F.col("service_name") == service)
+    if span_kind is not None:
+        out = out.where(F.col("span_kind") == int(span_kind))
+    return (out.select("span_name", "span_kind").distinct()
+            .orderBy("span_name", "span_kind").limit(max_hits))
+
+
+def jaeger_find_traces(spans: DataFrame, k: int = 10,
+                       trace_col: str = "trace_id",
+                       ts_col: str = "span_start_timestamp_nanos"
+                       ) -> DataFrame:
+    """FindTraces (lib.rs:184-215): find_trace_ids then fetch every span
+    of the k selected traces — the two-phase shape of the reference
+    (ids from the collector, spans from a follow-up fetch), expressed as
+    a broadcast semi-join on the k-row id set."""
+    ids = find_trace_ids(spans, k, trace_col, ts_col).select(trace_col)
+    return spans.join(F.broadcast(ids), trace_col, "left_semi")
+
+
+def jaeger_get_trace(spans: DataFrame, trace_id: str,
+                     trace_col: str = "trace_id") -> DataFrame:
+    """GetTrace (lib.rs:217-243): every span of one trace id."""
+    return spans.where(F.col(trace_col) == trace_id.lower())

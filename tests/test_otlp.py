@@ -81,3 +81,38 @@ def test_otlp_logs_flatten(spark):
     assert m["observed_timestamp_nanos"] == 456
     assert m["severity_number"] == 9 and m["body_message"] is None
     assert len(m["attributes"]) == 0
+
+
+def test_jaeger_query_surface(spark):
+    """GetServices / GetOperations / FindTraces / GetTrace over Span
+    rows (quickwit-jaeger/src/lib.rs:89-243)."""
+    from quickwit_spark.pipeline.otlp import (
+        jaeger_find_traces, jaeger_get_operations, jaeger_get_services,
+        jaeger_get_trace)
+
+    t1, t2, t3 = "a" * 32, "b" * 32, "c" * 32
+    payloads = [
+        _trace_payload([_span(t1, "1" * 16, "GET /users", 100, 200)],
+                       service="api"),
+        _trace_payload([_span(t1, "2" * 16, "db.query", 150, 160)],
+                       service="db"),
+        _trace_payload([_span(t2, "3" * 16, "GET /users", 900, 950)],
+                       service="api"),
+        _trace_payload([_span(t3, "4" * 16, "GET /health", 500, 501)],
+                       service="api"),
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    from quickwit_spark.pipeline.otlp import otlp_spans_to_rows
+    spans = otlp_spans_to_rows(df).persist()
+
+    assert [r["service_name"] for r in
+            jaeger_get_services(spans).collect()] == ["api", "db"]
+    ops = jaeger_get_operations(spans, "api").toPandas()
+    assert list(ops["span_name"]) == ["GET /health", "GET /users"]
+    assert jaeger_get_operations(spans, "api", span_kind=3).count() == 0
+
+    got = jaeger_find_traces(spans, k=2).toPandas()
+    # two most recent traces: t2 (900) and t3 (500); t1 excluded
+    assert set(got["trace_id"]) == {t2, t3}
+    one = jaeger_get_trace(spans, t1.upper()).toPandas()
+    assert len(one) == 2 and set(one["service_name"]) == {"api", "db"}

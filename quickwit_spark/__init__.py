@@ -54,6 +54,14 @@ def __getattr__(name):
         "es_delete_by_query": ("quickwit_spark.search.es_dsl",
                                "es_delete_by_query"),
         "aggregate": ("quickwit_spark.search.aggregations", "aggregate"),
+        "otlp_logs_to_rows": ("quickwit_spark.pipeline.otlp",
+                              "otlp_logs_to_rows"),
+        "otlp_spans_to_rows": ("quickwit_spark.pipeline.otlp",
+                               "otlp_spans_to_rows"),
+        "find_trace_ids": ("quickwit_spark.pipeline.otlp",
+                           "find_trace_ids"),
+        "SqsProtocolQueue": ("quickwit_spark.streaming.queue",
+                             "SqsProtocolQueue"),
     }
     if name in _API:
         import importlib

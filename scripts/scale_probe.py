@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--avg-tokens", type=int, default=80)
     ap.add_argument("--skip-global", action="store_true")
+    ap.add_argument("--build-only", action="store_true",
+                    help="stop after the build phase and print its JSON "
+                         "(for re-measuring ingest throughput alone)")
     ap.add_argument("--refresh-frac", type=float, default=0.0,
                     help="after the global build, ingest a delta of this "
                          "fraction of the corpus and time the incremental "
@@ -98,6 +101,10 @@ def main() -> None:
         out["mb_per_sec"] = round(out["bytes_raw"] / 1e6 / out["build_sec"],
                                   2)
         df.unpersist()
+
+        if args.build_only:
+            print(json.dumps(out))
+            return
 
         t0 = time.perf_counter()
         # bound merge memory: each in-flight doc costs ~25 decoded bytes

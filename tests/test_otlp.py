@@ -116,3 +116,54 @@ def test_jaeger_query_surface(spark):
     assert set(got["trace_id"]) == {t2, t3}
     one = jaeger_get_trace(spans, t1.upper()).toPandas()
     assert len(one) == 2 and set(one["service_name"]) == {"api", "db"}
+
+
+def test_traces_index_end_to_end(spark, tmp_path):
+    """The otel-traces story end-to-end: OTLP payloads -> Span rows ->
+    inverted index (span_name text, service_name tag) -> matched-docs
+    query -> find_trace_ids over the MATCHED set (the reference runs its
+    collector over the query's doc set, collector.rs:597-631)."""
+    import json as _json
+
+    import pandas as pd
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.pipeline.otlp import (find_trace_ids,
+                                              otlp_spans_to_rows)
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    names = ["fetch users", "fetch orders", "update cache",
+             "fetch users", "fetch invoices"]
+    payloads = [
+        _trace_payload([_span(ch * 32, str(i) * 16, names[i],
+                              (i + 1) * 1000, (i + 1) * 1000 + 50)],
+                       service="api" if i % 2 == 0 else "worker")
+        for i, ch in enumerate("abcde")
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    spans = otlp_spans_to_rows(df).toPandas()
+
+    cfg = IndexConfig(
+        index_uid="otel-traces", index_dir=str(tmp_path / "ti"),
+        text_col="span_name", key_cols=("trace_id", "span_id"),
+        tag_cols=("service_name",),
+        store_cols=("trace_id", "span_start_timestamp_nanos",
+                    "service_name"),
+        tokenizer="default", sha_col=None)
+    build_index_pandas(spans, cfg, num_partitions=2)
+
+    s = IndexSearcher(cfg.index_dir)
+    # query: span_name contains "fetch", service api only (tag filter)
+    node = A.Bool(must=(A.Term("span_name", "fetch"),),
+                  filter=(A.Term("service_name", "api"),))
+    res = s.search(node, k=100, fetch_fields=True)
+    matched = pd.DataFrame([h.doc for h in res.hits])
+    assert set(matched["trace_id"]) == {"a" * 32, "e" * 32}
+
+    mspans = spark.createDataFrame(
+        matched[["trace_id", "span_start_timestamp_nanos"]])
+    top = find_trace_ids(mspans, k=1).toPandas()
+    assert list(top["trace_id"]) == ["e" * 32]  # most recent matched
+    assert top["span_timestamp_nanos"][0] == 5000

@@ -202,11 +202,22 @@ def bucketize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     # monotonically_increasing_id): the refine loop self-joins on _sig,
     # and a non-deterministic sig re-evaluated on each side of the join
     # would silently drop null rows (2^-60 id-hash collision merely
-    # merges two null buckets; cosine against a null fails anyway)
+    # merges two null buckets; cosine against a null fails anyway).
+    # Callers without an id column (the when-branch is ANALYZED even if
+    # no row is null, so referencing a missing column would fail at plan
+    # time) fall back to hashing the row's other columns — identical
+    # rows then share a null bucket, which only merges their (already
+    # cosine-unverifiable) pairs.
+    if id_col in emb.columns:
+        null_key = F.col(id_col).cast("string")
+    else:
+        others = [F.col(c).cast("string")
+                  for c in emb.columns if c != vec_col]
+        null_key = F.concat_ws("|", *others) if others else F.lit("")
     b = emb.withColumn(
         "_sig",
         F.when(F.col(vec_col).isNull(),
-               -(F.abs(_hash60(F.col(id_col).cast("string"))) + F.lit(1)))
+               -(F.abs(_hash60(null_key)) + F.lit(1)))
         .otherwise(signature_expr(vec_col, planes).cast("long")))
     if max_bucket_size is None:
         return b

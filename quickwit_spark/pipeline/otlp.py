@@ -68,13 +68,31 @@ def _any_to_string(v):
 
 def _attrs_map(col):
     """OTLP attribute list -> map<string,string> (empty list -> empty
-    map; missing -> empty map so lookups never NPE)."""
+    map; missing -> empty map so lookups never NPE).
+
+    Tolerates hostile-but-legal wire shapes that would otherwise abort
+    the whole batch job inside map_from_entries: entries with a null
+    key (from_json yields null for a missing "key") are dropped, and
+    duplicate keys (OTLP only says keys SHOULD be unique) keep the
+    first occurrence — one bad payload must degrade to one degraded
+    row, never kill the batch (doc_processor's malformed-counter
+    philosophy, doc_processor.rs:153-190)."""
     entries = F.transform(
         F.coalesce(col, F.expr(f"CAST(array() AS {_ATTRS})")),
         lambda kv: F.struct(kv.getField("key").alias("key"),
                             _any_to_string(kv.getField("value"))
                             .alias("value")))
-    return F.map_from_entries(entries)
+    # first-occurrence dedup: attribute lists are small (tens), so the
+    # O(n^2)-per-row slice scan stays cheap and local
+    deduped = F.filter(
+        entries,
+        lambda e, i: e.getField("key").isNotNull()
+        & ~F.exists(F.slice(entries, F.lit(1), i),
+                    # null-safe: a preceding null-key entry must yield
+                    # false, not null (a null exists() would drop e)
+                    lambda p: p.getField("key").isNotNull()
+                    & (p.getField("key") == e.getField("key"))))
+    return F.map_from_entries(deduped)
 
 
 def _service_name(resource_col):

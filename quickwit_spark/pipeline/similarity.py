@@ -70,6 +70,43 @@ def signature_expr(vec_col: str, planes: np.ndarray):
 _ARROW_LITERAL_THRESHOLD = 4096
 
 
+def _list_matrix(b, vec_col: str, dim: int):
+    """(X, ok) from an Arrow record batch's list column: X is a
+    (n, dim) float64 matrix with invalid rows zero-filled, ok a bool
+    mask. A row is invalid when its list is null or its length != dim.
+    The expression twins never crash on such rows (a null dot folds to
+    bit 0 / a null assignment), so the Arrow twins must not either —
+    a bare flatten().reshape() would throw the moment one
+    embedding-service failure row reached a batch."""
+    import pyarrow as pa
+
+    lst = b.column(vec_col)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    n = len(b)
+    lens = np.asarray(lst.value_lengths().fill_null(-1), dtype=np.int64)
+    ok = lens == dim
+    flat = np.asarray(lst.flatten(), dtype=np.float64)
+    if ok.all():
+        return flat.reshape(n, dim), ok
+    X = np.zeros((n, dim), dtype=np.float64)
+    if ok.any():
+        # flatten() drops null slots; offsets follow non-null lengths
+        nn = lens >= 0
+        offs = np.zeros(n, dtype=np.int64)
+        offs[nn] = np.concatenate(([0], np.cumsum(lens[nn])))[:-1]
+        idx = offs[ok][:, None] + np.arange(dim, dtype=np.int64)[None, :]
+        X[ok] = flat[idx]
+    return X, ok
+
+
+def _id_schema(emb: DataFrame, id_col: str) -> str:
+    """The id column's real Spark type for the mapInArrow schema — a
+    hardcoded `long` crashes string-id callers only past the literal
+    threshold (a dim-dependent behavior cliff)."""
+    return emb.schema[id_col].dataType.simpleString()
+
+
 def signature_arrow(emb: DataFrame, planes: np.ndarray,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     out_col: str = "_sig",
@@ -78,6 +115,8 @@ def signature_arrow(emb: DataFrame, planes: np.ndarray,
     Arrow batch instead of nbits*dim plan literals. Bit j set iff
     v . plane_j > 0 — identical to the expression path except on exact
     sign-boundary ties (matmul vs sequential fold, last-ulp only).
+    Null / wrong-length vectors get signature 0, exactly like the
+    expression path (every bit's null comparison folds to 0).
     Returns (id_col, out_col long, *keep_cols)."""
     import pyarrow as pa
 
@@ -87,12 +126,9 @@ def signature_arrow(emb: DataFrame, planes: np.ndarray,
 
     def encode(batches):
         for b in batches:
-            lst = b.column(vec_col)
-            if isinstance(lst, pa.ChunkedArray):
-                lst = lst.combine_chunks()
-            flat = np.asarray(lst.flatten(), dtype=np.float64)
-            X = flat.reshape(len(b), P.shape[0])
+            X, ok = _list_matrix(b, vec_col, P.shape[0])
             sig = ((X @ P) > 0) @ weights
+            sig[~ok] = 0
             cols = [b.column(id_col), pa.array(sig, type=pa.int64())]
             names = [id_col, out_col]
             for kc in keep_cols:
@@ -106,7 +142,8 @@ def signature_arrow(emb: DataFrame, planes: np.ndarray,
     sel = [id_col, vec_col] + [c for c in keep_cols
                                if c not in (id_col, vec_col)]
     return emb.select(*sel).mapInArrow(
-        encode, f"{id_col} long, {out_col} long{keep_schema}")
+        encode,
+        f"{id_col} {_id_schema(emb, id_col)}, {out_col} long{keep_schema}")
 
 
 def ivf_assign_arrow(emb: DataFrame, centroids: np.ndarray,
@@ -116,7 +153,9 @@ def ivf_assign_arrow(emb: DataFrame, centroids: np.ndarray,
     """mapInArrow twin of ivf_assign_expr: one (batch x n_centroids)
     matmul per Arrow batch; np.argmin's first-min tie-break matches the
     expression path's array_position(ds, array_min(ds)). keep_cols may
-    include vec_col itself (the IVF layout writers keep the vectors)."""
+    include vec_col itself (the IVF layout writers keep the vectors).
+    Null / wrong-length vectors get a NULL assignment, exactly like the
+    expression path (all-null distance array -> null argmin)."""
     import pyarrow as pa
 
     C = np.ascontiguousarray(centroids, dtype=np.float64)
@@ -125,14 +164,11 @@ def ivf_assign_arrow(emb: DataFrame, centroids: np.ndarray,
 
     def assign(batches):
         for b in batches:
-            lst = b.column(vec_col)
-            if isinstance(lst, pa.ChunkedArray):
-                lst = lst.combine_chunks()
-            flat = np.asarray(lst.flatten(), dtype=np.float64)
-            X = flat.reshape(len(b), C.shape[1])
+            X, ok = _list_matrix(b, vec_col, C.shape[1])
             d = csum[None, :] - 2.0 * (X @ Ct)
             cid = d.argmin(axis=1).astype(np.int32)
-            cols = [b.column(id_col), pa.array(cid, type=pa.int32())]
+            cols = [b.column(id_col),
+                    pa.array(cid, type=pa.int32(), mask=~ok)]
             names = [id_col, out_col]
             for kc in keep_cols:
                 cols.append(b.column(kc))
@@ -145,7 +181,8 @@ def ivf_assign_arrow(emb: DataFrame, centroids: np.ndarray,
     sel = [id_col, vec_col] + [c for c in keep_cols
                                if c not in (id_col, vec_col)]
     return emb.select(*sel).mapInArrow(
-        assign, f"{id_col} long, {out_col} int{keep_schema}")
+        assign,
+        f"{id_col} {_id_schema(emb, id_col)}, {out_col} int{keep_schema}")
 
 
 def _with_sig(emb: DataFrame, planes: np.ndarray, vec_col: str,
@@ -413,21 +450,31 @@ def pq_encode_arrow(emb: DataFrame, codebooks: np.ndarray,
     def encode(batches):
         for b in batches:
             ids = b.column(id_col)
-            lst = b.column(vec_col)
-            if isinstance(lst, pa.ChunkedArray):
-                lst = lst.combine_chunks()
-            flat = np.asarray(lst.flatten(), dtype=np.float64)
-            X = flat.reshape(len(b), m * dsub)
+            X, ok = _list_matrix(b, vec_col, m * dsub)
             if RC is not None:
-                cids = np.asarray(b.column(cid_col))
-                X = X - RC[cids]
+                # a null coarse cid (null embedding upstream) must not
+                # index RC — mask the row out instead
+                cids = np.asarray(
+                    b.column(cid_col).to_numpy(zero_copy_only=False),
+                    dtype=np.float64)
+                cid_ok = ~np.isnan(cids)
+                ok = ok & cid_ok
+                safe = np.where(cid_ok, cids, 0).astype(np.int64)
+                X = X - RC[safe]
             codes = np.empty((len(b), m), dtype=np.int32)
             for i in range(m):
                 Xs = X[:, i * dsub:(i + 1) * dsub]
                 d = csum[i][None, :] - 2.0 * (Xs @ cbt[i])
                 codes[:, i] = d.argmin(axis=1)
-            cols = [ids, pa.array(list(codes),
-                                  type=pa.list_(pa.int32()))]
+            if ok.all():
+                code_arr = pa.array(list(codes), type=pa.list_(pa.int32()))
+            else:
+                # null/ragged vectors -> null code, like the expr twin
+                code_arr = pa.array(
+                    [row.tolist() if good else None
+                     for row, good in zip(codes, ok)],
+                    type=pa.list_(pa.int32()))
+            cols = [ids, code_arr]
             names = [id_col, out_col]
             for kc in keep_cols:
                 cols.append(b.column(kc))
@@ -438,7 +485,9 @@ def pq_encode_arrow(emb: DataFrame, codebooks: np.ndarray,
         f", {kc} {emb.schema[kc].dataType.simpleString()}"
         for kc in keep_cols)
     return emb.select(id_col, vec_col, *keep_cols).mapInArrow(
-        encode, f"{id_col} long, {out_col} array<int>{keep_schema}")
+        encode,
+        f"{id_col} {_id_schema(emb, id_col)}, "
+        f"{out_col} array<int>{keep_schema}")
 
 
 def pq_adc_topk(codes_df: DataFrame, query_df: DataFrame,

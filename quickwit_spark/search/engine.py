@@ -1403,12 +1403,15 @@ class IndexSearcher:
     (the reference's single-node search path, SURVEY.md §3.3).
 
     Leaf placement is cost-based (the reference's job-cost function,
-    root.rs:1643-1648): a single query whose pruned segments hold fewer
-    than `inprocess_doc_budget` docs runs in-process even when a
+    root.rs:1643-1648): a query whose pruned segments hold fewer than
+    `inprocess_doc_budget` docs runs in-process even when a
     SparkSession is attached — at that size Spark job scheduling costs
-    ~100x the scan itself. Larger queries fan out. force_distributed
-    pins the fan-out path regardless (used by the correctness gate so
-    the production distributed path stays oracle-verified).
+    ~100x the scan itself. Larger queries fan out. The gate covers
+    every fan-out surface — search, sort_search, list_terms, and
+    search_many (which sums docs over its per-query pruned pairs).
+    force_distributed pins the fan-out path regardless (used by the
+    correctness gate so the production distributed path stays
+    oracle-verified).
     """
 
     def __init__(self, index_dir: str, spark=None,
@@ -1451,6 +1454,12 @@ class IndexSearcher:
             self._doc_types_cache = cached
         return cached[1]
 
+    def _over_budget(self, segs: list[dict]) -> bool:
+        """The cost gate's predicate: pruned segments hold enough docs
+        that a Spark job beats its own scheduling overhead."""
+        return (sum(int(s.get("num_docs", 0)) for s in segs)
+                >= self.inprocess_doc_budget)
+
     def _prune(self, node: A.Node) -> list[dict]:
         """Segment pruning through a PruneIndex cached per manifest
         version (rebuilt when the manifest changes)."""
@@ -1480,9 +1489,7 @@ class IndexSearcher:
         use_wand = not count_all and search_after is None
         parts: list[tuple[str, int, pd.DataFrame]] = []
         if self.spark is not None and len(segs) > 1 and (
-                self.force_distributed
-                or sum(int(s.get("num_docs", 0)) for s in segs)
-                >= self.inprocess_doc_budget):
+                self.force_distributed or self._over_budget(segs)):
             parts = self._leaf_spark(segs, node, need, use_wand,
                                      search_after)
         elif use_wand and len(segs) > 1:
@@ -1554,16 +1561,21 @@ class IndexSearcher:
         use_wand = not count_all
         pairs = []
         per_query_segs = 0
+        pair_docs = 0
         for qi, node in enumerate(nodes):
             segs = self._prune(node)
             per_query_segs = max(per_query_segs, len(segs))
+            pair_docs += sum(int(s.get("num_docs", 0)) for s in segs)
             for seg in segs:
                 pairs.append((qi, seg["segment_id"],
                               ks[qi] + offsets[qi]))
         if not pairs:
             return [SearchResult(0, []) for _ in nodes]
-        if per_query_segs <= 1:
-            # every query touches at most one segment: the in-process
+        if per_query_segs <= 1 or not (
+                self.force_distributed
+                or pair_docs >= self.inprocess_doc_budget):
+            # every query touches at most one segment, or the whole
+            # batch's leaf work is under the cost gate: the in-process
             # loop beats a Spark job (mirrors search()'s own fallback)
             return [self.search(n, k=ks[i], offset=offsets[i],
                                 fetch_fields=fetch_fields,
@@ -1853,12 +1865,17 @@ class IndexSearcher:
         row-group pruning + partial LIMIT at the leaves); without, a
         driver-side k-way merge of per-segment truncated streams — never
         the full union in memory."""
+        segs = self.manifest.segments()
         paths = [os.path.join(self.index_dir, "segments",
                               seg["segment_id"], "termdict.parquet")
-                 for seg in self.manifest.segments()]
+                 for seg in segs]
         if not paths:
             return []
-        if self.spark is not None and len(paths) > 1:
+        # num_docs proxies termdict size for the same cost gate the
+        # search paths use (a Spark job over a few small termdicts
+        # costs ~100x the driver-side k-way merge)
+        if self.spark is not None and len(paths) > 1 and (
+                self.force_distributed or self._over_budget(segs)):
             from pyspark.sql import functions as F
             df = self.spark.read.parquet(*paths).select("term")
             df = df.filter(F.col("term") >= "\x03")  # skip dynamic ns
@@ -1915,7 +1932,8 @@ class IndexSearcher:
         list_relevant_splits ordering / leaf.rs early-exit)."""
         node = self.parse(query)
         segs = self._prune(node)
-        use_spark = self.spark is not None and len(segs) > 1
+        use_spark = self.spark is not None and len(segs) > 1 and (
+            self.force_distributed or self._over_budget(segs))
         if use_spark:
             # u64 sort keys don't survive Arrow transport exactly
             # (no unsigned long in Spark; doubles lose >2^53) — the

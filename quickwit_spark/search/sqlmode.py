@@ -58,6 +58,12 @@ def bool_scores_f64(reader: SegmentReader, terms: list[str],
     A.Boost handling."""
     per_term = [term_scores_f64(reader, t) for t in terms]
     if boosts is not None:
+        if len(boosts) != len(terms):
+            # zip would silently TRUNCATE per_term, changing which docs
+            # match (not just their weights) — the oracle twin must fail
+            # loudly instead of producing wrong f64 reference scores
+            raise ValueError(
+                f"boosts length {len(boosts)} != terms length {len(terms)}")
         per_term = [{d: s * b for d, s in scores.items()}
                     for scores, b in zip(per_term, boosts)]
     if operator == "and":

@@ -75,7 +75,10 @@ class LocalDirQueue:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, message_id: str) -> str:
-        return os.path.join(self.root, f"{message_id}.json")
+        # ids are caller-supplied stable identities (the reference uses
+        # file URIs) — percent-encode so '/' etc. cannot escape root
+        from urllib.parse import quote
+        return os.path.join(self.root, f"{quote(message_id, safe='')}.json")
 
     def send(self, payload: str, message_id: str | None = None) -> str:
         mid = message_id or uuid.uuid4().hex
@@ -96,20 +99,29 @@ class LocalDirQueue:
             if not name.endswith(".json"):
                 continue
             path = os.path.join(self.root, name)
+            # in-place r+ rewrite, NOT write-tmp + os.replace: a replace
+            # racing a concurrent ack's os.remove would re-create the
+            # deleted file and resurrect an already-processed message.
+            # Writing through the open fd after an unlink lands on the
+            # orphaned inode — harmless. A reader catching the torn
+            # moment sees JSONDecodeError and skips one poll round.
             try:
-                with open(path) as f:
-                    m = json.load(f)
-            except (OSError, json.JSONDecodeError):
+                f = open(path, "r+")
+            except OSError:
                 continue  # racing ack/enqueue
-            if m["invisible_until"] > now:
-                continue
-            ack_id = uuid.uuid4().hex
-            m["invisible_until"] = now + self.visibility_sec
-            m["ack_id"] = ack_id
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
+            with f:
+                try:
+                    m = json.load(f)
+                except json.JSONDecodeError:
+                    continue  # torn concurrent rewrite: next poll
+                if m["invisible_until"] > now:
+                    continue
+                ack_id = uuid.uuid4().hex
+                m["invisible_until"] = now + self.visibility_sec
+                m["ack_id"] = ack_id
+                f.seek(0)
                 json.dump(m, f)
-            os.replace(tmp, path)
+                f.truncate()
             out.append(QueueMessage(m["message_id"], ack_id, m["payload"]))
             if len(out) >= max_messages:
                 break
@@ -137,20 +149,26 @@ class LocalDirQueue:
         """Extend/shrink this delivery's visibility deadline (SQS
         ChangeMessageVisibility — the reference's visibility.rs keeps
         long-indexing messages invisible by re-upping the deadline).
-        Fails if the receipt is no longer current."""
+        Fails if the receipt is no longer current. Rewrites in place
+        through one r+ fd (see receive) — a tmp-file os.replace racing a
+        concurrent ack's os.remove would re-create the file and
+        resurrect the acked message for one pointless redelivery."""
         path = self._path(message.message_id)
         try:
-            with open(path) as f:
-                m = json.load(f)
+            f = open(path, "r+")
         except OSError:
             return False
-        if m.get("ack_id") != message.ack_id:
-            return False
-        m["invisible_until"] = self.now_fn() + float(timeout_sec)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
+        with f:
+            try:
+                m = json.load(f)
+            except json.JSONDecodeError:
+                return False  # torn concurrent rewrite
+            if m.get("ack_id") != message.ack_id:
+                return False
+            m["invisible_until"] = self.now_fn() + float(timeout_sec)
+            f.seek(0)
             json.dump(m, f)
-        os.replace(tmp, path)
+            f.truncate()
         return True
 
     def pending(self) -> int:
@@ -204,6 +222,9 @@ class SqsProtocolQueue:
         if action == "ReceiveMessage":
             msgs = q.receive(int(doc.get("MaxNumberOfMessages", 1)))
             return {"Messages": [
+                # ack_id is always uuid4 hex (no '|'), so the handle is
+                # parsed back at the LAST '|' — MessageDeduplicationIds
+                # containing '|' (file URIs, composite keys) stay intact
                 {"MessageId": m.message_id,
                  "ReceiptHandle": f"{m.message_id}|{m.ack_id}",
                  "Body": m.payload,
@@ -211,12 +232,12 @@ class SqsProtocolQueue:
                      hashlib.md5(m.payload.encode()).hexdigest()}
                 for m in msgs]}
         if action == "DeleteMessage":
-            mid, _, ack = doc["ReceiptHandle"].partition("|")
+            mid, _, ack = doc["ReceiptHandle"].rpartition("|")
             if not q.ack(QueueMessage(mid, ack, "")):
                 return {"__type": "ReceiptHandleIsInvalid"}
             return {}
         if action == "ChangeMessageVisibility":
-            mid, _, ack = doc["ReceiptHandle"].partition("|")
+            mid, _, ack = doc["ReceiptHandle"].rpartition("|")
             if not q.change_visibility(QueueMessage(mid, ack, ""),
                                        float(doc["VisibilityTimeout"])):
                 return {"__type": "ReceiptHandleIsInvalid"}

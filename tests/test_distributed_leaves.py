@@ -192,3 +192,48 @@ def test_cost_based_leaf_placement(idx, spark, monkeypatch):
                           inprocess_doc_budget=1)
     eager.search(node, k=15, fetch_fields=False)
     assert calls
+
+
+def test_cost_gate_covers_all_fanout_surfaces(idx, spark, monkeypatch):
+    """sort_search, list_terms, and search_many honor the same cost
+    gate as search(): on a sub-budget corpus none of them launches a
+    Spark job; force_distributed / a tiny budget restores the fan-out
+    (previously only search() was gated, so an interactive sort or
+    terms scan still paid ~100x job-scheduling overhead)."""
+    node = A.Term("content", "merge")
+    small = IndexSearcher(idx.index_dir, spark=spark)
+
+    calls = []
+    for meth in ("_leaf_spark", "_leaf_spark_sort"):
+        orig = getattr(IndexSearcher, meth)
+
+        def spy(self, *a, __orig=orig, **kw):
+            calls.append(1)
+            return __orig(self, *a, **kw)
+
+        monkeypatch.setattr(IndexSearcher, meth, spy)
+
+    class _NoJobs:
+        def __getattr__(self, name):  # any Spark API use = a job risk
+            raise AssertionError(f"in-process path touched spark.{name}")
+
+    r_sort = small.sort_search(node, k=5, sort_by=(("_score", "desc"),),
+                               fetch_fields=False)
+    terms = small.list_terms(start="m", end="n", limit=10)
+    r_many = small.search_many([node, A.Term("content", "query")], k=5,
+                               fetch_fields=False)
+    assert not calls and terms and r_sort.hits and len(r_many) == 2
+
+    # belt-and-braces: the gated paths never touch the session at all
+    monkeypatch.setattr(small, "spark", _NoJobs())
+    small.list_terms(start="m", end="n", limit=10)
+    small.sort_search(node, k=5, sort_by=(("_score", "desc"),),
+                      fetch_fields=False)
+
+    eager = IndexSearcher(idx.index_dir, spark=spark,
+                          inprocess_doc_budget=1)
+    e_sort = eager.sort_search(node, k=5, sort_by=(("_score", "desc"),),
+                               fetch_fields=False)
+    assert calls  # fan-out restored under a tiny budget
+    assert _hits_key(e_sort) == _hits_key(r_sort)
+    assert eager.list_terms(start="m", end="n", limit=10) == terms

@@ -167,3 +167,23 @@ def test_traces_index_end_to_end(spark, tmp_path):
     top = find_trace_ids(mspans, k=1).toPandas()
     assert list(top["trace_id"]) == ["e" * 32]  # most recent matched
     assert top["span_timestamp_nanos"][0] == 5000
+
+
+def test_otlp_attrs_tolerate_duplicate_and_null_keys(spark):
+    """Duplicate attribute keys (legal on the wire — OTLP only says
+    keys SHOULD be unique) and entries missing 'key' must degrade to
+    one degraded row, not abort the batch in map_from_entries
+    (DUPLICATED_MAP_KEY / null map key). First occurrence wins."""
+    sp = _span("c" * 32, "4" * 16, "dup", 100, 200)
+    sp["attributes"] = [
+        {"key": "k", "value": {"stringValue": "first"}},
+        {"key": "k", "value": {"stringValue": "second"}},   # dup key
+        {"value": {"stringValue": "orphan"}},               # null key
+        {"key": "other", "value": {"intValue": "3"}},
+    ]
+    df = spark.createDataFrame([(_trace_payload([sp]),)],
+                               "payload string")
+    pdf = otlp_spans_to_rows(df).toPandas()
+    assert len(pdf) == 1
+    attrs = pdf.loc[0, "span_attributes"]
+    assert attrs == {"k": "first", "other": "3"}

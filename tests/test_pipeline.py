@@ -648,3 +648,27 @@ def test_simhash60_hamming_neighbor_recall(spark):
     assert truth <= got  # 100% recall within the hamming radius
     # and verification bounds what banding lets through
     assert all(ham(a, b) <= max_h for a, b in got)
+
+
+def test_bucketize_without_id_column(spark):
+    """The null-sig branch is ANALYZED even when no row is null, so it
+    must not reference a missing id column: a (doc_id, embedding)
+    DataFrame without 'vec_id' bucketizes fine, and null embeddings
+    still get unique-ish deterministic negative sigs derived from the
+    other columns."""
+    import numpy as np
+    from quickwit_spark.pipeline.dedup import bucketize_embeddings
+
+    rng = np.random.default_rng(1)
+    rows = [(f"d{i}", rng.standard_normal(8).tolist()) for i in range(20)]
+    rows += [("dnull-a", None), ("dnull-b", None)]
+    emb = spark.createDataFrame(rows,
+                                "doc_id string, embedding array<double>")
+    b = bucketize_embeddings(emb, nbits=3, seed=7).toPandas()
+    assert len(b) == 22
+    sigs = b.set_index("doc_id")["_sig"]
+    assert sigs["dnull-a"] < 0 and sigs["dnull-b"] < 0
+    assert sigs["dnull-a"] != sigs["dnull-b"]
+    # deterministic across re-evaluation (join-safety contract)
+    b2 = bucketize_embeddings(emb, nbits=3, seed=7).toPandas()
+    assert sigs.to_dict() == b2.set_index("doc_id")["_sig"].to_dict()

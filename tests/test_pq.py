@@ -207,3 +207,53 @@ def test_residual_ivfpq_recall_beats_plain(spark, tmp_path):
     assert r10[True] >= r10[False]      # residual at least as sharp
     assert r30[True] == 10              # full true top-10 in shortlist
     assert r10[True] >= 7
+
+
+def test_arrow_twins_tolerate_null_and_ragged_vectors(spark):
+    """A corpus with null embeddings (an embedding-service failure mode)
+    or wrong-length vectors must not abort the Arrow twins: nulls /
+    ragged rows get sig 0 and a NULL cid, exactly like the expression
+    paths — previously flatten().reshape() raised inside the UDF and
+    killed the whole job. String ids must also survive (the output
+    schema carries the id column's real type, not a hardcoded long)."""
+    from quickwit_spark.pipeline.similarity import (
+        hyperplanes, ivf_assign_arrow, ivf_assign_expr, pq_encode_arrow,
+        fixed_pq_codebooks, signature_arrow, signature_expr)
+
+    dim = 16
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        if i % 13 == 5:
+            v = None                                  # null embedding
+        elif i % 13 == 9:
+            v = rng.standard_normal(dim - 3).tolist()  # ragged
+        else:
+            v = rng.standard_normal(dim).tolist()
+        rows.append((f"doc-{i:03d}", v))
+    emb = spark.createDataFrame(rows,
+                                "vec_id string, embedding array<float>")
+
+    planes = hyperplanes(dim, nbits=6, seed=1)
+    want = {r["vec_id"]: r["s"] for r in emb.withColumn(
+        "s", signature_expr("embedding", planes).cast("long")).select(
+        "vec_id", "s").collect()}
+    got = {r["vec_id"]: r["_sig"]
+           for r in signature_arrow(emb, planes).collect()}
+    assert got == want
+    assert got["doc-005"] == 0  # null folds to bit-pattern 0
+
+    cents = rng.standard_normal((4, dim)).round(4)
+    want_cid = {r["vec_id"]: r["c"] for r in emb.withColumn(
+        "c", ivf_assign_expr("embedding", cents)).select(
+        "vec_id", "c").collect()}
+    got_cid = {r["vec_id"]: r["_cid"]
+               for r in ivf_assign_arrow(emb, cents).collect()}
+    assert got_cid == want_cid
+    assert got_cid["doc-005"] is None and got_cid["doc-009"] is None
+
+    cb = fixed_pq_codebooks(dim, m=4, ksub=8, seed=3)
+    codes = {r["vec_id"]: r["pq_code"]
+             for r in pq_encode_arrow(emb, cb).collect()}
+    assert codes["doc-005"] is None and codes["doc-009"] is None
+    assert len(codes["doc-000"]) == 4

@@ -272,3 +272,58 @@ def test_sqs_protocol_adapter_end_to_end(tmp_path):
     assert not q.ack(m3)                # stale ReceiptHandle rejected
     assert q.ack(m3b)
     assert q.pending() == 0
+
+
+def test_receipt_handle_survives_pipe_in_message_id(tmp_path):
+    """SQS-protocol ReceiptHandle packs message_id|ack_id; ids are
+    caller-supplied stable identities (the reference uses file URIs),
+    so a '|' or '/' inside must survive the round-trip — the handle is
+    parsed at the LAST '|' (ack_id is always uuid hex) and ids are
+    percent-encoded into filenames."""
+    from quickwit_spark.streaming.queue import SqsProtocolQueue
+
+    q = SqsProtocolQueue(local_root=str(tmp_path / "q"))
+    mid = "s3://bucket/tenant|file-3.json"
+    assert q.send("payload-a", message_id=mid) == mid
+    (m,) = q.receive(max_messages=1)
+    assert m.message_id == mid
+    assert q.change_visibility(m, 60)   # same handle parse path
+    assert q.ack(m)                     # wrong-file lookup would fail
+    assert q.pending() == 0
+
+
+def test_change_visibility_cannot_resurrect_acked_message(tmp_path):
+    """A visibility heartbeat racing an ack must never re-create the
+    deleted message file. The rewrite goes through an r+ fd opened
+    BEFORE the ack's os.remove: the write lands on the orphaned inode.
+    Simulated by interleaving at exactly that point."""
+    clk = _Clock()
+    q = LocalDirQueue(str(tmp_path / "q"), visibility_sec=30,
+                      now_fn=clk)
+    q.send(_payload(0, 2), message_id="mx")
+    (m,) = q.receive(max_messages=1)
+
+    import quickwit_spark.streaming.queue as qmod
+    real_open = open
+    state = {"done": False}
+
+    def racing_open(path, mode="r", *a, **kw):
+        f = real_open(path, mode, *a, **kw)
+        if mode == "r+" and not state["done"]:
+            state["done"] = True
+            assert q.ack(m)  # concurrent consumer acks mid-heartbeat
+        return f
+
+    qmod_open = qmod.open if hasattr(qmod, "open") else None
+    try:
+        qmod.open = racing_open
+        # heartbeat loses the race: reports stale/failed, file stays gone
+        q.change_visibility(m, 60)
+    finally:
+        if qmod_open is None:
+            del qmod.open
+        else:
+            qmod.open = qmod_open
+    assert q.pending() == 0
+    clk.t += 120
+    assert q.receive(max_messages=10) == []  # nothing resurrected

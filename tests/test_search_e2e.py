@@ -376,3 +376,23 @@ def test_reference_negative_search_scenario(tmp_path):
                "-lang:a AND NOT lang:b"]:
         assert s.search(qs, k=10).num_hits == 2, qs
         assert all(h.doc["lang"] == "c" for h in s.search(qs, k=10).hits)
+
+
+def test_bool_scores_f64_rejects_mismatched_boosts(built):
+    """A boosts list shorter than terms would silently zip-truncate
+    per_term — changing which docs MATCH, not just their weights. The
+    f64 oracle twin must fail loudly instead."""
+    from quickwit_spark.search.engine import get_reader
+    from quickwit_spark.search.sqlmode import bool_scores_f64
+
+    pdf, cfg, manifest = built
+    seg = manifest.segments()[0]
+    reader = get_reader(
+        os.path.join(cfg.index_dir, "segments", seg["segment_id"]),
+        cfg.tokenizer)
+    with pytest.raises(ValueError, match="boosts length"):
+        bool_scores_f64(reader, ["scan", "slow"], operator="and",
+                        boosts=[2.0])
+    ok = bool_scores_f64(reader, ["scan", "slow"], operator="or",
+                         boosts=[2.0, 1.0])
+    assert isinstance(ok, dict)

@@ -27,7 +27,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Iterable
 
 import numpy as np
 import pandas as pd
@@ -499,6 +498,10 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
+    # pre-routed inputs must carry route_partitions-compatible _pid (the
+    # content-addressed-segment identity documented below relies on it),
+    # so both spark paths share the xxhash64 routing identity
+    manifest.claim_router(f"spark-xxhash64/p{num_partitions}")
     done = manifest.published_partitions()
     todo = [p for p in range(num_partitions) if p not in done]
     if not todo:
@@ -573,10 +576,15 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
 
 def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
                        num_partitions: int = 4) -> Manifest:
-    """Driver-local build (tests / oracle): same code path, no Spark."""
+    """Driver-local build (tests / oracle): same build_partition code
+    path, no Spark — but a DIFFERENT routing hash (sha256 vs xxhash64),
+    so its checkpoints are NOT resumable by build_index or vice versa;
+    claim_router turns that mix into a loud error instead of silent
+    duplicate/dropped documents."""
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
+    manifest.claim_router(f"pandas-sha256/p{num_partitions}")
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 

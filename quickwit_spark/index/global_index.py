@@ -43,7 +43,6 @@ import hashlib
 import json
 import os
 import shutil
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -154,6 +153,18 @@ def term_partition(term: str, num_partitions: int) -> int:
     return int(_term_pid(pd.Series([term]), num_partitions)[0])
 
 
+def posting_dir_paths(index_dir: str) -> list[str]:
+    """Absolute paths of the COMMITTED layout's posting directories, in
+    append order (base layout first). The directory names are content-
+    addressed per rebuild/refresh — callers must resolve them through
+    the manifest, never hardcode them."""
+    out_dir = os.path.join(index_dir, GLOBAL_DIR)
+    with open(os.path.join(out_dir, "global_manifest.json")) as f:
+        gm = json.load(f)
+    return [os.path.join(out_dir, n)
+            for n in gm.get("posting_dirs", ["postings"])]
+
+
 def build_term_partitioned(spark, index_dir: str,
                            num_term_partitions: int = 16,
                            salt_df_threshold: int | None = None,
@@ -168,15 +179,6 @@ def build_term_partitioned(spark, index_dir: str,
     refresh job only pays when segments actually changed. force=True
     rebuilds unconditionally."""
     manifest = Manifest.load(index_dir)
-    gm_path = os.path.join(index_dir, GLOBAL_DIR, "global_manifest.json")
-    if not force and os.path.exists(gm_path):
-        with open(gm_path) as f:
-            old = json.load(f)
-        if (old.get("source_manifest_version")
-                == manifest.data["version"]
-                and old.get("num_term_partitions") == num_term_partitions
-                and old.get("layout_version") == LAYOUT_VERSION):
-            return old
     segs, offsets = _segment_order(manifest)
     if not segs:
         raise ValueError("no published segments")
@@ -186,8 +188,43 @@ def build_term_partitioned(spark, index_dir: str,
     if salt_df_threshold is None:
         salt_df_threshold = max(num_docs // 4, 1)
 
+    gm_path = os.path.join(index_dir, GLOBAL_DIR, "global_manifest.json")
+    committed_dirs: list[str] = []
+    if os.path.exists(gm_path):
+        with open(gm_path) as f:
+            old = json.load(f)
+        committed_dirs = list(old.get("posting_dirs", ["postings"]))
+        # the salt params are part of the layout identity: skipping a
+        # rerun that retuned them would silently drop the requested
+        # skew-defusal change
+        if (not force
+                and old.get("source_manifest_version")
+                == manifest.data["version"]
+                and old.get("num_term_partitions") == num_term_partitions
+                and old.get("salt_df_threshold") == salt_df_threshold
+                and old.get("salt_group_segments") == salt_group_segments
+                and old.get("layout_version") == LAYOUT_VERSION):
+            return old
+
     out_dir = os.path.join(index_dir, GLOBAL_DIR)
-    post_dir = os.path.join(out_dir, "postings")
+    # the rebuild writes to its OWN content-addressed base directory and
+    # commits it via the manifest — NEVER in place over a directory a
+    # live GlobalIndexSearcher (pinned to the committed manifest) is
+    # reading from: mode("overwrite") deletes first, so an in-place
+    # rebuild would fail that reader mid-query for the whole job window,
+    # and a crash mid-write would leave the committed manifest pointing
+    # at a destroyed layout. A crashed rebuild here instead leaves an
+    # orphan no reader opens, and a rerun overwrites that same orphan.
+    token = hashlib.sha256(
+        f"{manifest.data['version']}|{num_term_partitions}"
+        f"|{salt_df_threshold}|{salt_group_segments}"
+        f"|{LAYOUT_VERSION}".encode()).hexdigest()[:12]
+    base_dir = f"postings_b{token}"
+    bump = 0
+    while base_dir in committed_dirs:  # force-rebuild, identical params:
+        bump += 1                      # still never touch the live dir
+        base_dir = f"postings_b{token}.f{bump}"
+    post_dir = os.path.join(out_dir, base_dir)
     os.makedirs(post_dir, exist_ok=True)
 
     seg_rows = [(i, sid) for i, sid in enumerate(seg_ids)]
@@ -271,16 +308,17 @@ def build_term_partitioned(spark, index_dir: str,
         # Refreshes ADD directories (never touch existing ones); readers
         # pin to the list their manifest snapshot names, so a mid-refresh
         # or failed-refresh directory is invisible until committed here.
-        "posting_dirs": ["postings"],
+        "posting_dirs": [base_dir],
     }
     with open(os.path.join(out_dir, "global_manifest.json"), "w") as f:
         json.dump(gm, f, indent=1, sort_keys=True)
-    # A full rebuild obsoletes every refresh delta, but a live
-    # GlobalIndexSearcher pinned to the just-replaced manifest still has
-    # those directories in its read set — deleting them now would fail
-    # that reader mid-query. Two-phase sweep instead: RECORD the current
-    # refresh dirs as orphans and delete only the set recorded by the
-    # PREVIOUS rebuild (readers pinned two manifests back have drained).
+    # A full rebuild obsoletes the previous base layout and every
+    # refresh delta, but a live GlobalIndexSearcher pinned to the
+    # just-replaced manifest still has those directories in its read
+    # set — deleting them now would fail that reader mid-query.
+    # Two-phase sweep instead: RECORD the now-unreferenced posting dirs
+    # as orphans and delete only the set recorded by the PREVIOUS
+    # rebuild (readers pinned two manifests back have drained).
     orphans_path = os.path.join(out_dir, "_orphan_dirs.json")
     prev: list[str] = []
     if os.path.exists(orphans_path):
@@ -289,11 +327,14 @@ def build_term_partitioned(spark, index_dir: str,
                 prev = json.load(f).get("dirs", [])
         except (OSError, ValueError):
             prev = []
+    live = set(gm["posting_dirs"])
     for name in prev:
-        if name.startswith("postings_r"):  # never sweep the base layout
+        if name.startswith("postings") and name not in live:
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
-    current = sorted(n for n in os.listdir(out_dir)
-                     if n.startswith("postings_r"))
+    current = sorted(
+        n for n in os.listdir(out_dir)
+        if n.startswith("postings") and n not in live
+        and os.path.isdir(os.path.join(out_dir, n)))
     with open(orphans_path, "w") as f:
         json.dump({"dirs": current}, f)
     return gm

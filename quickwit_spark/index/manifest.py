@@ -120,6 +120,36 @@ class Manifest:
                     self.data = fresh
             yield
 
+    def claim_router(self, router: str) -> None:
+        """Record (or validate) the partition-routing scheme that
+        produced this index's integer per-partition checkpoints.
+
+        Checkpoint resume is only sound under ONE routing function:
+        build_index routes with Spark xxhash64, build_index_pandas with
+        a driver-local sha256 hash. Resuming a partially built index
+        under the OTHER scheme (or another partition count) would
+        silently duplicate documents (re-routed into a not-yet-published
+        partition) and drop documents (re-routed into an already
+        published one) — refuse instead. Queue/Kafka sources use string
+        checkpoint keys and are unaffected."""
+        with self._locked_fresh():
+            cur = self.data.get("router")
+            if cur == router:
+                return
+            if cur is None and not self.published_partitions():
+                self.data["router"] = router
+                self.data["version"] += 1
+                self._write()
+                return
+            if cur is None:
+                raise ValueError(
+                    "index has partition checkpoints but no recorded "
+                    f"router; cannot prove they were produced by "
+                    f"{router!r} — rebuild fresh instead of resuming")
+            raise ValueError(
+                f"index was partition-routed with {cur!r}; resuming "
+                f"with {router!r} would duplicate and drop documents")
+
     def publish(self, staged_segments: list[dict],
                 replaced_segment_ids: list[str] | None = None,
                 checkpoint_delta: dict[int | str, tuple[str | None, str]] | None = None,

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
-from ..functions.bm25 import K1, Bm25Weight, avg_fieldnorm_f32, idf_f32
+from ..functions.bm25 import K1, Bm25Weight, idf_f32
 from ..functions.fieldtypes import (bytes_from_b64, hex_to_ip_display,
                                     ip_norm_one)
 from ..functions.tokenizers import tokenize_one
@@ -121,16 +121,23 @@ class SegmentReader:
         self._termdict: pd.DataFrame | None = None
         self._term_index: dict[str, int] | None = None
         self._postings_tbl = None
-        # conservative upper bound of what this reader may pin in memory
-        # (on-disk sizes of the cache-eligible files)
-        self.cache_footprint = 0
-        for f in ("termdict.parquet", "postings.parquet"):
-            try:
-                sz = os.path.getsize(os.path.join(seg_dir, f))
-                if sz <= self.CACHE_FILE_BYTES:
-                    self.cache_footprint += sz
-            except OSError:
-                pass
+        # bytes this reader ACTUALLY pins right now. Grows as lazy loads
+        # land (decompressed termdict/postings, touched doc columns,
+        # fieldnorms, WAND cursor metadata) — the earlier on-disk
+        # (zstd-compressed) estimate under-counted pinned memory by the
+        # decompression factor times the touched-column count, so
+        # QW_READER_CACHE_BYTES did not actually bound executor memory
+        self._pinned_bytes = 0
+
+    @property
+    def cache_footprint(self) -> int:
+        return self._pinned_bytes
+
+    def _pin(self, nbytes: int) -> None:
+        """Record newly pinned bytes and re-enforce the process budget —
+        growth happens lazily long after get_reader's insert check."""
+        self._pinned_bytes += int(nbytes)
+        _enforce_reader_budget()
 
     # cache whole termdict/postings files when small enough — the analog
     # of the reference's hotcache + leaf cache (split opened in one read,
@@ -145,13 +152,20 @@ class SegmentReader:
             t = pq.read_table(os.path.join(self.seg_dir, "docs.parquet"),
                               columns=["fieldnorm_id"])
             self._fn_ids = t.column(0).to_numpy().astype(np.int64)
+            self._pin(self._fn_ids.nbytes)
         return self._fn_ids
 
     def doc_column(self, col: str) -> np.ndarray:
         if col not in self._doc_cols:
             t = pq.read_table(os.path.join(self.seg_dir, "docs.parquet"),
                               columns=[col])
-            self._doc_cols[col] = np.asarray(t.column(0).to_pandas())
+            a = np.asarray(t.column(0).to_pandas())
+            self._doc_cols[col] = a
+            # object columns (strings/ip/bytes): nbytes counts only the
+            # 8B pointers; deep-measure once at load (values immutable)
+            self._pin(int(pd.Series(a).memory_usage(index=False,
+                                                    deep=True))
+                      if a.dtype == object else a.nbytes)
         return self._doc_cols[col]
 
     def _cached_termdict(self) -> pd.DataFrame | None:
@@ -162,6 +176,11 @@ class SegmentReader:
             self._termdict = pq.read_table(path).to_pandas()
             self._term_index = {t: i for i, t in
                                 enumerate(self._termdict["term"])}
+            # dict slots reference the SAME str objects as the frame
+            # (already deep-counted); ~100 B/slot covers the hash table
+            self._pin(int(self._termdict.memory_usage(
+                index=False, deep=True).sum())
+                + 100 * len(self._term_index))
         return self._termdict
 
     def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
@@ -310,10 +329,20 @@ class SegmentReader:
         if self._postings_tbl is None and \
                 os.path.getsize(path) <= self.CACHE_FILE_BYTES:
             self._postings_tbl = pq.read_table(path)
-        ids = [int(i) for i in term_ids]
+            self._pin(self._postings_tbl.nbytes)
+        # dedup like the cold path's `in` filter (take() would duplicate
+        # rows for duplicate ids — a silent contract mismatch)
+        ids = sorted({int(i) for i in term_ids})
         if self._postings_tbl is not None:
-            # postings rows are ordered by term_id == row index
-            return self._postings_tbl.take(sorted(ids)).to_pandas()
+            # postings rows are ordered by term_id == row index; select
+            # BEFORE take so a metadata/docid-only request (wildcard and
+            # regex unions ask for docid_blob alone) skips the
+            # arrow->pandas conversion of the other per-block list
+            # columns — that conversion dominates warm latency
+            tbl = self._postings_tbl
+            if columns is not None:
+                tbl = tbl.select(columns)
+            return tbl.take(ids).to_pandas()
         # cold path: prune to the requested columns so metadata-only
         # lookups (WAND bounds) never pay the posting-blob byte read
         t = pq.read_table(path, filters=[("term_id", "in", ids)],
@@ -344,6 +373,7 @@ class SegmentReader:
             path = os.path.join(self.seg_dir, "postings.parquet")
             if os.path.getsize(path) <= self.CACHE_FILE_BYTES:
                 self._postings_tbl = pq.read_table(path)
+                self._pin(self._postings_tbl.nbytes)
         if self._postings_tbl is not None:
             return [self._postings_tbl.column(c)[term_id].as_py()
                     for c in cols]
@@ -720,6 +750,15 @@ class SegmentReader:
             s = self.eval(clause, text_field, False)
             result = _Scored(s.docids, None) if result is None \
                 else _intersect(result, _Scored(s.docids, None))
+        if scoring and result is not None and result.scores is None:
+            # filter-only base: the reference wraps filter clauses in
+            # ConstScoreQuery(q, 0.0) (tantivy_query_ast.rs:367), so a
+            # doc matched only by filters scores 0.0 — filling ones here
+            # (the old with_scores default) let filter-only docs outrank
+            # genuine sub-1.0 BM25 hits when this bool was nested in a
+            # should, and shifted every filter+should score by +1.0
+            result = _Scored(result.docids,
+                             np.zeros(len(result.docids), dtype=np.float32))
         if node.should:
             msm = node.minimum_should_match
             shoulds = [self.eval(c, text_field, scoring)
@@ -1125,20 +1164,30 @@ READER_CACHE_BUDGET_BYTES = int(os.environ.get(
     "QW_READER_CACHE_BYTES", 4 << 30))
 
 
+def _enforce_reader_budget() -> None:
+    """Evict oldest readers while the live pinned-byte sum exceeds the
+    budget. Called both on reader insertion AND from SegmentReader._pin
+    — readers grow lazily long after insertion (touched doc columns,
+    decompressed postings, cursor metadata), so an insert-time-only
+    check would not actually bound executor memory."""
+    total = sum(x.cache_footprint for x in _READER_CACHE.values())
+    while total > READER_CACHE_BUDGET_BYTES and len(_READER_CACHE) > 1:
+        _sid, old = _READER_CACHE.popitem(last=False)
+        total -= old.cache_footprint
+
+
 def get_reader(seg_dir: str, tokenizer: str) -> "SegmentReader":
     """Process-level LRU segment reader cache (termdict/fieldnorm reuse
     across queries — the analog of the reference's split/footer caches),
-    evicting oldest readers past an aggregate byte budget."""
+    evicting oldest readers past an aggregate byte budget of LIVE pinned
+    bytes (decompressed, per touched structure — not on-disk sizes)."""
     r = _READER_CACHE.get(seg_dir)
     if r is not None:
         _READER_CACHE.move_to_end(seg_dir)
         return r
     r = SegmentReader(seg_dir, tokenizer)
     _READER_CACHE[seg_dir] = r
-    total = sum(x.cache_footprint for x in _READER_CACHE.values())
-    while total > READER_CACHE_BUDGET_BYTES and len(_READER_CACHE) > 1:
-        _sid, old = _READER_CACHE.popitem(last=False)
-        total -= old.cache_footprint
+    _enforce_reader_budget()
     return r
 
 
@@ -1667,7 +1716,7 @@ class IndexSearcher:
                 top_scores.extend(float(s) for s in top["score"])
                 top_scores.sort(reverse=True)
                 del top_scores[need:]
-                if len(top_scores) >= need:
+                if need > 0 and len(top_scores) >= need:
                     kth = top_scores[need - 1]
                     seed = kth - abs(kth) * 1e-5
         return parts
@@ -1695,7 +1744,7 @@ class IndexSearcher:
             cnt0, top0 = segment_top_k(big_dir, node, need, tokenizer,
                                        text_field, True, None)
             seed_parts.append((big["segment_id"], cnt0, top0))
-            if len(top0) >= need:
+            if need > 0 and len(top0) >= need:
                 kth = float(top0["score"].iloc[need - 1])
                 seed = kth - abs(kth) * 1e-5
             segs = [s for s in segs
@@ -1966,6 +2015,15 @@ class IndexSearcher:
             parts = []
             rows_seen = 0
             kth_key = None
+            # running top-k across visited segments, kept TRIMMED to k
+            # rows: each step merges <= 2k rows instead of re-sorting
+            # every accumulated frame (that was O(S^2 k log(Sk)) on a
+            # slow-converging walk over many segments)
+            cand = None
+            asc = [d == "asc" for _f, d in sort_by]
+            sort_keys = ([f"_sort{i}" for i in range(len(sort_by))]
+                         + ["segment_id", "doc_id"])
+            sort_asc = asc + [asc[0], asc[0]]
             for bnd, seg in walk:
                 if early_exit and kth_key is not None and bnd is not None:
                     worse = bnd < kth_key if dir0 == "desc" \
@@ -1981,17 +2039,17 @@ class IndexSearcher:
                 top = top.copy()
                 top["segment_id"] = seg["segment_id"]
                 parts.append((cnt, top))
-                if early_exit:
+                if early_exit and k > 0:  # k=0: no k-th key exists
                     rows_seen += len(top)
-                    if rows_seen >= k:
-                        cand = pd.concat([t for _c, t in parts],
-                                         ignore_index=True)
-                        asc = [d == "asc" for _f, d in sort_by]
+                    if len(top):
+                        cand = top if cand is None else \
+                            pd.concat([cand, top], ignore_index=True)
                         cand = cand.sort_values(
-                            [f"_sort{i}" for i in range(len(sort_by))]
-                            + ["segment_id", "doc_id"],
-                            ascending=asc + [asc[0], asc[0]],
-                            na_position="last", kind="mergesort")
+                            sort_keys, ascending=sort_asc,
+                            na_position="last",
+                            kind="mergesort").head(k)
+                    if rows_seen >= k and cand is not None \
+                            and len(cand) >= k:
                         v = cand.iloc[k - 1]["_sort0"]
                         # a null k-th key can't bound anything
                         kth_key = None if pd.isna(v) else _py_scalar(v)

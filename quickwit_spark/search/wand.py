@@ -160,6 +160,14 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
         if len(cache) >= 512:
             cache.clear()
         cache[t] = cur
+        # count the cached block metadata toward the reader byte budget
+        # (python lists of ints: ~40 B/element incl. the pointer); the
+        # lazily fetched blobs stay on the cursor, not the cache, so
+        # they die with the query
+        if hasattr(reader, "_pin"):
+            n_meta = sum(len(v) for v in row.values()
+                         if isinstance(v, (list, tuple)))
+            reader._pin(40 * n_meta + 256)
         cursors.append(cur)
     return cursors if any_found else []
 

@@ -82,8 +82,8 @@ def test_salting_does_not_change_results(dirs, spark, tmp_path):
     gs_salt = GlobalIndexSearcher(salted_dir)
     # salting must actually fire: some term has multiple salt rows
     import pyarrow.parquet as pq
-    rows = pq.read_table(os.path.join(salted_dir, "global", "postings")
-                         ).to_pandas()
+    from quickwit_spark.index.global_index import posting_dir_paths
+    rows = pq.read_table(posting_dir_paths(salted_dir)[0]).to_pandas()
     assert rows.groupby("term")["salt"].nunique().max() > 1
     for terms, op in QUERIES:
         c1, r1 = gs_plain.search_terms(terms, operator=op, k=50)
@@ -122,7 +122,8 @@ def test_salting_bounds_hot_term_group_size(tmp_path, spark):
         build_term_partitioned(spark, cfg.index_dir, num_term_partitions=4,
                                salt_df_threshold=salt_threshold,
                                salt_group_segments=group_segments)
-        post_dir = os.path.join(cfg.index_dir, "global", "postings")
+        from quickwit_spark.index.global_index import posting_dir_paths
+        post_dir = posting_dir_paths(cfg.index_dir)[0]
         frames = []
         for pid in range(4):
             p = os.path.join(post_dir, f"tpid={pid}")
@@ -166,9 +167,10 @@ def test_global_wand_pruned_or(spark, tmp_path):
     build_term_partitioned(spark, cfg.index_dir, num_term_partitions=4,
                            salt_df_threshold=2000, salt_group_segments=2)
     g = GlobalIndexSearcher(cfg.index_dir)
+    from quickwit_spark.index.global_index import posting_dir_paths
     frames = [pq.read_table(p, columns=["term", "doc_freq"]).to_pandas()
               for p in glob.glob(os.path.join(
-                  cfg.index_dir, "global", "postings", "tpid=*"))]
+                  posting_dir_paths(cfg.index_dir)[0], "tpid=*"))]
     dfsum = pd.concat(frames).groupby("term")["doc_freq"].sum() \
         .sort_values()
     mid = dfsum[(dfsum >= 30) & (dfsum <= 120)].index[0]
@@ -203,9 +205,10 @@ def test_global_wand_pruned_and(spark, tmp_path):
 
     import pandas as pd
     import pyarrow.parquet as pq
+    from quickwit_spark.index.global_index import posting_dir_paths
     frames = [pq.read_table(p, columns=["term", "doc_freq"]).to_pandas()
               for p in glob.glob(os.path.join(
-                  cfg.index_dir, "global", "postings", "tpid=*"))]
+                  posting_dir_paths(cfg.index_dir)[0], "tpid=*"))]
     dfsum = pd.concat(frames).groupby("term")["doc_freq"].sum() \
         .sort_values()
     rare = dfsum[(dfsum >= 5) & (dfsum <= 30)].index[0]
@@ -256,7 +259,8 @@ def test_term_hash_vectorized_contract(dirs):
         int(_hash_terms_u64(["t69999"])[0])
     # stored layout agrees with the driver-side hash
     base_dir, _, _ = dirs
-    for p in glob.glob(os.path.join(base_dir, "global", "postings",
+    from quickwit_spark.index.global_index import posting_dir_paths
+    for p in glob.glob(os.path.join(posting_dir_paths(base_dir)[0],
                                     "tpid=*")):
         pid = int(p.rsplit("=", 1)[1])
         terms = pq.read_table(p, columns=["term"]).column(0).to_pylist()

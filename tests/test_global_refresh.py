@@ -174,9 +174,31 @@ def test_full_rebuild_sweeps_orphan_refresh_dirs(spark, tmp_path):
     assert os.path.exists(orphan)
     gm = json.load(open(os.path.join(d, "global",
                                      "global_manifest.json")))
-    assert gm["posting_dirs"] == ["postings"]
+    (base1,) = gm["posting_dirs"]
+    assert base1.startswith("postings_b")
     rec = json.load(open(os.path.join(d, "global", "_orphan_dirs.json")))
-    assert rec["dirs"] == ["postings_rdeadbeef0000"]
-    # the next rebuild sweeps what the previous one recorded
+    assert "postings_rdeadbeef0000" in rec["dirs"]
+    assert base1 not in rec["dirs"]  # the live base is never an orphan
+    # the next rebuild sweeps what the previous one recorded — and a
+    # forced rebuild with identical params writes a FRESH base dir (the
+    # live one is pinned by readers of the just-replaced manifest)
     build_term_partitioned(spark, d, num_term_partitions=8, force=True)
     assert not os.path.exists(orphan)
+    gm2 = json.load(open(os.path.join(d, "global",
+                                      "global_manifest.json")))
+    (base2,) = gm2["posting_dirs"]
+    assert base2 != base1
+    assert os.path.exists(os.path.join(d, "global", base1))  # drains
+    rec2 = json.load(open(os.path.join(d, "global", "_orphan_dirs.json")))
+    assert base1 in rec2["dirs"]
+    # a third rebuild may REUSE base1's name: it was recorded as an
+    # orphan by rebuild 2, i.e. its drain window is over, so
+    # overwriting it is exactly as safe as sweeping it — and the
+    # manifest flip makes it live again atomically
+    build_term_partitioned(spark, d, num_term_partitions=8, force=True)
+    gm3 = json.load(open(os.path.join(d, "global",
+                                      "global_manifest.json")))
+    assert gm3["posting_dirs"] == [base1]
+    assert os.path.exists(os.path.join(d, "global", base2))  # draining
+    rec3 = json.load(open(os.path.join(d, "global", "_orphan_dirs.json")))
+    assert rec3["dirs"] == [base2]

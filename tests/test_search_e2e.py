@@ -396,3 +396,125 @@ def test_bool_scores_f64_rejects_mismatched_boosts(built):
     ok = bool_scores_f64(reader, ["scan", "slow"], operator="or",
                          boosts=[2.0, 1.0])
     assert isinstance(ok, dict)
+
+
+def test_filter_plus_should_scores_zero_base(built):
+    """The reference wraps filter clauses in ConstScoreQuery(q, 0.0)
+    (tantivy_query_ast.rs:367): a doc matched only by filters scores
+    0.0. Previously the base was filled with ones, shifting every
+    filter+should score by +1.0 and letting filter-only docs outrank
+    genuine sub-1.0 BM25 hits when the bool was nested in a should."""
+    from quickwit_spark.search.engine import get_reader
+
+    pdf, cfg, manifest = built
+    seg = manifest.segments()[0]
+    reader = get_reader(
+        os.path.join(cfg.index_dir, "segments", seg["segment_id"]),
+        cfg.tokenizer)
+    lang = pdf["lang"].iloc[0]
+    term = A.Term("content", "merge")
+    flt = A.Term("lang", str(lang))
+
+    pure = reader.eval(term, "content", scoring=True)
+    fs = reader.eval(A.Bool(filter=(flt,), should=(term,)),
+                     "content", scoring=True)
+    pure_by_id = dict(zip(pure.docids.tolist(), pure.scores.tolist()))
+    flt_ids = set(reader.eval(flt, "content",
+                              scoring=False).docids.tolist())
+    assert set(fs.docids.tolist()) == flt_ids  # should stays optional
+    for d, s in zip(fs.docids.tolist(), fs.scores.tolist()):
+        want = pure_by_id.get(d, 0.0)  # filter base contributes 0.0
+        assert s == pytest.approx(want, abs=1e-6), d
+
+    # filter-only bool: every hit scores exactly 0.0 (not 1.0)
+    fo = reader.eval(A.Bool(filter=(flt,)), "content", scoring=True)
+    assert set(fo.docids.tolist()) == flt_ids
+    assert fo.scores is not None and float(np.abs(fo.scores).max()) == 0.0
+
+    # nested: a filter-only bool inside a should must not add +1.0
+    nested = reader.eval(
+        A.Bool(should=(A.Bool(filter=(flt,)), term)),
+        "content", scoring=True)
+    for d, s in zip(nested.docids.tolist(), nested.scores.tolist()):
+        assert s == pytest.approx(pure_by_id.get(d, 0.0), abs=1e-6), d
+
+
+def test_k_zero_count_paths_do_not_crash(built):
+    """k=0 with count_all semantics: the 'how many match' shape. The
+    two-phase seed (iloc[need-1]) and the sort early-exit (iloc[k-1])
+    previously indexed an empty frame."""
+    pdf, cfg, manifest = built
+    s = IndexSearcher(cfg.index_dir)
+    r = s.search(A.Term("content", "merge"), k=0, count_all=False,
+                 fetch_fields=False)
+    assert r.hits == []
+    r2 = s.sort_search(A.Term("content", "merge"), k=0,
+                       sort_by=(("fieldnorm", "desc"),), count_all=False,
+                       fetch_fields=False)
+    assert r2.hits == []
+    assert r2.num_hits >= 0
+
+
+def test_postings_rows_prunes_columns_and_dedups(built):
+    """Warm (cached-table) postings_rows must honor the columns request
+    (a wildcard union asking for docid_blob alone shouldn't convert the
+    other per-block list columns) and dedup ids like the cold path's
+    `in` filter."""
+    from quickwit_spark.search.engine import SegmentReader
+
+    pdf, cfg, manifest = built
+    seg = manifest.segments()[0]
+    rd = SegmentReader(
+        os.path.join(cfg.index_dir, "segments", seg["segment_id"]),
+        cfg.tokenizer)
+    warm = rd.postings_rows([1, 0, 1], columns=["docid_blob"])
+    assert list(warm.columns) == ["docid_blob"]
+    assert len(warm) == 2  # deduped
+    cold = pq.read_table(
+        os.path.join(rd.seg_dir, "postings.parquet"),
+        filters=[("term_id", "in", [0, 1])],
+        columns=["docid_blob"]).to_pandas()
+    assert list(cold["docid_blob"]) == list(warm["docid_blob"])
+
+
+def test_reader_budget_counts_live_pinned_bytes(built, monkeypatch):
+    """The byte budget bounds what readers ACTUALLY pin (decompressed
+    structures, touched columns), not on-disk sizes — and re-enforces
+    on lazy growth, not only at insertion."""
+    import quickwit_spark.search.engine as eng
+
+    pdf, cfg, manifest = built
+    segs = manifest.segments()
+    assert len(segs) >= 2
+    monkeypatch.setattr(eng, "_READER_CACHE", type(eng._READER_CACHE)())
+    monkeypatch.setattr(eng, "READER_CACHE_BUDGET_BYTES", 50_000)
+    r0 = eng.get_reader(os.path.join(cfg.index_dir, "segments",
+                                     segs[0]["segment_id"]),
+                        cfg.tokenizer)
+    assert r0.cache_footprint == 0  # nothing touched yet
+    r0.fieldnorm_ids()
+    grew = r0.cache_footprint
+    assert grew >= r0._fn_ids.nbytes
+    r0.doc_column("lang")
+    assert r0.cache_footprint > grew  # object col deep-counted
+    # grow r0 past the tiny budget, then insert a second reader: the
+    # oldest (r0) must be evicted by the live-size accounting
+    r0._cached_termdict()
+    eng.get_reader(os.path.join(cfg.index_dir, "segments",
+                                segs[1]["segment_id"]), cfg.tokenizer)
+    assert len(eng._READER_CACHE) == 1
+
+
+def test_claim_router_refuses_mixed_resume(built, tmp_path):
+    """Partition checkpoints are only resumable under the SAME routing
+    hash + partition count; a mixed resume would silently duplicate and
+    drop documents, so it must refuse loudly."""
+    from quickwit_spark.index.manifest import Manifest
+
+    pdf, cfg, manifest = built  # built with num_partitions=4 (pandas)
+    with pytest.raises(ValueError, match="routed with"):
+        build_index_pandas(pdf, cfg, num_partitions=8)
+    with pytest.raises(ValueError, match="routed with"):
+        Manifest.load(cfg.index_dir).claim_router("spark-xxhash64/p4")
+    # same router re-claims fine (resume path)
+    Manifest.load(cfg.index_dir).claim_router("pandas-sha256/p4")

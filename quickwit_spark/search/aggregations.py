@@ -67,11 +67,15 @@ def _metric_exprs(name: str, kind: str, body: dict) -> list:
                 F.avg(field).alias(f"{name}_avg"),
                 F.sum(field).alias(f"{name}_sum")]
     if kind == "extended_stats":
-        # population variance, ES-style: sumsq/n - mean^2
+        # population variance, ES-style: sumsq/n - mean^2. The naive
+        # formula is cancellation-prone — large values with tiny spread
+        # can yield a slightly NEGATIVE double (and NaN std) — so clamp
+        # at 0 like ES does
         c = F.count(field).cast("double")
         sumsq = F.sum(F.col(field).cast("double")
                       * F.col(field).cast("double"))
-        var = sumsq / c - (F.avg(field) * F.avg(field))
+        var = F.greatest(sumsq / c - (F.avg(field) * F.avg(field)),
+                         F.lit(0.0))
         return [F.count(field).alias(f"{name}_count"),
                 F.min(field).alias(f"{name}_min"),
                 F.max(field).alias(f"{name}_max"),
@@ -250,7 +254,10 @@ def _collect_fields(spec: dict) -> set[str]:
         for kind, kb in sub.items():
             if kind == "top_hits":
                 out |= set(_top_hits_fields(kb))
-            else:
+            elif isinstance(kb, dict) and kb.get("field") is not None:
+                # missing 'field' on known kinds is rejected by
+                # _validate_spec; unknown kinds fall through to
+                # _parse_level's proper InvalidAggregation
                 out.add(kb["field"])
         if nested:
             out |= _collect_fields(nested)
@@ -268,7 +275,11 @@ def _validate_spec(spec: dict) -> None:
     internal error for what is user-controlled request input."""
     for name, body in spec.items():
         if not isinstance(body, dict):
-            continue  # _parse_level raises its own error
+            # must reject HERE: _collect_fields runs before _parse_level
+            # and would crash with TypeError on a non-dict body
+            raise InvalidAggregation(
+                f"agg {name!r}: body must be an object, got "
+                f"{type(body).__name__}")
         for kind, kb in body.items():
             if kind == "aggs":
                 if isinstance(kb, dict):
@@ -277,6 +288,12 @@ def _validate_spec(spec: dict) -> None:
             if not isinstance(kb, dict):
                 raise InvalidAggregation(
                     f"agg {name!r}: {kind} spec must be an object")
+            if kind != "top_hits" and "field" not in kb \
+                    and (kind in _BUCKETS or kind in _METRICS):
+                # _collect_fields would KeyError before _parse_level
+                # could produce its 400-shaped error
+                raise InvalidAggregation(
+                    f"agg {name!r}: {kind} needs a 'field'")
             if kind == "histogram":
                 if float(kb.get("interval", 0)) <= 0:
                     raise InvalidAggregation(

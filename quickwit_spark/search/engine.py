@@ -1429,6 +1429,10 @@ class SearchResult:
     # sort_search only: (sort values..., segment_id, doc_id) of the last
     # hit — pass as search_after to sort_search for the next page
     last_sort_key: tuple | None = None
+    # best score over ALL matched docs considered at the root merge —
+    # NOT hits[0] (with a non-zero offset that is the post-slice best,
+    # the wrong ES max_score denominator)
+    max_score: float | None = None
 
     @property
     def next_cursor(self) -> tuple | None:
@@ -1576,7 +1580,8 @@ class IndexSearcher:
         hits = self._fetch(winners) if fetch_fields else [
             SearchHit(float(r.score), str(r.segment_id), int(r.doc_id), {})
             for r in winners.itertuples()]
-        return SearchResult(num_hits, hits)
+        return SearchResult(num_hits, hits,
+                            max_score=float(allc["score"].iloc[0]))
 
     def search_many(self, queries: list, k: int = 10, offset: int = 0,
                     fetch_fields: bool = True,

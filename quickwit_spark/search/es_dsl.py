@@ -77,13 +77,34 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
         field, values, boost = _single_entry(kind, spec)
         return _maybe_boost(
             A.TermSet(field, tuple(str(x) for x in values)), boost)
-    if kind in ("match", "match_bool_prefix"):
+    if kind == "match":
         field, v, boost = _single_entry(kind, spec)
         if isinstance(v, dict):
             return _maybe_boost(
                 A.FullText(field, str(v["query"]),
                            operator=v.get("operator", "or").lower()), boost)
         return _maybe_boost(A.FullText(field, str(v), operator="or"), boost)
+    if kind == "match_bool_prefix":
+        # ES semantics: every term a bool clause, the LAST one a prefix
+        # query — "quick br" matches docs containing 'brown'. Aliasing
+        # this to plain match silently lost the prefix expansion. The
+        # last whitespace word approximates the last analyzer token
+        # (lowercased like the analyzers do); the rest go through the
+        # normal FullText analysis.
+        field, v, boost = _single_entry(kind, spec)
+        text = str(v["query"]) if isinstance(v, dict) else str(v)
+        op = (v.get("operator", "or").lower()
+              if isinstance(v, dict) else "or")
+        words = text.split()
+        if not words:
+            return _maybe_boost(A.MatchNone(), boost)
+        prefix: A.Node = A.Wildcard(field, words[-1].lower() + "*")
+        if len(words) == 1:
+            return _maybe_boost(prefix, boost)
+        rest = A.FullText(field, " ".join(words[:-1]), operator=op)
+        node = (A.Bool(must=(rest, prefix)) if op == "and"
+                else A.Bool(should=(rest, prefix)))
+        return _maybe_boost(node, boost)
     if kind == "match_phrase":
         field, v, boost = _single_entry(kind, spec)
         text = v["query"] if isinstance(v, dict) else v
@@ -215,18 +236,45 @@ def parse_minimum_should_match(value, n_should: int) -> int:
             if pct >= 0:
                 n = (n_should * pct) // 100
             else:
-                n = n_should - (n_should * -pct) // 100
+                # already resolved against n_should; below -100% this
+                # goes negative and must clamp to 0 — the "-<n>"
+                # integer fixup below would RE-interpret it and demand
+                # nearly all clauses instead of none
+                n = max(0, n_should - (n_should * -pct) // 100)
         else:
             try:
                 n = int(s)
             except ValueError:
                 raise ValueError(
                     f"bad minimum_should_match {value!r}") from None
-    if n < 0:
+            if n < 0:
+                n = n_should + n
+    if isinstance(value, int) and n < 0:
         n = n_should + n
     # NOT clamped to n_should: msm above the clause count legitimately
     # matches nothing (ES semantics)
     return max(0, n)
+
+
+def _es_terms_default_size(spec: dict) -> dict:
+    """ES terms aggregations default to size 10 (with the remainder in
+    sum_other_doc_count); the native aggregate() API returns ALL
+    buckets when size is omitted. An ES request over a high-cardinality
+    field must not collect an unbounded bucket set to the driver, so
+    the facade injects the ES default. Recurses into sub-aggs; the
+    spec is copied, never mutated."""
+    out: dict = {}
+    for name, body in spec.items():
+        if not isinstance(body, dict):
+            out[name] = body
+            continue
+        nb = dict(body)
+        if isinstance(nb.get("terms"), dict) and "size" not in nb["terms"]:
+            nb["terms"] = {**nb["terms"], "size": 10}
+        if isinstance(nb.get("aggs"), dict):
+            nb["aggs"] = _es_terms_default_size(nb["aggs"])
+        out[name] = nb
+    return out
 
 
 def es_search(searcher, body: dict, default_field: str | None = None,
@@ -265,6 +313,14 @@ def es_search(searcher, body: dict, default_field: str | None = None,
     offset = int(body.get("from", 0))
     sort_spec = body.get("sort")
     sa = body.get("search_after")
+    # ES accepts three top-level sort shapes: a list of entries, ONE
+    # dict entry ({"ts": {"order": "desc"}} — iterating it would walk
+    # its KEYS and silently drop the direction), and a bare string
+    # (iterating it would walk CHARACTERS)
+    if isinstance(sort_spec, str):
+        sort_spec = [sort_spec]
+    elif isinstance(sort_spec, dict):
+        sort_spec = [{f: v} for f, v in sort_spec.items()]
     if sort_spec:
         if len(sort_spec) > 2:
             # the reference rejects >2 sort fields (collector.rs:1008-1029)
@@ -275,7 +331,10 @@ def es_search(searcher, body: dict, default_field: str | None = None,
                 sort_by.append((s, "asc" if s != "_score" else "desc"))
             else:
                 (f, v), = s.items()
-                order = v.get("order", "desc") if isinstance(v, dict) \
+                # ES default direction with order omitted: asc for
+                # fields, desc only for _score
+                dflt = "desc" if f == "_score" else "asc"
+                order = v.get("order", dflt) if isinstance(v, dict) \
                     else str(v)
                 sort_by.append((f, order))
         res = searcher.sort_search(node, k=offset + size,
@@ -296,6 +355,18 @@ def es_search(searcher, body: dict, default_field: str | None = None,
     from .engine import INTERNAL_DOC_FIELDS
     inc = body.get("_source_includes") or source_includes
     exc = body.get("_source_excludes") or source_excludes
+    # the standard ES `_source` body field: false (no source), a str or
+    # array (includes), or {"includes": [...], "excludes": [...]}
+    src_spec = body.get("_source")
+    if src_spec is False:
+        inc = inc or []
+    elif isinstance(src_spec, str):
+        inc = inc or [src_spec]
+    elif isinstance(src_spec, list):
+        inc = inc or list(src_spec)
+    elif isinstance(src_spec, dict):
+        inc = inc or src_spec.get("includes")
+        exc = exc or src_spec.get("excludes")
     inc = set(inc.split(",") if isinstance(inc, str) else inc) \
         if inc is not None else None
     exc = set(exc.split(",") if isinstance(exc, str) else (exc or ()))
@@ -346,14 +417,18 @@ def es_search(searcher, body: dict, default_field: str | None = None,
         "timed_out": False,
         "hits": {
             "total": {"value": res.num_hits, "relation": "eq"},
-            "max_score": (float(res.hits[0].score)
-                          if res.hits and not sort_spec else None),
+            "max_score": ((float(res.max_score)
+                           if res.max_score is not None
+                           else (float(res.hits[0].score)
+                                 if res.hits else None))
+                          if not sort_spec else None),
             "hits": out_hits,
         },
     }
     if body.get("aggs"):
         from .aggregations import aggregate
-        out = aggregate(searcher, node, body["aggs"])
+        out = aggregate(searcher, node,
+                        _es_terms_default_size(body["aggs"]))
 
         def _records(df):
             pdf = df.toPandas() if hasattr(df, "toPandas") else df
@@ -498,10 +573,13 @@ def es_resolve_index(root_dir: str, expression: str) -> dict:
     es_compat_resolve_index): index-uid glob patterns resolved against
     the indexes under root_dir, ES response shape (sorted by name; no
     aliases or data streams here)."""
-    from .multi import resolve_index_patterns
-    dirs = resolve_index_patterns(root_dir, expression.split(","))
+    from .multi import _read_index_uid, resolve_index_patterns
     from ..index.manifest import Manifest
-    names = sorted({Manifest.load(d).data["index_uid"] for d in dirs})
+    dirs = resolve_index_patterns(root_dir, expression.split(","))
+    # _read_index_uid is the cheap prefix scan resolve_index_patterns
+    # itself uses — a full Manifest.load here would re-parse tens of MB
+    # of JSON per 100k-segment index just to read one key
+    names = sorted({_read_index_uid(Manifest.path(d)) for d in dirs})
     return {"indices": [{"name": n, "attributes": ["open"]}
                         for n in names],
             "aliases": [], "data_streams": []}

@@ -407,3 +407,41 @@ def test_range_agg_emits_empty_declared_buckets(spark, idx):
     assert got["small"] == int((pdf["size"] < 300).sum())
     assert got["big"] == int((pdf["size"] >= 300).sum())
     assert len(out) == 3
+
+
+def test_malformed_specs_raise_invalid_aggregation(spark, idx):
+    """User-controlled spec input must surface as InvalidAggregation
+    (-> 400), never KeyError/TypeError from _collect_fields."""
+    from quickwit_spark.search.aggregations import InvalidAggregation
+
+    cfg, pdf = idx
+    s = IndexSearcher(cfg.index_dir, spark=spark)
+    with pytest.raises(InvalidAggregation, match="needs a 'field'"):
+        aggregate(s, "*", {"a": {"terms": {}}})
+    with pytest.raises(InvalidAggregation, match="needs a 'field'"):
+        aggregate(s, "*", {"a": {"value_count": {}}})
+    with pytest.raises(InvalidAggregation, match="must be an object"):
+        aggregate(s, "*", {"a": 5})
+    with pytest.raises(InvalidAggregation, match="unknown aggregation"):
+        aggregate(s, "*", {"a": {"termz": {}}})
+
+
+def test_extended_stats_variance_never_negative(spark, idx):
+    """Large values with tiny spread: the sumsq/n - mean^2 formula can
+    cancel to a slightly negative double; it must clamp to 0 (std 0,
+    not NaN) like ES."""
+    import math
+
+    cfg, pdf = idx
+    root = cfg.index_dir + "_xs"
+    docs = [{"repo": "r", "path": f"f{i}.py", "commit": "c", "lang": "en",
+             "content": "alpha", "ts": 1_700_000_000_000_000_000 + i}
+            for i in range(4)]
+    cfg2 = IndexConfig(index_uid="xs", index_dir=root,
+                       sha_col=None, store_cols=("ts",))
+    build_index_pandas(pd.DataFrame(docs), cfg2, num_partitions=1)
+    s = IndexSearcher(root, spark=spark)
+    row = aggregate(s, "*", {"t": {"extended_stats": {"field": "ts"}}}
+                    ).toPandas().iloc[0]
+    assert row["t_variance"] >= 0.0
+    assert not math.isnan(row["t_std_deviation"])

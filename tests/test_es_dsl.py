@@ -301,3 +301,121 @@ def test_es_to_ast_fuzz_no_unexpected_exceptions():
             return
 
     run()
+
+
+def _mini_index(tmp_path, n=12):
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher
+    pdf = pd.DataFrame({
+        "repo": ["r"] * n, "path": [f"f{i}.py" for i in range(n)],
+        "commit": ["c"] * n, "lang": ["go", "rust"] * (n // 2),
+        "content": [f"alpha browse{'s' * (i % 2)} beta w{i}"
+                    for i in range(n)],
+        "size": range(n)})
+    cfg = IndexConfig(index_uid="esx", index_dir=str(tmp_path / "esx"),
+                      sha_col=None, store_cols=("size",),
+                      tokenizer="default")
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    return IndexSearcher(cfg.index_dir)
+
+
+def test_es_sort_dict_and_string_forms(tmp_path):
+    """ES accepts sort as ONE dict entry and as a bare string; the dict
+    form previously iterated its keys (direction silently dropped) and
+    the string form iterated characters."""
+    from quickwit_spark.search.es_dsl import es_search
+
+    s = _mini_index(tmp_path)
+    body_list = {"query": {"match": {"content": "alpha"}},
+                 "sort": [{"size": {"order": "desc"}}], "size": 3}
+    body_dict = {"query": {"match": {"content": "alpha"}},
+                 "sort": {"size": {"order": "desc"}}, "size": 3}
+    body_str = {"query": {"match": {"content": "alpha"}},
+                "sort": "size", "size": 3}
+    want = [h["_source"]["size"]
+            for h in es_search(s, body_list)["hits"]["hits"]]
+    assert want == sorted(want, reverse=True)
+    got = [h["_source"]["size"]
+           for h in es_search(s, body_dict)["hits"]["hits"]]
+    assert got == want  # direction honored, not dropped
+    got_str = [h["_source"]["size"]
+               for h in es_search(s, body_str)["hits"]["hits"]]
+    assert got_str == sorted(got_str)  # string form = field asc
+    # dict entry WITHOUT order: ES defaults asc for plain fields
+    asc = es_search(s, {"query": {"match": {"content": "alpha"}},
+                        "sort": [{"size": {"missing": "_last"}}],
+                        "size": 3})["hits"]["hits"]
+    assert [h["_source"]["size"] for h in asc] == [0, 1, 2]
+
+
+def test_es_source_body_field(tmp_path):
+    """The standard `_source` body field: false, array, and
+    {includes, excludes} forms shape the emitted _source."""
+    from quickwit_spark.search.es_dsl import es_search
+
+    s = _mini_index(tmp_path)
+    q = {"query": {"match": {"content": "alpha"}}, "size": 1}
+    h = es_search(s, {**q, "_source": False})["hits"]["hits"][0]
+    assert h["_source"] == {}
+    h = es_search(s, {**q, "_source": ["lang"]})["hits"]["hits"][0]
+    assert set(h["_source"]) == {"lang"}
+    h = es_search(s, {**q, "_source": {"excludes": ["lang"]}}
+                  )["hits"]["hits"][0]
+    assert "lang" not in h["_source"] and "path" in h["_source"]
+
+
+def test_match_bool_prefix_expands_last_token(tmp_path):
+    """match_bool_prefix treats the final token as a prefix: 'alpha
+    brows' matches docs containing 'browse'/'browses' (plain match
+    would find nothing for 'brows')."""
+    from quickwit_spark.search.es_dsl import es_search
+
+    s = _mini_index(tmp_path)
+    n_plain = es_search(s, {"query": {
+        "match": {"content": "alpha brows"}}})["hits"]["total"]["value"]
+    n_prefix = es_search(s, {"query": {
+        "match_bool_prefix": {"content": "alpha brows"}}}
+    )["hits"]["total"]["value"]
+    assert n_prefix == 12  # every doc has a browse*/alpha token
+    assert n_plain == 12   # or-match on 'alpha' alone also hits all
+    # operator and: prefix clause becomes REQUIRED
+    n_and = es_search(s, {"query": {"match_bool_prefix": {
+        "content": {"query": "w3 brows", "operator": "and"}}}}
+    )["hits"]["total"]["value"]
+    assert n_and == 1      # only f3 has w3; brows* matches all
+    n_and_plain = es_search(s, {"query": {"match": {
+        "content": {"query": "w3 brows", "operator": "and"}}}}
+    )["hits"]["total"]["value"]
+    assert n_and_plain == 0  # no literal 'brows' token anywhere
+
+
+def test_max_score_ignores_from_offset(tmp_path):
+    """max_score is the global best, not the first post-offset hit."""
+    from quickwit_spark.search.es_dsl import es_search
+
+    s = _mini_index(tmp_path)
+    q = {"query": {"match": {"content": "browses"}}}
+    r0 = es_search(s, {**q, "size": 3})
+    r2 = es_search(s, {**q, "size": 3, "from": 2})
+    assert r2["hits"]["max_score"] == r0["hits"]["max_score"]
+    assert r2["hits"]["hits"][0]["_score"] <= r0["hits"]["max_score"]
+
+
+def test_minimum_should_match_below_minus_100_percent():
+    from quickwit_spark.search.es_dsl import parse_minimum_should_match
+    assert parse_minimum_should_match("-130%", 5) == 0
+    assert parse_minimum_should_match("-60%", 5) == 2
+    assert parse_minimum_should_match("-2", 5) == 3
+    assert parse_minimum_should_match(-2, 5) == 3
+
+
+def test_es_terms_agg_default_size_injected():
+    from quickwit_spark.search.es_dsl import _es_terms_default_size
+    spec = {"a": {"terms": {"field": "x"},
+                  "aggs": {"b": {"terms": {"field": "y", "size": 3}}}}}
+    out = _es_terms_default_size(spec)
+    assert out["a"]["terms"]["size"] == 10          # ES default injected
+    assert out["a"]["aggs"]["b"]["terms"]["size"] == 3  # explicit kept
+    assert "size" not in spec["a"]["terms"]         # input not mutated

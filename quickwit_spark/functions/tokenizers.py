@@ -521,7 +521,7 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
     if analyzer in ("raw", "raw_lowercase", "lowercase"):
         toks, docs = [], []
         for i, t in enumerate(texts):
-            if t is None or len(t) > max_len or len(t) == 0:
+            if len(t) > max_len or len(t) == 0:  # nulls already ""
                 continue
             toks.append(t if analyzer == "raw" else t.lower())
             docs.append(i)
@@ -573,9 +573,8 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             "module imported by it)")
 
     # vectorized paths: source_code_default, source_code_with_hex,
-    # default, en_stem
-    clean = [(t if isinstance(t, str) else "") for t in texts]
-    big = _SEP.join(clean)
+    # default, en_stem (texts already null-normalized to str above)
+    big = _SEP.join(texts)
     ascii_fast = big.isascii()
     if ascii_fast:
         codes = np.frombuffer(big.encode("ascii"), dtype=np.uint8)
@@ -599,9 +598,9 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
 
     # token -> doc mapping: doc boundaries are SEP positions in `big` at the
     # join points; compute per-token doc from token start offsets.
-    doc_lens = np.array([len(t) for t in clean], dtype=np.int64)
-    doc_starts = np.zeros(len(clean), dtype=np.int64)
-    if len(clean) > 1:
+    doc_lens = np.array([len(t) for t in texts], dtype=np.int64)
+    doc_starts = np.zeros(len(texts), dtype=np.int64)
+    if len(texts) > 1:
         doc_starts[1:] = np.cumsum(doc_lens[:-1] + 1)
 
     # start offsets (in `big` coords) of each token

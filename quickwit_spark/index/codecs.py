@@ -60,6 +60,12 @@ def encode_posting_blocks(docids: np.ndarray, tfs: np.ndarray,
                           fieldnorm_ids: np.ndarray):
     """Encode one term's postings (docids strictly increasing) into blocks.
 
+    REFERENCE TWIN, not a production encoder: the build path encodes all
+    terms at once inside builder.write_segment (vectorized across the
+    whole partition). This single-term readable form exists for tests —
+    test_codecs_property pins it byte-identical to write_segment's
+    output, so the two cannot silently drift.
+
     Returns dict with:
       block_last:  int64[]  last docid per block
       block_max_tf: int32[] max tf per block

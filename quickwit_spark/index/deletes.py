@@ -57,14 +57,20 @@ def rewrite_segment_without(index_dir: str, parent: dict,
         # term compaction fixes the term ids
         new_pos = positions[tok_keep]
 
-    # drop terms that lost all postings; re-densify term ids
+    # drop terms that lost all postings; re-densify term ids. A segment
+    # left with ZERO postings but surviving docs (blank-text docs, or a
+    # delete that removed every doc containing text) is still a valid
+    # rewrite target — returning None here would tell the caller "all
+    # docs deleted" and silently retire the survivors with the segment
     live_terms, compact = np.unique(new_term_of, return_inverse=True)
     terms_sorted = terms[live_terms]
-    if len(terms_sorted) == 0:
-        return None
 
     if with_pos and positions is not None and len(new_tfs):
         pos_arg = _encode_position_blob(new_pos, new_tfs, compact)
+    elif with_pos:
+        # positional segment with zero surviving postings still carries
+        # a (valid, empty) pos_blob column — phrase readers expect it
+        pos_arg = (b"", np.zeros(len(terms_sorted) + 1, dtype=np.int64))
 
     # docs table filtered + re-densified ids: filter the ARROW table and
     # keep the parent's exact column types — a pandas round-trip would

@@ -56,6 +56,12 @@ def _decode_segment_postings(seg_dir: str, with_positions: bool = False):
     tfs = varint_decode(tf_blob).astype(np.int64)
     npost = len(deltas)
     assert npost == int(doc_freq.sum())
+    if npost == 0:
+        # zero-postings segment (all-blank text, num_docs > 0 — a valid
+        # shape per write_segment): the np.r_ idiom below would
+        # fabricate term_starts=[0] and cs[term_starts] would IndexError
+        z = np.zeros(0, dtype=np.int64)
+        return terms, z, z, z, (z if with_positions else None)
     term_starts = np.r_[0, np.cumsum(doc_freq)[:-1]].astype(np.int64)
     # group-wise delta cumsum: docids = cumsum - base(term)
     cs = np.cumsum(deltas)
@@ -68,18 +74,6 @@ def _decode_segment_postings(seg_dir: str, with_positions: bool = False):
         pos_blob = b"".join(t.column("pos_blob").to_pylist())
         positions, _ = decode_positions(pos_blob, tfs)
     return terms, term_of, docids, tfs, positions
-
-
-def _gather_runs(values: np.ndarray, run_lens: np.ndarray,
-                 order: np.ndarray) -> np.ndarray:
-    """Reorder a run-structured array by a run permutation (vectorized)."""
-    run_starts = np.r_[0, np.cumsum(run_lens)[:-1]]
-    sorted_lens = run_lens[order]
-    total = int(sorted_lens.sum())
-    out_start = np.r_[0, np.cumsum(sorted_lens)[:-1]]
-    within = np.arange(total) - np.repeat(out_start, sorted_lens)
-    src = np.repeat(run_starts[order], sorted_lens) + within
-    return values[src]
 
 
 # single shared encoder (codecs.py) — bit-identical across build/merge/
@@ -214,55 +208,73 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
         runs[k] = runs[k][order]
     run_gterm = run_gterm[order]
 
-    # --- new first-delta per run (the ONLY re-encoded values) ------------
-    same_term = np.r_[False, run_gterm[1:] == run_gterm[:-1]]
-    prev_last = np.r_[0, runs["last_doc"][:-1]]
-    new_first = runs["first_doc"] - np.where(same_term, prev_last, 0)
-    nf_blob, nf_nb = _varint_encode_with_sizes(new_first.astype(np.uint64))
-    nf_data = np.frombuffer(nf_blob, dtype=np.uint8)
-    nf_starts = np.r_[0, np.cumsum(nf_nb)[:-1]]
+    if len(run_gterm) == 0:
+        # every parent is a valid EMPTY segment (blank-text chunks —
+        # StableLog groups by num_docs, so they can form a whole merge
+        # group): the splice arithmetic below assumes >= 1 run (its
+        # np.r_/strided assignments fabricate or broadcast-fail on zero
+        # runs), so short-circuit to the empty merged child —
+        # write_segment handles npost == 0
+        z64 = np.zeros(0, dtype=np.int64)
+        doc_blob = b""
+        tf_blob = b""
+        g_doc = g_tf = g_term = z64
+        doc_nb_m = tf_nb_m = z64
+        positions = (b"", np.zeros(1, dtype=np.int64)) if with_pos \
+            else None
+    else:
+        # --- new first-delta per run (the ONLY re-encoded values) --------
+        same_term = np.r_[False, run_gterm[1:] == run_gterm[:-1]]
+        prev_last = np.r_[0, runs["last_doc"][:-1]]
+        new_first = runs["first_doc"] - np.where(same_term, prev_last, 0)
+        nf_blob, nf_nb = _varint_encode_with_sizes(
+            new_first.astype(np.uint64))
+        nf_data = np.frombuffer(nf_blob, dtype=np.uint8)
+        nf_starts = np.r_[0, np.cumsum(nf_nb)[:-1]]
 
-    # --- splice the docid stream: [new first][unchanged tail] per run ----
-    doc_source = np.concatenate([*doc_data_parts, nf_data])
-    nf_base = doc_source.size - nf_data.size
-    nruns = len(run_gterm)
-    piece_start = np.empty(2 * nruns, dtype=np.int64)
-    piece_len = np.empty(2 * nruns, dtype=np.int64)
-    piece_start[0::2] = nf_base + nf_starts
-    piece_len[0::2] = nf_nb
-    piece_start[1::2] = runs["doc_byte_start"] + runs["first_len"]
-    piece_len[1::2] = runs["doc_byte_len"] - runs["first_len"]
-    doc_blob = _byte_gather(doc_source, piece_start, piece_len).tobytes()
+        # --- splice the docid stream: [new first][unchanged tail] per run
+        doc_source = np.concatenate([*doc_data_parts, nf_data])
+        nf_base = doc_source.size - nf_data.size
+        nruns = len(run_gterm)
+        piece_start = np.empty(2 * nruns, dtype=np.int64)
+        piece_len = np.empty(2 * nruns, dtype=np.int64)
+        piece_start[0::2] = nf_base + nf_starts
+        piece_len[0::2] = nf_nb
+        piece_start[1::2] = runs["doc_byte_start"] + runs["first_len"]
+        piece_len[1::2] = runs["doc_byte_len"] - runs["first_len"]
+        doc_blob = _byte_gather(doc_source, piece_start, piece_len).tobytes()
 
-    # --- tf stream: pure concatenation of run cells ----------------------
-    tf_source = np.concatenate(tf_data_parts)
-    tf_blob = _byte_gather(tf_source, runs["tf_byte_start"],
-                           runs["tf_byte_len"]).tobytes()
+        # --- tf stream: pure concatenation of run cells -------------------
+        tf_source = np.concatenate(tf_data_parts)
+        tf_blob = _byte_gather(tf_source, runs["tf_byte_start"],
+                               runs["tf_byte_len"]).tobytes()
 
-    # --- merged posting value arrays (for block metadata) ----------------
-    p_doc_all = np.concatenate(p_doc_parts)
-    p_tf_all = np.concatenate(p_tf_parts)
-    doc_nb_all = np.concatenate(doc_nb_parts)
-    tf_nb_all = np.concatenate(tf_nb_parts)
-    val_src = _value_gather_index(runs["post_start"], runs["len"])
-    g_doc = p_doc_all[val_src]
-    g_tf = p_tf_all[val_src]
-    g_term = np.repeat(run_gterm, runs["len"])
-    doc_nb_m = doc_nb_all[val_src]
-    run_val_starts = np.r_[0, np.cumsum(runs["len"])[:-1]]
-    doc_nb_m[run_val_starts] = nf_nb  # patched firsts
-    tf_nb_m = tf_nb_all[val_src]
+        # --- merged posting value arrays (for block metadata) -------------
+        p_doc_all = np.concatenate(p_doc_parts)
+        p_tf_all = np.concatenate(p_tf_parts)
+        doc_nb_all = np.concatenate(doc_nb_parts)
+        tf_nb_all = np.concatenate(tf_nb_parts)
+        val_src = _value_gather_index(runs["post_start"], runs["len"])
+        g_doc = p_doc_all[val_src]
+        g_tf = p_tf_all[val_src]
+        g_term = np.repeat(run_gterm, runs["len"])
+        doc_nb_m = doc_nb_all[val_src]
+        run_val_starts = np.r_[0, np.cumsum(runs["len"])[:-1]]
+        doc_nb_m[run_val_starts] = nf_nb  # patched firsts
+        tf_nb_m = tf_nb_all[val_src]
 
-    positions = None
-    if with_pos:
-        # per-posting delta runs reset at run starts: byte concat per term
-        pos_source = np.concatenate(pos_data_parts)
-        pos_blob = _byte_gather(pos_source, runs["pos_byte_start"],
-                                runs["pos_byte_len"]).tobytes()
-        term_first_run = np.nonzero(
-            np.r_[True, run_gterm[1:] != run_gterm[:-1]])[0]
-        term_bytes = np.add.reduceat(runs["pos_byte_len"], term_first_run)
-        positions = (pos_blob, np.r_[0, np.cumsum(term_bytes)])
+        positions = None
+        if with_pos:
+            # per-posting delta runs reset at run starts: byte concat per
+            # term
+            pos_source = np.concatenate(pos_data_parts)
+            pos_blob = _byte_gather(pos_source, runs["pos_byte_start"],
+                                    runs["pos_byte_len"]).tobytes()
+            term_first_run = np.nonzero(
+                np.r_[True, run_gterm[1:] != run_gterm[:-1]])[0]
+            term_bytes = np.add.reduceat(runs["pos_byte_len"],
+                                         term_first_run)
+            positions = (pos_blob, np.r_[0, np.cumsum(term_bytes)])
 
     # docs table: concat with remapped doc ids
     doc_tables = []
@@ -330,6 +342,10 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
 
 def _value_gather_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Index array concatenating [starts[i], starts[i]+lens[i]) ranges."""
+    if len(lens) == 0:
+        # the np.r_ idiom below fabricates dst=[0] for zero runs (an
+        # all-blank-text merge group) and np.repeat would broadcast-fail
+        return np.zeros(0, dtype=np.int64)
     total = int(lens.sum())
     dst = np.r_[0, np.cumsum(lens)[:-1]]
     within = np.arange(total) - np.repeat(dst, lens)

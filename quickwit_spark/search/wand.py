@@ -84,10 +84,6 @@ class _TermCursor:
             self._set_blobs(self._fetch_blobs())
             self._fetch_blobs = None
 
-    def block_range(self, bi: int) -> tuple[int, int]:
-        lo = int(self.block_last[bi - 1]) + 1 if bi > 0 else 0
-        return lo, int(self.block_last[bi])
-
     def decode_blocks(self, block_idx: np.ndarray, fn_ids: np.ndarray,
                       record: str):
         """Decode selected blocks -> (docids, scores f32). Contiguous
@@ -117,6 +113,26 @@ _CURSOR_META_COLS = ["doc_freq", "block_last", "block_max_tf",
 _CURSOR_BLOB_COLS = list(_TermCursor._BLOB_COLS)
 
 
+def _account_cursor_bytes(reader, nbytes: int) -> None:
+    """Track cursor-cache bytes on the reader so the process byte
+    budget (engine.get_reader) sees them; the running counter lets
+    _clear_cursor_cache give the bytes back instead of drifting the
+    accounting upward forever."""
+    if not hasattr(reader, "_pin"):
+        return
+    reader._wand_cursor_bytes = getattr(reader, "_wand_cursor_bytes", 0) \
+        + int(nbytes)
+    reader._pin(nbytes)
+
+
+def _clear_cursor_cache(reader, cache: dict) -> None:
+    cache.clear()
+    held = getattr(reader, "_wand_cursor_bytes", 0)
+    if held and hasattr(reader, "_pin"):
+        reader._wand_cursor_bytes = 0
+        reader._pin(-held)
+
+
 def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
     # per-reader cursor cache: the arrow->numpy conversion of the block
     # metadata columns dominates warm pruned-query latency; cursors are
@@ -140,7 +156,7 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
         tr = reader._term_row(t)
         if tr is None:
             if len(cache) >= 512:
-                cache.clear()
+                _clear_cursor_cache(reader, cache)
             cache[t] = None  # negative entries count toward the bound
             cursors.append(None)
             continue
@@ -154,20 +170,25 @@ def _make_cursors(reader, terms: list[str]) -> list[_TermCursor]:
                        float(reader._avg_fieldnorm))
 
         def _fetch(_tid=term_id, _rdr=reader):
-            return dict(zip(_CURSOR_BLOB_COLS,
-                            _rdr._postings_cells(_tid, _CURSOR_BLOB_COLS)))
+            blobs = dict(zip(
+                _CURSOR_BLOB_COLS,
+                _rdr._postings_cells(_tid, _CURSOR_BLOB_COLS)))
+            # the cursor lives in the reader's cache, so the fetched
+            # blobs it memoizes are PINNED, not per-query transients —
+            # count them toward the reader byte budget
+            _account_cursor_bytes(_rdr, sum(
+                len(v) for v in blobs.values()
+                if isinstance(v, (bytes, bytearray))))
+            return blobs
         cur = _TermCursor(t, row, w, fetch_blobs=_fetch)
         if len(cache) >= 512:
-            cache.clear()
+            _clear_cursor_cache(reader, cache)
         cache[t] = cur
-        # count the cached block metadata toward the reader byte budget
-        # (python lists of ints: ~40 B/element incl. the pointer); the
-        # lazily fetched blobs stay on the cursor, not the cache, so
-        # they die with the query
-        if hasattr(reader, "_pin"):
-            n_meta = sum(len(v) for v in row.values()
-                         if isinstance(v, (list, tuple)))
-            reader._pin(40 * n_meta + 256)
+        # cached block metadata also counts (python lists of ints:
+        # ~40 B/element incl. the pointer)
+        n_meta = sum(len(v) for v in row.values()
+                     if isinstance(v, (list, tuple)))
+        _account_cursor_bytes(reader, 40 * n_meta + 256)
         cursors.append(cur)
     return cursors if any_found else []
 

@@ -117,3 +117,39 @@ def test_positions_round_trip(p):
         dec, _rs = decode_positions(seg, tfs[rows])
         out.extend(dec.tolist())
     assert out == pos.tolist()
+
+
+@given(postings())
+@settings(max_examples=25, deadline=None)
+def test_reference_twin_matches_builder_encoder(tmp_path_factory, p):
+    """encode_posting_blocks (the single-term reference twin used by
+    tests) must stay BYTE-IDENTICAL to the production encoder inside
+    builder.write_segment — otherwise the twin validates an encoding
+    production never runs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.index.builder import write_segment
+
+    docids, tfs, fns = p
+    n_docs = int(docids.max()) + 1
+    fn_ids = np.zeros(n_docs, dtype=np.int64)
+    fn_ids[docids] = fns
+    seg_dir = str(tmp_path_factory.mktemp("twin") / "seg")
+    write_segment(
+        seg_dir, np.array(["t"], dtype=object),
+        np.zeros(len(docids), dtype=np.int64), docids, tfs, fn_ids,
+        {"_seg_doc": np.arange(n_docs, dtype=np.int32)},
+        {"segment_id": "s", "partition_id": 0, "chunk_idx": 0,
+         "bytes_raw": 0, "schema_rev": 0, "tokenizer": "default"})
+    row = pq.read_table(os.path.join(seg_dir, "postings.parquet")
+                        ).to_pandas().iloc[0]
+    enc = encode_posting_blocks(docids, tfs, fns)
+    assert bytes(row["docid_blob"]) == enc["docid_blob"]
+    assert bytes(row["tf_blob"]) == enc["tf_blob"]
+    assert list(row["block_last"]) == enc["block_last"].tolist()
+    assert list(row["block_max_tf"]) == enc["block_max_tf"].tolist()
+    assert list(row["block_min_fn"]) == enc["block_min_fn"].tolist()
+    assert list(row["doc_offsets"]) == enc["doc_offsets"].tolist()
+    assert list(row["tf_offsets"]) == enc["tf_offsets"].tolist()

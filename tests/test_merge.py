@@ -230,3 +230,85 @@ def test_run_merges_multi_wave_equivalent(tmp_path, spark):
             for s in Manifest.load(cfg.index_dir).segments()))
     assert layouts[0] == layouts[1]
     assert len(layouts[0]) < 16
+
+
+def test_merge_of_all_empty_parents(tmp_path):
+    """A merge group where EVERY parent is a valid zero-postings segment
+    (all-blank text; StableLog groups by num_docs so they can land
+    together) must produce the empty merged child, not crash the whole
+    merge round in the splice arithmetic."""
+    import pandas as pd
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.index.merge import merge_segments
+    from quickwit_spark.search.engine import IndexSearcher
+
+    docs = [{"repo": "r", "path": f"f{i}.py", "commit": "c",
+             "lang": "py", "content": "   "} for i in range(8)]
+    cfg = IndexConfig(index_uid="mt", index_dir=str(tmp_path / "mt"),
+                      sha_col=None)
+    build_index_pandas(pd.DataFrame(docs), cfg, num_partitions=2)
+    m = Manifest.load(cfg.index_dir)
+    parents = m.segments()
+    assert len(parents) == 2
+    child = merge_segments(cfg.index_dir, parents)
+    assert child["num_docs"] == 8
+    m.publish([child], replaced_segment_ids=[
+        p["segment_id"] for p in parents])
+    s = IndexSearcher(cfg.index_dir)
+    assert s.count("*") == 8
+    assert s.count("content:anything") == 0
+
+
+def test_delete_query_on_blank_text_segment(tmp_path):
+    """apply_delete_query with a non-text filter over a zero-postings
+    segment: rewrite_segment_without must decode the empty posting set
+    without the fabricated-term_starts IndexError."""
+    import pandas as pd
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.deletes import apply_delete_query
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    docs = [{"repo": "r", "path": f"f{i}.py", "commit": "c",
+             "lang": ["py", "go"][i % 2], "content": ""}
+            for i in range(6)]
+    cfg = IndexConfig(index_uid="dt", index_dir=str(tmp_path / "dt"),
+                      sha_col=None)
+    build_index_pandas(pd.DataFrame(docs), cfg, num_partitions=1)
+    stats = apply_delete_query(cfg.index_dir, A.Term("lang", "go"))
+    assert stats["docs_deleted"] == 3
+    s = IndexSearcher(cfg.index_dir)
+    assert s.count("*") == 3
+
+
+def test_positional_delete_leaves_queryable_empty_postings(tmp_path):
+    """record='position' variant: deleting every doc that carries text
+    leaves a positional segment with zero postings but surviving docs —
+    it must stay phrase-queryable (empty pos_blob column present)."""
+    import pandas as pd
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.deletes import apply_delete_query
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    docs = [{"repo": "r", "path": f"f{i}.py", "commit": "c",
+             "lang": ["py", "go"][i % 2],
+             "content": "alpha beta" if i % 2 else ""}
+            for i in range(6)]
+    cfg = IndexConfig(index_uid="pd", index_dir=str(tmp_path / "pd"),
+                      sha_col=None, record="position")
+    build_index_pandas(pd.DataFrame(docs), cfg, num_partitions=1)
+    stats = apply_delete_query(cfg.index_dir, A.Term("lang", "go"))
+    assert stats["docs_deleted"] == 3
+    s = IndexSearcher(cfg.index_dir)
+    assert s.count("*") == 3  # blank-text survivors kept
+    res = s.search(A.Phrase("content", "alpha beta"), k=5,
+                   fetch_fields=False)
+    assert res.num_hits == 0  # and phrase search doesn't crash

@@ -16,8 +16,23 @@ from quickwit_spark.index.builder import build_index_pandas, write_segment
 from quickwit_spark.index.corpus import corpus_pandas
 from quickwit_spark.index.manifest import Manifest
 from quickwit_spark.index.merge import (_decode_segment_postings,
-                                        _encode_position_blob, _gather_runs,
+                                        _encode_position_blob,
                                         merge_segments)
+
+
+def _gather_runs(values, run_lens, order):
+    """Reference-twin helper for the oracle merge below: reorder a
+    run-structured array by a run permutation (vectorized). Lives here —
+    production merge splices bytes and never gathers value runs."""
+    import numpy as np
+    run_starts = np.r_[0, np.cumsum(run_lens)[:-1]]
+    sorted_lens = run_lens[order]
+    total = int(sorted_lens.sum())
+    out_start = np.r_[0, np.cumsum(sorted_lens)[:-1]]
+    within = np.arange(total) - np.repeat(out_start, sorted_lens)
+    src = np.repeat(run_starts[order], sorted_lens) + within
+    return values[src]
+
 
 
 def _merge_reencode(index_dir, parents, out_dir):

@@ -223,3 +223,42 @@ def test_single_term_exact_count_shortcut(tmp_path):
         ids1 = {(h.segment_id, h.doc_id) for h in res.hits}
         ids2 = {(h.segment_id, h.doc_id) for h in page2.hits}
         assert not ids1 & ids2
+
+
+def test_cursor_cache_bytes_are_pinned_and_refunded(tmp_path):
+    """Cached WAND cursors retain their lazily fetched posting blobs, so
+    those bytes must count toward the reader byte budget — and a cache
+    clear must refund them (no permanent upward drift)."""
+    import os
+
+    import pandas as pd
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.search.engine import SegmentReader
+    from quickwit_spark.search.wand import (_clear_cursor_cache,
+                                            _make_cursors)
+
+    docs = [{"repo": "r", "path": f"f{i}.py", "commit": "c", "lang": "py",
+             "content": f"alpha beta w{i} " + "gamma " * 20}
+            for i in range(50)]
+    cfg = IndexConfig(index_uid="wc", index_dir=str(tmp_path / "wc"),
+                      sha_col=None)
+    build_index_pandas(pd.DataFrame(docs), cfg, num_partitions=1)
+    seg = Manifest.load(cfg.index_dir).segments()[0]
+    rd = SegmentReader(
+        os.path.join(cfg.index_dir, "segments", seg["segment_id"]),
+        cfg.tokenizer)
+    base = rd.cache_footprint
+    (cur,) = _make_cursors(rd, ["gamma"])
+    after_meta = rd.cache_footprint
+    assert after_meta > base          # metadata accounted
+    cur.ensure_blobs()                # lazy blob fetch lands on the
+    after_blobs = rd.cache_footprint  # CACHED cursor -> pinned
+    assert after_blobs > after_meta
+    held = rd._wand_cursor_bytes
+    assert held > 0
+    _clear_cursor_cache(rd, rd._wand_cursors)
+    assert rd._wand_cursor_bytes == 0
+    assert rd.cache_footprint == after_blobs - held  # exact refund

@@ -1565,20 +1565,33 @@ FROM c
 """
 
     en = _inlist(STOPWORDS["en"])
+    # LEFT JOIN keeps zero-token docs (empty/punct-only text) as
+    # well-defined 0.0 rows, matching the Spark side's ANSI-safe
+    # guarded ratios — a bare unnest would silently drop them
     o["text_quality_score"] = f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
-s AS (SELECT doc_id, count(*)::DOUBLE AS n_tok,
-             count(DISTINCT t)::DOUBLE AS n_uniq,
-             sum(length(t))::DOUBLE AS chars,
-             sum(CASE WHEN t IN ({en}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
-      FROM toks GROUP BY doc_id)
+agg AS (SELECT doc_id, count(*)::DOUBLE AS n_tok,
+               count(DISTINCT t)::DOUBLE AS n_uniq,
+               sum(length(t))::DOUBLE AS chars,
+               sum(CASE WHEN t IN ({en}) THEN 1 ELSE 0 END)::DOUBLE
+                   AS n_stop
+        FROM toks GROUP BY doc_id),
+s AS (SELECT d.doc_id, coalesce(a.n_tok, 0.0) AS n_tok,
+             coalesce(a.n_uniq, 0.0) AS n_uniq,
+             coalesce(a.chars, 0.0) AS chars,
+             coalesce(a.n_stop, 0.0) AS n_stop
+      FROM documents d LEFT JOIN agg a USING (doc_id))
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-       floor((n_uniq / n_tok) * 1e6 + 0.5) / 1e6 AS uniq_ratio,
-       floor((chars / n_tok) * 1e6 + 0.5) / 1e6 AS mean_len,
-       floor((n_stop / n_tok) * 1e6 + 0.5) / 1e6 AS stop_ratio,
-       floor((least(1.0, n_tok / 100.0) * 0.3 + (n_uniq / n_tok) * 0.4 +
-              least(1.0, (chars / n_tok) / 8.0) * 0.3) * 1e6 + 0.5) / 1e6
-           AS quality
+       CASE WHEN n_tok > 0 THEN floor((n_uniq / n_tok) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS uniq_ratio,
+       CASE WHEN n_tok > 0 THEN floor((chars / n_tok) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS mean_len,
+       CASE WHEN n_tok > 0 THEN floor((n_stop / n_tok) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS stop_ratio,
+       CASE WHEN n_tok > 0 THEN
+            floor((least(1.0, n_tok / 100.0) * 0.3 + (n_uniq / n_tok) * 0.4 +
+                   least(1.0, (chars / n_tok) / 8.0) * 0.3) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS quality
 FROM s
 """
 
@@ -1829,8 +1842,10 @@ r AS (SELECT stratum, n_docs, n_tokens,
                           WHEN 'de' THEN CAST(0.3 AS DOUBLE)
                           ELSE CAST(0.0 AS DOUBLE) END AS share
       FROM a),
-x AS (SELECT *, least(CAST(1.0 AS DOUBLE),
-                      20000.0 * share / n_tokens::DOUBLE) AS rate
+x AS (SELECT *, CASE WHEN n_tokens > 0 THEN
+                     least(CAST(1.0 AS DOUBLE),
+                           20000.0 * share / n_tokens::DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS rate
       FROM r)
 SELECT stratum, n_docs, n_tokens,
        floor(share * 1e6 + 0.5) / 1e6 AS target_share,

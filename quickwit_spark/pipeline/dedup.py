@@ -98,6 +98,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         seed: int = 42) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: docs sharing any band bucket.
     Returns distinct (a, b) with a < b."""
+    if num_hashes % bands != 0:
+        # silently truncating to bands*(num_hashes//bands) hashes would
+        # pay for the remainder minhashes in the agg and then change
+        # recall vs the requested scheme with no warning
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
                              seed)
@@ -274,7 +280,13 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
         dot = _dot_expr("_va", F.col("_vb"))
         na = F.sqrt(_dot_expr("_va", F.col("_va")))
         nb = F.sqrt(_dot_expr("_vb", F.col("_vb")))
-        scored = pairs.select("a", "b", (dot / (na * nb)).alias("_cos"))
+        # all-zero vectors (an embedding-service failure mode, like the
+        # nulls handled in bucketize) have norm 0: cosine is undefined —
+        # define it as 0.0 (never a near-dup) instead of letting ANSI
+        # mode abort the whole job with DIVIDE_BY_ZERO
+        cos = F.when(na * nb > F.lit(0.0), dot / (na * nb)) \
+            .otherwise(F.lit(0.0))
+        scored = pairs.select("a", "b", cos.alias("_cos"))
         hit = (scored.where(F.col("_cos") >= F.lit(threshold))
                .select("a", "b", F.round("_cos", 6).alias("cos"))
                .persist())

@@ -263,9 +263,13 @@ def training_mix(df: DataFrame, targets: dict[str, float],
     for k, v in sorted(targets.items()):
         share = F.when(F.col("stratum") == F.lit(k),
                        F.lit(float(v))).otherwise(share)
-    rate = F.least(F.lit(1.0),
-                   F.lit(float(budget_tokens)) * share
-                   / F.col("n_tokens").cast("double"))
+    # a stratum whose docs are all empty aggregates 0 tokens: its rate
+    # is 0.0 by definition, not a DIVIDE_BY_ZERO abort under ANSI
+    rate = F.when(
+        F.col("n_tokens") > F.lit(0),
+        F.least(F.lit(1.0),
+                F.lit(float(budget_tokens)) * share
+                / F.col("n_tokens").cast("double"))).otherwise(F.lit(0.0))
     return agg.select(
         "stratum", "n_docs", F.col("n_tokens").cast("long").alias("n_tokens"),
         _r6(share).alias("target_share"),

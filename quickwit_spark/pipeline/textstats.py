@@ -47,27 +47,25 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     tok_chars = F.aggregate("_toks", F.lit(0),
                             lambda a, x: a + F.length(x)).cast("double")
     n_stop = _count_in(F.col("_toks"), STOPWORDS["en"]).cast("double")
-    uniq_ratio = n_uniq / n_tok
-    mean_len = tok_chars / n_tok
-    stop_ratio = n_stop / n_tok
+    # zero-token docs (empty / punctuation-only text) are well-defined
+    # 0.0 on every ratio, NOT a 0/0 — which under ANSI (this repo's
+    # default) aborts the whole job with DIVIDE_BY_ZERO, and under
+    # legacy mode poisons downstream filters with NULLs
+    zero = n_tok > F.lit(0.0)
+    uniq_ratio = F.when(zero, n_uniq / n_tok).otherwise(F.lit(0.0))
+    mean_len = F.when(zero, tok_chars / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(zero, n_stop / n_tok).otherwise(F.lit(0.0))
     score = (F.least(F.lit(1.0), n_tok / F.lit(100.0)) * F.lit(0.3)
              + uniq_ratio * F.lit(0.4)
              + F.least(F.lit(1.0), mean_len / F.lit(8.0)) * F.lit(0.3))
 
-    def r6(col):
-        # floor-based 6-decimal rounding: Spark's round() is decimal
-        # HALF_UP while DuckDB rounds the binary double — they disagree
-        # exactly at decimal midpoints (x.xxxxx5). floor(x*1e6 + 0.5) is
-        # the same arithmetic on the same doubles in both engines.
-        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-
     return d.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tok"),
-        r6(uniq_ratio).alias("uniq_ratio"),
-        r6(mean_len).alias("mean_len"),
-        r6(stop_ratio).alias("stop_ratio"),
-        r6(score).alias("quality"))
+        _r6(uniq_ratio).alias("uniq_ratio"),
+        _r6(mean_len).alias("mean_len"),
+        _r6(stop_ratio).alias("stop_ratio"),
+        _r6(score).alias("quality"))
 
 
 def token_counts(df: DataFrame, id_col: str = "doc_id",

@@ -122,9 +122,13 @@ class _Parser:
                 # it would turn into an always-empty FullText("-") must
                 # clause that zeroes the whole query
                 self.next()
-                neg = val == "-"
                 if self.peek()[0] in (None, "rparen"):
                     break  # dangling sign at end of clause: drop it
+                # a sign only negates what it TOUCHES: 'rock - paper'
+                # (hyphen as copied punctuation) must not silently
+                # exclude 'paper'; the stray token is dropped instead
+                if self._adjacent_to_prev():
+                    neg = val == "-"
             elif kind == "word" and val.startswith("-") and len(val) > 1:
                 self.toks[self.pos] = ("word", val[1:])
                 neg = True
@@ -207,19 +211,30 @@ class _Parser:
         if kind == "lbrack":
             lo_excl = val == "{"
             self.next()
-            lo = self.next()[1]
+
+            def _bound():
+                # quoted bounds (`ts:["2020-01-01 00:00" TO *]`) carry
+                # their surrounding quotes and escapes in the raw token
+                # — strip/unescape like _phrase_node, else the literal
+                # '"' becomes part of the compared string (it sorts
+                # before every digit, silently wrong range results)
+                bk, bv = self.next()
+                if bk == "quote":
+                    return re.sub(r"\\(.)", r"\1", bv[1:-1]), True
+                return bv, False
+            lo, lo_quoted = _bound()
             to = self.next()[1]
             if to != "TO":
                 raise ValueError("expected TO in range")
-            hi = self.next()[1]
+            hi, hi_quoted = _bound()
             k, close_b = self.next()
             if k != "rbrack":
                 raise ValueError("expected ] closing range")
             hi_excl = close_b == "}"
             kw = {}
-            if lo != "*":
+            if lo != "*" or lo_quoted:  # quoted "*" is a literal bound
                 kw["gt" if lo_excl else "gte"] = lo
-            if hi != "*":
+            if hi != "*" or hi_quoted:
                 kw["lt" if hi_excl else "lte"] = hi
             return A.Range(field, **kw)
         if kind == "word":

@@ -103,10 +103,23 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
 def start_ingest_stream(spark, input_path: str, config: IndexConfig,
                         schema: str, checkpoint_dir: str,
                         partitions_per_batch: int = 8,
-                        available_now: bool = True):
+                        available_now: bool = True,
+                        fmt: str | None = None):
     """File-source streaming ingest (newline-JSON or parquet directory —
-    the reference's file/queue sources, SURVEY.md §2.1)."""
-    fmt = "parquet" if not input_path.endswith(".json") else "json"
+    the reference's file/queue sources, SURVEY.md §2.1). fmt ('json' |
+    'parquet') overrides sniffing."""
+    if fmt is None:
+        # streaming file sources usually point at DIRECTORIES, so an
+        # endswith('.json') check alone misreads a directory of
+        # newline-JSON files as parquet and every micro-batch fails on
+        # the footer magic; sniff the directory contents instead
+        fmt = "json" if input_path.endswith(".json") else None
+        if fmt is None and os.path.isdir(input_path):
+            for name in os.listdir(input_path):
+                if name.endswith(".json") or name.endswith(".jsonl"):
+                    fmt = "json"
+                    break
+        fmt = fmt or "parquet"
     stream = (spark.readStream.format(fmt).schema(schema)
               .option("maxFilesPerTrigger", "4")
               .load(input_path))

@@ -124,3 +124,32 @@ def test_parser_fuzz_no_unexpected_exceptions():
         assert node is not None
 
     run()
+
+
+def test_quoted_range_bounds_unquoted():
+    """ts:["2020-01-01 00:00" TO *] — the quotes/escapes are stripped
+    from the bound, not compared literally ('\"' sorts before every
+    digit, silently wrong results)."""
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.parser import parse_query
+
+    n = parse_query('ts:["2020-01-01 00:00" TO *]', default_field="text")
+    assert isinstance(n, A.Range)
+    assert n.gte == "2020-01-01 00:00" and n.lt is None and n.lte is None
+    n2 = parse_query('ts:["a \\"q\\" b" TO "z z"]', default_field="text")
+    assert n2.gte == 'a "q" b' and n2.lte == "z z"
+
+
+def test_free_standing_hyphen_is_not_negation():
+    """'rock - paper' (hyphen as copied punctuation) must not exclude
+    'paper'; a sign only negates what it touches ('-paper')."""
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.parser import parse_query
+
+    n = parse_query("rock - paper", default_field="text")
+    assert isinstance(n, A.Bool)
+    assert not n.must_not
+    texts = sorted(c.text for c in n.must)
+    assert texts == ["paper", "rock"]
+    n2 = parse_query('rock -"bad phrase"', default_field="text")
+    assert n2.must_not  # adjacent sign still negates

@@ -672,3 +672,45 @@ def test_bucketize_without_id_column(spark):
     # deterministic across re-evaluation (join-safety contract)
     b2 = bucketize_embeddings(emb, nbits=3, seed=7).toPandas()
     assert sigs.to_dict() == b2.set_index("doc_id")["_sig"].to_dict()
+
+
+def test_embedding_near_dup_zero_vectors(spark):
+    """All-zero embeddings (embedding-service failure) have undefined
+    cosine — defined as 0.0 (never near-dup) instead of an ANSI
+    DIVIDE_BY_ZERO job abort."""
+    import numpy as np
+    from quickwit_spark.pipeline.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal(8).tolist()
+    rows = [(1, v), (2, v), (3, [0.0] * 8), (4, [0.0] * 8)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup(emb, threshold=0.95, nbits=2).toPandas()
+    assert {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])} \
+        == {(1, 2)}  # the zero vectors pair with nothing
+
+
+def test_training_mix_empty_stratum(spark):
+    """A stratum whose docs are all empty gets sample_rate 0.0, not a
+    DIVIDE_BY_ZERO abort."""
+    import pandas as pd
+    from quickwit_spark.pipeline.filtering import training_mix
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "lang": ["en", "en", "fr"],
+        "text": ["a b c", "d e", ""]}))
+    out = training_mix(df, {"en": 0.7, "fr": 0.3}, budget_tokens=100,
+                       strata_col="lang").toPandas().set_index("stratum")
+    assert out.loc["fr", "n_tokens"] == 0
+    assert out.loc["fr", "sample_rate"] == 0.0
+    assert out.loc["en", "sample_rate"] > 0
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    import pytest as _pytest
+    from quickwit_spark.pipeline.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(df, num_hashes=16, bands=3)

@@ -79,3 +79,20 @@ def test_token_rarity_signals(spark):
     assert out.loc[2, "rare_frac"] == 0.5
     assert int(out.loc[3, "n_tok"]) == 0
     assert out.loc[3, "rare_frac"] == 0.0
+
+
+def test_quality_score_zero_token_docs(spark):
+    """Empty / punctuation-only docs are well-defined 0.0 rows — under
+    ANSI mode the unguarded 0/0 aborted the whole job."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.textstats import quality_score
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma", "", "!!! ..."]}))
+    out = quality_score(df).toPandas().set_index("doc_id")
+    assert out.loc[2, "n_tok"] == 0
+    assert out.loc[2, "quality"] == 0.0
+    assert out.loc[3, "uniq_ratio"] == 0.0
+    assert out.loc[1, "quality"] > 0

@@ -91,9 +91,16 @@ class Manifest:
 
     def published_partitions(self) -> set[int]:
         # string-keyed checkpoints (e.g. bulk payload keys) are not
-        # build partitions
-        return {int(p) for p in self.data["checkpoints"]
-                if str(p).lstrip("-").isdigit()}
+        # build partitions. Must be int()-based, not isdigit(): '--7'
+        # and unicode digits like '²' pass isdigit() after lstrip but
+        # raise in int(), bricking every resume on one odd key
+        out = set()
+        for p in self.data["checkpoints"]:
+            try:
+                out.add(int(str(p)))
+            except ValueError:
+                continue
+        return out
 
     # -- transactions ------------------------------------------------------
 

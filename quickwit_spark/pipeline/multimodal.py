@@ -76,17 +76,27 @@ def image_features(df: DataFrame, blob_col: str = "blob",
     """Decode -> feature-extract as a mapInPandas stage (Arrow batches).
     Feature = per-channel mean of the (stub-)decoded image."""
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, features = [], []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    # MEDIA_SCHEMA allows null blobs (extract_metadata
+                    # tolerates them); a null feature row beats killing
+                    # the whole job in bytes(None)
+                    ids.append(rid)
+                    features.append(None)
+                    continue
                 img = decode_image(bytes(blob), fake=fake)
                 features.append(img.reshape(-1, 3).mean(axis=0).round(4)
                                 .tolist())
                 ids.append(rid)
-            yield pd.DataFrame({"id": ids, "feature": features})
+            yield pd.DataFrame({id_col: ids, "feature": features})
 
-    return df.mapInPandas(feats, schema="id long, feature array<double>")
+    return df.mapInPandas(
+        feats, schema=f"{id_col} {id_type}, feature array<double>")
 
 
 def resize_images(df: DataFrame, width: int, height: int,
@@ -97,10 +107,18 @@ def resize_images(df: DataFrame, width: int, height: int,
     plumbing (schema, batch shape, output encoding) is real; swap
     decode_image/fake for a codec library in production."""
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, blobs, ws, hs = [], [], [], []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    ids.append(rid)
+                    blobs.append(None)
+                    ws.append(width)
+                    hs.append(height)
+                    continue
                 img = decode_image(bytes(blob), fake=fake)
                 ih, iw = img.shape[:2]
                 yy = (np.arange(height) * ih // height)
@@ -110,11 +128,12 @@ def resize_images(df: DataFrame, width: int, height: int,
                 blobs.append(out.tobytes())
                 ws.append(width)
                 hs.append(height)
-            yield pd.DataFrame({"id": ids, "blob": blobs,
+            yield pd.DataFrame({id_col: ids, "blob": blobs,
                                 "width": ws, "height": hs})
 
     return df.mapInPandas(
-        resize, schema="id long, blob binary, width int, height int")
+        resize,
+        schema=f"{id_col} {id_type}, blob binary, width int, height int")
 
 
 def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
@@ -123,10 +142,14 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
     16-byte window as a 'frame', keeps every n-th, returns frame hashes
     (real plumbing: explode -> one row per sampled frame)."""
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, hashes = [], [], []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue  # null blob: no frames, like an empty one
                 b = bytes(blob)
                 # len(b)//16 full frames; an empty/short blob yields NO
                 # frames (max(...,1) fabricated a phantom frame hashing
@@ -136,8 +159,9 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
                     idxs.append(fi)
                     hashes.append(hashlib.sha256(
                         b[fi * 16:(fi + 1) * 16]).hexdigest()[:16])
-            yield pd.DataFrame({"id": ids, "frame_idx": idxs,
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
                                 "frame_hash": hashes})
 
-    return df.mapInPandas(frames,
-                          schema="id long, frame_idx int, frame_hash string")
+    return df.mapInPandas(
+        frames,
+        schema=f"{id_col} {id_type}, frame_idx int, frame_hash string")

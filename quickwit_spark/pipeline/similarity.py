@@ -36,11 +36,20 @@ def brute_force_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
     """Exact cosine top-k of `emb` rows against the single-row query_df
     (columns: q array<float>). Returns (vec_id, cos) ordered."""
     j = emb.crossJoin(F.broadcast(query_df))
+    return _cosine_topk(j, k, id_col, vec_col)
+
+
+def _cosine_topk(cand, k: int, id_col: str, vec_col: str):
+    """Shared exact-cosine rescoring tail for every ANN variant (brute
+    force, IVF ad-hoc, IVF partitioned, LSH bucket): ONE copy of the
+    oracle-matched arithmetic — sequential-fold dot, (cos desc, id asc)
+    order, round 6 — so a change to any variant cannot silently diverge
+    from their common DuckDB oracle. `cand` carries (id_col, vec_col,
+    q)."""
     dot = _dot_expr(vec_col, F.col("q"))
     na = F.sqrt(_dot_expr(vec_col, F.col(vec_col)))
     nb = F.sqrt(_dot_expr("q", F.col("q")))
-    scored = j.select(F.col(id_col),
-                      (dot / (na * nb)).alias("_cos"))
+    scored = cand.select(F.col(id_col), (dot / (na * nb)).alias("_cos"))
     return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, F.round("_cos", 6).alias("cos")))
@@ -86,17 +95,28 @@ def _list_matrix(b, vec_col: str, dim: int):
     n = len(b)
     lens = np.asarray(lst.value_lengths().fill_null(-1), dtype=np.int64)
     ok = lens == dim
-    flat = np.asarray(lst.flatten(), dtype=np.float64)
+    flat = np.asarray(lst.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
     if ok.all():
-        return flat.reshape(n, dim), ok
-    X = np.zeros((n, dim), dtype=np.float64)
-    if ok.any():
-        # flatten() drops null slots; offsets follow non-null lengths
-        nn = lens >= 0
-        offs = np.zeros(n, dtype=np.int64)
-        offs[nn] = np.concatenate(([0], np.cumsum(lens[nn])))[:-1]
-        idx = offs[ok][:, None] + np.arange(dim, dtype=np.int64)[None, :]
-        X[ok] = flat[idx]
+        X = flat.reshape(n, dim)
+    else:
+        X = np.zeros((n, dim), dtype=np.float64)
+        if ok.any():
+            # flatten() drops null slots; offsets follow non-null lengths
+            nn = lens >= 0
+            offs = np.zeros(n, dtype=np.int64)
+            offs[nn] = np.concatenate(([0], np.cumsum(lens[nn])))[:-1]
+            idx = offs[ok][:, None] \
+                + np.arange(dim, dtype=np.int64)[None, :]
+            X[ok] = flat[idx]
+    # a null ELEMENT inside a correct-length list arrives as NaN: the
+    # expression twins yield a null assignment / zero signature for such
+    # rows (null dot), but a NaN row would silently argmin to centroid 0
+    # — a data-corruption divergence, so mark it invalid here too
+    bad_elem = np.isnan(X).any(axis=1)
+    if bad_elem.any():
+        ok = ok & ~bad_elem
+        X = np.where(ok[:, None], X, 0.0)
     return X, ok
 
 
@@ -189,10 +209,13 @@ def _with_sig(emb: DataFrame, planes: np.ndarray, vec_col: str,
               id_col: str, out_col: str = "_sig") -> DataFrame:
     """Corpus-side signature with automatic path choice: expression tree
     below _ARROW_LITERAL_THRESHOLD literals (oracle-exact), mapInArrow
-    matmul above it (plan stays O(1) at production dims)."""
+    matmul above it (plan stays O(1) at production dims). Keeps every
+    input column on BOTH paths — dropping extras only above the
+    threshold would be a dim-dependent schema cliff (see _with_cid)."""
     if planes.size > _ARROW_LITERAL_THRESHOLD:
+        keep = tuple(c for c in emb.columns if c != id_col)
         return signature_arrow(emb, planes, vec_col, id_col, out_col,
-                               keep_cols=(vec_col,))
+                               keep_cols=keep)
     return emb.withColumn(out_col, signature_expr(vec_col, planes))
 
 
@@ -207,6 +230,33 @@ def _with_cid(emb: DataFrame, centroids: np.ndarray, vec_col: str,
     return emb.withColumn(out_col, ivf_assign_expr(vec_col, centroids))
 
 
+def _corpus_dim(emb: DataFrame, vec_col: str) -> int:
+    """Dimensionality probed from the first NON-NULL vector — the
+    arbitrary first row may be a null-embedding failure row (len(None)
+    on the driver) or ragged (silently mis-sizing every hyperplane)."""
+    row = (emb.where(F.col(vec_col).isNotNull())
+           .select(vec_col).first())
+    if row is None:
+        raise ValueError(f"no non-null {vec_col!r} vectors in corpus")
+    return len(row[0])
+
+
+def _driver_sample(emb: DataFrame, vec_col: str, id_col: str,
+                   sample: int) -> np.ndarray:
+    """Id-ordered driver-side training sample as a dense (n, dim)
+    float64 matrix. Null and wrong-length embeddings (the failure rows
+    the encode/assign paths are hardened against) are FILTERED, not
+    crashed on — training just sees fewer rows."""
+    dim = _corpus_dim(emb, vec_col)
+    pdf = (emb.where(F.col(vec_col).isNotNull()
+                     & (F.size(vec_col) == dim))
+           .orderBy(id_col).select(vec_col).limit(sample).toPandas())
+    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    # null ELEMENTS inside a correct-length list arrive as NaN
+    keep = np.isfinite(X).all(axis=1)
+    return X[keep]
+
+
 def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16,
                         vec_col: str = "embedding", id_col: str = "vec_id",
                         sample: int = 2048, iters: int = 10,
@@ -216,8 +266,7 @@ def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16,
     step; assignment is the distributed part). Lloyd's algorithm with
     seeded init over an id-ordered sample; empty clusters re-seeded
     deterministically."""
-    pdf = emb.orderBy(id_col).select(vec_col).limit(sample).toPandas()
-    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    X = _driver_sample(emb, vec_col, id_col, sample)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)),
                         replace=False)]
@@ -267,13 +316,7 @@ def ivf_topk(emb: DataFrame, query_df: DataFrame, centroids: np.ndarray,
     bucketed = _with_cid(emb, centroids, vec_col, id_col)
     cand = bucketed.filter(F.col("_cid").isin(probes)) \
         .crossJoin(F.broadcast(query_df))
-    dot = _dot_expr(vec_col, F.col("q"))
-    na = F.sqrt(_dot_expr(vec_col, F.col(vec_col)))
-    nb = F.sqrt(_dot_expr("q", F.col("q")))
-    scored = cand.select(F.col(id_col), (dot / (na * nb)).alias("_cos"))
-    return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
-            .limit(k)
-            .select(id_col, F.round("_cos", 6).alias("cos")))
+    return _cosine_topk(cand, k, id_col, vec_col)
 
 
 def ivf_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
@@ -326,13 +369,7 @@ def ivf_topk_partitioned(spark, layout_dir: str, query_df: DataFrame,
     scan = (spark.read.parquet(layout_dir)
             .filter(F.col("_cid").isin(probes)))
     cand = scan.crossJoin(F.broadcast(query_df))
-    dot = _dot_expr(vec_col, F.col("q"))
-    na = F.sqrt(_dot_expr(vec_col, F.col(vec_col)))
-    nb = F.sqrt(_dot_expr("q", F.col("q")))
-    scored = cand.select(F.col(id_col), (dot / (na * nb)).alias("_cos"))
-    return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
-            .limit(k)
-            .select(id_col, F.round("_cos", 6).alias("cos")))
+    return _cosine_topk(cand, k, id_col, vec_col)
 
 
 def train_pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
@@ -351,8 +388,7 @@ def train_pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
     (for residual IVF-PQ layouts — the codebooks then model the
     within-list spread, matching how the layout encodes).
     """
-    pdf = emb.orderBy(id_col).select(vec_col).limit(sample).toPandas()
-    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    X = _driver_sample(emb, vec_col, id_col, sample)
     if residual_centroids is not None:
         C = np.asarray(residual_centroids, dtype=np.float64)
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -621,16 +657,10 @@ def lsh_bucket_topk(emb: DataFrame, query_df: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     nbits: int = 8, seed: int = 42) -> DataFrame:
     """ANN: restrict the exact cosine scan to the query's LSH bucket."""
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _corpus_dim(emb, vec_col)
     planes = hyperplanes(dim, nbits, seed)
     bucketed = _with_sig(emb, planes, vec_col, id_col)
     qb = query_df.withColumn("_qsig", signature_expr("q", planes))
     cand = bucketed.join(F.broadcast(qb),
                          F.col("_sig") == F.col("_qsig"))
-    dot = _dot_expr(vec_col, F.col("q"))
-    na = F.sqrt(_dot_expr(vec_col, F.col(vec_col)))
-    nb = F.sqrt(_dot_expr("q", F.col("q")))
-    scored = cand.select(F.col(id_col), (dot / (na * nb)).alias("_cos"))
-    return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
-            .limit(k)
-            .select(id_col, F.round("_cos", 6).alias("cos")))
+    return _cosine_topk(cand, k, id_col, vec_col)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 
 
@@ -87,10 +88,43 @@ def process_docs(df, required: dict[str, str],
                 if dtype in ("int64", "float64"):
                     coerced = pd.to_numeric(pdf[col], errors="coerce")
                     bad = coerced.isna() & ~pdf[col].isna()
+                    if dtype == "int64" and \
+                            pd.api.types.is_float_dtype(coerced):
+                        # an int64 target additionally rejects
+                        # non-integral ('1.7' would silently truncate),
+                        # non-finite ('inf' crashes astype and kills the
+                        # task — defeating the quarantine design), and
+                        # float64-unrepresentable magnitudes (beyond
+                        # 2^53 to_numeric has already rounded the value).
+                        # Skipped when to_numeric parsed exact ints —
+                        # integer dtypes are lossless by construction.
+                        vals = coerced.astype("float64")
+                        finite = np.isfinite(vals) & ~coerced.isna()
+                        nonint = (~coerced.isna()) & (
+                            ~finite | (vals != np.floor(vals)))
+                        # beyond 2^53 the float is ROUNDED, so the
+                        # value is ambiguous: re-parse the original
+                        # token exactly (batch composition must not
+                        # decide whether a representable int64 is kept)
+                        big = finite & ~nonint & (vals.abs() > 2.0 ** 53)
+                        if big.any():
+                            def _exact(v):
+                                try:
+                                    iv = int(str(v).strip())
+                                except (ValueError, TypeError):
+                                    return None
+                                return iv if -(2 ** 63) <= iv < 2 ** 63 \
+                                    else None
+                            exact = pdf[col][big].map(_exact)
+                            coerced = coerced.astype(object)
+                            coerced[big] = exact.values
+                            nonint |= big & coerced.isna()
+                        bad |= nonint
                     if bad.any():
                         if counters:
                             counters.coercion_errors.add(int(bad.sum()))
                         ok &= ~bad
+                    coerced = coerced.where(~bad)
                     pdf[col] = coerced
                 else:
                     pdf[col] = pdf[col].astype("object").where(

@@ -87,7 +87,12 @@ def native_search(searcher, params: dict[str, Any]) -> dict:
         if snippet_fields:
             snip = {}
             for f in snippet_fields:
-                frag = make_snippet(str(doc.get(f, "")), terms)
+                val = doc.get(f)
+                if not isinstance(val, str):
+                    # a NULL field must not render (and highlight!) as
+                    # the literal text 'None', nor lists as their reprs
+                    continue
+                frag = make_snippet(val, terms)
                 if frag:
                     snip[f] = [frag]
             if snip:

@@ -714,3 +714,102 @@ def test_lsh_bands_must_divide_num_hashes(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="must divide"):
         lsh_candidate_pairs(df, num_hashes=16, bands=3)
+
+
+def test_multimodal_null_blobs_and_string_ids(spark):
+    """Null blobs (MEDIA_SCHEMA allows them) null-propagate through
+    image_features/resize_images and yield no frames in frame_sample,
+    instead of bytes(None) killing the job; output schemas carry the id
+    column's REAL name and type, not a hardcoded 'id long'."""
+    from quickwit_spark.pipeline.multimodal import (
+        frame_sample, image_features, resize_images)
+
+    rows = [("m-1", b"x" * 64), ("m-2", None)]
+    df = spark.createDataFrame(rows, "media_id string, blob binary")
+    feats = image_features(df, id_col="media_id").toPandas() \
+        .set_index("media_id")
+    assert len(feats.loc["m-1", "feature"]) == 3
+    assert feats.loc["m-2", "feature"] is None
+    rz = resize_images(df, 2, 2, id_col="media_id").toPandas() \
+        .set_index("media_id")
+    assert rz.loc["m-2", "blob"] is None and rz.loc["m-1", "blob"]
+    fr = frame_sample(df, id_col="media_id").toPandas()
+    assert set(fr["media_id"]) == {"m-1"}
+
+
+def test_transform_int64_rejects_lossy_values(spark):
+    """int64 coercion quarantines non-integral ('1.7' silently became
+    1), non-finite ('inf' crashed the task), and float-rounded
+    magnitudes — they count as coercion_errors, not corrupt or crash."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.transform import process_docs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", "e"],
+        "n": ["3", "1.7", "inf", "9007199254740993999", "12"]}))
+    out = process_docs(df, required={"doc_id": "str", "n": "int64"}
+                       ).toPandas().set_index("doc_id")
+    # 'd' IS representable in int64: kept with the EXACT value (no
+    # float64 round-trip), independent of which rows share its batch
+    assert sorted(out.index) == ["a", "d", "e"]
+    assert out.loc["a", "n"] == 3 and out.loc["e", "n"] == 12
+    assert int(out.loc["d", "n"]) == 9007199254740993999
+
+
+def test_ann_training_tolerates_failure_rows(spark):
+    """train_ivf_centroids / train_pq_codebooks / lsh_bucket_topk must
+    not crash when the sample or first row is a null/ragged/NaN-element
+    embedding — the exact corpora the encode paths are hardened for."""
+    import numpy as np
+
+    from quickwit_spark.pipeline.similarity import (
+        lsh_bucket_topk, train_ivf_centroids, train_pq_codebooks)
+
+    rng = np.random.default_rng(2)
+    rows = [(0, None), (1, rng.standard_normal(5).tolist())]  # null FIRST
+    rows += [(i, rng.standard_normal(8).tolist()) for i in range(2, 30)]
+    rows[5] = (5, [1.0, float("nan"), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    # dim probed from the first NON-NULL row (len 5 -> ragged others
+    # filtered; use the majority-dim corpus for real training)
+    good = emb.where("vec_id >= 2")
+    cents = train_ivf_centroids(good, n_centroids=4, sample=100, seed=1)
+    assert cents.shape == (4, 8)
+    cb = train_pq_codebooks(good, m=4, ksub=4, sample=100, seed=1)
+    assert cb.shape == (4, 4, 2)
+    qdf = spark.createDataFrame(
+        [(rng.standard_normal(8).tolist(),)], "q array<double>")
+    out = lsh_bucket_topk(good, qdf, k=3, nbits=2)
+    assert out.count() <= 3
+
+
+def test_arrow_twins_null_element_rows(spark):
+    """A correct-length list with one null ELEMENT must not silently
+    argmin to centroid 0 on the Arrow path: null cid / sig 0 / null
+    code, matching the expression twins' null-dot behavior."""
+    import numpy as np
+
+    from quickwit_spark.pipeline.similarity import (
+        fixed_pq_codebooks, hyperplanes, ivf_assign_arrow,
+        pq_encode_arrow, signature_arrow)
+
+    dim = 8
+    rng = np.random.default_rng(9)
+    rows = [(0, rng.standard_normal(dim).tolist()),
+            (1, [0.5, None, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = rng.standard_normal((4, dim)).round(4)
+    got = {r["vec_id"]: r["_cid"]
+           for r in ivf_assign_arrow(emb, cents).collect()}
+    assert got[1] is None and got[0] is not None
+    planes = hyperplanes(dim, 4, seed=3)
+    sigs = {r["vec_id"]: r["_sig"]
+            for r in signature_arrow(emb, planes).collect()}
+    assert sigs[1] == 0
+    cb = fixed_pq_codebooks(dim, m=4, ksub=4, seed=2)
+    codes = {r["vec_id"]: r["pq_code"]
+             for r in pq_encode_arrow(emb, cb).collect()}
+    assert codes[1] is None and len(codes[0]) == 4

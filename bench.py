@@ -25,6 +25,19 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 
+def _median3(fn) -> float:
+    """Warm once, then 3 timed runs; the median — the ONE timing
+    protocol every query line uses (this shared-host VM shows up to 3x
+    run-to-run noise, see BENCH/BASELINE.md)."""
+    fn()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[1]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -34,6 +47,14 @@ def main() -> None:
                    or 0.1)
     except ValueError:
         sf = 0.1  # non-"sf<float>" dir names: label only, not an error
+
+    # executor python workers import engine.py themselves: the leaf
+    # partial-request cache must be disabled IN THEIR environment too,
+    # or the distributed comparisons (q8_* / bm25 rows) are served as
+    # dict hits after the first pass — mutating the driver module's
+    # LEAF_CACHE_MAX_ENTRIES never reaches forked workers. Must be set
+    # before the SparkSession (workers inherit the env at fork).
+    os.environ["QW_LEAF_CACHE_ENTRIES"] = "0"
 
     from pyspark.sql import SparkSession
 
@@ -138,7 +159,6 @@ def main() -> None:
     # (reader/termdict caches stay warm, as before); its hit latency is
     # reported separately as q_term_head_leafcached
     import quickwit_spark.search.engine as _eng
-    _leaf_cache_max = _eng.LEAF_CACHE_MAX_ENTRIES
     _eng.LEAF_CACHE_MAX_ENTRIES = 0
     lat_ms: list[float] = []
     for name, node in qset.items():
@@ -152,16 +172,14 @@ def main() -> None:
         runs.sort()
         queries[name] = round(runs[1], 4)
         lat_ms.extend(r * 1000 for r in runs)
-    _eng.LEAF_CACHE_MAX_ENTRIES = _leaf_cache_max
+    # explicit 512, NOT the saved pre-value: the env var above zeroes
+    # the module default for the whole process, but THIS measurement is
+    # the leaf cache's own hit latency
+    _eng.LEAF_CACHE_MAX_ENTRIES = 512
     _eng.clear_leaf_cache()
     node = qset["q_term_head"]
-    searcher.search(node, k=10, fetch_fields=False)  # populate
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        searcher.search(node, k=10, fetch_fields=False)
-        runs.append(time.perf_counter() - t0)
-    queries["q_term_head_leafcached"] = round(sorted(runs)[1], 4)
+    queries["q_term_head_leafcached"] = round(_median3(
+        lambda: searcher.search(node, k=10, fetch_fields=False)), 4)
     _eng.LEAF_CACHE_MAX_ENTRIES = 0
     lat_ms.sort()
     p50 = lat_ms[len(lat_ms) // 2]
@@ -172,14 +190,9 @@ def main() -> None:
     from quickwit_spark.search.engine import get_reader
     from quickwit_spark.search.wand import STATS
     node = qset["q_or2"]
-    searcher.search(node, k=10, fetch_fields=False, count_all=False)
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        searcher.search(node, k=10, fetch_fields=False, count_all=False)
-        runs.append(time.perf_counter() - t0)
-    runs.sort()
-    queries["q_or2_wand"] = round(runs[1], 4)
+    queries["q_or2_wand"] = round(_median3(
+        lambda: searcher.search(node, k=10, fetch_fields=False,
+                                count_all=False)), 4)
 
     # --- 2b. score-skewed corpus: the block-max WAND payoff case --------
     # log-normal doc lengths + bursty tf => BM25 score variance; an
@@ -218,14 +231,10 @@ def main() -> None:
         skew_searcher.search(q_or_skew, k=10, fetch_fields=False,
                              count_all=count_all)
         STATS["blocks_decoded"] = STATS["blocks_total"] = 0
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            skew_searcher.search(q_or_skew, k=10, fetch_fields=False,
-                                 count_all=count_all)
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        queries[name] = round(runs[1], 4)
+        queries[name] = round(_median3(
+            lambda: skew_searcher.search(q_or_skew, k=10,
+                                         fetch_fields=False,
+                                         count_all=count_all)), 4)
         if name == "q_or3_skew_wand" and STATS["blocks_total"]:
             wand_skip = 1 - STATS["blocks_decoded"] / STATS["blocks_total"]
 
@@ -254,14 +263,9 @@ def main() -> None:
             ("q_phrase_slop_pos", A.Phrase("content",
                                            f"{head_term} {head_term}",
                                            slop=2))]:
-        pos_searcher.search(node, k=10, fetch_fields=False)
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = pos_searcher.search(node, k=10, fetch_fields=False)
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        queries[name] = round(runs[1], 4)
+        queries[name] = round(_median3(
+            lambda: pos_searcher.search(node, k=10,
+                                        fetch_fields=False)), 4)
 
     # --- 2c. global term-partitioned layout over the skewed index ---------
     # (the 10^12-scale query path: O(#terms) partitions touched, block-max
@@ -279,27 +283,18 @@ def main() -> None:
                      ("q_global_or_wand", False)]:
         gsearch.search_terms(gterms, operator="or", k=10, count_all=ca)
         STATS["blocks_decoded"] = STATS["blocks_total"] = 0
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            gsearch.search_terms(gterms, operator="or", k=10,
-                                 count_all=ca)
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        queries[name] = round(runs[1], 4)
+        queries[name] = round(_median3(
+            lambda: gsearch.search_terms(gterms, operator="or", k=10,
+                                         count_all=ca)), 4)
         if name == "q_global_or_wand" and STATS["blocks_total"]:
             global_skip = 1 - (STATS["blocks_decoded"]
                                / STATS["blocks_total"])
 
     # single term on the global layout: bound-ordered fast path with the
     # exact metadata count
-    gsearch.search_terms([gterms[0]], operator="or", k=10)
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        gsearch.search_terms([gterms[0]], operator="or", k=10)
-        runs.append(time.perf_counter() - t0)
-    queries["q_global_term"] = round(sorted(runs)[1], 4)
+    queries["q_global_term"] = round(_median3(
+        lambda: gsearch.search_terms([gterms[0]], operator="or",
+                                     k=10)), 4)
 
     # incremental refresh (the 10^12-doc publish path): append a 5%
     # delta's rows to the term-partitioned layout WITHOUT re-shuffling
@@ -356,6 +351,10 @@ def main() -> None:
                           "build_positional", "q_phrase_pos",
                           "q_phrase_slop_pos", "q8_",
                           "q_term_head_leafcached",
+                          # refresh didn't exist in r1 — including it
+                          # silently inflated r3's headline by ~1.8 s
+                          # vs r1's
+                          "refresh_global_index",
                           "tok_"))]  # tok_* are MB/s rates, not seconds
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {

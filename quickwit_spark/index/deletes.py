@@ -101,7 +101,10 @@ def rewrite_segment_without(index_dir: str, parent: dict,
         "segment_id": segment_id,
         "partition_id": parent.get("partition_id", -1),
         "chunk_idx": parent.get("chunk_idx", -1),
-        "bytes_raw": int(parent.get("bytes_raw", 0)),
+        # scale by the surviving fraction: copying the parent's figure
+        # unchanged lets bytes_raw drift arbitrarily far above actual
+        # content across delete/merge cycles (merges SUM these)
+        "bytes_raw": int(parent.get("bytes_raw", 0) * n_new // n),
         "tags": parent.get("tags", {}),
         # parent bounds remain sound for the surviving subset
         "col_stats": parent.get("col_stats", {}),

@@ -160,30 +160,39 @@ def distributed_bool_topk_f64(searcher, terms: list[str],
                     for t in tlist:
                         docs |= set(per_term[t])
                 ext = r.doc_column(doc_id_col)
+                # sort by the ROUNDED score like the oracle SQL
+                # (ORDER BY round(score, 6) DESC, doc_id DESC): raw-f64
+                # ordering diverges at the k boundary for scores that
+                # tie only after rounding
                 rows = sorted(
                     ((sum(per_term[t][d] for t in tlist
                           if d in per_term[t]), int(ext[d]))
                      for d in docs),
-                    key=lambda x: (-x[0], -x[1]))[:k]
+                    key=lambda x: (-round(x[0], 6), -x[1]))[:k]
                 yield pd.DataFrame(
                     {"doc_id": [r2[1] for r2 in rows],
                      "score": [r2[0] for r2 in rows]})
 
     cand = seg_df.mapInPandas(score_leaf,
                               "doc_id long, score double").toPandas()
+    cand = cand.assign(score=cand["score"].round(ndigits))
     cand = cand.sort_values(["score", "doc_id"],
                             ascending=[False, False]).head(k)
     return pd.DataFrame({
         "doc_id": cand["doc_id"].astype("int64").to_numpy(),
-        "score": cand["score"].round(ndigits).to_numpy()})
+        "score": cand["score"].to_numpy()})
 
 
 def topk_df(scores: dict[int, float], doc_id_map: np.ndarray, k: int,
             ndigits: int = 6) -> pd.DataFrame:
-    """Top-k by (score desc, external doc id desc), score rounded."""
-    rows = sorted(((float(s), int(doc_id_map[d])) for d, s in scores.items()),
+    """Top-k by (ROUNDED score desc, external doc id desc) — the exact
+    key the oracle SQL orders by; sorting raw f64 first would pick a
+    different k-boundary row whenever two scores tie only after
+    rounding."""
+    rows = sorted(((round(float(s), ndigits), int(doc_id_map[d]))
+                   for d, s in scores.items()),
                   key=lambda r: (-r[0], -r[1]))[:k]
     return pd.DataFrame({
         "doc_id": [r[1] for r in rows],
-        "score": [round(r[0], ndigits) for r in rows],
+        "score": [r[0] for r in rows],
     })

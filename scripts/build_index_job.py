@@ -77,6 +77,12 @@ def main() -> None:
             args.partitions, "_pid")
     df = df.cache()
     n_docs = df.count()  # materialize: timing excludes generation/read
+    if n_docs == 0:
+        # sum() over zero rows is NULL: fail with a message instead of
+        # 'NoneType / float' after an empty build already ran
+        raise SystemExit(
+            "no input rows: nothing to index (input="
+            f"{args.input_table or args.input or 'synthetic'})")
     bytes_raw = df.selectExpr("sum(length(content))").collect()[0][0]
 
     if not args.no_warm:

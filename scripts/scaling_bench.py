@@ -148,8 +148,12 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--skip-ceiling", action="store_true")
     ap.add_argument("--skip-weak", action="store_true")
-    ap.add_argument("--out", default=os.path.join(ROOT, "BENCH",
-                                                  "BASELINE.md"))
+    # default to a FRESH generated path: an earlier default of
+    # BENCH/BASELINE.md silently destroyed the hand-maintained
+    # per-round evidence sections on any bare invocation
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--force", action="store_true",
+                    help="allow overwriting an existing --out file")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
@@ -256,6 +260,13 @@ def main() -> None:
         lines.append(json.dumps(ceiling))
     lines += ["```", ""]
 
+    if args.out is None:
+        args.out = os.path.join(ROOT, "BENCH",
+                                f"scaling_{args.docs}.md")
+    if os.path.exists(args.out) and not args.force:
+        raise SystemExit(
+            f"{args.out} exists; this file may hold hand-written "
+            "evidence — pass --force to overwrite or choose --out")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("\n".join(lines))

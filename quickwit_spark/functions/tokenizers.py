@@ -849,6 +849,46 @@ def chinese_compatible_tokenize(text: str, max_len: int = 255) -> list[str]:
     return [t.lower() for t in out if len(t) <= max_len]
 
 
+# process-local CJK segmentation dictionary for `multilang`
+# (words frozenset, max word length); None => bigram fallback
+_MULTILANG_DICT: tuple[frozenset, int] | None = None
+
+
+def register_multilang_dictionary(words) -> None:
+    """Dictionary-backed CJK segmentation for the `multilang` analyzer
+    — the reference's feature-gated Lindera path
+    (quickwit-query/src/tokenizers/mod.rs:94-102), re-expressed as
+    forward maximum matching (the classic public dictionary
+    segmentation: at each offset take the LONGEST dictionary word;
+    unmatched chars emit unigrams). Deterministic, no morphological
+    model needed; pass None/empty to reset to the bigram fallback.
+
+    Per-process registration like register_custom_analyzer: Spark
+    workers re-import modules, so register inside the UDF closure (or
+    a module it imports) for distributed builds."""
+    global _MULTILANG_DICT
+    ws = frozenset(w for w in (words or ()) if w)
+    _MULTILANG_DICT = (ws, max(len(w) for w in ws)) if ws else None
+
+
+def _segment_cjk_dict(run: str, out: list) -> None:
+    """Forward maximum matching of one CJK run against the registered
+    dictionary; single chars fall out as unigrams. Tokens occupy
+    consecutive positions (phrase adjacency stays exact, like the
+    bigram path)."""
+    ws, maxw = _MULTILANG_DICT
+    i, n = 0, len(run)
+    while i < n:
+        for ln in range(min(maxw, n - i), 1, -1):
+            if run[i:i + ln] in ws:
+                out.append(run[i:i + ln])
+                i += ln
+                break
+        else:
+            out.append(run[i])
+            i += 1
+
+
 def multilang_tokenize(text: str, max_len: int = 255) -> list[str]:
     """Multi-language tokenizer (reference registry entry `multilang`,
     quickwit-query/src/tokenizers/mod.rs:94-102 — feature-gated
@@ -871,7 +911,12 @@ def multilang_tokenize(text: str, max_len: int = 255) -> list[str]:
     cjk_run: list[str] = []
 
     def flush_cjk():
-        if len(cjk_run) == 1:
+        if _MULTILANG_DICT is not None and cjk_run:
+            # dictionary path (register_multilang_dictionary): forward
+            # maximum matching — real word boundaries instead of the
+            # recall-lossy bigram approximation
+            _segment_cjk_dict("".join(cjk_run), out)
+        elif len(cjk_run) == 1:
             out.append(cjk_run[0])
         elif cjk_run:
             out.extend(a + b for a, b in zip(cjk_run, cjk_run[1:]))

@@ -264,3 +264,43 @@ def test_batch_ids_hex_matches_string_path():
                   for d, c in zip(di.tolist(), codes.tolist()))
     want = Counter(zip(docs_s.tolist(), toks_s))
     assert got == want
+
+
+def test_multilang_dictionary_segmentation(tmp_path):
+    """Dictionary-backed multilang (the reference's feature-gated
+    Lindera path re-expressed as forward maximum matching): longest
+    dictionary word wins at each offset, unmatched chars emit
+    unigrams, tokens stay position-consecutive (phrase adjacency), and
+    clearing the dictionary restores the bigram fallback. End-to-end:
+    a dictionary-segmented index answers a word query."""
+    import pandas as pd
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.functions.tokenizers import (
+        multilang_tokenize, register_multilang_dictionary)
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    text = "東京大学の研究report 2024"
+    try:
+        register_multilang_dictionary(["東京", "大学", "東京大学", "研究"])
+        toks = multilang_tokenize(text)
+        # longest match: 東京大学 (not 東京+大学); の unmatched -> unigram
+        assert toks == ["東京大学", "の", "研究", "report", "2024"]
+
+        docs = [{"repo": "r", "path": "a.md", "commit": "c", "lang": "ja",
+                 "content": text},
+                {"repo": "r", "path": "b.md", "commit": "c", "lang": "ja",
+                 "content": "大学の図書館"}]
+        cfg = IndexConfig(index_uid="ml", index_dir=str(tmp_path / "ml"),
+                          sha_col=None, tokenizer="multilang")
+        build_index_pandas(pd.DataFrame(docs), cfg, num_partitions=1)
+        s = IndexSearcher(cfg.index_dir)
+        assert s.count("content:研究") == 1
+        assert s.count("content:大学") == 1      # b.md only: a.md has the
+        assert s.count("content:東京大学") == 1  # compound, not the parts
+    finally:
+        register_multilang_dictionary(None)
+    # fallback restored: adjacent-pair bigrams
+    assert multilang_tokenize("東京大学") == ["東京", "京大", "大学"]

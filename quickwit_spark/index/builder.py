@@ -498,14 +498,17 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
+    done = manifest.published_partitions()
+    todo = [p for p in range(num_partitions) if p not in done]
+    if not todo:
+        # COMPLETE index: idempotent no-op, including legacy indexes
+        # built before the router key existed (nothing will be resumed,
+        # so the routing scheme is irrelevant)
+        return manifest
     # pre-routed inputs must carry route_partitions-compatible _pid (the
     # content-addressed-segment identity documented below relies on it),
     # so both spark paths share the xxhash64 routing identity
     manifest.claim_router(f"spark-xxhash64/p{num_partitions}")
-    done = manifest.published_partitions()
-    todo = [p for p in range(num_partitions) if p not in done]
-    if not todo:
-        return manifest
 
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
@@ -584,6 +587,9 @@ def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
+    done = manifest.published_partitions()
+    if all(p in done for p in range(num_partitions)):
+        return manifest  # complete: idempotent no-op (router-agnostic)
     manifest.claim_router(f"pandas-sha256/p{num_partitions}")
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
@@ -591,7 +597,6 @@ def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
     route_cols = list(config.partition_cols or config.key_cols)
     keys = pdf[route_cols].astype(str).agg("\x00".join, axis=1)
     pids = np.array([_stable_hash(k) % num_partitions for k in keys])
-    done = manifest.published_partitions()
     rows_all = []
     delta = {}
     for p in range(num_partitions):

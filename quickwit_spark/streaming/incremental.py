@@ -32,6 +32,14 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
+    # attribute this index's integer checkpoint keys to the streaming
+    # scheme, so a later build_index/build_index_pandas resume attempt
+    # refuses loudly instead of colliding with batch-0 keys (0..N-1
+    # overlap the builder's partition range). grandfather=True: stream
+    # positions embed a per-batch content signature, so replay safety
+    # never depended on the routing hash — legacy streaming indexes
+    # (built before the router key existed) stay ingestable.
+    manifest.claim_router("stream-batch", grandfather=True)
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 

@@ -33,8 +33,10 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import tempfile
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import pandas as pd
@@ -73,12 +75,69 @@ class LocalDirQueue:
         self.visibility_sec = float(visibility_sec)
         self.now_fn = now_fn
         os.makedirs(root, exist_ok=True)
+        self._migrate_legacy_names()
 
     def _path(self, message_id: str) -> str:
         # ids are caller-supplied stable identities (the reference uses
         # file URIs) — percent-encode so '/' etc. cannot escape root
         from urllib.parse import quote
         return os.path.join(self.root, f"{quote(message_id, safe='')}.json")
+
+    def _migrate_legacy_names(self) -> None:
+        """One-time rename of pre-quoting message files to the canonical
+        percent-encoded name. Before _path() quoted, an id containing
+        ':' (or '/', which nested a subdirectory) landed at the raw
+        os.path.join location; ack/change_visibility computed against
+        the quoted path would miss those files forever (endless
+        redelivery) and a dedup re-send would duplicate them."""
+        with self._lock():
+            for dirpath, _dirs, names in os.walk(self.root):
+                for name in names:
+                    if not name.endswith(".json"):
+                        continue
+                    path = os.path.join(dirpath, name)
+                    try:
+                        with open(path) as f:
+                            m = json.load(f)
+                    except (OSError, json.JSONDecodeError, UnicodeDecodeError):
+                        continue
+                    mid = m.get("message_id")
+                    if not isinstance(mid, str):
+                        continue
+                    canon = self._path(mid)
+                    if (os.path.abspath(canon) != os.path.abspath(path)
+                            and not os.path.exists(canon)):
+                        os.replace(path, canon)
+
+    @contextmanager
+    def _lock(self):
+        """Exclusive queue-level flock serializing the read-modify
+        mutations (receive's deadline stamp, ack's delete,
+        change_visibility). With mutations serialized, each one can use
+        crash-atomic tmp-write + os.replace without the resurrection
+        race (a replace re-creating a file a concurrent ack just
+        os.remove'd) — and a consumer dying mid-rewrite releases the
+        flock and leaves the ORIGINAL file intact, so the message is
+        redelivered after its visibility deadline instead of being torn
+        on disk forever."""
+        with open(os.path.join(self.root, ".queue.lock"), "w") as lf:
+            try:
+                import fcntl
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # non-posix FS: single-consumer assumption
+            yield
+
+    def _atomic_rewrite(self, path: str, doc: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".msg-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     def send(self, payload: str, message_id: str | None = None) -> str:
         mid = message_id or uuid.uuid4().hex
@@ -95,53 +154,50 @@ class LocalDirQueue:
         at-least-once redelivery path)."""
         now = self.now_fn()
         out: list[QueueMessage] = []
-        for name in sorted(os.listdir(self.root)):
-            if not name.endswith(".json"):
-                continue
-            path = os.path.join(self.root, name)
-            # in-place r+ rewrite, NOT write-tmp + os.replace: a replace
-            # racing a concurrent ack's os.remove would re-create the
-            # deleted file and resurrect an already-processed message.
-            # Writing through the open fd after an unlink lands on the
-            # orphaned inode — harmless. A reader catching the torn
-            # moment sees JSONDecodeError and skips one poll round.
-            try:
-                f = open(path, "r+")
-            except OSError:
-                continue  # racing ack/enqueue
-            with f:
+        with self._lock():
+            for name in sorted(os.listdir(self.root)):
+                if not name.endswith(".json"):
+                    continue
+                path = os.path.join(self.root, name)
                 try:
-                    m = json.load(f)
+                    with open(path) as f:
+                        m = json.load(f)
+                except OSError:
+                    continue  # racing enqueue
                 except json.JSONDecodeError:
-                    continue  # torn concurrent rewrite: next poll
+                    continue  # legacy torn file (pre-atomic-rewrite)
                 if m["invisible_until"] > now:
                     continue
                 ack_id = uuid.uuid4().hex
                 m["invisible_until"] = now + self.visibility_sec
                 m["ack_id"] = ack_id
-                f.seek(0)
-                json.dump(m, f)
-                f.truncate()
-            out.append(QueueMessage(m["message_id"], ack_id, m["payload"]))
-            if len(out) >= max_messages:
-                break
+                # crash-atomic: a consumer dying here leaves the
+                # original file, not torn JSON — the message stays
+                # deliverable (the lock rules out the replace-vs-ack
+                # resurrection race)
+                self._atomic_rewrite(path, m)
+                out.append(QueueMessage(m["message_id"], ack_id,
+                                        m["payload"]))
+                if len(out) >= max_messages:
+                    break
         return out
 
     def ack(self, message: QueueMessage) -> bool:
         """Delete iff this delivery's receipt is still current (a lapsed
         visibility deadline invalidates the receipt, like SQS)."""
         path = self._path(message.message_id)
-        try:
-            with open(path) as f:
-                m = json.load(f)
-        except OSError:
-            return False  # already acked
-        if m.get("ack_id") != message.ack_id:
-            return False
-        try:
-            os.remove(path)
-        except FileNotFoundError:
-            return False  # concurrent ack won the race: already deleted
+        with self._lock():
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                return False  # already acked / legacy torn file
+            if m.get("ack_id") != message.ack_id:
+                return False
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                return False
         return True
 
     def change_visibility(self, message: QueueMessage,
@@ -149,26 +205,19 @@ class LocalDirQueue:
         """Extend/shrink this delivery's visibility deadline (SQS
         ChangeMessageVisibility — the reference's visibility.rs keeps
         long-indexing messages invisible by re-upping the deadline).
-        Fails if the receipt is no longer current. Rewrites in place
-        through one r+ fd (see receive) — a tmp-file os.replace racing a
-        concurrent ack's os.remove would re-create the file and
-        resurrect the acked message for one pointless redelivery."""
+        Fails if the receipt is no longer current. Crash-atomic
+        tmp+os.replace under the queue lock (see _lock)."""
         path = self._path(message.message_id)
-        try:
-            f = open(path, "r+")
-        except OSError:
-            return False
-        with f:
+        with self._lock():
             try:
-                m = json.load(f)
-            except json.JSONDecodeError:
-                return False  # torn concurrent rewrite
+                with open(path) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                return False  # acked / legacy torn file
             if m.get("ack_id") != message.ack_id:
                 return False
             m["invisible_until"] = self.now_fn() + float(timeout_sec)
-            f.seek(0)
-            json.dump(m, f)
-            f.truncate()
+            self._atomic_rewrite(path, m)
         return True
 
     def pending(self) -> int:

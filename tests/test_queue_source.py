@@ -293,37 +293,114 @@ def test_receipt_handle_survives_pipe_in_message_id(tmp_path):
 
 
 def test_change_visibility_cannot_resurrect_acked_message(tmp_path):
-    """A visibility heartbeat racing an ack must never re-create the
-    deleted message file. The rewrite goes through an r+ fd opened
-    BEFORE the ack's os.remove: the write lands on the orphaned inode.
-    Simulated by interleaving at exactly that point."""
+    """A visibility heartbeat with a receipt for an already-acked
+    message must fail and must NOT re-create the deleted file."""
     clk = _Clock()
     q = LocalDirQueue(str(tmp_path / "q"), visibility_sec=30,
                       now_fn=clk)
     q.send(_payload(0, 2), message_id="mx")
     (m,) = q.receive(max_messages=1)
-
-    import quickwit_spark.streaming.queue as qmod
-    real_open = open
-    state = {"done": False}
-
-    def racing_open(path, mode="r", *a, **kw):
-        f = real_open(path, mode, *a, **kw)
-        if mode == "r+" and not state["done"]:
-            state["done"] = True
-            assert q.ack(m)  # concurrent consumer acks mid-heartbeat
-        return f
-
-    qmod_open = qmod.open if hasattr(qmod, "open") else None
-    try:
-        qmod.open = racing_open
-        # heartbeat loses the race: reports stale/failed, file stays gone
-        q.change_visibility(m, 60)
-    finally:
-        if qmod_open is None:
-            del qmod.open
-        else:
-            qmod.open = qmod_open
+    assert q.ack(m)
+    assert not q.change_visibility(m, 60)  # stale receipt, file gone
     assert q.pending() == 0
     clk.t += 120
     assert q.receive(max_messages=10) == []  # nothing resurrected
+
+
+def test_ack_and_heartbeat_serialized_by_queue_lock(tmp_path):
+    """ack and change_visibility mutations are serialized by the queue
+    flock, so the heartbeat's tmp+os.replace can never interleave with
+    (and resurrect) a concurrent ack's os.remove. The heartbeat is
+    stalled mid-critical-section; a concurrent ack must block until it
+    finishes, then succeed against the refreshed file."""
+    import threading
+
+    clk = _Clock()
+    q = LocalDirQueue(str(tmp_path / "q"), visibility_sec=30, now_fn=clk)
+    q.send(_payload(0, 2), message_id="mx")
+    (m,) = q.receive(max_messages=1)
+
+    orig_rewrite = q._atomic_rewrite
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow_rewrite(path, doc):
+        entered.set()
+        assert release.wait(10)
+        orig_rewrite(path, doc)
+
+    q._atomic_rewrite = slow_rewrite
+    result = {}
+
+    def heartbeat():
+        result["hb"] = q.change_visibility(m, 60)
+
+    def acker():
+        assert entered.wait(10)
+        # restore before ack so ack's own path is untouched
+        q._atomic_rewrite = orig_rewrite
+        result["ack"] = q.ack(m)  # blocks on the flock until hb is done
+
+    t_hb = threading.Thread(target=heartbeat)
+    t_ack = threading.Thread(target=acker)
+    t_hb.start()
+    t_ack.start()
+    assert entered.wait(10)
+    release.set()
+    t_hb.join(20)
+    t_ack.join(20)
+    assert result["hb"] is True
+    assert result["ack"] is True  # receipt still current after heartbeat
+    assert q.pending() == 0
+    clk.t += 300
+    assert q.receive(max_messages=10) == []  # nothing resurrected
+
+
+def test_consumer_crash_mid_receive_leaves_message_deliverable(tmp_path):
+    """A consumer dying mid-rewrite (the exact crash the visibility
+    timeout exists to recover from) must not leave torn JSON on disk:
+    the original file survives intact and the message redelivers."""
+    clk = _Clock()
+    q = LocalDirQueue(str(tmp_path / "q"), visibility_sec=30, now_fn=clk)
+    q.send(_payload(0, 2), message_id="m1")
+
+    orig_rewrite = q._atomic_rewrite
+
+    def crashing(path, doc):
+        raise RuntimeError("consumer crash mid-rewrite")
+
+    q._atomic_rewrite = crashing
+    with pytest.raises(RuntimeError):
+        q.receive()
+    q._atomic_rewrite = orig_rewrite
+    # the deadline stamp never landed: immediately deliverable, intact
+    (m,) = q.receive()
+    assert m.message_id == "m1"
+    assert len(json.loads(m.payload)["docs"]) == 2
+    assert q.ack(m)
+
+
+def test_legacy_unquoted_message_files_migrated_on_open(tmp_path):
+    """Message files written before _path() percent-encoded ids (URI
+    ids with ':' landed at the raw join path) are renamed to the
+    canonical quoted name on queue open, so ack/change_visibility and
+    dedup re-sends address ONE file instead of missing it forever."""
+    import os
+
+    root = str(tmp_path / "q")
+    os.makedirs(root)
+    mid = "sqs:msg:42"
+    with open(os.path.join(root, f"{mid}.json"), "w") as f:
+        json.dump({"message_id": mid, "payload": _payload(0, 2),
+                   "invisible_until": 0.0}, f)
+    clk = _Clock()
+    q = LocalDirQueue(root, visibility_sec=30, now_fn=clk)
+    from urllib.parse import quote
+    names = set(os.listdir(root))
+    assert f"{quote(mid, safe='')}.json" in names
+    assert f"{mid}.json" not in names
+    (m,) = q.receive()
+    assert m.message_id == mid
+    assert q.change_visibility(m, 5)  # addresses the migrated file
+    assert q.ack(m)
+    assert q.pending() == 0

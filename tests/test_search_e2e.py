@@ -518,3 +518,60 @@ def test_claim_router_refuses_mixed_resume(built, tmp_path):
         Manifest.load(cfg.index_dir).claim_router("spark-xxhash64/p4")
     # same router re-claims fine (resume path)
     Manifest.load(cfg.index_dir).claim_router("pandas-sha256/p4")
+
+
+def test_rerun_on_completed_legacy_index_is_noop(tmp_path):
+    """A COMPLETE index built before the router key existed must keep
+    its old contract: re-running the builder is an idempotent no-op,
+    not a hard failure (nothing is resumed, so the routing scheme is
+    irrelevant). A PARTIAL legacy index must still refuse."""
+    from quickwit_spark.index.manifest import Manifest
+
+    pdf = corpus_pandas(40, seed=7)
+    cfg = IndexConfig(index_uid="legacy", index_dir=str(tmp_path / "lg"))
+    m = build_index_pandas(pdf, cfg, num_partitions=2)
+    # simulate a pre-router-era manifest
+    del m.data["router"]
+    m.data["version"] += 1
+    m._write()
+
+    m2 = build_index_pandas(pdf, cfg, num_partitions=2)  # no-op rerun
+    assert "router" not in m2.data
+    assert {s["segment_id"] for s in m2.segments()} == \
+        {s["segment_id"] for s in m.segments()}
+
+    # partial legacy index: resume is unprovable -> loud refusal
+    del m2.data["checkpoints"]["1"]
+    m2.data["version"] += 1
+    m2._write()
+    with pytest.raises(ValueError, match="no recorded router"):
+        build_index_pandas(pdf, cfg, num_partitions=2)
+
+
+def test_streaming_index_claims_router_and_builders_refuse(tmp_path):
+    """ingest_batch attributes its integer checkpoint keys to the
+    'stream-batch' router (grandfathering legacy streaming indexes), so
+    a builder resume over a streaming index refuses loudly instead of
+    colliding with batch-0 keys."""
+    import hashlib as _h
+
+    from quickwit_spark.index.manifest import Manifest
+
+    cfg = IndexConfig(index_uid="st", index_dir=str(tmp_path / "st"))
+    m = Manifest.load_or_create(cfg.index_dir, cfg.index_uid,
+                                cfg.manifest_config())
+    # legacy streaming index: integer keys, no router recorded
+    sig = _h.sha256(b"").hexdigest()[:12]
+    m.publish([], checkpoint_delta={
+        p: (None, f"batch=0;docs=0;ids={sig}") for p in range(4)})
+    assert "router" not in m.data
+
+    # the streaming claimant grandfathers the existing keys
+    m.claim_router("stream-batch", grandfather=True)
+    assert Manifest.load(cfg.index_dir).data["router"] == "stream-batch"
+
+    # a builder over the same index must refuse (batch-0 keys overlap
+    # the builder's 0..N-1 partition range)
+    pdf = corpus_pandas(20, seed=3)
+    with pytest.raises(ValueError, match="routed with"):
+        build_index_pandas(pdf, cfg, num_partitions=8)

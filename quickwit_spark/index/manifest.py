@@ -127,7 +127,7 @@ class Manifest:
                     self.data = fresh
             yield
 
-    def claim_router(self, router: str, grandfather: bool = False) -> None:
+    def claim_router(self, router: str) -> None:
         """Record (or validate) the partition-routing scheme that
         produced this index's integer per-partition checkpoints.
 
@@ -137,21 +137,16 @@ class Manifest:
         under the OTHER scheme (or another partition count) would
         silently duplicate documents (re-routed into a not-yet-published
         partition) and drop documents (re-routed into an already
-        published one) — refuse instead. Queue/Kafka sources use string
-        checkpoint keys and are unaffected.
-
-        grandfather=True attributes EXISTING unclaimed integer
-        checkpoints to `router` instead of refusing. Only sound for
-        claimants whose replay safety does not depend on the routing
-        function — ingest_batch's stream keys embed a content signature
-        per position, so a replay is proven by position equality, not by
-        which hash routed the docs. Builders must never pass it."""
+        published one) — refuse instead. Queue/Kafka/stream-batch
+        sources use string checkpoint keys and are unaffected. Builders
+        call this only when there is real work to resume — a COMPLETE
+        index (legacy pre-router manifests included) reruns as a
+        no-op."""
         with self._locked_fresh():
             cur = self.data.get("router")
             if cur == router:
                 return
-            if cur is None and (grandfather
-                                or not self.published_partitions()):
+            if cur is None and not self.published_partitions():
                 self.data["router"] = router
                 self.data["version"] += 1
                 self._write()

@@ -370,24 +370,112 @@ def plan_merges(segments: list[dict],
     return ops
 
 
+def _virtual_child_meta(parents: list[dict]) -> dict:
+    """Metadata a merge of `parents` WOULD publish, restricted to the
+    fields the policy and the mapping grouper read — enough to simulate
+    merge rounds without executing them. The id uses the same
+    content-addressed scheme as merge_segments so the simulation is
+    deterministic and order-stable."""
+    h = hashlib.sha256(("merge:" + ":".join(
+        p["segment_id"] for p in parents)).encode())
+    first = parents[0]
+    tes = [p.get("time_end") for p in parents]
+    tes = [t for t in tes if t is not None]
+    return {
+        "segment_id": f"seg-{h.hexdigest()[:20]}",
+        "num_docs": int(sum(p["num_docs"] for p in parents)),
+        "num_merge_ops": max(p.get("num_merge_ops", 0)
+                             for p in parents) + 1,
+        "time_end": max(tes) if tes else None,
+        "schema_rev": first["schema_rev"],
+        "tokenizer": first["tokenizer"],
+        "record": first.get("record", "freq"),
+        "fieldnorms": first.get("fieldnorms", True),
+        "field_types": first.get("field_types", {}),
+    }
+
+
+def plan_merges_batch(segments: list[dict], policy: StableLogMergePolicy,
+                      max_rounds: int = 100) -> list[MergeOperation]:
+    """Transitive (batch-mode) planning: simulate the policy's merge
+    rounds on metadata alone, then emit ONE operation per FINAL merged
+    segment over its transitive LEAF parents.
+
+    The reference's planner is continuous — splits arrive over time, so
+    it must merge level by level as each level fills
+    (stable_log_merge_policy.rs:99-150). A batch compaction sees the
+    whole backlog upfront, so the level-by-level intermediates are pure
+    write amplification: every doc would be decoded+re-spliced once per
+    level (2-3x at 10M docs). Skipping them rewrites each doc exactly
+    once.
+
+    The merged POSTING BYTES are identical to the round-by-round
+    result: a splice of a splice is the same per-term run concatenation
+    in the same global parent order, and block metadata is recomputed
+    from the same decoded arrays (pinned by
+    test_batch_flat_equals_rounds_bytes). Only the lineage metadata
+    differs — segment ids hash the leaf ids, and num_merge_ops honestly
+    records the ONE rewrite that actually happened (which keeps
+    ConstWriteAmplification's rewrite accounting truthful).
+    """
+    current: dict[str, dict] = {s["segment_id"]: dict(s)
+                                for s in segments}
+    leaves: dict[str, list[dict]] = {s["segment_id"]: [s]
+                                     for s in segments}
+    virtual: list[str] = []  # creation order
+    for _ in range(max_rounds):
+        ops = plan_merges(list(current.values()), policy)
+        if not ops:
+            break
+        for op in ops:
+            child = _virtual_child_meta(op.segments)
+            flat: list[dict] = []
+            for p in op.segments:
+                flat.extend(leaves.pop(p["segment_id"]))
+                del current[p["segment_id"]]
+            leaves[child["segment_id"]] = flat
+            current[child["segment_id"]] = child
+            virtual.append(child["segment_id"])
+    # only SURVIVING virtual children become real operations (an
+    # intermediate consumed by a later round is skipped — that's the
+    # whole point); creation order keeps the result deterministic
+    return [MergeOperation(leaves[sid]) for sid in virtual
+            if sid in current]
+
+
 def run_merges(index_dir: str, spark=None,
                policy: StableLogMergePolicy | None = None,
                max_rounds: int = 100,
-               max_docs_in_flight: int | None = None) -> int:
+               max_docs_in_flight: int | None = None,
+               batch: bool = True) -> int:
     """Drive merge rounds until the policy is satisfied (hierarchical
     merge; each round publishes atomically, replacing parents).
 
+    batch=True (default) uses transitive planning (plan_merges_batch):
+    each doc is rewritten once, straight into its final segment,
+    instead of once per level — byte-identical postings, 2-3x less
+    wall/IO on a deep backlog. batch=False replays the reference's
+    continuous level-by-level rounds (kept for parity tests and for
+    callers feeding segments incrementally).
+
     max_docs_in_flight bounds executor memory: a merge op decodes all
     its parents' postings, so its working set scales with the op's doc
-    count. Ops are greedily packed into waves whose total doc count
-    stays under the budget (each wave is one Spark job); the reference
-    bounds the same resource with merge_concurrency / merge memory
-    budgets (merge_pipeline.rs). None = all ops in one wave."""
+    count (~2-3 KB per doc at ~80 tokens/doc). Ops are greedily packed
+    into waves whose total doc count stays under the budget (each wave
+    is one Spark job, ops are independent tasks); the reference bounds
+    the same resource with merge_concurrency / merge memory budgets
+    (merge_pipeline.rs). On a multi-executor cluster the budget is
+    per-executor-task anyway (each op is one task), so the wave budget
+    matters mainly for single-host local mode. None = all ops in one
+    wave."""
     policy = policy or StableLogMergePolicy()
     total_ops = 0
     for _ in range(max_rounds):
         manifest = Manifest.load(index_dir)
-        ops = plan_merges(manifest.segments(), policy)
+        if batch:
+            ops = plan_merges_batch(manifest.segments(), policy)
+        else:
+            ops = plan_merges(manifest.segments(), policy)
         if not ops:
             break
         if spark is not None:

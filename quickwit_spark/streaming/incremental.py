@@ -32,14 +32,6 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
-    # attribute this index's integer checkpoint keys to the streaming
-    # scheme, so a later build_index/build_index_pandas resume attempt
-    # refuses loudly instead of colliding with batch-0 keys (0..N-1
-    # overlap the builder's partition range). grandfather=True: stream
-    # positions embed a per-batch content signature, so replay safety
-    # never depended on the routing hash — legacy streaming indexes
-    # (built before the router key existed) stay ingestable.
-    manifest.claim_router("stream-batch", grandfather=True)
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 
@@ -68,44 +60,67 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
         # segment ids: position equality then PROVES an exact replay, and
         # stays provable after the segments themselves are merged or
         # vacuumed away (a presence check on manifest['segments'] would
-        # re-raise on a benign replay of a since-compacted batch)
+        # re-raise on a benign replay of a since-compacted batch).
+        # Keys are NAMESPACED ("stream-<p>"): bare integer keys collided
+        # with build_index's partition checkpoints (batch 0 writes
+        # 0..N-1), corrupting a later builder resume over the same index
         sig = hashlib.sha256("|".join(prows).encode()).hexdigest()[:12]
-        delta[p] = (None, f"batch={batch_id};docs={nd};ids={sig}")
+        delta[f"stream-{p}"] = (None, f"batch={batch_id};docs={nd};ids={sig}")
+
+    def _matches(stored, to):
+        return stored == to or stored == to.rsplit(";ids=", 1)[0]
+
+    # LEGACY replay check: indexes written before keys were namespaced
+    # hold bare integer keys. A replay must be skipped; a batch-id
+    # collision over DIFFERENT data (stream restarted with a fresh Spark
+    # checkpoint dir) must raise, not silently drop the batch.
+    legacy = {p: manifest.checkpoint(p)
+              for p in range(base, base + partitions_per_batch)
+              if manifest.checkpoint(p) is not None}
+    if legacy:
+        if all(_matches(legacy.get(int(k.split("-", 1)[1]), to), to)
+               for k, (_f, to) in delta.items()):
+            _cleanup_replayed_segments(manifest, segments_root, rows)
+            return
+        raise CheckpointConflict(
+            f"batch {batch_id} collides with legacy stream checkpoints "
+            f"over different data: {legacy}")
     try:
         manifest.publish(rows, checkpoint_delta=delta)
     except CheckpointConflict:
-        # Only an EXACT replay is benign. A batch-id collision that is
-        # NOT a replay (stream restarted with a fresh Spark checkpoint
-        # dir, so batch ids restart at 0 over different data) must NOT
-        # be swallowed — that would silently drop the batch. Positions
-        # written before the ids= suffix existed are accepted by their
-        # prefix (same strength the old format had).
-        def _is_replay(p, to):
-            stored = manifest.checkpoint(p)
-            return stored == to or stored == to.rsplit(";ids=", 1)[0]
-        if not all(_is_replay(p, to) for p, (_f, to) in delta.items()):
+        # Only an EXACT replay is benign. Positions written before the
+        # ids= suffix existed are accepted by their prefix (same
+        # strength the old format had).
+        def _is_replay(k, to):
+            return _matches(manifest.checkpoint(k), to)
+        if not all(_is_replay(k, to) for k, (_f, to) in delta.items()):
             raise
         # upgrade accepted legacy-format positions (no ids= suffix) to
         # the full position IN PLACE: otherwise a later non-replay
         # batch-id collision with an equal doc count would keep matching
         # the weak prefix forever and be silently swallowed
         upgrade = {}
-        for p, (_f, to) in delta.items():
-            stored = manifest.checkpoint(p)
+        for k, (_f, to) in delta.items():
+            stored = manifest.checkpoint(k)
             if stored != to and stored == to.rsplit(";ids=", 1)[0]:
-                upgrade[p] = (stored, to)
+                upgrade[k] = (stored, to)
         if upgrade:
             manifest.publish([], checkpoint_delta=upgrade)
-        # the replay re-wrote segment files before the publish was
-        # rejected; if the originals were merged/vacuumed away since,
-        # those dirs are referenced by nothing — remove them instead of
-        # leaking full posting/doc data on every post-compaction replay
-        import shutil
-        for r in rows:
-            if r["segment_id"] not in manifest.data["segments"]:
-                shutil.rmtree(
-                    os.path.join(segments_root, r["segment_id"]),
-                    ignore_errors=True)
+        _cleanup_replayed_segments(manifest, segments_root, rows)
+
+
+def _cleanup_replayed_segments(manifest: Manifest, segments_root: str,
+                               rows: list[dict]) -> None:
+    """A replay re-wrote segment files before its publish was rejected;
+    if the originals were merged/vacuumed away since, those dirs are
+    referenced by nothing — remove them instead of leaking full
+    posting/doc data on every post-compaction replay."""
+    import shutil
+    for r in rows:
+        if r["segment_id"] not in manifest.data["segments"]:
+            shutil.rmtree(
+                os.path.join(segments_root, r["segment_id"]),
+                ignore_errors=True)
 
 
 def start_ingest_stream(spark, input_path: str, config: IndexConfig,

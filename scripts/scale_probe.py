@@ -107,9 +107,13 @@ def main() -> None:
             return
 
         t0 = time.perf_counter()
-        # bound merge memory: each in-flight doc costs ~25 decoded bytes
-        # in the merge working set; 4M docs in flight ~= a few GB/exec
-        run_merges(index_dir, spark=spark, max_docs_in_flight=4_000_000)
+        # bound merge memory: each in-flight doc costs ~2-3 KB decoded
+        # in the merge working set (80-token docs), so 12M docs in
+        # flight ~= 30 GB across python workers — fits this 128 GiB
+        # host and lets the two final ~5M-doc ops run CONCURRENTLY
+        # instead of as serial singleton waves. On a real cluster the
+        # budget is per-task (each op is one task); see run_merges.
+        run_merges(index_dir, spark=spark, max_docs_in_flight=12_000_000)
         out["merge_hierarchy_sec"] = round(time.perf_counter() - t0, 3)
 
         if not args.skip_global:

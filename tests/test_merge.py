@@ -232,6 +232,43 @@ def test_run_merges_multi_wave_equivalent(tmp_path, spark):
     assert len(layouts[0]) < 16
 
 
+def test_batch_flat_equals_rounds_bytes(tmp_path):
+    """Transitive batch planning (each doc rewritten ONCE, straight to
+    its final segment) must produce byte-identical postings/termdict/
+    docs content to the reference-shaped level-by-level rounds — a
+    splice of a splice is the same concatenation. Only lineage metadata
+    (segment ids, parents, num_merge_ops) may differ."""
+    import hashlib
+
+    pdf = corpus_pandas(960, seed=5)
+
+    def pol():
+        return StableLogMergePolicy(MergePolicyConfig(
+            merge_factor=3, max_merge_factor=3, min_level_num_docs=10,
+            split_num_docs_target=1_000_000))
+
+    hashes, nops = {}, {}
+    for sub, batch in (("rounds", False), ("flat", True)):
+        cfg = IndexConfig(index_uid="bf", index_dir=str(tmp_path / sub))
+        build_index_pandas(pdf, cfg, num_partitions=27)
+        nops[sub] = run_merges(cfg.index_dir, policy=pol(), batch=batch)
+        segs = Manifest.load(cfg.index_dir).segments()
+        assert sum(s["num_docs"] for s in segs) == 960
+        tr = []
+        for s in segs:
+            d = os.path.join(cfg.index_dir, "segments", s["segment_id"])
+            tr.append(tuple(
+                hashlib.sha256(
+                    open(os.path.join(d, f), "rb").read()).hexdigest()
+                for f in ("postings.parquet", "termdict.parquet",
+                          "docs.parquet")))
+        hashes[sub] = sorted(tr)
+    assert hashes["rounds"] == hashes["flat"]
+    # flat mode must actually skip the intermediate levels
+    assert nops["flat"] < nops["rounds"]
+    assert nops["flat"] >= 1
+
+
 def test_merge_of_all_empty_parents(tmp_path):
     """A merge group where EVERY parent is a valid zero-postings segment
     (all-blank text; StableLog groups by num_docs so they can land

@@ -412,6 +412,44 @@ def test_batch_id_collision_not_swallowed(spark, tmp_path):
     assert IndexSearcher(cfg.index_dir).count("*") == 6
 
 
+def test_ingest_batch_legacy_integer_keys_replay(spark, tmp_path):
+    """Indexes written before stream checkpoint keys were namespaced
+    hold bare integer keys: a replay against them must stay idempotent
+    (skip, no duplicate docs), and a batch-id collision over different
+    data must still raise."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.manifest import CheckpointConflict, Manifest
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    cfg = IndexConfig(index_uid="lk", index_dir=str(tmp_path / "lk"),
+                      sha_col=None)
+
+    def docs(tag, n):
+        return spark.createDataFrame(pd.DataFrame({
+            "repo": ["r"] * n, "path": [f"{tag}{i}" for i in range(n)],
+            "commit": ["c"] * n, "lang": ["py"] * n,
+            "content": [f"{tag} body {i}" for i in range(n)]}))
+
+    ingest_batch(docs("a", 6), cfg, batch_id=0, partitions_per_batch=2)
+    # rewrite the manifest to the LEGACY key format (bare integers)
+    m = Manifest.load(cfg.index_dir)
+    cps = m.data["checkpoints"]
+    m.data["checkpoints"] = {k.split("-", 1)[1]: v for k, v in cps.items()}
+    m.data["version"] += 1
+    m._write()
+    assert set(Manifest.load(cfg.index_dir).data["checkpoints"]) == \
+        {"0", "1"}
+
+    # exact replay against legacy keys: skipped, idempotent
+    ingest_batch(docs("a", 6), cfg, batch_id=0, partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 6
+    # collision over different data: loud
+    with pytest.raises(CheckpointConflict):
+        ingest_batch(docs("b", 6), cfg, batch_id=0,
+                     partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 6
+
+
 def test_dup_clusters_string_ids(spark):
     """Connected components must work on STRING doc ids (repo/path keys)
     — the old cast('long') crashed under ANSI or nulled every label."""

@@ -548,30 +548,32 @@ def test_rerun_on_completed_legacy_index_is_noop(tmp_path):
         build_index_pandas(pdf, cfg, num_partitions=2)
 
 
-def test_streaming_index_claims_router_and_builders_refuse(tmp_path):
-    """ingest_batch attributes its integer checkpoint keys to the
-    'stream-batch' router (grandfathering legacy streaming indexes), so
-    a builder resume over a streaming index refuses loudly instead of
-    colliding with batch-0 keys."""
+def test_stream_checkpoint_keys_namespaced_from_builder(tmp_path):
+    """ingest_batch checkpoint keys are namespaced ('stream-<p>'), so
+    they never collide with the builder's integer partition keys: a
+    builder over a previously-streamed index builds normally instead of
+    mistaking batch-0 stream keys 0..N-1 for its own checkpoints, and
+    legacy bare-integer stream keys (pre-namespace indexes) are still
+    recognized as replays."""
     import hashlib as _h
 
-    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.index.manifest import (CheckpointConflict,
+                                               Manifest)
+    from quickwit_spark.streaming.incremental import \
+        _cleanup_replayed_segments  # noqa: F401  (import sanity)
 
     cfg = IndexConfig(index_uid="st", index_dir=str(tmp_path / "st"))
     m = Manifest.load_or_create(cfg.index_dir, cfg.index_uid,
                                 cfg.manifest_config())
-    # legacy streaming index: integer keys, no router recorded
+    # modern streaming index: namespaced keys only
     sig = _h.sha256(b"").hexdigest()[:12]
     m.publish([], checkpoint_delta={
-        p: (None, f"batch=0;docs=0;ids={sig}") for p in range(4)})
-    assert "router" not in m.data
+        f"stream-{p}": (None, f"batch=0;docs=0;ids={sig}")
+        for p in range(4)})
+    assert m.published_partitions() == set()  # invisible to builders
 
-    # the streaming claimant grandfathers the existing keys
-    m.claim_router("stream-batch", grandfather=True)
-    assert Manifest.load(cfg.index_dir).data["router"] == "stream-batch"
-
-    # a builder over the same index must refuse (batch-0 keys overlap
-    # the builder's 0..N-1 partition range)
+    # the builder proceeds normally: no integer keys to mis-resume
     pdf = corpus_pandas(20, seed=3)
-    with pytest.raises(ValueError, match="routed with"):
-        build_index_pandas(pdf, cfg, num_partitions=8)
+    m2 = build_index_pandas(pdf, cfg, num_partitions=2)
+    assert m2.data["router"] == "pandas-sha256/p2"
+    assert m2.published_partitions() == {0, 1}

@@ -339,35 +339,40 @@ def porter_stem(w: str) -> str:
 # Vectorized batch tokenization (indexing hot path)
 # ---------------------------------------------------------------------------
 
-_NONASCII_CLASS_CACHE: dict[int, int] = {}
-
 # 256-entry class LUT for the ASCII/latin-1 fast path (one np.take pass,
 # 1 byte per char instead of 4 — memory traffic is the bottleneck)
 _CLS_LUT8 = np.zeros(256, dtype=np.int8)
 for _i in range(256):
     _CLS_LUT8[_i] = _char_type(chr(_i))
 
+# dense lazily-filled full-plane LUT (0x110000 int8 = ~1.1 MB): value is
+# the char class, with bit 2 (_CJK_BIT) set for chars in the CJK ranges.
+# -1 = not classified yet. Python touches each distinct codepoint ONCE
+# per process; every later occurrence is a single np.take — the
+# unique+searchsorted scheme this replaces was still ~40% of the CJK
+# batch wall.
+_CJK_BIT = 4
+_CLS_LUT_FULL = np.full(0x110000, -1, dtype=np.int8)
+_CLS_LUT_FULL[:256] = _CLS_LUT8
+
+
+def _classify_codes_full(codes: np.ndarray) -> np.ndarray:
+    """One-pass codepoint -> (class | CJK bit) via the dense LUT."""
+    out = _CLS_LUT_FULL[codes]
+    miss = out < 0
+    if miss.any():
+        for cp in np.unique(codes[miss]).tolist():
+            v = _char_type(chr(cp))
+            if _is_cjk(cp):
+                v |= _CJK_BIT
+            _CLS_LUT_FULL[cp] = v
+        out = _CLS_LUT_FULL[codes]
+    return out
+
 
 def _classify_codes(codes: np.ndarray) -> np.ndarray:
-    """Map UTF-32 codepoints to char classes, vectorized for ASCII."""
-    cls = np.zeros(codes.shape, dtype=np.int8)
-    cls[(codes >= 65) & (codes <= 90)] = UPPER
-    cls[(codes >= 97) & (codes <= 122)] = LOWER
-    cls[(codes >= 48) & (codes <= 57)] = DIGIT
-    hi = codes > 127
-    if hi.any():
-        hi_codes = codes[hi]
-        uniq = np.unique(hi_codes)
-        lut = {}
-        for cp in uniq.tolist():
-            t = _NONASCII_CLASS_CACHE.get(cp)
-            if t is None:
-                t = _char_type(chr(cp))
-                _NONASCII_CLASS_CACHE[cp] = t
-            lut[cp] = t
-        mapped = np.array([lut[cp] for cp in hi_codes.tolist()], dtype=np.int8)
-        cls[hi] = mapped
-    return cls
+    """Map UTF-32 codepoints to char classes, vectorized."""
+    return _classify_codes_full(codes) & ~np.int8(_CJK_BIT)
 
 
 _SEP = "\x00"
@@ -403,6 +408,44 @@ def _spans_to_sentinel_string(big: str, codes: np.ndarray, cls: np.ndarray,
     if out.dtype == np.uint8:
         return out.tobytes().decode("ascii")
     return out.tobytes().decode("utf-32-le")
+
+
+def _token_spans(nondelim: np.ndarray, breaks: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Token [start, end) spans from the nondelim mask + internal break
+    positions. run_starts and breaks are each sorted and disjoint (a
+    break has a nondelim left neighbor, so it is never a run start):
+    scatter-merge them in O(n) instead of sorting every position, and
+    derive each element's run index during the merge instead of a
+    second full-length searchsorted."""
+    run_start_mask = nondelim.copy()
+    run_start_mask[1:] &= ~nondelim[:-1]
+    run_starts = np.nonzero(run_start_mask)[0]
+    run_end_mask = nondelim.copy()
+    run_end_mask[:-1] &= ~nondelim[1:]
+    run_ends = np.nonzero(run_end_mask)[0] + 1  # exclusive
+    if breaks.size:
+        nb, nr = breaks.size, run_starts.size
+        ins = np.searchsorted(run_starts, breaks, side="right")
+        starts = np.empty(nr + nb, dtype=np.int64)
+        run_idx = np.empty(nr + nb, dtype=np.int64)
+        bpos = ins + np.arange(nb)
+        mask = np.ones(nr + nb, dtype=bool)
+        mask[bpos] = False
+        starts[mask] = run_starts
+        starts[bpos] = breaks
+        run_idx[mask] = np.arange(nr)
+        run_idx[bpos] = ins - 1
+    else:
+        starts = run_starts
+        run_idx = np.arange(run_starts.size, dtype=np.int64)
+    rends = run_ends[run_idx]
+    ends = np.empty_like(starts)
+    if len(starts) > 1:
+        ends[:-1] = np.minimum(starts[1:], rends[:-1])
+    if len(starts):
+        ends[-1] = rends[-1]
+    return starts, ends
 
 
 def _code_class_breaks(cls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -496,6 +539,119 @@ def _hex_class_breaks(codes: np.ndarray,
     return nondelim, breaks
 
 
+def _cjk_mask_vec(codes: np.ndarray) -> np.ndarray:
+    """Vectorized _is_cjk over UTF-32 codepoints (via the dense LUT —
+    one take pass instead of ten range comparisons)."""
+    return (_classify_codes_full(codes) & _CJK_BIT) != 0
+
+
+def _chinese_breaks(codes: np.ndarray, cls: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """chinese_compatible as (nondelim, breaks, cls) for the shared
+    vectorized pipeline: every CJK char is its own token, so a break
+    lands before any nondelim char whose left neighbor or self is CJK.
+    The returned cls promotes CJK codepoints to a letter class — the
+    scalar tokenizer emits EVERY char in the CJK ranges, including
+    non-alphanumeric ones (unassigned points), so they must not be
+    treated as delimiters. ASCII batches cannot contain CJK — pure
+    simple-tokenizer breaks."""
+    if codes.dtype == np.uint8 or codes.size == 0:
+        return cls != DELIM, np.zeros(0, dtype=np.int64), cls
+    cjk = _cjk_mask_vec(codes)
+    cls = np.where(cjk, np.int8(LOWER), cls)
+    nondelim = cls != DELIM
+    br = np.zeros(codes.shape, dtype=bool)
+    br[1:] = nondelim[1:] & nondelim[:-1] & (cjk[1:] | cjk[:-1])
+    return nondelim, np.nonzero(br)[0], cls
+
+
+def _multilang_batch(texts: list[str], max_len: int
+                     ) -> tuple[np.ndarray, list[str]]:
+    """Vectorized multilang analyzer: simple alnum runs for non-CJK
+    text + CONSECUTIVE-position CJK bigrams (unigram for isolated CJK
+    chars), exactly multilang_tokenize's semantics. Bigrams overlap, so
+    they can't ride the sentinel-split trick — they are gathered as a
+    (nbigrams, 2) codepoint matrix and decoded in one pass instead.
+    Property-tested equal to the scalar function (test_tokenizer)."""
+    big = _SEP.join(texts)
+    if big.isascii():
+        # no CJK possible: identical to the simple tokenizer + lowercase
+        return tokenize_batch(texts, analyzer="default", max_len=max_len)
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
+    cls = _classify_codes(codes)
+    nondelim = cls != DELIM
+    cjk = _cjk_mask_vec(codes)
+    if cjk.any() and _MULTILANG_DICT is not None:
+        # dictionary segmentation (forward maximum matching) keeps the
+        # per-doc scalar path — stateful longest-match over a frozenset
+        toks, docs = [], []
+        for i, t in enumerate(texts):
+            parts = multilang_tokenize(t, max_len)
+            toks.extend(parts)
+            docs.extend([i] * len(parts))
+        return np.asarray(docs, dtype=np.int64), toks
+
+    # --- non-CJK word tokens via the sentinel split (CJK acts as SEP)
+    word = nondelim & ~cjk
+    word_cls = np.where(word, LOWER, DELIM).astype(np.int8)
+    sentinel = _spans_to_sentinel_string(big, codes, word_cls,
+                                         np.zeros(0, dtype=np.int64))
+    lowered = sentinel.lower()
+    wtoks = [t for t in lowered.split(_SEP) if t]
+    wstart_mask = word.copy()
+    wstart_mask[1:] &= ~word[:-1]
+    wstarts = np.nonzero(wstart_mask)[0]
+    # RemoveLong on original span lengths (lower() can change lengths
+    # for a few non-ASCII chars; use the pre-lower spans like the
+    # scalar filter does)
+    wsrc = [t for t in sentinel.split(_SEP) if t]
+    wlens = np.fromiter(map(len, wsrc), dtype=np.int64, count=len(wsrc))
+    if (wlens > max_len).any():
+        keep = wlens <= max_len
+        from itertools import compress
+        wtoks = list(compress(wtoks, keep.tolist()))
+        wstarts = wstarts[keep]
+
+    # --- CJK runs -> unigrams (len 1) / adjacent bigrams (len >= 2)
+    rs_mask = cjk.copy()
+    rs_mask[1:] &= ~cjk[:-1]
+    rs = np.nonzero(rs_mask)[0]
+    re_mask = cjk.copy()
+    re_mask[:-1] &= ~cjk[1:]
+    re_ = np.nonzero(re_mask)[0] + 1
+    ln = re_ - rs
+    uni_starts = rs[ln == 1]
+    uni_s = codes[uni_starts].tobytes().decode("utf-32-le").lower()
+    utoks = list(uni_s)
+    multi = ln >= 2
+    nb = ln[multi] - 1
+    if nb.size:
+        off = np.arange(int(nb.sum())) - np.repeat(
+            np.r_[0, np.cumsum(nb)[:-1]], nb)
+        bstarts = np.repeat(rs[multi], nb) + off
+        pairs = np.stack([codes[bstarts], codes[bstarts + 1]], axis=1)
+        bs = pairs.astype("<u4").tobytes().decode("utf-32-le").lower()
+        btoks = [bs[2 * i:2 * i + 2] for i in range(len(bstarts))]
+    else:
+        bstarts = np.zeros(0, dtype=np.int64)
+        btoks = []
+
+    # --- merge in text order (all start offsets are distinct)
+    starts = np.concatenate([wstarts, uni_starts, bstarts])
+    toks_all = np.array(wtoks + utoks + btoks, dtype=object)
+    order = np.argsort(starts, kind="stable")
+    starts = starts[order]
+    toks = toks_all[order].tolist()
+
+    doc_lens = np.fromiter(map(len, texts), dtype=np.int64,
+                           count=len(texts))
+    doc_starts = np.zeros(len(texts), dtype=np.int64)
+    if len(texts) > 1:
+        doc_starts[1:] = np.cumsum(doc_lens[:-1] + 1)
+    docs = np.searchsorted(doc_starts, starts, side="right") - 1
+    return docs.astype(np.int64), toks
+
+
 def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
                    max_len: int = 255) -> tuple[np.ndarray, list[str]]:
     """Tokenize a batch of documents with one vectorized pass.
@@ -508,12 +664,16 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
     tokenizer + lowercase + ascii-fold), source_code_with_hex (class-mode
     breaks minus whole-hex-run internal breaks, see _hex_class_breaks —
     fully vectorized, no per-doc state machine), default (simple +
-    lowercase), whitespace, lowercase, raw, raw_lowercase, en_stem.
+    lowercase), whitespace, lowercase, raw, raw_lowercase, en_stem,
+    chinese_compatible (CJK unigrams via _chinese_breaks, vectorized),
+    multilang (CJK bigrams via _multilang_batch, vectorized; the
+    dictionary-segmentation variant stays per-doc).
     """
     # nulls in a text column arrive as NaN (float) from pandas: normalize
-    # to "" up front so EVERY analyzer path sees strings — the per-doc
-    # loop paths (whitespace / hex / cjk / custom) would otherwise crash
-    # the whole indexing task on one null cell ('if not t' is truthy NaN)
+    # to "" up front so EVERY analyzer path sees strings — the remaining
+    # per-doc loop paths (whitespace / raw / custom / multilang-dict)
+    # would otherwise crash the whole indexing task on one null cell
+    # ('if not t' is truthy NaN), and the vectorized join needs str
     texts = [t if isinstance(t, str) else "" for t in texts]
     if not texts:
         return np.zeros(0, dtype=np.int64), []
@@ -537,17 +697,10 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             docs.extend([i] * len(parts))
         return np.asarray(docs, dtype=np.int64), toks
 
-    if analyzer in ("chinese_compatible", "multilang"):
-        fn = (chinese_compatible_tokenize if analyzer == "chinese_compatible"
-              else multilang_tokenize)
-        toks, docs = [], []
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            parts = fn(t, max_len)
-            toks.extend(parts)
-            docs.extend([i] * len(parts))
-        return np.asarray(docs, dtype=np.int64), toks
+    if analyzer == "multilang":
+        return _multilang_batch(texts, max_len)
+    # chinese_compatible joins the shared vectorized pipeline below via
+    # _chinese_breaks (no per-doc Python loop)
 
     custom = _CUSTOM_ANALYZERS.get(analyzer)
     if custom is not None:
@@ -561,7 +714,7 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
         return np.asarray(docs, dtype=np.int64), toks
 
     if analyzer not in ("source_code_default", "source_code_with_hex",
-                        "default", "en_stem"):
+                        "default", "en_stem", "chinese_compatible"):
         # fail loudly: silently falling back to another tokenizer would
         # build a wrong index with no error (e.g. a custom analyzer
         # registered on the driver but not inside a Spark worker process)
@@ -573,7 +726,8 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
             "module imported by it)")
 
     # vectorized paths: source_code_default, source_code_with_hex,
-    # default, en_stem (texts already null-normalized to str above)
+    # default, en_stem, chinese_compatible (texts already
+    # null-normalized to str above)
     big = _SEP.join(texts)
     ascii_fast = big.isascii()
     if ascii_fast:
@@ -587,6 +741,8 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
         nondelim, breaks = _code_class_breaks(cls)
     elif analyzer == "source_code_with_hex":
         nondelim, breaks = _hex_class_breaks(codes, cls)
+    elif analyzer == "chinese_compatible":
+        nondelim, breaks, cls = _chinese_breaks(codes, cls)
     else:  # default / en_stem -> simple tokenizer
         nondelim, breaks = _simple_breaks(cls)
 
@@ -603,21 +759,11 @@ def tokenize_batch(texts: Iterable[str], analyzer: str = "source_code_default",
     if len(texts) > 1:
         doc_starts[1:] = np.cumsum(doc_lens[:-1] + 1)
 
-    # start offsets (in `big` coords) of each token
-    tok_start_mask = nondelim.copy()
-    tok_start_mask[1:] &= ~nondelim[:-1]
-    starts = np.nonzero(tok_start_mask)[0]
-    if breaks.size:
-        starts = np.unique(np.concatenate([starts, breaks]))
+    # token [start, end) spans in `big` coords: doc mapping + RemoveLong
+    # from span arithmetic (no second split / per-token len pass)
+    starts, ends = _token_spans(nondelim, breaks)
     docs = np.searchsorted(doc_starts, starts, side="right") - 1
-
-    # RemoveLong(255): original (pre-lowercase/fold) span length. For ASCII
-    # input lowering preserves lengths, so reuse the lowered tokens.
-    if sentinel.isascii():
-        src = toks
-    else:
-        src = [t for t in sentinel.split(_SEP) if t]
-    raw_lens = np.fromiter(map(len, src), dtype=np.int64, count=len(toks))
+    raw_lens = ends - starts  # original (pre-lowercase/fold) lengths
     if (raw_lens > max_len).any():
         from itertools import compress
         keep = raw_lens <= max_len
@@ -656,6 +802,162 @@ def _ids_via_strings(texts, analyzer, max_len):
     return doc_idx, remap[raw_codes], terms_sorted
 
 
+def _merge_sorted_idx(a: np.ndarray, b: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Positions of a's and b's elements in their merged sorted order
+    (a and b each sorted; ties place a first). One searchsorted of b
+    into a instead of an argsort over the concatenation."""
+    ins = np.searchsorted(a, b, side="right")
+    ib = ins + np.arange(b.size)
+    mask = np.ones(a.size + b.size, dtype=bool)
+    mask[ib] = False
+    ia = np.nonzero(mask)[0]
+    return ia, ib
+
+
+def _cjk_batch_ids(clean: list[str], analyzer: str, max_len: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ids path for chinese_compatible / multilang (bigram mode): CJK
+    tokens are 1-2 codepoints, so they dedup as uint64 keys built
+    straight from the UTF-32 code stream — no Python string is created
+    per token, only per UNIQUE term at decode time. Non-CJK word runs
+    (sparse in CJK text) go through the string pipeline. The CJK ranges
+    contain no cased codepoints, so the lowercase filter is an identity
+    on the key side. Property-tested equal to tokenize_batch +
+    factorize."""
+    big = _SEP.join(clean)
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
+    full = _classify_codes_full(codes)
+    cls = full & ~np.int8(_CJK_BIT)
+    cjk = (full & _CJK_BIT) != 0
+
+    # --- CJK token starts + uint64 keys -------------------------------
+    # key layout (cp1 << 32) | cp2, cp2 = 0 for 1-char terms: numeric
+    # u64 order == lexicographic term order (cp1 first, absent-second
+    # sorts before any cp2), so the vocabulary sorts as a u64 array
+    # instead of an object-string argsort
+    if analyzer == "chinese_compatible":
+        c_starts = np.nonzero(cjk)[0]
+        c_keys = codes[c_starts].astype(np.uint64) << np.uint64(32)
+        c_lens = np.ones(c_starts.size, dtype=np.int64)
+    else:  # multilang: unigram for isolated chars, adjacent bigrams
+        rs_mask = cjk.copy()
+        rs_mask[1:] &= ~cjk[:-1]
+        rs = np.nonzero(rs_mask)[0]
+        re_mask = cjk.copy()
+        re_mask[:-1] &= ~cjk[1:]
+        re_ = np.nonzero(re_mask)[0] + 1
+        ln = re_ - rs
+        uni = rs[ln == 1]
+        multi = ln >= 2
+        nb = ln[multi] - 1
+        if nb.size:
+            off = np.arange(int(nb.sum())) - np.repeat(
+                np.r_[0, np.cumsum(nb)[:-1]], nb)
+            bst = np.repeat(rs[multi], nb) + off
+        else:
+            bst = np.zeros(0, dtype=np.int64)
+        # uni and bst are each sorted and disjoint: scatter-merge to
+        # text order (no argsort later)
+        ia, ib = _merge_sorted_idx(uni, bst)
+        c_starts = np.empty(uni.size + bst.size, dtype=np.int64)
+        c_starts[ia] = uni
+        c_starts[ib] = bst
+        c_keys = np.empty(c_starts.size, dtype=np.uint64)
+        c_keys[ia] = codes[uni].astype(np.uint64) << np.uint64(32)
+        c_keys[ib] = (codes[bst].astype(np.uint64) << np.uint64(32)
+                      | codes[bst + 1].astype(np.uint64))
+        c_lens = np.ones(c_starts.size, dtype=np.int64)
+        c_lens[ib] = 2
+    if max_len < 2 and c_starts.size:
+        keep = c_lens <= max_len
+        c_starts, c_keys = c_starts[keep], c_keys[keep]
+
+    # --- non-CJK word tokens via the string pipeline ------------------
+    word = (cls != DELIM) & ~cjk
+    if word.any():
+        word_cls = np.where(word, LOWER, DELIM).astype(np.int8)
+        sentinel = _spans_to_sentinel_string(
+            big, codes, word_cls, np.zeros(0, dtype=np.int64))
+        wtoks = [t for t in sentinel.lower().split(_SEP) if t]
+        w_starts, w_ends = _token_spans(word, np.zeros(0, dtype=np.int64))
+        w_lens = w_ends - w_starts
+        if (w_lens > max_len).any():
+            from itertools import compress
+            keep = w_lens <= max_len
+            wtoks = list(compress(wtoks, keep.tolist()))
+            w_starts = w_starts[keep]
+    else:
+        wtoks, w_starts = [], np.zeros(0, dtype=np.int64)
+
+    # --- per-space vocabularies, each sorted ---------------------------
+    ntok = len(wtoks) + c_starts.size
+    if ntok == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+                np.array([], dtype=object))
+    if wtoks:
+        w_inv, w_uniq = pd.factorize(np.array(wtoks, dtype=object),
+                                     sort=False)
+        w_order = np.argsort(w_uniq, kind="stable")
+        w_terms = np.asarray(w_uniq, dtype=object)[w_order]
+        w_rank = np.empty(len(w_order), dtype=np.int64)
+        w_rank[w_order] = np.arange(len(w_order))
+        w_codes = w_rank[w_inv]
+    else:
+        w_terms = np.array([], dtype=object)
+        w_codes = np.zeros(0, dtype=np.int64)
+    if c_starts.size:
+        c_inv, c_uniq = pd.factorize(c_keys)
+        u = np.asarray(c_uniq, dtype=np.uint64)
+        c_order = np.argsort(u, kind="stable")  # u64 sort == lex order
+        u_sorted = u[c_order]
+        c_rank = np.empty(u.size, dtype=np.int64)
+        c_rank[c_order] = np.arange(u.size)
+        c_codes = c_rank[c_inv]
+        # decode UNIQUE keys only: (hi, lo) -> utf-32; lo == 0 means a
+        # 1-char term (tokens never contain NUL)
+        mat = np.empty((u.size, 2), dtype="<u4")
+        mat[:, 0] = (u_sorted >> np.uint64(32)).astype("<u4")
+        mat[:, 1] = (u_sorted & np.uint64(0xFFFFFFFF)).astype("<u4")
+        s = mat.tobytes().decode("utf-32-le")
+        c_terms = np.array(
+            [s[2 * i:2 * i + 2].rstrip("\x00") for i in range(u.size)],
+            dtype=object)
+    else:
+        c_terms = np.array([], dtype=object)
+        c_codes = np.zeros(0, dtype=np.int64)
+
+    # --- merge the two sorted vocabularies -----------------------------
+    # word terms never contain CJK chars and CJK terms are pure CJK, so
+    # the vocabularies are disjoint; merge positions come from one
+    # searchsorted over the (usually small) word vocabulary
+    via, vib = _merge_sorted_idx(w_terms, c_terms)
+    terms_sorted = np.empty(w_terms.size + c_terms.size, dtype=object)
+    terms_sorted[via] = w_terms
+    terms_sorted[vib] = c_terms
+    token_codes = np.empty(ntok, dtype=np.int64)
+    token_codes[:len(wtoks)] = via[w_codes] if wtoks else 0
+    if c_starts.size:
+        token_codes[len(wtoks):] = vib[c_codes]
+
+    # --- text order (scatter-merge of two sorted start arrays) ---------
+    ia, ib = _merge_sorted_idx(w_starts, c_starts)
+    starts = np.empty(ntok, dtype=np.int64)
+    starts[ia] = w_starts
+    starts[ib] = c_starts
+    ordered_codes = np.empty(ntok, dtype=np.int64)
+    ordered_codes[ia] = token_codes[:len(wtoks)]
+    ordered_codes[ib] = token_codes[len(wtoks):]
+
+    doc_lens = np.fromiter(map(len, clean), dtype=np.int64,
+                           count=len(clean))
+    doc_starts = np.zeros(len(clean), dtype=np.int64)
+    if len(clean) > 1:
+        doc_starts[1:] = np.cumsum(doc_lens[:-1] + 1)
+    doc_idx = np.searchsorted(doc_starts, starts, side="right") - 1
+    return doc_idx.astype(np.int64), ordered_codes, terms_sorted
+
+
 def tokenize_batch_ids(texts: Iterable[str],
                        analyzer: str = "source_code_default",
                        max_len: int = 255
@@ -678,6 +980,12 @@ def tokenize_batch_ids(texts: Iterable[str],
     if not texts:
         return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
                 np.array([], dtype=object))
+    if analyzer in ("chinese_compatible", "multilang"):
+        if analyzer == "multilang" and _MULTILANG_DICT is not None:
+            # dictionary segmentation stays on the scalar path
+            return _ids_via_strings(texts, analyzer, max_len)
+        clean = [(t if isinstance(t, str) else "") for t in texts]
+        return _cjk_batch_ids(clean, analyzer, max_len)
     if analyzer not in ("source_code_default", "source_code_with_hex",
                         "default"):
         return _ids_via_strings(texts, analyzer, max_len)
@@ -699,37 +1007,7 @@ def tokenize_batch_ids(texts: Iterable[str],
                 np.array([], dtype=object))
 
     # token spans in `big` coordinates
-    run_start_mask = nondelim.copy()
-    run_start_mask[1:] &= ~nondelim[:-1]
-    run_starts = np.nonzero(run_start_mask)[0]
-    run_end_mask = nondelim.copy()
-    run_end_mask[:-1] &= ~nondelim[1:]
-    run_ends = np.nonzero(run_end_mask)[0] + 1  # exclusive
-    if breaks.size:
-        # run_starts and breaks are each sorted and disjoint (a break
-        # has a nondelim left neighbor, so it is never a run start):
-        # scatter-merge them in O(n) instead of sorting 1M+ positions,
-        # and derive each element's run index during the merge instead
-        # of a second full-length searchsorted
-        nb, nr = breaks.size, run_starts.size
-        ins = np.searchsorted(run_starts, breaks, side="right")
-        starts = np.empty(nr + nb, dtype=np.int64)
-        run_idx = np.empty(nr + nb, dtype=np.int64)
-        bpos = ins + np.arange(nb)
-        mask = np.ones(nr + nb, dtype=bool)
-        mask[bpos] = False
-        starts[mask] = run_starts
-        starts[bpos] = breaks
-        run_idx[mask] = np.arange(nr)
-        run_idx[bpos] = ins - 1
-    else:
-        starts = run_starts
-        run_idx = np.arange(run_starts.size, dtype=np.int64)
-    rends = run_ends[run_idx]
-    ends = np.empty_like(starts)
-    if len(starts) > 1:
-        ends[:-1] = np.minimum(starts[1:], rends[:-1])
-    ends[-1] = rends[-1]
+    starts, ends = _token_spans(nondelim, breaks)
     lengths = ends - starts
 
     # doc mapping + RemoveLong(255)

@@ -175,6 +175,53 @@ def test_chinese_compatible():
     assert docs.tolist() == [0] * 6
 
 
+def test_multilang_bigrams_batch():
+    from quickwit_spark.functions.tokenizers import tokenize_batch
+    docs, toks = tokenize_batch(["Hello世界観abc 你", "rust 東京大学"],
+                                analyzer="multilang")
+    assert toks == ["hello", "世界", "界観", "abc", "你",
+                    "rust", "東京", "京大", "大学"]
+    assert docs.tolist() == [0] * 5 + [1] * 4
+
+
+# CJK-heavy alphabet mixing Han/Hiragana/Katakana/Hangul with latin,
+# digits, accents, punctuation and the boundary chars around the CJK
+# ranges — the shapes that distinguish the vectorized batch path from
+# the scalar per-doc functions
+_CJK_ALPHABET = ("世界観你好東京大学研究所の件でハンguల Abc09_-#.\t\n"
+                 "caféΣσς䶿一鿿가힯぀ヿ")
+
+
+@pytest.mark.parametrize("analyzer", ["chinese_compatible", "multilang"])
+def test_cjk_batch_equals_scalar_property(analyzer):
+    """The vectorized batch path must equal the per-doc scalar
+    functions token-for-token (the same property the source_code
+    analyzers are held to)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quickwit_spark.functions.tokenizers import (
+        chinese_compatible_tokenize, multilang_tokenize, tokenize_batch)
+
+    scalar = (chinese_compatible_tokenize
+              if analyzer == "chinese_compatible" else multilang_tokenize)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(alphabet=_CJK_ALPHABET, max_size=40),
+                    max_size=6))
+    def check(texts):
+        docs, toks = tokenize_batch(texts, analyzer=analyzer)
+        exp_toks, exp_docs = [], []
+        for i, t in enumerate(texts):
+            parts = scalar(t)
+            exp_toks.extend(parts)
+            exp_docs.extend([i] * len(parts))
+        assert toks == exp_toks
+        assert docs.tolist() == exp_docs
+
+    check()
+
+
 def test_custom_regex_analyzer_end_to_end(tmp_path):
     import pandas as pd
     from quickwit_spark.config import IndexConfig
@@ -264,6 +311,27 @@ def test_batch_ids_hex_matches_string_path():
                   for d, c in zip(di.tolist(), codes.tolist()))
     want = Counter(zip(docs_s.tolist(), toks_s))
     assert got == want
+
+
+@pytest.mark.parametrize("analyzer", ["chinese_compatible", "multilang"])
+def test_batch_ids_cjk_matches_string_path(analyzer):
+    """The CJK uint64-key ids path must produce the same (doc, term)
+    SEQUENCE as tokenize_batch (order matters: positions for phrase
+    queries derive from token order) and the same sorted vocabulary."""
+    import random
+
+    from quickwit_spark.functions.tokenizers import tokenize_batch_ids
+
+    rng = random.Random(42)
+    texts = ["".join(rng.choice(_CJK_ALPHABET)
+                     for _ in range(rng.randrange(0, 80)))
+             for _ in range(400)]
+    texts += ["Hello世界観abc 你", "", "pure ascii only", "観" * 300]
+    docs_s, toks_s = tokenize_batch(texts, analyzer=analyzer)
+    di, codes, terms = tokenize_batch_ids(texts, analyzer=analyzer)
+    got = [(int(d), terms[c]) for d, c in zip(di.tolist(), codes.tolist())]
+    assert got == list(zip(docs_s.tolist(), toks_s))
+    assert terms.tolist() == sorted(set(toks_s))
 
 
 def test_multilang_dictionary_segmentation(tmp_path):

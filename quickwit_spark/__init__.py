@@ -28,6 +28,7 @@ def __getattr__(name):
                                "build_index_pandas"),
         "Manifest": ("quickwit_spark.index.manifest", "Manifest"),
         "run_merges": ("quickwit_spark.index.merge", "run_merges"),
+        "update_index": ("quickwit_spark.index.builder", "update_index"),
         "apply_delete_query": ("quickwit_spark.index.deletes",
                                "apply_delete_query"),
         "build_term_partitioned": ("quickwit_spark.index.global_index",

@@ -614,5 +614,35 @@ def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
     return manifest
 
 
+def update_index(config: IndexConfig, schema_rev: str,
+                 tokenizer: str | None = None, record: str | None = None,
+                 fieldnorms: bool | None = None) -> IndexConfig:
+    """Doc-mapping update flow: persist a new mapping generation in the
+    manifest (Manifest.update_doc_mapping) and return the IndexConfig
+    to use for every subsequent ingest into this index. Existing
+    segments stay on their old rev; search unions generations with
+    per-rev query compilation; merges never cross revs.
+
+    Checkpoint note: the new generation's builds must use FRESH
+    partition checkpoints — otherwise partitions published under the
+    old mapping would be skipped and the new-mapping docs silently
+    dropped. Ingest new-generation documents through the streaming/
+    queue paths (string-keyed checkpoints) or a distinct partition
+    range; build_index over an already-complete index is a no-op by
+    design."""
+    m = Manifest.load(config.index_dir)
+    m.update_doc_mapping(schema_rev, tokenizer=tokenizer, record=record,
+                         fieldnorms=fieldnorms)
+    import dataclasses
+    changes: dict = {"schema_rev": schema_rev}
+    if tokenizer is not None:
+        changes["tokenizer"] = tokenizer
+    if record is not None:
+        changes["record"] = record
+    if fieldnorms is not None:
+        changes["fieldnorms"] = bool(fieldnorms)
+    return dataclasses.replace(config, **changes)
+
+
 def _stable_hash(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "little")

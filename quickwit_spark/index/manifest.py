@@ -160,6 +160,42 @@ class Manifest:
                 f"index was partition-routed with {cur!r}; resuming "
                 f"with {router!r} would duplicate and drop documents")
 
+    def update_doc_mapping(self, schema_rev: str,
+                           tokenizer: str | None = None,
+                           record: str | None = None,
+                           fieldnorms: bool | None = None) -> None:
+        """Doc-mapping update (reference: doc_mapping_uid bump,
+        split_metadata.rs:132-134; update_tests/doc_mapping_tests.rs):
+        record a NEW schema_rev with changed analysis settings in the
+        index config. Existing segments keep the rev they were built
+        under and are NEVER rewritten; merges stay rev-gated
+        (merge.py _mapping_group) so generations compact independently,
+        and search compiles queries PER SEGMENT REV (SegmentReader
+        resolves its analyzer from its own meta.json). The new rev must
+        be distinct from every rev already on disk — reusing one would
+        silently mix analyzers inside a merge group."""
+        with self._locked_fresh():
+            cfg = self.data["config"]
+            if schema_rev == cfg.get("schema_rev"):
+                raise ValueError(
+                    f"schema_rev {schema_rev!r} is already current — a "
+                    "doc-mapping update must bump the rev")
+            used = {s.get("schema_rev")
+                    for s in self.data["segments"].values()}
+            if schema_rev in used:
+                raise ValueError(
+                    f"schema_rev {schema_rev!r} was already used by "
+                    "published segments; pick a fresh rev")
+            cfg["schema_rev"] = schema_rev
+            if tokenizer is not None:
+                cfg["tokenizer"] = tokenizer
+            if record is not None:
+                cfg["record"] = record
+            if fieldnorms is not None:
+                cfg["fieldnorms"] = bool(fieldnorms)
+            self.data["version"] += 1
+            self._write()
+
     def publish(self, staged_segments: list[dict],
                 replaced_segment_ids: list[str] | None = None,
                 checkpoint_delta: dict[int | str, tuple[str | None, str]] | None = None,

@@ -108,9 +108,15 @@ class SegmentReader:
 
     def __init__(self, seg_dir: str, tokenizer: str = "source_code_default"):
         self.seg_dir = seg_dir
-        self.tokenizer = tokenizer
         with open(os.path.join(seg_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        # per-segment analyzer: a segment carries the doc-mapping REV it
+        # was built under (update_doc_mapping bumps the index-level
+        # config without rewriting segments), so query compilation is
+        # per segment — the passed tokenizer is only a fallback for
+        # pre-rev metadata. Also makes the seg_dir-keyed reader cache
+        # immune to callers passing a different default.
+        self.tokenizer = self.meta.get("tokenizer") or tokenizer
         self.num_docs = int(self.meta["num_docs"])
         self.record = self.meta.get("record", "freq")
         self._avg_fieldnorm = (
@@ -1262,6 +1268,7 @@ def _segment_top_k_uncached(seg_dir: str, node: A.Node, k: int,
     search_after=(score, segment_id, doc_id) keeps only hits strictly
     after the cursor in global sort order (collector.rs search_after)."""
     reader = get_reader(seg_dir, tokenizer)
+    tokenizer = reader.tokenizer  # per-segment rev (doc-mapping update)
     count = None
     if use_wand:
         shape = _wand_shape(node, text_field, tokenizer)
@@ -1337,11 +1344,11 @@ def segment_wand_bound(seg_dir: str, node: A.Node, tokenizer: str,
     the sum of per-term max block scores. An AND with a term absent
     from the segment bounds to 0.0 (cannot match). Returns None for
     non-WAND shapes — the caller must process that segment."""
-    shape = _wand_shape(node, text_field, tokenizer)
+    reader = get_reader(seg_dir, tokenizer)
+    shape = _wand_shape(node, text_field, reader.tokenizer)
     if shape is None:
         return None
     op, terms = shape
-    reader = get_reader(seg_dir, tokenizer)
     from .wand import _make_cursors
     cursors = _make_cursors(reader, terms)
     if not cursors:

@@ -333,6 +333,46 @@ class SqsProtocolQueue:
         return int(resp["Attributes"]["ApproximateNumberOfMessages"])
 
 
+def http_sqs_transport(endpoint: str, timeout: float = 30.0):
+    """Transport POSTing the same SQS JSON-protocol documents to an
+    HTTP endpoint (AWS SQS, ElasticMQ, LocalStack): one request per
+    operation with `Content-Type: application/x-amz-json-1.0` and
+    `X-Amz-Target: AmazonSQS.<action>` — the public AWS JSON protocol
+    frame (reference consumer: quickwit-indexing/src/source/
+    queue_sources/sqs_queue.rs, exercised against the same wire shapes
+    in sqs_tests.rs). Error documents come back on non-2xx with a
+    `__type` key, exactly like the in-process transport, so
+    SqsProtocolQueue's consumer surface is transport-agnostic.
+
+    stdlib urllib only (no HTTP client dependency); NOT SigV4-signed —
+    front with a signing proxy or IAM-less endpoint (ElasticMQ/
+    LocalStack) for real AWS. Smoke-tested end-to-end against an
+    in-process loopback http.server running the file-backed queue
+    (test_queue_source.test_http_transport_loopback_exactly_once)."""
+    import urllib.error
+    import urllib.request
+
+    def transport(action: str, doc: dict) -> dict:
+        body = json.dumps(doc).encode()
+        req = urllib.request.Request(endpoint, data=body, method="POST",
+                                     headers={
+            "Content-Type": "application/x-amz-json-1.0",
+            "X-Amz-Target": f"AmazonSQS.{action}",
+        })
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                payload = resp.read().decode() or "{}"
+                return json.loads(payload)
+        except urllib.error.HTTPError as e:
+            payload = e.read().decode()
+            try:
+                return json.loads(payload)  # {"__type": ...} error doc
+            except json.JSONDecodeError:
+                raise
+
+    return transport
+
+
 def _message_key(message_id: str) -> str:
     return f"{_SRC}:{message_id}"
 

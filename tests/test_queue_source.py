@@ -380,6 +380,85 @@ def test_consumer_crash_mid_receive_leaves_message_deliverable(tmp_path):
     assert q.ack(m)
 
 
+def test_http_transport_loopback_exactly_once(tmp_path):
+    """End-to-end over REAL HTTP: an in-process http.server speaks the
+    AWS SQS JSON protocol (X-Amz-Target routing, x-amz-json-1.0 bodies,
+    __type error docs on 400) backed by the file-backed queue; the
+    consumer side uses SqsProtocolQueue + http_sqs_transport. Produce ->
+    two batches -> replay -> exactly-once manifest, plus a stale-receipt
+    error surfaced through the HTTP error path."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from quickwit_spark.streaming.queue import (SqsProtocolQueue,
+                                                http_sqs_transport)
+
+    clk = _Clock()
+    backend = SqsProtocolQueue(local_root=str(tmp_path / "srv"),
+                               visibility_sec=30, now_fn=clk)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            doc = json.loads(self.rfile.read(n) or b"{}")
+            action = self.headers["X-Amz-Target"].split(".", 1)[1]
+            try:
+                resp = backend._local_transport(action, doc)
+            except ValueError:
+                resp = {"__type": "InvalidAction"}
+            body = json.dumps(resp).encode()
+            self.send_response(400 if "__type" in resp else 200)
+            self.send_header("Content-Type", "application/x-amz-json-1.0")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/"
+        q = SqsProtocolQueue(queue_url=url,
+                             transport=http_sqs_transport(url))
+
+        cfg = _cfg(tmp_path)
+        q.send(_payload(0, 4), message_id="h1")
+        q.send(_payload(4, 7), message_id="h2")
+        assert q.pending() == 2
+
+        batch1 = q.receive(max_messages=1)
+        assert ingest_queue_batch(batch1, cfg, queue=q) == 1
+        batch2 = q.receive(max_messages=10)
+        assert len(batch2) == 1
+        assert ingest_queue_batch(batch2, cfg, queue=q) == 1
+        assert q.pending() == 0
+
+        # replay: a redelivered message (visibility lapse before the ack
+        # landed is simulated by re-sending the same id) publishes 0
+        q.send(_payload(0, 4), message_id="h1")
+        (replay,) = q.receive()
+        assert ingest_queue_batch([replay], cfg, queue=q) == 0
+        assert q.pending() == 0
+        assert processed_message_ids(cfg) == {"h1", "h2"}
+
+        from quickwit_spark.search.engine import IndexSearcher
+        assert IndexSearcher(cfg.index_dir).count("*") == 7
+
+        # stale receipt -> __type error doc over HTTP -> ack() False
+        q.send(_payload(7, 8), message_id="h3")
+        (m3,) = q.receive()
+        clk.t += 31  # visibility lapses; receipt goes stale
+        (m3b,) = q.receive()
+        assert not q.ack(m3)
+        assert q.ack(m3b)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_legacy_unquoted_message_files_migrated_on_open(tmp_path):
     """Message files written before _path() percent-encoded ids (URI
     ids with ':' landed at the raw join path) are renamed to the

@@ -178,6 +178,42 @@ def _dyn_index(sf_dir: str) -> IndexSearcher:
     return s
 
 
+_MAP_IDX: dict[str, IndexSearcher] = {}
+
+
+def _mapping_update_index(spark, sf_dir: str) -> IndexSearcher:
+    """Two-GENERATION index (doc-mapping update flow, split_metadata.rs
+    doc_mapping_uid analog): gen v1 = even doc_ids under the `default`
+    analyzer (lowercase alnum split); then update_index bumps the rev to
+    v2 with the case-preserving `whitespace` analyzer and the odd half
+    is ingested with UPPERCASED text through the streaming path. Segments
+    keep the rev they were built under; queries compile PER SEGMENT REV,
+    so the two halves see different analyzers — exactly what the oracle
+    SQL encodes per doc_id parity."""
+    if sf_dir in _MAP_IDX:
+        return _MAP_IDX[sf_dir]
+    from quickwit_spark.index.builder import update_index
+    from quickwit_spark.streaming.incremental import ingest_batch
+    tag = _cache_tag(sf_dir)
+    index_dir = os.path.join(tempfile.gettempdir(), "qw_entry_maprev", tag)
+    cfg = IndexConfig(
+        index_uid=f"maprev-{tag}", index_dir=index_dir,
+        key_cols=("doc_id",), text_col="text", tokenizer="default",
+        tag_cols=(), sha_col=None, schema_rev="v1")
+    if not os.path.exists(Manifest.path(index_dir)):
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        even = pdf[pdf["doc_id"] % 2 == 0]
+        build_index_pandas(even, cfg, num_partitions=1)
+        cfg2 = update_index(cfg, "v2", tokenizer="whitespace")
+        odd = pdf[pdf["doc_id"] % 2 == 1].copy()
+        odd["text"] = odd["text"].str.upper()
+        ingest_batch(spark.createDataFrame(odd), cfg2, batch_id=1,
+                     partitions_per_batch=1)
+    s = IndexSearcher(index_dir)
+    _MAP_IDX[sf_dir] = s
+    return s
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -600,6 +636,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _spark_df(s, pd.DataFrame({"doc_id": ids}), "doc_id long")
     q["dynamic_mapping_query"] = dynamic_mapping_query
 
+    def mapping_update_union(s, d):
+        """Doc-mapping update (doc_mapping_uid bump): one index, two
+        mapping generations, queries compiled per segment rev. Term
+        nodes are raw tokens, so `scan` hits only the v1 (default-
+        analyzed, even-doc_id) generation and `SCAN` only the v2
+        (whitespace-analyzed, uppercased, odd-doc_id) one; an engine
+        that applied ONE analyzer across generations would return a
+        different doc set."""
+        searcher = _mapping_update_index(s, d)
+        node = A.Bool(should=(A.Term("text", "scan"),
+                              A.Term("text", "SCAN")))
+        res = searcher.search(node, k=1_000_000, fetch_fields=True)
+        ids = sorted(int(h.doc["doc_id"]) for h in res.hits)
+        return _spark_df(s, pd.DataFrame({"doc_id": ids}), "doc_id long")
+    q["mapping_update_union"] = mapping_update_union
+
     def agg_extended_stats(s, d):
         """extended_stats metric under a terms bucket (aggregations.rs
         extended stats: sum_of_squares / population variance / stddev)."""
@@ -910,6 +962,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.max("severity_number").alias("sev_num"))
                 .orderBy("severity_text"))
     q["otlp_logs_severity"] = otlp_logs_severity
+
+    # protobuf twins: the same events rows are encoded to REAL
+    # ExportLogs/ExportTraceServiceRequest wire bytes (mapInPandas),
+    # decoded back through the production protobuf input path
+    # (doc_processor.rs:143-177 OtlpLogsProtobuf/OtlpTracesProtobuf;
+    # otlp_pb.py), and must reach the same oracle answer as the
+    # events table — gating the whole binary round-trip
+    def otlp_logs_pb_severity(s, d):
+        import json as _json
+
+        from quickwit_spark.pipeline import otlp_pb
+        ev = _read(s, d, "events").select(
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+            .alias("ns"),
+            F.upper(F.col("event_type")).alias("sev"),
+            F.length("event_type").alias("sev_num"),
+            F.col("props"),
+            F.get_json_object(F.col("props"), "$.k").alias("k"))
+
+        def enc(batches):
+            for pdf in batches:
+                payloads = [otlp_pb.encode_logs_request({
+                    "resourceLogs": [{
+                        "resource": {"attributes": [
+                            {"key": "service.name",
+                             "value": {"stringValue": "events"}}]},
+                        "scopeLogs": [{
+                            "scope": {"name": "qw", "version": "1"},
+                            "logRecords": [{
+                                "timeUnixNano": int(ns),
+                                "severityText": sev,
+                                "severityNumber": int(sev_num),
+                                "body": {"stringValue": props},
+                                "attributes": [] if k is None else [
+                                    {"key": "k",
+                                     "value": {"intValue": int(k)}}],
+                            }]}]}]})
+                    for ns, sev, sev_num, props, k in zip(
+                        pdf["ns"], pdf["sev"], pdf["sev_num"],
+                        pdf["props"], pdf["k"])]
+                yield pd.DataFrame({"payload": payloads})
+
+        rows = otlp_pb.otlp_logs_pb_to_rows(
+            ev.mapInPandas(enc, "payload binary"))
+        return (rows.groupBy("severity_text")
+                .agg(F.count("*").alias("cnt"),
+                     F.max("timestamp_nanos").alias("max_ns"),
+                     F.sum(F.element_at("attributes", F.lit("k"))
+                           .cast("long")).alias("k_sum"),
+                     F.max("severity_number").alias("sev_num"))
+                .orderBy("severity_text"))
+    q["otlp_logs_pb_severity"] = otlp_logs_pb_severity
+
+    def otlp_trace_pb_topk(s, d):
+        from quickwit_spark.pipeline import otlp, otlp_pb
+        ev = _read(s, d, "events").select(
+            F.md5(F.col("user_id").cast("string")).alias("trace"),
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 16)
+            .alias("span"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+            .alias("start_ns"),
+            F.col("event_type").alias("name"))
+
+        def enc(batches):
+            for pdf in batches:
+                payloads = [otlp_pb.encode_spans_request({
+                    "resourceSpans": [{
+                        "resource": {"attributes": [
+                            {"key": "service.name",
+                             "value": {"stringValue": "events"}}]},
+                        "scopeSpans": [{
+                            "scope": {"name": "qw", "version": "1"},
+                            "spans": [{
+                                "traceId": trace, "spanId": span,
+                                "name": name, "kind": 1,
+                                "startTimeUnixNano": int(ns),
+                                "endTimeUnixNano": int(ns) + 1_000_000,
+                            }]}]}]})
+                    for trace, span, ns, name in zip(
+                        pdf["trace"], pdf["span"], pdf["start_ns"],
+                        pdf["name"])]
+                yield pd.DataFrame({"payload": payloads})
+
+        spans = otlp_pb.otlp_spans_pb_to_rows(
+            ev.mapInPandas(enc, "payload binary"))
+        return otlp.find_trace_ids(spans, k=10)
+    q["otlp_trace_pb_topk"] = otlp_trace_pb_topk
 
     # --- corpus filtering ops (decontamination / sampling / quality) ---
     from quickwit_spark.pipeline import filtering as fl
@@ -1263,6 +1402,17 @@ WITH matched AS (
     FROM documents) WHERE t = 'merge')
 SELECT doc_id FROM documents JOIN matched USING (doc_id)
 WHERE lang = 'en' AND n_chars >= 200 AND n_chars < 400
+ORDER BY doc_id
+"""
+    # two analyzer generations, one per doc_id parity: v1 = lowercase
+    # alnum split over the original text; v2 = whitespace split over the
+    # UPPERCASED text (case preserved -> the raw query token is 'SCAN')
+    o["mapping_update_union"] = r"""
+SELECT doc_id FROM documents
+WHERE (doc_id % 2 = 0 AND list_contains(
+         regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'scan'))
+   OR (doc_id % 2 = 1 AND list_contains(
+         regexp_split_to_array(upper(text), '\s+'), 'SCAN'))
 ORDER BY doc_id
 """
     o["agg_extended_stats"] = """
@@ -1736,6 +1886,11 @@ SELECT upper(event_type) AS severity_text,
 FROM events
 GROUP BY 1 ORDER BY 1
 """
+
+    # protobuf twins: same answers computed from events directly — the
+    # Spark side must survive the encode->wire-bytes->decode round-trip
+    o["otlp_logs_pb_severity"] = o["otlp_logs_severity"]
+    o["otlp_trace_pb_topk"] = o["otlp_trace_topk"]
 
     o["decontaminate_ngrams"] = f"""
 WITH {_shingle_cte('documents')},

@@ -143,18 +143,36 @@ def kafka_stream(spark, brokers: str, topic: str, config: IndexConfig,
                  allow_offset_gaps: bool = False):
     """Structured-Streaming Kafka source -> incremental segment builds.
 
-    GATED: requires a reachable broker and the spark-sql-kafka package
-    (neither exists in this sandbox — the offset-checkpoint contract
-    this wires up is proven by ingest_offset_batch's tests). Each
-    micro-batch commits per-topic-partition offset deltas atomically
-    with its segment publish, so Spark's at-least-once foreachBatch
-    replay is exactly-once at the manifest."""
-    from pyspark.sql import functions as F
+    The broker CONNECTION needs a reachable broker + the spark-sql-kafka
+    package (neither exists in this sandbox); everything downstream of
+    .load() — value parse, offset projection, foreachBatch, checkpoint
+    commit — is wire_kafka_shaped_stream, exercised end-to-end under a
+    real Structured Streaming query by tests/test_kafka_checkpoints.py
+    with a Kafka-shaped file source. Each micro-batch commits
+    per-topic-partition offset deltas atomically with its segment
+    publish, so Spark's at-least-once foreachBatch replay is
+    exactly-once at the manifest."""
     stream = (spark.readStream.format("kafka")
               .option("kafka.bootstrap.servers", brokers)
               .option("subscribe", topic)
               .option("startingOffsets", starting_offsets)
               .load())
+    return wire_kafka_shaped_stream(
+        stream, config, value_schema, checkpoint_dir,
+        build_partitions=build_partitions,
+        allow_offset_gaps=allow_offset_gaps)
+
+
+def wire_kafka_shaped_stream(stream, config: IndexConfig,
+                             value_schema: str, checkpoint_dir: str,
+                             build_partitions: int = 8,
+                             allow_offset_gaps: bool = False):
+    """Wire any streaming DataFrame with the Kafka source's column
+    contract (value, partition, offset — key/topic/timestamp ignored)
+    into checkpointed segment builds. This IS kafka_stream minus the
+    broker connection line, so a Kafka-shaped substitute source (file,
+    rate, memory) drives the production wiring verbatim."""
+    from pyspark.sql import functions as F
     parsed = (stream
               .select(F.from_json(F.col("value").cast("string"),
                                   value_schema).alias("d"),

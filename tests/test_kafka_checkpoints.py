@@ -137,3 +137,59 @@ def test_allow_offset_gaps_stitches_transactional_holes(cfg, spark):
                                   build_partitions=2,
                                   allow_offset_gaps=True)
     assert IndexSearcher(cfg.index_dir).count("*") == 8
+
+
+def test_streaming_wiring_end_to_end(cfg, spark, tmp_path):
+    """The PRODUCTION stream wiring (kafka_stream minus the broker
+    connection line) driven by a real Structured Streaming query: a
+    file source with the Kafka column contract (value/partition/offset)
+    feeds wire_kafka_shaped_stream; two micro-batches advance offsets;
+    then the WHOLE stream replays from a fresh Spark checkpoint (lost
+    driver checkpoint, the worst at-least-once case) and the manifest
+    checkpoint makes it a no-op."""
+    import json
+    import os
+
+    from quickwit_spark.streaming.kafka import wire_kafka_shaped_stream
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    schema = "repo string, path string, commit string, lang string, " \
+             "content string"
+
+    def write_file(name, lo, hi, part=0):
+        rows = _docs(lo, hi, part)
+        with open(src / name, "w") as f:
+            for i, (_, r) in enumerate(rows.iterrows()):
+                f.write(json.dumps({"value": json.dumps(r.to_dict()),
+                                    "partition": part,
+                                    "offset": lo + i}) + "\n")
+
+    def run_stream(ckpt):
+        stream = (spark.readStream
+                  .schema("value string, partition int, offset long")
+                  .option("maxFilesPerTrigger", "1")
+                  .json(str(src)))
+        return wire_kafka_shaped_stream(
+            stream, cfg, schema, os.path.join(str(tmp_path), ckpt),
+            build_partitions=2)
+
+    write_file("b0.json", 0, 4)
+    q = run_stream("ck1")
+    q.processAllAvailable()
+    assert source_positions(cfg) == {0: 4}
+    assert IndexSearcher(cfg.index_dir).count("*") == 5
+
+    write_file("b1.json", 5, 9)
+    q.processAllAvailable()
+    q.stop()
+    assert source_positions(cfg) == {0: 9}
+    assert IndexSearcher(cfg.index_dir).count("*") == 10
+
+    # fresh Spark checkpoint: the source redelivers EVERYTHING; the
+    # manifest's offset checkpoint rejects both replayed batches
+    q2 = run_stream("ck2")
+    q2.processAllAvailable()
+    q2.stop()
+    assert source_positions(cfg) == {0: 9}
+    assert IndexSearcher(cfg.index_dir).count("*") == 10

@@ -136,6 +136,30 @@ def main() -> None:
     queries["tok_cjk_ids_mb_s"] = round(
         cjk_bytes / 1e6 / (time.perf_counter() - t0), 2)
 
+    # OTLP protobuf wire decode (the sanctioned per-payload Python slow
+    # path — quantified so its cost is on the record): ~1.5k-record
+    # batches, driver-local single-core MB/s
+    from quickwit_spark.pipeline import otlp_pb
+    payloads = [otlp_pb.encode_logs_request({"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "bench"}}]},
+        "scopeLogs": [{"scope": {"name": "qw", "version": "1"},
+                       "logRecords": [{
+                           "timeUnixNano": 1_700_000_000_000_000_000 + i,
+                           "severityText": "INFO", "severityNumber": 9,
+                           "body": {"stringValue": f"log line {i} merge"},
+                           "attributes": [
+                               {"key": "k", "value": {"intValue": i}}],
+                       } for i in range(j, j + 16)]}]}]})
+        for j in range(0, 24_000, 16)]
+    pb_bytes = sum(len(p) for p in payloads)
+    otlp_pb.decode_logs_request(payloads[0])  # warm
+    t0 = time.perf_counter()
+    for p in payloads:
+        otlp_pb.decode_logs_request(p)
+    queries["otlp_pb_decode_mb_s"] = round(
+        pb_bytes / 1e6 / (time.perf_counter() - t0), 2)
+
     cfg_sh = IndexConfig(index_uid="bench_sh",
                          index_dir=os.path.join(work, "idx_sh"))
     t0 = time.perf_counter()

@@ -14,6 +14,8 @@ from_json with an explicit OTLP schema + explode (whole-stage codegen,
 no Python in the row path), and the collector is groupBy(trace).max(ts)
 + ordered limit — Catalyst executes it as a partial/final aggregation,
 the same two-phase shape as the reference's segment-collect + k-merge.
+Protobuf payloads take the sibling otlp_pb module (hand-rolled wire
+decode, same output row schema — downstream is input-format-agnostic).
 
 AnyValue subset: stringValue / intValue / doubleValue / boolValue are
 coerced to their string form in `attributes` (the reference stores full

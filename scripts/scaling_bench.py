@@ -79,6 +79,23 @@ def best_of(cores: int, docs: int, zpath: str, tmp: str, partitions: int,
     return best
 
 
+def best_interleaved(levels: list[int], docs: int, zpath: str, tmp: str,
+                     partitions: int, reps: int) -> dict[int, dict]:
+    """Round-robin the levels WITHIN each rep (1,2,...,32, 1,2,...,32)
+    instead of all reps of one level back-to-back: the shared host's
+    load drifts on a minutes scale, so sequential per-level blocks hand
+    different levels different hardware and the cross-level efficiency
+    is fiction. Interleaving gives every level a sample from every load
+    regime; best-of then compares like with like."""
+    best: dict[int, dict] = {}
+    for _ in range(reps):
+        for c in levels:
+            r = run_build(c, docs, zpath, tmp, partitions)
+            if c not in best or r["docs_per_sec"] > best[c]["docs_per_sec"]:
+                best[c] = r
+    return best
+
+
 def mp_ceiling_probe() -> list[dict]:
     """Pure-multiprocessing probe of the same build kernel: how much
     aggregate throughput does the VM deliver at each concurrency?"""
@@ -160,8 +177,8 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="qw_scaling_")
     try:
         zpath = make_zip(tmp)
-        strong = {c: best_of(c, args.docs, zpath, tmp, args.partitions,
-                             args.reps) for c in levels}
+        strong = best_interleaved(levels, args.docs, zpath, tmp,
+                                  args.partitions, args.reps)
         weak = None
         if not args.skip_weak:
             wa = best_of(2, args.docs, zpath, tmp, args.partitions,
@@ -245,11 +262,33 @@ def main() -> None:
             f"{max(r['chunks_per_s'] for r in ceiling)/base:.0f} cores of"
             " physical throughput for this (memory-bound, emulated-CPU)",
             "workload — parallelism beyond that saturates the host, not",
-            "the job. Spark efficiency above matches the multiprocessing",
-            "ceiling at every level, i.e. the job itself (narrow map, no",
-            "shuffle, no driver bottleneck) adds no scaling loss; on real",
-            "hardware with 4N physical cores the same job meets the 0.8",
-            "bar at any N.",
+            "the job.",
+        ]
+        # computed (not asserted) Spark-vs-ceiling comparison at each
+        # level present in both tables
+        mp = {r["conc"]: r["chunks_per_s"] / base for r in ceiling}
+        sp_base = strong[levels[0]]["docs_per_sec"] * levels[0]
+        lines += ["", "| workers | Spark speedup | mp ceiling | ratio |",
+                  "|---|---|---|---|"]
+        fracs = []
+        for c in levels:
+            if c in mp:
+                sp = strong[c]["docs_per_sec"] / sp_base
+                fracs.append(sp / mp[c])
+                lines.append(f"| {c} | {sp:.2f}x | {mp[c]:.2f}x | "
+                             f"{sp / mp[c]:.2f} |")
+        frac = min(fracs[1:]) if len(fracs) > 1 else 1.0
+        lines += [
+            "",
+            f"Spark reaches >= {frac:.0%} of the VM's own multiprocessing"
+            " ceiling at every level measured in this draw — the residual"
+            " gap is host noise plus Spark scheduling, not a property of"
+            " the job (narrow map, no shuffle, no driver bottleneck)."
+            if frac >= 0.7 else
+            f"Worst Spark-vs-ceiling ratio this draw: {frac:.0%} — the"
+            " host was contended during this run; compare the per-level"
+            " ratio column rather than the raw N->4N pairs, and prefer a"
+            " quieter re-draw for headline numbers.",
         ]
     lines += ["", "Raw JSON:", "", "```json"]
     for c in levels:

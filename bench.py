@@ -411,7 +411,8 @@ def main() -> None:
                           # silently inflated r3's headline by ~1.8 s
                           # vs r1's
                           "refresh_global_index",
-                          "tok_"))]  # tok_* are MB/s rates, not seconds
+                          # MB/s rates, not seconds
+                          "tok_", "otlp_pb_"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

@@ -129,13 +129,13 @@ def _any_to_string(b: bytes) -> str | None:
     simplification, same as otlp.py)."""
     out = None
     for fno, wt, v in _fields(b):
-        if fno == 1:
+        if fno == 1 and wt == 2:
             out = _utf8(v)
-        elif fno == 2:
+        elif fno == 2 and wt == 0:
             out = "true" if v else "false"
-        elif fno == 3:
+        elif fno == 3 and wt == 0:
             out = str(_i64(v))
-        elif fno == 4:
+        elif fno == 4 and wt == 1:
             out = str(struct.unpack("<d", v)[0])
         elif fno in (5, 6, 7):
             out = None
@@ -149,9 +149,9 @@ def _attrs(b_list: list[bytes]) -> dict[str, str | None]:
     for b in b_list:
         key, val = "", None
         for fno, wt, v in _fields(b):
-            if fno == 1:
+            if fno == 1 and wt == 2:
                 key = _utf8(v)
-            elif fno == 2:
+            elif fno == 2 and wt == 2:
                 val = _any_to_string(v)
         if key not in out:
             out[key] = val
@@ -165,9 +165,9 @@ def _hex_or_none(v: bytes) -> str | None:
 def _scope(b: bytes) -> tuple[str | None, str | None]:
     name = version = None
     for fno, wt, v in _fields(b):
-        if fno == 1:
+        if fno == 1 and wt == 2:
             name = _utf8(v) or None
-        elif fno == 2:
+        elif fno == 2 and wt == 2:
             version = _utf8(v) or None
     return name, version
 
@@ -181,24 +181,25 @@ def decode_logs_request(data: bytes) -> list[dict]:
     (identical schema/semantics to otlp.otlp_logs_to_rows)."""
     rows: list[dict] = []
     for fno, wt, rl in _fields(data):
-        if fno != 1:
+        if fno != 1 or wt != 2:
             continue
         res_attrs: dict = {}
         scope_logs: list[bytes] = []
-        for f2, _w, v2 in _fields(rl):
-            if f2 == 1:  # Resource
-                kvs = [v for f3, _w3, v in _fields(v2) if f3 == 1]
+        for f2, w2, v2 in _fields(rl):
+            if f2 == 1 and w2 == 2:  # Resource
+                kvs = [v for f3, w3, v in _fields(v2)
+                       if f3 == 1 and w3 == 2]
                 res_attrs = _attrs(kvs)
-            elif f2 == 2:
+            elif f2 == 2 and w2 == 2:
                 scope_logs.append(v2)
         service = res_attrs.get("service.name")
         for sl in scope_logs:
             scope_name = scope_version = None
             records: list[bytes] = []
-            for f3, _w3, v3 in _fields(sl):
-                if f3 == 1:
+            for f3, w3, v3 in _fields(sl):
+                if f3 == 1 and w3 == 2:
                     scope_name, scope_version = _scope(v3)
-                elif f3 == 2:
+                elif f3 == 2 and w3 == 2:
                     records.append(v3)
             for rec in records:
                 t_ns = obs_ns = None
@@ -208,21 +209,21 @@ def decode_logs_request(data: bytes) -> list[dict]:
                 kvs: list[bytes] = []
                 trace_id = span_id = None
                 for f4, w4, v4 in _fields(rec):
-                    if f4 == 1:
+                    if f4 == 1 and w4 == 1:
                         t_ns = _fixed64(v4) or None
-                    elif f4 == 2:
+                    elif f4 == 2 and w4 == 0:
                         sev_num = _i64(v4)
-                    elif f4 == 3:
+                    elif f4 == 3 and w4 == 2:
                         sev_text = _utf8(v4) or None
-                    elif f4 == 5:
+                    elif f4 == 5 and w4 == 2:
                         body = _any_to_string(v4)
-                    elif f4 == 6:
+                    elif f4 == 6 and w4 == 2:
                         kvs.append(v4)
-                    elif f4 == 9:
+                    elif f4 == 9 and w4 == 2:
                         trace_id = _hex_or_none(v4)
-                    elif f4 == 10:
+                    elif f4 == 10 and w4 == 2:
                         span_id = _hex_or_none(v4)
-                    elif f4 == 11:
+                    elif f4 == 11 and w4 == 1:
                         obs_ns = _fixed64(v4) or None
                 rows.append({
                     "timestamp_nanos": t_ns,
@@ -251,21 +252,22 @@ def decode_spans_request(data: bytes) -> list[dict]:
     (identical schema/semantics to otlp.otlp_spans_to_rows)."""
     rows: list[dict] = []
     for fno, wt, rs in _fields(data):
-        if fno != 1:
+        if fno != 1 or wt != 2:
             continue
         res_attrs: dict = {}
         scope_spans: list[bytes] = []
-        for f2, _w, v2 in _fields(rs):
-            if f2 == 1:
-                kvs = [v for f3, _w3, v in _fields(v2) if f3 == 1]
+        for f2, w2, v2 in _fields(rs):
+            if f2 == 1 and w2 == 2:
+                kvs = [v for f3, w3, v in _fields(v2)
+                       if f3 == 1 and w3 == 2]
                 res_attrs = _attrs(kvs)
-            elif f2 == 2:
+            elif f2 == 2 and w2 == 2:
                 scope_spans.append(v2)
         service = res_attrs.get("service.name")
         for ss in scope_spans:
             spans: list[bytes] = []
-            for f3, _w3, v3 in _fields(ss):
-                if f3 == 2:
+            for f3, w3, v3 in _fields(ss):
+                if f3 == 2 and w3 == 2:
                     spans.append(v3)
             for sp in spans:
                 trace_id = span_id = parent_id = None
@@ -275,25 +277,25 @@ def decode_spans_request(data: bytes) -> list[dict]:
                 kvs: list[bytes] = []
                 status_code = 0
                 for f4, w4, v4 in _fields(sp):
-                    if f4 == 1:
+                    if f4 == 1 and w4 == 2:
                         trace_id = _hex_or_none(v4)
-                    elif f4 == 2:
+                    elif f4 == 2 and w4 == 2:
                         span_id = _hex_or_none(v4)
-                    elif f4 == 4:
+                    elif f4 == 4 and w4 == 2:
                         parent_id = _hex_or_none(v4)
-                    elif f4 == 5:
+                    elif f4 == 5 and w4 == 2:
                         name = _utf8(v4) or None
-                    elif f4 == 6:
+                    elif f4 == 6 and w4 == 0:
                         kind = _i64(v4)
-                    elif f4 == 7:
+                    elif f4 == 7 and w4 == 1:
                         start = _fixed64(v4) or None
-                    elif f4 == 8:
+                    elif f4 == 8 and w4 == 1:
                         end = _fixed64(v4) or None
-                    elif f4 == 9:
+                    elif f4 == 9 and w4 == 2:
                         kvs.append(v4)
-                    elif f4 == 15:
-                        for f5, _w5, v5 in _fields(v4):
-                            if f5 == 3:
+                    elif f4 == 15 and w4 == 2:
+                        for f5, w5, v5 in _fields(v4):
+                            if f5 == 3 and w5 == 0:
                                 status_code = _i64(v5)
                 # duration exactly like the JSON path: double division
                 # then long cast (truncation), so both paths round the

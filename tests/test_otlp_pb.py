@@ -9,6 +9,7 @@ hand-computed byte fixture additionally pins the wire format itself
 so encoder and decoder cannot share a systematic bias."""
 
 import json
+import struct
 
 import pytest
 
@@ -214,3 +215,92 @@ def test_jaeger_surface_over_pb_spans(spark):
 def test_decoder_rejects_unsupported_wire_type():
     with pytest.raises(ValueError):
         list(otlp_pb._fields(bytes([0x0B])))  # wt=3 (group) unsupported
+
+
+# --- property fuzz (hypothesis): codec invariants without Spark -----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _txt = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1, max_size=30)
+    _any_val = st.one_of(
+        st.builds(lambda s: {"stringValue": s}, _txt),
+        st.builds(lambda n: {"intValue": n},
+                  st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+        st.builds(lambda b: {"boolValue": b}, st.booleans()),
+    )
+    _attrs = st.lists(
+        st.fixed_dictionaries({"key": _txt, "value": _any_val}),
+        max_size=4, unique_by=lambda kv: kv["key"])
+    _record = st.fixed_dictionaries({
+        "timeUnixNano": st.integers(min_value=1, max_value=2**62),
+        "severityNumber": st.integers(min_value=1, max_value=24),
+        "severityText": _txt,
+        "body": st.builds(lambda s: {"stringValue": s}, _txt),
+        "attributes": _attrs,
+        "traceId": st.binary(min_size=16, max_size=16).map(bytes.hex),
+        "spanId": st.binary(min_size=8, max_size=8).map(bytes.hex),
+    })
+    _payload = st.fixed_dictionaries({
+        "resourceLogs": st.lists(st.fixed_dictionaries({
+            "resource": st.fixed_dictionaries({"attributes": _attrs}),
+            "scopeLogs": st.lists(st.fixed_dictionaries({
+                "logRecords": st.lists(_record, max_size=3),
+            }), max_size=2),
+        }), min_size=1, max_size=2),
+    })
+
+    @given(_payload)
+    @settings(max_examples=150, deadline=None)
+    def test_fuzz_logs_roundtrip(payload):
+        rows = otlp_pb.decode_logs_request(
+            otlp_pb.encode_logs_request(payload))
+        recs = [(rl, r)
+                for rl in payload["resourceLogs"]
+                for sl in rl["scopeLogs"]
+                for r in sl["logRecords"]]
+        assert len(rows) == len(recs)
+        for row, (rl, rec) in zip(rows, recs):
+            assert row["timestamp_nanos"] == rec["timeUnixNano"]
+            assert row["severity_number"] == rec["severityNumber"]
+            assert row["severity_text"] == rec["severityText"]
+            assert row["body_message"] == rec["body"]["stringValue"]
+            assert row["trace_id"] == rec["traceId"]
+            assert row["span_id"] == rec["spanId"]
+            want = {}
+            for kv in rec["attributes"]:
+                v = kv["value"]
+                if "stringValue" in v:
+                    s = v["stringValue"]
+                elif "intValue" in v:
+                    s = str(v["intValue"])
+                else:
+                    s = "true" if v["boolValue"] else "false"
+                want[kv["key"]] = s
+            assert row["attributes"] == want
+
+    @given(_payload, st.integers(min_value=0, max_value=200))
+    @settings(max_examples=150, deadline=None)
+    def test_fuzz_truncation_never_hangs_or_misparses_silently(payload, cut):
+        data = otlp_pb.encode_logs_request(payload)
+        try:
+            rows = otlp_pb.decode_logs_request(data[:min(cut, len(data))])
+        except (ValueError, struct.error):
+            return  # loud rejection is the contract
+        assert isinstance(rows, list)
+
+    @given(st.binary(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_fuzz_random_bytes_raise_or_return_list(data):
+        try:
+            rows = otlp_pb.decode_logs_request(data)
+        except (ValueError, struct.error):
+            return
+        assert isinstance(rows, list)

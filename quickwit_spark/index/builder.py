@@ -100,7 +100,10 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     # np.unique(codes) guarantees every term has >= 1 posting
     term_lens = np.diff(np.r_[term_starts, npost])
     doc_freq = term_lens
-    total_tf = np.add.reduceat(tfs, term_starts) if npost else term_lens
+    # dtype=int64: tfs may arrive int32 from the merge splicer and a hot
+    # term's total must not wrap
+    total_tf = (np.add.reduceat(tfs, term_starts, dtype=np.int64)
+                if npost else term_lens)
 
     if preencoded is not None:
         doc_blob, doc_nb, tf_blob, tf_nb = preencoded
@@ -115,8 +118,6 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
         doc_blob, doc_nb = _varint_encode_with_sizes(
             deltas.astype(np.uint64))
         tf_blob, tf_nb = _varint_encode_with_sizes(tfs.astype(np.uint64))
-    doc_cum = np.r_[0, np.cumsum(doc_nb)]
-    tf_cum = np.r_[0, np.cumsum(tf_nb)]
 
     # blocks: every BLOCK_SIZE postings within a term
     nblk = (term_lens + BLOCK_SIZE - 1) // BLOCK_SIZE
@@ -128,7 +129,10 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     term_ends = term_starts + term_lens
     blk_end = np.minimum(blk_start + BLOCK_SIZE, term_ends[blk_term])
 
-    fn_per_post = fn_ids[p_doc].astype(np.int64)
+    # uint8: fieldnorm ids index the 256-entry quantization table; at
+    # merge scale fn_per_post is one of the largest arrays here (one
+    # value per POSTING), so 8x narrower matters for the per-op peak
+    fn_per_post = fn_ids[p_doc].astype(np.uint8)
     block_last = p_doc[blk_end - 1]
     block_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
     block_min_fn = np.minimum.reduceat(fn_per_post, blk_start).astype(np.int32)
@@ -145,12 +149,37 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
     lens_f32 = id_to_fieldnorm(fn_per_post).astype(np.float32)
     norm = (K1 * (np.float32(1.0) - B + B * lens_f32 / avg_fn)).astype(
         np.float32)
+    del lens_f32
     tf_f32 = tfs.astype(np.float32)
     ratio = (tf_f32 / (tf_f32 + norm)).astype(np.float32)
+    del tf_f32, norm  # per-posting f32 temporaries: drop before writes
     block_max_ratio = np.maximum.reduceat(ratio, blk_start).astype(np.float32)
-    doc_offsets = (doc_cum[blk_start] - doc_cum[term_starts[blk_term]]
+    del ratio
+    # byte offsets: per-BLOCK sums instead of a full per-posting prefix
+    # sum — doc_nb/tf_nb have one entry per posting, so the old
+    # doc_cum/tf_cum int64 arrays were 16 bytes per posting of pure
+    # peak memory used only at block/term boundaries (blocks tile the
+    # posting space contiguously, so reduceat over blk_start yields
+    # exactly each block's byte count; dtype=int64 also keeps the
+    # merge path's uint8 sizes from wrapping)
+    if tot_blk:
+        doc_cum_blk = np.r_[0, np.cumsum(
+            np.add.reduceat(doc_nb, blk_start, dtype=np.int64))]
+        tf_cum_blk = np.r_[0, np.cumsum(
+            np.add.reduceat(tf_nb, blk_start, dtype=np.int64))]
+    else:
+        doc_cum_blk = np.zeros(1, dtype=np.int64)
+        tf_cum_blk = np.zeros(1, dtype=np.int64)
+    if nterms:
+        term_doc_byte = doc_cum_blk[blk_first]  # byte offset per term
+        term_tf_byte = tf_cum_blk[blk_first]
+    else:
+        # blk_first's np.r_ idiom fabricates [0] for an EMPTY segment
+        term_doc_byte = np.zeros(0, dtype=np.int64)
+        term_tf_byte = np.zeros(0, dtype=np.int64)
+    doc_offsets = (doc_cum_blk[:-1] - term_doc_byte[blk_term]
                    ).astype(np.int32)
-    tf_offsets = (tf_cum[blk_start] - tf_cum[term_starts[blk_term]]
+    tf_offsets = (tf_cum_blk[:-1] - term_tf_byte[blk_term]
                   ).astype(np.int32)
 
     blk_offsets = np.r_[0, np.cumsum(nblk)].astype(np.int64)
@@ -169,9 +198,9 @@ def write_segment(seg_dir: str, terms_sorted: np.ndarray,
         "doc_offsets": _list_array(doc_offsets, blk_offsets, pa.int32()),
         "tf_offsets": _list_array(tf_offsets, blk_offsets, pa.int32()),
         "docid_blob": _large_binary_array(
-            doc_blob, np.r_[doc_cum[term_starts], len(doc_blob)]),
+            doc_blob, np.r_[term_doc_byte, len(doc_blob)]),
         "tf_blob": _large_binary_array(
-            tf_blob, np.r_[tf_cum[term_starts], len(tf_blob)]),
+            tf_blob, np.r_[term_tf_byte, len(tf_blob)]),
     })
     if positions is not None:
         pos_blob, pos_offsets = positions

@@ -100,14 +100,32 @@ def _binary_cells(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _byte_gather(source: np.ndarray, starts: np.ndarray,
-                 lens: np.ndarray) -> np.ndarray:
-    """Concatenate source[starts[i]:starts[i]+lens[i]] — one fancy index."""
+                 lens: np.ndarray, chunk: int = 1 << 24) -> np.ndarray:
+    """Concatenate source[starts[i]:starts[i]+lens[i]] (vectorized).
+
+    Chunked over runs so the int64 index temporaries stay ~24 bytes per
+    OUTPUT byte only within one ~16 MB chunk (~400 MB transient) instead
+    of the whole blob — the unchunked version spiked to several GB per
+    10^8-byte blob and set the per-op memory peak."""
     total = int(lens.sum())
     if total == 0:
         return np.zeros(0, dtype=source.dtype)
-    dst = np.r_[0, np.cumsum(lens)[:-1]]
-    within = np.arange(total) - np.repeat(dst, lens)
-    return source[np.repeat(starts, lens) + within]
+    out = np.empty(total, dtype=source.dtype)
+    cum = np.cumsum(lens)
+    nruns = len(lens)
+    pos = 0
+    out_off = 0
+    while pos < nruns:
+        end = min(int(np.searchsorted(cum, out_off + chunk)) + 1, nruns)
+        ln = lens[pos:end]
+        t = int(ln.sum())
+        dst = np.r_[0, np.cumsum(ln)[:-1]]
+        within = np.arange(t, dtype=np.int64) - np.repeat(dst, ln)
+        out[out_off:out_off + t] = source[
+            np.repeat(starts[pos:end], ln) + within]
+        out_off += t
+        pos = end
+    return out
 
 
 def merge_segments(index_dir: str, parents: list[dict]) -> dict:
@@ -159,18 +177,20 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
             cs = np.cumsum(deltas.astype(np.int64))
             base = cs[term_starts] - deltas[term_starts].astype(np.int64)
             term_of = np.repeat(np.arange(len(terms)), doc_freq)
-            docids = cs - base[term_of] + int(off)
+            # int32: per-op docids < 2^31 (an op is bounded by the
+            # split_num_docs_target, orders of magnitude under 2^31)
+            docids = (cs - base[term_of] + int(off)).astype(np.int32)
         else:
             # valid EMPTY parent (blank-text chunk): contributes no
             # postings; the np.r_ idiom would fabricate term_starts=[0]
             term_starts = np.zeros(0, dtype=np.int64)
-            docids = np.zeros(0, dtype=np.int64)
+            docids = np.zeros(0, dtype=np.int32)
 
         all_terms.append(terms)
         p_doc_parts.append(docids)
-        p_tf_parts.append(tfs.astype(np.int64))
-        doc_nb_parts.append(dnb)
-        tf_nb_parts.append(tnb)
+        p_tf_parts.append(tfs.astype(np.int32))  # tf < 2^31 by type
+        doc_nb_parts.append(dnb.astype(np.uint8))  # varint size <= 10
+        tf_nb_parts.append(tnb.astype(np.uint8))
         doc_data_parts.append(ddata)
         tf_data_parts.append(tdata)
         term_ends = term_starts + doc_freq
@@ -199,9 +219,11 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
 
     global_terms = np.unique(np.concatenate(all_terms))
     run_gterm = np.concatenate([
-        np.searchsorted(global_terms, terms) for terms in all_terms])
+        np.searchsorted(global_terms, terms) for terms in all_terms]
+        ).astype(np.int32)  # vocab < 2^31
     runs = {k: np.concatenate([r[k] for r in run_rows])
             for k in run_rows[0]}
+    run_rows.clear()
     # runs ordered by (term, parent): stable sort keeps parent order
     order = np.argsort(run_gterm, kind="stable")
     for k in runs:
@@ -234,6 +256,7 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
 
         # --- splice the docid stream: [new first][unchanged tail] per run
         doc_source = np.concatenate([*doc_data_parts, nf_data])
+        doc_data_parts.clear()
         nf_base = doc_source.size - nf_data.size
         nruns = len(run_gterm)
         piece_start = np.empty(2 * nruns, dtype=np.int64)
@@ -243,33 +266,46 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
         piece_start[1::2] = runs["doc_byte_start"] + runs["first_len"]
         piece_len[1::2] = runs["doc_byte_len"] - runs["first_len"]
         doc_blob = _byte_gather(doc_source, piece_start, piece_len).tobytes()
+        del doc_source
 
         # --- tf stream: pure concatenation of run cells -------------------
         tf_source = np.concatenate(tf_data_parts)
+        tf_data_parts.clear()
         tf_blob = _byte_gather(tf_source, runs["tf_byte_start"],
                                runs["tf_byte_len"]).tobytes()
+        del tf_source
 
         # --- merged posting value arrays (for block metadata) -------------
-        p_doc_all = np.concatenate(p_doc_parts)
-        p_tf_all = np.concatenate(p_tf_parts)
-        doc_nb_all = np.concatenate(doc_nb_parts)
-        tf_nb_all = np.concatenate(tf_nb_parts)
         val_src = _value_gather_index(runs["post_start"], runs["len"])
+        p_doc_all = np.concatenate(p_doc_parts)
+        p_doc_parts.clear()
         g_doc = p_doc_all[val_src]
+        del p_doc_all
+        p_tf_all = np.concatenate(p_tf_parts)
+        p_tf_parts.clear()
         g_tf = p_tf_all[val_src]
-        g_term = np.repeat(run_gterm, runs["len"])
+        del p_tf_all
+        doc_nb_all = np.concatenate(doc_nb_parts)
+        doc_nb_parts.clear()
         doc_nb_m = doc_nb_all[val_src]
+        del doc_nb_all
         run_val_starts = np.r_[0, np.cumsum(runs["len"])[:-1]]
         doc_nb_m[run_val_starts] = nf_nb  # patched firsts
+        tf_nb_all = np.concatenate(tf_nb_parts)
+        tf_nb_parts.clear()
         tf_nb_m = tf_nb_all[val_src]
+        del tf_nb_all, val_src
+        g_term = np.repeat(run_gterm, runs["len"])
 
         positions = None
         if with_pos:
             # per-posting delta runs reset at run starts: byte concat per
             # term
             pos_source = np.concatenate(pos_data_parts)
+            pos_data_parts.clear()
             pos_blob = _byte_gather(pos_source, runs["pos_byte_start"],
                                     runs["pos_byte_len"]).tobytes()
+            del pos_source
             term_first_run = np.nonzero(
                 np.r_[True, run_gterm[1:] != run_gterm[:-1]])[0]
             term_bytes = np.add.reduceat(runs["pos_byte_len"],
@@ -345,11 +381,30 @@ def _value_gather_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     if len(lens) == 0:
         # the np.r_ idiom below fabricates dst=[0] for zero runs (an
         # all-blank-text merge group) and np.repeat would broadcast-fail
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int32)
     total = int(lens.sum())
-    dst = np.r_[0, np.cumsum(lens)[:-1]]
-    within = np.arange(total) - np.repeat(dst, lens)
-    return np.repeat(starts, lens) + within
+    if total >= 2**31:  # one op would need >2^31 postings: see the
+        raise ValueError(  # memory model note in merge_segments
+            f"merge op has {total} postings (>= 2^31); split the op")
+    # chunked like _byte_gather: temporaries bounded per ~4M-value slice
+    out = np.empty(total, dtype=np.int32)
+    cum = np.cumsum(lens)
+    nruns = len(lens)
+    pos = 0
+    out_off = 0
+    while pos < nruns:
+        end = min(int(np.searchsorted(cum, out_off + (1 << 22))) + 1,
+                  nruns)
+        ln = lens[pos:end]
+        t = int(ln.sum())
+        dst = np.r_[0, np.cumsum(ln)[:-1]]
+        within = (np.arange(t, dtype=np.int32)
+                  - np.repeat(dst.astype(np.int32), ln))
+        out[out_off:out_off + t] = (
+            np.repeat(starts[pos:end].astype(np.int32), ln) + within)
+        out_off += t
+        pos = end
+    return out
 
 
 def _mapping_group(seg: dict) -> tuple:

@@ -92,12 +92,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", num_hashes: int = 16,
-                        bands: int = 4, shingle_n: int = 3,
-                        seed: int = 42) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates: docs sharing any band bucket.
-    Returns distinct (a, b) with a < b."""
+def lsh_band_buckets(sig: DataFrame, num_hashes: int = 16,
+                     bands: int = 4) -> DataFrame:
+    """Banded relation (doc_id, band, bucket) from minhash signatures:
+    bucket = md5 over the band's signature rows. Exposed separately so
+    scale probes can derive bucket-size distributions from the SAME
+    relation that feeds the candidate self-join."""
     if num_hashes % bands != 0:
         # silently truncating to bands*(num_hashes//bands) hashes would
         # pay for the remainder minhashes in the agg and then change
@@ -105,12 +105,6 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
-                             seed)
-    # the banded relation feeds BOTH sides of the self-join below; without
-    # persistence Spark recomputes the whole shingle+minhash lineage twice
-    # (at 100 TB: two full corpus scans instead of one)
-    sig = sig.persist()
     parts = []
     for b in range(bands):
         cols = [f"mh{i}" for i in range(b * rows, (b + 1) * rows)]
@@ -120,13 +114,64 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionAll(p)
+    return banded
+
+
+def pairs_from_buckets(banded: DataFrame,
+                       keys: tuple = ("band", "bucket"),
+                       max_bucket: int | None = None) -> DataFrame:
+    """Distinct candidate pairs (a, b), a < b, from any bucketed relation
+    (doc_id + bucket key columns): the bucket self-join shared by
+    MinHash-LSH and embedding-sign bucketing.
+
+    max_bucket: hot-bucket cap for the quadratic guard. Zipfian corpora
+    grow LSH hot buckets LINEARLY with corpus size (a very common shingle
+    winning the band min across short docs — measured: max bucket 1782 at
+    100k synthetic docs), so the self-join's c*(c-1)/2 term goes
+    quadratic at scale. Buckets larger than the cap emit STAR edges
+    (min doc_id -> member) instead of all pairs: O(c) edges that keep the
+    bucket one connected component — duplicate_clusters over the result
+    is unchanged, and a true duplicate pair inside a hot bucket is still
+    found directly via any of its other (band, bucket) matches. Only the
+    pairwise-verify recall INSIDE hot buckets is traded; hot buckets are
+    precision-poor by construction (driven by one shared shingle, not by
+    document similarity). None = exact all-pairs (the oracle-matched
+    default)."""
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy(*[F.col(c) for c in keys])
+        sized = (banded.withColumn("_bcnt", F.count("*").over(w))
+                 .withColumn("_bmin", F.min("doc_id").over(w)))
+        small = sized.where(F.col("_bcnt") <= F.lit(max_bucket)) \
+            .drop("_bcnt", "_bmin")
+        star = (sized.where((F.col("_bcnt") > F.lit(max_bucket))
+                            & (F.col("doc_id") != F.col("_bmin")))
+                .select(F.col("_bmin").alias("a"),
+                        F.col("doc_id").alias("b")))
+        return (pairs_from_buckets(small, keys).unionAll(star)
+                .distinct())
     left = banded.alias("l")
     right = banded.alias("r")
-    return (left.join(right, ["band", "bucket"])
+    return (left.join(right, list(keys))
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
             .select(F.col("l.doc_id").alias("a"),
                     F.col("r.doc_id").alias("b"))
             .distinct())
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, shingle_n: int = 3,
+                        seed: int = 42) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: docs sharing any band bucket.
+    Returns distinct (a, b) with a < b."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                             seed)
+    # the banded relation feeds BOTH sides of the self-join below; without
+    # persistence Spark recomputes the whole shingle+minhash lineage twice
+    # (at 100 TB: two full corpus scans instead of one)
+    sig = sig.persist()
+    return pairs_from_buckets(lsh_band_buckets(sig, num_hashes, bands))
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
@@ -316,6 +361,15 @@ def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 2,
     16-bit signature whose 5-bit slices degenerated quadratic per hot
     bucket — the r3 judge's one real scale finding)."""
     sig = simhash60(df, id_col, text_col).persist()
+    return simhash_pairs_from_bands(simhash_bands(sig, max_hamming),
+                                    max_hamming)
+
+
+def simhash_bands(sig: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Pigeonhole band relation (doc_id, band, bv, simhash) from simhash
+    signatures — max_hamming+1 contiguous bit slices of the 60-bit
+    signature. Exposed separately so scale probes can read bucket-size
+    distributions off the SAME relation that feeds the pair join."""
     nbands = max_hamming + 1
     bounds = [round(SIMHASH_BITS * i / nbands) for i in range(nbands + 1)]
     parts = []
@@ -327,18 +381,49 @@ def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 2,
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionAll(p)
+    return banded
+
+
+def simhash_pairs_from_bands(banded: DataFrame, max_hamming: int = 2,
+                             max_bucket: int | None = None) -> DataFrame:
+    """Bucket self-join + XOR-popcount verify over a simhash_bands
+    relation: distinct (a, b, hamming), a < b, hamming <= max_hamming.
+
+    max_bucket: hot-slice cap (see pairs_from_buckets): oversized
+    (band, bv) buckets emit star edges hub -> member instead of all
+    pairs. Unlike the MinHash star, these edges STILL pass the exact
+    XOR-popcount verify (both signatures ride along), so precision is
+    unchanged; only pairs between two non-hub members of a hot slice
+    rely on matching in one of the other pigeonhole bands."""
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bv")
+        sized = (banded.withColumn("_bcnt", F.count("*").over(w))
+                 .withColumn("_hub", F.min(F.struct("doc_id", "simhash"))
+                             .over(w)))
+        small = sized.where(F.col("_bcnt") <= F.lit(max_bucket)) \
+            .drop("_bcnt", "_hub")
+        star = (sized.where((F.col("_bcnt") > F.lit(max_bucket))
+                            & (F.col("doc_id") != F.col("_hub.doc_id")))
+                .select(F.col("_hub.doc_id").alias("a"),
+                        F.col("doc_id").alias("b"),
+                        F.bit_count(F.col("_hub.simhash")
+                                    .bitwiseXOR(F.col("simhash")))
+                        .alias("hamming"))
+                .where(F.col("hamming") <= F.lit(max_hamming)))
+        return (simhash_pairs_from_bands(small, max_hamming)
+                .unionAll(star).distinct())
     left = banded.select(F.col("doc_id").alias("a"), "band", "bv",
                          F.col("simhash").alias("sa"))
     right = banded.select(F.col("doc_id").alias("b"), "band", "bv",
                           F.col("simhash").alias("sb"))
-    pairs = (left.join(right, ["band", "bv"])
-             .where(F.col("a") < F.col("b"))
-             .select("a", "b",
-                     F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-                     .alias("hamming"))
-             .where(F.col("hamming") <= F.lit(max_hamming))
-             .distinct())
-    return pairs
+    return (left.join(right, ["band", "bv"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= F.lit(max_hamming))
+            .distinct())
 
 
 SIMHASH_BITS = 60

@@ -605,11 +605,102 @@ def ivfpq_partition(emb: DataFrame, out_dir: str, centroids: np.ndarray,
     return out_dir
 
 
+def adc_topk_arrow(codes_df: DataFrame, qv: np.ndarray,
+                   codebooks: np.ndarray, k: int = 10,
+                   id_col: str = "vec_id", code_col: str = "pq_code",
+                   probe_centroids: "dict[int, np.ndarray] | None" = None,
+                   cid_col: str = "_cid") -> DataFrame:
+    """mapInArrow twin of pq_adc_topk: the ADC lookup tables are computed
+    ONCE driver-side in numpy and closed over, instead of being built as
+    m*ksub*dsub literal expressions through py4j (at nprobe 16 x m 8 x
+    ksub 16 the expression path spends ~80 s of pure DRIVER time building
+    the plan — measured; the scan itself takes seconds). Each batch is a
+    fancy-indexed LUT gather + one per-batch top-k, so only k rows per
+    batch reach the final global top-k.
+
+    probe_centroids: {cid: coarse centroid} for residual layouts — rows
+    are scored with that list's SHIFTED codebooks (cb + centroid slice),
+    selected per row from cid_col. Rows with a cid outside the map (or a
+    null/ragged code list) are skipped, mirroring the expression path's
+    null-fold. Score/tie semantics match pq_adc_topk: order by the
+    unrounded cosine desc then id asc, round(6) on output."""
+    import pyarrow as pa
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    q = np.ascontiguousarray(qv, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    qs = q.reshape(m, dsub)
+    if probe_centroids is None:
+        lut_dot = np.einsum("id,ikd->ik", qs, cb)          # (m, ksub)
+        lut_n2 = (cb ** 2).sum(axis=2)                     # (m, ksub)
+        cid_map = None
+    else:
+        cids = sorted(probe_centroids)
+        cid_map = {c: i for i, c in enumerate(cids)}
+        C = np.stack([np.asarray(probe_centroids[c], dtype=np.float64)
+                      for c in cids]).reshape(len(cids), m, dsub)
+        shifted = cb[None, :, :, :] + C[:, :, None, :]     # (p, m, ksub, d)
+        lut_dot = np.einsum("id,pikd->pik", qs, shifted)
+        lut_n2 = (shifted ** 2).sum(axis=3)                # (p, m, ksub)
+    isub = np.arange(m)
+
+    def score(batches):
+        for b in batches:
+            ids = b.column(id_col)
+            X, ok = _list_matrix(b, code_col, m)
+            codes = X.astype(np.int64)
+            ok = ok & ((codes >= 0) & (codes < ksub)).all(axis=1)
+            codes = np.where(ok[:, None], codes, 0)
+            if cid_map is None:
+                dot = lut_dot[isub[None, :], codes].sum(axis=1)
+                n2 = lut_n2[isub[None, :], codes].sum(axis=1)
+            else:
+                raw = np.asarray(b.column(cid_col).to_numpy(
+                    zero_copy_only=False), dtype=np.float64)
+                pidx = np.array([cid_map.get(int(c), -1)
+                                 if not np.isnan(c) else -1 for c in raw],
+                                dtype=np.int64)
+                ok = ok & (pidx >= 0)
+                pidx = np.where(pidx >= 0, pidx, 0)
+                dot = lut_dot[pidx[:, None], isub[None, :], codes
+                              ].sum(axis=1)
+                n2 = lut_n2[pidx[:, None], isub[None, :], codes
+                            ].sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(n2) * qn)
+            cos = np.where(ok & np.isfinite(cos), cos, -np.inf)
+            n = len(cos)
+            if not n or not ok.any():
+                continue
+            # per-batch prune under the global order (cos desc, id asc):
+            # keep the top k plus every boundary tie
+            kk = min(k, int(ok.sum()))
+            kth = np.partition(cos, n - kk)[n - kk]
+            keep = np.nonzero(cos >= kth)[0]
+            id_np = np.asarray(ids.to_numpy(zero_copy_only=False))
+            order = sorted(keep.tolist(),
+                           key=lambda i: (-cos[i], id_np[i]))[:k]
+            yield pa.record_batch(
+                [ids.take(pa.array(order, type=pa.int32())),
+                 pa.array([float(cos[i]) for i in order],
+                          type=pa.float64())],
+                names=[id_col, "_cos"])
+
+    sel = [id_col, code_col] + ([cid_col] if cid_map is not None else [])
+    scored = codes_df.select(*sel).mapInArrow(
+        score, f"{id_col} {_id_schema(codes_df, id_col)}, _cos double")
+    return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, F.round("_cos", 6).alias("approx_cos")))
+
+
 def ivfpq_topk(spark, layout_dir: str, query_df: DataFrame, k: int = 10,
                nprobe: int = 2, id_col: str = "vec_id",
                centroids: np.ndarray | None = None,
                codebooks: np.ndarray | None = None,
-               residual: bool | None = None) -> DataFrame:
+               residual: bool | None = None,
+               arrow: bool | None = None) -> DataFrame:
     """ANN over an ivfpq_partition layout: probe the nprobe nearest
     coarse lists (partition filter — directory-level pruning, check
     .explain() for PartitionFilters), ADC-score their codes. Identical
@@ -619,7 +710,15 @@ def ivfpq_topk(spark, layout_dir: str, query_df: DataFrame, k: int = 10,
     code reconstructs v̂ = c_p + codeword, and since the subspaces are
     disjoint, ADC over list p is EXACTLY plain ADC with the codebooks
     shifted by that list's centroid (cb'[i] = cb[i] + c_p,i) — one
-    shifted LUT per probed list, merged by a final top-k."""
+    shifted LUT per probed list, merged by a final top-k.
+
+    arrow (default: auto by plan-literal weight, like _with_sig): the
+    expression path builds (nprobe if residual else 1) * m * ksub * dsub
+    literals through py4j — above _ARROW_LITERAL_THRESHOLD that is tens
+    of seconds of pure driver time per query, so production configs
+    dispatch to adc_topk_arrow (ONE scan of the probed partitions, LUTs
+    computed driver-side in numpy). The expression path stays for
+    small/oracle-comparable configs."""
     import json as _json
     import os as _os
     if centroids is None or codebooks is None or residual is None:
@@ -634,11 +733,18 @@ def ivfpq_topk(spark, layout_dir: str, query_df: DataFrame, k: int = 10,
     qv = np.asarray(query_df.first()["q"], dtype=np.float64)
     d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
-    if not residual:
-        scan = (spark.read.parquet(layout_dir)
-                .filter(F.col("_cid").isin(probes)))
-        return pq_adc_topk(scan, query_df, codebooks, k, id_col=id_col)
     m, ksub, dsub = codebooks.shape
+    if arrow is None:
+        weight = (nprobe if residual else 1) * m * ksub * dsub
+        arrow = weight > _ARROW_LITERAL_THRESHOLD
+    scan = (spark.read.parquet(layout_dir)
+            .filter(F.col("_cid").isin(probes)))
+    if arrow:
+        pc = ({p: centroids[p] for p in probes} if residual else None)
+        return adc_topk_arrow(scan, qv, codebooks, k, id_col=id_col,
+                              probe_centroids=pc)
+    if not residual:
+        return pq_adc_topk(scan, query_df, codebooks, k, id_col=id_col)
     parts = []
     for p in probes:
         scan_p = (spark.read.parquet(layout_dir)

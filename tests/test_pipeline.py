@@ -851,3 +851,140 @@ def test_arrow_twins_null_element_rows(spark):
     codes = {r["vec_id"]: r["pq_code"]
              for r in pq_encode_arrow(emb, cb).collect()}
     assert codes[1] is None and len(codes[0]) == 4
+
+
+def test_banded_relations_compose_to_pairs(spark):
+    """lsh_band_buckets / simhash_bands are the probe-facing halves of
+    the candidate joins: pairs derived from the exposed relations must
+    equal the one-call public functions, and the band counts must match
+    the scheme (bands for LSH, max_hamming+1 pigeonhole slices)."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.dedup import (
+        lsh_band_buckets, lsh_candidate_pairs, minhash_signatures,
+        pairs_from_buckets, simhash60, simhash_bands,
+        simhash_candidate_pairs)
+
+    rows = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["the quick brown fox jumps over the lazy dog"] * 2
+                + ["the quick brown fox jumps over the lazy cat",
+                   "entirely different words in this one here now",
+                   "another unrelated document text body sample row",
+                   "the quick brown fox jumps over the lazy dog yes"],
+    })
+    df = spark.createDataFrame(rows)
+
+    sig = minhash_signatures(df, num_hashes=16, shingle_n=3)
+    banded = lsh_band_buckets(sig, 16, 4)
+    assert banded.select("band").distinct().count() == 4
+    got = {(r["a"], r["b"]) for r in pairs_from_buckets(banded).collect()}
+    want = {(r["a"], r["b"])
+            for r in lsh_candidate_pairs(df, num_hashes=16,
+                                         bands=4).collect()}
+    assert got == want and (0, 1) in got
+
+    ssig = simhash60(df)
+    sbanded = simhash_bands(ssig, max_hamming=2)
+    assert sbanded.select("band").distinct().count() == 3
+    from quickwit_spark.pipeline.dedup import simhash_pairs_from_bands
+    got_s = {(r["a"], r["b"])
+             for r in simhash_pairs_from_bands(sbanded, 2).collect()}
+    want_s = {(r["a"], r["b"])
+              for r in simhash_candidate_pairs(df, max_hamming=2)
+              .collect()}
+    assert got_s == want_s and (0, 1) in got_s
+
+
+def test_lsh_bands_must_divide(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from quickwit_spark.pipeline.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c d"]}))
+    with _pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(df, num_hashes=16, bands=5).collect()
+
+
+def test_adc_topk_arrow_matches_expression(spark, tmp_path):
+    """adc_topk_arrow is the scale twin of pq_adc_topk (driver-side
+    numpy LUTs instead of m*ksub*dsub py4j literals — the expression
+    path costs ~80 s of pure plan-build at nprobe 16 x m 8 x ksub 16,
+    measured). Plain AND residual results must match the expression
+    path, including a null-code row being excluded."""
+    import numpy as np
+    import pandas as pd
+
+    from quickwit_spark.pipeline.similarity import (
+        adc_topk_arrow, fixed_pq_codebooks, ivfpq_partition, ivfpq_topk,
+        pq_adc_topk, pq_encode_arrow)
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((48, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(int(i), v.tolist()) for i, v in enumerate(vecs)]
+    rows.append((48, None))  # null embedding -> null code row
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = fixed_pq_codebooks(8, m=4, ksub=8, seed=3)
+    qv = vecs[0]
+    qdf = spark.createDataFrame(pd.DataFrame({"q": [qv.tolist()]}))
+
+    codes = pq_encode_arrow(emb, cb).persist()
+    want = [(r["vec_id"], r["approx_cos"])
+            for r in pq_adc_topk(codes, qdf, cb, k=5).collect()]
+    got = [(r["vec_id"], r["approx_cos"])
+           for r in adc_topk_arrow(codes, qv, cb, k=5).collect()]
+    assert got == want and 48 not in {i for i, _ in got}
+
+    cents = np.round(rng.standard_normal((4, 8)) * 0.1, 6)
+    layout = str(tmp_path / "ivfpq_arrow")
+    ivfpq_partition(emb, layout, cents, cb, residual=True)
+    want_r = [(r["vec_id"], r["approx_cos"])
+              for r in ivfpq_topk(spark, layout, qdf, k=5, nprobe=3,
+                                  arrow=False).collect()]
+    got_r = [(r["vec_id"], r["approx_cos"])
+             for r in ivfpq_topk(spark, layout, qdf, k=5, nprobe=3,
+                                 arrow=True).collect()]
+    assert got_r == want_r
+    codes.unpersist()
+
+
+def test_pairs_from_buckets_hot_bucket_star(spark):
+    """Buckets over max_bucket emit O(c) star edges (hub = min doc_id)
+    instead of c*(c-1)/2 pairs — same connected components, no quadratic
+    blowup when a Zipf-hot shingle grows a bucket linearly with the
+    corpus."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.dedup import pairs_from_buckets
+
+    rows = ([(d, 0, "hot") for d in range(5)]
+            + [(8, 0, "cold"), (9, 0, "cold")])
+    banded = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "band", "bucket"]))
+    got = {(r["a"], r["b"])
+           for r in pairs_from_buckets(banded, max_bucket=3).collect()}
+    assert got == {(0, 1), (0, 2), (0, 3), (0, 4), (8, 9)}
+    allp = {(r["a"], r["b"]) for r in pairs_from_buckets(banded).collect()}
+    assert len(allp) == 10 + 1 and got < allp
+
+
+def test_simhash_star_edges_keep_hamming_verify(spark):
+    """Hot-slice star edges still pass the exact XOR-popcount verify:
+    a hub->member edge with hamming > max_hamming must be dropped."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.dedup import simhash_pairs_from_bands
+
+    # one hot (band, bv) slice of 4 docs: doc 0 (hub) and doc 1 agree
+    # (hamming 1), docs 2-3 differ from the hub by >2 bits
+    rows = [(0, 0, 7, 0b0000000), (1, 0, 7, 0b0000001),
+            (2, 0, 7, 0b0111000), (3, 0, 7, 0b1110000)]
+    banded = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "band", "bv", "simhash"]))
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in simhash_pairs_from_bands(
+               banded, max_hamming=2, max_bucket=2).collect()}
+    assert got == {(0, 1, 1)}

@@ -162,16 +162,19 @@ def pairs_from_buckets(banded: DataFrame,
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 16,
                         bands: int = 4, shingle_n: int = 3,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42,
+                        max_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: docs sharing any band bucket.
-    Returns distinct (a, b) with a < b."""
+    Returns distinct (a, b) with a < b. max_bucket: hot-bucket star cap
+    (see pairs_from_buckets) — set it on Zipfian corpora at scale."""
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
                              seed)
     # the banded relation feeds BOTH sides of the self-join below; without
     # persistence Spark recomputes the whole shingle+minhash lineage twice
     # (at 100 TB: two full corpus scans instead of one)
     sig = sig.persist()
-    return pairs_from_buckets(lsh_band_buckets(sig, num_hashes, bands))
+    return pairs_from_buckets(lsh_band_buckets(sig, num_hashes, bands),
+                              max_bucket=max_bucket)
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
@@ -347,7 +350,8 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
 
 def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 2,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            max_bucket: int | None = None) -> DataFrame:
     """SimHash near-duplicate pairs: band the 60-bit simhash into
     max_hamming+1 slices (pigeonhole: any pair within hamming distance
     <= max_hamming agrees exactly on at least one slice), bucket-join on
@@ -362,7 +366,7 @@ def simhash_candidate_pairs(df: DataFrame, max_hamming: int = 2,
     bucket — the r3 judge's one real scale finding)."""
     sig = simhash60(df, id_col, text_col).persist()
     return simhash_pairs_from_bands(simhash_bands(sig, max_hamming),
-                                    max_hamming)
+                                    max_hamming, max_bucket=max_bucket)
 
 
 def simhash_bands(sig: DataFrame, max_hamming: int = 2) -> DataFrame:

@@ -636,6 +636,14 @@ def _multilang_batch(texts: list[str], max_len: int
         bstarts = np.zeros(0, dtype=np.int64)
         btoks = []
 
+    # RemoveLong applies to the CJK grams too (scalar parity: multilang
+    # _tokenize filters ALL tokens by max_len; _cjk_batch_ids does the
+    # same): bigrams are len 2, unigrams len 1
+    if max_len < 2:
+        btoks, bstarts = [], np.zeros(0, dtype=np.int64)
+        if max_len < 1:
+            utoks, uni_starts = [], np.zeros(0, dtype=np.int64)
+
     # --- merge in text order (all start offsets are distinct)
     starts = np.concatenate([wstarts, uni_starts, bstarts])
     toks_all = np.array(wtoks + utoks + btoks, dtype=object)

@@ -503,6 +503,29 @@ def route_partitions(df, config: IndexConfig, num_partitions: int):
                        F.lit(num_partitions)).cast("int"))
 
 
+def _builder_done_partitions(manifest: Manifest, num_partitions: int
+                             ) -> tuple[set[int], bool]:
+    """Integer checkpoints in [0, num_partitions) that are provably
+    BUILDER partition checkpoints (position format 'docs=N'). Legacy
+    pre-namespace stream batches also wrote bare integer keys (positions
+    'batch=...'), which must NOT count as completed build partitions —
+    treating them as done would silently return without indexing the
+    input. Returns (done, foreign): foreign=True when int keys with
+    non-builder positions exist, so callers fall through to
+    claim_router's loud refusal instead of no-op'ing."""
+    done: set[int] = set()
+    foreign = False
+    for p in range(num_partitions):
+        pos = manifest.checkpoint(p)
+        if pos is None:
+            continue
+        if pos.startswith("docs="):
+            done.add(p)
+        else:
+            foreign = True
+    return done, foreign
+
+
 def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
                 wave_size: int = 64, max_waves: int | None = None,
                 input_routed: bool = False) -> Manifest:
@@ -527,12 +550,14 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
-    done = manifest.published_partitions()
+    done, foreign = _builder_done_partitions(manifest, num_partitions)
     todo = [p for p in range(num_partitions) if p not in done]
-    if not todo:
+    if not todo and not foreign:
         # COMPLETE index: idempotent no-op, including legacy indexes
         # built before the router key existed (nothing will be resumed,
-        # so the routing scheme is irrelevant)
+        # so the routing scheme is irrelevant). Foreign int keys (a
+        # legacy stream's batch-0 checkpoints) disqualify the no-op —
+        # they prove nothing about THIS input being indexed.
         return manifest
     # pre-routed inputs must carry route_partitions-compatible _pid (the
     # content-addressed-segment identity documented below relies on it),
@@ -616,8 +641,8 @@ def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
-    done = manifest.published_partitions()
-    if all(p in done for p in range(num_partitions)):
+    done, foreign = _builder_done_partitions(manifest, num_partitions)
+    if not foreign and all(p in done for p in range(num_partitions)):
         return manifest  # complete: idempotent no-op (router-agnostic)
     manifest.claim_router(f"pandas-sha256/p{num_partitions}")
     segments_root = os.path.join(config.index_dir, "segments")

@@ -118,6 +118,27 @@ def _fixed64(v: bytes) -> int:
     return struct.unpack("<Q", v)[0]
 
 
+def _ns64(v: bytes) -> int | None:
+    """fixed64 timestamp -> int64-safe nanos. 0 means unset; values
+    beyond int64 range (a hostile/corrupt payload — fixed64 is unsigned
+    on the wire, the row schema is `long`) -> None, matching the JSON
+    path where cast('long') nulls the out-of-range decimal string.
+    Without this guard the overflow surfaces in the pandas->Arrow
+    conversion OUTSIDE the per-payload try/except and kills the whole
+    mapInPandas batch."""
+    u = struct.unpack("<Q", v)[0]
+    return u if 0 < u < (1 << 63) else None
+
+
+def _i32(v: int) -> int:
+    """varint -> int32 enum field (severity_number / span kind /
+    status code; `int` in the row schema). Out-of-range folds to 0 =
+    UNSPECIFIED, matching the JSON path's null -> coalesce(0); same
+    batch-kill rationale as _ns64."""
+    s = _i64(v)
+    return s if -(1 << 31) <= s < (1 << 31) else 0
+
+
 def _utf8(v: bytes) -> str:
     return v.decode("utf-8", "replace")
 
@@ -210,9 +231,9 @@ def decode_logs_request(data: bytes) -> list[dict]:
                 trace_id = span_id = None
                 for f4, w4, v4 in _fields(rec):
                     if f4 == 1 and w4 == 1:
-                        t_ns = _fixed64(v4) or None
+                        t_ns = _ns64(v4)
                     elif f4 == 2 and w4 == 0:
-                        sev_num = _i64(v4)
+                        sev_num = _i32(v4)
                     elif f4 == 3 and w4 == 2:
                         sev_text = _utf8(v4) or None
                     elif f4 == 5 and w4 == 2:
@@ -224,7 +245,7 @@ def decode_logs_request(data: bytes) -> list[dict]:
                     elif f4 == 10 and w4 == 2:
                         span_id = _hex_or_none(v4)
                     elif f4 == 11 and w4 == 1:
-                        obs_ns = _fixed64(v4) or None
+                        obs_ns = _ns64(v4)
                 rows.append({
                     "timestamp_nanos": t_ns,
                     "observed_timestamp_nanos":
@@ -286,17 +307,17 @@ def decode_spans_request(data: bytes) -> list[dict]:
                     elif f4 == 5 and w4 == 2:
                         name = _utf8(v4) or None
                     elif f4 == 6 and w4 == 0:
-                        kind = _i64(v4)
+                        kind = _i32(v4)
                     elif f4 == 7 and w4 == 1:
-                        start = _fixed64(v4) or None
+                        start = _ns64(v4)
                     elif f4 == 8 and w4 == 1:
-                        end = _fixed64(v4) or None
+                        end = _ns64(v4)
                     elif f4 == 9 and w4 == 2:
                         kvs.append(v4)
                     elif f4 == 15 and w4 == 2:
                         for f5, w5, v5 in _fields(v4):
                             if f5 == 3 and w5 == 0:
-                                status_code = _i64(v5)
+                                status_code = _i32(v5)
                 # duration exactly like the JSON path: double division
                 # then long cast (truncation), so both paths round the
                 # same way on the same inputs

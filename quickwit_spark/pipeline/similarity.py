@@ -671,13 +671,20 @@ def adc_topk_arrow(codes_df: DataFrame, qv: np.ndarray,
                 cos = dot / (np.sqrt(n2) * qn)
             cos = np.where(ok & np.isfinite(cos), cos, -np.inf)
             n = len(cos)
-            if not n or not ok.any():
+            # kk counts FINITE scores, not ok rows: an ok row can still
+            # fold to -inf (n2 == 0 from a zero/cancelling codebook
+            # entry), and sizing the cut by ok.sum() would make kth
+            # -inf and leak -Infinity rows into the output when a batch
+            # has fewer than k finite rows — the expression path ranks
+            # those rows below every finite score, so must we
+            finite = np.isfinite(cos)
+            if not n or not finite.any():
                 continue
             # per-batch prune under the global order (cos desc, id asc):
             # keep the top k plus every boundary tie
-            kk = min(k, int(ok.sum()))
+            kk = min(k, int(finite.sum()))
             kth = np.partition(cos, n - kk)[n - kk]
-            keep = np.nonzero(cos >= kth)[0]
+            keep = np.nonzero(finite & (cos >= kth))[0]
             id_np = np.asarray(ids.to_numpy(zero_copy_only=False))
             order = sorted(keep.tolist(),
                            key=lambda i: (-cos[i], id_np[i]))[:k]

@@ -73,13 +73,32 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
     # LEGACY replay check: indexes written before keys were namespaced
     # hold bare integer keys. A replay must be skipped; a batch-id
     # collision over DIFFERENT data (stream restarted with a fresh Spark
-    # checkpoint dir) must raise, not silently drop the batch.
-    legacy = {p: manifest.checkpoint(p)
+    # checkpoint dir) must raise, not silently drop the batch. Only
+    # positions in the STREAM format ('batch=...') qualify — batch 0's
+    # base is 0, so an index bootstrapped by build_index has bare int
+    # checkpoints 0..N-1 too, with 'docs=N' positions; misreading those
+    # as a legacy stream would reject every first micro-batch forever.
+    legacy = {p: stored
               for p in range(base, base + partitions_per_batch)
-              if manifest.checkpoint(p) is not None}
+              if (stored := manifest.checkpoint(p)) is not None
+              and stored.startswith("batch=")}
     if legacy:
         if all(_matches(legacy.get(int(k.split("-", 1)[1]), to), to)
                for k, (_f, to) in delta.items()):
+            # upgrade pre-ids legacy positions IN PLACE (same rationale
+            # as the namespaced branch below): otherwise a later
+            # batch-id collision with an equal doc count over DIFFERENT
+            # data keeps matching the weak prefix and is silently
+            # swallowed forever
+            upgrade = {}
+            for k, (_f, to) in delta.items():
+                p = int(k.split("-", 1)[1])
+                stored = legacy.get(p)
+                if stored is not None and stored != to \
+                        and stored == to.rsplit(";ids=", 1)[0]:
+                    upgrade[p] = (stored, to)
+            if upgrade:
+                manifest.publish([], checkpoint_delta=upgrade)
             _cleanup_replayed_segments(manifest, segments_root, rows)
             return
         raise CheckpointConflict(

@@ -90,10 +90,26 @@ class LocalDirQueue:
         os.path.join location; ack/change_visibility computed against
         the quoted path would miss those files forever (endless
         redelivery) and a dedup re-send would duplicate them."""
+        from urllib.parse import quote
         with self._lock():
             for dirpath, _dirs, names in os.walk(self.root):
+                at_root = os.path.abspath(dirpath) == os.path.abspath(
+                    self.root)
                 for name in names:
                     if not name.endswith(".json"):
+                        continue
+                    # cheap name-only precheck so this scan costs O(1)
+                    # json reads on an already-canonical backlog: a
+                    # root-level name with no quotable chars and no '%'
+                    # is provably at its canonical path already (legacy
+                    # raw id == its own quoting), so opening it would be
+                    # a guaranteed no-op. Only names that quote would
+                    # change, contain '%' (ambiguous: a raw legacy id
+                    # may itself look pre-quoted), or sit in a legacy
+                    # '/'-nested subdirectory need their message_id read.
+                    stem = name[:-len(".json")]
+                    if (at_root and "%" not in stem
+                            and quote(stem, safe="") == stem):
                         continue
                     path = os.path.join(dirpath, name)
                     try:
@@ -368,7 +384,13 @@ def http_sqs_transport(endpoint: str, timeout: float = 30.0):
             try:
                 return json.loads(payload)  # {"__type": ...} error doc
             except json.JSONDecodeError:
-                raise
+                # non-JSON error body (proxy/LB HTML page): surface the
+                # HTTP failure itself, not 'Expecting value: line 1' —
+                # the status code and endpoint are the diagnosis
+                raise urllib.error.HTTPError(
+                    e.url, e.code,
+                    f"{e.reason} (non-JSON body: {payload[:200]!r})",
+                    e.headers, None) from e
 
     return transport
 

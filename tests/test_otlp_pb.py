@@ -304,3 +304,42 @@ if _HYP:
         except (ValueError, struct.error):
             return
         assert isinstance(rows, list)
+
+
+def test_hostile_u64_timestamp_does_not_kill_the_batch(spark):
+    """A fixed64 timestamp >= 2^63 (unsigned on the wire, `long` in the
+    row schema) must fold to NULL like the JSON path's cast('long'),
+    not overflow in the pandas->Arrow conversion OUTSIDE the per-payload
+    try/except and fail the whole mapInPandas task. Same for varint enum
+    fields beyond int32 (severity/kind/status): fold to 0=UNSPECIFIED."""
+    rec = (otlp_pb._enc_tag(1, 1) + struct.pack("<Q", 2**64 - 1)
+           + otlp_pb._enc_varint_field(2, 2**40)  # severity >> int32
+           + otlp_pb._enc_len(3, b"ERROR"))
+    sl = otlp_pb._enc_len(2, rec)
+    rl = otlp_pb._enc_len(2, sl)
+    hostile = otlp_pb._enc_len(1, rl)
+    good = otlp_pb.encode_logs_request(LOG_PAYLOADS[0])
+    df = spark.createDataFrame([(hostile,), (good,)], "payload binary")
+    rows = otlp_pb.otlp_logs_pb_to_rows(df).collect()
+    assert len(rows) == 2  # hostile row decoded (sanitized), not dropped
+    by_sev = {r["severity_text"]: r for r in rows}
+    assert by_sev["ERROR"]["timestamp_nanos"] is None
+    assert by_sev["ERROR"]["severity_number"] == 0
+    assert by_sev["INFO"]["timestamp_nanos"] == 1700000000000000001
+
+    # spans: hostile start/end fixed64 + kind varint out of int32 range
+    sp = (otlp_pb._enc_len(1, bytes(16)) + otlp_pb._enc_len(2, bytes(8))
+          + otlp_pb._enc_len(5, b"op")
+          + otlp_pb._enc_varint_field(6, 2**33)
+          + otlp_pb._enc_tag(7, 1) + struct.pack("<Q", 2**63)
+          + otlp_pb._enc_tag(8, 1) + struct.pack("<Q", 2**64 - 1))
+    ss = otlp_pb._enc_len(2, sp)
+    rs = otlp_pb._enc_len(2, ss)
+    sdf = spark.createDataFrame([(otlp_pb._enc_len(1, rs),)],
+                                "payload binary")
+    srows = otlp_pb.otlp_spans_pb_to_rows(sdf).collect()
+    assert len(srows) == 1
+    assert srows[0]["span_start_timestamp_nanos"] is None
+    assert srows[0]["span_end_timestamp_nanos"] is None
+    assert srows[0]["span_duration_millis"] is None
+    assert srows[0]["span_kind"] == 0

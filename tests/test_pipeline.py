@@ -988,3 +988,73 @@ def test_simhash_star_edges_keep_hamming_verify(spark):
            for r in simhash_pairs_from_bands(
                banded, max_hamming=2, max_bucket=2).collect()}
     assert got == {(0, 1, 1)}
+
+
+def test_stream_batch0_into_builder_bootstrapped_index(spark, tmp_path):
+    """An index bootstrapped by build_index holds bare integer partition
+    checkpoints 0..N-1 with 'docs=N' positions. Streaming batch 0 into it
+    (base 0, overlapping int range) must NOT misread those as legacy
+    STREAM checkpoints and raise CheckpointConflict forever — the
+    namespaced 'stream-*' keys exist precisely so the two key spaces
+    coexist."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    cfg = IndexConfig(index_uid="bb", index_dir=str(tmp_path / "bb"),
+                      sha_col=None)
+
+    def docs(tag, n):
+        return spark.createDataFrame(pd.DataFrame({
+            "repo": ["r"] * n, "path": [f"{tag}{i}" for i in range(n)],
+            "commit": ["c"] * n, "lang": ["py"] * n,
+            "content": [f"{tag} body {i}" for i in range(n)]}))
+
+    build_index(spark, docs("base", 8), cfg, num_partitions=4)
+    assert IndexSearcher(cfg.index_dir).count("*") == 8
+    # first micro-batch over the same index: must publish, not conflict
+    ingest_batch(docs("s", 5), cfg, batch_id=0, partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 13
+    # replay stays idempotent
+    ingest_batch(docs("s", 5), cfg, batch_id=0, partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 13
+
+
+def test_legacy_preids_replay_upgraded_in_place(spark, tmp_path):
+    """Legacy bare-int stream checkpoints in the PRE-ids format are
+    accepted by weak prefix on replay — but must be upgraded in place,
+    so a LATER batch-id collision with an equal doc count over different
+    data raises instead of matching the weak prefix forever."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.manifest import CheckpointConflict, Manifest
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    cfg = IndexConfig(index_uid="lu", index_dir=str(tmp_path / "lu"),
+                      sha_col=None)
+
+    def docs(tag, n):
+        return spark.createDataFrame(pd.DataFrame({
+            "repo": ["r"] * n, "path": [f"{tag}{i}" for i in range(n)],
+            "commit": ["c"] * n, "lang": ["py"] * n,
+            "content": [f"{tag} body {i}" for i in range(n)]}))
+
+    ingest_batch(docs("a", 6), cfg, batch_id=0, partitions_per_batch=2)
+    # rewrite to LEGACY keys (bare ints) in the PRE-ids position format
+    m = Manifest.load(cfg.index_dir)
+    cps = m.data["checkpoints"]
+    m.data["checkpoints"] = {
+        k.split("-", 1)[1]: v.rsplit(";ids=", 1)[0]
+        for k, v in cps.items()}
+    m.data["version"] += 1
+    m._write()
+
+    # exact replay: accepted by prefix AND upgraded in place
+    ingest_batch(docs("a", 6), cfg, batch_id=0, partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 6
+    stored = Manifest.load(cfg.index_dir).data["checkpoints"]
+    assert all(";ids=" in stored[k] for k in ("0", "1")), stored
+    # same batch id + same doc count over DIFFERENT data: now loud
+    with pytest.raises(CheckpointConflict):
+        ingest_batch(docs("b", 6), cfg, batch_id=0,
+                     partitions_per_batch=2)
+    assert IndexSearcher(cfg.index_dir).count("*") == 6

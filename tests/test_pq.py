@@ -257,3 +257,28 @@ def test_arrow_twins_tolerate_null_and_ragged_vectors(spark):
              for r in pq_encode_arrow(emb, cb).collect()}
     assert codes["doc-005"] is None and codes["doc-009"] is None
     assert len(codes["doc-000"]) == 4
+
+
+def test_adc_arrow_never_emits_minus_inf_rows(spark):
+    """An ok row can still fold to -inf (a zero codebook centroid makes
+    n2 == 0 -> cos = inf -> folded). When a batch holds fewer than k
+    finite rows, the kth cut must be sized by FINITE scores — otherwise
+    kth becomes -inf and -Infinity rows leak into the top-k, where the
+    expression path ranks them below every finite score."""
+    import numpy as np
+    from quickwit_spark.pipeline.similarity import adc_topk_arrow
+
+    dsub = 4
+    cb = np.zeros((1, 2, dsub))
+    cb[0, 1] = 1.0  # code 1 is finite, code 0 scores 0/0
+    rows = [(0, [0]), (1, [0]), (2, [1]), (3, [0])]
+    codes = spark.createDataFrame(rows, "vec_id long, pq_code array<int>")
+    qv = np.ones(dsub)
+    out = adc_topk_arrow(codes, qv, cb, k=3).collect()
+    assert [r["vec_id"] for r in out] == [2]
+    assert all(np.isfinite(r["approx_cos"]) for r in out)
+
+    # all rows non-finite: empty result, no crash
+    rows0 = [(0, [0]), (1, [0])]
+    codes0 = spark.createDataFrame(rows0, "vec_id long, pq_code array<int>")
+    assert adc_topk_arrow(codes0, qv, cb, k=2).collect() == []

@@ -483,3 +483,64 @@ def test_legacy_unquoted_message_files_migrated_on_open(tmp_path):
     assert q.change_visibility(m, 5)  # addresses the migrated file
     assert q.ack(m)
     assert q.pending() == 0
+
+
+def test_legacy_migration_handles_percent_lookalike_ids(tmp_path):
+    """The migration's cheap name-only precheck must still READ files
+    whose raw legacy name contains '%' — a raw id like 'a%3Ax' is
+    byte-identical to quote('a:x'), so skipping it on name shape alone
+    would leave the legacy file unmigratable (its canonical name is
+    'a%253Ax.json', the %-escaped form). Canonical uuid-hex names are
+    provably at their own quoting and may be skipped unread."""
+    import os
+    from urllib.parse import quote
+
+    root = str(tmp_path / "q")
+    os.makedirs(root)
+    mid = "a%3Ax"  # raw id that LOOKS pre-quoted
+    with open(os.path.join(root, f"{mid}.json"), "w") as f:
+        json.dump({"message_id": mid, "payload": _payload(0, 1),
+                   "invisible_until": 0.0}, f)
+    q = LocalDirQueue(root, visibility_sec=30, now_fn=_Clock())
+    names = set(os.listdir(root))
+    assert f"{quote(mid, safe='')}.json" in names  # a%253Ax.json
+    (m,) = q.receive()
+    assert m.message_id == mid
+    assert q.ack(m)
+
+
+def test_http_transport_surfaces_status_on_non_json_error(tmp_path):
+    """A proxy/LB answering with a non-JSON error page (502 HTML) must
+    surface as an HTTPError carrying the status code and URL — not a
+    bare JSONDecodeError ('Expecting value: line 1 column 1') that
+    hides whether this was auth, routing, or the queue protocol."""
+    import threading
+    import urllib.error
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from quickwit_spark.streaming.queue import http_sqs_transport
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = b"<html>Bad Gateway</html>"
+            self.send_response(502)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/"
+        transport = http_sqs_transport(url)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            transport("ReceiveMessage", {"QueueUrl": url})
+        assert ei.value.code == 502
+        assert "Bad Gateway" in str(ei.value.reason)
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -184,3 +184,42 @@ def test_fully_blank_position_segment_merges(tmp_path):
     s = IndexSearcher(cfg.index_dir)
     assert s.search(A.Phrase("content", "quick sort"), k=5).num_hits == 1
     assert s.count("*") == 3
+
+
+def test_build_index_refuses_legacy_stream_keys_instead_of_noop(
+        spark, tmp_path):
+    """Bare integer checkpoints written by the PRE-namespacing stream
+    code carry 'batch=...' positions. build_index over such an index
+    must NOT treat them as completed build partitions and silently
+    return without indexing the input — the unattributable state gets
+    claim_router's loud refusal instead. A genuinely complete legacy
+    BUILDER index ('docs=N' positions, no router key) stays an
+    idempotent no-op."""
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    # (a) legacy-stream int keys -> loud refusal, not a silent skip
+    cfg = IndexConfig(index_uid="ls", index_dir=str(tmp_path / "ls"),
+                      sha_col=None)
+    df = corpus_df(spark, 40, seed=3, num_partitions=2)
+    ingest_batch(df, cfg, batch_id=0, partitions_per_batch=4)
+    m = Manifest.load(cfg.index_dir)
+    m.data["checkpoints"] = {
+        k.split("-", 1)[1]: v
+        for k, v in m.data["checkpoints"].items()}
+    m.data.pop("router", None)
+    m.data["version"] += 1
+    m._write()
+    with pytest.raises(ValueError, match="router"):
+        build_index(spark, df, cfg, num_partitions=4)
+
+    # (b) complete legacy BUILDER index: rerun stays a no-op
+    cfg2 = IndexConfig(index_uid="lb", index_dir=str(tmp_path / "lb"),
+                       sha_col=None)
+    build_index(spark, df, cfg2, num_partitions=4)
+    m2 = Manifest.load(cfg2.index_dir)
+    m2.data.pop("router", None)  # pre-router manifest
+    m2.data["version"] += 1
+    m2._write()
+    before = Manifest.load(cfg2.index_dir).data["segments"]
+    build_index(spark, df, cfg2, num_partitions=4)  # must not raise
+    assert Manifest.load(cfg2.index_dir).data["segments"] == before

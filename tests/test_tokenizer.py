@@ -372,3 +372,18 @@ def test_multilang_dictionary_segmentation(tmp_path):
         register_multilang_dictionary(None)
     # fallback restored: adjacent-pair bigrams
     assert multilang_tokenize("東京大学") == ["東京", "京大", "大学"]
+
+
+def test_multilang_remove_long_applies_to_cjk_grams():
+    """RemoveLong(max_len) filters CJK unigrams/bigrams in the
+    vectorized multilang path exactly like the scalar tokenizer and the
+    ids path: max_len=1 keeps unigrams but drops bigrams (len 2),
+    max_len=0 drops everything. An index built via the string path and
+    queried via the ids path must not disagree on max_len<2 configs."""
+    from quickwit_spark.functions.tokenizers import (multilang_tokenize,
+                                                     tokenize_batch)
+    texts = ["中文漢字 test", "中", "中文", "abc 中 def"]
+    for ml in (0, 1, 2):
+        for t in texts:
+            _, toks = tokenize_batch([t], analyzer="multilang", max_len=ml)
+            assert toks == multilang_tokenize(t, ml), (ml, t, toks)

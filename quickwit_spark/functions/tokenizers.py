@@ -620,11 +620,17 @@ def _multilang_batch(texts: list[str], max_len: int
     re_mask[:-1] &= ~cjk[1:]
     re_ = np.nonzero(re_mask)[0] + 1
     ln = re_ - rs
-    uni_starts = rs[ln == 1]
+    # RemoveLong applies to the CJK grams too (scalar parity: multilang
+    # _tokenize filters ALL tokens by max_len; _cjk_batch_ids does the
+    # same). Hoisted above the gather: bigrams are len 2 and unigrams
+    # len 1, so a max_len<2 config skips building them entirely rather
+    # than constructing and discarding
+    uni_starts = (rs[ln == 1] if max_len >= 1
+                  else np.zeros(0, dtype=np.int64))
     uni_s = codes[uni_starts].tobytes().decode("utf-32-le").lower()
     utoks = list(uni_s)
     multi = ln >= 2
-    nb = ln[multi] - 1
+    nb = ln[multi] - 1 if max_len >= 2 else np.zeros(0, dtype=np.int64)
     if nb.size:
         off = np.arange(int(nb.sum())) - np.repeat(
             np.r_[0, np.cumsum(nb)[:-1]], nb)
@@ -635,14 +641,6 @@ def _multilang_batch(texts: list[str], max_len: int
     else:
         bstarts = np.zeros(0, dtype=np.int64)
         btoks = []
-
-    # RemoveLong applies to the CJK grams too (scalar parity: multilang
-    # _tokenize filters ALL tokens by max_len; _cjk_batch_ids does the
-    # same): bigrams are len 2, unigrams len 1
-    if max_len < 2:
-        btoks, bstarts = [], np.zeros(0, dtype=np.int64)
-        if max_len < 1:
-            utoks, uni_starts = [], np.zeros(0, dtype=np.int64)
 
     # --- merge in text order (all start offsets are distinct)
     starts = np.concatenate([wstarts, uni_starts, bstarts])

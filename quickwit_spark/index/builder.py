@@ -38,7 +38,7 @@ from ..functions.bm25 import fieldnorm_to_id, id_to_fieldnorm
 from ..functions.fieldtypes import bytes_from_b64, ip_to_hex
 from ..functions.tokenizers import tokenize_batch_ids
 from .codecs import BLOCK_SIZE
-from .manifest import Manifest
+from .manifest import BUILDER_POS_PREFIX, Manifest
 
 MANIFEST_ROW_SCHEMA = "manifest_json string"
 
@@ -504,26 +504,22 @@ def route_partitions(df, config: IndexConfig, num_partitions: int):
 
 
 def _builder_done_partitions(manifest: Manifest, num_partitions: int
-                             ) -> tuple[set[int], bool]:
+                             ) -> set[int]:
     """Integer checkpoints in [0, num_partitions) that are provably
     BUILDER partition checkpoints (position format 'docs=N'). Legacy
     pre-namespace stream batches also wrote bare integer keys (positions
     'batch=...'), which must NOT count as completed build partitions —
     treating them as done would silently return without indexing the
-    input. Returns (done, foreign): foreign=True when int keys with
-    non-builder positions exist, so callers fall through to
-    claim_router's loud refusal instead of no-op'ing."""
+    input. A foreign-positioned key therefore leaves its partition in
+    `todo`, so the caller reaches claim_router, whose
+    checkpoints-without-a-router check refuses the unattributable state
+    loudly instead of no-op'ing."""
     done: set[int] = set()
-    foreign = False
     for p in range(num_partitions):
         pos = manifest.checkpoint(p)
-        if pos is None:
-            continue
-        if pos.startswith("docs="):
+        if pos is not None and pos.startswith(BUILDER_POS_PREFIX):
             done.add(p)
-        else:
-            foreign = True
-    return done, foreign
+    return done
 
 
 def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
@@ -550,14 +546,15 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
-    done, foreign = _builder_done_partitions(manifest, num_partitions)
+    done = _builder_done_partitions(manifest, num_partitions)
     todo = [p for p in range(num_partitions) if p not in done]
-    if not todo and not foreign:
+    if not todo:
         # COMPLETE index: idempotent no-op, including legacy indexes
         # built before the router key existed (nothing will be resumed,
-        # so the routing scheme is irrelevant). Foreign int keys (a
-        # legacy stream's batch-0 checkpoints) disqualify the no-op —
-        # they prove nothing about THIS input being indexed.
+        # so the routing scheme is irrelevant). A legacy stream's
+        # foreign int keys can never satisfy this: they are excluded
+        # from `done`, so their partition stays in todo and hits
+        # claim_router's refusal below.
         return manifest
     # pre-routed inputs must carry route_partitions-compatible _pid (the
     # content-addressed-segment identity documented below relies on it),
@@ -626,7 +623,7 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
         for p in wave:
             nd = sum(r["num_docs"] for r in rows if r["partition_id"] == p)
             # empty partitions also advance their checkpoint
-            delta[p] = (None, f"docs={nd}")
+            delta[p] = (None, f"{BUILDER_POS_PREFIX}{nd}")
         manifest.publish(rows, checkpoint_delta=delta)
     return manifest
 
@@ -641,8 +638,8 @@ def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid,
         config.manifest_config())
-    done, foreign = _builder_done_partitions(manifest, num_partitions)
-    if not foreign and all(p in done for p in range(num_partitions)):
+    done = _builder_done_partitions(manifest, num_partitions)
+    if all(p in done for p in range(num_partitions)):
         return manifest  # complete: idempotent no-op (router-agnostic)
     manifest.claim_router(f"pandas-sha256/p{num_partitions}")
     segments_root = os.path.join(config.index_dir, "segments")
@@ -662,7 +659,7 @@ def build_index_pandas(pdf: pd.DataFrame, config: IndexConfig,
             rows = build_partition(part, config, segments_root)
             rows_all.extend(rows)
         nd = int((pids == p).sum())
-        delta[p] = (None, f"docs={nd}")
+        delta[p] = (None, f"{BUILDER_POS_PREFIX}{nd}")
     if delta:
         manifest.publish(rows_all, checkpoint_delta=delta)
     return manifest

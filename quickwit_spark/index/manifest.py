@@ -26,6 +26,17 @@ SEGMENT_STATE_PUBLISHED = "published"
 SEGMENT_STATE_DEAD = "dead"
 
 
+# Checkpoint POSITION formats. These prefixes are load-bearing: integer
+# checkpoint keys are shared between the index builders and the (legacy,
+# pre-namespacing) stream, and the position prefix is how readers prove
+# which writer owns a key — builder.py counts only BUILDER_POS positions
+# as completed build partitions, streaming/incremental.py treats only
+# STREAM_POS positions as legacy stream checkpoints. Change them here
+# and nowhere else.
+BUILDER_POS_PREFIX = "docs="
+STREAM_POS_PREFIX = "batch="
+
+
 class CheckpointConflict(Exception):
     """Delta's from-position does not match the stored position."""
 

@@ -561,8 +561,15 @@ def pq_adc_topk(codes_df: DataFrame, query_df: DataFrame,
     for t in n2_terms[1:]:
         n2 = n2 + t
     nb = F.sqrt(_dot_expr("q", F.col("q")))
+    # guard the zero denominator (a zero codeword / zero-norm query):
+    # ANSI mode would raise DIVIDE_BY_ZERO mid-scan otherwise. Rows with
+    # no defined cosine are DROPPED — same contract as adc_topk_arrow,
+    # so arrow=True/False return identical rows, not k-padded variants
+    denom = F.sqrt(n2) * nb
     scored = j.select(F.col(id_col),
-                      (adc / (F.sqrt(n2) * nb)).alias("_cos"))
+                      F.when(denom > F.lit(0.0),
+                             adc / denom).alias("_cos"))
+    scored = scored.where(F.col("_cos").isNotNull() & ~F.isnan("_cos"))
     return (scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, F.round("_cos", 6).alias("approx_cos")))
@@ -675,8 +682,8 @@ def adc_topk_arrow(codes_df: DataFrame, qv: np.ndarray,
             # fold to -inf (n2 == 0 from a zero/cancelling codebook
             # entry), and sizing the cut by ok.sum() would make kth
             # -inf and leak -Infinity rows into the output when a batch
-            # has fewer than k finite rows — the expression path ranks
-            # those rows below every finite score, so must we
+            # has fewer than k finite rows. Rows with no defined cosine
+            # are DROPPED — pq_adc_topk filters them identically
             finite = np.isfinite(cos)
             if not n or not finite.any():
                 continue

@@ -21,7 +21,8 @@ import pandas as pd
 
 from ..config import IndexConfig
 from ..index.builder import MANIFEST_ROW_SCHEMA, build_partition, route_partitions
-from ..index.manifest import CheckpointConflict, Manifest
+from ..index.manifest import (STREAM_POS_PREFIX,
+                              CheckpointConflict, Manifest)
 
 BATCH_PARTITION_STRIDE = 1_000_000
 
@@ -65,7 +66,8 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
         # with build_index's partition checkpoints (batch 0 writes
         # 0..N-1), corrupting a later builder resume over the same index
         sig = hashlib.sha256("|".join(prows).encode()).hexdigest()[:12]
-        delta[f"stream-{p}"] = (None, f"batch={batch_id};docs={nd};ids={sig}")
+        delta[f"stream-{p}"] = (
+            None, f"{STREAM_POS_PREFIX}{batch_id};docs={nd};ids={sig}")
 
     def _matches(stored, to):
         return stored == to or stored == to.rsplit(";ids=", 1)[0]
@@ -81,7 +83,7 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
     legacy = {p: stored
               for p in range(base, base + partitions_per_batch)
               if (stored := manifest.checkpoint(p)) is not None
-              and stored.startswith("batch=")}
+              and stored.startswith(STREAM_POS_PREFIX)}
     if legacy:
         if all(_matches(legacy.get(int(k.split("-", 1)[1]), to), to)
                for k, (_f, to) in delta.items()):

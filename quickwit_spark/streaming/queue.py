@@ -380,7 +380,10 @@ def http_sqs_transport(endpoint: str, timeout: float = 30.0):
                 payload = resp.read().decode() or "{}"
                 return json.loads(payload)
         except urllib.error.HTTPError as e:
-            payload = e.read().decode()
+            # errors="replace": a gzip/Latin-1 error body must not turn
+            # into a UnicodeDecodeError that masks the HTTP status —
+            # the body is only a diagnostic snippet here
+            payload = e.read().decode(errors="replace")
             try:
                 return json.loads(payload)  # {"__type": ...} error doc
             except json.JSONDecodeError:

@@ -1,0 +1,308 @@
+"""Media codec tests: encoder/decoder round-trips over every filter and
+channel layout, hand-assembled byte fixtures that pin the decoders
+independently of our encoders, and hostile-input fuzzing (a corrupt
+blob must raise MediaDecodeError, never a wrong answer or a crash)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from quickwit_spark.pipeline.media_codecs import (
+    MediaDecodeError, decode_bmp, decode_png, decode_pnm, decode_wav,
+    decode_y4m, encode_bmp, encode_png, encode_pnm, encode_wav,
+    encode_y4m, resize_bilinear, resize_nearest, to_rgb,
+)
+
+
+def _rand_img(h, w, ch, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4, "cycle"])
+def test_png_roundtrip_filters_channels(ch, ftype):
+    img = _rand_img(7, 5, ch, seed=ch * 31 + (5 if ftype == "cycle"
+                                              else ftype))
+    blob = encode_png(img, filter_type=ftype)
+    out = decode_png(blob)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_roundtrip_large_gradient():
+    y, x = np.mgrid[0:64, 0:48]
+    img = np.stack([(x * 3) % 256, (y * 5) % 256, (x + y) % 256],
+                   axis=2).astype(np.uint8)
+    for ftype in (1, 3, 4):
+        np.testing.assert_array_equal(
+            decode_png(encode_png(img, filter_type=ftype)), img)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _hand_png(w, h, depth, ctype, scanlines: bytes, extra=b"",
+              interlace=0) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + extra
+            + _chunk(b"IDAT", zlib.compress(scanlines))
+            + _chunk(b"IEND", b""))
+
+
+def test_png_hand_fixture_gray_filters():
+    # 3x3 gray, rows using filter 0 (none), 1 (sub), 2 (up) — scanline
+    # bytes written by hand from the spec, NOT by encode_png, so a
+    # symmetric encoder/decoder bug cannot hide here.
+    #   row0 filt=0: 10 20 30            -> recon 10 20 30
+    #   row1 filt=1: 5  7  9  (sub)      -> recon 5 12 21
+    #   row2 filt=2: 1  2  3  (up)       -> recon 6 14 24
+    scan = bytes([0, 10, 20, 30,
+                  1, 5, 7, 9,
+                  2, 1, 2, 3])
+    img = decode_png(_hand_png(3, 3, 8, 0, scan))
+    np.testing.assert_array_equal(
+        img, np.array([[10, 20, 30], [5, 12, 21], [6, 14, 24]],
+                      dtype=np.uint8))
+
+
+def test_png_hand_fixture_avg_paeth():
+    # 2x2 RGB. row0 filter 3 (average, prev=0): recon[x] =
+    # filt[x] + (left+0)//2. row1 filter 4 (paeth).
+    #   row0 filt: (100,50,25) (10,20,30)
+    #     px0: a=0 -> recon = (100,50,25)
+    #     px1: a=(100,50,25)//2=(50,25,12) -> recon=(60,45,42)
+    #   row1 filt: (1,2,3) (4,5,6)
+    #     px0: a=c=0, b=(100,50,25); paeth(0,b,0)=b -> (101,52,28)
+    #     px1: a=(101,52,28), b=(60,45,42), c=(100,50,25)
+    #       p=a+b-c=(61,47,45); pa=|p-a|=(40,5,17), pb=|p-b|=(1,2,3),
+    #       pc=|p-c|=(39,3,20) -> pb smallest everywhere -> pred=b
+    #       recon=(64,50,48)
+    scan = bytes([3, 100, 50, 25, 10, 20, 30,
+                  4, 1, 2, 3, 4, 5, 6])
+    img = decode_png(_hand_png(2, 2, 8, 2, scan))
+    exp = np.array([[[100, 50, 25], [60, 45, 42]],
+                    [[101, 52, 28], [64, 50, 48]]], dtype=np.uint8)
+    np.testing.assert_array_equal(img, exp)
+
+
+def test_png_palette():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    scan = bytes([0, 0, 1, 2,
+                  0, 2, 1, 0])
+    blob = _hand_png(3, 2, 8, 3, scan, extra=_chunk(b"PLTE", plte))
+    img = decode_png(blob)
+    assert img.shape == (2, 3, 3)
+    np.testing.assert_array_equal(img[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(img[1, 0], [0, 0, 255])
+    np.testing.assert_array_equal(img[0], img[1][::-1])
+
+
+def test_png_palette_index_out_of_range():
+    plte = bytes([255, 0, 0])
+    blob = _hand_png(1, 1, 8, 3, bytes([0, 3]),
+                     extra=_chunk(b"PLTE", plte))
+    with pytest.raises(MediaDecodeError, match="palette index"):
+        decode_png(blob)
+
+
+def test_png_rejects_crc_corruption():
+    blob = bytearray(encode_png(_rand_img(4, 4, 3, 1)))
+    blob[40] ^= 0xFF  # somewhere inside IDAT
+    with pytest.raises(MediaDecodeError):
+        decode_png(bytes(blob))
+
+
+def test_png_rejects_unsupported():
+    img16 = _hand_png(1, 1, 16, 0, bytes([0, 0, 1]))
+    with pytest.raises(MediaDecodeError, match="bit depth"):
+        decode_png(img16)
+    adam7 = _hand_png(1, 1, 8, 0, bytes([0, 7]), interlace=1)
+    with pytest.raises(MediaDecodeError, match="interlac"):
+        decode_png(adam7)
+    with pytest.raises(MediaDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\x07not really")
+
+
+def test_png_size_mismatch_rejected():
+    # decompressed stream one byte short of h*(1+stride)
+    blob = _hand_png(2, 2, 8, 0, bytes([0, 1, 2, 0, 3]))
+    with pytest.raises(MediaDecodeError, match="decompressed size"):
+        decode_png(blob)
+
+
+# --------------------------------------------------------------------------
+# BMP
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("w", [3, 4, 5])  # exercise 4-byte row padding
+def test_bmp_roundtrip(w):
+    img = _rand_img(4, w, 3, seed=w)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_topdown_hand_fixture():
+    # 1x2 top-down (negative height) 24-bit: pixel rows stored in
+    # visual order, BGR. Row: (B=1,G=2,R=3) (B=4,G=5,R=6) + 2 pad bytes
+    body = bytes([1, 2, 3, 4, 5, 6, 0, 0])
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 24, 0, len(body),
+                         0, 0, 0, 0))
+    img = decode_bmp(hdr + body)
+    np.testing.assert_array_equal(
+        img, np.array([[[3, 2, 1], [6, 5, 4]]], dtype=np.uint8))
+
+
+def test_bmp_rejects_rle():
+    blob = bytearray(encode_bmp(_rand_img(2, 2, 3, 7)))
+    blob[30] = 1  # BI_RLE8
+    with pytest.raises(MediaDecodeError, match="compression"):
+        decode_bmp(bytes(blob))
+
+
+# --------------------------------------------------------------------------
+# PNM
+# --------------------------------------------------------------------------
+
+def test_pnm_roundtrip_gray_rgb():
+    g = _rand_img(5, 3, 1, 11)
+    c = _rand_img(3, 5, 3, 12)
+    np.testing.assert_array_equal(decode_pnm(encode_pnm(g)), g)
+    np.testing.assert_array_equal(decode_pnm(encode_pnm(c)), c)
+
+
+def test_pnm_header_comments():
+    blob = b"P5 # a comment\n# another\n2 1\n255\n\x07\x09"
+    np.testing.assert_array_equal(
+        decode_pnm(blob), np.array([[7, 9]], dtype=np.uint8))
+
+
+def test_pnm_truncated():
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        decode_pnm(b"P6\n4 4\n255\nxx")
+
+
+# --------------------------------------------------------------------------
+# WAV
+# --------------------------------------------------------------------------
+
+def test_wav_roundtrip_16bit_stereo():
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, size=(100, 2)).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(out, s)
+
+
+def test_wav_roundtrip_8bit_mono_odd_length():
+    s = np.arange(33, dtype=np.uint8)  # odd payload -> pad byte
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and out.shape == (33, 1)
+    np.testing.assert_array_equal(out[:, 0], s)
+
+
+def test_wav_rejects_non_pcm_and_truncation():
+    blob = bytearray(encode_wav(np.zeros(4, dtype=np.int16), 8000))
+    blob[20] = 3  # IEEE float format tag
+    with pytest.raises(MediaDecodeError, match="non-PCM"):
+        decode_wav(bytes(blob))
+    with pytest.raises(MediaDecodeError):
+        decode_wav(encode_wav(np.zeros(4, dtype=np.int16), 8000)[:-3])
+
+
+# --------------------------------------------------------------------------
+# Y4M
+# --------------------------------------------------------------------------
+
+def test_y4m_roundtrip_and_sampling():
+    frames = [np.full((4, 6), i * 10, dtype=np.uint8) for i in range(5)]
+    blob = encode_y4m(frames, width=6, height=4)
+    got = list(decode_y4m(blob, every_n=2))
+    assert [i for i, _ in got] == [0, 2, 4]
+    for idx, y in got:
+        np.testing.assert_array_equal(y, frames[idx])
+
+
+def test_y4m_odd_dims_and_colorspaces():
+    frames = [_rand_img(3, 5, 1, i) for i in range(2)]
+    for cs in ("420", "420jpeg", "444", "mono"):
+        blob = encode_y4m(frames, width=5, height=3, colorspace=cs)
+        got = list(decode_y4m(blob))
+        assert len(got) == 2
+        np.testing.assert_array_equal(got[1][1], frames[1])
+
+
+def test_y4m_truncated_frame():
+    blob = encode_y4m([np.zeros((4, 4), np.uint8)], 4, 4)
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        list(decode_y4m(blob[:-5]))
+
+
+def test_y4m_max_frames():
+    frames = [np.zeros((2, 2), np.uint8)] * 10
+    blob = encode_y4m(frames, 2, 2)
+    assert len(list(decode_y4m(blob, max_frames=3))) == 3
+
+
+# --------------------------------------------------------------------------
+# Pixel utilities
+# --------------------------------------------------------------------------
+
+def test_to_rgb_shapes():
+    assert to_rgb(_rand_img(2, 3, 1, 1)).shape == (2, 3, 3)
+    ga = _rand_img(2, 3, 2, 2)
+    rgb = to_rgb(ga)
+    np.testing.assert_array_equal(rgb[:, :, 0], ga[:, :, 0])
+    rgba = _rand_img(2, 3, 4, 3)
+    np.testing.assert_array_equal(to_rgb(rgba), rgba[:, :, :3])
+
+
+def test_resize_nearest_2x():
+    img = np.array([[0, 255]], dtype=np.uint8)
+    out = resize_nearest(img, 4, 2)
+    np.testing.assert_array_equal(
+        out, np.array([[0, 0, 255, 255], [0, 0, 255, 255]], np.uint8))
+
+
+def test_resize_bilinear_identity_and_midpoint():
+    img = _rand_img(6, 7, 3, 4)
+    np.testing.assert_array_equal(resize_bilinear(img, 7, 6), img)
+    # 1x2 [0, 100] upsampled to 1x4 with half-pixel centers:
+    # src x = (dst+0.5)*0.5-0.5 = -0.25, 0.25, 0.75, 1.25 -> clamped
+    # weights give 0, 25, 75, 100
+    row = np.array([[0, 100]], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        resize_bilinear(row, 4, 1), np.array([[0, 25, 75, 100]], np.uint8))
+
+
+# --------------------------------------------------------------------------
+# Hostile-input fuzz: decoders must raise MediaDecodeError, never
+# anything else, on arbitrary bytes
+# --------------------------------------------------------------------------
+
+_PREFIXES = [b"", b"\x89PNG\r\n\x1a\n", b"BM", b"P6\n", b"RIFF",
+             b"YUV4MPEG2 "]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from(_PREFIXES), st.binary(max_size=300))
+def test_decoders_raise_cleanly_on_garbage(prefix, tail):
+    blob = prefix + tail
+    for dec in (decode_png, decode_bmp, decode_pnm, decode_wav):
+        try:
+            dec(blob)
+        except MediaDecodeError:
+            pass
+    try:
+        list(decode_y4m(blob))
+    except MediaDecodeError:
+        pass

@@ -891,6 +891,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_bytes", "content_sha", "sniffed_type"))
     q["multimodal_extract_meta"] = multimodal_meta
 
+    # --- real media decode gate rows: pixels/samples are generated
+    # from integer formulas, pushed through the REAL PNG/WAV/Y4M codecs
+    # (encode in one mapInPandas stage, decode+stats in the production
+    # operator), and the oracle recomputes the same stats analytically
+    # from the formula — gating the full codec round-trip, all five PNG
+    # scanline filters included (filter_type="cycle")
+    def multimodal_png_stats(s, d):
+        import numpy as np
+        from quickwit_spark.pipeline import media_codecs as mc
+        from quickwit_spark.pipeline.multimodal import image_stats
+        docs = _read(s, d, "documents").select("doc_id")
+
+        def enc(it):
+            import pandas as pd
+            y, x, c = np.meshgrid(np.arange(6), np.arange(8),
+                                  np.arange(3), indexing="ij")
+            for pdf in it:
+                blobs = [mc.encode_png(
+                    ((int(i) * 7 + y * 5 + x * 3 + c * 11) % 256)
+                    .astype(np.uint8), filter_type="cycle")
+                    for i in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "blob": blobs})
+
+        blobs = docs.mapInPandas(enc, schema="doc_id long, blob binary")
+        return (image_stats(blobs, id_col="doc_id")
+                .select("doc_id", "width", "height", "channels",
+                        "px_sum", "px_min", "px_max")
+                .orderBy("doc_id"))
+    q["multimodal_png_stats"] = multimodal_png_stats
+
+    def multimodal_wav_stats(s, d):
+        import numpy as np
+        from quickwit_spark.pipeline import media_codecs as mc
+        from quickwit_spark.pipeline.multimodal import audio_stats
+        docs = _read(s, d, "documents").select("doc_id")
+
+        def enc(it):
+            import pandas as pd
+            i = np.arange(240, dtype=np.int64)
+            for pdf in it:
+                blobs = [mc.encode_wav(
+                    ((int(did) * 31 + i * 17) % 65536 - 32768)
+                    .astype(np.int16), 8000 + int(did) % 100)
+                    for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "blob": blobs})
+
+        blobs = docs.mapInPandas(enc, schema="doc_id long, blob binary")
+        return (audio_stats(blobs, id_col="doc_id")
+                .select("doc_id", "n_frames", "n_channels",
+                        "sample_rate", "s_sum", "s_min", "s_max")
+                .orderBy("doc_id"))
+    q["multimodal_wav_stats"] = multimodal_wav_stats
+
+    def multimodal_y4m_frames(s, d):
+        import numpy as np
+        from quickwit_spark.pipeline import media_codecs as mc
+        from quickwit_spark.pipeline.multimodal import y4m_frame_stats
+        docs = (_read(s, d, "documents").select("doc_id")
+                .filter(F.col("doc_id") < 100))
+
+        def enc(it):
+            import pandas as pd
+            y, x = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+            for pdf in it:
+                blobs = [mc.encode_y4m(
+                    [((int(did) * 13 + f * 7 + y * 3 + x) % 256)
+                     .astype(np.uint8) for f in range(6)], 4, 4)
+                    for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "blob": blobs})
+
+        blobs = docs.mapInPandas(enc, schema="doc_id long, blob binary")
+        return (y4m_frame_stats(blobs, id_col="doc_id", every_n=2)
+                .select("doc_id", "frame_idx", "width", "height",
+                        "y_sum", "y_min", "y_max")
+                .orderBy("doc_id", "frame_idx"))
+    q["multimodal_y4m_frames"] = multimodal_y4m_frames
+
     # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
     # find_trace_ids_collector.rs) — events rows are deterministically
     # wrapped into real OTLP/JSON payloads, flattened back through the
@@ -1213,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round
         "mapping_update_union", "otlp_logs_pb_severity",
         "otlp_trace_pb_topk", "ann_ivfpq_residual_topk",
+        "multimodal_png_stats", "multimodal_wav_stats",
+        "multimodal_y4m_frames",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1225,34 +1307,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_mapping_query",
         # OTLP JSON twins of the new pb rows (cheap family reps)
         "otlp_trace_topk", "otlp_logs_severity",
-        # stable-family representatives, rotating — exactly 22, so the
-        # 28 rows above + these land precisely in the driver's 50-row
+        # stable-family representatives, rotating — exactly 19, so the
+        # 31 rows above + these land precisely in the driver's 50-row
         # verified prefix; adding a row MUST demote another below.
         # text_quality_score and the agg reps rotate back IN (last
         # checked r3); rows rotated out were green in r4
         # (CORRECTNESS_r04.json) over code untouched since
-        # (ann_lsh_bucket_topk demoted to make room for the new
-        # ann_ivfpq_residual_topk — its family keeps 4 in-window reps).
+        # (ann_lsh_bucket_topk demoted for ann_ivfpq_residual_topk;
+        # decontaminate_ngrams / stratified_sample / training_mix_budget
+        # demoted for the three real-codec multimodal rows —
+        # filtering.py is untouched this round and keeps
+        # gopher_quality_filter + strip_boilerplate as in-window reps).
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine", "dedup_ngram_jaccard",
         "dedup_substr_windows",
         "ann_cosine_topk", "ann_ivf_topk", "ann_pq_adc_topk",
         "text_lang_id", "text_quality_score", "text_token_counts",
         "text_fingerprint",
-        "multimodal_extract_meta", "decontaminate_ngrams",
-        "stratified_sample", "gopher_quality_filter",
-        "training_mix_budget", "strip_boilerplate",
+        "multimodal_extract_meta", "gopher_quality_filter",
+        "strip_boilerplate",
         "agg_terms_lang", "agg_date_histogram_events",
         "agg_es_range_empty",
         # past the 50-row window: green r4 (dedup_simhash_pairs,
         # dedup_clusters, dedup_substr_stats, strip_dup_spans,
         # ann_ivf_partitioned, text_pii_counts, text_repetition,
-        # text_token_rarity, boilerplate_lines_flagged) or green r3
-        # (remaining agg_* rows), code untouched since
+        # text_token_rarity, boilerplate_lines_flagged,
+        # decontaminate_ngrams, stratified_sample, training_mix_budget)
+        # or green r3 (remaining agg_* rows), code untouched since
         "dedup_simhash_pairs", "dedup_clusters", "dedup_substr_stats",
         "strip_dup_spans", "ann_ivf_partitioned", "ann_lsh_bucket_topk",
         "text_pii_counts", "text_repetition", "text_token_rarity",
-        "boilerplate_lines_flagged",
+        "boilerplate_lines_flagged", "decontaminate_ngrams",
+        "stratified_sample", "training_mix_budget",
     ]
     ordered = {k: q[k] for k in _GATE_ORDER if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1905,6 +1991,52 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS content_sha,
        'application/octet-stream' AS sniffed_type
 FROM documents
+"""
+
+    # closed-form twins of the real-codec round-trips: the Spark side
+    # encodes formula-generated pixels/samples through the real
+    # PNG/WAV/Y4M codecs and decodes them back; the SQL recomputes the
+    # same integer stats directly from the formula
+    o["multimodal_png_stats"] = """
+SELECT d.doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(SUM((d.doc_id*7 + y.y*5 + x.x*3 + c.c*11) % 256)
+            AS BIGINT) AS px_sum,
+       CAST(MIN((d.doc_id*7 + y.y*5 + x.x*3 + c.c*11) % 256)
+            AS INTEGER) AS px_min,
+       CAST(MAX((d.doc_id*7 + y.y*5 + x.x*3 + c.c*11) % 256)
+            AS INTEGER) AS px_max
+FROM documents d, range(0,6) AS y(y), range(0,8) AS x(x),
+     range(0,3) AS c(c)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+    o["multimodal_wav_stats"] = """
+SELECT d.doc_id,
+       CAST(240 AS INTEGER) AS n_frames, CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 + d.doc_id % 100 AS INTEGER) AS sample_rate,
+       CAST(SUM((d.doc_id*31 + i.i*17) % 65536 - 32768)
+            AS BIGINT) AS s_sum,
+       CAST(MIN((d.doc_id*31 + i.i*17) % 65536 - 32768)
+            AS INTEGER) AS s_min,
+       CAST(MAX((d.doc_id*31 + i.i*17) % 65536 - 32768)
+            AS INTEGER) AS s_max
+FROM documents d, range(0,240) AS i(i)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+    o["multimodal_y4m_frames"] = """
+SELECT d.doc_id, CAST(f.f AS INTEGER) AS frame_idx,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(SUM((d.doc_id*13 + f.f*7 + y.y*3 + x.x) % 256)
+            AS BIGINT) AS y_sum,
+       CAST(MIN((d.doc_id*13 + f.f*7 + y.y*3 + x.x) % 256)
+            AS INTEGER) AS y_min,
+       CAST(MAX((d.doc_id*13 + f.f*7 + y.y*3 + x.x) % 256)
+            AS INTEGER) AS y_max
+FROM documents d, range(0,6) AS f(f), range(0,4) AS y(y),
+     range(0,4) AS x(x)
+WHERE d.doc_id < 100 AND f.f % 2 = 0
+GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
 """
 
     o["otlp_trace_topk"] = """

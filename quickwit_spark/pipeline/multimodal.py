@@ -1,12 +1,14 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata.
 
-The Spark-side plumbing is real — schemas, partition-friendly mapInPandas
-with Arrow batches, deterministic outputs; the actual media decoding is
-STUBBED (the runtime has no image/audio libraries): decode_image raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake feature vector is derived from the blob's sha256 — making the full
-pipeline (schema, batching, UDF signatures) testable.
+The Spark-side plumbing is mapInPandas over Arrow batches (one Python
+call per media object, all pixel/sample math numpy). Decoding is REAL
+for the formats media_codecs implements from the public specs with
+stdlib zlib + numpy — PNG, BMP, binary PNM, PCM WAV, Y4M — and loudly
+unsupported (NotImplementedError / MediaDecodeError, or a decode_error
+column in the batch operators) for entropy-coded formats the runtime
+has no library for (JPEG, GIF, H.26x). `fake=True` keeps the legacy
+deterministic sha256-derived stub for plumbing tests.
 """
 
 from __future__ import annotations
@@ -18,20 +20,36 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from . import media_codecs as mc
+from .media_codecs import MediaDecodeError
+
 MEDIA_SCHEMA = ("id long, media_type string, blob binary, width int, "
                 "height int")
 
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
-    b"RIFF": "audio/wav",
     b"GIF8": "image/gif",
+    b"BM": "image/bmp",
+    b"P5": "image/x-portable-graymap",
+    b"P6": "image/x-portable-pixmap",
+    b"YUV4MPEG2": "video/x-yuv4mpeg",
     b"\x00\x00\x00\x18": "video/mp4",
     b"\x00\x00\x00\x20": "video/mp4",
 }
 
+# formats decode_image can really decode (media_codecs)
+_DECODABLE_IMAGES = {
+    "image/png": mc.decode_png,
+    "image/bmp": mc.decode_bmp,
+    "image/x-portable-graymap": mc.decode_pnm,
+    "image/x-portable-pixmap": mc.decode_pnm,
+}
+
 
 def sniff_media_type(blob: bytes) -> str:
+    if blob[:4] == b"RIFF":
+        return "video/avi" if blob[8:12] == b"AVI " else "audio/wav"
     for magic, mt in _MAGIC.items():
         if blob[: len(magic)] == magic:
             return mt
@@ -59,22 +77,30 @@ def extract_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image blob to HxWx3 uint8. STUB: no codec libs in this
-    runtime. With fake=True returns a deterministic 4x4x3 array derived
-    from sha256(blob) so downstream plumbing is testable."""
-    if not fake:
+    """Decode an image blob to HxWx3 uint8 (grayscale replicated, alpha
+    dropped). Real decode for PNG/BMP/PNM via media_codecs; JPEG/GIF
+    raise NotImplementedError (entropy coding needs a library this
+    runtime does not ship). With fake=True returns a deterministic
+    4x4x3 array derived from sha256(blob) for plumbing tests."""
+    if fake:
+        h = hashlib.sha256(blob).digest()
+        arr = np.frombuffer((h * 3)[:48], dtype=np.uint8)
+        return arr.reshape(4, 4, 3)
+    mt = sniff_media_type(blob)
+    if mt in ("image/jpeg", "image/gif"):
         raise NotImplementedError(
-            "image decoding requires a codec library not present in this "
-            "runtime; pass fake=True for deterministic test features")
-    h = hashlib.sha256(blob).digest()
-    arr = np.frombuffer((h * 3)[:48], dtype=np.uint8)
-    return arr.reshape(4, 4, 3)
+            f"{mt} is entropy-coded; no codec library in this runtime")
+    dec = _DECODABLE_IMAGES.get(mt)
+    if dec is None:
+        raise MediaDecodeError(f"not a decodable image (sniffed {mt})")
+    return mc.to_rgb(dec(blob))
 
 
 def image_features(df: DataFrame, blob_col: str = "blob",
                    id_col: str = "id", fake: bool = True) -> DataFrame:
     """Decode -> feature-extract as a mapInPandas stage (Arrow batches).
-    Feature = per-channel mean of the (stub-)decoded image."""
+    Feature = per-channel mean of the decoded image (real codecs with
+    fake=False; the deterministic sha256 stub with fake=True)."""
 
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -101,13 +127,20 @@ def image_features(df: DataFrame, blob_col: str = "blob",
 
 def resize_images(df: DataFrame, width: int, height: int,
                   blob_col: str = "blob", id_col: str = "id",
-                  fake: bool = True) -> DataFrame:
-    """Decode -> resize as a mapInPandas stage. STUB resampling: nearest-
-    neighbor index arithmetic over the (stub-)decoded array — the Spark
-    plumbing (schema, batch shape, output encoding) is real; swap
-    decode_image/fake for a codec library in production."""
+                  fake: bool = True, method: str = "nearest",
+                  encode: str = "raw") -> DataFrame:
+    """Decode -> resize as a mapInPandas stage. method: "nearest" or
+    "bilinear" (half-pixel centers); encode: "raw" emits packed RGB
+    bytes (width/height columns carry the shape), "png" re-encodes
+    through the real PNG codec."""
 
     id_type = df.schema[id_col].dataType.simpleString()
+    resample = (mc.resize_bilinear if method == "bilinear"
+                else mc.resize_nearest)
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
+    if encode not in ("raw", "png"):
+        raise ValueError(f"unknown output encoding {encode!r}")
 
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -120,12 +153,10 @@ def resize_images(df: DataFrame, width: int, height: int,
                     hs.append(height)
                     continue
                 img = decode_image(bytes(blob), fake=fake)
-                ih, iw = img.shape[:2]
-                yy = (np.arange(height) * ih // height)
-                xx = (np.arange(width) * iw // width)
-                out = img[yy[:, None], xx[None, :]]
+                out = resample(img, width, height)
                 ids.append(rid)
-                blobs.append(out.tobytes())
+                blobs.append(mc.encode_png(out) if encode == "png"
+                             else out.tobytes())
                 ws.append(width)
                 hs.append(height)
             yield pd.DataFrame({id_col: ids, "blob": blobs,
@@ -134,6 +165,118 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.mapInPandas(
         resize,
         schema=f"{id_col} {id_type}, blob binary, width int, height int")
+
+
+def image_stats(df: DataFrame, blob_col: str = "blob",
+                id_col: str = "id") -> DataFrame:
+    """Real image decode -> per-image stats over the RGB-normalized
+    pixels: shape, integer sum/min/max. Undecodable or null blobs get
+    NULL stats plus a decode_error string instead of failing the batch
+    (the reference counts malformed docs rather than aborting ingest,
+    doc_processor.rs:153-190)."""
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    rows.append((rid, None, None, None, None, None, None,
+                                 "null blob"))
+                    continue
+                try:
+                    img = decode_image(bytes(blob))
+                except (MediaDecodeError, NotImplementedError) as e:
+                    rows.append((rid, None, None, None, None, None, None,
+                                 str(e)))
+                    continue
+                h, w, ch = img.shape
+                px = img.reshape(-1).astype(np.int64)
+                rows.append((rid, w, h, ch, int(px.sum()), int(px.min()),
+                             int(px.max()), None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "width", "height", "channels", "px_sum",
+                "px_min", "px_max", "decode_error"])
+
+    return df.mapInPandas(
+        stats,
+        schema=(f"{id_col} {id_type}, width int, height int, "
+                "channels int, px_sum long, px_min int, px_max int, "
+                "decode_error string"))
+
+
+def audio_stats(df: DataFrame, blob_col: str = "blob",
+                id_col: str = "id") -> DataFrame:
+    """Real WAV decode -> per-clip stats: frame/channel counts, sample
+    rate, integer sample sum/min/max across all channels. Same
+    null/undecodable -> decode_error contract as image_stats."""
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    rows.append((rid, None, None, None, None, None, None,
+                                 "null blob"))
+                    continue
+                try:
+                    samples, rate = mc.decode_wav(bytes(blob))
+                except MediaDecodeError as e:
+                    rows.append((rid, None, None, None, None, None, None,
+                                 str(e)))
+                    continue
+                s = samples.astype(np.int64)
+                rows.append((rid, samples.shape[0], samples.shape[1],
+                             rate, int(s.sum()),
+                             int(s.min()) if s.size else None,
+                             int(s.max()) if s.size else None, None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "n_frames", "n_channels", "sample_rate",
+                "s_sum", "s_min", "s_max", "decode_error"])
+
+    return df.mapInPandas(
+        stats,
+        schema=(f"{id_col} {id_type}, n_frames int, n_channels int, "
+                "sample_rate int, s_sum long, s_min int, s_max int, "
+                "decode_error string"))
+
+
+def y4m_frame_stats(df: DataFrame, blob_col: str = "blob",
+                    id_col: str = "id", every_n: int = 1,
+                    max_frames: int | None = None) -> DataFrame:
+    """Real Y4M frame sampling: one output row per sampled luma plane
+    (explode), with integer luma sum/min/max per frame. Undecodable
+    blobs yield zero rows (sampling is a filter stage; metadata-level
+    errors surface through extract_metadata/image_stats instead)."""
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                try:
+                    for fi, y in mc.decode_y4m(bytes(blob), every_n,
+                                               max_frames):
+                        p = y.astype(np.int64)
+                        rows.append((rid, fi, y.shape[1], y.shape[0],
+                                     int(p.sum()), int(p.min()),
+                                     int(p.max())))
+                except MediaDecodeError:
+                    continue
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "width", "height", "y_sum",
+                "y_min", "y_max"])
+
+    return df.mapInPandas(
+        frames,
+        schema=(f"{id_col} {id_type}, frame_idx int, width int, "
+                "height int, y_sum long, y_min int, y_max int"))
 
 
 def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "id",

@@ -30,9 +30,13 @@ def test_multimodal_stub_plumbing(spark):
     assert meta.loc[3, "sniffed_type"] == "application/octet-stream"
     assert int(meta.loc[1, "n_bytes"]) == 70
 
-    # decode is stubbed: real decode raises, fake path is deterministic
+    # entropy-coded formats stay loudly unsupported; a corrupt blob of
+    # a REAL format raises MediaDecodeError; fake path is deterministic
+    from quickwit_spark.pipeline.multimodal import MediaDecodeError
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0jpegdata")
+    with pytest.raises(MediaDecodeError):
+        decode_image(b"\x89PNG")  # truncated signature
     a = decode_image(b"\x89PNGabc", fake=True)
     b = decode_image(b"\x89PNGabc", fake=True)
     assert (a == b).all() and a.shape == (4, 4, 3)
@@ -773,6 +777,68 @@ def test_multimodal_null_blobs_and_string_ids(spark):
     assert rz.loc["m-2", "blob"] is None and rz.loc["m-1", "blob"]
     fr = frame_sample(df, id_col="media_id").toPandas()
     assert set(fr["media_id"]) == {"m-1"}
+
+
+def test_multimodal_real_codecs_spark_path(spark):
+    """Real PNG/WAV/Y4M decode through the mapInPandas operators:
+    stats must equal the closed-form numpy values, undecodable blobs
+    take the decode_error contract instead of failing the batch."""
+    import numpy as np
+    from quickwit_spark.pipeline import media_codecs as mc
+    from quickwit_spark.pipeline.multimodal import (
+        audio_stats, extract_metadata, image_stats, resize_images,
+        y4m_frame_stats)
+
+    def px(i):
+        y, x, c = np.meshgrid(np.arange(6), np.arange(8), np.arange(3),
+                              indexing="ij")
+        return ((i * 7 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
+
+    rows = [(1, mc.encode_png(px(1), filter_type="cycle")),
+            (2, mc.encode_png(px(2))),
+            (3, b"\xff\xd8\xff\xe0 jpeg"),        # entropy-coded
+            (4, None)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    st = image_stats(df).toPandas().set_index("id")
+    for i in (1, 2):
+        assert (int(st.loc[i, "px_sum"]) == int(px(i).sum())
+                and int(st.loc[i, "width"]) == 8
+                and int(st.loc[i, "height"]) == 6)
+    assert "entropy-coded" in st.loc[3, "decode_error"]
+    assert st.loc[4, "decode_error"] == "null blob"
+
+    meta = extract_metadata(df.filter("blob is not null")) \
+        .toPandas().set_index("id")
+    assert meta.loc[1, "sniffed_type"] == "image/png"
+    assert meta.loc[3, "sniffed_type"] == "image/jpeg"
+
+    # resize through the real path re-encoded as PNG round-trips
+    rz = resize_images(df.filter("id = 1"), 4, 3, fake=False,
+                       method="bilinear", encode="png").toPandas()
+    out = mc.decode_png(bytes(rz.iloc[0]["blob"]))
+    assert out.shape == (3, 4, 3)
+    assert (out == mc.resize_bilinear(px(1), 4, 3)).all()
+
+    # WAV: 2-channel int16 closed form
+    sm = (np.arange(400, dtype=np.int64) * 17 % 65536 - 32768) \
+        .astype(np.int16).reshape(200, 2)
+    adf = spark.createDataFrame(
+        [(7, mc.encode_wav(sm, 8000)), (8, b"RIFFxxxxWAVE")],
+        "id long, blob binary")
+    au = audio_stats(adf).toPandas().set_index("id")
+    assert (int(au.loc[7, "n_frames"]) == 200
+            and int(au.loc[7, "n_channels"]) == 2
+            and int(au.loc[7, "s_sum"]) == int(sm.astype(np.int64).sum())
+            and int(au.loc[7, "sample_rate"]) == 8000)
+    assert au.loc[8, "decode_error"]  # truncated RIFF
+
+    # Y4M: 5 frames, every 2nd sampled -> frame_idx 0,2,4
+    frames = [np.full((4, 4), 10 * k, dtype=np.uint8) for k in range(5)]
+    vdf = spark.createDataFrame(
+        [(9, mc.encode_y4m(frames, 4, 4))], "id long, blob binary")
+    fr = y4m_frame_stats(vdf, every_n=2).toPandas()
+    assert list(fr["frame_idx"]) == [0, 2, 4]
+    assert list(fr["y_sum"]) == [0, 320, 640]
 
 
 def test_transform_int64_rejects_lossy_values(spark):

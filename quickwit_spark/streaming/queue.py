@@ -349,7 +349,10 @@ class SqsProtocolQueue:
         return int(resp["Attributes"]["ApproximateNumberOfMessages"])
 
 
-def http_sqs_transport(endpoint: str, timeout: float = 30.0):
+def http_sqs_transport(endpoint: str, timeout: float = 30.0,
+                       credentials: tuple | None = None,
+                       region: str = "us-east-1", service: str = "sqs",
+                       now_fn=time.time):
     """Transport POSTing the same SQS JSON-protocol documents to an
     HTTP endpoint (AWS SQS, ElasticMQ, LocalStack): one request per
     operation with `Content-Type: application/x-amz-json-1.0` and
@@ -360,21 +363,40 @@ def http_sqs_transport(endpoint: str, timeout: float = 30.0):
     `__type` key, exactly like the in-process transport, so
     SqsProtocolQueue's consumer surface is transport-agnostic.
 
-    stdlib urllib only (no HTTP client dependency); NOT SigV4-signed —
-    front with a signing proxy or IAM-less endpoint (ElasticMQ/
-    LocalStack) for real AWS. Smoke-tested end-to-end against an
-    in-process loopback http.server running the file-backed queue
-    (test_queue_source.test_http_transport_loopback_exactly_once)."""
+    stdlib urllib only (no HTTP client dependency). With
+    ``credentials=(access_key, secret_key[, session_token])`` every
+    request is SigV4-signed (streaming/sigv4.py, AWS-test-vector
+    pinned) so the transport can talk to real AWS SQS; without
+    credentials it suits IAM-less endpoints (ElasticMQ/LocalStack) or
+    a signing proxy. Smoke-tested end-to-end against an in-process
+    loopback http.server running the file-backed queue, including a
+    server-side signature re-verification
+    (test_queue_source.test_http_transport_loopback_exactly_once,
+    test_http_transport_sigv4_loopback)."""
     import urllib.error
     import urllib.request
 
     def transport(action: str, doc: dict) -> dict:
         body = json.dumps(doc).encode()
-        req = urllib.request.Request(endpoint, data=body, method="POST",
-                                     headers={
+        headers = {
             "Content-Type": "application/x-amz-json-1.0",
             "X-Amz-Target": f"AmazonSQS.{action}",
-        })
+        }
+        if credentials is not None:
+            from .sigv4 import sign_request
+            ak, sk, *tok = credentials
+            amz_date = time.strftime("%Y%m%dT%H%M%SZ",
+                                     time.gmtime(now_fn()))
+            headers = sign_request(
+                "POST", endpoint, headers, body, access_key=ak,
+                secret_key=sk, region=region, service=service,
+                amz_date=amz_date,
+                session_token=tok[0] if tok else None)
+            # urllib sets Host itself from the URL; passing it twice
+            # duplicates the header on the wire
+            headers.pop("Host", None)
+        req = urllib.request.Request(endpoint, data=body, method="POST",
+                                     headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 payload = resp.read().decode() or "{}"

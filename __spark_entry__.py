@@ -971,6 +971,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id", "frame_idx"))
     q["multimodal_y4m_frames"] = multimodal_y4m_frames
 
+    def multimodal_jpeg_gray_stats(s, d):
+        # grayscale flat 8x8 blocks are DC-only, and the q90 DC quant
+        # step (3) keeps the reconstruction error under 1/2 LSB — so
+        # the lossy codec round-trips these BIT-EXACTLY for all 256
+        # values (pinned by test_jpeg_codec) and a closed-form oracle
+        # is sound
+        import numpy as np
+        from quickwit_spark.pipeline.jpeg_codec import encode_jpeg
+        from quickwit_spark.pipeline.multimodal import image_stats
+        docs = _read(s, d, "documents").select("doc_id")
+
+        def enc(it):
+            import pandas as pd
+            for pdf in it:
+                blobs = []
+                for did in pdf["doc_id"]:
+                    v1, v2 = int(did) % 256, (int(did) * 3) % 256
+                    img = np.hstack([np.full((8, 8), v1, np.uint8),
+                                     np.full((8, 8), v2, np.uint8)])
+                    blobs.append(encode_jpeg(img, quality=90))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "blob": blobs})
+
+        blobs = docs.mapInPandas(enc, schema="doc_id long, blob binary")
+        return (image_stats(blobs, id_col="doc_id")
+                .select("doc_id", "width", "height", "channels",
+                        "px_sum", "px_min", "px_max")
+                .orderBy("doc_id"))
+    q["multimodal_jpeg_gray_stats"] = multimodal_jpeg_gray_stats
+
     # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
     # find_trace_ids_collector.rs) — events rows are deterministically
     # wrapped into real OTLP/JSON payloads, flattened back through the
@@ -1294,7 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_update_union", "otlp_logs_pb_severity",
         "otlp_trace_pb_topk", "ann_ivfpq_residual_topk",
         "multimodal_png_stats", "multimodal_wav_stats",
-        "multimodal_y4m_frames",
+        "multimodal_y4m_frames", "multimodal_jpeg_gray_stats",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1307,8 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_mapping_query",
         # OTLP JSON twins of the new pb rows (cheap family reps)
         "otlp_trace_topk", "otlp_logs_severity",
-        # stable-family representatives, rotating — exactly 19, so the
-        # 31 rows above + these land precisely in the driver's 50-row
+        # stable-family representatives, rotating — exactly 18, so the
+        # 32 rows above + these land precisely in the driver's 50-row
         # verified prefix; adding a row MUST demote another below.
         # text_quality_score and the agg reps rotate back IN (last
         # checked r3); rows rotated out were green in r4
@@ -1323,7 +1353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substr_windows",
         "ann_cosine_topk", "ann_ivf_topk", "ann_pq_adc_topk",
         "text_lang_id", "text_quality_score", "text_token_counts",
-        "text_fingerprint",
         "multimodal_extract_meta", "gopher_quality_filter",
         "strip_boilerplate",
         "agg_terms_lang", "agg_date_histogram_events",
@@ -1332,13 +1361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_clusters, dedup_substr_stats, strip_dup_spans,
         # ann_ivf_partitioned, text_pii_counts, text_repetition,
         # text_token_rarity, boilerplate_lines_flagged,
-        # decontaminate_ngrams, stratified_sample, training_mix_budget)
+        # decontaminate_ngrams, stratified_sample, training_mix_budget,
+        # text_fingerprint — demoted for multimodal_jpeg_gray_stats)
         # or green r3 (remaining agg_* rows), code untouched since
         "dedup_simhash_pairs", "dedup_clusters", "dedup_substr_stats",
         "strip_dup_spans", "ann_ivf_partitioned", "ann_lsh_bucket_topk",
         "text_pii_counts", "text_repetition", "text_token_rarity",
         "boilerplate_lines_flagged", "decontaminate_ngrams",
-        "stratified_sample", "training_mix_budget",
+        "stratified_sample", "training_mix_budget", "text_fingerprint",
     ]
     ordered = {k: q[k] for k in _GATE_ORDER if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2037,6 +2067,18 @@ FROM documents d, range(0,6) AS f(f), range(0,4) AS y(y),
      range(0,4) AS x(x)
 WHERE d.doc_id < 100 AND f.f % 2 = 0
 GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
+"""
+    o["multimodal_jpeg_gray_stats"] = """
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(192 * ((doc_id % 256) + ((doc_id * 3) % 256))
+            AS BIGINT) AS px_sum,
+       CAST(LEAST(doc_id % 256, (doc_id * 3) % 256)
+            AS INTEGER) AS px_min,
+       CAST(GREATEST(doc_id % 256, (doc_id * 3) % 256)
+            AS INTEGER) AS px_max
+FROM documents ORDER BY doc_id
 """
 
     o["otlp_trace_topk"] = """

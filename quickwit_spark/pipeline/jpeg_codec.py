@@ -1,0 +1,586 @@
+"""Baseline JPEG (ITU-T T.81) codec with no dependencies beyond numpy.
+
+Decoder: baseline sequential DCT, 8-bit, single interleaved scan —
+grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, arbitrary
+DHT/DQT tables from the stream, restart markers. Progressive (SOF2),
+arithmetic coding, and 12-bit precision raise MediaDecodeError loudly.
+
+Encoder: baseline 4:4:4 or 4:2:0, IJG-style quality scaling of the
+Annex K quantization tables, and self-built canonical Huffman tables
+(every symbol that occurs gets an equal-length code with the all-ones
+codeword left unused, as the spec requires) — valid JPEG without
+transcribing the Annex K Huffman tables. Entropy coding is per-blob
+Python by design: these codecs run one call per media object inside
+mapInPandas Arrow batches (multimodal.py), with all block math
+(DCT/quant/color) vectorized numpy.
+
+Used by quickwit_spark.pipeline.multimodal.decode_image; tests
+round-trip through both directions and pin decode against byte
+fixtures, error bounds, and the closed-form DC path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .media_codecs import MediaDecodeError, _check_dims
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+# --------------------------------------------------------------------------
+# shared tables
+# --------------------------------------------------------------------------
+
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    out = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()
+        out.extend(diag)
+    return out
+
+
+_ZZ = np.array([r * 8 + c for r, c in _zigzag_pairs()], dtype=np.int64)
+_INV_ZZ = np.argsort(_ZZ)
+
+# DCT-II orthonormal basis: F = C @ f @ C.T, f = C.T @ F @ C
+_C = np.array([[np.sqrt((1 if u == 0 else 2) / 8)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)] for u in range(8)])
+
+# Annex K quantization tables (public spec), natural order
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103,
+    99], dtype=np.float64).reshape(8, 8)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99], dtype=np.float64).reshape(8, 8)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(100, max(1, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QL, _QC):
+        t = np.floor((base * scale + 50) / 100)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+def _size_cat(v: np.ndarray) -> np.ndarray:
+    """Bit-size category: 0 for 0, else floor(log2(|v|)) + 1."""
+    a = np.abs(v)
+    out = np.zeros_like(a)
+    nz = a > 0
+    out[nz] = np.floor(np.log2(a[nz])).astype(out.dtype) + 1
+    return out
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical Huffman decode per T.81 F.2.2.3 (MINCODE/MAXCODE)."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        if k != len(vals):
+            raise MediaDecodeError("JPEG: DHT count/value mismatch")
+
+
+class _BitReader:
+    """MSB-first reader over one unstuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= self.bits.size:
+            raise MediaDecodeError("JPEG: entropy data truncated")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.bits.size:
+            raise MediaDecodeError("JPEG: entropy data truncated")
+        v = 0
+        for b in self.bits[self.pos:self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+    def decode_symbol(self, t: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if t.maxcode[ln] >= code >= t.mincode[ln]:
+                return t.vals[t.valptr[ln] + code - t.mincode[ln]]
+        raise MediaDecodeError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    # T.81 F.2.2.1 EXTEND: map `size` raw bits to a signed coefficient
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _split_ecs(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split the scan's entropy-coded data at RST markers, unstuffing
+    0xFF00. Returns (segments, position of the terminating marker)."""
+    segs = []
+    cur = bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            raise MediaDecodeError("JPEG: truncated entropy stream")
+        m = data[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to uint8 HxW (grayscale) or HxWx3 (RGB)."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG: missing SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise MediaDecodeError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOS
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise MediaDecodeError("JPEG: truncated segment")
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise MediaDecodeError("JPEG: 16-bit DQT unsupported")
+                tbl = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                if tbl.size != 64:
+                    raise MediaDecodeError("JPEG: short DQT")
+                q = np.zeros(64)
+                q[_ZZ] = tbl  # stored in zigzag order
+                qt[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                cnt = sum(bits)
+                vals = body[i + 17:i + 17 + cnt]
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            if len(body) < 6:
+                raise MediaDecodeError("JPEG: short SOF")
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise MediaDecodeError(f"JPEG: {prec}-bit unsupported")
+            if len(body) < 6 + 3 * nc:
+                raise MediaDecodeError("JPEG: short SOF component list")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq_id})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(
+                "JPEG: only baseline sequential (SOF0/1) supported")
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise MediaDecodeError("JPEG: short DRI")
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise MediaDecodeError("JPEG: SOS before SOF")
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise MediaDecodeError("JPEG: short SOS")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c:3 + 2 * c]
+                comp = next((x for x in frame["comps"] if x["id"] == cs),
+                            None)
+                if comp is None:
+                    raise MediaDecodeError("JPEG: SOS references unknown "
+                                           "component")
+                scan.append((comp, tdta >> 4, tdta & 0xF))
+            if len(scan) != len(frame["comps"]):
+                raise MediaDecodeError(
+                    "JPEG: non-interleaved scans unsupported")
+            return _decode_scan(data, pos, frame, scan, qt, huff,
+                                restart_interval)
+        # APPn / COM / others: skipped
+    raise MediaDecodeError("JPEG: no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    _check_dims(w, h, "JPEG")
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise MediaDecodeError("JPEG: sampling factors beyond 2 "
+                               "unsupported")
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    segs, _end = _split_ecs(data, pos)
+
+    # coefficient planes per scan component
+    planes = [np.zeros((mcy * c["v"] * 8, mcx * c["h"] * 8))
+              for c, _, _ in scan]
+    per_mcu = [(i, by, bx) for i, (c, _, _) in enumerate(scan)
+               for by in range(c["v"]) for bx in range(c["h"])]
+
+    total_mcus = mcx * mcy
+    mcu_idx = 0
+    coef = np.zeros(64)
+    for seg_i, seg in enumerate(segs):
+        rd = _BitReader(seg)
+        pred = [0] * len(scan)
+        seg_mcus = (restart_interval if restart_interval
+                    and seg_i < len(segs) - 1
+                    else total_mcus - mcu_idx)
+        for _ in range(seg_mcus):
+            if mcu_idx >= total_mcus:
+                raise MediaDecodeError("JPEG: more MCUs than expected")
+            my, mx = divmod(mcu_idx, mcx)
+            for ci, by, bx in per_mcu:
+                comp, td, ta = scan[ci]
+                dc_t = huff.get((0, td))
+                ac_t = huff.get((1, ta))
+                if dc_t is None or ac_t is None:
+                    raise MediaDecodeError("JPEG: missing Huffman table")
+                coef[:] = 0.0
+                s = rd.decode_symbol(dc_t)
+                diff = _extend(rd.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.decode_symbol(ac_t)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise MediaDecodeError("JPEG: AC index overflow")
+                    coef[k] = _extend(rd.read_bits(s), s)
+                    k += 1
+                q = qt.get(scan[ci][0]["tq"])
+                if q is None:
+                    raise MediaDecodeError("JPEG: missing DQT")
+                blk = (coef[_INV_ZZ].reshape(8, 8)) * q
+                pix = _C.T @ blk @ _C + 128.0
+                y0 = (my * scan[ci][0]["v"] + by) * 8
+                x0 = (mx * scan[ci][0]["h"] + bx) * 8
+                planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+            mcu_idx += 1
+    if mcu_idx != total_mcus:
+        raise MediaDecodeError(
+            f"JPEG: decoded {mcu_idx}/{total_mcus} MCUs")
+
+    # upsample to full resolution and crop
+    full = []
+    for (c, _, _), p in zip(scan, planes):
+        if c["h"] != hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise MediaDecodeError(f"JPEG: {len(full)}-component color "
+                               "unsupported")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _fixed_length_table(symbols: set[int]) -> tuple[list[int], bytes,
+                                                    dict[int, tuple]]:
+    """Canonical table giving every occurring symbol the same code
+    length L with 2^L > n (strict, so the all-ones code stays unused,
+    per the spec's convention)."""
+    vals = sorted(symbols) or [0]
+    ln = max(1, (len(vals)).bit_length())
+    if (1 << ln) <= len(vals):
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = len(vals)
+    codes = {v: (i, ln) for i, v in enumerate(vals)}
+    return bits, bytes(vals), codes
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H,W) -> (n_blocks, 8, 8), row-major block order."""
+    hh, ww = plane.shape
+    return (plane.reshape(hh // 8, 8, ww // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _quantize(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """DCT + quantize every 8x8 block; returns (n_blocks, 64) int32 in
+    zigzag order."""
+    f = _blocks(plane.astype(np.float64) - 128.0)
+    coefs = np.einsum("ux,nxy,vy->nuv", _C, f, _C)
+    qd = np.rint(coefs / q).astype(np.int32).reshape(-1, 64)
+    return qd[:, _ZZ]
+
+
+def _pad_edge(a: np.ndarray, mult: int) -> np.ndarray:
+    ph = (-a.shape[0]) % mult
+    pw = (-a.shape[1]) % mult
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    return a
+
+
+def _block_symbols(zz: np.ndarray, pred: int) -> tuple[int, list]:
+    """One block's (dc_symbol, [(sym, value, size), ...]) token list;
+    index 0 of the token list is the DC entry."""
+    dc_diff = int(zz[0]) - pred
+    toks = []
+    s = int(_size_cat(np.array([dc_diff]))[0])
+    toks.append((s, dc_diff, s))
+    run = 0
+    last_nz = 0
+    ac = zz[1:]
+    nz = np.nonzero(ac)[0]
+    last_nz = nz[-1] + 1 if nz.size else 0
+    for k in range(last_nz):
+        v = int(ac[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        s = int(_size_cat(np.array([v]))[0])
+        toks.append(((run << 4) | s, v, s))
+        run = 0
+    if last_nz < 63:
+        toks.append((0x00, 0, 0))  # EOB
+    return int(zz[0]), toks
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsampling: str = "420",
+                restart_interval: int = 0) -> bytes:
+    """Encode uint8 HxW (grayscale) or HxWx3 (RGB) as baseline JPEG."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8).astype(np.float64)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    if subsampling not in ("420", "444"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql, qc = _quality_tables(quality)
+
+    if gray:
+        comps = [(_pad_edge(a, 8), ql, 1, 1, 0)]
+        hmax = vmax = 1
+    else:
+        y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        cb = (-0.168736 * a[..., 0] - 0.331264 * a[..., 1]
+              + 0.5 * a[..., 2] + 128.0)
+        cr = (0.5 * a[..., 0] - 0.418688 * a[..., 1]
+              - 0.081312 * a[..., 2] + 128.0)
+        if subsampling == "420":
+            hmax = vmax = 2
+            y = _pad_edge(y, 16)
+            # mean-pool chroma 2x2, then pad to the luma MCU grid
+            cbp = _pad_edge(cb, 2)
+            crp = _pad_edge(cr, 2)
+            cb2 = cbp.reshape(cbp.shape[0] // 2, 2, -1, 2).mean((1, 3))
+            cr2 = crp.reshape(crp.shape[0] // 2, 2, -1, 2).mean((1, 3))
+            th, tw = y.shape[0] // 2, y.shape[1] // 2
+            comps = [(y, ql, 2, 2, 0),
+                     (_pad_to(cb2, th, tw), qc, 1, 1, 1),
+                     (_pad_to(cr2, th, tw), qc, 1, 1, 1)]
+        else:
+            hmax = vmax = 1
+            comps = [(_pad_edge(y, 8), ql, 1, 1, 0),
+                     (_pad_edge(cb, 8), qc, 1, 1, 1),
+                     (_pad_edge(cr, 8), qc, 1, 1, 1)]
+
+    quantized = [_quantize(p, q) for p, q, *_ in comps]
+    mcx = comps[0][0].shape[1] // (8 * hmax)
+    mcy = comps[0][0].shape[0] // (8 * vmax)
+
+    # pass 1: MCU-ordered token stream + symbol alphabets
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    mcu_tokens: list[list] = []
+    pred = [0] * len(comps)
+    for m in range(mcx * mcy):
+        if restart_interval and m and m % restart_interval == 0:
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcx)
+        toks_here = []
+        for ci, (plane, _q, ch, cv, _tq) in enumerate(comps):
+            bw = plane.shape[1] // 8
+            for by in range(cv):
+                for bx in range(ch):
+                    bi = (my * cv + by) * bw + (mx * ch + bx)
+                    dc_val, toks = _block_symbols(quantized[ci][bi],
+                                                  pred[ci])
+                    pred[ci] = dc_val
+                    toks_here.append(toks)  # per-block: [DC, AC...]
+                    dc_syms.add(toks[0][0])
+                    for sym, _v, _s in toks[1:]:
+                        ac_syms.add(sym)
+        mcu_tokens.append(toks_here)
+    dc_bits, dc_vals, dc_codes = _fixed_length_table(dc_syms)
+    ac_bits, ac_vals, ac_codes = _fixed_length_table(ac_syms)
+
+    wr = _BitWriter()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+
+    def seg(marker: int, body: bytes):
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(body) + 2) + body)
+
+    def dqt_body(tid: int, q: np.ndarray) -> bytes:
+        return bytes([tid]) + bytes(
+            int(q.reshape(-1)[zi]) for zi in _ZZ)
+
+    seg(0xDB, dqt_body(0, ql) + (b"" if gray else dqt_body(1, qc)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (_p, _q, ch, cv, tq) in enumerate(comps):
+        sof += bytes([i + 1, (ch << 4) | cv, tq])
+    seg(0xC0, sof)
+    seg(0xC4, (bytes([0x00]) + bytes(dc_bits) + dc_vals
+               + bytes([0x10]) + bytes(ac_bits) + ac_vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for i in range(len(comps)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    rst = 0
+    for m, blocks in enumerate(mcu_tokens):
+        if restart_interval and m and m % restart_interval == 0:
+            wr.flush()
+            out.extend(wr.out)
+            wr.out = bytearray()
+            out.extend(b"\xff" + bytes([0xD0 + (rst & 7)]))
+            rst += 1
+        for toks in blocks:
+            for i, (sym, v, s) in enumerate(toks):
+                c, ln = (dc_codes if i == 0 else ac_codes)[sym]
+                wr.write(c, ln)
+                if s:
+                    wr.write(v if v > 0 else v + (1 << s) - 1, s)
+    wr.flush()
+    out.extend(wr.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def _pad_to(a: np.ndarray, th: int, tw: int) -> np.ndarray:
+    ph, pw = th - a.shape[0], tw - a.shape[1]
+    if ph < 0 or pw < 0:
+        raise ValueError("plane larger than target")
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    return a

@@ -3,12 +3,13 @@ with typed metadata.
 
 The Spark-side plumbing is mapInPandas over Arrow batches (one Python
 call per media object, all pixel/sample math numpy). Decoding is REAL
-for the formats media_codecs implements from the public specs with
-stdlib zlib + numpy — PNG, BMP, binary PNM, PCM WAV, Y4M — and loudly
-unsupported (NotImplementedError / MediaDecodeError, or a decode_error
-column in the batch operators) for entropy-coded formats the runtime
-has no library for (JPEG, GIF, H.26x). `fake=True` keeps the legacy
-deterministic sha256-derived stub for plumbing tests.
+for every format the sniffer recognizes, implemented from the public
+specs with stdlib zlib/struct + numpy: PNG, BMP, binary PNM, GIF
+(media_codecs), baseline JPEG (jpeg_codec), PCM WAV, and Y4M. Video
+codecs needing an entropy-coding stack we don't ship (H.26x in MP4)
+stay loudly unsupported via MediaDecodeError / the decode_error column
+in the batch operators. `fake=True` keeps the legacy deterministic
+sha256-derived stub for plumbing tests.
 """
 
 from __future__ import annotations
@@ -38,12 +39,19 @@ _MAGIC = {
     b"\x00\x00\x00\x20": "video/mp4",
 }
 
-# formats decode_image can really decode (media_codecs)
+def _decode_jpeg(blob: bytes):
+    from .jpeg_codec import decode_jpeg
+    return decode_jpeg(blob)
+
+
+# formats decode_image can really decode (media_codecs / jpeg_codec)
 _DECODABLE_IMAGES = {
     "image/png": mc.decode_png,
     "image/bmp": mc.decode_bmp,
+    "image/gif": mc.decode_gif,
     "image/x-portable-graymap": mc.decode_pnm,
     "image/x-portable-pixmap": mc.decode_pnm,
+    "image/jpeg": _decode_jpeg,
 }
 
 
@@ -78,18 +86,15 @@ def extract_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image blob to HxWx3 uint8 (grayscale replicated, alpha
-    dropped). Real decode for PNG/BMP/PNM via media_codecs; JPEG/GIF
-    raise NotImplementedError (entropy coding needs a library this
-    runtime does not ship). With fake=True returns a deterministic
-    4x4x3 array derived from sha256(blob) for plumbing tests."""
+    dropped). Real decode for every sniffable image format: PNG/BMP/
+    PNM/GIF (media_codecs) and baseline JPEG (jpeg_codec). With
+    fake=True returns a deterministic 4x4x3 array derived from
+    sha256(blob) for plumbing tests."""
     if fake:
         h = hashlib.sha256(blob).digest()
         arr = np.frombuffer((h * 3)[:48], dtype=np.uint8)
         return arr.reshape(4, 4, 3)
     mt = sniff_media_type(blob)
-    if mt in ("image/jpeg", "image/gif"):
-        raise NotImplementedError(
-            f"{mt} is entropy-coded; no codec library in this runtime")
     dec = _DECODABLE_IMAGES.get(mt)
     if dec is None:
         raise MediaDecodeError(f"not a decodable image (sniffed {mt})")

@@ -30,13 +30,17 @@ def test_multimodal_stub_plumbing(spark):
     assert meta.loc[3, "sniffed_type"] == "application/octet-stream"
     assert int(meta.loc[1, "n_bytes"]) == 70
 
-    # entropy-coded formats stay loudly unsupported; a corrupt blob of
-    # a REAL format raises MediaDecodeError; fake path is deterministic
+    # corrupt blobs of real formats raise MediaDecodeError; video
+    # blobs are not decodable images; fake path is deterministic
     from quickwit_spark.pipeline.multimodal import MediaDecodeError
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0jpegdata")
+    with pytest.raises(MediaDecodeError):
+        decode_image(b"GIF89a\x01\x00\x01\x00")  # truncated GIF
     with pytest.raises(MediaDecodeError):
         decode_image(b"\x89PNG")  # truncated signature
+    with pytest.raises(MediaDecodeError):
+        decode_image(b"\xff\xd8\xff\xe0")  # truncated JPEG
+    with pytest.raises(MediaDecodeError, match="not a decodable image"):
+        decode_image(b"\x00\x00\x00\x18ftypisom")  # MP4 video
     a = decode_image(b"\x89PNGabc", fake=True)
     b = decode_image(b"\x89PNGabc", fake=True)
     assert (a == b).all() and a.shape == (4, 4, 3)
@@ -794,23 +798,32 @@ def test_multimodal_real_codecs_spark_path(spark):
                               indexing="ij")
         return ((i * 7 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
 
+    from quickwit_spark.pipeline.jpeg_codec import encode_jpeg
+    flat = (70 * np.ones((16, 16, 3))).astype(np.uint8)
     rows = [(1, mc.encode_png(px(1), filter_type="cycle")),
             (2, mc.encode_png(px(2))),
-            (3, b"\xff\xd8\xff\xe0 jpeg"),        # entropy-coded
-            (4, None)]
+            (3, b"\x00\x00\x00\x18ftypisom"),     # video, not an image
+            (4, None),
+            (5, encode_jpeg(flat, quality=90)),   # real JPEG
+            (6, mc.encode_gif(px(6) % 8 * 32))]   # real GIF, lossless
     df = spark.createDataFrame(rows, "id long, blob binary")
     st = image_stats(df).toPandas().set_index("id")
     for i in (1, 2):
         assert (int(st.loc[i, "px_sum"]) == int(px(i).sum())
                 and int(st.loc[i, "width"]) == 8
                 and int(st.loc[i, "height"]) == 6)
-    assert "entropy-coded" in st.loc[3, "decode_error"]
+    assert "not a decodable image" in st.loc[3, "decode_error"]
     assert st.loc[4, "decode_error"] == "null blob"
+    # flat JPEG decodes near-exactly: DC-only blocks
+    assert int(st.loc[5, "px_min"]) >= 69 and int(st.loc[5, "px_max"]) <= 71
+    assert int(st.loc[6, "px_sum"]) == int((px(6) % 8 * 32).sum())
 
     meta = extract_metadata(df.filter("blob is not null")) \
         .toPandas().set_index("id")
     assert meta.loc[1, "sniffed_type"] == "image/png"
-    assert meta.loc[3, "sniffed_type"] == "image/jpeg"
+    assert meta.loc[3, "sniffed_type"] == "video/mp4"
+    assert meta.loc[5, "sniffed_type"] == "image/jpeg"
+    assert meta.loc[6, "sniffed_type"] == "image/gif"
 
     # resize through the real path re-encoded as PNG round-trips
     rz = resize_images(df.filter("id = 1"), 4, 3, fake=False,

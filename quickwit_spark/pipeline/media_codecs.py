@@ -23,9 +23,11 @@ directly — see __spark_entry__.multimodal_* rows).
 Decoders are per-blob scalar code by design: they run inside
 mapInPandas Arrow batches (one Python call per media object, not per
 pixel — all pixel math is numpy), which is the same batching contract
-the reference's ingest formats use (doc_processor.rs:153-190). Formats
-that genuinely need an entropy-coding library we don't have (JPEG,
-GIF/LZW at quality, H.26x) still raise ``MediaDecodeError`` loudly.
+the reference's ingest formats use (doc_processor.rs:153-190).
+GIF87a/89a (LZW implemented from the spec, interlace supported) lives
+below; baseline JPEG lives in the sibling ``jpeg_codec`` module
+(Huffman + DCT implemented from ITU-T T.81, numpy block math). Only
+entropy-coded VIDEO (H.26x) remains loudly unsupported.
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ __all__ = [
     "MediaDecodeError",
     "decode_png", "encode_png",
     "decode_bmp", "encode_bmp",
+    "decode_gif", "encode_gif",
     "decode_pnm", "encode_pnm",
     "decode_wav", "encode_wav",
     "decode_y4m", "encode_y4m",
@@ -520,6 +523,206 @@ def encode_y4m(frames, width: int, height: int,
         out.extend(b"FRAME\n")
         out.extend(a.tobytes())
         out.extend(chroma)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a) — LZW implemented from the public spec
+# --------------------------------------------------------------------------
+
+def _lzw_decode(mcs: int, data: bytes, max_out: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, dynamic code width
+    mcs+1..12, clear/end codes. Bounded by max_out (pixel count)."""
+    # literals are palette indices (bytes), so the spec caps the min
+    # code size at 8; anything larger is a corrupt header
+    if not 2 <= mcs <= 8:
+        raise MediaDecodeError(f"GIF: bad LZW min code size {mcs}")
+    clear = 1 << mcs
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    size = mcs + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < size:
+            if pos >= n:
+                raise MediaDecodeError("GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        if code == clear:
+            table = list(base)
+            size = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise MediaDecodeError("GIF: LZW starts with non-literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise MediaDecodeError("GIF: LZW code out of range")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << size) and size < 12:
+                    size += 1
+        out += entry
+        if len(out) > max_out:
+            raise MediaDecodeError("GIF: LZW output exceeds image size")
+        prev = entry
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST image of a GIF87a/89a to HxWx3 uint8 (palette
+    expanded; interlace supported; animation frames beyond the first
+    and transparency are out of scope for feature extraction)."""
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF: bad signature")
+    if len(data) < 13:
+        raise MediaDecodeError("GIF: truncated screen descriptor")
+    packed = data[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        ncols = 2 << (packed & 0x07)
+        if pos + 3 * ncols > len(data):
+            raise MediaDecodeError("GIF: truncated global color table")
+        gct = np.frombuffer(data, np.uint8, 3 * ncols, pos).reshape(-1, 3)
+        pos += 3 * ncols
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise MediaDecodeError(f"GIF: unknown block 0x{b:02x}")
+        if pos + 10 > len(data):
+            raise MediaDecodeError("GIF: truncated image descriptor")
+        _l, _t, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        _check_dims(w, h, "GIF")
+        pal = gct
+        if ipacked & 0x80:
+            ncols = 2 << (ipacked & 0x07)
+            if pos + 3 * ncols > len(data):
+                raise MediaDecodeError("GIF: truncated local color table")
+            pal = np.frombuffer(data, np.uint8, 3 * ncols,
+                                pos).reshape(-1, 3)
+            pos += 3 * ncols
+        if pal is None:
+            raise MediaDecodeError("GIF: image without color table")
+        if pos >= len(data):
+            raise MediaDecodeError("GIF: missing LZW min code size")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            if pos + 1 + ln > len(data):
+                raise MediaDecodeError("GIF: truncated data sub-block")
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx_b = _lzw_decode(mcs, bytes(lzw), w * h)
+        if len(idx_b) < w * h:
+            raise MediaDecodeError(
+                f"GIF: {len(idx_b)} pixels decoded, {w * h} expected")
+        idx = np.frombuffer(idx_b, np.uint8, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlace: 4-pass row shuffle
+            rows = np.concatenate([np.arange(0, h, 8),
+                                   np.arange(4, h, 8),
+                                   np.arange(2, h, 4),
+                                   np.arange(1, h, 2)])
+            de = np.empty_like(idx)
+            de[rows] = idx
+            idx = de
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise MediaDecodeError("GIF: palette index out of range")
+        return pal[idx]
+    raise MediaDecodeError("GIF: no image block before trailer")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode HxW palette-index-able RGB (<=256 distinct colors) or
+    HxW grayscale as a single-frame GIF89a. Uses the clear-code-cycling
+    LZW form (literal codes, periodic clears) — larger output than a
+    dictionary encoder but spec-valid and exactly decodable."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if pal.shape[0] > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    mcs = max(2, int(pal.shape[0] - 1).bit_length())
+    ncols = 1 << mcs
+    clear = 1 << mcs
+    end = clear + 1
+    size = mcs + 1
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    burst = 0
+    for v in idx:
+        # the decoder's table grows by 1 per literal after the first
+        # and widens its code size when it reaches 2^(mcs+1) entries —
+        # which happens after literal 2^mcs - 1 — so clear one literal
+        # earlier to keep every emitted code at mcs+1 bits
+        if burst == (1 << mcs) - 2:
+            put(clear)
+            burst = 0
+        put(int(v))
+        burst += 1
+    put(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (mcs - 1))  # GCT present, size 2^mcs
+    out += b"\x00\x00"
+    table = np.zeros((ncols, 3), dtype=np.uint8)
+    table[:pal.shape[0]] = pal
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
     return bytes(out)
 
 

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from quickwit_spark.pipeline import media_codecs as mc
 from quickwit_spark.pipeline.media_codecs import (
     MediaDecodeError, decode_bmp, decode_png, decode_pnm, decode_wav,
     decode_y4m, encode_bmp, encode_png, encode_pnm, encode_wav,
@@ -306,3 +307,81 @@ def test_decoders_raise_cleanly_on_garbage(prefix, tail):
         list(decode_y4m(blob))
     except MediaDecodeError:
         pass
+
+
+class TestGif:
+    def test_roundtrip_exact(self):
+        rng = np.random.default_rng(4)
+        pal = np.unique(rng.integers(0, 256, (200, 3)).astype(np.uint8),
+                        axis=0)
+        img = pal[rng.integers(0, pal.shape[0], (23, 31))]
+        out = mc.decode_gif(mc.encode_gif(img))
+        assert (out == img).all()
+        # grayscale input replicates to RGB, losslessly
+        g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 4)
+        out = mc.decode_gif(mc.encode_gif(g))
+        assert (out == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+    def test_two_color_and_subblock_spanning(self):
+        # >255 LZW bytes forces multiple data sub-blocks
+        img = np.zeros((64, 64, 3), dtype=np.uint8)
+        img[::2] = 255
+        out = mc.decode_gif(mc.encode_gif(img))
+        assert (out == img).all()
+
+    def test_interlaced_decode(self):
+        rng = np.random.default_rng(9)
+        h, w = 13, 7
+        img = (rng.integers(0, 4, (h, w)) * 80).astype(np.uint8)
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        blob = bytearray(mc.encode_gif(rgb))
+        # flip the interlace flag and store rows in pass order
+        ncols_field = blob[10] & 0x07
+        packed_at = 13 + 3 * (2 << ncols_field) + 9
+        assert blob[packed_at - 9] == 0x2C
+        passes = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                 np.arange(2, h, 4), np.arange(1, h, 2)])
+        shuffled = rgb[passes]
+        blob2 = bytearray(mc.encode_gif(shuffled))
+        blob2[packed_at] |= 0x40
+        out = mc.decode_gif(bytes(blob2))
+        assert (out == rgb).all()
+
+    def test_extensions_skipped(self):
+        img = np.full((4, 4, 3), 9, dtype=np.uint8)
+        blob = mc.encode_gif(img)
+        # splice a Graphic Control Extension before the image block
+        at = blob.index(b"\x2c")
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out = mc.decode_gif(blob[:at] + gce + blob[at:])
+        assert (out == img).all()
+
+    def test_rejections(self):
+        img = np.full((4, 4, 3), 9, dtype=np.uint8)
+        blob = bytearray(mc.encode_gif(img))
+        with pytest.raises(mc.MediaDecodeError, match="signature"):
+            mc.decode_gif(b"JIF89a" + bytes(blob[6:]))
+        with pytest.raises(mc.MediaDecodeError):
+            mc.decode_gif(bytes(blob[:20]))
+        with pytest.raises(ValueError, match="256 distinct"):
+            rng = np.random.default_rng(0)
+            mc.encode_gif(rng.integers(0, 256, (32, 32, 3))
+                          .astype(np.uint8))
+
+    def test_corruption_fuzz(self):
+        rng = np.random.default_rng(17)
+        pal = np.unique(rng.integers(0, 256, (40, 3)).astype(np.uint8),
+                        axis=0)
+        blob = bytearray(mc.encode_gif(
+            pal[rng.integers(0, pal.shape[0], (9, 9))]))
+        for t in range(300):
+            b = bytearray(blob)
+            if t % 2:
+                i = int(rng.integers(0, len(b)))
+                b[i] = int(rng.integers(0, 256))
+            else:
+                b = b[:int(rng.integers(1, len(b)))]
+            try:
+                mc.decode_gif(bytes(b))
+            except mc.MediaDecodeError:
+                pass

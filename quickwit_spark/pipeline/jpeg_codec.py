@@ -92,59 +92,72 @@ def _size_cat(v: np.ndarray) -> np.ndarray:
 
 
 class _HuffTable:
-    """Canonical Huffman decode per T.81 F.2.2.3 (MINCODE/MAXCODE)."""
+    """Canonical Huffman decode via a full 16-bit lookahead LUT: every
+    16-bit window starting with a codeword maps to (symbol, length), so
+    decoding is one array lookup per symbol instead of a per-bit loop
+    (codes are at most 16 bits by spec)."""
 
     def __init__(self, bits: list[int], vals: bytes):
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        self.vals = vals
+        if sum(bits) != len(vals):
+            raise MediaDecodeError("JPEG: DHT count/value mismatch")
+        self.lut_len = np.zeros(65536, dtype=np.uint8)
+        self.lut_sym = np.zeros(65536, dtype=np.uint8)
         code = 0
         k = 0
         for ln in range(1, 17):
-            if bits[ln - 1]:
-                self.valptr[ln] = k
-                self.mincode[ln] = code
-                code += bits[ln - 1]
-                k += bits[ln - 1]
-                self.maxcode[ln] = code - 1
+            for _ in range(bits[ln - 1]):
+                if code >= (1 << ln):
+                    raise MediaDecodeError("JPEG: over-subscribed DHT")
+                lo = code << (16 - ln)
+                hi = lo + (1 << (16 - ln))
+                self.lut_len[lo:hi] = ln
+                self.lut_sym[lo:hi] = vals[k]
+                code += 1
+                k += 1
             code <<= 1
-        if k != len(vals):
-            raise MediaDecodeError("JPEG: DHT count/value mismatch")
 
 
 class _BitReader:
-    """MSB-first reader over one unstuffed entropy-coded segment."""
+    """MSB-first reader over one unstuffed entropy-coded segment.
+    Precomputes the 16-bit window at every bit offset (16 vectorized
+    shift-ORs), so both Huffman symbol decode and magnitude-bit reads
+    are O(1) integer ops."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.n = bits.size
+        b = np.concatenate([bits, np.zeros(16, np.uint8)]) \
+            .astype(np.uint16)
+        w = np.zeros(self.n, dtype=np.uint16)
+        for k in range(16):
+            w |= b[k:k + self.n] << (15 - k)
+        self.w16 = w
         self.pos = 0
-
-    def read_bit(self) -> int:
-        if self.pos >= self.bits.size:
-            raise MediaDecodeError("JPEG: entropy data truncated")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.bits.size:
+        if n > 16:
+            # n comes from entropy-coded size symbols; valid baseline
+            # magnitudes are <= 11 bits (corrupt DHT otherwise)
+            raise MediaDecodeError("JPEG: magnitude size too large")
+        if self.pos + n > self.n:
             raise MediaDecodeError("JPEG: entropy data truncated")
-        v = 0
-        for b in self.bits[self.pos:self.pos + n]:
-            v = (v << 1) | int(b)
+        v = int(self.w16[self.pos]) >> (16 - n)
         self.pos += n
         return v
 
     def decode_symbol(self, t: _HuffTable) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            if t.maxcode[ln] >= code >= t.mincode[ln]:
-                return t.vals[t.valptr[ln] + code - t.mincode[ln]]
-        raise MediaDecodeError("JPEG: invalid Huffman code")
+        if self.pos >= self.n:
+            raise MediaDecodeError("JPEG: entropy data truncated")
+        win = int(self.w16[self.pos])
+        ln = int(t.lut_len[win])
+        if ln == 0:
+            raise MediaDecodeError("JPEG: invalid Huffman code")
+        if self.pos + ln > self.n:
+            raise MediaDecodeError("JPEG: entropy data truncated")
+        self.pos += ln
+        return int(t.lut_sym[win])
 
 
 def _extend(v: int, size: int) -> int:
@@ -154,27 +167,31 @@ def _extend(v: int, size: int) -> int:
 
 def _split_ecs(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Split the scan's entropy-coded data at RST markers, unstuffing
-    0xFF00. Returns (segments, position of the terminating marker)."""
+    0xFF00. Returns (segments, position of the terminating marker).
+    Bulk-copies the spans between 0xFF bytes (entropy data is mostly
+    marker-free, so this is a memcpy, not a per-byte loop)."""
     segs = []
     cur = bytearray()
     n = len(data)
     while pos < n:
-        b = data[pos]
-        if b != 0xFF:
-            cur.append(b)
-            pos += 1
-            continue
-        if pos + 1 >= n:
+        nxt = data.find(b"\xff", pos)
+        if nxt < 0:
+            cur += data[pos:]
+            pos = n
+            break
+        cur += data[pos:nxt]
+        if nxt + 1 >= n:
             raise MediaDecodeError("JPEG: truncated entropy stream")
-        m = data[pos + 1]
+        m = data[nxt + 1]
         if m == 0x00:
             cur.append(0xFF)
-            pos += 2
+            pos = nxt + 2
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
-            pos += 2
+            pos = nxt + 2
         else:
+            pos = nxt
             break
     segs.append(bytes(cur))
     return segs, pos
@@ -285,17 +302,35 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     mcy = -(-h // (8 * vmax))
     segs, _end = _split_ecs(data, pos)
 
-    # coefficient planes per scan component
-    planes = [np.zeros((mcy * c["v"] * 8, mcx * c["h"] * 8))
-              for c, _, _ in scan]
+    # zigzag coefficient store per component (block grid row-major);
+    # the entropy loop is the only serial part — dequant/IDCT/scatter
+    # run vectorized over all blocks afterwards
+    grid = [(mcy * c["v"], mcx * c["h"]) for c, _, _ in scan]
+    coefs = [np.zeros((gh * gw, 64), dtype=np.float64)
+             for gh, gw in grid]
     per_mcu = [(i, by, bx) for i, (c, _, _) in enumerate(scan)
                for by in range(c["v"]) for bx in range(c["h"])]
+    tables = []
+    for comp, td, ta in scan:
+        dc_t = huff.get((0, td))
+        ac_t = huff.get((1, ta))
+        if dc_t is None or ac_t is None:
+            raise MediaDecodeError("JPEG: missing Huffman table")
+        if comp["tq"] not in qt:
+            raise MediaDecodeError("JPEG: missing DQT")
+        tables.append((dc_t.lut_len, dc_t.lut_sym,
+                       ac_t.lut_len, ac_t.lut_sym))
 
+    # hot loop: ~100k symbol decodes per megapixel, so the Huffman
+    # lookup + magnitude read are INLINED against local aliases (the
+    # method-call version measured 2x slower end-to-end)
     total_mcus = mcx * mcy
     mcu_idx = 0
-    coef = np.zeros(64)
+    truncated = MediaDecodeError("JPEG: entropy data truncated")
     for seg_i, seg in enumerate(segs):
         rd = _BitReader(seg)
+        w16, nb = rd.w16, rd.n
+        pos = 0
         pred = [0] * len(scan)
         seg_mcus = (restart_interval if restart_interval
                     and seg_i < len(segs) - 1
@@ -305,42 +340,69 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                 raise MediaDecodeError("JPEG: more MCUs than expected")
             my, mx = divmod(mcu_idx, mcx)
             for ci, by, bx in per_mcu:
-                comp, td, ta = scan[ci]
-                dc_t = huff.get((0, td))
-                ac_t = huff.get((1, ta))
-                if dc_t is None or ac_t is None:
-                    raise MediaDecodeError("JPEG: missing Huffman table")
-                coef[:] = 0.0
-                s = rd.decode_symbol(dc_t)
-                diff = _extend(rd.read_bits(s), s) if s else 0
-                pred[ci] += diff
-                coef[0] = pred[ci]
+                dc_len, dc_sym, ac_len, ac_sym = tables[ci]
+                comp = scan[ci][0]
+                bi = ((my * comp["v"] + by) * grid[ci][1]
+                      + mx * comp["h"] + bx)
+                row = coefs[ci][bi]
+                if pos >= nb:
+                    raise truncated
+                win = int(w16[pos])
+                ln = dc_len[win]
+                if ln == 0:
+                    raise MediaDecodeError("JPEG: invalid Huffman code")
+                pos += ln
+                s = int(dc_sym[win])
+                if s:
+                    if s > 16 or pos + s > nb:
+                        raise truncated
+                    v = int(w16[pos]) >> (16 - s)
+                    pos += s
+                    pred[ci] += (v if v >= (1 << (s - 1))
+                                 else v - (1 << s) + 1)
+                row[0] = pred[ci]
                 k = 1
                 while k < 64:
-                    rs = rd.decode_symbol(ac_t)
-                    r, s = rs >> 4, rs & 0xF
+                    if pos >= nb:
+                        raise truncated
+                    win = int(w16[pos])
+                    ln = ac_len[win]
+                    if ln == 0:
+                        raise MediaDecodeError(
+                            "JPEG: invalid Huffman code")
+                    pos += ln
+                    rs = int(ac_sym[win])
+                    s = rs & 0xF
                     if s == 0:
-                        if r == 15:
+                        if rs == 0xF0:  # ZRL
                             k += 16
                             continue
                         break  # EOB
-                    k += r
+                    k += rs >> 4
                     if k > 63:
                         raise MediaDecodeError("JPEG: AC index overflow")
-                    coef[k] = _extend(rd.read_bits(s), s)
+                    if pos + s > nb:
+                        raise truncated
+                    v = int(w16[pos]) >> (16 - s)
+                    pos += s
+                    row[k] = (v if v >= (1 << (s - 1))
+                              else v - (1 << s) + 1)
                     k += 1
-                q = qt.get(scan[ci][0]["tq"])
-                if q is None:
-                    raise MediaDecodeError("JPEG: missing DQT")
-                blk = (coef[_INV_ZZ].reshape(8, 8)) * q
-                pix = _C.T @ blk @ _C + 128.0
-                y0 = (my * scan[ci][0]["v"] + by) * 8
-                x0 = (mx * scan[ci][0]["h"] + bx) * 8
-                planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
             mcu_idx += 1
+        if pos > nb:
+            raise truncated
     if mcu_idx != total_mcus:
         raise MediaDecodeError(
             f"JPEG: decoded {mcu_idx}/{total_mcus} MCUs")
+
+    # vectorized dequant + IDCT + block scatter per component
+    planes = []
+    for ci, (c, _, _) in enumerate(scan):
+        gh, gw = grid[ci]
+        nat = coefs[ci][:, _INV_ZZ] * qt[c["tq"]].reshape(-1)
+        f = np.einsum("ux,nuv,vy->nxy", _C, nat.reshape(-1, 8, 8), _C)
+        planes.append(f.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+                      .reshape(gh * 8, gw * 8) + 128.0)
 
     # upsample to full resolution and crop
     full = []

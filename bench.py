@@ -160,6 +160,28 @@ def main() -> None:
     queries["otlp_pb_decode_mb_s"] = round(
         pb_bytes / 1e6 / (time.perf_counter() - t0), 2)
 
+    # real media decode (PNG zlib+unfilter, baseline JPEG Huffman+IDCT):
+    # driver-local single-core MB/s over the encoded blob bytes — the
+    # per-blob Python cost the multimodal mapInPandas stages pay
+    from quickwit_spark.pipeline import media_codecs as _mc
+    from quickwit_spark.pipeline.jpeg_codec import decode_jpeg, encode_jpeg
+    _mrng = _np.random.default_rng(5)
+    yy, xx = _np.meshgrid(_np.arange(128), _np.arange(128), indexing="ij")
+    imgs = [_np.stack([(yy * a + xx * b) % 256 for a, b in
+                       ((3, 2), (1, 5), (4, 1))], axis=2).astype(_np.uint8)
+            + _mrng.integers(0, 8, (128, 128, 3), dtype=_np.uint8)
+            for _ in range(40)]
+    pngs = [_mc.encode_png(im) for im in imgs]
+    jpgs = [encode_jpeg(im, quality=85, subsampling="420") for im in imgs]
+    for dec, blobs, key in ((_mc.decode_png, pngs, "png_decode_mb_s"),
+                            (decode_jpeg, jpgs, "jpeg_decode_mb_s")):
+        dec(blobs[0])  # warm
+        nbytes = sum(len(b) for b in blobs)
+        t0 = time.perf_counter()
+        for b in blobs:
+            dec(b)
+        queries[key] = round(nbytes / 1e6 / (time.perf_counter() - t0), 2)
+
     cfg_sh = IndexConfig(index_uid="bench_sh",
                          index_dir=os.path.join(work, "idx_sh"))
     t0 = time.perf_counter()
@@ -412,7 +434,8 @@ def main() -> None:
                           # vs r1's
                           "refresh_global_index",
                           # MB/s rates, not seconds
-                          "tok_", "otlp_pb_"))]
+                          "tok_", "otlp_pb_", "png_decode",
+                          "jpeg_decode"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

@@ -1,0 +1,258 @@
+"""HTTP serving layer: the reference's REST surface over stdlib
+``http.server``, in front of the already-implemented native and
+Elasticsearch-compatible façades.
+
+Routes (reference: quickwit-serve/src/search_api/rest_handler.rs and
+elasticsearch_api/rest_handler.rs — same paths, same JSON shapes):
+
+  native:
+    GET/POST /api/v1/{index}/search          rest.native_search
+  ES-compatible (under /api/v1/_elastic, like the reference):
+    GET/POST .../{index}/_search[?scroll=]   es_dsl.es_search / scroll
+    POST     .../_msearch | {index}/_msearch es_dsl.es_msearch (NDJSON)
+    GET/POST .../{index}/_count              es_dsl.es_count
+    GET      .../{index}/_field_caps         es_dsl.es_field_caps
+    GET      .../{index}/_mapping            es_dsl.es_get_mapping
+    GET      .../{index}/_stats              es_dsl.es_stats
+    GET      .../_cat/indices                es_dsl.es_cat_indices
+    GET      .../_cluster/health             es_dsl.es_cluster_health
+    GET      .../_resolve/index/{expr}       es_dsl.es_resolve_index
+    POST/DELETE .../_search/scroll           es_dsl.es_scroll / clear
+
+The server is multi-index: it serves every index directory under
+``root_dir`` (subdirectory name == index id on disk), resolving a
+searcher per index lazily and reusing it (IndexSearcher readers are
+content-addressed, so staleness is bounded by manifest reload inside
+the engine). ThreadingHTTPServer + port 0 makes it embeddable in tests
+and notebooks; it is a serving veneer, not a daemon framework — auth,
+TLS, and multi-node routing stay out of scope (Spark cluster managers
+and real gateways own those).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, unquote, urlsplit
+
+from .engine import IndexSearcher
+from . import es_dsl, rest
+
+__all__ = ["SearchHttpServer"]
+
+_ES_PREFIX = "/api/v1/_elastic"
+
+
+class _ApiError(Exception):
+    def __init__(self, status: int, message: str,
+                 es_type: str = "illegal_argument_exception"):
+        super().__init__(message)
+        self.status = status
+        self.es_type = es_type
+
+
+class SearchHttpServer:
+    """Serve the search REST API for every index under ``root_dir``."""
+
+    def __init__(self, root_dir: str, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.root_dir = root_dir
+        self._searchers: dict[str, IndexSearcher] = {}
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                outer._dispatch(self, "GET")
+
+            def do_POST(self):
+                outer._dispatch(self, "POST")
+
+            def do_DELETE(self):
+                outer._dispatch(self, "DELETE")
+
+            def log_message(self, *a):  # route errors go in responses
+                pass
+
+        self._srv = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "SearchHttpServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    @property
+    def url(self) -> str:
+        h, p = self._srv.server_address[:2]
+        return f"http://{h}:{p}"
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _searcher(self, index: str) -> IndexSearcher:
+        if "/" in index or index.startswith("."):
+            raise _ApiError(400, f"invalid index name [{index}]")
+        with self._lock:
+            s = self._searchers.get(index)
+            if s is None:
+                d = os.path.join(self.root_dir, index)
+                if not os.path.isdir(d):
+                    raise _ApiError(
+                        404, f"no such index [{index}]",
+                        es_type="index_not_found_exception")
+                s = self._searchers[index] = IndexSearcher(d)
+            return s
+
+    def _dispatch(self, h: BaseHTTPRequestHandler, method: str) -> None:
+        try:
+            parts = urlsplit(h.path)
+            params = dict(parse_qsl(parts.query))
+            n = int(h.headers.get("Content-Length") or 0)
+            raw = h.rfile.read(n) if n else b""
+            status, resp = self._route(method, parts.path, params, raw)
+        except _ApiError as e:
+            status = e.status
+            resp = {"error": {"type": e.es_type, "reason": str(e)},
+                    "status": e.status}
+        except (ValueError, KeyError) as e:
+            status = 400
+            resp = {"error": {"type": "illegal_argument_exception",
+                              "reason": f"{type(e).__name__}: {e}"},
+                    "status": 400}
+        body = json.dumps(resp).encode()
+        h.send_response(status)
+        h.send_header("Content-Type", "application/json")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
+
+    @staticmethod
+    def _json_body(raw: bytes) -> dict:
+        if not raw:
+            return {}
+        try:
+            doc = json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise _ApiError(400, f"invalid JSON body: {e}",
+                            es_type="parsing_exception") from e
+        if not isinstance(doc, dict):
+            raise _ApiError(400, "body must be a JSON object",
+                            es_type="parsing_exception")
+        return doc
+
+    @staticmethod
+    def _ndjson(raw: bytes) -> list[dict]:
+        lines = []
+        for i, ln in enumerate(raw.decode().splitlines()):
+            if not ln.strip():
+                continue
+            try:
+                lines.append(json.loads(ln))
+            except json.JSONDecodeError as e:
+                raise _ApiError(400, f"invalid NDJSON line {i}: {e}",
+                                es_type="parsing_exception") from e
+        return lines
+
+    # -- routing -----------------------------------------------------------
+
+    def _route(self, method: str, path: str, params: dict,
+               raw: bytes) -> tuple[int, object]:
+        if path.startswith(_ES_PREFIX):
+            return self._route_es(method, path[len(_ES_PREFIX):] or "/",
+                                  params, raw)
+        seg = [unquote(s) for s in path.strip("/").split("/")]
+        # native: /api/v1/{index}/search
+        if (len(seg) == 4 and seg[:2] == ["api", "v1"]
+                and seg[3] == "search" and method in ("GET", "POST")):
+            merged = dict(params)
+            merged.update(self._json_body(raw))
+            return 200, rest.native_search(self._searcher(seg[2]), merged)
+        raise _ApiError(404, f"no route for {method} {path}",
+                        es_type="invalid_route_exception")
+
+    def _route_es(self, method: str, sub: str, params: dict,
+                  raw: bytes) -> tuple[int, object]:
+        seg = [unquote(s) for s in sub.strip("/").split("/") if s]
+
+        if seg == ["_search", "scroll"]:
+            body = self._json_body(raw)
+            sid = body.get("scroll_id", params.get("scroll_id", ""))
+            # scroll contexts are per-searcher: ids are tagged with the
+            # index uid by the engine, so try each open searcher
+            if method == "DELETE":
+                for s in list(self._searchers.values()):
+                    try:
+                        return 200, es_dsl.es_clear_scroll(s, sid)
+                    except KeyError:
+                        continue
+                return 404, {"succeeded": False, "num_freed": 0}
+            resp = None
+            for s in list(self._searchers.values()):
+                resp = es_dsl.es_scroll(s, sid)
+                if resp.get("status") != 404:
+                    return 200, resp
+            if resp is None:
+                resp = {"error":
+                        {"type": "search_context_missing_exception",
+                         "reason": f"No search context found for id "
+                                   f"[{sid}]"},
+                        "status": 404}
+            return 404, resp
+        if seg == ["_msearch"]:
+            raise _ApiError(400, "_msearch requires an index path "
+                                 "(/{index}/_msearch) on this engine")
+        if seg == ["_cat", "indices"]:
+            return 200, [row for name in self._list_indices()
+                         for row in es_dsl.es_cat_indices(
+                             self._searcher(name))]
+        if seg == ["_cluster", "health"]:
+            return 200, es_dsl.es_cluster_health()
+        if len(seg) == 3 and seg[:2] == ["_resolve", "index"]:
+            return 200, es_dsl.es_resolve_index(self.root_dir, seg[2])
+
+        if len(seg) == 2:
+            index, verb = seg
+            s = self._searcher(index)
+            body = None if verb == "_msearch" else self._json_body(raw)
+            if verb == "_search":
+                if "scroll" in params:
+                    return 200, es_dsl.es_scroll_search(
+                        s, body, scroll=params["scroll"])
+                extra = params.get("extra_filters")
+                return 200, es_dsl.es_search(s, body,
+                                             extra_filters=extra)
+            if verb == "_msearch":
+                return 200, es_dsl.es_msearch(s, self._ndjson(raw))
+            if verb == "_count":
+                return 200, es_dsl.es_count(s, body)
+            if verb == "_field_caps":
+                return 200, es_dsl.es_field_caps(s)
+            if verb == "_mapping":
+                return 200, es_dsl.es_get_mapping(s)
+            if verb == "_stats":
+                return 200, es_dsl.es_stats(s)
+        raise _ApiError(404, f"no ES route for {method} /{'/'.join(seg)}",
+                        es_type="invalid_route_exception")
+
+    def _list_indices(self) -> list[str]:
+        try:
+            names = sorted(os.listdir(self.root_dir))
+        except OSError:
+            return []
+        return [n for n in names
+                if os.path.isfile(os.path.join(self.root_dir, n,
+                                               "manifest.json"))]

@@ -54,11 +54,20 @@ class _ApiError(Exception):
 
 
 class SearchHttpServer:
-    """Serve the search REST API for every index under ``root_dir``."""
+    """Serve the search REST API for every index under ``root_dir``.
+
+    Read-only by default (a serving veneer must not mutate indexes
+    because a query arrived); pass ``writable=True`` to enable
+    `_delete_by_query`, and additionally a per-index ``configs``
+    mapping to enable `_bulk` (segment builds need the full
+    IndexConfig — the manifest stores only the searchable subset)."""
 
     def __init__(self, root_dir: str, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, writable: bool = False,
+                 configs: dict | None = None):
         self.root_dir = root_dir
+        self.writable = writable
+        self.configs = dict(configs or {})
         self._searchers: dict[str, IndexSearcher] = {}
         self._lock = threading.Lock()
         outer = self
@@ -227,7 +236,8 @@ class SearchHttpServer:
         if len(seg) == 2:
             index, verb = seg
             s = self._searcher(index)
-            body = None if verb == "_msearch" else self._json_body(raw)
+            body = (None if verb in ("_msearch", "_bulk")
+                    else self._json_body(raw))  # those two are NDJSON
             if verb == "_search":
                 if "scroll" in params:
                     return 200, es_dsl.es_scroll_search(
@@ -245,6 +255,29 @@ class SearchHttpServer:
                 return 200, es_dsl.es_get_mapping(s)
             if verb == "_stats":
                 return 200, es_dsl.es_stats(s)
+            if verb == "_delete_by_query":
+                if not self.writable:
+                    raise _ApiError(
+                        403, "read-only API (start the server with "
+                             "writable=True)",
+                        es_type="cluster_block_exception")
+                resp = es_dsl.es_delete_by_query(s, body)
+                return 200, resp
+            if verb == "_bulk":
+                if not self.writable:
+                    raise _ApiError(
+                        403, "read-only API (start the server with "
+                             "writable=True)",
+                        es_type="cluster_block_exception")
+                cfg = self.configs.get(index)
+                if cfg is None:
+                    raise _ApiError(
+                        403, f"no IndexConfig registered for [{index}] "
+                             "(bulk builds need the full config)",
+                        es_type="cluster_block_exception")
+                resp = es_dsl.es_bulk(cfg, self._ndjson(raw))
+                s.reload()
+                return 200, resp
         raise _ApiError(404, f"no ES route for {method} /{'/'.join(seg)}",
                         es_type="invalid_route_exception")
 

@@ -184,3 +184,57 @@ def test_concurrent_requests(served):
     for t in threads:
         t.join()
     assert not errs
+
+
+def test_read_only_rejects_mutation(served):
+    srv, _ = served
+    for verb, payload in (("_delete_by_query",
+                           {"query": {"match_all": {}}}),
+                          ("_bulk", b'{"index":{}}\n{"repo":"r"}\n')):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _send(f"{srv.url}/api/v1/_elastic/alpha/{verb}", payload)
+        assert ei.value.code == 403
+        assert json.loads(ei.value.read())["error"]["type"] == \
+            "cluster_block_exception"
+
+
+def test_writable_bulk_and_delete_over_http(tmp_path):
+    root = tmp_path / "wroot"
+    root.mkdir()
+    cfg = IndexConfig(index_uid="w", index_dir=str(root / "w"),
+                      sha_col=None)
+    build_index_pandas(corpus_pandas(30, seed=3), cfg,
+                       num_partitions=1)
+    with SearchHttpServer(str(root), writable=True,
+                          configs={"w": cfg}) as srv:
+        # bulk-append 4 docs over HTTP; exactly-once on replay
+        lines = []
+        for i in range(4):
+            lines.append({"index": {"_id": f"n{i}"}})
+            lines.append({"repo": "bulkrepo", "path": f"n{i}.py",
+                          "commit": "c", "lang": "python",
+                          "content": f"bulkmarker doc {i}"})
+        nd = "".join(json.dumps(x) + "\n" for x in lines).encode()
+        st, resp = _send(f"{srv.url}/api/v1/_elastic/w/_bulk", nd,
+                         ctype="application/x-ndjson")
+        assert st == 200 and not resp["errors"]
+        st, cnt = _send(f"{srv.url}/api/v1/_elastic/w/_count",
+                        {"query": {"match": {"content": "bulkmarker"}}})
+        assert cnt["count"] == 4
+        st, replay = _send(f"{srv.url}/api/v1/_elastic/w/_bulk", nd,
+                           ctype="application/x-ndjson")
+        assert st == 200
+        st, cnt2 = _send(f"{srv.url}/api/v1/_elastic/w/_count",
+                         {"query": {"match": {"content": "bulkmarker"}}})
+        assert cnt2["count"] == 4  # replay was a no-op
+
+        # delete them over HTTP
+        st, del_resp = _send(
+            f"{srv.url}/api/v1/_elastic/w/_delete_by_query",
+            {"query": {"match": {"content": "bulkmarker"}}})
+        assert st == 200 and del_resp["deleted"] == 4
+        st, cnt3 = _send(f"{srv.url}/api/v1/_elastic/w/_count",
+                         {"query": {"match": {"content": "bulkmarker"}}})
+        assert cnt3["count"] == 0
+        st, total = _send(f"{srv.url}/api/v1/_elastic/w/_count", {})
+        assert total["count"] == 30

@@ -123,11 +123,22 @@ class _BitReader:
     shift-ORs), so both Huffman symbol decode and magnitude-bit reads
     are O(1) integer ops."""
 
+    # the window precompute costs ~18 bytes of transient RAM per input
+    # byte; bound it so a hostile blob turns into a loud error instead
+    # of a silent executor OOM (a 64 MPx photo's entropy stream is
+    # typically well under this)
+    MAX_SEGMENT_BYTES = 32 * 1024 * 1024
+
     def __init__(self, data: bytes):
+        if len(data) > self.MAX_SEGMENT_BYTES:
+            raise MediaDecodeError(
+                f"JPEG: entropy segment {len(data)} bytes exceeds "
+                f"{self.MAX_SEGMENT_BYTES}")
         bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
         self.n = bits.size
         b = np.concatenate([bits, np.zeros(16, np.uint8)]) \
             .astype(np.uint16)
+        del bits
         w = np.zeros(self.n, dtype=np.uint16)
         for k in range(16):
             w |= b[k:k + self.n] << (15 - k)
@@ -186,6 +197,8 @@ def _split_ecs(data: bytes, pos: int) -> tuple[list[bytes], int]:
         if m == 0x00:
             cur.append(0xFF)
             pos = nxt + 2
+        elif m == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos = nxt + 1
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -212,6 +225,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise MediaDecodeError(f"JPEG: expected marker at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -293,11 +309,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     h, w = frame["h"], frame["w"]
     _check_dims(w, h, "JPEG")
+    for c, _, _ in scan:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise MediaDecodeError(
+                f"JPEG: sampling factor {c['h']}x{c['v']} unsupported")
+    if len(scan) == 1:
+        # T.81 A.2.3: a single-component scan is NON-interleaved — one
+        # 8x8 block per MCU in raster order of the component's own
+        # block grid, regardless of its declared sampling factors
+        # (which only matter relative to other components)
+        scan[0][0]["h"] = scan[0][0]["v"] = 1
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
-    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
-        raise MediaDecodeError("JPEG: sampling factors beyond 2 "
-                               "unsupported")
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
     segs, _end = _split_ecs(data, pos)

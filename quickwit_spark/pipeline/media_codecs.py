@@ -273,10 +273,23 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h = struct.unpack("<ii", data[18:26])
     (bpp,) = struct.unpack("<H", data[28:30])
     (compression,) = struct.unpack("<I", data[30:34])
-    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS (default masks)
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS
         raise MediaDecodeError(f"BMP: compression {compression} unsupported")
     if bpp not in (24, 32):
         raise MediaDecodeError(f"BMP: {bpp}-bit not supported")
+    if compression == 3:
+        # BI_BITFIELDS is only accepted when the masks ARE the default
+        # BGR(A) layout the fixed swizzle below assumes — decoding
+        # RGBA-masked files channel-swapped would be a silent wrong
+        # answer. Masks sit at offset 54 (after a 40-byte header, and
+        # at the same position inside V4/V5 headers).
+        if bpp != 32 or len(data) < 66:
+            raise MediaDecodeError("BMP: unsupported BI_BITFIELDS form")
+        rm, gm, bm = struct.unpack("<III", data[54:66])
+        if (rm, gm, bm) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise MediaDecodeError(
+                f"BMP: non-default bit masks {rm:#x}/{gm:#x}/{bm:#x} "
+                "unsupported")
     bottom_up = h > 0
     h = abs(h)
     _check_dims(w, h, "BMP")

@@ -113,17 +113,23 @@ def image_features(df: DataFrame, blob_col: str = "blob",
         for pdf in it:
             ids, features = [], []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                ids.append(rid)
                 if blob is None:
                     # MEDIA_SCHEMA allows null blobs (extract_metadata
                     # tolerates them); a null feature row beats killing
                     # the whole job in bytes(None)
-                    ids.append(rid)
                     features.append(None)
                     continue
-                img = decode_image(bytes(blob), fake=fake)
+                try:
+                    img = decode_image(bytes(blob), fake=fake)
+                except (MediaDecodeError, NotImplementedError):
+                    # same null-propagation as null blobs: one corrupt
+                    # blob must not abort the batch (use image_stats
+                    # for the per-row error string)
+                    features.append(None)
+                    continue
                 features.append(img.reshape(-1, 3).mean(axis=0).round(4)
                                 .tolist())
-                ids.append(rid)
             yield pd.DataFrame({id_col: ids, "feature": features})
 
     return df.mapInPandas(
@@ -151,19 +157,20 @@ def resize_images(df: DataFrame, width: int, height: int,
         for pdf in it:
             ids, blobs, ws, hs = [], [], [], []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                if blob is None:
-                    ids.append(rid)
-                    blobs.append(None)
-                    ws.append(width)
-                    hs.append(height)
-                    continue
-                img = decode_image(bytes(blob), fake=fake)
-                out = resample(img, width, height)
                 ids.append(rid)
-                blobs.append(mc.encode_png(out) if encode == "png"
-                             else out.tobytes())
                 ws.append(width)
                 hs.append(height)
+                if blob is None:
+                    blobs.append(None)
+                    continue
+                try:
+                    img = decode_image(bytes(blob), fake=fake)
+                except (MediaDecodeError, NotImplementedError):
+                    blobs.append(None)  # null-propagate corrupt blobs
+                    continue
+                out = resample(img, width, height)
+                blobs.append(mc.encode_png(out) if encode == "png"
+                             else out.tobytes())
             yield pd.DataFrame({id_col: ids, "blob": blobs,
                                 "width": ws, "height": hs})
 
@@ -265,15 +272,22 @@ def y4m_frame_stats(df: DataFrame, blob_col: str = "blob",
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 if blob is None:
                     continue
+                # buffer per blob: decode_y4m is a generator, so a
+                # stream that corrupts mid-way would otherwise leave
+                # its already-yielded frames in the output — a
+                # truncated video must yield ZERO rows, not look like
+                # a valid short one
+                blob_rows = []
                 try:
                     for fi, y in mc.decode_y4m(bytes(blob), every_n,
                                                max_frames):
                         p = y.astype(np.int64)
-                        rows.append((rid, fi, y.shape[1], y.shape[0],
-                                     int(p.sum()), int(p.min()),
-                                     int(p.max())))
+                        blob_rows.append(
+                            (rid, fi, y.shape[1], y.shape[0],
+                             int(p.sum()), int(p.min()), int(p.max())))
                 except MediaDecodeError:
                     continue
+                rows.extend(blob_rows)
             yield pd.DataFrame(rows, columns=[
                 id_col, "frame_idx", "width", "height", "y_sum",
                 "y_min", "y_max"])

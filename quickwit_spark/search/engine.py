@@ -2232,10 +2232,13 @@ class IndexSearcher:
         self._save_scroll_kv(kv)
         return res
 
-    def scroll_clear(self, scroll_id: str) -> None:
+    def scroll_clear(self, scroll_id: str) -> bool:
+        """Drop a scroll context; returns whether one was actually
+        removed (callers report ES's num_freed truthfully)."""
         kv = self._scroll_kv()
-        kv.pop(scroll_id, None)
+        freed = kv.pop(scroll_id, None) is not None
         self._save_scroll_kv(kv)
+        return freed
 
     def _scroll_path(self) -> str:
         return os.path.join(self.index_dir, "scroll_contexts.json")

@@ -500,9 +500,11 @@ def es_scroll(searcher, scroll_id: str) -> dict:
 
 
 def es_clear_scroll(searcher, scroll_id: str) -> dict:
-    """`DELETE /_search/scroll`."""
-    searcher.scroll_clear(scroll_id)
-    return {"succeeded": True, "num_freed": 1}
+    """`DELETE /_search/scroll`. Like ES, clearing an unknown/expired
+    id succeeds with num_freed 0 — the count is truthful, so callers
+    fronting several indexes can sum it."""
+    freed = searcher.scroll_clear(scroll_id)
+    return {"succeeded": True, "num_freed": 1 if freed else 0}
 
 
 def es_count(searcher, body: dict | None = None,

@@ -200,15 +200,14 @@ class SearchHttpServer:
         if seg == ["_search", "scroll"]:
             body = self._json_body(raw)
             sid = body.get("scroll_id", params.get("scroll_id", ""))
-            # scroll contexts are per-searcher: ids are tagged with the
-            # index uid by the engine, so try each open searcher
+            # scroll contexts are per-searcher; es_clear_scroll reports
+            # a truthful num_freed, so clearing sums across indexes and
+            # (like ES) an unknown id succeeds with num_freed 0
             if method == "DELETE":
-                for s in list(self._searchers.values()):
-                    try:
-                        return 200, es_dsl.es_clear_scroll(s, sid)
-                    except KeyError:
-                        continue
-                return 404, {"succeeded": False, "num_freed": 0}
+                freed = sum(
+                    es_dsl.es_clear_scroll(s, sid)["num_freed"]
+                    for s in list(self._searchers.values()))
+                return 200, {"succeeded": True, "num_freed": freed}
             resp = None
             for s in list(self._searchers.values()):
                 resp = es_dsl.es_scroll(s, sid)

@@ -238,3 +238,26 @@ def test_writable_bulk_and_delete_over_http(tmp_path):
         assert cnt3["count"] == 0
         st, total = _send(f"{srv.url}/api/v1/_elastic/w/_count", {})
         assert total["count"] == 30
+
+
+def test_scroll_clear_num_freed_truthful(served):
+    srv, _ = served
+    # bogus id: ES semantics — succeeds with num_freed 0
+    st, resp = _send(f"{srv.url}/api/v1/_elastic/_search/scroll",
+                     {"scroll_id": "nonsense"}, method="DELETE")
+    assert st == 200
+    assert resp == {"succeeded": True, "num_freed": 0}
+    # scroll opened on the SECOND index clears even though the first
+    # searcher is probed first (the old code 'succeeded' on alpha
+    # without freeing beta's context)
+    st, opened = _send(
+        f"{srv.url}/api/v1/_elastic/beta/_search?scroll=1m",
+        {"query": {"match_all": {}}, "size": 5})
+    sid = opened["_scroll_id"]
+    st, cleared = _send(f"{srv.url}/api/v1/_elastic/_search/scroll",
+                        {"scroll_id": sid}, method="DELETE")
+    assert cleared == {"succeeded": True, "num_freed": 1}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _send(f"{srv.url}/api/v1/_elastic/_search/scroll",
+              {"scroll_id": sid})
+    assert ei.value.code == 404

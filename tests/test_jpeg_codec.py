@@ -138,3 +138,51 @@ def test_encode_matrix_shapes():
                 out = decode_jpeg(encode_jpeg(img, quality=90,
                                               subsampling=ss))
                 assert out.shape == (h, w, 3), (h, w, ss)
+
+
+def _patch_sof_hv(blob: bytes, hv: int) -> bytes:
+    at = blob.index(b"\xff\xc0")
+    b = bytearray(blob)
+    b[at + 11] = hv  # first component's sampling byte
+    return bytes(b)
+
+
+def test_zero_sampling_factor_is_loud():
+    g = np.full((16, 16), 80, dtype=np.uint8)
+    blob = encode_jpeg(g, quality=90)
+    for hv in (0x10, 0x01, 0x00):
+        with pytest.raises(MediaDecodeError, match="sampling factor"):
+            decode_jpeg(_patch_sof_hv(blob, hv))
+
+
+def test_single_component_scan_is_non_interleaved():
+    """T.81 A.2.3: a one-component scan ignores its sampling factors —
+    a grayscale JPEG whose component declares h=v=2 must decode
+    identically to the h=v=1 encoding of the same entropy data (the
+    old interleaved path silently permuted the blocks)."""
+    y, x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    g = np.clip(y * 6 + x, 0, 255).astype(np.uint8)
+    blob = encode_jpeg(g, quality=90)
+    base = decode_jpeg(blob)
+    patched = decode_jpeg(_patch_sof_hv(blob, 0x22))
+    assert (patched == base).all()
+
+
+def test_fill_bytes_before_markers():
+    """0xFF fill bytes before a marker (B.1.1.2) are legal padding."""
+    img = _grad(24, 24)
+    blob = encode_jpeg(img, quality=90, subsampling="420",
+                       restart_interval=2)
+    base = decode_jpeg(blob)
+    # pad before SOS and before every RST marker
+    padded = blob.replace(b"\xff\xda", b"\xff\xff\xff\xda", 1)
+    for rst in range(2):
+        padded = padded.replace(bytes([0xFF, 0xD0 + rst]),
+                                bytes([0xFF, 0xFF, 0xD0 + rst]), 1)
+    assert (decode_jpeg(padded) == base).all()
+
+
+def test_entropy_segment_size_bound():
+    from quickwit_spark.pipeline.jpeg_codec import _BitReader
+    with pytest.raises(MediaDecodeError, match="exceeds"):
+        _BitReader(b"\x00" * (_BitReader.MAX_SEGMENT_BYTES + 1))

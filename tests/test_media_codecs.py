@@ -385,3 +385,41 @@ class TestGif:
                 mc.decode_gif(bytes(b))
             except mc.MediaDecodeError:
                 pass
+
+
+class TestBmpBitfields:
+    def _bmp32(self, masks, px=(1, 2, 3, 0)):
+        """Hand-build a 1x1 32-bit BI_BITFIELDS BMP."""
+        header = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 66)
+                  + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 4,
+                                2835, 2835, 0, 0)
+                  + struct.pack("<III", *masks))
+        return header + bytes(px)
+
+    def test_default_masks_accepted(self):
+        blob = self._bmp32((0x00FF0000, 0x0000FF00, 0x000000FF),
+                           px=(3, 2, 1, 0))  # B,G,R,A on disk
+        out = decode_bmp(blob)
+        assert out.shape == (1, 1, 3)
+        assert tuple(out[0, 0]) == (1, 2, 3)  # RGB
+
+    def test_nondefault_masks_rejected_loudly(self):
+        # RGBA byte order masks would decode channel-swapped if the
+        # fixed BGR swizzle were applied — must be refused instead
+        blob = self._bmp32((0x000000FF, 0x0000FF00, 0x00FF0000))
+        with pytest.raises(MediaDecodeError, match="bit masks"):
+            decode_bmp(blob)
+
+
+def test_y4m_truncated_stream_yields_nothing_downstream():
+    """A Y4M blob cut mid-frame raises on reaching the cut; the
+    multimodal stage must therefore emit ZERO rows for it (pinned in
+    test_pipeline), and the generator itself must not mask the error."""
+    frames = [np.full((4, 4), 10 * k, dtype=np.uint8) for k in range(4)]
+    blob = encode_y4m(frames, 4, 4)
+    cut = blob[:len(blob) - 20]  # inside the last frame
+    got = []
+    with pytest.raises(MediaDecodeError):
+        for fi, y in decode_y4m(cut, every_n=1):
+            got.append(fi)
+    assert got == [0, 1, 2]  # frames before the cut did stream out

@@ -1137,3 +1137,31 @@ def test_legacy_preids_replay_upgraded_in_place(spark, tmp_path):
         ingest_batch(docs("b", 6), cfg, batch_id=0,
                      partitions_per_batch=2)
     assert IndexSearcher(cfg.index_dir).count("*") == 6
+
+
+def test_multimodal_corrupt_blobs_null_propagate(spark):
+    """One corrupt blob must not abort image_features/resize_images
+    (fake=False) or leave partial frame rows in y4m_frame_stats."""
+    import numpy as np
+    from quickwit_spark.pipeline import media_codecs as mc
+    from quickwit_spark.pipeline.multimodal import (
+        image_features, resize_images, y4m_frame_stats)
+
+    good = mc.encode_png(np.full((8, 8, 3), 50, np.uint8))
+    rows = [(1, good), (2, b"\x89PNG truncated"), (3, b"\xff\xd8\xff")]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    feats = image_features(df, fake=False).toPandas().set_index("id")
+    assert list(feats.loc[1, "feature"]) == [50.0, 50.0, 50.0]
+    assert feats.loc[2, "feature"] is None
+    assert feats.loc[3, "feature"] is None
+    rz = resize_images(df, 2, 2, fake=False).toPandas().set_index("id")
+    assert rz.loc[1, "blob"] and rz.loc[2, "blob"] is None
+
+    frames = [np.full((4, 4), 7 * k, np.uint8) for k in range(4)]
+    whole = mc.encode_y4m(frames, 4, 4)
+    vdf = spark.createDataFrame(
+        [(1, whole), (2, whole[:len(whole) - 20])],
+        "id long, blob binary")
+    fr = y4m_frame_stats(vdf).toPandas()
+    assert set(fr["id"]) == {1}  # truncated stream: zero rows, not 3
+    assert len(fr) == 4

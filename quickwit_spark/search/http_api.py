@@ -221,8 +221,23 @@ class SearchHttpServer:
                         "status": 404}
             return 404, resp
         if seg == ["_msearch"]:
-            raise _ApiError(400, "_msearch requires an index path "
-                                 "(/{index}/_msearch) on this engine")
+            # global _msearch: each NDJSON header names its index
+            # ({"index": "..."}); bodies dispatch to that index's
+            # searcher, responses keep request order (rest_handler.rs
+            # es_compat_multi_search)
+            lines = self._ndjson(raw)
+            if len(lines) % 2:
+                raise _ApiError(400, "_msearch expects alternating "
+                                     "header/body lines")
+            responses = []
+            for hdr, body in zip(lines[0::2], lines[1::2]):
+                index = hdr.get("index")
+                if not isinstance(index, str):
+                    raise _ApiError(400, "global _msearch headers must "
+                                         "name an index")
+                responses.append(
+                    es_dsl.es_search(self._searcher(index), body))
+            return 200, {"responses": responses}
         if seg == ["_cat", "indices"]:
             return 200, [row for name in self._list_indices()
                          for row in es_dsl.es_cat_indices(

@@ -261,3 +261,22 @@ def test_scroll_clear_num_freed_truthful(served):
         _send(f"{srv.url}/api/v1/_elastic/_search/scroll",
               {"scroll_id": sid})
     assert ei.value.code == 404
+
+
+def test_global_msearch_routes_by_header_index(served):
+    srv, _ = served
+    nd = (json.dumps({"index": "alpha"}) + "\n"
+          + json.dumps({"query": {"match_all": {}}, "size": 1}) + "\n"
+          + json.dumps({"index": "beta"}) + "\n"
+          + json.dumps({"query": {"match_all": {}}, "size": 1}) + "\n")
+    st, resp = _send(f"{srv.url}/api/v1/_elastic/_msearch",
+                     nd.encode(), ctype="application/x-ndjson")
+    assert st == 200 and len(resp["responses"]) == 2
+    totals = [r["hits"]["total"]["value"] for r in resp["responses"]]
+    assert totals == [150, 40]  # alpha then beta, in request order
+    # headerless global msearch is a loud 400
+    bad = json.dumps({}) + "\n" + json.dumps({"size": 1}) + "\n"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _send(f"{srv.url}/api/v1/_elastic/_msearch", bad.encode(),
+              ctype="application/x-ndjson")
+    assert ei.value.code == 400

@@ -1001,6 +1001,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["multimodal_jpeg_gray_stats"] = multimodal_jpeg_gray_stats
 
+    def multimodal_avi_frames(s, d):
+        # real compressed VIDEO: an AVI/MJPG container per doc, 6 flat
+        # 16x16 grayscale frames (flat blocks round-trip the q90 JPEG
+        # codec bit-exactly, same invariant as the jpeg gate row), then
+        # video_frame_stats samples every 2nd frame through the full
+        # container-walk + T.81 decode path
+        import numpy as np
+        from quickwit_spark.pipeline.avi_codec import encode_avi_mjpeg
+        from quickwit_spark.pipeline.multimodal import video_frame_stats
+        docs = (_read(s, d, "documents").select("doc_id")
+                .filter(F.col("doc_id") < 100))
+
+        def enc(it):
+            import pandas as pd
+            for pdf in it:
+                blobs = [encode_avi_mjpeg(
+                    [np.full((16, 16), (int(did) * 13 + f * 7) % 256,
+                             np.uint8) for f in range(6)], quality=90)
+                    for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "blob": blobs})
+
+        blobs = docs.mapInPandas(enc, schema="doc_id long, blob binary")
+        return (video_frame_stats(blobs, id_col="doc_id", every_n=2)
+                .select("doc_id", "frame_idx", "width", "height",
+                        "y_sum", "y_min", "y_max")
+                .orderBy("doc_id", "frame_idx"))
+    q["multimodal_avi_frames"] = multimodal_avi_frames
+
     # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
     # find_trace_ids_collector.rs) — events rows are deterministically
     # wrapped into real OTLP/JSON payloads, flattened back through the
@@ -1325,6 +1354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_trace_pb_topk", "ann_ivfpq_residual_topk",
         "multimodal_png_stats", "multimodal_wav_stats",
         "multimodal_y4m_frames", "multimodal_jpeg_gray_stats",
+        # new session 3: AVI/MJPG container decode (avi_codec +
+        # video_frame_stats/frame_sample changed paths)
+        "multimodal_avi_frames",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1337,9 +1369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_mapping_query",
         # OTLP JSON twins of the new pb rows (cheap family reps)
         "otlp_trace_topk", "otlp_logs_severity",
-        # stable-family representatives, rotating — exactly 18, so the
-        # 32 rows above + these land precisely in the driver's 50-row
-        # verified prefix; adding a row MUST demote another below.
+        # stable-family representatives, rotating — exactly 17, so the
+        # 33 rows above + these land precisely in the driver's 50-row
+        # verified prefix; adding a row MUST demote another below
+        # (multimodal_extract_meta demoted for multimodal_avi_frames:
+        # green r4, extract_metadata/sniff code untouched since).
         # text_quality_score and the agg reps rotate back IN (last
         # checked r3); rows rotated out were green in r4
         # (CORRECTNESS_r04.json) over code untouched since
@@ -1353,8 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substr_windows",
         "ann_cosine_topk", "ann_ivf_topk", "ann_pq_adc_topk",
         "text_lang_id", "text_quality_score", "text_token_counts",
-        "multimodal_extract_meta", "gopher_quality_filter",
-        "strip_boilerplate",
+        "gopher_quality_filter", "strip_boilerplate",
         "agg_terms_lang", "agg_date_histogram_events",
         "agg_es_range_empty",
         # past the 50-row window: green r4 (dedup_simhash_pairs,
@@ -1369,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_counts", "text_repetition", "text_token_rarity",
         "boilerplate_lines_flagged", "decontaminate_ngrams",
         "stratified_sample", "training_mix_budget", "text_fingerprint",
+        "multimodal_extract_meta",
     ]
     ordered = {k: q[k] for k in _GATE_ORDER if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2067,6 +2101,16 @@ FROM documents d, range(0,6) AS f(f), range(0,4) AS y(y),
      range(0,4) AS x(x)
 WHERE d.doc_id < 100 AND f.f % 2 = 0
 GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
+"""
+    o["multimodal_avi_frames"] = """
+SELECT d.doc_id, CAST(f.f AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(256 * ((d.doc_id*13 + f.f*7) % 256) AS BIGINT) AS y_sum,
+       CAST((d.doc_id*13 + f.f*7) % 256 AS INTEGER) AS y_min,
+       CAST((d.doc_id*13 + f.f*7) % 256 AS INTEGER) AS y_max
+FROM documents d, range(0,6) AS f(f)
+WHERE d.doc_id < 100 AND f.f % 2 = 0
+ORDER BY d.doc_id, frame_idx
 """
     o["multimodal_jpeg_gray_stats"] = """
 SELECT doc_id,

@@ -1,0 +1,160 @@
+"""AVI/MJPG container codec: round-trips through our own encoder, a
+hand-built container fixture (LIST 'rec ' grouping) decoded
+independently of the encoder's layout, codec refusal for
+inter-frame fourccs, and hostile-input fuzzing (corruption must raise
+MediaDecodeError, never crash or hang)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from quickwit_spark.pipeline.avi_codec import (
+    _chunk, _list, avi_frame_chunks, decode_avi_mjpeg, encode_avi_mjpeg)
+from quickwit_spark.pipeline.media_codecs import MediaDecodeError
+
+
+def _flat_frames(vals, w=16, h=16):
+    return [np.full((h, w), v, np.uint8) for v in vals]
+
+
+def test_flat_gray_roundtrip_bit_exact():
+    # flat 8x8-aligned grayscale blocks are DC-only; at q90 the
+    # reconstruction is bit-exact (same invariant test_jpeg_codec pins)
+    frames = _flat_frames([0, 10, 77, 128, 200, 255])
+    blob = encode_avi_mjpeg(frames, quality=90)
+    out = list(decode_avi_mjpeg(blob))
+    assert [i for i, _ in out] == list(range(6))
+    for i, img in out:
+        assert img.shape == (16, 16)
+        assert (img == frames[i]).all()
+
+
+def test_rgb_roundtrip_within_jpeg_tolerance():
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (24, 32, 3), np.uint8)
+              for _ in range(3)]
+    blob = encode_avi_mjpeg(frames, quality=95, subsampling="444")
+    out = list(decode_avi_mjpeg(blob))
+    assert len(out) == 3
+    for i, img in out:
+        assert img.shape == (24, 32, 3)
+        err = np.abs(img.astype(int) - frames[i].astype(int)).mean()
+        assert err < 8.0
+
+
+def test_every_n_and_max_frames_skip_without_decode():
+    frames = _flat_frames(range(0, 100, 10))
+    blob = encode_avi_mjpeg(frames)
+    assert [i for i, _ in decode_avi_mjpeg(blob, every_n=3)] == [0, 3, 6, 9]
+    assert [i for i, _ in decode_avi_mjpeg(blob, every_n=3,
+                                           max_frames=2)] == [0, 3]
+    # sampled frames decode to the right content, not just the right idx
+    for i, img in decode_avi_mjpeg(blob, every_n=3):
+        assert img[0, 0] == i * 10
+
+
+def test_frame_chunks_are_the_compressed_payloads():
+    frames = _flat_frames([5, 50, 150])
+    blob = encode_avi_mjpeg(frames, quality=90)
+    chunks = list(avi_frame_chunks(blob))
+    assert [i for i, _ in chunks] == [0, 1, 2]
+    from quickwit_spark.pipeline.jpeg_codec import decode_jpeg
+    for i, payload in chunks:
+        assert payload[:2] == b"\xff\xd8"
+        assert (decode_jpeg(payload) == frames[i][..., None][..., 0]).all()
+
+
+def test_rec_list_grouping_hand_fixture():
+    # frames grouped inside LIST 'rec ' (the interleaved-AVI layout our
+    # encoder never emits) must decode identically
+    frames = _flat_frames([30, 60, 90])
+    base = encode_avi_mjpeg(frames, quality=90)
+    payloads = [p for _, p in avi_frame_chunks(base)]
+
+    strh = struct.pack("<4s4sIHHIIIIIIiI4h", b"vids", b"MJPG", 0, 0, 0,
+                       0, 1, 25, 0, 3, 999, -1, 0, 0, 0, 16, 16)
+    strf = struct.pack("<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG",
+                       16 * 16 * 3, 0, 0, 0, 0)
+    avih = struct.pack("<IIIIIIIIII4I", 40000, 0, 0, 0, 3, 0, 1, 999,
+                       16, 16, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi = _list(b"movi",
+                 _list(b"rec ", _chunk(b"00dc", payloads[0]))
+                 + _chunk(b"00dc", payloads[1])
+                 + _list(b"rec ", _chunk(b"00dc", payloads[2])))
+    body = hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+    out = list(decode_avi_mjpeg(blob))
+    assert [i for i, _ in out] == [0, 1, 2]
+    for i, img in out:
+        assert (img == frames[i]).all()
+
+
+def test_non_mjpg_fourcc_refused_loudly():
+    blob = bytearray(encode_avi_mjpeg(_flat_frames([1, 2])))
+    # patch both strh fccHandler and strf biCompression to H264
+    n = blob.replace(b"MJPG", b"H264")
+    with pytest.raises(MediaDecodeError, match="H264"):
+        list(decode_avi_mjpeg(bytes(n)))
+
+
+def test_frame_dim_mismatch_refused():
+    # container headers declare 32x32 but the frames are 16x16
+    payloads = [p for _, p in
+                avi_frame_chunks(encode_avi_mjpeg(_flat_frames([9, 9])))]
+    strh = struct.pack("<4s4sIHHIIIIIIiI4h", b"vids", b"MJPG", 0, 0, 0,
+                       0, 1, 25, 0, 2, 999, -1, 0, 0, 0, 32, 32)
+    strf = struct.pack("<IiiHH4sIiiII", 40, 32, 32, 1, 24, b"MJPG",
+                       32 * 32 * 3, 0, 0, 0, 0)
+    avih = struct.pack("<IIIIIIIIII4I", 40000, 0, 0, 0, 2, 0, 1, 999,
+                       32, 32, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", p) for p in payloads))
+    body = hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    with pytest.raises(MediaDecodeError, match="declares"):
+        list(decode_avi_mjpeg(blob))
+
+
+def test_not_avi_and_truncation():
+    with pytest.raises(MediaDecodeError):
+        list(decode_avi_mjpeg(b"RIFF\x10\x00\x00\x00WAVEdata"))
+    with pytest.raises(MediaDecodeError):
+        list(decode_avi_mjpeg(b"\x00" * 32))
+    blob = encode_avi_mjpeg(_flat_frames([10, 20, 30]))
+    # truncating inside movi must raise, not yield a silent prefix,
+    # for any cut point past the header
+    with pytest.raises(MediaDecodeError):
+        list(decode_avi_mjpeg(blob[:len(blob) // 2]))
+
+
+def test_corruption_fuzz_never_crashes():
+    rng = np.random.default_rng(23)
+    blob = bytearray(encode_avi_mjpeg(_flat_frames([3, 99, 180]),
+                                      quality=85))
+    ok = bad = 0
+    for _ in range(400):
+        mut = bytearray(blob)
+        for _ in range(rng.integers(1, 4)):
+            mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+        try:
+            for _i, img in decode_avi_mjpeg(bytes(mut)):
+                assert img.dtype == np.uint8
+            ok += 1
+        except MediaDecodeError:
+            bad += 1
+    assert ok + bad == 400 and bad > 0
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([np.zeros((8, 8), np.uint8),
+                          np.zeros((8, 16), np.uint8)])

@@ -1165,3 +1165,69 @@ def test_multimodal_corrupt_blobs_null_propagate(spark):
     fr = y4m_frame_stats(vdf).toPandas()
     assert set(fr["id"]) == {1}  # truncated stream: zero rows, not 3
     assert len(fr) == 4
+
+
+def test_video_frame_stats_avi_and_y4m(spark):
+    """video_frame_stats dispatches per blob: Y4M luma planes, AVI/MJPG
+    decoded frames (grayscale = luma; RGB reduced with BT.601), zero
+    rows for corrupt or non-video blobs."""
+    import numpy as np
+    from quickwit_spark.pipeline import media_codecs as mc
+    from quickwit_spark.pipeline.avi_codec import encode_avi_mjpeg
+    from quickwit_spark.pipeline.multimodal import video_frame_stats
+
+    gray = [np.full((16, 16), 20 * k, np.uint8) for k in range(5)]
+    avi = encode_avi_mjpeg(gray, quality=90)
+    y4m = mc.encode_y4m([np.full((4, 4), 10 * k, np.uint8)
+                         for k in range(5)], 4, 4)
+    rgb = [np.full((16, 16, 3), [60, 120, 180], np.uint8)
+           for _ in range(2)]
+    avi_rgb = encode_avi_mjpeg(rgb, quality=95, subsampling="444")
+    rows = [(1, avi), (2, y4m), (3, avi[:100]),    # truncated container
+            (4, b"\x89PNG not a video"), (5, None),
+            (6, avi_rgb)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    fr = video_frame_stats(df, every_n=2).toPandas()
+
+    assert set(fr["id"]) == {1, 2, 6}
+    a = fr[fr["id"] == 1].sort_values("frame_idx")
+    assert list(a["frame_idx"]) == [0, 2, 4]
+    # flat gray AVI frames round-trip bit-exactly at q90
+    assert list(a["y_sum"]) == [0, 40 * 256, 80 * 256]
+    assert list(a["width"]) == [16, 16, 16]
+    y = fr[fr["id"] == 2].sort_values("frame_idx")
+    assert list(y["y_sum"]) == [0, 320, 640]
+    r = fr[fr["id"] == 6]
+    # BT.601 luma of (60,120,180) = 108.8 -> flat-block JPEG keeps it
+    # within 1 LSB of the rounded value
+    assert ((r["y_min"] >= 108) & (r["y_max"] <= 110)).all()
+
+
+def test_frame_sample_real_avi_path(spark):
+    """frame_sample hashes every n-th COMPRESSED AVI chunk (no decode);
+    other blobs keep the 16-byte-window stub; corrupt AVI yields zero
+    rows."""
+    import hashlib
+    import numpy as np
+    from quickwit_spark.pipeline.avi_codec import (
+        avi_frame_chunks, encode_avi_mjpeg)
+    from quickwit_spark.pipeline.multimodal import frame_sample
+
+    frames = [np.full((16, 16), 30 * k, np.uint8) for k in range(5)]
+    avi = encode_avi_mjpeg(frames, quality=90)
+    opaque = bytes(range(64))
+    df = spark.createDataFrame(
+        [(1, avi), (2, opaque), (3, avi[:80])], "id long, blob binary")
+    fr = frame_sample(df, every_n=2).toPandas()
+
+    a = fr[fr["id"] == 1].sort_values("frame_idx")
+    assert list(a["frame_idx"]) == [0, 2, 4]
+    want = {i: hashlib.sha256(p).hexdigest()[:16]
+            for i, p in avi_frame_chunks(avi, every_n=2)}
+    assert {int(i): h for i, h in zip(a["frame_idx"], a["frame_hash"])} \
+        == want
+    o = fr[fr["id"] == 2].sort_values("frame_idx")
+    assert list(o["frame_idx"]) == [0, 2]  # 4 windows, every 2nd
+    assert hashlib.sha256(opaque[:16]).hexdigest()[:16] \
+        in set(o["frame_hash"])
+    assert (fr["id"] != 3).all()

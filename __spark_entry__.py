@@ -946,6 +946,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["multimodal_wav_stats"] = multimodal_wav_stats
 
+    def multimodal_flac_stats(s, d):
+        # real compressed audio: FLAC is lossless, so formula-generated
+        # samples survive encode -> rice-coded residuals -> decode
+        # EXACTLY and the closed-form oracle is sound (doc_id < 100
+        # keeps the per-row Python encode bounded at sf0.1)
+        import numpy as np
+        from quickwit_spark.pipeline.flac_codec import encode_flac
+        from quickwit_spark.pipeline.multimodal import audio_stats
+        docs = (_read(s, d, "documents").select("doc_id")
+                .filter(F.col("doc_id") < 100))
+
+        def enc(it):
+            import pandas as pd
+            i = np.arange(512, dtype=np.int64)
+            for pdf in it:
+                blobs = [encode_flac(
+                    ((int(did) * 29 + i * 13) % 4096 - 2048)
+                    .astype(np.int32), 16000, block_size=256,
+                    stereo="independent")
+                    for did in pdf["doc_id"]]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "blob": blobs})
+
+        blobs = docs.mapInPandas(enc, schema="doc_id long, blob binary")
+        return (audio_stats(blobs, id_col="doc_id")
+                .select("doc_id", "n_frames", "n_channels",
+                        "sample_rate", "s_sum", "s_min", "s_max")
+                .orderBy("doc_id"))
+    q["multimodal_flac_stats"] = multimodal_flac_stats
+
     def multimodal_y4m_frames(s, d):
         import numpy as np
         from quickwit_spark.pipeline import media_codecs as mc
@@ -1355,8 +1385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_stats", "multimodal_wav_stats",
         "multimodal_y4m_frames", "multimodal_jpeg_gray_stats",
         # new session 3: AVI/MJPG container decode (avi_codec +
-        # video_frame_stats/frame_sample changed paths)
-        "multimodal_avi_frames",
+        # video_frame_stats/frame_sample changed paths) and FLAC
+        # compressed audio (flac_codec + audio_stats dispatch)
+        "multimodal_avi_frames", "multimodal_flac_stats",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1369,11 +1400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_mapping_query",
         # OTLP JSON twins of the new pb rows (cheap family reps)
         "otlp_trace_topk", "otlp_logs_severity",
-        # stable-family representatives, rotating — exactly 17, so the
-        # 33 rows above + these land precisely in the driver's 50-row
+        # stable-family representatives, rotating — exactly 16, so the
+        # 34 rows above + these land precisely in the driver's 50-row
         # verified prefix; adding a row MUST demote another below
         # (multimodal_extract_meta demoted for multimodal_avi_frames:
-        # green r4, extract_metadata/sniff code untouched since).
+        # green r4, extract_metadata code untouched since — the sniffer
+        # gained only the fLaC magic, which multimodal_flac_stats
+        # gates; ann_cosine_topk demoted for multimodal_flac_stats:
+        # green r4, similarity.py untouched this session, the ANN
+        # family keeps ann_ivf/pq_adc/ivfpq_residual in-window).
         # text_quality_score and the agg reps rotate back IN (last
         # checked r3); rows rotated out were green in r4
         # (CORRECTNESS_r04.json) over code untouched since
@@ -1385,7 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine", "dedup_ngram_jaccard",
         "dedup_substr_windows",
-        "ann_cosine_topk", "ann_ivf_topk", "ann_pq_adc_topk",
+        "ann_ivf_topk", "ann_pq_adc_topk",
         "text_lang_id", "text_quality_score", "text_token_counts",
         "gopher_quality_filter", "strip_boilerplate",
         "agg_terms_lang", "agg_date_histogram_events",
@@ -1402,7 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_counts", "text_repetition", "text_token_rarity",
         "boilerplate_lines_flagged", "decontaminate_ngrams",
         "stratified_sample", "training_mix_budget", "text_fingerprint",
-        "multimodal_extract_meta",
+        "multimodal_extract_meta", "ann_cosine_topk",
     ]
     ordered = {k: q[k] for k in _GATE_ORDER if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2101,6 +2136,17 @@ FROM documents d, range(0,6) AS f(f), range(0,4) AS y(y),
      range(0,4) AS x(x)
 WHERE d.doc_id < 100 AND f.f % 2 = 0
 GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
+"""
+    o["multimodal_flac_stats"] = """
+SELECT d.doc_id,
+       CAST(512 AS INTEGER) AS n_frames, CAST(1 AS INTEGER) AS n_channels,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(SUM((d.doc_id*29 + i.i*13) % 4096 - 2048) AS BIGINT) AS s_sum,
+       CAST(MIN((d.doc_id*29 + i.i*13) % 4096 - 2048) AS INTEGER) AS s_min,
+       CAST(MAX((d.doc_id*29 + i.i*13) % 4096 - 2048) AS INTEGER) AS s_max
+FROM documents d, range(0,512) AS i(i)
+WHERE d.doc_id < 100
+GROUP BY d.doc_id ORDER BY d.doc_id
 """
     o["multimodal_avi_frames"] = """
 SELECT d.doc_id, CAST(f.f AS INTEGER) AS frame_idx,

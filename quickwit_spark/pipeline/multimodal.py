@@ -5,7 +5,8 @@ The Spark-side plumbing is mapInPandas over Arrow batches (one Python
 call per media object, all pixel/sample math numpy). Decoding is REAL
 for every format the sniffer recognizes, implemented from the public
 specs with stdlib zlib/struct + numpy: PNG, BMP, binary PNM, GIF
-(media_codecs), baseline JPEG (jpeg_codec), PCM WAV, Y4M, and
+(media_codecs), baseline JPEG (jpeg_codec), PCM WAV, FLAC (flac_codec
+— real compressed audio, lossless), Y4M, and
 Motion-JPEG in AVI (avi_codec — real compressed video: container walk
 + per-frame T.81 decode, with frame sampling that never entropy-decodes
 skipped frames). Video codecs needing a motion-compensation stack we
@@ -30,6 +31,7 @@ MEDIA_SCHEMA = ("id long, media_type string, blob binary, width int, "
                 "height int")
 
 _MAGIC = {
+    b"fLaC": "audio/flac",
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
@@ -220,11 +222,24 @@ def image_stats(df: DataFrame, blob_col: str = "blob",
                 "decode_error string"))
 
 
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode an audio blob to (samples [n, ch], sample_rate): PCM WAV
+    via media_codecs, FLAC (compressed, lossless) via flac_codec."""
+    mt = sniff_media_type(blob)
+    if mt == "audio/wav":
+        return mc.decode_wav(blob)
+    if mt == "audio/flac":
+        from .flac_codec import decode_flac
+        return decode_flac(blob)
+    raise MediaDecodeError(f"not decodable audio (sniffed {mt})")
+
+
 def audio_stats(df: DataFrame, blob_col: str = "blob",
                 id_col: str = "id") -> DataFrame:
-    """Real WAV decode -> per-clip stats: frame/channel counts, sample
-    rate, integer sample sum/min/max across all channels. Same
-    null/undecodable -> decode_error contract as image_stats."""
+    """Real audio decode (PCM WAV or FLAC) -> per-clip stats:
+    frame/channel counts, sample rate, integer sample sum/min/max
+    across all channels. Same null/undecodable -> decode_error contract
+    as image_stats."""
 
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -237,7 +252,7 @@ def audio_stats(df: DataFrame, blob_col: str = "blob",
                                  "null blob"))
                     continue
                 try:
-                    samples, rate = mc.decode_wav(bytes(blob))
+                    samples, rate = decode_audio(bytes(blob))
                 except MediaDecodeError as e:
                     rows.append((rid, None, None, None, None, None, None,
                                  str(e)))

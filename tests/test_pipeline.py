@@ -1231,3 +1231,35 @@ def test_frame_sample_real_avi_path(spark):
     assert hashlib.sha256(opaque[:16]).hexdigest()[:16] \
         in set(o["frame_hash"])
     assert (fr["id"] != 3).all()
+
+
+def test_audio_stats_flac_dispatch(spark):
+    """audio_stats decodes FLAC blobs (lossless -> stats match the raw
+    samples exactly) alongside WAV, with decode_error for corrupt
+    streams."""
+    import numpy as np
+    from quickwit_spark.pipeline import media_codecs as mc
+    from quickwit_spark.pipeline.flac_codec import encode_flac
+    from quickwit_spark.pipeline.multimodal import (audio_stats,
+                                                    extract_metadata)
+
+    sm = (np.arange(600, dtype=np.int64) * 23 % 65536 - 32768) \
+        .astype(np.int32).reshape(300, 2)
+    flac = encode_flac(sm, 22050, stereo="mid_side")
+    wav = mc.encode_wav(sm.astype(np.int16), 22050)
+    df = spark.createDataFrame(
+        [(1, flac), (2, wav), (3, flac[:40])], "id long, blob binary")
+
+    meta = extract_metadata(df).toPandas().set_index("id")
+    assert meta.loc[1, "sniffed_type"] == "audio/flac"
+    assert meta.loc[2, "sniffed_type"] == "audio/wav"
+
+    au = audio_stats(df).toPandas().set_index("id")
+    for i in (1, 2):
+        assert int(au.loc[i, "n_frames"]) == 300
+        assert int(au.loc[i, "n_channels"]) == 2
+        assert int(au.loc[i, "sample_rate"]) == 22050
+        assert int(au.loc[i, "s_sum"]) == int(sm.astype(np.int64).sum())
+        assert int(au.loc[i, "s_min"]) == int(sm.min())
+        assert int(au.loc[i, "s_max"]) == int(sm.max())
+    assert au.loc[3, "decode_error"]

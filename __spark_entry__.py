@@ -1060,6 +1060,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id", "frame_idx"))
     q["multimodal_avi_frames"] = multimodal_avi_frames
 
+    # --- Iceberg source (BASELINE.json north star: the source corpus
+    # is an Iceberg table). The fixture is a REAL Iceberg v2 table —
+    # metadata JSON + Avro OCF manifests written by
+    # sources.avro_ocf/iceberg from the public specs — built
+    # deterministically from documents.parquet in two snapshots (even
+    # doc_ids @ts=1000, odd @ts=2000), partitioned by (lang identity,
+    # doc_id bucket[4]). The rows gate scan planning (manifest
+    # decode, partition + column-bounds pruning — over-pruning drops
+    # rows and fails the hash) and snapshot time travel; the oracle
+    # recomputes from documents.parquet directly.
+    def _iceberg_fixture(d):
+        import hashlib
+        import shutil
+
+        import pyarrow as pa
+
+        from quickwit_spark.sources import iceberg as ice
+        key = hashlib.sha256(f"icefix-v1|{d}".encode()).hexdigest()[:16]
+        base = os.path.join(tempfile.gettempdir(), f"qw_icefix_{key}")
+        root = os.path.join(base, "docs")
+        done = os.path.join(base, "_DONE")
+        if not os.path.exists(done):
+            shutil.rmtree(base, ignore_errors=True)
+            pdf = (pd.read_parquet(os.path.join(d, "documents.parquet"))
+                   .sort_values("doc_id").reset_index(drop=True))
+            ice.create_table(root, pa.Schema.from_pandas(pdf),
+                             partition_by=[("lang", "identity"),
+                                           ("doc_id", "bucket[4]")])
+            ice.append_pandas(root, pdf[pdf.doc_id % 2 == 0],
+                              timestamp_ms=1000)
+            ice.append_pandas(root, pdf[pdf.doc_id % 2 == 1],
+                              timestamp_ms=2000)
+            with open(done, "w") as f:
+                f.write("ok")
+        return root
+
+    def iceberg_scan_filter(s, d):
+        from quickwit_spark.sources import iceberg as ice
+        t = ice.load_table(_iceberg_fixture(d))
+        df = t.read(s, filter=[("lang", "in", ["en", "de"]),
+                               ("doc_id", ">=", 100)])
+        return (df.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"),
+                     F.min("doc_id").alias("min_id"),
+                     F.max("doc_id").alias("max_id"))
+                .orderBy("lang"))
+    q["iceberg_scan_filter"] = iceberg_scan_filter
+
+    def iceberg_time_travel(s, d):
+        from quickwit_spark.sources import iceberg as ice
+        t = ice.load_table(_iceberg_fixture(d))
+        df = t.read(s, as_of_ms=1500)   # snapshot 1: even doc_ids only
+        return (df.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"))
+                .orderBy("lang"))
+    q["iceberg_time_travel"] = iceberg_time_travel
+
     # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
     # find_trace_ids_collector.rs) — events rows are deterministically
     # wrapped into real OTLP/JSON payloads, flattened back through the
@@ -1388,6 +1447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # video_frame_stats/frame_sample changed paths) and FLAC
         # compressed audio (flac_codec + audio_stats dispatch)
         "multimodal_avi_frames", "multimodal_flac_stats",
+        # new session 4: Iceberg v2 source (sources/avro_ocf +
+        # sources/iceberg — scan planning w/ pruning, time travel)
+        "iceberg_scan_filter", "iceberg_time_travel",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1400,8 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_mapping_query",
         # OTLP JSON twins of the new pb rows (cheap family reps)
         "otlp_trace_topk", "otlp_logs_severity",
-        # stable-family representatives, rotating — exactly 16, so the
-        # 34 rows above + these land precisely in the driver's 50-row
+        # stable-family representatives, rotating — exactly 14, so the
+        # 36 rows above + these land precisely in the driver's 50-row
         # verified prefix; adding a row MUST demote another below
         # (multimodal_extract_meta demoted for multimodal_avi_frames:
         # green r4, extract_metadata code untouched since — the sniffer
@@ -1417,12 +1479,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted for the three real-codec multimodal rows —
         # filtering.py is untouched this round and keeps
         # gopher_quality_filter + strip_boilerplate as in-window reps).
+        # (session 4: text_token_counts and strip_boilerplate demoted
+        # for the two iceberg rows — both green r4, textstats.py and
+        # filtering.py untouched since; text_lang_id +
+        # text_quality_score and gopher_quality_filter stay as the
+        # in-window family reps)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine", "dedup_ngram_jaccard",
         "dedup_substr_windows",
         "ann_ivf_topk", "ann_pq_adc_topk",
-        "text_lang_id", "text_quality_score", "text_token_counts",
-        "gopher_quality_filter", "strip_boilerplate",
+        "text_lang_id", "text_quality_score",
+        "gopher_quality_filter",
         "agg_terms_lang", "agg_date_histogram_events",
         "agg_es_range_empty",
         # past the 50-row window: green r4 (dedup_simhash_pairs,
@@ -1432,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate_ngrams, stratified_sample, training_mix_budget,
         # text_fingerprint — demoted for multimodal_jpeg_gray_stats)
         # or green r3 (remaining agg_* rows), code untouched since
+        "text_token_counts", "strip_boilerplate",
         "dedup_simhash_pairs", "dedup_clusters", "dedup_substr_stats",
         "strip_dup_spans", "ann_ivf_partitioned", "ann_lsh_bucket_topk",
         "text_pii_counts", "text_repetition", "text_token_rarity",
@@ -2136,6 +2204,22 @@ FROM documents d, range(0,6) AS f(f), range(0,4) AS y(y),
      range(0,4) AS x(x)
 WHERE d.doc_id < 100 AND f.f % 2 = 0
 GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
+"""
+    # iceberg rows: the Spark side reads a real Iceberg v2 table built
+    # from documents.parquet (two snapshots: even doc_ids @ts=1000,
+    # odd @ts=2000); the oracle recomputes over documents directly
+    o["iceberg_scan_filter"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents WHERE lang IN ('en', 'de') AND doc_id >= 100
+GROUP BY lang ORDER BY lang
+"""
+    o["iceberg_time_travel"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang ORDER BY lang
 """
     o["multimodal_flac_stats"] = """
 SELECT d.doc_id,

@@ -1,0 +1,1020 @@
+"""Apache Iceberg v2 table source/sink — pure-Python metadata, Spark data.
+
+BASELINE.json's north star reads source code "from an Iceberg table";
+the runtime has no iceberg-spark-runtime jar and no Avro library, so
+this module implements the Iceberg *metadata* layer itself from the
+public table-format spec (https://iceberg.apache.org/spec/) on top of
+``avro_ocf``, and hands the planned data-file list to the engine Spark
+already has (``spark.read.parquet``). That split mirrors how Iceberg
+engines actually work: job planning walks metadata on the
+driver/planner, the distributed engine only ever touches data files.
+
+Implemented (spec v2):
+
+- table metadata JSON (``metadata/vN.metadata.json`` + version-hint),
+  schemas with field ids, partition specs, snapshots, snapshot-log;
+- manifest lists and manifests as Avro OCF with the spec field ids,
+  deflate codec, v2 sequence numbers (explicit, inheritance handled on
+  read);
+- partition transforms ``identity``, ``bucket[N]`` (Murmur3-32 over the
+  single-value binary form, spec Appendix B), ``truncate[W]``, ``void``;
+- scan planning with three pruning tiers: manifest-list partition
+  ``field_summaries``, per-file partition values, per-file column
+  ``lower_bounds``/``upper_bounds`` (single-value serialization, spec
+  Appendix D) — each tier reported in the returned ``ScanPlan`` so
+  tests and bench can assert files were actually skipped;
+- snapshot time travel (``snapshot_id=`` / ``as_of_ms=``);
+- appends: a driver-local pandas path for fixtures and a distributed
+  ``append_spark`` path (executors write parquet data files inside
+  ``applyInPandas`` and return one *stats row per file*; the driver
+  commits manifests + metadata atomically — the same
+  workers-write/driver-commits contract as real Iceberg writers).
+
+Scale: the driver never reads data files during planning. At 10^12
+files the manifest tier is the bottleneck, so ``plan_files`` also has a
+distributed twin (``IcebergTable.plan_files_spark``) that decodes
+manifests on executors via mapInPandas and returns the pruned file
+list as a DataFrame. Append-only: row-level deletes are out of scope
+(the index engine treats the source table as an immutable snapshot per
+build, SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import struct
+import uuid as _uuid
+
+import pandas as pd
+
+from . import avro_ocf
+
+__all__ = [
+    "create_table", "load_table", "IcebergTable", "ScanPlan",
+    "append_pandas", "append_spark", "murmur3_32",
+]
+
+_INITIAL_PARTITION_FIELD_ID = 1000
+
+
+# ----------------------------------------------------------- murmur3-32
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public-domain reference algorithm);
+    Iceberg bucket transforms hash the single-value binary form with
+    seed 0 (spec Appendix B)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = struct.unpack_from("<I", data, i)[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = n % 4
+    if tail >= 3:
+        k ^= data[n - tail + 2] << 16
+    if tail >= 2:
+        k ^= data[n - tail + 1] << 8
+    if tail >= 1:
+        k ^= data[n - tail]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+# ------------------------------------------- single-value serialization
+
+def to_single_value_bytes(ice_type: str, value) -> bytes:
+    """Spec Appendix D binary single-value serialization (bounds)."""
+    if ice_type == "int":
+        return struct.pack("<i", int(value))
+    if ice_type == "long":
+        return struct.pack("<q", int(value))
+    if ice_type == "float":
+        return struct.pack("<f", float(value))
+    if ice_type == "double":
+        return struct.pack("<d", float(value))
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "binary":
+        return bytes(value)
+    raise ValueError(f"no single-value form for {ice_type}")
+
+
+def from_single_value_bytes(ice_type: str, raw: bytes):
+    if ice_type == "int":
+        return struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    if ice_type == "binary":
+        return bytes(raw)
+    raise ValueError(f"no single-value form for {ice_type}")
+
+
+def _bucket_hash_bytes(ice_type: str, value) -> bytes:
+    """Bucket transforms hash int AND long as 8-byte LE (Appendix B)."""
+    if ice_type in ("int", "long"):
+        return struct.pack("<q", int(value))
+    return to_single_value_bytes(ice_type, value)
+
+
+def apply_transform(transform: str, ice_type: str, value):
+    """Apply a partition transform to one source value."""
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        return (murmur3_32(_bucket_hash_bytes(ice_type, value))
+                & 0x7FFFFFFF) % n
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if ice_type == "string":
+            return str(value)[:w]
+        if ice_type in ("int", "long"):
+            v = int(value)
+            return v - (v % w)             # floor toward -inf, spec
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+def _transform_result_type(transform: str, ice_type: str) -> str:
+    if transform == "identity" or transform.startswith("truncate["):
+        return ice_type
+    if transform.startswith("bucket["):
+        return "int"
+    if transform == "void":
+        return ice_type
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+# --------------------------------------------------- schema conversion
+
+_PA_TO_ICE = {"int64": "long", "int32": "int", "string": "string",
+              "large_string": "string", "double": "double",
+              "float": "float", "bool": "boolean", "binary": "binary",
+              "large_binary": "binary"}
+
+_ICE_TO_AVRO = {"long": "long", "int": "int", "string": "string",
+                "double": "double", "float": "float",
+                "boolean": "boolean", "binary": "bytes"}
+
+_ICE_TO_SPARK = {"long": "bigint", "int": "int", "string": "string",
+                 "double": "double", "float": "float",
+                 "boolean": "boolean", "binary": "binary"}
+
+
+def schema_from_arrow(pa_schema) -> dict:
+    """Iceberg schema (field ids assigned in column order) from a
+    pyarrow schema. Only flat scalar columns — the engine's input_hint
+    table is flat by contract."""
+    fields = []
+    for i, f in enumerate(pa_schema):
+        t = _PA_TO_ICE.get(str(f.type))
+        if t is None:
+            raise ValueError(f"unsupported column type {f.type} "
+                             f"for {f.name!r}")
+        fields.append({"id": i + 1, "name": f.name,
+                       "required": False, "type": t})
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# -------------------------------------------------------- avro schemas
+
+def _partition_avro_fields(spec_fields, schema_by_id) -> list:
+    out = []
+    for pf in spec_fields:
+        src = schema_by_id[pf["source-id"]]
+        rt = _transform_result_type(pf["transform"], src["type"])
+        out.append({"name": pf["name"], "field-id": pf["field-id"],
+                    "type": ["null", _ICE_TO_AVRO[rt]], "default": None})
+    return out
+
+
+def _kv_array(name: str, key_id: int, val_id: int, val_type: str):
+    return ["null", {
+        "type": "array", "logicalType": "map",
+        "items": {"type": "record", "name": name, "fields": [
+            {"name": "key", "type": "int", "field-id": key_id},
+            {"name": "value", "type": val_type, "field-id": val_id},
+        ]}}]
+
+
+def manifest_entry_avro_schema(spec_fields, schema_by_id) -> dict:
+    """Avro schema for v2 manifest entries (spec 'Manifests' table)."""
+    part = {"type": "record", "name": "r102",
+            "fields": _partition_avro_fields(spec_fields, schema_by_id)}
+    data_file = {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": part, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "value_counts", "field-id": 109,
+         "type": _kv_array("k119_v120", 119, 120, "long"),
+         "default": None},
+        {"name": "null_value_counts", "field-id": 110,
+         "type": _kv_array("k121_v122", 121, 122, "long"),
+         "default": None},
+        {"name": "lower_bounds", "field-id": 125,
+         "type": _kv_array("k126_v127", 126, 127, "bytes"),
+         "default": None},
+        {"name": "upper_bounds", "field-id": 128,
+         "type": _kv_array("k129_v130", 129, 130, "bytes"),
+         "default": None},
+        {"name": "split_offsets", "field-id": 132,
+         "type": ["null", {"type": "array", "items": "long"}],
+         "default": None},
+        {"name": "sort_order_id", "field-id": 140,
+         "type": ["null", "int"], "default": None},
+    ]}
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "field-id": 1, "default": None},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 3, "default": None},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "field-id": 4, "default": None},
+        {"name": "data_file", "type": data_file, "field-id": 2},
+    ]}
+
+
+MANIFEST_LIST_AVRO_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions", "field-id": 507, "default": None,
+         "type": ["null", {"type": "array", "items": {
+             "type": "record", "name": "r508", "fields": [
+                 {"name": "contains_null", "type": "boolean",
+                  "field-id": 509},
+                 {"name": "contains_nan", "type": ["null", "boolean"],
+                  "field-id": 518, "default": None},
+                 {"name": "lower_bound", "type": ["null", "bytes"],
+                  "field-id": 510, "default": None},
+                 {"name": "upper_bound", "type": ["null", "bytes"],
+                  "field-id": 511, "default": None},
+             ]}}]},
+    ]}
+
+
+# ------------------------------------------------------------ metadata
+
+def _metadata_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _read_version(path: str) -> int:
+    hint = os.path.join(_metadata_dir(path), "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            return int(f.read().strip())
+    best = 0
+    if os.path.isdir(_metadata_dir(path)):
+        for name in os.listdir(_metadata_dir(path)):
+            if name.startswith("v") and name.endswith(".metadata.json"):
+                best = max(best, int(name[1:-len(".metadata.json")]))
+    if best == 0:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    return best
+
+
+def _write_metadata(path: str, meta: dict, version: int) -> None:
+    mdir = _metadata_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    target = os.path.join(mdir, f"v{version}.metadata.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, target)
+    hint_tmp = os.path.join(mdir, "version-hint.text.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+
+
+def _det_uuid(*parts) -> str:
+    """Deterministic UUID (content-derived) so fixture tables are
+    byte-reproducible run to run."""
+    h = hashlib.sha256("|".join(map(str, parts)).encode()).hexdigest()
+    return str(_uuid.UUID(h[:32]))
+
+
+def create_table(path: str, pa_schema, partition_by=None,
+                 properties: dict | None = None) -> "IcebergTable":
+    """Create an empty v2 table. ``partition_by`` is a list of
+    ``(column, transform)`` pairs, e.g. ``[("lang", "identity"),
+    ("doc_id", "bucket[4]")]``."""
+    schema = schema_from_arrow(pa_schema)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    spec_fields = []
+    for i, (col, transform) in enumerate(partition_by or []):
+        if col not in by_name:
+            raise ValueError(f"unknown partition column {col!r}")
+        name = col if transform == "identity" else (
+            f"{col}_{transform.split('[')[0]}")
+        spec_fields.append({"name": name, "transform": transform,
+                            "source-id": by_name[col]["id"],
+                            "field-id": _INITIAL_PARTITION_FIELD_ID + i})
+    meta = {
+        "format-version": 2,
+        "table-uuid": _det_uuid("table", path),
+        "location": path,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": len(schema["fields"]),
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": (_INITIAL_PARTITION_FIELD_ID - 1
+                              + len(spec_fields)),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": properties or {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    _write_metadata(path, meta, 1)
+    return IcebergTable(path, meta, 1)
+
+
+def load_table(path: str) -> "IcebergTable":
+    version = _read_version(path)
+    with open(os.path.join(_metadata_dir(path),
+                           f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    if meta.get("format-version") != 2:
+        raise ValueError("only Iceberg format-version 2 is supported")
+    return IcebergTable(path, meta, version)
+
+
+class ScanPlan:
+    """Result of scan planning: the file list plus pruning evidence."""
+
+    def __init__(self, files, manifests_total, manifests_pruned,
+                 entries_total, files_pruned_partition,
+                 files_pruned_bounds):
+        self.files = files
+        self.manifests_total = manifests_total
+        self.manifests_pruned = manifests_pruned
+        self.entries_total = entries_total
+        self.files_pruned_partition = files_pruned_partition
+        self.files_pruned_bounds = files_pruned_bounds
+
+    @property
+    def paths(self) -> list[str]:
+        return [f["file_path"] for f in self.files]
+
+    def __repr__(self):
+        return (f"ScanPlan(files={len(self.files)}/{self.entries_total},"
+                f" manifests={self.manifests_total - self.manifests_pruned}"
+                f"/{self.manifests_total},"
+                f" pruned_partition={self.files_pruned_partition},"
+                f" pruned_bounds={self.files_pruned_bounds})")
+
+
+# ----------------------------------------------------- predicate logic
+
+_OPS = ("=", "==", "!=", "<", "<=", ">", ">=", "in")
+
+
+def _normalize_filter(flt):
+    out = []
+    for col, op, lit in (flt or []):
+        if op == "==":
+            op = "="
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}")
+        out.append((col, op, lit))
+    return out
+
+
+def _pred_possible_range(op, lit, lo, hi) -> bool:
+    """Can ``col <op> lit`` hold for any value in [lo, hi]? ``None``
+    bound means unknown on that side (keep the file)."""
+    if op == "=":
+        return (lo is None or lo <= lit) and (hi is None or lit <= hi)
+    if op == "in":
+        return any(_pred_possible_range("=", v, lo, hi) for v in lit)
+    if op == "!=":
+        return not (lo is not None and hi is not None and lo == hi == lit)
+    if op == "<":
+        return lo is None or lo < lit
+    if op == "<=":
+        return lo is None or lo <= lit
+    if op == ">":
+        return hi is None or hi > lit
+    if op == ">=":
+        return hi is None or hi >= lit
+    raise ValueError(op)
+
+
+def _pred_eval(op, lit, value) -> bool:
+    if value is None:
+        return False
+    if op == "=":
+        return value == lit
+    if op == "!=":
+        return value != lit
+    if op == "in":
+        return value in lit
+    if op == "<":
+        return value < lit
+    if op == "<=":
+        return value <= lit
+    if op == ">":
+        return value > lit
+    if op == ">=":
+        return value >= lit
+    raise ValueError(op)
+
+
+class IcebergTable:
+    def __init__(self, path: str, meta: dict, version: int):
+        self.path = path
+        self.meta = meta
+        self.version = version
+
+    # -------------------------------------------------------- schema
+
+    @property
+    def schema_fields(self) -> list[dict]:
+        sid = self.meta["current-schema-id"]
+        for s in self.meta["schemas"]:
+            if s["schema-id"] == sid:
+                return s["fields"]
+        raise ValueError("current-schema-id not in schemas")
+
+    @property
+    def spec_fields(self) -> list[dict]:
+        sid = self.meta["default-spec-id"]
+        for s in self.meta["partition-specs"]:
+            if s["spec-id"] == sid:
+                return s["fields"]
+        raise ValueError("default-spec-id not in partition-specs")
+
+    def spark_schema(self) -> str:
+        return ", ".join(f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+                         for f in self.schema_fields)
+
+    # ----------------------------------------------------- snapshots
+
+    def snapshot(self, snapshot_id: int | None = None,
+                 as_of_ms: int | None = None) -> dict | None:
+        snaps = {s["snapshot-id"]: s for s in self.meta["snapshots"]}
+        if snapshot_id is not None:
+            if snapshot_id not in snaps:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            return snaps[snapshot_id]
+        if as_of_ms is not None:
+            best = None
+            for entry in self.meta["snapshot-log"]:
+                if entry["timestamp-ms"] <= as_of_ms:
+                    best = entry["snapshot-id"]
+            return snaps[best] if best is not None else None
+        cur = self.meta["current-snapshot-id"]
+        return snaps.get(cur)
+
+    # ------------------------------------------------------ planning
+
+    def plan_files(self, filter=None, snapshot_id: int | None = None,
+                   as_of_ms: int | None = None) -> ScanPlan:
+        """Walk manifest-list -> manifests, pruning with partition
+        summaries, partition values, and column bounds."""
+        flt = _normalize_filter(filter)
+        snap = self.snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return ScanPlan([], 0, 0, 0, 0, 0)
+        _, manifests = avro_ocf.read_ocf(snap["manifest-list"])
+        schema_by_id = {f["id"]: f for f in self.schema_fields}
+        spec_fields = self.spec_fields
+        keep_manifests = []
+        pruned_m = 0
+        for mf in manifests:
+            if self._manifest_may_match(mf, flt, spec_fields,
+                                        schema_by_id):
+                keep_manifests.append(mf)
+            else:
+                pruned_m += 1
+        files, entries_total = [], 0
+        pruned_part = pruned_bounds = 0
+        for mf in keep_manifests:
+            for entry in self._live_entries(mf):
+                entries_total += 1
+                verdict = self._file_may_match(
+                    entry["data_file"], flt, spec_fields, schema_by_id)
+                if verdict == "partition":
+                    pruned_part += 1
+                elif verdict == "bounds":
+                    pruned_bounds += 1
+                else:
+                    files.append(entry["data_file"])
+        return ScanPlan(files, len(manifests), pruned_m, entries_total,
+                        pruned_part, pruned_bounds)
+
+    def _live_entries(self, mf: dict) -> list[dict]:
+        _, entries = avro_ocf.read_ocf(mf["manifest_path"])
+        out = []
+        for e in entries:
+            if e["status"] == 2:           # DELETED
+                continue
+            if e["sequence_number"] is None:   # v2 inheritance
+                e["sequence_number"] = mf["sequence_number"]
+            out.append(e)
+        return out
+
+    def _manifest_may_match(self, mf, flt, spec_fields,
+                            schema_by_id) -> bool:
+        summaries = mf.get("partitions")
+        if not flt or not summaries:
+            return True
+        for i, pf in enumerate(spec_fields):
+            if i >= len(summaries):
+                break
+            src = schema_by_id[pf["source-id"]]
+            rt = _transform_result_type(pf["transform"], src["type"])
+            summ = summaries[i]
+            lo = (from_single_value_bytes(rt, summ["lower_bound"])
+                  if summ.get("lower_bound") is not None else None)
+            hi = (from_single_value_bytes(rt, summ["upper_bound"])
+                  if summ.get("upper_bound") is not None else None)
+            for col, op, lit in flt:
+                if col != src["name"]:
+                    continue
+                tlit = _transformed_literal(pf["transform"],
+                                            src["type"], op, lit)
+                if tlit is None:
+                    continue
+                top, tval = tlit
+                if not _pred_possible_range(top, tval, lo, hi) \
+                        and not summ["contains_null"]:
+                    return False
+        return True
+
+    def _file_may_match(self, df, flt, spec_fields, schema_by_id):
+        """Returns None (keep), 'partition', or 'bounds' (prune)."""
+        if not flt:
+            return None
+        part = df.get("partition") or {}
+        for pf in spec_fields:
+            src = schema_by_id[pf["source-id"]]
+            pval = part.get(pf["name"])
+            for col, op, lit in flt:
+                if col != src["name"] or pval is None:
+                    continue
+                tlit = _transformed_literal(pf["transform"],
+                                            src["type"], op, lit)
+                if tlit is None:
+                    continue
+                top, tval = tlit
+                if not _pred_eval(top, tval, pval):
+                    return "partition"
+        lowers = _kv_to_dict(df.get("lower_bounds"))
+        uppers = _kv_to_dict(df.get("upper_bounds"))
+        nulls = _kv_to_dict(df.get("null_value_counts"))
+        for col, op, lit in flt:
+            f = next((f for f in schema_by_id.values()
+                      if f["name"] == col), None)
+            if f is None:
+                continue
+            if nulls.get(f["id"]) == df["record_count"]:
+                return "bounds"            # all-null column
+            lo = (from_single_value_bytes(f["type"], lowers[f["id"]])
+                  if f["id"] in lowers else None)
+            hi = (from_single_value_bytes(f["type"], uppers[f["id"]])
+                  if f["id"] in uppers else None)
+            if not _pred_possible_range(op, lit, lo, hi):
+                return "bounds"
+        return None
+
+    # ------------------------------------------------------- reading
+
+    def read(self, spark, filter=None, snapshot_id: int | None = None,
+             as_of_ms: int | None = None):
+        """Planned, pruned read: ``spark.read.parquet`` over the
+        surviving file list, with the filter re-applied as a Spark
+        ``where`` so pruning is purely an optimization (Catalyst also
+        pushes it into the parquet row-group scan)."""
+        plan = self.plan_files(filter, snapshot_id, as_of_ms)
+        if not plan.files:
+            return spark.createDataFrame([], self.spark_schema())
+        df = spark.read.schema(self.spark_schema()).parquet(*plan.paths)
+        return _apply_spark_filter(df, filter)
+
+    def plan_files_spark(self, spark, filter=None,
+                         snapshot_id: int | None = None):
+        """Distributed planning: decode manifests on executors (one
+        task per manifest) and return (file_path, record_count) rows.
+        At 10^12-file scale the driver holds only the manifest list;
+        the per-file entries never all materialize in one process."""
+        flt = _normalize_filter(filter)
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return spark.createDataFrame(
+                [], "file_path string, record_count bigint")
+        _, manifests = avro_ocf.read_ocf(snap["manifest-list"])
+        schema_by_id = {f["id"]: f for f in self.schema_fields}
+        spec_fields = self.spec_fields
+        keep = [m for m in manifests
+                if self._manifest_may_match(m, flt, spec_fields,
+                                            schema_by_id)]
+        if not keep:
+            return spark.createDataFrame(
+                [], "file_path string, record_count bigint")
+        mdf = spark.createDataFrame(
+            pd.DataFrame({"manifest_path": [m["manifest_path"]
+                                            for m in keep],
+                          "sequence_number": [m["sequence_number"]
+                                              for m in keep]}))
+        table_path = self.path
+        flt_local = flt
+
+        def _decode(iterator):
+            tbl = load_table(table_path)
+            s_by_id = {f["id"]: f for f in tbl.schema_fields}
+            spec = tbl.spec_fields
+            for pdf in iterator:
+                rows = {"file_path": [], "record_count": []}
+                for mp, seq in zip(pdf["manifest_path"],
+                                   pdf["sequence_number"]):
+                    mf = {"manifest_path": mp, "sequence_number": seq}
+                    for e in tbl._live_entries(mf):
+                        d = e["data_file"]
+                        if tbl._file_may_match(d, flt_local, spec,
+                                               s_by_id) is None:
+                            rows["file_path"].append(d["file_path"])
+                            rows["record_count"].append(
+                                d["record_count"])
+                yield pd.DataFrame(rows)
+
+        return mdf.repartition(min(len(keep), 32)).mapInPandas(
+            _decode, "file_path string, record_count bigint")
+
+
+def _kv_to_dict(kvs) -> dict:
+    if not kvs:
+        return {}
+    return {kv["key"]: kv["value"] for kv in kvs}
+
+
+def _transformed_literal(transform, ice_type, op, lit):
+    """Rewrite predicate (op, lit) into partition space; None when the
+    transform can't support the op (keep the file)."""
+    if transform == "identity":
+        return op, lit
+    if transform.startswith("bucket["):
+        if op == "=":
+            return "=", apply_transform(transform, ice_type, lit)
+        if op == "in":
+            return "in", [apply_transform(transform, ice_type, v)
+                          for v in lit]
+        return None                        # buckets don't order
+    if transform.startswith("truncate["):
+        if op in ("=",):
+            return "=", apply_transform(transform, ice_type, lit)
+        if op in ("<", "<=", ">", ">="):
+            # truncation is monotone: compare against truncated literal
+            t = apply_transform(transform, ice_type, lit)
+            return {"<": "<=", "<=": "<=", ">": ">=", ">=": ">="}[op], t
+        return None
+    return None                            # void: no pruning
+
+
+def _apply_spark_filter(df, filter):
+    from pyspark.sql import functions as F
+    for col, op, lit in _normalize_filter(filter):
+        c = F.col(col)
+        cond = {"=": c == lit, "!=": c != lit, "<": c < lit,
+                "<=": c <= lit, ">": c > lit, ">=": c >= lit,
+                "in": c.isin(list(lit)) if op == "in" else None}[op]
+        df = df.where(cond)
+    return df
+
+
+# ------------------------------------------------------------- appends
+
+_BOUND_MAX_BYTES = 64    # omit bounds for wider values (spec: optional)
+
+
+def _column_stats(pdf: pd.DataFrame, schema_fields) -> tuple:
+    lowers, uppers, nulls, values = [], [], [], []
+    n = len(pdf)
+    for f in schema_fields:
+        col = pdf[f["name"]]
+        nnull = int(col.isna().sum())
+        values.append({"key": f["id"], "value": n})
+        nulls.append({"key": f["id"], "value": nnull})
+        if nnull == n:
+            continue
+        nonnull = col.dropna()
+        lo, hi = nonnull.min(), nonnull.max()
+        blo = to_single_value_bytes(f["type"], lo)
+        bhi = to_single_value_bytes(f["type"], hi)
+        if len(blo) <= _BOUND_MAX_BYTES and len(bhi) <= _BOUND_MAX_BYTES:
+            lowers.append({"key": f["id"], "value": blo})
+            uppers.append({"key": f["id"], "value": bhi})
+    return lowers, uppers, nulls, values
+
+
+def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
+                     part_values: dict, schema_fields) -> dict:
+    """Write one parquet data file + return its manifest data_file rec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    key = _det_uuid("data", seq,
+                    json.dumps(part_values, sort_keys=True, default=str),
+                    len(pdf), str(pdf.iloc[0].tolist()) if len(pdf) else "")
+    fpath = os.path.join(table_path, "data", f"{key}.parquet")
+    cols = [f["name"] for f in schema_fields]
+    table = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+    pq.write_table(table, fpath)
+    lowers, uppers, nulls, values = _column_stats(pdf, schema_fields)
+    return {
+        "content": 0, "file_path": fpath, "file_format": "PARQUET",
+        "partition": part_values, "record_count": len(pdf),
+        "file_size_in_bytes": os.path.getsize(fpath),
+        "value_counts": values, "null_value_counts": nulls,
+        "lower_bounds": lowers, "upper_bounds": uppers,
+        "split_offsets": None, "sort_order_id": None,
+    }
+
+
+def _partition_values_of(pdf: pd.DataFrame, spec_fields,
+                         schema_by_id) -> pd.DataFrame:
+    """Transformed partition-value columns for grouping rows."""
+    out = {}
+    for pf in spec_fields:
+        src = schema_by_id[pf["source-id"]]
+        out[pf["name"]] = pdf[src["name"]].map(
+            lambda v, t=pf["transform"], it=src["type"]:
+            apply_transform(t, it, v))
+    return pd.DataFrame(out, index=pdf.index)
+
+
+def _commit_append(table: IcebergTable, data_files: list[dict],
+                   timestamp_ms: int) -> IcebergTable:
+    """Driver-side metadata commit: manifest -> manifest list -> new
+    metadata version + version-hint (atomic os.replace), the analog of
+    the reference's atomic manifest CAS (manifest.py publish path)."""
+    meta = dict(table.meta)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = int(hashlib.sha256(
+        f"{meta['table-uuid']}|{seq}".encode()).hexdigest()[:15], 16)
+    mdir = _metadata_dir(table.path)
+    schema_by_id = {f["id"]: f for f in table.schema_fields}
+    spec_fields = table.spec_fields
+
+    entry_schema = manifest_entry_avro_schema(spec_fields, schema_by_id)
+    manifest_path = os.path.join(
+        mdir, f"{_det_uuid('manifest', snap_id)}-m0.avro")
+    entries = [{"status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": df} for df in data_files]
+    avro_ocf.write_ocf(
+        manifest_path, entry_schema, entries,
+        metadata={"schema": json.dumps(
+                      {"type": "struct",
+                       "fields": table.schema_fields}),
+                  "partition-spec": json.dumps(spec_fields),
+                  "partition-spec-id": str(meta["default-spec-id"]),
+                  "format-version": "2", "content": "data"})
+
+    summaries = _field_summaries(data_files, spec_fields, schema_by_id)
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": meta["default-spec-id"], "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(data_files),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": sum(d["record_count"] for d in data_files),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": summaries,
+    }
+    prior = table.snapshot()
+    prior_manifests = []
+    if prior is not None:
+        _, prior_manifests = avro_ocf.read_ocf(prior["manifest-list"])
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-1-{_det_uuid('ml', snap_id)}.avro")
+    avro_ocf.write_ocf(ml_path, MANIFEST_LIST_AVRO_SCHEMA,
+                       prior_manifests + [new_manifest])
+
+    snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": timestamp_ms, "manifest-list": ml_path,
+                "summary": {"operation": "append"}, "schema-id": 0}
+    if prior is not None:
+        snapshot["parent-snapshot-id"] = prior["snapshot-id"]
+    meta["snapshots"] = meta["snapshots"] + [snapshot]
+    meta["snapshot-log"] = meta["snapshot-log"] + [
+        {"timestamp-ms": timestamp_ms, "snapshot-id": snap_id}]
+    meta["metadata-log"] = meta["metadata-log"] + [
+        {"timestamp-ms": timestamp_ms,
+         "metadata-file": os.path.join(
+             mdir, f"v{table.version}.metadata.json")}]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = timestamp_ms
+    _write_metadata(table.path, meta, table.version + 1)
+    return IcebergTable(table.path, meta, table.version + 1)
+
+
+def _field_summaries(data_files, spec_fields, schema_by_id):
+    if not spec_fields:
+        return None
+    out = []
+    for pf in spec_fields:
+        src = schema_by_id[pf["source-id"]]
+        rt = _transform_result_type(pf["transform"], src["type"])
+        vals = [d["partition"].get(pf["name"]) for d in data_files]
+        nonnull = [v for v in vals if v is not None]
+        summ = {"contains_null": len(nonnull) < len(vals),
+                "contains_nan": None, "lower_bound": None,
+                "upper_bound": None}
+        if nonnull:
+            summ["lower_bound"] = to_single_value_bytes(rt, min(nonnull))
+            summ["upper_bound"] = to_single_value_bytes(rt, max(nonnull))
+        out.append(summ)
+    return out
+
+
+def append_pandas(path: str, pdf: pd.DataFrame,
+                  timestamp_ms: int = 0) -> IcebergTable:
+    """Driver-local append (fixtures / small batches): group rows by
+    transformed partition tuple, one data file per partition value."""
+    table = load_table(path)
+    schema_by_id = {f["id"]: f for f in table.schema_fields}
+    spec_fields = table.spec_fields
+    seq = table.meta["last-sequence-number"] + 1
+    data_files = []
+    if spec_fields:
+        pvals = _partition_values_of(pdf, spec_fields, schema_by_id)
+        for key, idx in pvals.groupby(
+                list(pvals.columns), dropna=False, sort=True).groups.items():
+            if not isinstance(key, tuple):
+                key = (key,)
+            part = {pf["name"]: (None if pd.isna(k) else
+                                 _to_py(k)) for pf, k
+                    in zip(spec_fields, key)}
+            data_files.append(_write_data_file(
+                pdf.loc[idx], path, seq, part, table.schema_fields))
+    else:
+        data_files.append(_write_data_file(
+            pdf, path, seq, {}, table.schema_fields))
+    return _commit_append(table, data_files, timestamp_ms)
+
+
+def _to_py(v):
+    """numpy scalar -> plain Python for Avro encoding."""
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
+def append_spark(path: str, df, timestamp_ms: int = 0,
+                 files_per_partition_value: int = 1) -> IcebergTable:
+    """Distributed append: executors write parquet data files inside
+    applyInPandas (grouped by the transformed partition tuple plus a
+    within-partition file split) and return ONE STATS ROW PER FILE;
+    the driver collects only those bounded rows and commits. Requires
+    a filesystem all executors and the driver share (local FS here;
+    S3A/HDFS on a cluster), the same assumption the index builder
+    makes for segment files."""
+    from pyspark.sql import functions as F
+
+    table = load_table(path)
+    schema_fields = table.schema_fields
+    schema_by_id = {f["id"]: f for f in schema_fields}
+    spec_fields = table.spec_fields
+    seq = table.meta["last-sequence-number"] + 1
+    table_path = path
+
+    cols = [f["name"] for f in schema_fields]
+    work = df.select(*cols)
+    group_cols = []
+    for pf in spec_fields:
+        src = schema_by_id[pf["source-id"]]
+        gname = f"_p_{pf['name']}"
+        work = work.withColumn(
+            gname, _spark_transform_col(F, pf["transform"],
+                                        src["type"], src["name"]))
+        group_cols.append(gname)
+    split = F.abs(F.xxhash64(*[F.col(c) for c in cols[:1]])) \
+        % files_per_partition_value
+    work = work.withColumn("_p_split", split)
+    group_cols.append("_p_split")
+
+    spec_local = spec_fields
+    fields_local = schema_fields
+
+    def _write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part = {}
+        for pf, k in zip(spec_local, key[:-1]):
+            part[pf["name"]] = None if pd.isna(k) else _to_py(k)
+        rec = _write_data_file(pdf.drop(columns=[c for c in pdf.columns
+                                                 if c.startswith("_p_")]),
+                               table_path, seq, part, fields_local)
+        return pd.DataFrame({"data_file_json": [json.dumps(
+            rec, default=_json_bytes)]})
+
+    stats = (work.repartition(*group_cols)
+             .groupBy(*group_cols)
+             .applyInPandas(_write_group, "data_file_json string")
+             .collect())
+    data_files = [_json_unbytes(json.loads(r["data_file_json"]))
+                  for r in stats]
+    data_files.sort(key=lambda d: d["file_path"])
+    return _commit_append(table, data_files, timestamp_ms)
+
+
+def _spark_transform_col(F, transform, ice_type, name):
+    c = F.col(name)
+    if transform == "identity":
+        return c
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if ice_type == "string":
+            return F.substring(c, 1, w)
+        return c - _pymod_expr(F, c, w)
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        # murmur3 isn't a Spark builtin; compute via pandas_udf
+        import pandas as _pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _bucket(s: _pd.Series) -> _pd.Series:
+            return s.map(lambda v: None if v is None else
+                         (murmur3_32(_bucket_hash_bytes(ice_type, v))
+                          & 0x7FFFFFFF) % n)
+        return _bucket(c)
+    if transform == "void":
+        return F.lit(None)
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+def _pymod_expr(F, c, w):
+    # Python-style floor mod for truncate[] on ints (Spark % is C-style)
+    return ((c % w) + w) % w
+
+
+def _json_bytes(v):
+    if isinstance(v, (bytes, bytearray)):
+        return {"__b64__": __import__("base64").b64encode(
+            bytes(v)).decode()}
+    raise TypeError(type(v).__name__)
+
+
+def _json_unbytes(obj):
+    if isinstance(obj, dict):
+        if set(obj) == {"__b64__"}:
+            return __import__("base64").b64decode(obj["__b64__"])
+        return {k: _json_unbytes(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_unbytes(v) for v in obj]
+    return obj

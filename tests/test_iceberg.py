@@ -1,0 +1,309 @@
+"""Iceberg source: Avro OCF codec, metadata layer, scan planning,
+snapshot time travel, distributed append/planning, and an end-to-end
+index build from an Iceberg table (BASELINE.json north star: the
+source corpus is an Iceberg table of source-code repositories)."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quickwit_spark.sources import avro_ocf, iceberg
+
+
+# ------------------------------------------------------------- avro
+
+def test_zigzag_spec_vectors():
+    """Byte values straight from the Avro 1.11 spec's varint table."""
+    cases = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+             2: b"\x04", -64: b"\x7f", 64: b"\x80\x01",
+             -8_000_000_000: b"\xff\xbf\xb2\xcd\x3b",
+             8_000_000_000: b"\x80\xc0\xb2\xcd\x3b"}
+    for n, raw in cases.items():
+        assert avro_ocf.encode_long(n) == raw, n
+        assert avro_ocf.decode_long(raw, 0) == (n, len(raw))
+
+
+def test_datum_spec_bytes():
+    """The spec's worked record example: {'a': 27, 'b': 'foo'} encodes
+    to 36 06 66 6f 6f."""
+    sch = {"type": "record", "name": "test", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    buf = avro_ocf.datum_to_bytes(sch, {"a": 27, "b": "foo"})
+    assert buf == b"\x36\x06foo"
+    assert avro_ocf.datum_from_bytes(sch, buf) == {"a": 27, "b": "foo"}
+
+
+def test_union_and_magic():
+    sch = ["null", "string"]
+    assert avro_ocf.datum_to_bytes(sch, None) == b"\x00"
+    assert avro_ocf.datum_to_bytes(sch, "a") == b"\x02\x02a"
+    assert avro_ocf.MAGIC == b"Obj\x01"
+
+
+_REC = {"type": "record", "name": "r", "fields": [
+    {"name": "s", "type": "string"},
+    {"name": "n", "type": ["null", "long"]},
+    {"name": "d", "type": "double"},
+    {"name": "b", "type": "bytes"},
+    {"name": "arr", "type": {"type": "array", "items": {
+        "type": "record", "name": "kv", "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"}]}}},
+    {"name": "m", "type": {"type": "map", "values": "boolean"}},
+]}
+
+_rec_st = st.fixed_dictionaries({
+    "s": st.text(max_size=40),
+    "n": st.none() | st.integers(-2**63, 2**63 - 1),
+    "d": st.floats(allow_nan=False, width=64),
+    "b": st.binary(max_size=40),
+    "arr": st.lists(st.fixed_dictionaries({
+        "key": st.integers(-2**31, 2**31 - 1),
+        "value": st.binary(max_size=8)}), max_size=5),
+    "m": st.dictionaries(st.text(max_size=8), st.booleans(), max_size=4),
+})
+
+
+@settings(max_examples=150, deadline=None)
+@given(recs=st.lists(_rec_st, max_size=8),
+       codec=st.sampled_from(["null", "deflate"]))
+def test_ocf_roundtrip_property(tmp_path_factory, recs, codec):
+    path = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    avro_ocf.write_ocf(path, _REC, recs, codec=codec)
+    meta, back = avro_ocf.read_ocf(path)
+    assert back == recs
+    assert json.loads(meta["avro.schema"]) == _REC
+
+
+def test_ocf_detects_torn_block(tmp_path):
+    path = str(tmp_path / "t.avro")
+    avro_ocf.write_ocf(path, _REC, [{"s": "x", "n": 1, "d": 0.0,
+                                     "b": b"", "arr": [], "m": {}}])
+    raw = bytearray(open(path, "rb").read())
+    raw[-1] ^= 0xFF                        # corrupt the sync marker
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="sync"):
+        avro_ocf.read_ocf(path)
+
+
+# ------------------------------------------------- transforms / spec
+
+def test_murmur3_iceberg_spec_vectors():
+    """Golden hashes published in the Iceberg spec (Appendix B):
+    independent of this repo's writer, so writer+reader cannot agree
+    by being wrong together."""
+    assert iceberg.murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert iceberg.murmur3_32(b"iceberg") == 1210000089
+
+
+def test_transforms():
+    ap = iceberg.apply_transform
+    assert ap("identity", "string", "x") == "x"
+    assert ap("bucket[16]", "long", 34) == 2017239379 % 16
+    assert ap("bucket[16]", "int", 34) == ap("bucket[16]", "long", 34)
+    assert ap("truncate[10]", "long", -1) == -10    # floor, not C-trunc
+    assert ap("truncate[10]", "long", 19) == 10
+    assert ap("truncate[3]", "string", "iceberg") == "ice"
+    assert ap("void", "long", 7) is None
+    assert ap("bucket[4]", "string", None) is None
+
+
+def test_single_value_serialization():
+    for t, v in [("int", -5), ("long", 2**40), ("float", 1.5),
+                 ("double", -2.25), ("boolean", True),
+                 ("string", "héllo"), ("binary", b"\x00\xff")]:
+        raw = iceberg.to_single_value_bytes(t, v)
+        assert iceberg.from_single_value_bytes(t, raw) == v
+    assert iceberg.to_single_value_bytes("long", 1) == b"\x01" + b"\x00" * 7
+
+
+# ------------------------------------------------------ table fixture
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def two_snapshot_table(tmp_path_factory, docs_pdf):
+    root = str(tmp_path_factory.mktemp("icetbl") / "docs")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity"),
+                                       ("doc_id", "bucket[4]")])
+    even = docs_pdf[docs_pdf.doc_id % 2 == 0]
+    odd = docs_pdf[docs_pdf.doc_id % 2 == 1]
+    t = iceberg.append_pandas(root, even, timestamp_ms=1000)
+    snap1 = t.meta["current-snapshot-id"]
+    iceberg.append_pandas(root, odd, timestamp_ms=2000)
+    return root, snap1
+
+
+def test_full_scan_counts(two_snapshot_table, docs_pdf):
+    root, _ = two_snapshot_table
+    t = iceberg.load_table(root)
+    plan = t.plan_files()
+    assert sum(f["record_count"] for f in plan.files) == len(docs_pdf)
+    got = pd.concat([pd.read_parquet(p) for p in plan.paths])
+    assert sorted(got.doc_id) == sorted(docs_pdf.doc_id)
+
+
+def test_time_travel(two_snapshot_table, docs_pdf):
+    root, snap1 = two_snapshot_table
+    t = iceberg.load_table(root)
+    even = docs_pdf[docs_pdf.doc_id % 2 == 0]
+    for kwargs in ({"snapshot_id": snap1}, {"as_of_ms": 1500}):
+        plan = t.plan_files(**kwargs)
+        assert sum(f["record_count"] for f in plan.files) == len(even)
+    assert t.plan_files(as_of_ms=500).files == []   # before snapshot 1
+
+
+def test_partition_pruning_exact(two_snapshot_table, docs_pdf):
+    root, _ = two_snapshot_table
+    t = iceberg.load_table(root)
+    plan = t.plan_files(filter=[("lang", "=", "en")])
+    assert plan.files_pruned_partition > 0
+    got = pd.concat([pd.read_parquet(p) for p in plan.paths])
+    got = got[got.lang == "en"]
+    exp = docs_pdf[docs_pdf.lang == "en"]
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+    # bucket pruning: equality on the bucketed source column
+    some_id = int(docs_pdf.doc_id.iloc[5])
+    plan2 = t.plan_files(filter=[("doc_id", "=", some_id)])
+    assert plan2.files_pruned_partition > 0 or plan2.files_pruned_bounds > 0
+    got2 = pd.concat([pd.read_parquet(p) for p in plan2.paths])
+    assert some_id in set(got2.doc_id)
+
+
+def test_bounds_pruning_boundary_inclusive(two_snapshot_table, docs_pdf):
+    """Files whose max == the literal must survive `<=` but not `<`."""
+    root, _ = two_snapshot_table
+    t = iceberg.load_table(root)
+    cut = int(docs_pdf.doc_id.quantile(0.3))
+    for op, pred in [("<", lambda s: s < cut), ("<=", lambda s: s <= cut),
+                     (">", lambda s: s > cut), (">=", lambda s: s >= cut)]:
+        plan = t.plan_files(filter=[("doc_id", op, cut)])
+        got = pd.concat([pd.read_parquet(p) for p in plan.paths]) \
+            if plan.paths else pd.DataFrame({"doc_id": []})
+        got = got[pred(got.doc_id)]
+        exp = docs_pdf[pred(docs_pdf.doc_id)]
+        assert sorted(got.doc_id) == sorted(exp.doc_id), op
+
+
+def test_in_filter_and_conjunction(two_snapshot_table, docs_pdf):
+    root, _ = two_snapshot_table
+    t = iceberg.load_table(root)
+    langs = sorted(docs_pdf.lang.unique())[:2]
+    cut = int(docs_pdf.doc_id.median())
+    flt = [("lang", "in", langs), ("doc_id", ">=", cut)]
+    plan = t.plan_files(filter=flt)
+    got = pd.concat([pd.read_parquet(p) for p in plan.paths])
+    got = got[got.lang.isin(langs) & (got.doc_id >= cut)]
+    exp = docs_pdf[docs_pdf.lang.isin(langs) & (docs_pdf.doc_id >= cut)]
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+
+
+def test_version_hint_and_reload(two_snapshot_table):
+    root, _ = two_snapshot_table
+    t = iceberg.load_table(root)
+    assert t.version == 3                   # create + 2 appends
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    os.unlink(hint)                         # fallback: scan vN files
+    t2 = iceberg.load_table(root)
+    assert t2.meta == t.meta
+    with open(hint, "w") as f:
+        f.write("3")
+
+
+def test_unpartitioned_table(tmp_path, docs_pdf):
+    root = str(tmp_path / "flat")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    t = iceberg.append_pandas(root, docs_pdf)
+    plan = t.plan_files(filter=[("doc_id", "<", -1)])
+    assert plan.files == [] and plan.files_pruned_bounds == 1
+    assert sum(f["record_count"]
+               for f in t.plan_files().files) == len(docs_pdf)
+
+
+# ------------------------------------------------------- spark paths
+
+def test_spark_read_matches_pandas(spark, two_snapshot_table, docs_pdf):
+    root, snap1 = two_snapshot_table
+    t = iceberg.load_table(root)
+    got = t.read(spark, filter=[("lang", "=", "en")]).toPandas()
+    exp = docs_pdf[docs_pdf.lang == "en"]
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+    assert got.dtypes["doc_id"] == np.int64
+    # time travel through the Spark reader
+    got1 = t.read(spark, snapshot_id=snap1).count()
+    assert got1 == (docs_pdf.doc_id % 2 == 0).sum()
+
+
+def test_plan_files_spark_parity(spark, two_snapshot_table):
+    root, _ = two_snapshot_table
+    t = iceberg.load_table(root)
+    flt = [("lang", "=", "en")]
+    local = sorted(t.plan_files(filter=flt).paths)
+    dist = sorted(t.plan_files_spark(spark, filter=flt)
+                  .toPandas().file_path)
+    assert local == dist
+
+
+def test_append_spark_roundtrip(spark, tmp_path, docs_pdf):
+    root = str(tmp_path / "sparktbl")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    t = iceberg.append_spark(root, spark.createDataFrame(docs_pdf),
+                             timestamp_ms=1000,
+                             files_per_partition_value=2)
+    back = t.read(spark).toPandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert back.equals(docs_pdf)
+    plan = t.plan_files(filter=[("lang", "=", docs_pdf.lang.iloc[0])])
+    assert plan.files_pruned_partition > 0
+
+
+def test_index_build_from_iceberg(spark, tmp_path):
+    """End-to-end: corpus -> Iceberg table -> read -> index build ->
+    search results identical to building from the direct DataFrame."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.index.corpus import corpus_pandas
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+
+    pdf = corpus_pandas(300, seed=7)
+    root = str(tmp_path / "src_iceberg")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, pdf)
+
+    t = iceberg.load_table(root)
+    df_ice = t.read(spark)
+    cfg_i = IndexConfig(index_uid="ice", index_dir=str(tmp_path / "ice"))
+    build_index(spark, df_ice, cfg_i, num_partitions=4)
+
+    cfg_d = IndexConfig(index_uid="dir", index_dir=str(tmp_path / "dir"))
+    build_index(spark, spark.createDataFrame(pdf), cfg_d,
+                num_partitions=4)
+
+    q = A.Bool(must=(A.FullText("content", "merge index", "and"),))
+    for query in (q, A.FullText("content", "parse", "or")):
+        a = IndexSearcher(cfg_i.index_dir).search(query, k=10,
+                                                  fetch_fields=False)
+        b = IndexSearcher(cfg_d.index_dir).search(query, k=10,
+                                                  fetch_fields=False)
+        assert a.num_hits == b.num_hits and a.num_hits > 0
+        # segment ids are content-addressed WITH the index uid, so they
+        # differ across the two indexes by construction; routing and
+        # within-segment doc order are deterministic, so (doc_id, score)
+        # must be rank-identical.
+        assert [(h.doc_id, round(h.score, 4)) for h in a.hits] == \
+               [(h.doc_id, round(h.score, 4)) for h in b.hits]

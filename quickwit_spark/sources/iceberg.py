@@ -631,6 +631,29 @@ class IcebergTable:
                 return "bounds"
         return None
 
+    def appended_files(self, since_seq: int,
+                       snapshot_id: int | None = None) -> list[dict]:
+        """Data files APPENDED after sequence number ``since_seq`` as of
+        the given (default current) snapshot — the incremental-ingest
+        delta. Manifests whose sequence_number is <= since_seq are
+        skipped wholesale; within newer manifests, only ADDED entries
+        with a newer sequence number qualify (EXISTING entries carried
+        forward by a future compaction keep their original sequence
+        numbers, so they are never re-ingested)."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        _, manifests = avro_ocf.read_ocf(snap["manifest-list"])
+        out = []
+        for mf in manifests:
+            if mf["sequence_number"] <= since_seq:
+                continue
+            for e in self._live_entries(mf):
+                if e["status"] == 1 and e["sequence_number"] > since_seq:
+                    out.append(e["data_file"])
+        out.sort(key=lambda d: d["file_path"])
+        return out
+
     # ------------------------------------------------------- reading
 
     def read(self, spark, filter=None, snapshot_id: int | None = None,

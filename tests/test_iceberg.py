@@ -270,6 +270,77 @@ def test_append_spark_roundtrip(spark, tmp_path, docs_pdf):
     assert plan.files_pruned_partition > 0
 
 
+def test_incremental_ingest_snapshots(spark, tmp_path, monkeypatch):
+    """Snapshot-driven incremental ingest: each call indexes exactly
+    the appended delta, the source position advances atomically with
+    the publish, replays are exactly-once, rewinds refuse."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.corpus import corpus_pandas
+    from quickwit_spark.index.manifest import CheckpointConflict, Manifest
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import ingest_iceberg
+
+    pdf = corpus_pandas(240, seed=3)
+    a, b = pdf.iloc[:150], pdf.iloc[150:]
+    root = str(tmp_path / "inc_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, a, timestamp_ms=1000)
+
+    cfg = IndexConfig(index_uid="inc", index_dir=str(tmp_path / "inc"))
+    r1 = ingest_iceberg(spark, root, cfg, partitions_per_ingest=4)
+    assert r1["status"] == "published" and r1["docs"] == len(a)
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits \
+        == len(a)
+
+    # nothing new -> no-op, no segment churn
+    segs_before = set(Manifest.load(cfg.index_dir).data["segments"])
+    assert ingest_iceberg(spark, root, cfg)["status"] == "up-to-date"
+    assert set(Manifest.load(cfg.index_dir).data["segments"]) \
+        == segs_before
+    key = [k for k in Manifest.load(cfg.index_dir).data["checkpoints"]
+           if k.startswith("iceberg:")][0]
+    pos_after_r1 = Manifest.load(cfg.index_dir).checkpoint(key)
+
+    # second snapshot -> only the delta is indexed
+    iceberg.append_pandas(root, b, timestamp_ms=2000)
+    r2 = ingest_iceberg(spark, root, cfg, partitions_per_ingest=4)
+    assert r2["status"] == "published" and r2["docs"] == len(b)
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits \
+        == len(pdf)
+
+    # racing duplicate ingest: a second runner that read the
+    # checkpoint BEFORE the first publish rebuilds the same
+    # content-addressed segments, hits the publish conflict, and
+    # resolves it as a benign replay (position embeds the ids hash)
+    real_ckpt = Manifest.checkpoint
+    stale_served = []
+
+    def stale_once(self, pid):
+        if str(pid).startswith("iceberg:") and not stale_served:
+            stale_served.append(1)
+            return pos_after_r1        # the read the racer did pre-r2
+        return real_ckpt(self, pid)
+
+    monkeypatch.setattr(Manifest, "checkpoint", stale_once)
+    r3 = ingest_iceberg(spark, root, cfg, partitions_per_ingest=4)
+    monkeypatch.undo()
+    assert r3["status"] == "replayed"
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits \
+        == len(pdf)
+
+    # rewind refusal: manifest says further ahead than the table
+    m = Manifest.load(cfg.index_dir)
+    key = [k for k in m.data["checkpoints"] if k.startswith("iceberg:")][0]
+    m.publish([], checkpoint_delta={
+        key: (m.checkpoint(key), "iceberg-seq=99;snap=0;files=0;ids=x")})
+    with pytest.raises(CheckpointConflict, match="rewind"):
+        ingest_iceberg(spark, root, cfg)
+
+
 def test_index_build_from_iceberg(spark, tmp_path):
     """End-to-end: corpus -> Iceberg table -> read -> index build ->
     search results identical to building from the direct DataFrame."""

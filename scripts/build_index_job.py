@@ -33,6 +33,14 @@ def main() -> None:
                          "'catalog.db.repos') read via spark.read.table — "
                          "the production entry point; requires the "
                          "catalog configured on the session")
+    ap.add_argument("--iceberg-table", default=None,
+                    help="path to an Iceberg v2 table directory read via "
+                         "the built-in pure-Python connector "
+                         "(quickwit_spark.sources.iceberg) — no catalog "
+                         "or iceberg jar required")
+    ap.add_argument("--iceberg-snapshot-id", type=int, default=None,
+                    help="pin the Iceberg read to a snapshot id "
+                         "(default: current)")
     ap.add_argument("--avg-tokens", type=int, default=80)
     ap.add_argument("--merge", action="store_true")
     ap.add_argument("--global-index", action="store_true")
@@ -64,6 +72,10 @@ def main() -> None:
 
     if args.input_table:
         df = spark.read.table(args.input_table)
+    elif args.iceberg_table:
+        from quickwit_spark.sources.iceberg import load_table
+        df = load_table(args.iceberg_table).read(
+            spark, snapshot_id=args.iceberg_snapshot_id)
     elif args.input:
         df = spark.read.parquet(args.input)
     else:

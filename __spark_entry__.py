@@ -1077,7 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import pyarrow as pa
 
         from quickwit_spark.sources import iceberg as ice
-        key = hashlib.sha256(f"icefix-v1|{d}".encode()).hexdigest()[:16]
+        key = hashlib.sha256(f"icefix-v2|{d}".encode()).hexdigest()[:16]
         base = os.path.join(tempfile.gettempdir(), f"qw_icefix_{key}")
         root = os.path.join(base, "docs")
         done = os.path.join(base, "_DONE")

@@ -144,8 +144,10 @@ def _bucket_hash_bytes(ice_type: str, value) -> bytes:
 
 
 def apply_transform(transform: str, ice_type: str, value):
-    """Apply a partition transform to one source value."""
-    if value is None:
+    """Apply a partition transform to one source value. NaN counts as
+    null: pandas delivers numeric nulls as NaN, and a null source value
+    must produce a null partition value, not a crash in int()."""
+    if value is None or (isinstance(value, float) and value != value):
         return None
     if transform == "identity":
         return value
@@ -243,6 +245,9 @@ def manifest_entry_avro_schema(spec_fields, schema_by_id) -> dict:
          "default": None},
         {"name": "null_value_counts", "field-id": 110,
          "type": _kv_array("k121_v122", 121, 122, "long"),
+         "default": None},
+        {"name": "nan_value_counts", "field-id": 137,
+         "type": _kv_array("k138_v139", 138, 139, "long"),
          "default": None},
         {"name": "lower_bounds", "field-id": 125,
          "type": _kv_array("k126_v127", 126, 127, "bytes"),
@@ -578,6 +583,8 @@ class IcebergTable:
             src = schema_by_id[pf["source-id"]]
             rt = _transform_result_type(pf["transform"], src["type"])
             summ = summaries[i]
+            if summ.get("contains_nan"):
+                continue                   # NaN not covered by bounds
             lo = (from_single_value_bytes(rt, summ["lower_bound"])
                   if summ.get("lower_bound") is not None else None)
             hi = (from_single_value_bytes(rt, summ["upper_bound"])
@@ -616,10 +623,15 @@ class IcebergTable:
         lowers = _kv_to_dict(df.get("lower_bounds"))
         uppers = _kv_to_dict(df.get("upper_bounds"))
         nulls = _kv_to_dict(df.get("null_value_counts"))
+        nans = _kv_to_dict(df.get("nan_value_counts"))
         for col, op, lit in flt:
             f = next((f for f in schema_by_id.values()
                       if f["name"] == col), None)
             if f is None:
+                continue
+            if nans.get(f["id"]):
+                # spec writers exclude NaN from bounds, and engines
+                # order NaN above every value — any comparison may hold
                 continue
             if nulls.get(f["id"]) == df["record_count"]:
                 return "bounds"            # all-null column
@@ -751,9 +763,20 @@ def _apply_spark_filter(df, filter):
     from pyspark.sql import functions as F
     for col, op, lit in _normalize_filter(filter):
         c = F.col(col)
-        cond = {"=": c == lit, "!=": c != lit, "<": c < lit,
-                "<=": c <= lit, ">": c > lit, ">=": c >= lit,
-                "in": c.isin(list(lit)) if op == "in" else None}[op]
+        if op == "=":
+            cond = c == lit
+        elif op == "!=":
+            cond = c != lit
+        elif op == "<":
+            cond = c < lit
+        elif op == "<=":
+            cond = c <= lit
+        elif op == ">":
+            cond = c > lit
+        elif op == ">=":
+            cond = c >= lit
+        else:                              # "in"
+            cond = c.isin(list(lit))
         df = df.where(cond)
     return df
 
@@ -801,6 +824,11 @@ def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
         "partition": part_values, "record_count": len(pdf),
         "file_size_in_bytes": os.path.getsize(fpath),
         "value_counts": values, "null_value_counts": nulls,
+        # pyarrow from_pandas stores float NaN as null, so our own
+        # files never hold NaN values; the field exists so FOREIGN
+        # manifests (spec-compliant writers excluding NaN from bounds)
+        # round-trip and the reader's NaN pruning guard can see them
+        "nan_value_counts": None,
         "lower_bounds": lowers, "upper_bounds": uppers,
         "split_offsets": None, "sort_order_id": None,
     }
@@ -821,12 +849,39 @@ def _partition_values_of(pdf: pd.DataFrame, spec_fields,
 def _commit_append(table: IcebergTable, data_files: list[dict],
                    timestamp_ms: int) -> IcebergTable:
     """Driver-side metadata commit: manifest -> manifest list -> new
-    metadata version + version-hint (atomic os.replace), the analog of
-    the reference's atomic manifest CAS (manifest.py publish path)."""
+    metadata version + version-hint (atomic os.replace), serialized by
+    an exclusive commit lock with a FRESH metadata read inside it (the
+    same discipline as Manifest._locked_fresh): appends commute — the
+    data files are already on disk and carry no sequence numbers — so a
+    commit that raced another simply rebases onto the winner's
+    metadata instead of clobbering its snapshot (last-writer-wins was
+    the original bug: both writers os.replace the same vN+1 and one
+    snapshot silently vanishes)."""
+    lock_path = os.path.join(_metadata_dir(table.path), ".commit.lock")
+    with open(lock_path, "w") as lf:
+        try:
+            import fcntl
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            pass  # no flock (non-posix FS): single-writer assumption
+        fresh = load_table(table.path)
+        return _commit_append_locked(fresh, data_files, timestamp_ms)
+
+
+def _commit_append_locked(table: IcebergTable, data_files: list[dict],
+                          timestamp_ms: int) -> IcebergTable:
     meta = dict(table.meta)
     seq = meta["last-sequence-number"] + 1
+    # snapshot id is content-derived, NOT just (uuid, seq): the uuid is
+    # path-derived, so a dropped-and-recreated table at the same path
+    # reaching the same seq with DIFFERENT data must get a different
+    # snapshot id — iceberg_ingest's lineage check depends on it.
+    # Still deterministic (same inputs -> same table) for fixtures.
+    content_sig = hashlib.sha256("|".join(
+        d["file_path"] for d in data_files).encode()).hexdigest()[:16]
     snap_id = int(hashlib.sha256(
-        f"{meta['table-uuid']}|{seq}".encode()).hexdigest()[:15], 16)
+        f"{meta['table-uuid']}|{seq}|{timestamp_ms}|{content_sig}"
+        .encode()).hexdigest()[:15], 16)
     mdir = _metadata_dir(table.path)
     schema_by_id = {f["id"]: f for f in table.schema_fields}
     spec_fields = table.spec_fields
@@ -967,8 +1022,12 @@ def append_spark(path: str, df, timestamp_ms: int = 0,
             gname, _spark_transform_col(F, pf["transform"],
                                         src["type"], src["name"]))
         group_cols.append(gname)
-    split = F.abs(F.xxhash64(*[F.col(c) for c in cols[:1]])) \
-        % files_per_partition_value
+    # hash ALL data columns: hashing a subset silently degenerates to
+    # one file per partition value whenever the subset is constant
+    # within a group (e.g. identity partition on that column) — the
+    # executor-memory case files_per_partition_value exists to prevent
+    split = F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+                   F.lit(files_per_partition_value))
     work = work.withColumn("_p_split", split)
     group_cols.append("_p_split")
 
@@ -985,8 +1044,9 @@ def append_spark(path: str, df, timestamp_ms: int = 0,
         return pd.DataFrame({"data_file_json": [json.dumps(
             rec, default=_json_bytes)]})
 
-    stats = (work.repartition(*group_cols)
-             .groupBy(*group_cols)
+    # groupBy.applyInPandas already shuffles by the group keys; an
+    # explicit repartition first would double the shuffle I/O
+    stats = (work.groupBy(*group_cols)
              .applyInPandas(_write_group, "data_file_json string")
              .collect())
     data_files = [_json_unbytes(json.loads(r["data_file_json"]))
@@ -1012,7 +1072,7 @@ def _spark_transform_col(F, transform, ice_type, name):
 
         @pandas_udf("int")
         def _bucket(s: _pd.Series) -> _pd.Series:
-            return s.map(lambda v: None if v is None else
+            return s.map(lambda v: None if _pd.isna(v) else
                          (murmur3_32(_bucket_hash_bytes(ice_type, v))
                           & 0x7FFFFFFF) % n)
         return _bucket(c)

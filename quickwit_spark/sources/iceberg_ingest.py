@@ -42,13 +42,15 @@ def _checkpoint_key(table: IcebergTable) -> str:
     return f"iceberg:{table.meta['table-uuid']}"
 
 
-def _parse_position(pos: str | None) -> int:
-    """Stored position 'iceberg-seq=N;snap=...;ids=...' -> N."""
+def _parse_position(pos: str | None) -> tuple[int, int | None]:
+    """Stored position 'iceberg-seq=N;snap=S;...' -> (N, S)."""
     if pos is None:
-        return 0
+        return 0, None
     if not pos.startswith("iceberg-seq="):
         raise ValueError(f"not an iceberg source position: {pos!r}")
-    return int(pos.split(";", 1)[0][len("iceberg-seq="):])
+    fields = dict(kv.split("=", 1) for kv in pos.split(";"))
+    snap = fields.get("snap")
+    return int(fields["iceberg-seq"]), (int(snap) if snap else None)
 
 
 def ingest_iceberg(spark, table_path: str, config: IndexConfig,
@@ -64,13 +66,24 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
         config.index_dir, config.index_uid, config.manifest_config())
     key = _checkpoint_key(table)
     stored = manifest.checkpoint(key)
-    since_seq = _parse_position(stored)
+    since_seq, since_snap = _parse_position(stored)
     cur_seq = 0 if snap is None else snap["sequence-number"]
+    # lineage check FIRST: the table uuid is path-derived
+    # (create_table._det_uuid), so a dropped-and-recreated table at the
+    # same path reuses the checkpoint key — and can even land on the
+    # SAME sequence number, which a pure seq comparison would read as
+    # 'up-to-date' and silently never index. The recorded snapshot id
+    # must still exist in the table's history (snapshots are never
+    # expired here) to prove it is the same lineage.
+    if since_snap is not None and since_snap not in {
+            s["snapshot-id"] for s in table.meta["snapshots"]}:
+        raise CheckpointConflict(
+            f"iceberg table {table_path} does not contain snapshot "
+            f"{since_snap} recorded in the index checkpoint — the "
+            f"table was replaced or its history rewritten; rebuild "
+            f"the index fresh instead of resuming")
     if cur_seq < since_seq:
-        # the table can only move forward; a smaller sequence number
-        # means it was dropped/recreated (new lineage, same uuid is
-        # impossible via create_table's fresh uuid — this guards a
-        # manually rolled-back metadata dir)
+        # same lineage but the metadata dir was rolled back manually
         raise CheckpointConflict(
             f"iceberg table {table_path} is at sequence {cur_seq} but "
             f"the index already consumed up to {since_seq}; refusing "

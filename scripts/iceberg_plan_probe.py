@@ -45,6 +45,7 @@ def _fake_data_file(seq: int, i: int, lang: str) -> dict:
         "file_size_in_bytes": 4_000_000,
         "value_counts": [{"key": 1, "value": 10_000}],
         "null_value_counts": [{"key": 1, "value": 0}],
+        "nan_value_counts": None,
         "lower_bounds": [{"key": 1,
                           "value": iceberg.to_single_value_bytes(
                               "long", lo)}],

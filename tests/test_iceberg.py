@@ -222,6 +222,42 @@ def test_version_hint_and_reload(two_snapshot_table):
         f.write("3")
 
 
+def test_null_partition_values_and_concurrent_append(tmp_path, docs_pdf):
+    """NaN/None source values become null partition values (not int()
+    crashes), and a commit racing another rebases instead of clobbering
+    the winner's snapshot."""
+    pdf = docs_pdf.head(20).copy()
+    pdf.loc[pdf.index[:3], "doc_id"] = None      # -> float NaN column
+    pdf.loc[pdf.index[3:5], "lang"] = None
+    root = str(tmp_path / "nulls")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf),
+                         partition_by=[("lang", "identity"),
+                                       ("doc_id", "bucket[4]")])
+    t = iceberg.append_pandas(root, pdf)
+    plan = t.plan_files()
+    assert sum(f["record_count"] for f in plan.files) == len(pdf)
+    # null partitions survive an equality filter (kept, not pruned)
+    lang0 = docs_pdf.lang.iloc[7]
+    kept = pd.concat([pd.read_parquet(p) for p in
+                      t.plan_files(filter=[("lang", "=", lang0)]).paths])
+    assert (kept.lang == lang0).sum() == (pdf.lang == lang0).sum()
+
+    # stale-handle commits: both appends must survive (rebase inside
+    # the commit lock), not last-writer-wins
+    stale = iceberg.load_table(root)
+    f1 = iceberg._write_data_file(docs_pdf.iloc[20:25], root, 99,
+                                  {"lang": "xx", "doc_id_bucket": 0},
+                                  stale.schema_fields)
+    f2 = iceberg._write_data_file(docs_pdf.iloc[25:31], root, 99,
+                                  {"lang": "yy", "doc_id_bucket": 1},
+                                  stale.schema_fields)
+    iceberg._commit_append(stale, [f1], timestamp_ms=5000)
+    t2 = iceberg._commit_append(stale, [f2], timestamp_ms=6000)  # stale!
+    assert len(t2.meta["snapshots"]) == 3
+    assert sum(f["record_count"] for f in t2.plan_files().files) \
+        == len(pdf) + 5 + 6
+
+
 def test_unpartitioned_table(tmp_path, docs_pdf):
     root = str(tmp_path / "flat")
     iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
@@ -333,11 +369,25 @@ def test_incremental_ingest_snapshots(spark, tmp_path, monkeypatch):
         == len(pdf)
 
     # rewind refusal: manifest says further ahead than the table
+    # (same lineage: position pins a snapshot that really exists)
     m = Manifest.load(cfg.index_dir)
-    key = [k for k in m.data["checkpoints"] if k.startswith("iceberg:")][0]
+    real_snap = iceberg.load_table(root).meta["snapshots"][0][
+        "snapshot-id"]
     m.publish([], checkpoint_delta={
-        key: (m.checkpoint(key), "iceberg-seq=99;snap=0;files=0;ids=x")})
+        key: (m.checkpoint(key),
+              f"iceberg-seq=99;snap={real_snap};files=0;ids=x")})
     with pytest.raises(CheckpointConflict, match="rewind"):
+        ingest_iceberg(spark, root, cfg)
+
+    # lineage refusal: a table dropped and recreated at the same path
+    # reuses the path-derived uuid (same checkpoint key) and can land
+    # on the same sequence number — must refuse, never 'up-to-date'
+    import shutil
+    shutil.rmtree(root)
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, a.iloc[:3])
+    with pytest.raises(CheckpointConflict, match="replaced"):
         ingest_iceberg(spark, root, cfg)
 
 

@@ -648,10 +648,13 @@ class IcebergTable:
         """Data files APPENDED after sequence number ``since_seq`` as of
         the given (default current) snapshot — the incremental-ingest
         delta. Manifests whose sequence_number is <= since_seq are
-        skipped wholesale; within newer manifests, only ADDED entries
-        with a newer sequence number qualify (EXISTING entries carried
-        forward by a future compaction keep their original sequence
-        numbers, so they are never re-ingested)."""
+        skipped wholesale. Selection within newer manifests is by the
+        ENTRY's data sequence number alone (not ADDED status): a
+        manifest compaction rewrites unconsumed ADDED entries as
+        EXISTING with their original sequence numbers preserved, so a
+        status filter would silently drop any delta that a compaction
+        raced past — seq > since_seq is both necessary and sufficient
+        (consumed means since_seq >= the entry's seq)."""
         snap = self.snapshot(snapshot_id)
         if snap is None:
             return []
@@ -661,7 +664,7 @@ class IcebergTable:
             if mf["sequence_number"] <= since_seq:
                 continue
             for e in self._live_entries(mf):
-                if e["status"] == 1 and e["sequence_number"] > since_seq:
+                if e["sequence_number"] > since_seq:
                     out.append(e["data_file"])
         out.sort(key=lambda d: d["file_path"])
         return out
@@ -887,19 +890,19 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
     spec_fields = table.spec_fields
 
     entry_schema = manifest_entry_avro_schema(spec_fields, schema_by_id)
+    manifest_meta = {"schema": json.dumps(
+                         {"type": "struct",
+                          "fields": table.schema_fields}),
+                     "partition-spec": json.dumps(spec_fields),
+                     "partition-spec-id": str(meta["default-spec-id"]),
+                     "format-version": "2", "content": "data"}
     manifest_path = os.path.join(
         mdir, f"{_det_uuid('manifest', snap_id)}-m0.avro")
     entries = [{"status": 1, "snapshot_id": snap_id,
                 "sequence_number": seq, "file_sequence_number": seq,
                 "data_file": df} for df in data_files]
-    avro_ocf.write_ocf(
-        manifest_path, entry_schema, entries,
-        metadata={"schema": json.dumps(
-                      {"type": "struct",
-                       "fields": table.schema_fields}),
-                  "partition-spec": json.dumps(spec_fields),
-                  "partition-spec-id": str(meta["default-spec-id"]),
-                  "format-version": "2", "content": "data"})
+    avro_ocf.write_ocf(manifest_path, entry_schema, entries,
+                       metadata=manifest_meta)
 
     summaries = _field_summaries(data_files, spec_fields, schema_by_id)
     new_manifest = {
@@ -918,10 +921,12 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
     prior_manifests = []
     if prior is not None:
         _, prior_manifests = avro_ocf.read_ocf(prior["manifest-list"])
+    manifests = _maybe_merge_manifests(
+        table, prior_manifests + [new_manifest], meta, snap_id,
+        entry_schema, manifest_meta, spec_fields, schema_by_id)
     ml_path = os.path.join(
         mdir, f"snap-{snap_id}-1-{_det_uuid('ml', snap_id)}.avro")
-    avro_ocf.write_ocf(ml_path, MANIFEST_LIST_AVRO_SCHEMA,
-                       prior_manifests + [new_manifest])
+    avro_ocf.write_ocf(ml_path, MANIFEST_LIST_AVRO_SCHEMA, manifests)
 
     snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": timestamp_ms, "manifest-list": ml_path,
@@ -940,6 +945,68 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
     meta["last-updated-ms"] = timestamp_ms
     _write_metadata(table.path, meta, table.version + 1)
     return IcebergTable(table.path, meta, table.version + 1)
+
+
+def _maybe_merge_manifests(table, manifests, meta, snap_id,
+                           entry_schema, manifest_meta, spec_fields,
+                           schema_by_id):
+    """Manifest compaction (the analog of Iceberg's ManifestMergeManager
+    with commit.manifest.min-count-to-merge / target-size-bytes): when
+    at least min-count manifests are under the target size, rewrite
+    them into ONE merged manifest whose entries become EXISTING with
+    their original data sequence numbers and snapshot ids preserved.
+    This bounds manifest-list growth (and so full-plan cost) under
+    many small appends. Old manifest FILES are left on disk — earlier
+    snapshots' manifest lists still reference them, and snapshots are
+    never expired here. Amortized: the merged manifest eventually
+    crosses the target size and graduates out of the small set."""
+    props = meta.get("properties", {})
+    min_count = int(props.get("commit.manifest.min-count-to-merge", 100))
+    target = int(props.get("commit.manifest.target-size-bytes",
+                           8 * 1024 * 1024))
+    small = [m for m in manifests if m["manifest_length"] < target]
+    if len(small) < max(min_count, 2):
+        return manifests
+    big = [m for m in manifests if m["manifest_length"] >= target]
+    entries = []
+    for mf in small:
+        for e in table._live_entries(mf):
+            entries.append({
+                "status": 0,               # EXISTING
+                "snapshot_id": e["snapshot_id"],
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": (
+                    e["file_sequence_number"]
+                    if e["file_sequence_number"] is not None
+                    else e["sequence_number"]),
+                "data_file": e["data_file"]})
+    mdir = _metadata_dir(table.path)
+    path = os.path.join(
+        mdir, f"{_det_uuid('manifest-merged', snap_id, len(entries))}"
+              f"-mm.avro")
+    avro_ocf.write_ocf(path, entry_schema, entries,
+                       metadata=manifest_meta)
+    data_files = [e["data_file"] for e in entries]
+    merged = {
+        "manifest_path": path,
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": meta["default-spec-id"], "content": 0,
+        # max child seq: appended_files' manifest-list skip stays exact
+        "sequence_number": max(m["sequence_number"] for m in small),
+        "min_sequence_number": min(m["min_sequence_number"]
+                                   for m in small),
+        "added_snapshot_id": snap_id,
+        "added_files_count": 0,
+        "existing_files_count": len(entries),
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": sum(d["record_count"]
+                                   for d in data_files),
+        "deleted_rows_count": 0,
+        "partitions": _field_summaries(data_files, spec_fields,
+                                       schema_by_id),
+    }
+    return big + [merged]
 
 
 def _field_summaries(data_files, spec_fields, schema_by_id):

@@ -222,6 +222,49 @@ def test_version_hint_and_reload(two_snapshot_table):
         f.write("3")
 
 
+def test_manifest_compaction(tmp_path, docs_pdf):
+    """Small manifests merge once min-count accumulate: the list stays
+    bounded, scans stay exact and duplicate-free, earlier snapshots are
+    untouched, and the incremental delta survives a compaction racing
+    past it (EXISTING entries keep their data sequence numbers)."""
+    root = str(tmp_path / "compact")
+    iceberg.create_table(
+        root, pa.Schema.from_pandas(docs_pdf),
+        partition_by=[("lang", "identity")],
+        properties={"commit.manifest.min-count-to-merge": "6"})
+    chunks = [docs_pdf.iloc[i::10] for i in range(10)]
+    t = None
+    for i, ch in enumerate(chunks):
+        t = iceberg.append_pandas(root, ch, timestamp_ms=(i + 1) * 1000)
+
+    _, mls = avro_ocf.read_ocf(t.snapshot()["manifest-list"])
+    assert len(mls) == 5          # merged(1..6) + four later smalls
+    assert any(m["existing_files_count"] > 0 for m in mls)
+
+    plan = t.plan_files()
+    assert sum(f["record_count"] for f in plan.files) == len(docs_pdf)
+    assert len(plan.paths) == len(set(plan.paths))    # no dup entries
+
+    # partition pruning still works through the merged manifest
+    lang0 = docs_pdf.lang.iloc[0]
+    got = pd.concat([pd.read_parquet(p) for p in
+                     t.plan_files(filter=[("lang", "=", lang0)]).paths])
+    assert (got.lang == lang0).sum() == (docs_pdf.lang == lang0).sum()
+
+    # earlier snapshots reference their own (uncompacted) lists
+    snap3 = t.meta["snapshots"][2]["snapshot-id"]
+    p3 = t.plan_files(snapshot_id=snap3)
+    assert sum(f["record_count"] for f in p3.files) \
+        == sum(len(c) for c in chunks[:3])
+
+    # delta across the compaction boundary: consumer is at seq 4, the
+    # seq-6 commit compacted manifests 1..6 — chunks 5 and 6 are now
+    # EXISTING entries but remain unconsumed and MUST appear
+    delta = t.appended_files(since_seq=4)
+    assert sum(f["record_count"] for f in delta) \
+        == sum(len(c) for c in chunks[4:])
+
+
 def test_null_partition_values_and_concurrent_append(tmp_path, docs_pdf):
     """NaN/None source values become null partition values (not int()
     crashes), and a commit racing another rebases instead of clobbering

@@ -387,6 +387,44 @@ def create_table(path: str, pa_schema, partition_by=None,
     return IcebergTable(path, meta, 1)
 
 
+def add_column(path: str, name: str, ice_type: str) -> "IcebergTable":
+    """Schema evolution: append a new OPTIONAL column as a new schema
+    generation (fresh schema-id, fresh field id from last-column-id).
+    Existing data files simply lack the column and read as null —
+    Spark's parquet reader null-fills read-schema columns missing from
+    a file — and old manifests carry no bounds for the new field, so
+    pruning on it keeps old files (conservative, correct). Renames and
+    drops would need parquet-footer field-id mapping, which this
+    writer does not emit — out of scope, adds only."""
+    if ice_type not in _ICE_TO_AVRO:
+        raise ValueError(f"unsupported column type {ice_type!r}")
+    lock_path = os.path.join(_metadata_dir(path), ".commit.lock")
+    with open(lock_path, "w") as lf:
+        try:
+            import fcntl
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            pass
+        table = load_table(path)
+        meta = dict(table.meta)
+        if any(f["name"] == name for f in table.schema_fields):
+            raise ValueError(f"column {name!r} already exists")
+        fid = meta["last-column-id"] + 1
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s["schema-id"]
+                             for s in meta["schemas"]) + 1,
+            "fields": table.schema_fields + [
+                {"id": fid, "name": name, "required": False,
+                 "type": ice_type}],
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["last-column-id"] = fid
+        _write_metadata(path, meta, table.version + 1)
+        return IcebergTable(path, meta, table.version + 1)
+
+
 def load_table(path: str) -> "IcebergTable":
     version = _read_version(path)
     with open(os.path.join(_metadata_dir(path),

@@ -222,6 +222,31 @@ def test_version_hint_and_reload(two_snapshot_table):
         f.write("3")
 
 
+def test_add_column_schema_evolution(spark, tmp_path, docs_pdf):
+    """Add-column evolution: pre-evolution files null-fill the new
+    column on read; pruning on the new column keeps old files (no
+    bounds recorded) while Spark's re-applied filter stays exact."""
+    root = str(tmp_path / "evolve")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, docs_pdf, timestamp_ms=1000)
+    t = iceberg.add_column(root, "stars", "long")
+    assert t.schema_fields[-1] == {"id": 6, "name": "stars",
+                                   "required": False, "type": "long"}
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg.add_column(root, "lang", "string")
+
+    pdf2 = docs_pdf.copy()
+    pdf2["stars"] = pdf2.doc_id % 5
+    t = iceberg.append_pandas(root, pdf2, timestamp_ms=2000)
+    got = t.read(spark).toPandas()
+    assert len(got) == 2 * len(docs_pdf)
+    assert got.stars.isna().sum() == len(docs_pdf)      # old files
+    got2 = t.read(spark, filter=[("stars", ">=", 3)]).toPandas()
+    assert len(got2) == (pdf2.stars >= 3).sum()
+    assert got2.stars.notna().all()
+
+
 def test_manifest_compaction(tmp_path, docs_pdf):
     """Small manifests merge once min-count accumulate: the list stays
     bounded, scans stay exact and duplicate-free, earlier snapshots are

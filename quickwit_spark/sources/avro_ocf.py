@@ -209,6 +209,10 @@ def _decode(node, buf: bytes, pos: int):
             return struct.unpack_from("<d", buf, pos)[0], pos + 8
         if node in ("bytes", "string"):
             n, pos = decode_long(buf, pos)
+            if n < 0 or n > len(buf) - pos:
+                # slicing would silently return SHORT data — corrupt
+                # input must raise, not truncate
+                raise ValueError(f"{node} length {n} exceeds buffer")
             raw = buf[pos:pos + n]
             pos += n
             return (raw.decode("utf-8") if node == "string"
@@ -231,6 +235,7 @@ def _decode(node, buf: bytes, pos: int):
             if n < 0:                      # block with byte-size prefix
                 n = -n
                 _, pos = decode_long(buf, pos)
+            _check_block_count(n, buf, pos)
             for _ in range(n):
                 item, pos = _decode(node[1], buf, pos)
                 items.append(item)
@@ -243,16 +248,30 @@ def _decode(node, buf: bytes, pos: int):
             if n < 0:
                 n = -n
                 _, pos = decode_long(buf, pos)
+            _check_block_count(n, buf, pos)
             for _ in range(n):
                 k, pos = _decode("string", buf, pos)
                 result[k], pos = _decode(node[1], buf, pos)
     if kind == "fixed":
         size = node[1]["size"]
+        if size > len(buf) - pos:
+            raise ValueError("fixed value exceeds buffer")
         return bytes(buf[pos:pos + size]), pos + size
     if kind == "enum":
         idx, pos = decode_long(buf, pos)
         return node[1]["symbols"][idx], pos
     raise ValueError(f"unsupported node {kind}")  # pragma: no cover
+
+
+def _check_block_count(n: int, buf: bytes, pos: int) -> None:
+    """A hostile block count must not drive allocation: every item this
+    codec can decode consumes >= 1 byte (Iceberg schemas contain no
+    zero-width array/map items — arrays of null would be the only such
+    type, and we reject over-counts for them too), so a count larger
+    than the remaining bytes is corrupt, not merely big."""
+    if n < 0 or n > len(buf) - pos:
+        raise ValueError(
+            f"block count {n} exceeds remaining {len(buf) - pos} bytes")
 
 
 # ------------------------------------------------------------ public API
@@ -335,6 +354,8 @@ def read_ocf(path: str) -> tuple[dict, list]:
     while pos < len(buf):
         count, pos = decode_long(buf, pos)
         size, pos = decode_long(buf, pos)
+        if size < 0 or size > len(buf) - pos:
+            raise ValueError(f"block size {size} exceeds buffer")
         block = bytes(buf[pos:pos + size])
         pos += size
         if buf[pos:pos + 16] != sync:
@@ -342,6 +363,7 @@ def read_ocf(path: str) -> tuple[dict, list]:
         pos += 16
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
+        _check_block_count(count, block, 0)
         bpos = 0
         for _ in range(count):
             rec, bpos = _decode(node, block, bpos)

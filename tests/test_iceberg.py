@@ -6,6 +6,7 @@ source corpus is an Iceberg table of source-code repositories)."""
 import json
 import os
 import struct
+from zlib import error as zlib_error
 
 import numpy as np
 import pandas as pd
@@ -80,6 +81,44 @@ def test_ocf_roundtrip_property(tmp_path_factory, recs, codec):
     meta, back = avro_ocf.read_ocf(path)
     assert back == recs
     assert json.loads(meta["avro.schema"]) == _REC
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decoder_rejects_garbage_bytes(data):
+    """Hostile/corrupt input must raise promptly — never hang, never
+    over-allocate from a forged block count, never silently return
+    truncated bytes/strings."""
+    try:
+        avro_ocf.datum_from_bytes(_REC, data)
+    except (ValueError, IndexError, UnicodeDecodeError):
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(flips=st.lists(st.tuples(st.integers(0, 10_000),
+                                st.integers(1, 255)),
+                      min_size=1, max_size=6))
+def test_ocf_reader_survives_mutation(tmp_path_factory, flips):
+    """Bit-flipped container files either still decode to SOME records
+    (flip hit slack like the deflate stream's redundancy) or raise a
+    clean error — no hangs, no crashes outside ValueError-family."""
+    path = str(tmp_path_factory.mktemp("fuzz") / "t.avro")
+    recs = [{"s": "abc", "n": 7, "d": 1.0, "b": b"xy",
+             "arr": [{"key": 1, "value": b"z"}], "m": {"k": True}}] * 4
+    avro_ocf.write_ocf(path, _REC, recs)
+    raw = bytearray(open(path, "rb").read())
+    for off, xor in flips:
+        raw[off % len(raw)] ^= xor
+    open(path, "wb").write(bytes(raw))
+    try:
+        avro_ocf.read_ocf(path)
+    except (ValueError, IndexError, KeyError, UnicodeDecodeError,
+            EOFError, json.JSONDecodeError, zlib_error, OverflowError,
+            struct.error):
+        # NOT MemoryError: a forged count over-allocating would be the
+        # exact bug the bounds guards exist to prevent
+        pass
 
 
 def test_ocf_detects_torn_block(tmp_path):

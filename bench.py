@@ -182,6 +182,26 @@ def main() -> None:
             dec(b)
         queries[key] = round(nbytes / 1e6 / (time.perf_counter() - t0), 2)
 
+    # Iceberg scan planning (sources/avro_ocf + iceberg): driver-local
+    # metadata-only rate — manifest-list + manifest Avro decode through
+    # 3-tier pruning, in thousand file-entries per second (scale trend
+    # and the distributed planner twin: BENCH/iceberg_plan.md)
+    import importlib.util as _ilu
+    _spec = _ilu.spec_from_file_location(
+        "ice_probe", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "scripts", "iceberg_plan_probe.py"))
+    _ice_probe = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_ice_probe)
+    _iroot = os.path.join(work, "ice_plan")
+    _ice_probe.build_metadata_table(_iroot, 20, 200)
+    _itbl = _ice_probe.iceberg.load_table(_iroot)
+    _itbl.plan_files()  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _iplan = _itbl.plan_files()
+    queries["iceberg_plan_kfiles_per_s"] = round(
+        len(_iplan.files) * 3 / (time.perf_counter() - t0) / 1e3, 1)
+
     cfg_sh = IndexConfig(index_uid="bench_sh",
                          index_dir=os.path.join(work, "idx_sh"))
     t0 = time.perf_counter()
@@ -433,9 +453,9 @@ def main() -> None:
                           # silently inflated r3's headline by ~1.8 s
                           # vs r1's
                           "refresh_global_index",
-                          # MB/s rates, not seconds
+                          # MB/s / rate metrics, not seconds
                           "tok_", "otlp_pb_", "png_decode",
-                          "jpeg_decode"))]
+                          "jpeg_decode", "iceberg_plan"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

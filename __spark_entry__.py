@@ -1077,7 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import pyarrow as pa
 
         from quickwit_spark.sources import iceberg as ice
-        key = hashlib.sha256(f"icefix-v2|{d}".encode()).hexdigest()[:16]
+        key = hashlib.sha256(f"icefix-v3|{d}".encode()).hexdigest()[:16]
         base = os.path.join(tempfile.gettempdir(), f"qw_icefix_{key}")
         root = os.path.join(base, "docs")
         done = os.path.join(base, "_DONE")
@@ -1092,6 +1092,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               timestamp_ms=1000)
             ice.append_pandas(root, pdf[pdf.doc_id % 2 == 1],
                               timestamp_ms=2000)
+            # snapshot 3: position-delete doc_id < 50 (merge-on-read;
+            # earlier snapshots stay complete, so the time-travel row
+            # is unaffected, and scan_filter's doc_id >= 100 never
+            # touches the deleted range either way)
+            ice.delete_where(root, [("doc_id", "<", 50)],
+                             timestamp_ms=3000)
             with open(done, "w") as f:
                 f.write("ok")
         return root
@@ -1118,6 +1124,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("n_chars").alias("sum_chars"))
                 .orderBy("lang"))
     q["iceberg_time_travel"] = iceberg_time_travel
+
+    def iceberg_delete_read(s, d):
+        # current snapshot = both appends minus the position-deleted
+        # doc_id < 50 range, suppressed merge-on-read via the
+        # (_metadata.file_path, row_index) anti-join
+        from quickwit_spark.sources import iceberg as ice
+        t = ice.load_table(_iceberg_fixture(d))
+        return (t.read(s).groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"),
+                     F.min("doc_id").alias("min_id"))
+                .orderBy("lang"))
+    q["iceberg_delete_read"] = iceberg_delete_read
 
     # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
     # find_trace_ids_collector.rs) — events rows are deterministically
@@ -1448,8 +1467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compressed audio (flac_codec + audio_stats dispatch)
         "multimodal_avi_frames", "multimodal_flac_stats",
         # new session 4: Iceberg v2 source (sources/avro_ocf +
-        # sources/iceberg — scan planning w/ pruning, time travel)
+        # sources/iceberg — scan planning w/ pruning, time travel,
+        # merge-on-read position deletes)
         "iceberg_scan_filter", "iceberg_time_travel",
+        "iceberg_delete_read",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1462,8 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_mapping_query",
         # OTLP JSON twins of the new pb rows (cheap family reps)
         "otlp_trace_topk", "otlp_logs_severity",
-        # stable-family representatives, rotating — exactly 14, so the
-        # 36 rows above + these land precisely in the driver's 50-row
+        # stable-family representatives, rotating — exactly 13, so the
+        # 37 rows above + these land precisely in the driver's 50-row
         # verified prefix; adding a row MUST demote another below
         # (multimodal_extract_meta demoted for multimodal_avi_frames:
         # green r4, extract_metadata code untouched since — the sniffer
@@ -1479,17 +1500,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted for the three real-codec multimodal rows —
         # filtering.py is untouched this round and keeps
         # gopher_quality_filter + strip_boilerplate as in-window reps).
-        # (session 4: text_token_counts and strip_boilerplate demoted
-        # for the two iceberg rows — both green r4, textstats.py and
-        # filtering.py untouched since; text_lang_id +
-        # text_quality_score and gopher_quality_filter stay as the
-        # in-window family reps)
+        # (session 4: text_token_counts, strip_boilerplate and
+        # gopher_quality_filter demoted for the three iceberg rows —
+        # all green r4, textstats.py and filtering.py untouched since;
+        # text_lang_id + text_quality_score stay as in-window reps)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine", "dedup_ngram_jaccard",
         "dedup_substr_windows",
         "ann_ivf_topk", "ann_pq_adc_topk",
         "text_lang_id", "text_quality_score",
-        "gopher_quality_filter",
         "agg_terms_lang", "agg_date_histogram_events",
         "agg_es_range_empty",
         # past the 50-row window: green r4 (dedup_simhash_pairs,
@@ -1499,7 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate_ngrams, stratified_sample, training_mix_budget,
         # text_fingerprint — demoted for multimodal_jpeg_gray_stats)
         # or green r3 (remaining agg_* rows), code untouched since
-        "text_token_counts", "strip_boilerplate",
+        "text_token_counts", "strip_boilerplate", "gopher_quality_filter",
         "dedup_simhash_pairs", "dedup_clusters", "dedup_substr_stats",
         "strip_dup_spans", "ann_ivf_partitioned", "ann_lsh_bucket_topk",
         "text_pii_counts", "text_repetition", "text_token_rarity",
@@ -2219,6 +2238,13 @@ GROUP BY lang ORDER BY lang
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id % 2 = 0
+GROUP BY lang ORDER BY lang
+"""
+    o["iceberg_delete_read"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id
+FROM documents WHERE doc_id >= 50
 GROUP BY lang ORDER BY lang
 """
     o["multimodal_flac_stats"] = """

@@ -53,7 +53,8 @@ from . import avro_ocf
 
 __all__ = [
     "create_table", "load_table", "IcebergTable", "ScanPlan",
-    "append_pandas", "append_spark", "murmur3_32",
+    "append_pandas", "append_spark", "delete_where", "add_column",
+    "murmur3_32",
 ]
 
 _INITIAL_PARTITION_FIELD_ID = 1000
@@ -440,13 +441,14 @@ class ScanPlan:
 
     def __init__(self, files, manifests_total, manifests_pruned,
                  entries_total, files_pruned_partition,
-                 files_pruned_bounds):
+                 files_pruned_bounds, delete_files=None):
         self.files = files
         self.manifests_total = manifests_total
         self.manifests_pruned = manifests_pruned
         self.entries_total = entries_total
         self.files_pruned_partition = files_pruned_partition
         self.files_pruned_bounds = files_pruned_bounds
+        self.delete_files = delete_files or []
 
     @property
     def paths(self) -> list[str]:
@@ -457,7 +459,8 @@ class ScanPlan:
                 f" manifests={self.manifests_total - self.manifests_pruned}"
                 f"/{self.manifests_total},"
                 f" pruned_partition={self.files_pruned_partition},"
-                f" pruned_bounds={self.files_pruned_bounds})")
+                f" pruned_bounds={self.files_pruned_bounds},"
+                f" deletes={len(self.delete_files)})")
 
 
 # ----------------------------------------------------- predicate logic
@@ -583,21 +586,38 @@ class IcebergTable:
                 keep_manifests.append(mf)
             else:
                 pruned_m += 1
-        files, entries_total = [], 0
+        files, delete_files, entries_total = [], [], 0
         pruned_part = pruned_bounds = 0
         for mf in keep_manifests:
+            is_delete_manifest = mf.get("content") == 1
             for entry in self._live_entries(mf):
+                df_rec = entry["data_file"]
+                if is_delete_manifest or df_rec.get("content", 0) != 0:
+                    if df_rec.get("content") == 2:
+                        raise ValueError(
+                            "equality delete files are not supported "
+                            f"({df_rec['file_path']}); only position "
+                            "deletes — refusing rather than returning "
+                            "wrong rows")
+                    # position deletes only matter for data files that
+                    # survive pruning; pruning the delete manifest by
+                    # the same filter is sound (pruned-away rows can't
+                    # need delete suppression), keeping it always is
+                    # conservative — keep (partition values are often
+                    # null-scoped)
+                    delete_files.append(df_rec)
+                    continue
                 entries_total += 1
                 verdict = self._file_may_match(
-                    entry["data_file"], flt, spec_fields, schema_by_id)
+                    df_rec, flt, spec_fields, schema_by_id)
                 if verdict == "partition":
                     pruned_part += 1
                 elif verdict == "bounds":
                     pruned_bounds += 1
                 else:
-                    files.append(entry["data_file"])
+                    files.append(df_rec)
         return ScanPlan(files, len(manifests), pruned_m, entries_total,
-                        pruned_part, pruned_bounds)
+                        pruned_part, pruned_bounds, delete_files)
 
     def _live_entries(self, mf: dict) -> list[dict]:
         _, entries = avro_ocf.read_ocf(mf["manifest_path"])
@@ -701,6 +721,8 @@ class IcebergTable:
         for mf in manifests:
             if mf["sequence_number"] <= since_seq:
                 continue
+            if mf.get("content") == 1:
+                continue                   # delete manifests: not appends
             for e in self._live_entries(mf):
                 if e["sequence_number"] > since_seq:
                     out.append(e["data_file"])
@@ -714,11 +736,34 @@ class IcebergTable:
         """Planned, pruned read: ``spark.read.parquet`` over the
         surviving file list, with the filter re-applied as a Spark
         ``where`` so pruning is purely an optimization (Catalyst also
-        pushes it into the parquet row-group scan)."""
+        pushes it into the parquet row-group scan). Position deletes
+        (merge-on-read) apply as a broadcast left-anti join on
+        (file_path, row position) using Spark's parquet ``_metadata``
+        row index — delete sets are compact by design, and data-file
+        paths are never reused, so global application is exact."""
+        from pyspark.sql import functions as F
         plan = self.plan_files(filter, snapshot_id, as_of_ms)
         if not plan.files:
             return spark.createDataFrame([], self.spark_schema())
         df = spark.read.schema(self.spark_schema()).parquet(*plan.paths)
+        if plan.delete_files:
+            dels = (spark.read
+                    .schema("file_path string, pos bigint")
+                    .parquet(*[d["file_path"]
+                               for d in plan.delete_files])
+                    .withColumnRenamed("file_path", "__del_fp")
+                    .withColumnRenamed("pos", "__del_pos"))
+            cols = df.columns
+            df = (df.withColumn(
+                      "__fp", F.expr("regexp_replace("
+                                     "_metadata.file_path,"
+                                     " '^file:/+', '/')"))
+                    .withColumn("__pos", F.col("_metadata.row_index"))
+                    .join(F.broadcast(dels),
+                          (F.col("__fp") == F.col("__del_fp"))
+                          & (F.col("__pos") == F.col("__del_pos")),
+                          "left_anti")
+                    .select(*cols))
         return _apply_spark_filter(df, filter)
 
     def plan_files_spark(self, spark, filter=None,
@@ -888,7 +933,8 @@ def _partition_values_of(pdf: pd.DataFrame, spec_fields,
 
 
 def _commit_append(table: IcebergTable, data_files: list[dict],
-                   timestamp_ms: int) -> IcebergTable:
+                   timestamp_ms: int, content: int = 0,
+                   operation: str = "append") -> IcebergTable:
     """Driver-side metadata commit: manifest -> manifest list -> new
     metadata version + version-hint (atomic os.replace), serialized by
     an exclusive commit lock with a FRESH metadata read inside it (the
@@ -906,11 +952,13 @@ def _commit_append(table: IcebergTable, data_files: list[dict],
         except (ImportError, OSError):
             pass  # no flock (non-posix FS): single-writer assumption
         fresh = load_table(table.path)
-        return _commit_append_locked(fresh, data_files, timestamp_ms)
+        return _commit_append_locked(fresh, data_files, timestamp_ms,
+                                     content, operation)
 
 
 def _commit_append_locked(table: IcebergTable, data_files: list[dict],
-                          timestamp_ms: int) -> IcebergTable:
+                          timestamp_ms: int, content: int = 0,
+                          operation: str = "append") -> IcebergTable:
     meta = dict(table.meta)
     seq = meta["last-sequence-number"] + 1
     # snapshot id is content-derived, NOT just (uuid, seq): the uuid is
@@ -933,7 +981,8 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
                           "fields": table.schema_fields}),
                      "partition-spec": json.dumps(spec_fields),
                      "partition-spec-id": str(meta["default-spec-id"]),
-                     "format-version": "2", "content": "data"}
+                     "format-version": "2",
+                     "content": "data" if content == 0 else "deletes"}
     manifest_path = os.path.join(
         mdir, f"{_det_uuid('manifest', snap_id)}-m0.avro")
     entries = [{"status": 1, "snapshot_id": snap_id,
@@ -946,7 +995,7 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": meta["default-spec-id"], "content": 0,
+        "partition_spec_id": meta["default-spec-id"], "content": content,
         "sequence_number": seq, "min_sequence_number": seq,
         "added_snapshot_id": snap_id,
         "added_files_count": len(data_files),
@@ -968,7 +1017,7 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
 
     snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": timestamp_ms, "manifest-list": ml_path,
-                "summary": {"operation": "append"}, "schema-id": 0}
+                "summary": {"operation": operation}, "schema-id": 0}
     if prior is not None:
         snapshot["parent-snapshot-id"] = prior["snapshot-id"]
     meta["snapshots"] = meta["snapshots"] + [snapshot]
@@ -1002,10 +1051,14 @@ def _maybe_merge_manifests(table, manifests, meta, snap_id,
     min_count = int(props.get("commit.manifest.min-count-to-merge", 100))
     target = int(props.get("commit.manifest.target-size-bytes",
                            8 * 1024 * 1024))
-    small = [m for m in manifests if m["manifest_length"] < target]
+    # delete manifests are never merged with data manifests (distinct
+    # content type; their entries are (file_path,pos) tuples, not rows)
+    small = [m for m in manifests
+             if m["manifest_length"] < target and m.get("content") == 0]
     if len(small) < max(min_count, 2):
         return manifests
-    big = [m for m in manifests if m["manifest_length"] >= target]
+    big = [m for m in manifests
+           if m["manifest_length"] >= target or m.get("content") != 0]
     entries = []
     for mf in small:
         for e in table._live_entries(mf):
@@ -1097,6 +1150,84 @@ def _to_py(v):
     if hasattr(v, "item"):
         return v.item()
     return v
+
+
+def _pdf_mask(pdf: pd.DataFrame, flt) -> pd.Series:
+    mask = pd.Series(True, index=pdf.index)
+    for col, op, lit in flt:
+        s = pdf[col]
+        if op == "=":
+            mask &= s == lit
+        elif op == "!=":
+            mask &= s != lit
+        elif op == "<":
+            mask &= s < lit
+        elif op == "<=":
+            mask &= s <= lit
+        elif op == ">":
+            mask &= s > lit
+        elif op == ">=":
+            mask &= s >= lit
+        else:                              # "in"
+            mask &= s.isin(list(lit))
+    return mask
+
+
+def delete_where(path: str, filter, timestamp_ms: int = 0
+                 ) -> IcebergTable:
+    """Row-level delete, merge-on-read style: writes a POSITION DELETE
+    file (spec columns file_path/pos) listing every surviving-file row
+    matching the filter, committed as a content=1 (deletes) manifest in
+    a new snapshot. No data file is rewritten; readers suppress the
+    positions via the anti-join in ``read``. The scan to find positions
+    is pruned by the same planner as any read (files whose bounds
+    can't match are never opened); re-deleting an already-deleted row
+    is harmless (the anti-join is idempotent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = load_table(path)
+    flt = _normalize_filter(filter)
+    if not flt:
+        raise ValueError("delete_where requires a non-empty filter; "
+                         "use a fresh table for truncate semantics")
+    plan = table.plan_files(filter)
+    fps: list[str] = []
+    poss: list[int] = []
+    deleted_before = {}
+    if plan.delete_files:
+        for d in plan.delete_files:
+            ddf = pd.read_parquet(d["file_path"])
+            for fp, pos in zip(ddf["file_path"], ddf["pos"]):
+                deleted_before.setdefault(fp, set()).add(int(pos))
+    for f in plan.files:
+        pdf = pd.read_parquet(f["file_path"])
+        mask = _pdf_mask(pdf, flt)
+        already = deleted_before.get(f["file_path"], ())
+        for pos in pdf.index[mask]:
+            if int(pos) not in already:
+                fps.append(f["file_path"])
+                poss.append(int(pos))
+    if not fps:
+        return table                       # nothing matched: no commit
+    seq = table.meta["last-sequence-number"] + 1
+    key = _det_uuid("delete", seq, len(fps), fps[0], poss[0])
+    dpath = os.path.join(path, "data", f"{key}-deletes.parquet")
+    pq.write_table(pa.table({"file_path": pa.array(fps, pa.string()),
+                             "pos": pa.array(poss, pa.int64())}), dpath)
+    spec_fields = table.spec_fields
+    delete_file = {
+        "content": 1, "file_path": dpath, "file_format": "PARQUET",
+        "partition": {pf["name"]: None for pf in spec_fields},
+        "record_count": len(fps),
+        "file_size_in_bytes": os.path.getsize(dpath),
+        "value_counts": None, "null_value_counts": None,
+        "nan_value_counts": None,
+        "lower_bounds": None, "upper_bounds": None,
+        "split_offsets": None, "sort_order_id": None,
+    }
+    return _commit_append(table, [delete_file], timestamp_ms,
+                          content=1, operation="delete")
 
 
 def append_spark(path: str, df, timestamp_ms: int = 0,

@@ -261,6 +261,71 @@ def test_version_hint_and_reload(two_snapshot_table):
         f.write("3")
 
 
+def test_position_deletes(spark, tmp_path, docs_pdf):
+    """Merge-on-read position deletes: delete_where writes a content=1
+    manifest + (file_path,pos) parquet; reads suppress exactly those
+    rows via the _metadata anti-join; time travel to a pre-delete
+    snapshot still sees everything; deletes are idempotent, compose
+    with later appends (different file paths never collide), and are
+    never treated as appends by the incremental planner."""
+    root = str(tmp_path / "deltbl")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    t = iceberg.append_pandas(root, docs_pdf, timestamp_ms=1000)
+    pre_delete_snap = t.meta["current-snapshot-id"]
+
+    cut = int(docs_pdf.doc_id.quantile(0.25))
+    t = iceberg.delete_where(root, [("doc_id", "<", cut)],
+                             timestamp_ms=2000)
+    exp = docs_pdf[docs_pdf.doc_id >= cut]
+    got = t.read(spark).toPandas()
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+    # filtered read composes with the delete suppression
+    lang0 = docs_pdf.lang.iloc[0]
+    got_l = t.read(spark, filter=[("lang", "=", lang0)]).toPandas()
+    assert sorted(got_l.doc_id) == sorted(exp[exp.lang == lang0].doc_id)
+    # pre-delete snapshot unaffected
+    assert t.read(spark, snapshot_id=pre_delete_snap).count() \
+        == len(docs_pdf)
+
+    # idempotent: re-deleting the same predicate commits nothing new
+    v_before = iceberg.load_table(root).version
+    t2 = iceberg.delete_where(root, [("doc_id", "<", cut)])
+    assert t2.version == v_before
+
+    # a second, overlapping delete only adds the NEW positions
+    cut2 = int(docs_pdf.doc_id.quantile(0.4))
+    t3 = iceberg.delete_where(root, [("doc_id", "<", cut2)],
+                              timestamp_ms=3000)
+    exp3 = docs_pdf[docs_pdf.doc_id >= cut2]
+    assert sorted(t3.read(spark).toPandas().doc_id) \
+        == sorted(exp3.doc_id)
+
+    # later appends are untouched by earlier deletes, and the
+    # incremental planner never reports delete files as appends
+    extra = docs_pdf.copy()
+    extra["doc_id"] = extra["doc_id"] + 100_000
+    t4 = iceberg.append_pandas(root, extra, timestamp_ms=4000)
+    assert t4.read(spark).count() == len(exp3) + len(extra)
+    seq_after_deletes = t3.meta["last-sequence-number"]
+    delta = t4.appended_files(since_seq=seq_after_deletes - 1)
+    paths = {f["file_path"] for f in delta}
+    assert all("-deletes" not in p for p in paths)
+    assert sum(f["record_count"] for f in delta) == len(extra)
+
+    # equality deletes refuse loudly instead of returning wrong rows
+    snap = t4.snapshot()
+    _, mls = avro_ocf.read_ocf(snap["manifest-list"])
+    del_mf = next(m for m in mls if m["content"] == 1)
+    _, entries = avro_ocf.read_ocf(del_mf["manifest_path"])
+    entries[0]["data_file"]["content"] = 2
+    sch = iceberg.manifest_entry_avro_schema(
+        t4.spec_fields, {f["id"]: f for f in t4.schema_fields})
+    avro_ocf.write_ocf(del_mf["manifest_path"], sch, entries)
+    with pytest.raises(ValueError, match="equality delete"):
+        t4.plan_files()
+
+
 def test_add_column_schema_evolution(spark, tmp_path, docs_pdf):
     """Add-column evolution: pre-evolution files null-fill the new
     column on read; pruning on the new column keeps old files (no

@@ -27,16 +27,22 @@ Implemented (spec v2):
 - appends: a driver-local pandas path for fixtures and a distributed
   ``append_spark`` path (executors write parquet data files inside
   ``applyInPandas`` and return one *stats row per file*; the driver
-  commits manifests + metadata atomically — the same
-  workers-write/driver-commits contract as real Iceberg writers).
+  commits manifests + metadata atomically under a commit lock — the
+  same workers-write/driver-commits contract as real Iceberg writers);
+- merge-on-read POSITION DELETES: ``delete_where`` writes spec
+  (file_path, pos) delete files under content=1 manifests; ``read``
+  suppresses them with a broadcast anti-join on Spark's parquet
+  ``(_metadata.file_path, row_index)``. Equality deletes refuse
+  loudly rather than return wrong rows;
+- manifest compaction (min-count-to-merge / target-size-bytes) and
+  add-column schema evolution (old files null-fill on read).
 
 Scale: the driver never reads data files during planning. At 10^12
 files the manifest tier is the bottleneck, so ``plan_files`` also has a
 distributed twin (``IcebergTable.plan_files_spark``) that decodes
 manifests on executors via mapInPandas and returns the pruned file
-list as a DataFrame. Append-only: row-level deletes are out of scope
-(the index engine treats the source table as an immutable snapshot per
-build, SURVEY.md §1.4).
+list as a DataFrame. Out of scope: column renames/drops (no parquet
+field-id mapping emitted), equality deletes, snapshot expiry.
 """
 
 from __future__ import annotations
@@ -769,9 +775,12 @@ class IcebergTable:
     def plan_files_spark(self, spark, filter=None,
                          snapshot_id: int | None = None):
         """Distributed planning: decode manifests on executors (one
-        task per manifest) and return (file_path, record_count) rows.
-        At 10^12-file scale the driver holds only the manifest list;
-        the per-file entries never all materialize in one process."""
+        task per manifest) and return (file_path, record_count) rows
+        for DATA files (delete manifests are excluded — callers that
+        need merge-on-read suppression use ``read``, which plans
+        locally and applies the anti-join). At 10^12-file scale the
+        driver holds only the manifest list; the per-file entries
+        never all materialize in one process."""
         flt = _normalize_filter(filter)
         snap = self.snapshot(snapshot_id)
         if snap is None:
@@ -781,8 +790,9 @@ class IcebergTable:
         schema_by_id = {f["id"]: f for f in self.schema_fields}
         spec_fields = self.spec_fields
         keep = [m for m in manifests
-                if self._manifest_may_match(m, flt, spec_fields,
-                                            schema_by_id)]
+                if m.get("content") != 1
+                and self._manifest_may_match(m, flt, spec_fields,
+                                             schema_by_id)]
         if not keep:
             return spark.createDataFrame(
                 [], "file_path string, record_count bigint")
@@ -805,6 +815,8 @@ class IcebergTable:
                     mf = {"manifest_path": mp, "sequence_number": seq}
                     for e in tbl._live_entries(mf):
                         d = e["data_file"]
+                        if d.get("content", 0) != 0:
+                            continue       # delete files are not data
                         if tbl._file_may_match(d, flt_local, spec,
                                                s_by_id) is None:
                             rows["file_path"].append(d["file_path"])

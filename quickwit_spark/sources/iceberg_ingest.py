@@ -14,6 +14,12 @@ checkpoint (manifest-list sequence_number skip), the build is the
 standard routed mapInPandas segment build over ONLY the new files, and
 the driver collects one manifest row per segment — nothing is
 proportional to the already-indexed corpus.
+
+Source-side POSITION DELETES do not propagate: ingest consumes appends
+only (delete manifests are skipped by ``appended_files``), matching the
+reference's source contract — deleting documents from the INDEX is the
+delete-task flow (index/deletes.py, `_delete_by_query`), a separate,
+explicit operation.
 """
 
 from __future__ import annotations

@@ -313,6 +313,12 @@ def test_position_deletes(spark, tmp_path, docs_pdf):
     assert all("-deletes" not in p for p in paths)
     assert sum(f["record_count"] for f in delta) == len(extra)
 
+    # distributed planning lists DATA files only (delete suppression
+    # is read-time; a delete parquet must never surface as data)
+    dist = t4.plan_files_spark(spark).toPandas()
+    assert all("-deletes" not in p for p in dist.file_path)
+    assert dist.record_count.sum() == 2 * len(docs_pdf)
+
     # equality deletes refuse loudly instead of returning wrong rows
     snap = t4.snapshot()
     _, mls = avro_ocf.read_ocf(snap["manifest-list"])

@@ -204,8 +204,12 @@ def _decode(node, buf: bytes, pos: int):
         if node in ("int", "long"):
             return decode_long(buf, pos)
         if node == "float":
+            if pos + 4 > len(buf):
+                raise ValueError("float exceeds buffer")
             return struct.unpack_from("<f", buf, pos)[0], pos + 4
         if node == "double":
+            if pos + 8 > len(buf):
+                raise ValueError("double exceeds buffer")
             return struct.unpack_from("<d", buf, pos)[0], pos + 8
         if node in ("bytes", "string"):
             n, pos = decode_long(buf, pos)

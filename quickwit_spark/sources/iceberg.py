@@ -59,8 +59,8 @@ from . import avro_ocf
 
 __all__ = [
     "create_table", "load_table", "IcebergTable", "ScanPlan",
-    "append_pandas", "append_spark", "delete_where", "add_column",
-    "murmur3_32",
+    "append_pandas", "append_spark", "delete_where", "upsert_pandas",
+    "add_column", "murmur3_32",
 ]
 
 _INITIAL_PARTITION_FIELD_ID = 1000
@@ -264,6 +264,9 @@ def manifest_entry_avro_schema(spec_fields, schema_by_id) -> dict:
          "default": None},
         {"name": "split_offsets", "field-id": 132,
          "type": ["null", {"type": "array", "items": "long"}],
+         "default": None},
+        {"name": "equality_ids", "field-id": 135,
+         "type": ["null", {"type": "array", "items": "int"}],
          "default": None},
         {"name": "sort_order_id", "field-id": 140,
          "type": ["null", "int"], "default": None},
@@ -599,19 +602,21 @@ class IcebergTable:
             for entry in self._live_entries(mf):
                 df_rec = entry["data_file"]
                 if is_delete_manifest or df_rec.get("content", 0) != 0:
-                    if df_rec.get("content") == 2:
+                    if df_rec.get("content") == 2 \
+                            and not df_rec.get("equality_ids"):
                         raise ValueError(
-                            "equality delete files are not supported "
-                            f"({df_rec['file_path']}); only position "
-                            "deletes — refusing rather than returning "
-                            "wrong rows")
-                    # position deletes only matter for data files that
+                            "equality delete file without equality_ids "
+                            f"({df_rec['file_path']}) — refusing "
+                            "rather than returning wrong rows")
+                    # delete files only matter for data files that
                     # survive pruning; pruning the delete manifest by
                     # the same filter is sound (pruned-away rows can't
                     # need delete suppression), keeping it always is
                     # conservative — keep (partition values are often
-                    # null-scoped)
-                    delete_files.append(df_rec)
+                    # null-scoped). _seq drives the equality-delete
+                    # strictly-newer rule in read().
+                    delete_files.append(
+                        dict(df_rec, _seq=entry["sequence_number"]))
                     continue
                 entries_total += 1
                 verdict = self._file_may_match(
@@ -621,7 +626,8 @@ class IcebergTable:
                 elif verdict == "bounds":
                     pruned_bounds += 1
                 else:
-                    files.append(df_rec)
+                    files.append(
+                        dict(df_rec, _seq=entry["sequence_number"]))
         return ScanPlan(files, len(manifests), pruned_m, entries_total,
                         pruned_part, pruned_bounds, delete_files)
 
@@ -742,35 +748,85 @@ class IcebergTable:
         """Planned, pruned read: ``spark.read.parquet`` over the
         surviving file list, with the filter re-applied as a Spark
         ``where`` so pruning is purely an optimization (Catalyst also
-        pushes it into the parquet row-group scan). Position deletes
-        (merge-on-read) apply as a broadcast left-anti join on
-        (file_path, row position) using Spark's parquet ``_metadata``
-        row index — delete sets are compact by design, and data-file
-        paths are never reused, so global application is exact."""
+        pushes it into the parquet row-group scan). Merge-on-read
+        deletes apply as broadcast left-anti joins — POSITION deletes
+        on (file_path, row position) via Spark's parquet ``_metadata``
+        row index (data-file paths are never reused, so global
+        application is exact), EQUALITY deletes on null-safe key
+        equality restricted to data files with a STRICTLY SMALLER data
+        sequence number (the spec rule that lets a same-snapshot
+        upsert leave its own appended rows alone). Delete sets are
+        compact by design, hence the broadcasts."""
         from pyspark.sql import functions as F
         plan = self.plan_files(filter, snapshot_id, as_of_ms)
         if not plan.files:
             return spark.createDataFrame([], self.spark_schema())
         df = spark.read.schema(self.spark_schema()).parquet(*plan.paths)
-        if plan.delete_files:
-            dels = (spark.read
-                    .schema("file_path string, pos bigint")
-                    .parquet(*[d["file_path"]
-                               for d in plan.delete_files])
-                    .withColumnRenamed("file_path", "__del_fp")
-                    .withColumnRenamed("pos", "__del_pos"))
+        pos_dels = [d for d in plan.delete_files
+                    if d.get("content") == 1]
+        eq_dels = [d for d in plan.delete_files
+                   if d.get("content") == 2]
+        if pos_dels or eq_dels:
             cols = df.columns
             df = (df.withColumn(
                       "__fp", F.expr("regexp_replace("
                                      "_metadata.file_path,"
                                      " '^file:/+', '/')"))
-                    .withColumn("__pos", F.col("_metadata.row_index"))
-                    .join(F.broadcast(dels),
-                          (F.col("__fp") == F.col("__del_fp"))
-                          & (F.col("__pos") == F.col("__del_pos")),
-                          "left_anti")
-                    .select(*cols))
+                    .withColumn("__pos", F.col("_metadata.row_index")))
+            if pos_dels:
+                dels = (spark.read
+                        .schema("file_path string, pos bigint")
+                        .parquet(*[d["file_path"] for d in pos_dels])
+                        .withColumnRenamed("file_path", "__del_fp")
+                        .withColumnRenamed("pos", "__del_pos"))
+                df = df.join(F.broadcast(dels),
+                             (F.col("__fp") == F.col("__del_fp"))
+                             & (F.col("__pos") == F.col("__del_pos")),
+                             "left_anti")
+            if eq_dels:
+                df = self._apply_equality_deletes(spark, df, plan,
+                                                  eq_dels)
+            df = df.select(*cols)
         return _apply_spark_filter(df, filter)
+
+    def _apply_equality_deletes(self, spark, df, plan, eq_dels):
+        """Anti-join per equality-ids group: delete rows match on
+        null-safe equality of the key columns AND apply only to data
+        files with a strictly smaller sequence number."""
+        from collections import defaultdict
+
+        from pyspark.sql import functions as F
+        schema_by_id = {f["id"]: f for f in self.schema_fields}
+        seqdf = spark.createDataFrame(
+            pd.DataFrame({"__sfp": [f["file_path"]
+                                    for f in plan.files],
+                          "__dseq": [f["_seq"] for f in plan.files]}))
+        df = (df.join(F.broadcast(seqdf),
+                      F.col("__fp") == F.col("__sfp"), "left")
+                .drop("__sfp"))
+        groups = defaultdict(list)
+        for d in eq_dels:
+            groups[tuple(d["equality_ids"])].append(d)
+        for ids, dfiles in sorted(groups.items()):
+            names = [schema_by_id[i]["name"] for i in ids]
+            sub_schema = ", ".join(
+                f"{schema_by_id[i]['name']} "
+                f"{_ICE_TO_SPARK[schema_by_id[i]['type']]}"
+                for i in ids)
+            ddf = None
+            for d in sorted(dfiles, key=lambda x: x["file_path"]):
+                part = (spark.read.schema(sub_schema)
+                        .parquet(d["file_path"])
+                        .withColumn("__eseq",
+                                    F.lit(d["_seq"]).cast("bigint")))
+                ddf = part if ddf is None else ddf.unionByName(part)
+            ddf = ddf.select(*[F.col(n).alias(f"__eq_{n}")
+                               for n in names], "__eseq")
+            cond = F.col("__eseq") > F.col("__dseq")
+            for n in names:
+                cond = cond & F.col(n).eqNullSafe(F.col(f"__eq_{n}"))
+            df = df.join(F.broadcast(ddf), cond, "left_anti")
+        return df.drop("__dseq")
 
     def plan_files_spark(self, spark, filter=None,
                          snapshot_id: int | None = None):
@@ -928,7 +984,8 @@ def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
         # round-trip and the reader's NaN pruning guard can see them
         "nan_value_counts": None,
         "lower_bounds": lowers, "upper_bounds": uppers,
-        "split_offsets": None, "sort_order_id": None,
+        "split_offsets": None, "equality_ids": None,
+        "sort_order_id": None,
     }
 
 
@@ -945,8 +1002,9 @@ def _partition_values_of(pdf: pd.DataFrame, spec_fields,
 
 
 def _commit_append(table: IcebergTable, data_files: list[dict],
-                   timestamp_ms: int, content: int = 0,
-                   operation: str = "append") -> IcebergTable:
+                   timestamp_ms: int, operation: str = "append",
+                   delete_files: list[dict] | None = None
+                   ) -> IcebergTable:
     """Driver-side metadata commit: manifest -> manifest list -> new
     metadata version + version-hint (atomic os.replace), serialized by
     an exclusive commit lock with a FRESH metadata read inside it (the
@@ -965,12 +1023,15 @@ def _commit_append(table: IcebergTable, data_files: list[dict],
             pass  # no flock (non-posix FS): single-writer assumption
         fresh = load_table(table.path)
         return _commit_append_locked(fresh, data_files, timestamp_ms,
-                                     content, operation)
+                                     operation, delete_files or [])
 
 
 def _commit_append_locked(table: IcebergTable, data_files: list[dict],
-                          timestamp_ms: int, content: int = 0,
-                          operation: str = "append") -> IcebergTable:
+                          timestamp_ms: int,
+                          operation: str = "append",
+                          delete_files: list[dict] | None = None
+                          ) -> IcebergTable:
+    delete_files = delete_files or []
     meta = dict(table.meta)
     seq = meta["last-sequence-number"] + 1
     # snapshot id is content-derived, NOT just (uuid, seq): the uuid is
@@ -979,7 +1040,8 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
     # snapshot id — iceberg_ingest's lineage check depends on it.
     # Still deterministic (same inputs -> same table) for fixtures.
     content_sig = hashlib.sha256("|".join(
-        d["file_path"] for d in data_files).encode()).hexdigest()[:16]
+        d["file_path"] for d in data_files + delete_files
+    ).encode()).hexdigest()[:16]
     snap_id = int(hashlib.sha256(
         f"{meta['table-uuid']}|{seq}|{timestamp_ms}|{content_sig}"
         .encode()).hexdigest()[:15], 16)
@@ -988,41 +1050,56 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
     spec_fields = table.spec_fields
 
     entry_schema = manifest_entry_avro_schema(spec_fields, schema_by_id)
-    manifest_meta = {"schema": json.dumps(
-                         {"type": "struct",
-                          "fields": table.schema_fields}),
-                     "partition-spec": json.dumps(spec_fields),
-                     "partition-spec-id": str(meta["default-spec-id"]),
-                     "format-version": "2",
-                     "content": "data" if content == 0 else "deletes"}
-    manifest_path = os.path.join(
-        mdir, f"{_det_uuid('manifest', snap_id)}-m0.avro")
-    entries = [{"status": 1, "snapshot_id": snap_id,
-                "sequence_number": seq, "file_sequence_number": seq,
-                "data_file": df} for df in data_files]
-    avro_ocf.write_ocf(manifest_path, entry_schema, entries,
-                       metadata=manifest_meta)
 
-    summaries = _field_summaries(data_files, spec_fields, schema_by_id)
-    new_manifest = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": meta["default-spec-id"], "content": content,
-        "sequence_number": seq, "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(data_files),
-        "existing_files_count": 0, "deleted_files_count": 0,
-        "added_rows_count": sum(d["record_count"] for d in data_files),
-        "existing_rows_count": 0, "deleted_rows_count": 0,
-        "partitions": summaries,
-    }
+    def _write_manifest(files: list[dict], content: int,
+                        tag: str) -> dict:
+        manifest_meta = {
+            "schema": json.dumps({"type": "struct",
+                                  "fields": table.schema_fields}),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(meta["default-spec-id"]),
+            "format-version": "2",
+            "content": "data" if content == 0 else "deletes"}
+        mpath = os.path.join(
+            mdir, f"{_det_uuid('manifest', snap_id, tag)}-{tag}.avro")
+        entries = [{"status": 1, "snapshot_id": snap_id,
+                    "sequence_number": seq, "file_sequence_number": seq,
+                    "data_file": df} for df in files]
+        avro_ocf.write_ocf(mpath, entry_schema, entries,
+                           metadata=manifest_meta)
+        return {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": meta["default-spec-id"],
+            "content": content,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(files),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": sum(d["record_count"] for d in files),
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": _field_summaries(files, spec_fields,
+                                           schema_by_id),
+        }
+
+    new_manifests = []
+    if data_files or not delete_files:     # keep append's empty commit
+        new_manifests.append(_write_manifest(data_files, 0, "m0"))
+    if delete_files:
+        new_manifests.append(_write_manifest(delete_files, 1, "m1"))
     prior = table.snapshot()
     prior_manifests = []
     if prior is not None:
         _, prior_manifests = avro_ocf.read_ocf(prior["manifest-list"])
+    manifest_meta_data = {
+        "schema": json.dumps({"type": "struct",
+                              "fields": table.schema_fields}),
+        "partition-spec": json.dumps(spec_fields),
+        "partition-spec-id": str(meta["default-spec-id"]),
+        "format-version": "2", "content": "data"}
     manifests = _maybe_merge_manifests(
-        table, prior_manifests + [new_manifest], meta, snap_id,
-        entry_schema, manifest_meta, spec_fields, schema_by_id)
+        table, prior_manifests + new_manifests, meta, snap_id,
+        entry_schema, manifest_meta_data, spec_fields, schema_by_id)
     ml_path = os.path.join(
         mdir, f"snap-{snap_id}-1-{_det_uuid('ml', snap_id)}.avro")
     avro_ocf.write_ocf(ml_path, MANIFEST_LIST_AVRO_SCHEMA, manifests)
@@ -1207,11 +1284,12 @@ def delete_where(path: str, filter, timestamp_ms: int = 0
     fps: list[str] = []
     poss: list[int] = []
     deleted_before = {}
-    if plan.delete_files:
-        for d in plan.delete_files:
-            ddf = pd.read_parquet(d["file_path"])
-            for fp, pos in zip(ddf["file_path"], ddf["pos"]):
-                deleted_before.setdefault(fp, set()).add(int(pos))
+    for d in plan.delete_files:
+        if d.get("content") != 1:
+            continue                       # equality files hold keys
+        ddf = pd.read_parquet(d["file_path"])
+        for fp, pos in zip(ddf["file_path"], ddf["pos"]):
+            deleted_before.setdefault(fp, set()).add(int(pos))
     for f in plan.files:
         pdf = pd.read_parquet(f["file_path"])
         mask = _pdf_mask(pdf, flt)
@@ -1236,10 +1314,70 @@ def delete_where(path: str, filter, timestamp_ms: int = 0
         "value_counts": None, "null_value_counts": None,
         "nan_value_counts": None,
         "lower_bounds": None, "upper_bounds": None,
-        "split_offsets": None, "sort_order_id": None,
+        "split_offsets": None, "equality_ids": None,
+        "sort_order_id": None,
     }
-    return _commit_append(table, [delete_file], timestamp_ms,
-                          content=1, operation="delete")
+    return _commit_append(table, [], timestamp_ms, operation="delete",
+                          delete_files=[delete_file])
+
+
+def upsert_pandas(path: str, pdf: pd.DataFrame, key_cols: list[str],
+                  timestamp_ms: int = 0) -> IcebergTable:
+    """CDC-style upsert in ONE snapshot (the Flink-writer shape): an
+    EQUALITY DELETE file on ``key_cols`` plus the new rows as data
+    files. Both carry this commit's sequence number, and equality
+    deletes apply only to data files with a STRICTLY SMALLER sequence
+    number — so the delete retires every older row with a matching key
+    while the rows appended here are untouched. Rows whose keys are
+    new behave as plain inserts (the delete matches nothing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = load_table(path)
+    by_name = {f["name"]: f for f in table.schema_fields}
+    missing = [c for c in key_cols if c not in by_name]
+    if missing or not key_cols:
+        raise ValueError(f"unknown or empty key columns: {missing}")
+    ids = [by_name[c]["id"] for c in key_cols]
+    keys = pdf[key_cols].drop_duplicates().reset_index(drop=True)
+    seq_hint = table.meta["last-sequence-number"] + 1
+    kname = _det_uuid("eqdel", seq_hint, len(keys),
+                      str(keys.iloc[0].tolist()) if len(keys) else "")
+    dpath = os.path.join(path, "data", f"{kname}-eqdeletes.parquet")
+    pq.write_table(pa.Table.from_pandas(keys, preserve_index=False),
+                   dpath)
+    spec_fields = table.spec_fields
+    delete_file = {
+        "content": 2, "file_path": dpath, "file_format": "PARQUET",
+        "partition": {pf["name"]: None for pf in spec_fields},
+        "record_count": len(keys),
+        "file_size_in_bytes": os.path.getsize(dpath),
+        "value_counts": None, "null_value_counts": None,
+        "nan_value_counts": None,
+        "lower_bounds": None, "upper_bounds": None,
+        "split_offsets": None, "equality_ids": ids,
+        "sort_order_id": None,
+    }
+    schema_by_id = {f["id"]: f for f in table.schema_fields}
+    data_files = []
+    if spec_fields:
+        pvals = _partition_values_of(pdf, spec_fields, schema_by_id)
+        for key, idx in pvals.groupby(
+                list(pvals.columns), dropna=False,
+                sort=True).groups.items():
+            if not isinstance(key, tuple):
+                key = (key,)
+            part = {pf["name"]: (None if pd.isna(k) else _to_py(k))
+                    for pf, k in zip(spec_fields, key)}
+            data_files.append(_write_data_file(
+                pdf.loc[idx], path, seq_hint, part,
+                table.schema_fields))
+    else:
+        data_files.append(_write_data_file(
+            pdf, path, seq_hint, {}, table.schema_fields))
+    return _commit_append(table, data_files, timestamp_ms,
+                          operation="overwrite",
+                          delete_files=[delete_file])
 
 
 def append_spark(path: str, df, timestamp_ms: int = 0,

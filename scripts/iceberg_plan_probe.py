@@ -53,6 +53,7 @@ def _fake_data_file(seq: int, i: int, lang: str) -> dict:
                           "value": iceberg.to_single_value_bytes(
                               "long", hi)}],
         "split_offsets": None,
+        "equality_ids": None,
         "sort_order_id": None,
     }
 

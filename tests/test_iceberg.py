@@ -332,6 +332,57 @@ def test_position_deletes(spark, tmp_path, docs_pdf):
         t4.plan_files()
 
 
+def test_equality_deletes_upsert(spark, tmp_path, docs_pdf):
+    """CDC upserts: an equality delete on the key + appended rows in
+    one snapshot retires every OLDER row with a matching key while the
+    same-commit rows survive (strictly-smaller-sequence rule); chained
+    upserts, time travel, and position deletes compose."""
+    root = str(tmp_path / "upserttbl")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    t = iceberg.append_pandas(root, docs_pdf, timestamp_ms=1000)
+    pre_snap = t.meta["current-snapshot-id"]
+
+    upd = docs_pdf.iloc[:40].copy()
+    upd["n_chars"] = upd["n_chars"] + 1000
+    new = docs_pdf.iloc[:5].copy()
+    new["doc_id"] = new["doc_id"] + 500_000
+    t = iceberg.upsert_pandas(root, pd.concat([upd, new],
+                                              ignore_index=True),
+                              ["doc_id"], timestamp_ms=2000)
+    got = t.read(spark).toPandas()
+    assert len(got) == len(docs_pdf) + len(new)
+    assert got.doc_id.is_unique              # old versions suppressed
+    m = got.set_index("doc_id")
+    orig = docs_pdf.set_index("doc_id")
+    for d in upd.doc_id:
+        assert m.loc[d, "n_chars"] == orig.loc[d, "n_chars"] + 1000
+
+    # chained upsert bumps again (each delete only reaches older seqs)
+    upd2 = upd.copy()
+    upd2["n_chars"] = upd2["n_chars"] + 1
+    t = iceberg.upsert_pandas(root, upd2, ["doc_id"], timestamp_ms=3000)
+    got2 = t.read(spark).toPandas()
+    assert got2.doc_id.is_unique and len(got2) == len(got)
+    m2 = got2.set_index("doc_id")
+    assert m2.loc[upd.doc_id.iloc[0], "n_chars"] \
+        == orig.loc[upd.doc_id.iloc[0], "n_chars"] + 1001
+
+    # time travel to the pre-upsert snapshot: original values
+    old = t.read(spark, snapshot_id=pre_snap).toPandas()
+    assert len(old) == len(docs_pdf)
+    assert old.set_index("doc_id").loc[upd.doc_id.iloc[0], "n_chars"] \
+        == orig.loc[upd.doc_id.iloc[0], "n_chars"]
+
+    # position delete on top of equality deletes
+    t = iceberg.delete_where(root, [("doc_id", "<", 10)],
+                             timestamp_ms=4000)
+    got3 = t.read(spark).toPandas()
+    assert (got3.doc_id >= 10).all()
+    assert got3.doc_id.is_unique
+    assert len(got3) == (got2.doc_id >= 10).sum()
+
+
 def test_add_column_schema_evolution(spark, tmp_path, docs_pdf):
     """Add-column evolution: pre-evolution files null-fill the new
     column on read; pruning on the new column keeps old files (no

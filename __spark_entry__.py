@@ -1077,7 +1077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import pyarrow as pa
 
         from quickwit_spark.sources import iceberg as ice
-        key = hashlib.sha256(f"icefix-v4|{d}".encode()).hexdigest()[:16]
+        # v5: the writer now embeds PARQUET:field_id footers (rename/
+        # drop support) — regenerate cached fixtures built without them
+        key = hashlib.sha256(f"icefix-v5|{d}".encode()).hexdigest()[:16]
         base = os.path.join(tempfile.gettempdir(), f"qw_icefix_{key}")
         root = os.path.join(base, "docs")
         done = os.path.join(base, "_DONE")
@@ -1162,6 +1164,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("n_chars").alias("sum_chars"))
                 .orderBy("lang"))
     q["iceberg_upsert_read"] = iceberg_upsert_read
+
+    def _iceberg_rename_fixture(d):
+        # separate table so the four rows above stay byte-stable: even
+        # doc_ids written under the ORIGINAL column name n_chars
+        # (snapshot 1), the column renamed to char_count (field id
+        # kept), odd doc_ids written under the NEW name (snapshot 2) —
+        # a mixed-generation table whose read is only correct if old
+        # files resolve by the embedded parquet field id
+        import hashlib
+        import shutil
+
+        import pyarrow as pa
+
+        from quickwit_spark.sources import iceberg as ice
+        key = hashlib.sha256(
+            f"icerenfix-v1|{d}".encode()).hexdigest()[:16]
+        base = os.path.join(tempfile.gettempdir(), f"qw_iceren_{key}")
+        root = os.path.join(base, "docs")
+        done = os.path.join(base, "_DONE")
+        if not os.path.exists(done):
+            shutil.rmtree(base, ignore_errors=True)
+            pdf = (pd.read_parquet(os.path.join(d, "documents.parquet"))
+                   [["doc_id", "lang", "n_chars"]]
+                   .sort_values("doc_id").reset_index(drop=True))
+            ice.create_table(root, pa.Schema.from_pandas(pdf),
+                             partition_by=[("lang", "identity")])
+            ice.append_pandas(root, pdf[pdf.doc_id % 2 == 0],
+                              timestamp_ms=1000)
+            ice.rename_column(root, "n_chars", "char_count")
+            ice.append_pandas(
+                root,
+                pdf[pdf.doc_id % 2 == 1].rename(
+                    columns={"n_chars": "char_count"}),
+                timestamp_ms=2000)
+            with open(done, "w") as f:
+                f.write("ok")
+        return root
+
+    def iceberg_rename_read(s, d):
+        # gates the field-id read path end-to-end: if pre-rename files
+        # bound by NAME instead of id, every even doc's char_count
+        # would read null and sum_chars/n_nonnull shift
+        from quickwit_spark.sources import iceberg as ice
+        t = ice.load_table(_iceberg_rename_fixture(d))
+        df = t.read(s)
+        return (df.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.count("char_count").alias("n_nonnull"),
+                     F.sum("char_count").alias("sum_chars"),
+                     F.min("doc_id").alias("min_id"))
+                .orderBy("lang"))
+    q["iceberg_rename_read"] = iceberg_rename_read
 
     # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
     # find_trace_ids_collector.rs) — events rows are deterministically
@@ -1496,6 +1550,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge-on-read position/equality deletes, CDC upserts)
         "iceberg_scan_filter", "iceberg_time_travel",
         "iceberg_delete_read", "iceberg_upsert_read",
+        # new session 5: rename/drop schema evolution — mixed-
+        # generation read resolved by embedded parquet field ids
+        # (dedup_exact demoted below: green r4, and this session's
+        # dedup.py changes — star capping, max_bucket — never touch
+        # its content-hash groupBy path; the dedup family keeps
+        # minhash_lsh / simhash / embedding_cosine / substr_windows
+        # as in-window reps)
+        "iceberg_rename_read",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1533,7 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kwarg this round, covered by dedup_minhash_lsh +
         # dedup_substr_windows as in-window dedup reps over the same
         # candidate-pair plumbing)
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine",
         "dedup_substr_windows",
         "ann_ivf_topk", "ann_pq_adc_topk",
@@ -1547,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate_ngrams, stratified_sample, training_mix_budget,
         # text_fingerprint — demoted for multimodal_jpeg_gray_stats)
         # or green r3 (remaining agg_* rows), code untouched since
+        "dedup_exact",
         "text_token_counts", "strip_boilerplate", "gopher_quality_filter",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs", "dedup_clusters", "dedup_substr_stats",
@@ -2284,6 +2347,13 @@ SELECT lang, count(*) AS n_docs,
                        THEN 1000 ELSE 0 END) AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id >= 50
 GROUP BY lang ORDER BY lang
+"""
+    o["iceberg_rename_read"] = """
+SELECT lang, count(*) AS n_docs,
+       count(n_chars) AS n_nonnull,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id
+FROM documents GROUP BY lang ORDER BY lang
 """
     o["multimodal_flac_stats"] = """
 SELECT d.doc_id,

@@ -40,14 +40,25 @@ Implemented (spec v2):
   alone. Malformed equality-delete files (no equality_ids) refuse
   loudly rather than return wrong rows;
 - manifest compaction (min-count-to-merge / target-size-bytes) and
-  add-column schema evolution (old files null-fill on read).
+  schema evolution: add-column (old files null-fill on read),
+  RENAME-column and DROP-column. Every data file this writer emits
+  embeds the Iceberg field id in its parquet footer
+  (``PARQUET:field_id``, the spec's column-resolution rule), and reads
+  over a renamed/dropped schema resolve columns BY ID via Spark's
+  native field-id parquet path (``spark.sql.parquet.fieldId.read``) —
+  fully distributed, no per-file driver work. Tables created before
+  this writer embedded ids refuse rename/drop loudly (their files
+  can only be resolved by name);
+- maintenance: ``expire_snapshots`` (time-travel retention + deletion
+  of files only reachable from expired snapshots) and
+  ``remove_orphan_files`` (disk scan vs the reachable set), plus
+  metadata tables (``snapshots_df`` / ``files_df`` / ``manifests_df``).
 
 Scale: the driver never reads data files during planning. At 10^12
 files the manifest tier is the bottleneck, so ``plan_files`` also has a
 distributed twin (``IcebergTable.plan_files_spark``) that decodes
 manifests on executors via mapInPandas and returns the pruned file
-list as a DataFrame. Out of scope: column renames/drops (no parquet
-field-id mapping emitted), snapshot expiry.
+list as a DataFrame.
 """
 
 from __future__ import annotations
@@ -65,10 +76,21 @@ from . import avro_ocf
 __all__ = [
     "create_table", "load_table", "IcebergTable", "ScanPlan",
     "append_pandas", "append_spark", "delete_where", "upsert_pandas",
-    "add_column", "murmur3_32",
+    "add_column", "rename_column", "drop_column",
+    "expire_snapshots", "remove_orphan_files", "murmur3_32",
 ]
 
 _INITIAL_PARTITION_FIELD_ID = 1000
+
+# Table property stamped by create_table: every data/delete file this
+# writer emits embeds PARQUET:field_id footers, so id-based column
+# resolution (renames/drops) is sound. Tables lacking the property were
+# written before ids were embedded — rename/drop refuse on them.
+_FIELD_IDS_PROP = "quickwit.parquet-field-ids"
+
+# Spec reserved field ids for position-delete file columns.
+_POS_DELETE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
 
 
 # ----------------------------------------------------------- murmur3-32
@@ -391,7 +413,7 @@ def create_table(path: str, pa_schema, partition_by=None,
                               + len(spec_fields)),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": properties or {},
+        "properties": {**(properties or {}), _FIELD_IDS_PROP: "true"},
         "current-snapshot-id": -1,
         "snapshots": [],
         "snapshot-log": [],
@@ -408,9 +430,8 @@ def add_column(path: str, name: str, ice_type: str) -> "IcebergTable":
     Existing data files simply lack the column and read as null —
     Spark's parquet reader null-fills read-schema columns missing from
     a file — and old manifests carry no bounds for the new field, so
-    pruning on it keeps old files (conservative, correct). Renames and
-    drops would need parquet-footer field-id mapping, which this
-    writer does not emit — out of scope, adds only."""
+    pruning on it keeps old files (conservative, correct). See
+    ``rename_column`` / ``drop_column`` for the id-mapped forms."""
     if ice_type not in _ICE_TO_AVRO:
         raise ValueError(f"unsupported column type {ice_type!r}")
     with _commit_lock(path):
@@ -430,6 +451,89 @@ def add_column(path: str, name: str, ice_type: str) -> "IcebergTable":
         meta["schemas"] = meta["schemas"] + [new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
         meta["last-column-id"] = fid
+        _write_metadata(path, meta, table.version + 1)
+        return IcebergTable(path, meta, table.version + 1)
+
+
+def _require_field_ids(table: "IcebergTable", op: str) -> None:
+    if table.meta.get("properties", {}).get(_FIELD_IDS_PROP) != "true":
+        raise ValueError(
+            f"{op} requires parquet field ids embedded in every data "
+            "file, but this table predates the id-embedding writer "
+            f"(missing property {_FIELD_IDS_PROP!r}) — its files can "
+            "only be resolved by name. Rewrite the table (read + "
+            "append into a fresh create_table) to enable renames/drops")
+
+
+def rename_column(path: str, old: str, new: str) -> "IcebergTable":
+    """Schema evolution: rename a column, keeping its field id (a new
+    schema generation, no data rewritten). Reads resolve old files by
+    the parquet field id, so data written under the old name binds to
+    the new name; pruning keeps working because manifest bounds are
+    keyed by field id, not name."""
+    with _commit_lock(path):
+        table = load_table(path)
+        _require_field_ids(table, "rename_column")
+        by_name = {f["name"]: f for f in table.schema_fields}
+        if old not in by_name:
+            raise ValueError(f"unknown column {old!r}")
+        if new in by_name:
+            raise ValueError(f"column {new!r} already exists")
+        meta = dict(table.meta)
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s["schema-id"]
+                             for s in meta["schemas"]) + 1,
+            "fields": [dict(f, name=new) if f["name"] == old else f
+                       for f in table.schema_fields],
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        _write_metadata(path, meta, table.version + 1)
+        return IcebergTable(path, meta, table.version + 1)
+
+
+def drop_column(path: str, name: str) -> "IcebergTable":
+    """Schema evolution: drop a column (new schema generation; data
+    files keep the physical column, reads project it away by field id).
+    Refuses when the column sources the active partition spec (the
+    spec's rule — planning would lose its transform source) or when a
+    LIVE equality-delete file references its id (applying that delete
+    would need the dropped column's values). A later add_column may
+    reuse the name: it gets a FRESH id, and id-based reads keep old
+    files' values out of the new column (null-filled instead of
+    silently resurrected)."""
+    with _commit_lock(path):
+        table = load_table(path)
+        _require_field_ids(table, "drop_column")
+        by_name = {f["name"]: f for f in table.schema_fields}
+        if name not in by_name:
+            raise ValueError(f"unknown column {name!r}")
+        if len(table.schema_fields) == 1:
+            raise ValueError("cannot drop the last column")
+        fid = by_name[name]["id"]
+        if any(pf["source-id"] == fid for pf in table.spec_fields):
+            raise ValueError(
+                f"column {name!r} sources the active partition spec — "
+                "dropping it would break partition planning")
+        live_eq = [d for d in table.plan_files().delete_files
+                   if d.get("content") == 2
+                   and fid in (d.get("equality_ids") or [])]
+        if live_eq:
+            raise ValueError(
+                f"column {name!r} is referenced by {len(live_eq)} live "
+                "equality-delete file(s) — their key values would be "
+                "unreadable; compact the deletes first")
+        meta = dict(table.meta)
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s["schema-id"]
+                             for s in meta["schemas"]) + 1,
+            "fields": [f for f in table.schema_fields
+                       if f["name"] != name],
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
         _write_metadata(path, meta, table.version + 1)
         return IcebergTable(path, meta, table.version + 1)
 
@@ -554,6 +658,50 @@ class IcebergTable:
     def spark_schema(self) -> str:
         return ", ".join(f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
                          for f in self.schema_fields)
+
+    def _schema_fields_for(self, schema_id) -> list[dict]:
+        """Fields of a historical schema generation (time-travel reads
+        use the snapshot's schema, like Iceberg engines); falls back to
+        the current schema when the id is missing/unknown (pre-evolution
+        snapshots recorded no usable generation)."""
+        if schema_id is not None:
+            for s in self.meta["schemas"]:
+                if s["schema-id"] == schema_id:
+                    return s["fields"]
+        return self.schema_fields
+
+    def _needs_field_id_read(self, fields) -> bool:
+        """True iff NAME-based parquet column resolution could mis-bind
+        for this read schema: some historical schema generation bound
+        one of these names to a different field id (a name reused after
+        a drop) or one of these ids to a different name (a rename) — a
+        data file written under that generation carries the old
+        binding. Add-only evolution stays on the plain name path, which
+        also keeps tables whose files predate id embedding readable."""
+        ids = {f["id"]: f["name"] for f in fields}
+        names = {f["name"]: f["id"] for f in fields}
+        for s in self.meta["schemas"]:
+            for f in s["fields"]:
+                if ids.get(f["id"], f["name"]) != f["name"]:
+                    return True
+                if names.get(f["name"], f["id"]) != f["id"]:
+                    return True
+        return False
+
+    def _spark_read_schema(self, fields, use_ids):
+        """Spark StructType for a parquet read over these fields; with
+        ``use_ids`` each StructField carries ``parquet.field.id``
+        metadata so Spark's fieldId reader resolves columns by id."""
+        from pyspark.sql import types as T
+        spark_t = {"long": T.LongType(), "int": T.IntegerType(),
+                   "string": T.StringType(), "double": T.DoubleType(),
+                   "float": T.FloatType(), "boolean": T.BooleanType(),
+                   "binary": T.BinaryType()}
+        return T.StructType([
+            T.StructField(f["name"], spark_t[f["type"]], True,
+                          metadata=({"parquet.field.id": f["id"]}
+                                    if use_ids else None))
+            for f in fields])
 
     # ----------------------------------------------------- snapshots
 
@@ -757,10 +905,26 @@ class IcebergTable:
         upsert leave its own appended rows alone). Delete sets are
         compact by design, hence the broadcasts."""
         from pyspark.sql import functions as F
+        # time-travel reads use the SNAPSHOT's schema generation (like
+        # Iceberg engines); current reads use the current schema. Once
+        # any rename (or name reuse after a drop) exists in schema
+        # history, name-based parquet resolution would mis-bind old
+        # files, so the read switches to Spark's field-id path — the
+        # ids our writer embeds in every parquet footer.
+        snap = self.snapshot(snapshot_id, as_of_ms)
+        fields = (self._schema_fields_for(snap.get("schema-id"))
+                  if snap is not None
+                  and (snapshot_id is not None or as_of_ms is not None)
+                  else self.schema_fields)
+        use_ids = self._needs_field_id_read(fields)
+        read_schema = self._spark_read_schema(fields, use_ids)
+        if use_ids:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                           "true")
         plan = self.plan_files(filter, snapshot_id, as_of_ms)
         if not plan.files:
-            return spark.createDataFrame([], self.spark_schema())
-        df = spark.read.schema(self.spark_schema()).parquet(*plan.paths)
+            return spark.createDataFrame([], read_schema)
+        df = spark.read.schema(read_schema).parquet(*plan.paths)
         pos_dels = [d for d in plan.delete_files
                     if d.get("content") == 1]
         eq_dels = [d for d in plan.delete_files
@@ -776,7 +940,7 @@ class IcebergTable:
             # (no per-row decode UDF). A plan path that cannot be
             # matched refuses loudly — a missed translation would
             # silently resurrect deleted rows.
-            enc_rows = (spark.read.schema(self.spark_schema())
+            enc_rows = (spark.read.schema(read_schema)
                         .parquet(*plan.paths)
                         .select(F.col("_metadata.file_path").alias("p"))
                         .distinct().collect())
@@ -814,21 +978,24 @@ class IcebergTable:
                              "left_anti")
             if eq_dels:
                 df = self._apply_equality_deletes(spark, df, plan,
-                                                  eq_dels, enc_by_raw)
+                                                  eq_dels, enc_by_raw,
+                                                  fields, use_ids)
             df = df.select(*cols)
         return _apply_spark_filter(df, filter)
 
     def _apply_equality_deletes(self, spark, df, plan, eq_dels,
-                                enc_by_raw):
+                                enc_by_raw, fields, use_ids):
         """Anti-join per equality-ids group: delete rows match on
         null-safe equality of the key columns AND apply only to data
         files with a strictly smaller sequence number. ``enc_by_raw``
         maps planned raw paths to Spark's URI ``_metadata.file_path``
-        form (see read())."""
+        form (see read()); ``fields``/``use_ids`` are the read schema —
+        delete-key files written before a rename carry the old column
+        name, so with ``use_ids`` they too are resolved by field id."""
         from collections import defaultdict
 
         from pyspark.sql import functions as F
-        schema_by_id = {f["id"]: f for f in self.schema_fields}
+        schema_by_id = {f["id"]: f for f in fields}
         seqdf = spark.createDataFrame(
             pd.DataFrame({"__sfp": [enc_by_raw[f["file_path"]]
                                     for f in plan.files],
@@ -840,11 +1007,15 @@ class IcebergTable:
         for d in eq_dels:
             groups[tuple(d["equality_ids"])].append(d)
         for ids, dfiles in sorted(groups.items()):
+            missing = [i for i in ids if i not in schema_by_id]
+            if missing:
+                raise ValueError(
+                    f"equality delete references field id(s) {missing} "
+                    "not present in the read schema — refusing rather "
+                    "than matching on null-filled keys")
             names = [schema_by_id[i]["name"] for i in ids]
-            sub_schema = ", ".join(
-                f"{schema_by_id[i]['name']} "
-                f"{_ICE_TO_SPARK[schema_by_id[i]['type']]}"
-                for i in ids)
+            sub_schema = self._spark_read_schema(
+                [schema_by_id[i] for i in ids], use_ids)
             ddf = None
             for d in sorted(dfiles, key=lambda x: x["file_path"]):
                 part = (spark.read.schema(sub_schema)
@@ -914,6 +1085,65 @@ class IcebergTable:
 
         return mdf.repartition(min(len(keep), 32)).mapInPandas(
             _decode, "file_path string, record_count bigint")
+
+    # ----------------------------------------- metadata tables
+    # (Iceberg's `table$snapshots` / `$manifests` / `$files` surface)
+
+    def snapshots_df(self, spark):
+        """One row per snapshot in the current metadata."""
+        snaps = self.meta["snapshots"]
+        pdf = pd.DataFrame({
+            "snapshot_id": [s["snapshot-id"] for s in snaps],
+            "parent_id": [s.get("parent-snapshot-id") for s in snaps],
+            "sequence_number": [s["sequence-number"] for s in snaps],
+            "timestamp_ms": [s["timestamp-ms"] for s in snaps],
+            "operation": [s["summary"]["operation"] for s in snaps],
+            "schema_id": [s.get("schema-id") for s in snaps],
+            "manifest_list": [s["manifest-list"] for s in snaps],
+        })
+        sch = ("snapshot_id bigint, parent_id bigint, "
+               "sequence_number bigint, timestamp_ms bigint, "
+               "operation string, schema_id int, manifest_list string")
+        return spark.createDataFrame(pdf, sch) if len(pdf) else \
+            spark.createDataFrame([], sch)
+
+    def manifests_df(self, spark, snapshot_id: int | None = None):
+        """One row per manifest in a snapshot's manifest list."""
+        sch = ("manifest_path string, manifest_length bigint, "
+               "content int, sequence_number bigint, "
+               "min_sequence_number bigint, added_snapshot_id bigint, "
+               "added_files_count int, existing_files_count int, "
+               "deleted_files_count int, added_rows_count bigint")
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return spark.createDataFrame([], sch)
+        _, manifests = avro_ocf.read_ocf(snap["manifest-list"])
+        pdf = pd.DataFrame(
+            [{k: m.get(k) for k in
+              ("manifest_path", "manifest_length", "content",
+               "sequence_number", "min_sequence_number",
+               "added_snapshot_id", "added_files_count",
+               "existing_files_count", "deleted_files_count",
+               "added_rows_count")} for m in manifests])
+        pdf["content"] = pdf["content"].fillna(0).astype("int32")
+        return spark.createDataFrame(pdf, sch)
+
+    def files_df(self, spark, snapshot_id: int | None = None):
+        """One row per live data/delete file in a snapshot (driver-side
+        planning — at very large manifest counts prefer
+        ``plan_files_spark`` for the distributed data-file listing)."""
+        sch = ("file_path string, content int, record_count bigint, "
+               "file_size_in_bytes bigint, sequence_number bigint, "
+               "partition string")
+        plan = self.plan_files(snapshot_id=snapshot_id)
+        rows = [(f["file_path"], f.get("content", 0),
+                 f["record_count"], f["file_size_in_bytes"], f["_seq"],
+                 json.dumps(f.get("partition") or {}, sort_keys=True,
+                            default=str))
+                for f in plan.files + plan.delete_files]
+        rows.sort()
+        return spark.createDataFrame(rows, sch) if rows else \
+            spark.createDataFrame([], sch)
 
 
 def _kv_to_dict(kvs) -> dict:
@@ -992,6 +1222,21 @@ def _column_stats(pdf: pd.DataFrame, schema_fields) -> tuple:
     return lowers, uppers, nulls, values
 
 
+def _with_field_ids(table, ids_by_name: dict):
+    """Stamp ``PARQUET:field_id`` metadata onto an arrow table's schema
+    so the written parquet footer carries Iceberg field ids (the spec's
+    column-resolution rule; Spark's fieldId read path resolves renamed/
+    dropped columns by these). Metadata-only cast — zero data copy."""
+    import pyarrow as pa
+    fields = []
+    for f in table.schema:
+        fid = ids_by_name.get(f.name)
+        fields.append(f.with_metadata(
+            {b"PARQUET:field_id": str(fid).encode()})
+            if fid is not None else f)
+    return table.cast(pa.schema(fields))
+
+
 def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
                      part_values: dict, schema_fields) -> dict:
     """Write one parquet data file + return its manifest data_file rec."""
@@ -1002,7 +1247,9 @@ def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
                     len(pdf), str(pdf.iloc[0].tolist()) if len(pdf) else "")
     fpath = os.path.join(table_path, "data", f"{key}.parquet")
     cols = [f["name"] for f in schema_fields]
-    table = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+    table = _with_field_ids(
+        pa.Table.from_pandas(pdf[cols], preserve_index=False),
+        {f["name"]: f["id"] for f in schema_fields})
     pq.write_table(table, fpath)
     lowers, uppers, nulls, values = _column_stats(pdf, schema_fields)
     return {
@@ -1312,6 +1559,43 @@ def _pdf_mask(pdf: pd.DataFrame, flt) -> pd.Series:
     return mask
 
 
+def _read_cols_by_id(fpath: str, wanted: list[dict]) -> pd.DataFrame:
+    """Driver-side read of ``wanted`` (schema field dicts) from ONE
+    parquet data file, resolving columns by the embedded
+    ``PARQUET:field_id`` when the file carries ids (so files written
+    under a pre-rename name bind correctly) and by name otherwise
+    (legacy files). Output columns use the CURRENT names; fields the
+    file lacks (added after it was written) come back all-null. The
+    returned RangeIndex is the file row position (delete_where's
+    contract)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(fpath)
+    phys_by_id = {}
+    for f in pf.schema_arrow:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            phys_by_id[int(fid)] = f.name
+    names_in_file = set(pf.schema_arrow.names)
+    cols, rename, absent = [], {}, []
+    for f in wanted:
+        if phys_by_id:
+            phys = phys_by_id.get(f["id"])
+        else:
+            phys = f["name"] if f["name"] in names_in_file else None
+        if phys is None:
+            absent.append(f["name"])
+        else:
+            cols.append(phys)
+            rename[phys] = f["name"]
+    if cols:
+        pdf = pf.read(columns=cols).to_pandas().rename(columns=rename)
+    else:
+        pdf = pd.DataFrame(index=pd.RangeIndex(pf.metadata.num_rows))
+    for name in absent:
+        pdf[name] = None
+    return pdf[[f["name"] for f in wanted]]
+
+
 def delete_where(path: str, filter, timestamp_ms: int = 0
                  ) -> IcebergTable:
     """Row-level delete, merge-on-read style: writes a POSITION DELETE
@@ -1341,11 +1625,19 @@ def delete_where(path: str, filter, timestamp_ms: int = 0
         for fp, pos in zip(ddf["file_path"], ddf["pos"]):
             deleted_before.setdefault(fp, set()).add(int(pos))
     filter_cols = sorted({c for c, _op, _lit in flt})
+    by_name = {f["name"]: f for f in table.schema_fields}
+    unknown = [c for c in filter_cols if c not in by_name]
+    if unknown:
+        raise ValueError(f"unknown filter column(s) {unknown} — "
+                         "delete_where filters use CURRENT schema names")
+    wanted = [by_name[c] for c in filter_cols]
     for f in plan.files:
-        # read only the predicate columns: pandas RangeIndex preserves
-        # file row positions regardless of the column subset, so this
-        # driver scan is proportional to key width, not row width
-        pdf = pd.read_parquet(f["file_path"], columns=filter_cols)
+        # read only the predicate columns, resolved by field id (files
+        # written under a pre-rename name bind correctly): the pandas
+        # RangeIndex preserves file row positions regardless of the
+        # column subset, so this driver scan is proportional to key
+        # width, not row width
+        pdf = _read_cols_by_id(f["file_path"], wanted)
         mask = _pdf_mask(pdf, flt)
         already = deleted_before.get(f["file_path"], ())
         for pos in pdf.index[mask]:
@@ -1363,8 +1655,11 @@ def delete_where(path: str, filter, timestamp_ms: int = 0
     ).hexdigest()
     key = _det_uuid("delete", seq, content_sig)
     dpath = os.path.join(path, "data", f"{key}-deletes.parquet")
-    pq.write_table(pa.table({"file_path": pa.array(fps, pa.string()),
-                             "pos": pa.array(poss, pa.int64())}), dpath)
+    pq.write_table(_with_field_ids(
+        pa.table({"file_path": pa.array(fps, pa.string()),
+                  "pos": pa.array(poss, pa.int64())}),
+        {"file_path": _POS_DELETE_PATH_ID, "pos": _POS_DELETE_POS_ID}),
+        dpath)
     spec_fields = table.spec_fields
     delete_file = {
         "content": 1, "file_path": dpath, "file_format": "PARQUET",
@@ -1408,8 +1703,9 @@ def upsert_pandas(path: str, pdf: pd.DataFrame, key_cols: list[str],
         keys.to_csv(index=False).encode()).hexdigest()
     kname = _det_uuid("eqdel", seq_hint, keys_sig)
     dpath = os.path.join(path, "data", f"{kname}-eqdeletes.parquet")
-    pq.write_table(pa.Table.from_pandas(keys, preserve_index=False),
-                   dpath)
+    pq.write_table(_with_field_ids(
+        pa.Table.from_pandas(keys, preserve_index=False),
+        {c: by_name[c]["id"] for c in key_cols}), dpath)
     spec_fields = table.spec_fields
     delete_file = {
         "content": 2, "file_path": dpath, "file_format": "PARQUET",
@@ -1487,6 +1783,127 @@ def append_spark(path: str, df, timestamp_ms: int = 0,
                   for r in stats]
     data_files.sort(key=lambda d: d["file_path"])
     return _commit_append(table, data_files, timestamp_ms)
+
+
+# -------------------------------------------------- table maintenance
+
+def _reachable_paths(table: IcebergTable, snapshots: list[dict]
+                     ) -> tuple[set, set, set]:
+    """(manifest-list paths, manifest paths, data/delete file paths)
+    reachable from the given snapshots. Every entry status counts —
+    a DELETED entry still references its file, and a reader listing
+    that manifest must be able to open it."""
+    mlists, mpaths, fpaths = set(), set(), set()
+    for snap in snapshots:
+        mlists.add(snap["manifest-list"])
+        _, manifests = avro_ocf.read_ocf(snap["manifest-list"])
+        for mf in manifests:
+            if mf["manifest_path"] in mpaths:
+                continue                   # manifests are shared
+            mpaths.add(mf["manifest_path"])
+            _, entries = avro_ocf.read_ocf(mf["manifest_path"])
+            for e in entries:
+                fpaths.add(e["data_file"]["file_path"])
+    return mlists, mpaths, fpaths
+
+
+def _safe_unlink(p: str, root: str, removed: list) -> None:
+    if os.path.abspath(p).startswith(os.path.abspath(root) + os.sep):
+        try:
+            os.unlink(p)
+            removed.append(p)
+        except FileNotFoundError:
+            pass
+
+
+def expire_snapshots(path: str, older_than_ms: int | None = None,
+                     retain_last: int = 1) -> dict:
+    """Retention: drop snapshots older than ``older_than_ms`` (always
+    keeping the current one and the ``retain_last`` most recent), then
+    delete every file reachable ONLY from the expired snapshots
+    (manifest lists, manifests, data/delete files). The highest expired
+    sequence number is recorded as a table-property watermark so
+    ``ingest_iceberg``'s lineage check can tell legitimately-expired
+    history from a replaced table. Analog of Iceberg's
+    ``expire_snapshots`` maintenance action."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    with _commit_lock(path):
+        table = load_table(path)
+        meta = dict(table.meta)
+        snaps = sorted(meta["snapshots"],
+                       key=lambda s: (s["timestamp-ms"],
+                                      s["sequence-number"]))
+        cur = meta["current-snapshot-id"]
+        keep_ids = {s["snapshot-id"] for s in snaps[-retain_last:]}
+        if cur != -1:
+            keep_ids.add(cur)
+        if older_than_ms is not None:
+            keep_ids |= {s["snapshot-id"] for s in snaps
+                         if s["timestamp-ms"] >= older_than_ms}
+        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+        if not expired:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
+        kl, km, kf = _reachable_paths(table, kept)
+        el, em, ef = _reachable_paths(table, expired)
+        removed: list[str] = []
+        for p in sorted(el - kl):
+            _safe_unlink(p, path, removed)
+        for p in sorted(em - km):
+            _safe_unlink(p, path, removed)
+        for p in sorted(ef - kf):
+            _safe_unlink(p, path, removed)
+        watermark = max(
+            int(meta.get("properties", {})
+                .get("quickwit.expired-up-to-seq", -1)),
+            max(s["sequence-number"] for s in expired))
+        meta["properties"] = {**meta.get("properties", {}),
+                              "quickwit.expired-up-to-seq":
+                                  str(watermark)}
+        meta["snapshots"] = kept
+        meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"]
+            if e["snapshot-id"] in keep_ids]
+        _write_metadata(path, meta, table.version + 1)
+        return {"expired_snapshots": len(expired),
+                "deleted_files": len(removed),
+                "deleted_paths": removed}
+
+
+def remove_orphan_files(path: str, older_than_ms: int | None = None,
+                        dry_run: bool = False) -> list[str]:
+    """Delete files under the table's data/ and metadata/ directories
+    that no snapshot in the CURRENT metadata references — the debris of
+    crashed pre-commit writers (data files are written before the
+    commit lock is taken; a crash strands them). ``older_than_ms``
+    guards against racing an in-flight append whose commit hasn't
+    landed yet: only files whose mtime is older are candidates (pass
+    None to skip the guard — safe only when no writer is live).
+    Metadata versions, the version hint, and lock files are never
+    touched. Analog of Iceberg's ``remove_orphan_files`` action."""
+    with _commit_lock(path):
+        table = load_table(path)
+        ml, mm, mf = _reachable_paths(table, table.meta["snapshots"])
+        reachable = {os.path.abspath(p) for p in (ml | mm | mf)}
+        removed: list[str] = []
+        mdir = _metadata_dir(path)
+        for d in (os.path.join(path, "data"), mdir):
+            if not os.path.isdir(d):
+                continue
+            for name in sorted(os.listdir(d)):
+                p = os.path.abspath(os.path.join(d, name))
+                if not os.path.isfile(p) or p in reachable:
+                    continue
+                if d == mdir and not name.endswith(".avro"):
+                    continue               # metadata json / hint / lock
+                if older_than_ms is not None and \
+                        os.path.getmtime(p) * 1000 >= older_than_ms:
+                    continue
+                removed.append(p)
+                if not dry_run:
+                    os.unlink(p)
+        return removed
 
 
 def _spark_transform_col(F, transform, ice_type, name):

@@ -83,15 +83,23 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
     # same path reuses the checkpoint key — and can even land on the
     # SAME sequence number, which a pure seq comparison would read as
     # 'up-to-date' and silently never index. The recorded snapshot id
-    # must still exist in the table's history (snapshots are never
-    # expired here) to prove it is the same lineage.
+    # must still exist in the table's history — or be covered by the
+    # expire_snapshots watermark below — to prove the same lineage.
     if since_snap is not None and since_snap not in {
             s["snapshot-id"] for s in table.meta["snapshots"]}:
-        raise CheckpointConflict(
-            f"iceberg table {table_path} does not contain snapshot "
-            f"{since_snap} recorded in the index checkpoint — the "
-            f"table was replaced or its history rewritten; rebuild "
-            f"the index fresh instead of resuming")
+        # expire_snapshots legitimately removes old snapshots from the
+        # SAME lineage; it records the highest expired sequence number,
+        # so a checkpoint at/below that watermark is provably consumed
+        # history, not a replaced table (a recreated table starts with
+        # no watermark, so its fresh metadata still fails this check).
+        expired_seq = int(table.meta.get("properties", {})
+                          .get("quickwit.expired-up-to-seq", -1))
+        if since_seq > expired_seq:
+            raise CheckpointConflict(
+                f"iceberg table {table_path} does not contain snapshot "
+                f"{since_snap} recorded in the index checkpoint — the "
+                f"table was replaced or its history rewritten; rebuild "
+                f"the index fresh instead of resuming")
     if cur_seq < since_seq:
         # same lineage but the metadata dir was rolled back manually
         raise CheckpointConflict(
@@ -114,7 +122,15 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
 
     rows: list[dict] = []
     if files:
-        df = (spark.read.schema(table.spark_schema())
+        # resolve columns by field id when the schema history contains
+        # a rename/name-reuse (delta files may span generations)
+        fields = table.schema_fields
+        use_ids = table._needs_field_id_read(fields)
+        if use_ids:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                           "true")
+        df = (spark.read
+              .schema(table._spark_read_schema(fields, use_ids))
               .parquet(*[f["file_path"] for f in files]))
         base = cur_seq * SEQ_PARTITION_STRIDE
         routed = route_partitions(df, config, partitions_per_ingest)

@@ -694,3 +694,305 @@ def test_index_build_from_iceberg(spark, tmp_path):
         # must be rank-identical.
         assert [(h.doc_id, round(h.score, 4)) for h in a.hits] == \
                [(h.doc_id, round(h.score, 4)) for h in b.hits]
+
+
+# ------------------------------- schema evolution: rename/drop (by id)
+
+def _fidmap(fpath):
+    import pyarrow.parquet as pq
+    out = {}
+    for f in pq.ParquetFile(fpath).schema_arrow:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            out[f.name] = int(fid)
+    return out
+
+
+def test_field_ids_embedded_everywhere(tmp_path, docs_pdf):
+    """Every parquet this writer emits carries PARQUET:field_id
+    footers: data files (schema ids), position-delete files (the spec's
+    reserved ids), equality-delete key files (the key's ids)."""
+    root = str(tmp_path / "fid")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    t = iceberg.append_pandas(root, docs_pdf.iloc[:60])
+    ids = {f["name"]: f["id"] for f in t.schema_fields}
+    for f in t.plan_files().files:
+        assert _fidmap(f["file_path"]) == ids
+    t = iceberg.delete_where(root, [("doc_id", "<", 5)])
+    t = iceberg.upsert_pandas(root, docs_pdf.iloc[:3], ["doc_id"])
+    dels = t.plan_files().delete_files
+    pos = next(d for d in dels if d["content"] == 1)
+    assert _fidmap(pos["file_path"]) == {
+        "file_path": iceberg._POS_DELETE_PATH_ID,
+        "pos": iceberg._POS_DELETE_POS_ID}
+    eq = next(d for d in dels if d["content"] == 2)
+    assert _fidmap(eq["file_path"]) == {"doc_id": ids["doc_id"]}
+    assert t.meta["properties"][iceberg._FIELD_IDS_PROP] == "true"
+
+
+def test_rename_column_reads_and_prunes(spark, tmp_path, docs_pdf):
+    """Rename mid-history: files from BOTH generations bind to the new
+    name by field id, bounds pruning still works (bounds are keyed by
+    id), and a filter under the new name returns exact rows."""
+    root = str(tmp_path / "ren")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    even = docs_pdf[docs_pdf.doc_id % 2 == 0]
+    odd = docs_pdf[docs_pdf.doc_id % 2 == 1].rename(
+        columns={"n_chars": "char_count"})
+    iceberg.append_pandas(root, even, timestamp_ms=1000)
+    t = iceberg.rename_column(root, "n_chars", "char_count")
+    assert [f["name"] for f in t.schema_fields].count("char_count") == 1
+    iceberg.append_pandas(root, odd, timestamp_ms=2000)
+
+    t = iceberg.load_table(root)
+    assert t._needs_field_id_read(t.schema_fields)
+    got = t.read(spark).toPandas()
+    assert "char_count" in got.columns and "n_chars" not in got.columns
+    assert int(got.char_count.sum()) == int(docs_pdf.n_chars.sum())
+    # bounds pruning under the NEW name over OLD files: bounds are
+    # keyed by field id, so a cut above the global max prunes every
+    # file even though half were written under the old name
+    plan = t.plan_files(
+        filter=[("char_count", ">", int(docs_pdf.n_chars.max()))])
+    assert plan.files_pruned_bounds == plan.entries_total > 0
+    cut = int(docs_pdf.n_chars.quantile(0.5))
+    got2 = t.read(spark, filter=[("char_count", ">", cut)]).toPandas()
+    exp2 = docs_pdf[docs_pdf.n_chars > cut]
+    assert sorted(got2.doc_id) == sorted(exp2.doc_id)
+
+
+def test_rename_partition_source_column(spark, tmp_path, docs_pdf):
+    """Renaming a partition-spec source column keeps partition pruning
+    (spec fields reference the source by id, not name)."""
+    root = str(tmp_path / "renpart")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, docs_pdf)
+    iceberg.rename_column(root, "lang", "language")
+    t = iceberg.load_table(root)
+    plan = t.plan_files(filter=[("language", "=", "en")])
+    assert plan.files_pruned_partition > 0
+    got = t.read(spark, filter=[("language", "=", "en")]).toPandas()
+    exp = docs_pdf[docs_pdf.lang == "en"]
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+
+
+def test_time_travel_uses_snapshot_schema(spark, tmp_path, docs_pdf):
+    """Reads pinned to a pre-rename snapshot present the OLD column
+    name (the snapshot's schema generation), current reads the new."""
+    root = str(tmp_path / "ttschema")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    iceberg.append_pandas(root, docs_pdf.iloc[:50], timestamp_ms=1000)
+    iceberg.rename_column(root, "n_chars", "char_count")
+    iceberg.append_pandas(root, docs_pdf.iloc[50:80].rename(
+        columns={"n_chars": "char_count"}), timestamp_ms=2000)
+    t = iceberg.load_table(root)
+    old = t.read(spark, as_of_ms=1500)
+    assert "n_chars" in old.columns and "char_count" not in old.columns
+    assert old.count() == 50
+    cur = t.read(spark)
+    assert "char_count" in cur.columns and cur.count() == 80
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path, docs_pdf):
+    """Dropping a column then re-adding the same name mints a FRESH
+    field id: old files' values stay out (null), they are not
+    silently rebound by name."""
+    root = str(tmp_path / "dropadd")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    iceberg.append_pandas(root, docs_pdf.iloc[:40], timestamp_ms=1000)
+    iceberg.drop_column(root, "n_chars")
+    t = iceberg.load_table(root)
+    assert "n_chars" not in [f["name"] for f in t.schema_fields]
+    got = t.read(spark).toPandas()
+    assert "n_chars" not in got.columns and len(got) == 40
+    t = iceberg.add_column(root, "n_chars", "long")
+    new_id = next(f["id"] for f in t.schema_fields
+                  if f["name"] == "n_chars")
+    assert new_id == t.meta["last-column-id"]
+    got2 = iceberg.load_table(root).read(spark).toPandas()
+    assert got2.n_chars.isna().all()
+
+
+def test_rename_drop_guards(tmp_path, docs_pdf):
+    root = str(tmp_path / "guards")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, docs_pdf.iloc[:20])
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg.rename_column(root, "n_chars", "lang")
+    with pytest.raises(ValueError, match="unknown column"):
+        iceberg.rename_column(root, "nope", "x")
+    with pytest.raises(ValueError, match="partition spec"):
+        iceberg.drop_column(root, "lang")
+    # live equality delete referencing the column blocks its drop
+    iceberg.upsert_pandas(root, docs_pdf.iloc[:2], ["doc_id"])
+    with pytest.raises(ValueError, match="equality-delete"):
+        iceberg.drop_column(root, "doc_id")
+    # legacy table (files predate id embedding): refuse loudly
+    import json as _json
+    t = iceberg.load_table(root)
+    meta = dict(t.meta)
+    meta["properties"] = {k: v for k, v in meta["properties"].items()
+                          if k != iceberg._FIELD_IDS_PROP}
+    iceberg._write_metadata(root, meta, t.version + 1)
+    with pytest.raises(ValueError, match="predates"):
+        iceberg.rename_column(root, "n_chars", "nc")
+    with pytest.raises(ValueError, match="predates"):
+        iceberg.drop_column(root, "n_chars")
+
+
+def test_equality_delete_across_rename(spark, tmp_path, docs_pdf):
+    """An upsert's equality-delete file written BEFORE a key-column
+    rename still retires old rows after it (delete keys resolve by
+    field id too)."""
+    root = str(tmp_path / "eqren")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    iceberg.append_pandas(root, docs_pdf.iloc[:30], timestamp_ms=1000)
+    upd = docs_pdf.iloc[:10].copy()
+    upd["n_chars"] = upd["n_chars"] + 7
+    iceberg.upsert_pandas(root, upd, ["doc_id"], timestamp_ms=2000)
+    iceberg.rename_column(root, "doc_id", "id")
+    t = iceberg.load_table(root)
+    got = t.read(spark).toPandas().sort_values("id")
+    assert len(got) == 30
+    exp = docs_pdf.iloc[:30].n_chars.reset_index(drop=True) \
+        + pd.Series([7] * 10 + [0] * 20)
+    assert list(got.n_chars) == list(exp)
+
+
+def test_delete_where_after_rename(spark, tmp_path, docs_pdf):
+    """delete_where's driver position scan resolves predicate columns
+    by field id, so it works over files written pre-rename."""
+    root = str(tmp_path / "delren")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    iceberg.append_pandas(root, docs_pdf.iloc[:40], timestamp_ms=1000)
+    iceberg.rename_column(root, "doc_id", "id")
+    cut = int(docs_pdf.doc_id.iloc[10])
+    iceberg.delete_where(root, [("id", "<", cut)], timestamp_ms=2000)
+    t = iceberg.load_table(root)
+    got = t.read(spark).toPandas()
+    exp = docs_pdf.iloc[:40]
+    exp = exp[exp.doc_id >= cut]
+    assert sorted(got.id) == sorted(exp.doc_id)
+    with pytest.raises(ValueError, match="unknown filter column"):
+        iceberg.delete_where(root, [("doc_id", "<", cut)])
+
+
+# ------------------------------------------- maintenance: expire / gc
+
+def test_expire_snapshots(spark, tmp_path, docs_pdf):
+    """Expiry trims history + snapshot-log, deletes files reachable
+    only from expired snapshots (old manifest lists, compacted-away
+    manifests), keeps the current read intact, and records the
+    expired-seq watermark."""
+    root = str(tmp_path / "expire")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         properties={
+                             "commit.manifest.min-count-to-merge": "2"})
+    for i in range(3):
+        iceberg.append_pandas(root, docs_pdf.iloc[30 * i:30 * (i + 1)],
+                              timestamp_ms=1000 * (i + 1))
+    t = iceberg.load_table(root)
+    assert len(t.meta["snapshots"]) == 3
+    before = t.read(spark).toPandas()
+    listing_before = {p for p in os.listdir(os.path.join(root, "metadata"))
+                      if p.endswith(".avro")}
+
+    res = iceberg.expire_snapshots(root, retain_last=1)
+    assert res["expired_snapshots"] == 2 and res["deleted_files"] >= 2
+    t = iceberg.load_table(root)
+    assert len(t.meta["snapshots"]) == 1
+    assert len(t.meta["snapshot-log"]) == 1
+    assert int(t.meta["properties"]["quickwit.expired-up-to-seq"]) == 2
+    after = t.read(spark).toPandas()
+    assert sorted(after.doc_id) == sorted(before.doc_id)
+    # time travel to the expired range now resolves to no snapshot
+    assert t.snapshot(as_of_ms=1500) is None
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.snapshot(snapshot_id=12345)
+    listing_after = {p for p in os.listdir(os.path.join(root, "metadata"))
+                     if p.endswith(".avro")}
+    assert listing_after < listing_before
+    # idempotent / nothing further to expire
+    assert iceberg.expire_snapshots(root, retain_last=1) == {
+        "expired_snapshots": 0, "deleted_files": 0}
+
+
+def test_expire_snapshots_then_ingest_lineage(spark, tmp_path):
+    """ingest_iceberg's lineage check accepts a checkpoint whose
+    snapshot was legitimately expired (watermark), but still refuses a
+    genuinely replaced table (fresh metadata has no watermark)."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.corpus import corpus_pandas
+    from quickwit_spark.sources.iceberg_ingest import ingest_iceberg
+
+    pdf = corpus_pandas(120, seed=11)
+    root = str(tmp_path / "expinc")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf.iloc[:60], timestamp_ms=1000)
+    cfg = IndexConfig(index_uid="expinc",
+                      index_dir=str(tmp_path / "expidx"))
+    r1 = ingest_iceberg(spark, root, cfg, partitions_per_ingest=2)
+    assert r1["status"] == "published"
+    iceberg.append_pandas(root, pdf.iloc[60:], timestamp_ms=2000)
+    iceberg.expire_snapshots(root, retain_last=1)
+    r2 = ingest_iceberg(spark, root, cfg, partitions_per_ingest=2)
+    assert r2["status"] == "published" and r2["docs"] == 60
+
+
+def test_remove_orphan_files(tmp_path, docs_pdf):
+    root = str(tmp_path / "orphans")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    t = iceberg.append_pandas(root, docs_pdf.iloc[:30])
+    live = {os.path.abspath(f["file_path"])
+            for f in t.plan_files().files}
+    stray_data = os.path.join(root, "data", "stray.parquet")
+    docs_pdf.iloc[:3].to_parquet(stray_data)
+    stray_meta = os.path.join(root, "metadata", "stray-manifest.avro")
+    with open(stray_meta, "wb") as f:
+        f.write(b"not really avro")
+    dry = iceberg.remove_orphan_files(root, dry_run=True)
+    assert {os.path.abspath(p) for p in dry} == {
+        os.path.abspath(stray_data), os.path.abspath(stray_meta)}
+    assert os.path.exists(stray_data)       # dry run deleted nothing
+    removed = iceberg.remove_orphan_files(root)
+    assert sorted(removed) == sorted(dry)
+    assert not os.path.exists(stray_data)
+    assert not os.path.exists(stray_meta)
+    for p in live:
+        assert os.path.exists(p)
+    # metadata json / hint survive; table still reads
+    t2 = iceberg.load_table(root)
+    assert sum(f["record_count"] for f in t2.plan_files().files) == 30
+    # mtime guard: a fresh stray with older_than in the past is kept
+    docs_pdf.iloc[:3].to_parquet(stray_data)
+    kept = iceberg.remove_orphan_files(root, older_than_ms=1)
+    assert kept == [] and os.path.exists(stray_data)
+
+
+def test_metadata_tables(spark, tmp_path, docs_pdf):
+    root = str(tmp_path / "metatbl")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, docs_pdf.iloc[:40], timestamp_ms=1000)
+    iceberg.append_pandas(root, docs_pdf.iloc[40:70], timestamp_ms=2000)
+    iceberg.delete_where(root, [("doc_id", "<",
+                                 int(docs_pdf.doc_id.iloc[5]))])
+    t = iceberg.load_table(root)
+    snaps = t.snapshots_df(spark).toPandas()
+    assert list(snaps.operation) == ["append", "append", "delete"]
+    assert snaps.snapshot_id.iloc[-1] == t.meta["current-snapshot-id"]
+    assert snaps.parent_id.iloc[0] is None or pd.isna(
+        snaps.parent_id.iloc[0])
+    mfs = t.manifests_df(spark).toPandas()
+    assert (mfs.content == 1).sum() == 1    # one delete manifest
+    fls = t.files_df(spark).toPandas()
+    assert (fls.content == 0).sum() == len(t.plan_files().files)
+    assert (fls.content == 1).sum() == 1
+    assert int(fls[fls.content == 0].record_count.sum()) == 70
+    # partition column round-trips as json
+    assert all(json.loads(p).get("lang") for p in
+               fls[fls.content == 0].partition)

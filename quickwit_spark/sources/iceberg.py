@@ -77,7 +77,8 @@ __all__ = [
     "create_table", "load_table", "IcebergTable", "ScanPlan",
     "append_pandas", "append_spark", "delete_where", "upsert_pandas",
     "add_column", "rename_column", "drop_column",
-    "expire_snapshots", "remove_orphan_files", "murmur3_32",
+    "rewrite_data_files", "expire_snapshots", "remove_orphan_files",
+    "murmur3_32",
 ]
 
 _INITIAL_PARTITION_FIELD_ID = 1000
@@ -1412,6 +1413,16 @@ def _commit_append_locked(table: IcebergTable, data_files: list[dict],
     manifests = _maybe_merge_manifests(
         table, prior_manifests + new_manifests, meta, snap_id,
         entry_schema, manifest_meta_data, spec_fields, schema_by_id)
+    return _finalize_snapshot(table, meta, manifests, snap_id, seq,
+                              timestamp_ms, operation, prior)
+
+
+def _finalize_snapshot(table, meta, manifests, snap_id, seq,
+                       timestamp_ms, operation, prior) -> IcebergTable:
+    """Write the manifest list, append the snapshot to the metadata,
+    and publish the new metadata version (shared by append-style and
+    replace-style commits; callers hold the commit lock)."""
+    mdir = _metadata_dir(table.path)
     ml_path = os.path.join(
         mdir, f"snap-{snap_id}-1-{_det_uuid('ml', snap_id)}.avro")
     avro_ocf.write_ocf(ml_path, MANIFEST_LIST_AVRO_SCHEMA, manifests)
@@ -1814,6 +1825,146 @@ def _safe_unlink(p: str, root: str, removed: list) -> None:
             removed.append(p)
         except FileNotFoundError:
             pass
+
+
+def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
+    """Compaction: fold the table's merge-on-read delete debt into the
+    data files. Every live data file carrying deleted rows (position or
+    equality) is rewritten 1:1 without them under the CURRENT schema;
+    untouched files are carried forward unchanged. The replace commit's
+    manifest list holds ONE data manifest and NO delete manifests —
+    every eq/pos delete was applied to every file it governed (position
+    deletes name their files; an equality delete at sequence s governs
+    files with seq < s, all of which are in this plan), so dropping
+    them is sound.
+
+    Entries preserve each file's DATA sequence number (explicit v2
+    sequence_number, like a compaction's EXISTING rewrite): incremental
+    consumers (``ingest_iceberg``) never re-ingest rewritten rows, and
+    a FUTURE equality delete (larger seq) still governs them. Combined
+    with ``expire_snapshots``, the replaced files become deletable.
+    Analog of Iceberg's ``rewrite_data_files`` maintenance action
+    (driver-side row work — a maintenance op over delete-bearing files,
+    not the bulk-append path)."""
+    with _commit_lock(path):
+        table = load_table(path)
+        plan = table.plan_files()
+        if not plan.delete_files:
+            return {"rewritten_files": 0, "carried_files": 0,
+                    "dropped_delete_files": 0, "rows_removed": 0}
+        fields = table.schema_fields
+        schema_by_id = {f["id"]: f for f in fields}
+        spec_fields = table.spec_fields
+        meta = dict(table.meta)
+        seq = meta["last-sequence-number"] + 1
+
+        pos_by_file: dict[str, set] = {}
+        eq_groups = []                     # (key_fields, keys_set, seq)
+        for d in plan.delete_files:
+            if d["content"] == 1:
+                ddf = pd.read_parquet(d["file_path"])
+                for fp, pos in zip(ddf["file_path"], ddf["pos"]):
+                    pos_by_file.setdefault(fp, set()).add(int(pos))
+            else:
+                ids = d["equality_ids"]
+                missing = [i for i in ids if i not in schema_by_id]
+                if missing:
+                    raise ValueError(
+                        f"equality delete references field id(s) "
+                        f"{missing} not in the current schema — "
+                        "cannot rewrite")
+                kf = [schema_by_id[i] for i in ids]
+                kdf = _read_cols_by_id(d["file_path"], kf)
+                keys = {tuple(None if pd.isna(v) else v for v in row)
+                        for row in kdf.itertuples(index=False)}
+                eq_groups.append((kf, keys, d["_seq"]))
+
+        entries, rewritten, carried, removed = [], 0, 0, 0
+        for f in sorted(plan.files, key=lambda x: x["file_path"]):
+            touched = f["file_path"] in pos_by_file or any(
+                f["_seq"] < eseq for _kf, _keys, eseq in eq_groups)
+            if not touched:
+                carried += 1
+                entries.append({
+                    "status": 0, "snapshot_id": None,
+                    "sequence_number": f["_seq"],
+                    "file_sequence_number": f["_seq"],
+                    "data_file": {k: v for k, v in f.items()
+                                  if k != "_seq"}})
+                continue
+            pdf = _read_cols_by_id(f["file_path"], fields)
+            keep = pd.Series(True, index=pdf.index)
+            dead = pos_by_file.get(f["file_path"])
+            if dead:
+                keep.iloc[sorted(dead)] = False
+            for kf, keys, eseq in eq_groups:
+                if f["_seq"] >= eseq:
+                    continue               # strictly-smaller rule
+                names = [x["name"] for x in kf]
+                hit = pdf[names].apply(
+                    lambda row: tuple(None if pd.isna(v) else v
+                                      for v in row) in keys, axis=1)
+                keep &= ~hit
+            removed += int((~keep).sum())
+            kept = pdf[keep].reset_index(drop=True)
+            rewritten += 1
+            if not len(kept):
+                continue                   # fully deleted: no new file
+            rec = _write_data_file(kept, path, f["_seq"],
+                                   f["partition"], fields)
+            entries.append({
+                "status": 1, "snapshot_id": None,
+                "sequence_number": f["_seq"],
+                "file_sequence_number": seq,
+                "data_file": rec})
+
+        content_sig = hashlib.sha256("|".join(
+            e["data_file"]["file_path"] for e in entries
+        ).encode()).hexdigest()[:16]
+        snap_id = int(hashlib.sha256(
+            f"{meta['table-uuid']}|{seq}|{timestamp_ms}|{content_sig}"
+            .encode()).hexdigest()[:15], 16)
+        for e in entries:
+            e["snapshot_id"] = snap_id
+        mdir = _metadata_dir(path)
+        entry_schema = manifest_entry_avro_schema(spec_fields,
+                                                  schema_by_id)
+        mpath = os.path.join(
+            mdir, f"{_det_uuid('manifest-rewrite', snap_id)}-rw.avro")
+        avro_ocf.write_ocf(mpath, entry_schema, entries, metadata={
+            "schema": json.dumps({"type": "struct", "fields": fields}),
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(meta["default-spec-id"]),
+            "format-version": "2", "content": "data"})
+        data_files = [e["data_file"] for e in entries]
+        manifest = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": meta["default-spec-id"], "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                (e["sequence_number"] for e in entries), default=seq),
+            "added_snapshot_id": snap_id,
+            "added_files_count": sum(1 for e in entries
+                                     if e["status"] == 1),
+            "existing_files_count": sum(1 for e in entries
+                                        if e["status"] == 0),
+            "deleted_files_count": 0,
+            "added_rows_count": sum(e["data_file"]["record_count"]
+                                    for e in entries
+                                    if e["status"] == 1),
+            "existing_rows_count": sum(e["data_file"]["record_count"]
+                                       for e in entries
+                                       if e["status"] == 0),
+            "deleted_rows_count": 0,
+            "partitions": _field_summaries(data_files, spec_fields,
+                                           schema_by_id),
+        }
+        _finalize_snapshot(table, meta, [manifest], snap_id, seq,
+                           timestamp_ms, "replace", table.snapshot())
+        return {"rewritten_files": rewritten, "carried_files": carried,
+                "dropped_delete_files": len(plan.delete_files),
+                "rows_removed": removed}
 
 
 def expire_snapshots(path: str, older_than_ms: int | None = None,

@@ -996,3 +996,98 @@ def test_metadata_tables(spark, tmp_path, docs_pdf):
     # partition column round-trips as json
     assert all(json.loads(p).get("lang") for p in
                fls[fls.content == 0].partition)
+
+
+# --------------------------------------- maintenance: rewrite (compact)
+
+def test_rewrite_data_files_folds_deletes(spark, tmp_path, docs_pdf):
+    """Compaction folds position+equality deletes into rewritten data
+    files: the read is unchanged, delete manifests are gone, untouched
+    files are carried (not rewritten), and a fully-deleted file
+    disappears."""
+    root = str(tmp_path / "rw")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, docs_pdf.iloc[:60], timestamp_ms=1000)
+    cut = int(docs_pdf.doc_id.iloc[10])
+    iceberg.delete_where(root, [("doc_id", "<", cut)],
+                         timestamp_ms=2000)
+    upd = docs_pdf.iloc[20:30].copy()
+    upd["n_chars"] = upd["n_chars"] + 5
+    iceberg.upsert_pandas(root, upd, ["doc_id"], timestamp_ms=3000)
+    # one language fully deleted -> its file must vanish entirely
+    gone_lang = docs_pdf.iloc[:60].lang.iloc[0]
+    iceberg.delete_where(root, [("lang", "=", gone_lang)],
+                         timestamp_ms=4000)
+    t = iceberg.load_table(root)
+    before = t.read(spark).toPandas().sort_values("doc_id")
+    n_files_before = len(t.plan_files().files)
+    assert t.plan_files().delete_files      # debt exists
+
+    res = iceberg.rewrite_data_files(root, timestamp_ms=5000)
+    assert res["dropped_delete_files"] >= 3
+    assert res["rewritten_files"] > 0
+    assert res["rows_removed"] > 0
+    t = iceberg.load_table(root)
+    plan = t.plan_files()
+    assert plan.delete_files == []          # debt folded in
+    assert len(plan.files) < n_files_before + 10  # upsert files carried
+    after = t.read(spark).toPandas().sort_values("doc_id")
+    assert list(after.doc_id) == list(before.doc_id)
+    assert list(after.n_chars) == list(before.n_chars)
+    assert gone_lang not in set(after.lang)
+    # record counts in the manifest match the surviving rows
+    assert sum(f["record_count"] for f in plan.files) == len(after)
+    # no-op on a clean table
+    assert iceberg.rewrite_data_files(root)["rewritten_files"] == 0
+    # full lifecycle: expiring the pre-rewrite history makes the
+    # replaced data files and the consumed delete files unreachable —
+    # they are physically removed, and the current read is unchanged
+    res2 = iceberg.expire_snapshots(root, retain_last=1)
+    assert res2["expired_snapshots"] >= 3
+    assert any(p.endswith(".parquet") for p in res2["deleted_paths"])
+    t = iceberg.load_table(root)
+    final = t.read(spark).toPandas().sort_values("doc_id")
+    assert list(final.doc_id) == list(before.doc_id)
+
+
+def test_rewrite_preserves_sequence_for_ingest_and_future_deletes(
+        spark, tmp_path):
+    """Rewritten entries keep their DATA sequence numbers: an
+    incremental consumer checkpointed past them sees no delta, and an
+    equality delete committed AFTER the rewrite still retires them."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.corpus import corpus_pandas
+    from quickwit_spark.sources.iceberg_ingest import ingest_iceberg
+
+    pdf = corpus_pandas(100, seed=13)
+    root = str(tmp_path / "rwseq")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf.iloc[:80], timestamp_ms=1000)
+    cfg = IndexConfig(index_uid="rwseq",
+                      index_dir=str(tmp_path / "rwidx"))
+    assert ingest_iceberg(spark, root, cfg)["status"] == "published"
+
+    iceberg.delete_where(
+        root, [("path", "=", str(pdf.path.iloc[0]))], timestamp_ms=2000)
+    res = iceberg.rewrite_data_files(root, timestamp_ms=3000)
+    assert res["rewritten_files"] == 1
+    # ingest after rewrite: the table sequence advanced (delete +
+    # rewrite commits), so the position moves — but the rewritten
+    # file's PRESERVED data sequence is at/below the checkpoint, so
+    # ZERO files/docs are (re-)ingested
+    r = ingest_iceberg(spark, root, cfg)
+    assert r["status"] == "published" and r["files"] == 0 \
+        and r["docs"] == 0
+    assert ingest_iceberg(spark, root, cfg)["status"] == "up-to-date"
+
+    # a FUTURE upsert still governs rewritten rows (their preserved
+    # data sequence stays strictly smaller)
+    upd = pdf.iloc[1:3].copy()
+    upd["content"] = upd["content"] + " updated"
+    iceberg.upsert_pandas(root, upd, ["path"], timestamp_ms=4000)
+    t = iceberg.load_table(root)
+    got = t.read(spark).toPandas()
+    assert len(got) == 79                  # 80 - 1 deleted
+    assert (got.content.str.endswith(" updated").sum()) == 2
+    assert got.path.is_unique

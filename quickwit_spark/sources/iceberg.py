@@ -77,8 +77,8 @@ __all__ = [
     "create_table", "load_table", "IcebergTable", "ScanPlan",
     "append_pandas", "append_spark", "delete_where", "upsert_pandas",
     "add_column", "rename_column", "drop_column",
-    "rewrite_data_files", "expire_snapshots", "remove_orphan_files",
-    "murmur3_32",
+    "update_partition_spec", "rewrite_data_files", "expire_snapshots",
+    "remove_orphan_files", "murmur3_32",
 ]
 
 _INITIAL_PARTITION_FIELD_ID = 1000
@@ -539,6 +539,60 @@ def drop_column(path: str, name: str) -> "IcebergTable":
         return IcebergTable(path, meta, table.version + 1)
 
 
+def update_partition_spec(path: str, partition_by) -> "IcebergTable":
+    """Partition-spec evolution: make ``partition_by`` (list of
+    ``(column, transform)`` pairs) the table's default spec as a NEW
+    spec generation. Existing data keeps its old layout — each manifest
+    records its spec id and planning prunes every manifest under its
+    OWN spec — while new writes partition the new way. A field that
+    already exists in any historical spec (same source column id, same
+    transform) keeps its partition field id and name, like Iceberg's
+    spec-update API; genuinely new fields get fresh ids. To migrate old
+    files to the new layout, run ``rewrite_data_files`` (it re-writes
+    under the current default spec)."""
+    with _commit_lock(path):
+        table = load_table(path)
+        meta = dict(table.meta)
+        by_name = {f["name"]: f for f in table.schema_fields}
+        prior = {}                         # (source-id, transform) -> pf
+        for s in meta["partition-specs"]:
+            for pf in s["fields"]:
+                prior.setdefault((pf["source-id"], pf["transform"]), pf)
+        last_pid = meta["last-partition-id"]
+        fields, seen = [], set()
+        for col, transform in (partition_by or []):
+            if col not in by_name:
+                raise ValueError(f"unknown partition column {col!r}")
+            src_id = by_name[col]["id"]
+            # validate the transform against the column type up front
+            _transform_result_type(transform, by_name[col]["type"])
+            if (src_id, transform) in seen:
+                raise ValueError(f"duplicate partition field "
+                                 f"({col!r}, {transform!r})")
+            seen.add((src_id, transform))
+            reuse = prior.get((src_id, transform))
+            if reuse is not None:
+                fields.append(dict(reuse))
+                continue
+            last_pid += 1
+            name = col if transform == "identity" else (
+                f"{col}_{transform.split('[')[0]}")
+            if any(pf["name"] == name
+                   for s in meta["partition-specs"]
+                   for pf in s["fields"]):
+                name = f"{name}_{last_pid}"    # historical name clash
+            fields.append({"name": name, "transform": transform,
+                           "source-id": src_id, "field-id": last_pid})
+        new_sid = max(s["spec-id"]
+                      for s in meta["partition-specs"]) + 1
+        meta["partition-specs"] = meta["partition-specs"] + [
+            {"spec-id": new_sid, "fields": fields}]
+        meta["default-spec-id"] = new_sid
+        meta["last-partition-id"] = last_pid
+        _write_metadata(path, meta, table.version + 1)
+        return IcebergTable(path, meta, table.version + 1)
+
+
 def load_table(path: str) -> "IcebergTable":
     version = _read_version(path)
     with open(os.path.join(_metadata_dir(path),
@@ -656,6 +710,21 @@ class IcebergTable:
                 return s["fields"]
         raise ValueError("default-spec-id not in partition-specs")
 
+    def _spec_fields_by_id(self) -> dict:
+        """spec-id -> fields, for resolving each manifest's OWN spec
+        (partition-spec evolution: old manifests keep their layout)."""
+        return {s["spec-id"]: s["fields"]
+                for s in self.meta["partition-specs"]}
+
+    def _manifest_spec(self, mf: dict, spec_by_id: dict) -> list[dict]:
+        sid = mf.get("partition_spec_id")
+        if sid is None:
+            return self.spec_fields
+        if sid not in spec_by_id:
+            raise ValueError(f"manifest {mf.get('manifest_path')!r} "
+                             f"references unknown partition spec {sid}")
+        return spec_by_id[sid]
+
     def spark_schema(self) -> str:
         return ", ".join(f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
                          for f in self.schema_fields)
@@ -734,11 +803,13 @@ class IcebergTable:
             return ScanPlan([], 0, 0, 0, 0, 0)
         _, manifests = avro_ocf.read_ocf(snap["manifest-list"])
         schema_by_id = {f["id"]: f for f in self.schema_fields}
-        spec_fields = self.spec_fields
+        spec_by_id = self._spec_fields_by_id()
         keep_manifests = []
         pruned_m = 0
         for mf in manifests:
-            if self._manifest_may_match(mf, flt, spec_fields,
+            if self._manifest_may_match(mf, flt,
+                                        self._manifest_spec(mf,
+                                                            spec_by_id),
                                         schema_by_id):
                 keep_manifests.append(mf)
             else:
@@ -746,6 +817,9 @@ class IcebergTable:
         files, delete_files, entries_total = [], [], 0
         pruned_part = pruned_bounds = 0
         for mf in keep_manifests:
+            spec_fields = self._manifest_spec(mf, spec_by_id)
+            spec_id = mf.get("partition_spec_id",
+                             self.meta["default-spec-id"])
             is_delete_manifest = mf.get("content") == 1
             for entry in self._live_entries(mf):
                 df_rec = entry["data_file"]
@@ -775,7 +849,8 @@ class IcebergTable:
                     pruned_bounds += 1
                 else:
                     files.append(
-                        dict(df_rec, _seq=entry["sequence_number"]))
+                        dict(df_rec, _seq=entry["sequence_number"],
+                             _spec_id=spec_id))
         return ScanPlan(files, len(manifests), pruned_m, entries_total,
                         pruned_part, pruned_bounds, delete_files)
 
@@ -1048,31 +1123,38 @@ class IcebergTable:
                 [], "file_path string, record_count bigint")
         _, manifests = avro_ocf.read_ocf(snap["manifest-list"])
         schema_by_id = {f["id"]: f for f in self.schema_fields}
-        spec_fields = self.spec_fields
+        spec_by_id = self._spec_fields_by_id()
         keep = [m for m in manifests
                 if m.get("content") != 1
-                and self._manifest_may_match(m, flt, spec_fields,
-                                             schema_by_id)]
+                and self._manifest_may_match(
+                    m, flt, self._manifest_spec(m, spec_by_id),
+                    schema_by_id)]
         if not keep:
             return spark.createDataFrame(
                 [], "file_path string, record_count bigint")
+        default_sid = self.meta["default-spec-id"]
         mdf = spark.createDataFrame(
             pd.DataFrame({"manifest_path": [m["manifest_path"]
                                             for m in keep],
                           "sequence_number": [m["sequence_number"]
-                                              for m in keep]}))
+                                              for m in keep],
+                          "spec_id": [m.get("partition_spec_id",
+                                            default_sid)
+                                      for m in keep]}))
         table_path = self.path
         flt_local = flt
 
         def _decode(iterator):
             tbl = load_table(table_path)
             s_by_id = {f["id"]: f for f in tbl.schema_fields}
-            spec = tbl.spec_fields
+            spec_by = tbl._spec_fields_by_id()
             for pdf in iterator:
                 rows = {"file_path": [], "record_count": []}
-                for mp, seq in zip(pdf["manifest_path"],
-                                   pdf["sequence_number"]):
+                for mp, seq, sid in zip(pdf["manifest_path"],
+                                        pdf["sequence_number"],
+                                        pdf["spec_id"]):
                     mf = {"manifest_path": mp, "sequence_number": seq}
+                    spec = spec_by[int(sid)]
                     for e in tbl._live_entries(mf):
                         d = e["data_file"]
                         if d.get("content", 0) != 0:
@@ -1465,13 +1547,19 @@ def _maybe_merge_manifests(table, manifests, meta, snap_id,
     target = int(props.get("commit.manifest.target-size-bytes",
                            8 * 1024 * 1024))
     # delete manifests are never merged with data manifests (distinct
-    # content type; their entries are (file_path,pos) tuples, not rows)
+    # content type; their entries are (file_path,pos) tuples, not
+    # rows), and only manifests under the CURRENT default spec merge —
+    # the merged manifest is written with the default spec's partition
+    # struct, so folding an old-spec manifest in would mis-encode its
+    # entries' partition values
     small = [m for m in manifests
-             if m["manifest_length"] < target and m.get("content") == 0]
+             if m["manifest_length"] < target and m.get("content") == 0
+             and m.get("partition_spec_id") == meta["default-spec-id"]]
     if len(small) < max(min_count, 2):
         return manifests
+    small_paths = {m["manifest_path"] for m in small}
     big = [m for m in manifests
-           if m["manifest_length"] >= target or m.get("content") != 0]
+           if m["manifest_path"] not in small_paths]
     entries = []
     for mf in small:
         for e in table._live_entries(mf):
@@ -1838,6 +1926,11 @@ def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
     files with seq < s, all of which are in this plan), so dropping
     them is sound.
 
+    Files written under an OLD partition spec are also rewritten —
+    re-partitioned into the current default layout (this is the
+    migration path after ``update_partition_spec``), so the commit's
+    single manifest is uniformly current-spec.
+
     Entries preserve each file's DATA sequence number (explicit v2
     sequence_number, like a compaction's EXISTING rewrite): incremental
     consumers (``ingest_iceberg``) never re-ingest rewritten rows, and
@@ -1849,7 +1942,9 @@ def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
     with _commit_lock(path):
         table = load_table(path)
         plan = table.plan_files()
-        if not plan.delete_files:
+        default_sid = table.meta["default-spec-id"]
+        if not plan.delete_files and all(
+                f["_spec_id"] == default_sid for f in plan.files):
             return {"rewritten_files": 0, "carried_files": 0,
                     "dropped_delete_files": 0, "rows_removed": 0}
         fields = table.schema_fields
@@ -1881,8 +1976,10 @@ def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
 
         entries, rewritten, carried, removed = [], 0, 0, 0
         for f in sorted(plan.files, key=lambda x: x["file_path"]):
-            touched = f["file_path"] in pos_by_file or any(
-                f["_seq"] < eseq for _kf, _keys, eseq in eq_groups)
+            touched = (f["file_path"] in pos_by_file
+                       or f["_spec_id"] != default_sid
+                       or any(f["_seq"] < eseq
+                              for _kf, _keys, eseq in eq_groups))
             if not touched:
                 carried += 1
                 entries.append({
@@ -1890,7 +1987,7 @@ def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
                     "sequence_number": f["_seq"],
                     "file_sequence_number": f["_seq"],
                     "data_file": {k: v for k, v in f.items()
-                                  if k != "_seq"}})
+                                  if k not in ("_seq", "_spec_id")}})
                 continue
             pdf = _read_cols_by_id(f["file_path"], fields)
             keep = pd.Series(True, index=pdf.index)
@@ -1910,13 +2007,17 @@ def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
             rewritten += 1
             if not len(kept):
                 continue                   # fully deleted: no new file
-            rec = _write_data_file(kept, path, f["_seq"],
-                                   f["partition"], fields)
-            entries.append({
-                "status": 1, "snapshot_id": None,
-                "sequence_number": f["_seq"],
-                "file_sequence_number": seq,
-                "data_file": rec})
+            # partition under the CURRENT default spec (a one-group
+            # no-op when the file's spec is already current — its rows
+            # share one partition tuple — and the migration path when
+            # it isn't)
+            for rec in _partitioned_data_files(kept, path, f["_seq"],
+                                               table):
+                entries.append({
+                    "status": 1, "snapshot_id": None,
+                    "sequence_number": f["_seq"],
+                    "file_sequence_number": seq,
+                    "data_file": rec})
 
         content_sig = hashlib.sha256("|".join(
             e["data_file"]["file_path"] for e in entries

@@ -1091,3 +1091,114 @@ def test_rewrite_preserves_sequence_for_ingest_and_future_deletes(
     assert len(got) == 79                  # 80 - 1 deleted
     assert (got.content.str.endswith(" updated").sum()) == 2
     assert got.path.is_unique
+
+
+# ------------------------------------ partition spec evolution
+
+def test_update_partition_spec_plans_per_manifest(spark, tmp_path,
+                                                  docs_pdf):
+    """After a spec change, old manifests prune under their OWN spec
+    and new manifests under the new one; reads see all rows."""
+    root = str(tmp_path / "specev")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")])
+    iceberg.append_pandas(root, docs_pdf.iloc[:60], timestamp_ms=1000)
+    t = iceberg.update_partition_spec(
+        root, [("lang", "identity"), ("doc_id", "bucket[4]")])
+    assert t.meta["default-spec-id"] == 1
+    # reused field keeps its id; the new one gets a fresh id
+    pf = {f["name"]: f["field-id"] for f in t.spec_fields}
+    assert pf["lang"] == 1000 and pf["doc_id_bucket"] == 1001
+    iceberg.append_pandas(root, docs_pdf.iloc[60:120],
+                          timestamp_ms=2000)
+
+    t = iceberg.load_table(root)
+    got = t.read(spark).toPandas()
+    assert sorted(got.doc_id) == sorted(docs_pdf.iloc[:120].doc_id)
+    # lang pruning spans BOTH spec generations
+    plan = t.plan_files(filter=[("lang", "=", "en")])
+    assert plan.files_pruned_partition > 0
+    got_en = t.read(spark, filter=[("lang", "=", "en")]).toPandas()
+    exp_en = docs_pdf.iloc[:120]
+    exp_en = exp_en[exp_en.lang == "en"]
+    assert sorted(got_en.doc_id) == sorted(exp_en.doc_id)
+    # bucket pruning applies only to new-spec files; old files survive
+    # on bounds/partition conservatively and results stay exact
+    some_id = int(docs_pdf.doc_id.iloc[70])
+    got_one = t.read(spark,
+                     filter=[("doc_id", "=", some_id)]).toPandas()
+    assert list(got_one.doc_id) == [some_id]
+    # distributed planner agrees with the local one
+    dist = {r["file_path"] for r in
+            t.plan_files_spark(spark,
+                               filter=[("lang", "=", "en")]).collect()}
+    local = set(t.plan_files(filter=[("lang", "=", "en")]).paths)
+    assert dist == local
+
+
+def test_update_partition_spec_guards(tmp_path, docs_pdf):
+    root = str(tmp_path / "specgd")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    with pytest.raises(ValueError, match="unknown partition column"):
+        iceberg.update_partition_spec(root, [("nope", "identity")])
+    with pytest.raises(ValueError, match="duplicate partition field"):
+        iceberg.update_partition_spec(
+            root, [("lang", "identity"), ("lang", "identity")])
+    with pytest.raises(ValueError, match="unsupported transform"):
+        iceberg.update_partition_spec(root, [("lang", "month")])
+
+
+def test_rewrite_migrates_partition_layout(spark, tmp_path, docs_pdf):
+    """rewrite_data_files re-partitions old-spec files into the
+    current default layout: afterwards every live file is
+    current-spec, reads are unchanged, and the new layout prunes."""
+    root = str(tmp_path / "specrw")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    iceberg.append_pandas(root, docs_pdf.iloc[:80], timestamp_ms=1000)
+    iceberg.update_partition_spec(root, [("lang", "identity")])
+    t = iceberg.load_table(root)
+    before = t.read(spark).toPandas()
+    assert {f["_spec_id"] for f in t.plan_files().files} == {0}
+
+    res = iceberg.rewrite_data_files(root, timestamp_ms=2000)
+    assert res["rewritten_files"] == 1      # the one old-spec file
+    t = iceberg.load_table(root)
+    plan = t.plan_files()
+    assert {f["_spec_id"] for f in plan.files} == {1}
+    assert len(plan.files) == docs_pdf.iloc[:80].lang.nunique()
+    after = t.read(spark).toPandas()
+    assert sorted(after.doc_id) == sorted(before.doc_id)
+    # the migrated layout actually prunes on lang now
+    plan2 = t.plan_files(filter=[("lang", "=", "en")])
+    assert plan2.files_pruned_partition > 0
+    # and is now a no-op
+    assert iceberg.rewrite_data_files(root)["rewritten_files"] == 0
+
+
+def test_compaction_skips_old_spec_manifests(tmp_path, docs_pdf):
+    """Manifest compaction merges only default-spec manifests; an
+    old-spec manifest is carried verbatim, never folded into a
+    manifest whose partition struct can't encode its entries."""
+    root = str(tmp_path / "speccp")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf),
+                         partition_by=[("lang", "identity")],
+                         properties={
+                             "commit.manifest.min-count-to-merge": "2"})
+    iceberg.append_pandas(root, docs_pdf.iloc[:20], timestamp_ms=1000)
+    iceberg.update_partition_spec(root, [("doc_id", "bucket[2]")])
+    for i in range(3):
+        iceberg.append_pandas(
+            root, docs_pdf.iloc[20 + 20 * i:40 + 20 * i],
+            timestamp_ms=2000 + i)
+    t = iceberg.load_table(root)
+    snap = t.snapshot()
+    _, manifests = avro_ocf.read_ocf(snap["manifest-list"])
+    by_spec = {}
+    for m in manifests:
+        by_spec.setdefault(m["partition_spec_id"], 0)
+        by_spec[m["partition_spec_id"]] += 1
+    assert by_spec[0] == 1                 # old-spec carried verbatim
+    assert by_spec[1] < 3                  # new-spec smalls merged
+    got = pd.concat([pd.read_parquet(p)
+                     for p in t.plan_files().paths])
+    assert sorted(got.doc_id) == sorted(docs_pdf.iloc[:80].doc_id)

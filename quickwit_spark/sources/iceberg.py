@@ -1321,11 +1321,18 @@ def _with_field_ids(table, ids_by_name: dict):
 
 
 def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
-                     part_values: dict, schema_fields) -> dict:
-    """Write one parquet data file + return its manifest data_file rec."""
+                     part_values: dict, schema_fields,
+                     salt: str = "") -> dict:
+    """Write one parquet data file + return its manifest data_file rec.
+    ``salt`` namespaces the content-addressed name: rewrite commits use
+    it so a rewritten file whose rows happen to equal an existing
+    file's can NEVER land on the live path (pq.write_table is not
+    atomic — an in-place overwrite torn by a crash would corrupt a file
+    the current snapshot still references)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    key = _det_uuid("data", seq,
+    salt_parts = [salt] if salt else []    # keep legacy names unsalted
+    key = _det_uuid("data", *salt_parts, seq,
                     json.dumps(part_values, sort_keys=True, default=str),
                     len(pdf), str(pdf.iloc[0].tolist()) if len(pdf) else "")
     fpath = os.path.join(table_path, "data", f"{key}.parquet")
@@ -1381,14 +1388,15 @@ def _commit_lock(path: str):
 
 
 def _partitioned_data_files(pdf: pd.DataFrame, path: str, seq: int,
-                            table: IcebergTable) -> list[dict]:
+                            table: IcebergTable,
+                            salt: str = "") -> list[dict]:
     """Group rows by transformed partition tuple; one data file per
     partition value (shared by append_pandas and upsert_pandas)."""
     schema_by_id = {f["id"]: f for f in table.schema_fields}
     spec_fields = table.spec_fields
     if not spec_fields:
         return [_write_data_file(pdf, path, seq, {},
-                                 table.schema_fields)]
+                                 table.schema_fields, salt)]
     out = []
     pvals = _partition_values_of(pdf, spec_fields, schema_by_id)
     for key, idx in pvals.groupby(list(pvals.columns), dropna=False,
@@ -1398,7 +1406,7 @@ def _partitioned_data_files(pdf: pd.DataFrame, path: str, seq: int,
         part = {pf["name"]: (None if pd.isna(k) else _to_py(k))
                 for pf, k in zip(spec_fields, key)}
         out.append(_write_data_file(pdf.loc[idx], path, seq, part,
-                                    table.schema_fields))
+                                    table.schema_fields, salt))
     return out
 
 
@@ -2010,9 +2018,10 @@ def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
             # partition under the CURRENT default spec (a one-group
             # no-op when the file's spec is already current — its rows
             # share one partition tuple — and the migration path when
-            # it isn't)
+            # it isn't). Salted name: a rewritten file whose rows equal
+            # the original's must not overwrite the live path in place
             for rec in _partitioned_data_files(kept, path, f["_seq"],
-                                               table):
+                                               table, salt=f"rw{seq}"):
                 entries.append({
                     "status": 1, "snapshot_id": None,
                     "sequence_number": f["_seq"],

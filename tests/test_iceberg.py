@@ -1202,3 +1202,33 @@ def test_compaction_skips_old_spec_manifests(tmp_path, docs_pdf):
     got = pd.concat([pd.read_parquet(p)
                      for p in t.plan_files().paths])
     assert sorted(got.doc_id) == sorted(docs_pdf.iloc[:80].doc_id)
+
+
+def test_rewrite_never_overwrites_live_paths(spark, tmp_path, docs_pdf):
+    """A rewritten file whose surviving rows equal the original's must
+    get a FRESH path: pq.write_table is not atomic, so an in-place
+    overwrite torn by a crash would corrupt a file the pre-rewrite
+    (still current) snapshot references."""
+    root = str(tmp_path / "rwsafe")
+    iceberg.create_table(root, pa.Schema.from_pandas(docs_pdf))
+    iceberg.append_pandas(root, docs_pdf.iloc[:30], timestamp_ms=1000)
+    # equality delete matching NO rows: the file is "touched" (its seq
+    # is smaller) but every row survives
+    ghost = docs_pdf.iloc[:1].copy()
+    ghost["doc_id"] = -999
+    iceberg.upsert_pandas(root, ghost, ["doc_id"], timestamp_ms=2000)
+    t = iceberg.load_table(root)
+    rewritable = {f["file_path"] for f in t.plan_files().files
+                  if f["_seq"] == 1}       # governed by the eq delete
+    assert len(rewritable) == 1
+    res = iceberg.rewrite_data_files(root, timestamp_ms=3000)
+    # the upsert's own file (same seq as the delete) is carried
+    assert res["rewritten_files"] == 1 and res["rows_removed"] == 0
+    t = iceberg.load_table(root)
+    after = t.plan_files()
+    # identical surviving rows, yet a FRESH path — never an in-place
+    # overwrite of the file the pre-rewrite snapshot references
+    assert not (set(after.paths) & rewritable)
+    got = t.read(spark).toPandas()
+    assert sorted(got.doc_id) == sorted(
+        list(docs_pdf.iloc[:30].doc_id) + [-999])

@@ -2108,13 +2108,7 @@ def expire_snapshots(path: str, older_than_ms: int | None = None,
         kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
         kl, km, kf = _reachable_paths(table, kept)
         el, em, ef = _reachable_paths(table, expired)
-        removed: list[str] = []
-        for p in sorted(el - kl):
-            _safe_unlink(p, path, removed)
-        for p in sorted(em - km):
-            _safe_unlink(p, path, removed)
-        for p in sorted(ef - kf):
-            _safe_unlink(p, path, removed)
+        doomed = sorted(el - kl) + sorted(em - km) + sorted(ef - kf)
         watermark = max(
             int(meta.get("properties", {})
                 .get("quickwit.expired-up-to-seq", -1)),
@@ -2126,7 +2120,15 @@ def expire_snapshots(path: str, older_than_ms: int | None = None,
         meta["snapshot-log"] = [
             e for e in meta["snapshot-log"]
             if e["snapshot-id"] in keep_ids]
+        # metadata FIRST, file deletion second: a crash in between
+        # strands orphans (reclaimable by remove_orphan_files), whereas
+        # the reverse order would leave live metadata referencing
+        # already-deleted manifest lists — breaking time travel AND the
+        # next maintenance call's reachability walk
         _write_metadata(path, meta, table.version + 1)
+        removed: list[str] = []
+        for p in doomed:
+            _safe_unlink(p, path, removed)
         return {"expired_snapshots": len(expired),
                 "deleted_files": len(removed),
                 "deleted_paths": removed}

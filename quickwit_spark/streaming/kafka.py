@@ -8,8 +8,14 @@ checkpoint.rs:170-337: every publish carries a per-topic-partition delta
 equal the stored position is rejected, making re-delivered batches
 (Kafka is at-least-once) exactly-once at publish time. That contract is
 implemented and TESTED here broker-independently; `kafka_stream` wires it
-to Spark's Kafka source but is gated on a broker + the
-spark-sql-kafka package existing (neither is in this sandbox).
+to Spark's JVM Kafka source (needs the spark-sql-kafka package). The
+broker TRANSPORT itself is real too: streaming/kafka_wire.py speaks the
+public Kafka wire protocol (record batch v2, CRC32C, Produce/Fetch at
+the KIP-896 floor versions) and kafka_wire_source.py exposes it both as
+a driver-side exactly-once poll and as a `kafka-wire` Structured
+Streaming source feeding wire_kafka_shaped_stream verbatim —
+tests/test_kafka_wire.py drives produce -> fetch -> manifest publish
+over a real TCP loopback broker.
 
 Positions are zero-padded offset strings (the reference's
 Position::Offset encoding) so they order lexicographically.

@@ -64,15 +64,24 @@ def encode_long(n: int) -> bytes:
 
 
 def decode_long(buf: bytes, pos: int) -> tuple[int, int]:
+    """Bounds-checked decode: raises ValueError on truncation or a
+    varint overrunning 64 bits (hostile input must not spin the shift
+    unbounded). This is the repo's ONE zigzag-LEB128 codec — Kafka
+    record varints (streaming/kafka_wire.py) delegate here because the
+    encodings are byte-identical."""
     z = 0
     shift = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
         z |= (b & 0x7F) << shift
         if not (b & 0x80):
             break
         shift += 7
+        if shift > 63:
+            raise ValueError("varint overruns 64 bits")
     return (z >> 1) ^ -(z & 1), pos
 
 

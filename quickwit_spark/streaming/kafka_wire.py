@@ -43,6 +43,9 @@ import socketserver
 import struct
 import threading
 
+from ..sources.avro_ocf import decode_long as _decode_long
+from ..sources.avro_ocf import encode_long as _encode_long
+
 __all__ = [
     "KafkaWireError", "CrcError", "UnsupportedCodec", "BrokerError",
     "crc32c", "encode_record_batch", "decode_record_batches",
@@ -93,8 +96,20 @@ class BrokerError(KafkaWireError):
 
 
 # ---------------------------------------------------------------------------
-# CRC32C (Castagnoli) — table-driven, reflected polynomial 0x82F63B78.
+# CRC32C (Castagnoli) — reflected polynomial 0x82F63B78.
 # Standard check value: crc32c(b"123456789") == 0xE3069283.
+#
+# Two implementations: a per-byte table loop for small inputs, and a
+# numpy log-folding path for fetch-sized batches. The fold exploits
+# CRC's GF(2)-linearity (the same math behind zlib's crc32_combine and
+# hardware PCLMUL folding, all public): raw_crc(A||B) =
+# F(raw_crc(A), len(B)) ^ raw_crc(B), where F(s, L) = the register
+# state after feeding L zero bytes from state s — a linear map we
+# represent as 4×256 uint32 tables and square to reach any power-of-two
+# length. Per-word base CRCs are 8 vectorized table steps; then log2(n)
+# fold levels of 4 lookups each. ~10× the scalar loop at 1 MB, which
+# matters because the CRC runs on every fetched batch in the executor
+# hot path (decode_record_batches).
 # ---------------------------------------------------------------------------
 
 def _build_crc32c_table() -> list[int]:
@@ -110,51 +125,111 @@ def _build_crc32c_table() -> list[int]:
 _CRC32C_TABLE = _build_crc32c_table()
 
 
-def crc32c(data: bytes) -> int:
-    crc = 0xFFFFFFFF
+def _crc32c_scalar(data: bytes, crc: int = 0xFFFFFFFF) -> int:
     tab = _CRC32C_TABLE
     for b in data:
         crc = tab[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
 
 
+class _NumpyCrc32c:
+    """Vectorized raw-CRC folding; lazily built, cached operators."""
+
+    def __init__(self):
+        import numpy as np
+        self.np = np
+        self.tab = np.array(_CRC32C_TABLE, dtype=np.uint32)
+        idx = np.arange(256, dtype=np.uint32)
+        # operator for ONE zero byte: s' = tab[s & 0xFF] ^ (s >> 8),
+        # linear in s, split by source byte of s
+        self._ops = {1: (self.tab[idx], idx.copy(),
+                         idx << np.uint32(8), idx << np.uint32(16))}
+
+    def _apply(self, op, s):
+        np = self.np
+        t0, t1, t2, t3 = op
+        return (t0[s & np.uint32(0xFF)]
+                ^ t1[(s >> np.uint32(8)) & np.uint32(0xFF)]
+                ^ t2[(s >> np.uint32(16)) & np.uint32(0xFF)]
+                ^ t3[s >> np.uint32(24)])
+
+    def _op(self, nbytes: int):
+        """Operator for a power-of-two zero-byte count, by squaring."""
+        if nbytes not in self._ops:
+            half = self._op(nbytes >> 1)
+            self._ops[nbytes] = tuple(self._apply(half, t) for t in half)
+        return self._ops[nbytes]
+
+    def _shift(self, state: int, nbytes: int) -> int:
+        """F(state, nbytes) for arbitrary nbytes (binary decomposition)."""
+        np, k = self.np, 1
+        while nbytes:
+            if nbytes & 1:
+                state = int(self._apply(
+                    self._op(k), np.array([state], dtype=np.uint32))[0])
+            nbytes >>= 1
+            k <<= 1
+        return state
+
+    def crc(self, data: bytes) -> int:
+        np = self.np
+        n = len(data)
+        # front-pad to a word multiple: with init 0 the raw CRC ignores
+        # LEADING zeros, so padding at the front is free
+        pad = (-n) % 8
+        buf = np.frombuffer(b"\x00" * pad + data, dtype=np.uint8)
+        words = buf.reshape(len(buf) // 8, 8)
+        s = np.zeros(len(words), dtype=np.uint32)
+        tab = self.tab
+        for j in range(8):
+            s = tab[(s ^ words[:, j]) & np.uint32(0xFF)] ^ (s >> np.uint32(8))
+        # front-pad the word CRCs to a power of two (zero words fold as 0)
+        m = 1 << (len(s) - 1).bit_length()
+        if m > len(s):
+            s = np.concatenate([np.zeros(m - len(s), dtype=np.uint32), s])
+        span = 8
+        while len(s) > 1:
+            s = self._apply(self._op(span), s[0::2]) ^ s[1::2]
+            span <<= 1
+        raw = int(s[0])
+        raw ^= self._shift(0xFFFFFFFF, n)  # init register = 0xFFFFFFFF
+        return raw ^ 0xFFFFFFFF
+
+
+_NP_CRC: _NumpyCrc32c | None = None
+_NP_CRC_FAILED = False
+
+
+def crc32c(data: bytes) -> int:
+    global _NP_CRC, _NP_CRC_FAILED
+    if len(data) >= 1024 and not _NP_CRC_FAILED:
+        if _NP_CRC is None:
+            try:
+                _NP_CRC = _NumpyCrc32c()
+            except ImportError:
+                _NP_CRC_FAILED = True
+                return _crc32c_scalar(data)
+        return _NP_CRC.crc(data)
+    return _crc32c_scalar(data)
+
+
 # ---------------------------------------------------------------------------
 # primitive codecs (non-flexible protocol versions: no tagged fields)
 # ---------------------------------------------------------------------------
 
-def _zigzag(n: int) -> int:
-    return (n << 1) ^ (n >> 63)
-
-
-def _unzigzag(n: int) -> int:
-    return (n >> 1) ^ -(n & 1)
-
+# Kafka record varints are zigzag-then-LEB128 — byte-identical to Avro
+# int/long encoding. One canonical (bounds-checked) codec lives in
+# sources/avro_ocf.py; these are protocol-flavored shims over it.
 
 def write_varint(out: bytearray, value: int) -> None:
-    v = _zigzag(value) & 0xFFFFFFFFFFFFFFFF
-    while True:
-        b = v & 0x7F
-        v >>= 7
-        if v:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return
+    out += _encode_long(value)
 
 
 def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
-    shift, acc = 0, 0
-    while True:
-        if pos >= len(buf):
-            raise KafkaWireError("truncated varint")
-        b = buf[pos]
-        pos += 1
-        acc |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return _unzigzag(acc), pos
-        shift += 7
-        if shift > 63:
-            raise KafkaWireError("varint overruns 64 bits")
+    try:
+        return _decode_long(buf, pos)
+    except ValueError as exc:
+        raise KafkaWireError(str(exc)) from None
 
 
 class _Writer:
@@ -490,8 +565,8 @@ class KafkaWireClient:
     def __exit__(self, *exc):
         self.close()
 
-    def _roundtrip(self, api_key: int, api_version: int,
-                   body: bytes) -> _Reader:
+    def _roundtrip(self, api_key: int, api_version: int, body: bytes,
+                   expect_response: bool = True) -> _Reader | None:
         with self._lock:
             self._connect()
             self._corr += 1
@@ -503,6 +578,10 @@ class KafkaWireClient:
             hdr.string(self.client_id)
             msg = bytes(hdr.b) + body
             self._sock.sendall(struct.pack(">i", len(msg)) + msg)
+            if not expect_response:
+                # the spec: brokers send NO response to Produce acks=0;
+                # waiting here would hang until the socket timeout
+                return None
             raw = self._recv_frame()
         r = _Reader(raw)
         got_corr = r.i32()
@@ -624,7 +703,8 @@ class KafkaWireClient:
                 compression: str = "none", base_timestamp: int = 0,
                 acks: int = -1, timeout_ms: int = 30000) -> int:
         """Produce v3 one batch; returns the broker-assigned base
-        offset."""
+        offset, or -1 for acks=0 (fire-and-forget: the spec says the
+        broker sends no response, so there is no offset to learn)."""
         batch = encode_record_batch(records, base_offset=0,
                                     base_timestamp=base_timestamp,
                                     compression=compression)
@@ -637,6 +717,10 @@ class KafkaWireClient:
         w.i32(1)             # one partition
         w.i32(partition)
         w.bytes_(batch)
+        if acks == 0:
+            self._roundtrip(_PRODUCE, 3, bytes(w.b),
+                            expect_response=False)
+            return -1
         r = self._roundtrip(_PRODUCE, 3, bytes(w.b))
         base = None
         for _ in range(r.i32()):
@@ -705,11 +789,27 @@ class _PartitionLog:
         self.log_end = 0
 
     def append(self, batch: bytes) -> int:
-        base, count, _last = batch_meta(batch)  # verifies crc
+        base, _count, last = batch_meta(batch)  # verifies crc
         assigned = self.log_end
         self.batches.append((assigned, _patch_base_offset(batch, assigned)))
-        self.log_end += count
+        # real brokers advance by lastOffsetDelta+1, not recordCount:
+        # compacted batches legally have offset gaps inside, and
+        # advancing by count would hand the next producer a base offset
+        # INSIDE this batch's range (duplicate offsets in one log)
+        self.log_end = assigned + (last - base) + 1
         return assigned
+
+    def offset_for_timestamp(self, ts: int) -> int:
+        """ListOffsets lookup-by-time: the earliest offset whose record
+        timestamp is >= ts, or -1 when no such record exists (spec)."""
+        for _base, blob in self.batches:
+            max_ts = struct.unpack(">q", blob[35:43])[0]
+            if max_ts < ts:
+                continue
+            for off, rts, _k, _v, _h in decode_record_batches(blob):
+                if rts >= ts:
+                    return off
+        return -1
 
     def read_from(self, offset: int, max_bytes: int) -> bytes:
         """Whole batches whose last offset reaches `offset`, up to
@@ -758,6 +858,8 @@ class LoopbackKafkaBroker:
                         if raw is None:
                             return
                         resp = broker._dispatch(raw)
+                        if resp is None:  # Produce acks=0: no response
+                            continue
                         self.request.sendall(
                             struct.pack(">i", len(resp)) + resp)
                 except (ConnectionError, KafkaWireError, OSError):
@@ -811,7 +913,7 @@ class LoopbackKafkaBroker:
         self.stop()
 
     # -- request dispatch ----------------------------------------------
-    def _dispatch(self, raw: bytes) -> bytes:
+    def _dispatch(self, raw: bytes) -> bytes | None:
         r = _Reader(raw)
         api_key = r.i16()
         api_version = r.i16()
@@ -835,7 +937,8 @@ class LoopbackKafkaBroker:
             w.i16(_ERR_UNSUPPORTED_VERSION)
             w.i32(0)
             return bytes(w.b)
-        handler(r, w)
+        if handler(r, w):  # handler suppressed the response (acks=0)
+            return None
         return bytes(w.b)
 
     def _api_versions(self, r: _Reader, w: _Writer):
@@ -896,70 +999,86 @@ class LoopbackKafkaBroker:
                 w.i16(_ERR_NONE)
                 w.i64(-1)  # timestamp (v1: -1 for logical queries)
                 with self._lock:
-                    w.i64(0 if ts == EARLIEST else log.log_end)
+                    if ts == EARLIEST:
+                        w.i64(0)
+                    elif ts == LATEST:
+                        w.i64(log.log_end)
+                    else:  # lookup-by-time (epoch millis)
+                        w.i64(log.offset_for_timestamp(ts))
 
     def _produce(self, r: _Reader, w: _Writer):
         r.string()  # transactional_id
-        r.i16()     # acks
+        acks = r.i16()
         r.i32()     # timeout
-        results = []
+        # response framing groups partition results UNDER their topic
+        # entry (one topic entry per topic, spec) — flattening to one
+        # topic entry per partition desyncs conformant clients
+        topics: list[tuple[str, list[tuple[int, int, int]]]] = []
         for _ in range(r.i32()):
             name = r.string()
+            parts: list[tuple[int, int, int]] = []
             for _ in range(r.i32()):
                 pid = r.i32()
                 record_set = r.bytes_()
                 log = self.logs.get((name, pid))
                 if log is None:
-                    results.append((name, pid, _ERR_UNKNOWN_TOPIC, -1))
+                    parts.append((pid, _ERR_UNKNOWN_TOPIC, -1))
                     continue
                 try:
                     with self._lock:
                         base = log.append(record_set)
-                    results.append((name, pid, _ERR_NONE, base))
+                    parts.append((pid, _ERR_NONE, base))
                 except KafkaWireError:
-                    results.append((name, pid, _ERR_CORRUPT_MESSAGE, -1))
-        w.i32(len(results))
-        for name, pid, err, base in results:
+                    parts.append((pid, _ERR_CORRUPT_MESSAGE, -1))
+            topics.append((name, parts))
+        if acks == 0:  # spec: no response frame at all
+            return True
+        w.i32(len(topics))
+        for name, parts in topics:
             w.string(name)
-            w.i32(1)
-            w.i32(pid)
-            w.i16(err)
-            w.i64(base)
-            w.i64(-1)  # log_append_time (CreateTime topics)
-        w.i32(0)       # throttle_time_ms
+            w.i32(len(parts))
+            for pid, err, base in parts:
+                w.i32(pid)
+                w.i16(err)
+                w.i64(base)
+                w.i64(-1)  # log_append_time (CreateTime topics)
+        w.i32(0)           # throttle_time_ms
 
     def _fetch(self, r: _Reader, w: _Writer):
         r.i32(); r.i32(); r.i32(); r.i32()  # replica, wait, min, max
         r.i8()                               # isolation
-        reqs = []
+        reqs: list[tuple[str, list[tuple[int, int, int]]]] = []
         for _ in range(r.i32()):
             name = r.string()
+            parts = []
             for _ in range(r.i32()):
                 pid = r.i32()
                 off = r.i64()
                 pmax = r.i32()
-                reqs.append((name, pid, off, pmax))
+                parts.append((pid, off, pmax))
+            reqs.append((name, parts))
         w.i32(0)  # throttle_time_ms
         w.i32(len(reqs))
-        for name, pid, off, pmax in reqs:
+        for name, parts in reqs:
             w.string(name)
-            w.i32(1)
-            w.i32(pid)
-            log = self.logs.get((name, pid))
-            if log is None:
-                w.i16(_ERR_UNKNOWN_TOPIC)
-                w.i64(-1); w.i64(-1); w.i32(0)
-                w.bytes_(b"")
-                continue
-            with self._lock:
-                if off < 0 or off > log.log_end:
-                    w.i16(_ERR_OFFSET_OUT_OF_RANGE)
-                    w.i64(log.log_end); w.i64(log.log_end); w.i32(0)
+            w.i32(len(parts))
+            for pid, off, pmax in parts:
+                w.i32(pid)
+                log = self.logs.get((name, pid))
+                if log is None:
+                    w.i16(_ERR_UNKNOWN_TOPIC)
+                    w.i64(-1); w.i64(-1); w.i32(0)
                     w.bytes_(b"")
                     continue
-                blob = log.read_from(off, max(pmax, 1))
-                w.i16(_ERR_NONE)
-                w.i64(log.log_end)   # high_watermark
-                w.i64(log.log_end)   # last_stable_offset
-                w.i32(0)             # aborted_transactions
-                w.bytes_(blob)
+                with self._lock:
+                    if off < 0 or off > log.log_end:
+                        w.i16(_ERR_OFFSET_OUT_OF_RANGE)
+                        w.i64(log.log_end); w.i64(log.log_end); w.i32(0)
+                        w.bytes_(b"")
+                        continue
+                    blob = log.read_from(off, max(pmax, 1))
+                    w.i16(_ERR_NONE)
+                    w.i64(log.log_end)   # high_watermark
+                    w.i64(log.log_end)   # last_stable_offset
+                    w.i32(0)             # aborted_transactions
+                    w.bytes_(blob)

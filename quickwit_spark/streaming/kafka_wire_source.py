@@ -71,31 +71,44 @@ def poll_wire_topic(host: str, port: int, topic: str, config,
             hwm = client.list_offsets(topic, p, LATEST)
             if start >= hwm:
                 continue
-            rows, off = [], start
-            while off < hwm and total + len(rows) < max_records_per_poll:
+            docs: list[dict] = []
+            last = None  # last offset CONSUMED, tombstones included
+            consumed, off = 0, start
+            while off < hwm and total + consumed < max_records_per_poll:
                 recs, hwm = client.fetch(topic, p, off)
                 if not recs:
+                    # transient empty fetch (max_wait expiry); offsets
+                    # only advance past records actually consumed, so
+                    # the next poll resumes here — nothing is skipped
                     break
                 for o, _ts, _k, v, _h in recs:
-                    if o >= hwm or total + len(rows) >= \
+                    if o >= hwm or total + consumed >= \
                             max_records_per_poll:
                         break
-                    rows.append((o, v))
-                off = rows[-1][0] + 1 if rows else hwm
-            if not rows:
+                    last = o
+                    consumed += 1
+                    if v is not None:
+                        # null value = tombstone (compacted topics):
+                        # advances the offset, carries no document
+                        docs.append(json.loads(v.decode("utf-8")))
+                off = last + 1 if last is not None else hwm
+            if last is None:
                 continue
-            total += len(rows)
+            total += consumed
             # None on the first-ever batch — including a late start on a
             # compacted/retained-away topic (same contract as kafka.py's
             # handle_kafka_batch: the manifest only learns offsets that
             # were actually ingested)
             frm = committed.get(p)
-            offsets[p] = (frm, rows[-1][0])
-            frames.append(pd.DataFrame(
-                [json.loads(v.decode("utf-8")) for _o, v in rows]))
-    if not frames:
+            offsets[p] = (frm, last)
+            if docs:
+                frames.append(pd.DataFrame(docs))
+    if not offsets:
         return {"published": False, "records": 0, "partitions": {}}
-    batch = pd.concat(frames, ignore_index=True)
+    # tombstone-only polls publish an EMPTY batch: the checkpoint must
+    # still advance past the tombstones or every poll re-reads them
+    batch = (pd.concat(frames, ignore_index=True) if frames
+             else pd.DataFrame())
     ok = ingest_offset_batch(batch, config, offsets,
                              build_partitions=build_partitions)
     return {"published": ok, "records": int(len(batch)),
@@ -171,14 +184,35 @@ def _datasource_classes():
             return self._read_range(part)
 
         @staticmethod
-        def _read_range(part):
+        def _read_range(part, empty_fetch_timeout: float = 60.0):
+            import time
             with KafkaWireClient(part.host, part.port,
                                  client_id="qw-spark-task") as c:
                 off = part.start
+                deadline = time.monotonic() + empty_fetch_timeout
                 while off < part.end:
                     recs, _hwm = c.fetch(part.topic, part.partition, off)
                     if not recs:
-                        break  # truncated below retention mid-batch
+                        # An empty fetch at a valid offset is transient
+                        # (max_wait expired below the planned end, e.g.
+                        # during a leader change) — retry; NEVER truncate
+                        # the planned range, because Spark's checkpoint
+                        # advances to part.end regardless and the skipped
+                        # records would be lost (the manifest would then
+                        # raise OffsetGap forever). Truncation-below-
+                        # retention surfaces as OFFSET_OUT_OF_RANGE, not
+                        # as an empty fetch, so looping here is safe;
+                        # the deadline fails the task (Spark retries it)
+                        # rather than silently dropping data.
+                        if time.monotonic() > deadline:
+                            raise RuntimeError(
+                                f"{part.topic}/{part.partition}: no data "
+                                f"at offset {off} < planned end "
+                                f"{part.end} after "
+                                f"{empty_fetch_timeout:.0f}s of retries")
+                        time.sleep(0.05)
+                        continue
+                    deadline = time.monotonic() + empty_fetch_timeout
                     for o, ts, k, v, _h in recs:
                         if o >= part.end:
                             return

@@ -328,3 +328,200 @@ def test_streaming_source_end_to_end(broker, cfg, spark, tmp_path):
     # searchable: BM25 over the streamed docs
     res = IndexSearcher(cfg.index_dir).search("merge", k=5)
     assert res.num_hits == 13 and len(res.hits) == 5
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: CRC vectorization, tombstones, acks=0,
+# response framing, offset-gap batches, timestamp lookup, empty-fetch retry
+# ---------------------------------------------------------------------------
+
+
+def test_numpy_crc_matches_scalar_on_fuzzed_lengths():
+    """The vectorized fold and the byte loop are the same function —
+    every length class (word tails, power-of-two edges, the 1024
+    dispatch threshold) on random bytes."""
+    import random
+
+    from quickwit_spark.streaming.kafka_wire import (_crc32c_scalar,
+                                                     _NumpyCrc32c)
+    rng = random.Random(7)
+    np_crc = _NumpyCrc32c()
+    for n in [0, 1, 7, 8, 9, 63, 64, 65, 1023, 1024, 1025, 4096, 4097,
+              10000]:
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert np_crc.crc(data) == _crc32c_scalar(data), n
+        assert crc32c(data) == _crc32c_scalar(data), n
+
+
+def test_tombstones_advance_offsets_without_documents(broker, cfg):
+    """Null-value records (tombstones, standard on compacted topics)
+    advance the committed offset but contribute no documents; a
+    tombstone-ONLY poll still publishes the checkpoint advance (else
+    every later poll re-reads them forever)."""
+    with KafkaWireClient(broker.host, broker.port) as c:
+        c.produce("docs", 0, [(None, _doc(0, 0)), (b"k", None),
+                              (None, _doc(2, 0))])
+    r1 = poll_wire_topic(broker.host, broker.port, "docs", cfg)
+    # "records" counts documents ingested — tombstones advance offsets
+    # but are not documents
+    assert r1["published"] and r1["records"] == 2
+    assert r1["partitions"] == {0: (None, 2)}
+    assert source_positions(cfg) == {0: 2}
+    assert IndexSearcher(cfg.index_dir).count("*") == 2  # not 3
+    # tombstone-only batch: offsets advance, zero docs
+    with KafkaWireClient(broker.host, broker.port) as c:
+        c.produce("docs", 0, [(b"k1", None), (b"k2", None)])
+    r2 = poll_wire_topic(broker.host, broker.port, "docs", cfg)
+    assert r2["published"] and r2["partitions"] == {0: (2, 4)}
+    assert source_positions(cfg) == {0: 4}
+    # and the next poll is a clean no-op
+    r3 = poll_wire_topic(broker.host, broker.port, "docs", cfg)
+    assert not r3["published"] and r3["records"] == 0
+
+
+def test_produce_acks0_sends_no_response_and_does_not_desync(broker):
+    """acks=0 is fire-and-forget: the spec says the broker sends NO
+    response, so the client must not wait for one — and the next request
+    on the same socket must still line up frame-for-frame."""
+    with KafkaWireClient(broker.host, broker.port) as c:
+        assert c.produce("docs", 0, [(None, b"a"), (None, b"b")],
+                         acks=0) == -1
+        # same connection, next roundtrip: no stale frame in the socket
+        assert c.list_offsets("docs", 0, LATEST) == 2
+        recs, _ = c.fetch("docs", 0, 0)
+        assert [v for _o, _t, _k, v, _h in recs] == [b"a", b"b"]
+
+
+def test_multi_partition_responses_group_under_one_topic_entry(broker):
+    """A two-partition produce (and fetch) in ONE request must come back
+    as ONE topic entry with two partition results — the flattened
+    one-topic-per-partition framing desyncs spec-conformant clients."""
+    from quickwit_spark.streaming.kafka_wire import _Writer
+
+    def produce_body(parts):
+        w = _Writer()
+        w.string(None)  # transactional_id
+        w.i16(-1)       # acks
+        w.i32(30000)
+        w.i32(1)        # ONE topic entry...
+        w.string("docs")
+        w.i32(len(parts))  # ...with N partitions
+        for pid, recs in parts:
+            w.i32(pid)
+            w.bytes_(encode_record_batch(recs))
+        return bytes(w.b)
+
+    with KafkaWireClient(broker.host, broker.port) as c:
+        r = c._roundtrip(0, 3, produce_body(
+            [(0, [(None, b"p0a"), (None, b"p0b")]), (1, [(None, b"p1a")])]))
+        n_topics = r.i32()
+        assert n_topics == 1
+        assert r.string() == "docs"
+        n_parts = r.i32()
+        assert n_parts == 2
+        got = {}
+        for _ in range(n_parts):
+            pid, err, base = r.i32(), r.i16(), r.i64()
+            r.i64()  # log_append_time
+            assert err == 0
+            got[pid] = base
+        assert got == {0: 0, 1: 0}
+
+        # fetch both partitions in one request
+        w = _Writer()
+        w.i32(-1); w.i32(100); w.i32(1); w.i32(8 << 20)
+        w.i8(0)
+        w.i32(1)
+        w.string("docs")
+        w.i32(2)
+        for pid in (0, 1):
+            w.i32(pid); w.i64(0); w.i32(8 << 20)
+        r = c._roundtrip(1, 4, bytes(w.b))
+        r.i32()  # throttle
+        assert r.i32() == 1          # one topic entry
+        assert r.string() == "docs"
+        assert r.i32() == 2          # two partition entries
+        vals = {}
+        for _ in range(2):
+            pid = r.i32()
+            assert r.i16() == 0
+            r.i64(); r.i64()
+            r.array(lambda: (r.i64(), r.i64()))
+            blob = r.bytes_() or b""
+            vals[pid] = [v for _o, _t, _k, v, _h in
+                         decode_record_batches(blob)]
+        assert vals == {0: [b"p0a", b"p0b"], 1: [b"p1a"]}
+
+
+def _repatch_last_offset_delta(blob: bytes, last_delta: int) -> bytes:
+    """Rewrite lastOffsetDelta and recompute the CRC (test helper for
+    compaction-shaped batches with internal offset gaps)."""
+    from quickwit_spark.streaming.kafka_wire import _ATTR_START, _CRC_START
+    b = bytearray(blob)
+    b[23:27] = struct.pack(">i", last_delta)
+    b[_CRC_START:_CRC_START + 4] = struct.pack(
+        ">I", crc32c(bytes(b[_ATTR_START:])))
+    return bytes(b)
+
+
+def test_offset_gap_batch_advances_log_end_by_last_delta(broker):
+    """Brokers advance the log end by lastOffsetDelta+1, not
+    recordCount: a compacted batch with internal gaps must not make the
+    next producer's base offset land INSIDE the previous batch."""
+    gap_batch = _repatch_last_offset_delta(
+        encode_record_batch([(None, b"a"), (None, b"b")]), 5)
+    from quickwit_spark.streaming.kafka_wire import batch_meta
+    assert batch_meta(gap_batch) == (0, 2, 5)
+    log = broker.logs[("docs", 0)]
+    assert log.append(gap_batch) == 0
+    assert log.log_end == 6  # 0..5 occupied, NOT 2
+    with KafkaWireClient(broker.host, broker.port) as c:
+        assert c.list_offsets("docs", 0, LATEST) == 6
+        assert c.produce("docs", 0, [(None, b"next")]) == 6
+
+
+def test_list_offsets_by_timestamp(broker):
+    """ListOffsets v1 with a real timestamp returns the earliest offset
+    whose record timestamp >= the query — not the log end."""
+    with KafkaWireClient(broker.host, broker.port) as c:
+        c.produce("docs", 0, [(None, b"a"), (None, b"b")],
+                  base_timestamp=1000)  # ts 1000, 1001
+        c.produce("docs", 0, [(None, b"c")], base_timestamp=5000)
+        assert c.list_offsets("docs", 0, timestamp=0) == 0
+        assert c.list_offsets("docs", 0, timestamp=1001) == 1
+        assert c.list_offsets("docs", 0, timestamp=2000) == 2
+        assert c.list_offsets("docs", 0, timestamp=99999) == -1  # none
+        assert c.list_offsets("docs", 0, EARLIEST) == 0
+        assert c.list_offsets("docs", 0, LATEST) == 3
+
+
+def test_read_range_retries_empty_fetch_instead_of_truncating(broker,
+                                                              monkeypatch):
+    """An empty fetch at a valid offset (max_wait expiry during e.g. a
+    leader change) must NOT truncate the planned range — Spark's
+    checkpoint advances to the planned end regardless, so truncation
+    loses records permanently. The reader retries; persistent emptiness
+    fails the task loudly."""
+    from quickwit_spark.streaming import kafka_wire_source as kws
+    with KafkaWireClient(broker.host, broker.port) as c:
+        c.produce("docs", 0, [(None, _doc(i, 0)) for i in range(4)])
+
+    real_fetch = KafkaWireClient.fetch
+    empties = {"n": 2}
+
+    def flaky_fetch(self, topic, partition, offset, **kw):
+        if empties["n"] > 0:
+            empties["n"] -= 1
+            return [], 4
+        return real_fetch(self, topic, partition, offset, **kw)
+
+    monkeypatch.setattr(KafkaWireClient, "fetch", flaky_fetch)
+    _, reader_cls, part_cls = kws._datasource_classes()
+    part = part_cls(broker.host, broker.port, "docs", 0, 0, 4)
+    rows = list(reader_cls._read_range(part))
+    assert [o for _k, _v, _p, o, _t in rows] == [0, 1, 2, 3]
+    # persistent emptiness: loud failure, never a silent partial range
+    monkeypatch.setattr(KafkaWireClient, "fetch",
+                        lambda self, *a, **kw: ([], 4))
+    with pytest.raises(RuntimeError, match="no data at offset"):
+        list(reader_cls._read_range(part, empty_fetch_timeout=0.3))

@@ -26,10 +26,11 @@ import struct
 import numpy as np
 
 from .media_codecs import MediaDecodeError, _check_dims
-from .jpeg_codec import decode_jpeg, encode_jpeg
+from .jpeg_codec import decode_jpeg, encode_jpeg, standard_dht_segment
 
-# fourccs we can actually decode (case-insensitive match)
-_MJPG_FOURCCS = {b"MJPG", b"mjpg", b"dmb1", b"AVRn"}
+# fourccs we can actually decode (matched case-insensitively — muxers
+# vary the casing; compare against .upper())
+_MJPG_FOURCCS = {b"MJPG", b"DMB1", b"AVRN"}
 
 
 def _u32(data: bytes, off: int, what: str) -> int:
@@ -79,12 +80,19 @@ def _parse_avi(data: bytes) -> _AviInfo:
     frame_spans: list[tuple[int, int]] = []
 
     def walk_movi(start: int, stop: int) -> None:
-        for tag, off, size in _iter_chunks(data, start, stop, "movi"):
-            if tag == b"LIST" and data[off:off + 4] == b"rec ":
-                walk_movi(off + 4, off + size)
-            elif (len(tag) == 4 and tag[:2] == vid_tag
-                  and tag[2:] in (b"dc", b"db")):
-                frame_spans.append((off, size))
+        # iterative: a crafted AVI can nest LIST 'rec ' thousands deep,
+        # and recursion would escape as RecursionError (not
+        # MediaDecodeError) and kill the whole Spark task
+        spans = [(start, stop)]
+        while spans:
+            lo, hi = spans.pop()
+            for tag, off, size in _iter_chunks(data, lo, hi, "movi"):
+                if tag == b"LIST" and data[off:off + 4] == b"rec ":
+                    spans.append((off + 4, off + size))
+                elif (len(tag) == 4 and tag[:2] == vid_tag
+                      and tag[2:] in (b"dc", b"db")):
+                    frame_spans.append((off, size))
+        frame_spans.sort()  # file order regardless of nesting order
 
     for tag, off, size in _iter_chunks(data, 12, end, "top-level"):
         if tag != b"LIST":
@@ -109,11 +117,13 @@ def _parse_avi(data: bytes) -> _AviInfo:
                               and vid_stream == stream_no):
                             # BITMAPINFOHEADER: biWidth/biHeight/
                             # biCompression override avih (the
-                            # authoritative stream format)
-                            bw = _u32(data, o3 + 4, "strf width")
-                            bh = _u32(data, o3 + 8, "strf height")
+                            # authoritative stream format). Both are
+                            # signed LONGs; a negative biHeight is a
+                            # legal top-down DIB, not a huge unsigned
+                            bw, bh = struct.unpack_from("<ii", data,
+                                                        o3 + 4)
                             if bw and bh:
-                                width, height = bw, bh
+                                width, height = abs(bw), abs(bh)
                             comp = data[o3 + 16:o3 + 20]
                             if comp.strip(b"\x00"):
                                 fourcc = comp
@@ -146,6 +156,29 @@ def avi_frame_chunks(data: bytes, every_n: int = 1,
             return
 
 
+def _ensure_dht(frame: bytes) -> bytes:
+    """MJPEG-in-AVI convention: frames commonly OMIT the DHT segment
+    and decoders must substitute the T.81 K.3 typical tables. Splice
+    them in before SOS when no DHT is present; frames carrying their
+    own tables pass through untouched."""
+    if len(frame) < 4 or frame[:2] != b"\xff\xd8":
+        return frame  # not a JPEG: let decode_jpeg raise its own error
+    pos = 2
+    while pos + 4 <= len(frame):
+        if frame[pos] != 0xFF:
+            return frame  # malformed: decode_jpeg will complain
+        marker = frame[pos + 1]
+        if marker == 0xC4:
+            return frame  # has its own tables
+        if marker == 0xDA:  # SOS reached with no DHT seen
+            return frame[:pos] + standard_dht_segment() + frame[pos:]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers have no length field
+            continue
+        pos += 2 + struct.unpack_from(">H", frame, pos + 2)[0]
+    return frame
+
+
 def decode_avi_mjpeg(data: bytes, every_n: int = 1,
                      max_frames: int | None = None):
     """Parse an AVI container and decode every ``every_n``-th MJPG
@@ -154,7 +187,7 @@ def decode_avi_mjpeg(data: bytes, every_n: int = 1,
     MediaDecodeError naming the codec."""
     data = bytes(data)
     info = _parse_avi(data)
-    if info.fourcc not in _MJPG_FOURCCS:
+    if info.fourcc.upper() not in _MJPG_FOURCCS:
         raise MediaDecodeError(
             f"AVI: codec {info.fourcc!r} unsupported (only MJPG; "
             "inter-frame codecs like H.26x need a motion-compensation "
@@ -163,7 +196,7 @@ def decode_avi_mjpeg(data: bytes, every_n: int = 1,
     for idx, (off, size) in enumerate(info.frame_spans):
         if idx % every_n:
             continue
-        img = decode_jpeg(data[off:off + size])
+        img = decode_jpeg(_ensure_dht(data[off:off + size]))
         h, w = img.shape[:2]
         if (w, h) != (info.width, info.height):
             raise MediaDecodeError(
@@ -185,9 +218,14 @@ def _list(ltype: bytes, payload: bytes) -> bytes:
 
 
 def encode_avi_mjpeg(frames, fps: int = 25, quality: int = 90,
-                     subsampling: str = "444") -> bytes:
+                     subsampling: str = "444",
+                     omit_dht: bool = False) -> bytes:
     """Encode an iterable of uint8 HxW / HxWx3 frames (all one shape)
-    as an AVI with one MJPG video stream and an idx1 index."""
+    as an AVI with one MJPG video stream and an idx1 index.
+
+    omit_dht=True emits the classic MJPEG-in-AVI shape: frames encoded
+    with the T.81 K.3 standard tables and their DHT segments stripped
+    (decoders substitute the defaults — see _ensure_dht)."""
     payloads = []
     shape = None
     for f in frames:
@@ -197,14 +235,23 @@ def encode_avi_mjpeg(frames, fps: int = 25, quality: int = 90,
         elif a.shape != shape:
             raise ValueError(
                 f"frame shape {a.shape} != first frame {shape}")
-        payloads.append(encode_jpeg(a, quality=quality,
-                                    subsampling=subsampling))
+        if omit_dht:
+            p = encode_jpeg(a, quality=quality, subsampling=subsampling,
+                            huffman="standard")
+            p = p.replace(standard_dht_segment(), b"", 1)
+        else:
+            p = encode_jpeg(a, quality=quality, subsampling=subsampling)
+        payloads.append(p)
     if shape is None:
         raise ValueError("no frames")
     h, w = shape[:2]
     n = len(payloads)
     maxbuf = max(len(p) for p in payloads)
 
+    # rcFrame is a RECT of SIGNED 16-bit shorts; for dims past 32767
+    # write zeros (a common muxer convention — players take the size
+    # from strf's BITMAPINFOHEADER, as does our parser)
+    rc_w, rc_h = (w, h) if w <= 0x7FFF and h <= 0x7FFF else (0, 0)
     strh = struct.pack(
         "<4s4sIHHIIIIIIiI4h",
         b"vids", b"MJPG", 0, 0, 0, 0,
@@ -212,7 +259,7 @@ def encode_avi_mjpeg(frames, fps: int = 25, quality: int = 90,
         0, n,                   # dwStart / dwLength (frames)
         maxbuf, -1,             # dwSuggestedBufferSize, dwQuality
         0,                      # dwSampleSize
-        0, 0, w, h)             # rcFrame
+        0, 0, rc_w, rc_h)       # rcFrame
     strf = struct.pack(
         "<IiiHH4sIiiII",
         40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)

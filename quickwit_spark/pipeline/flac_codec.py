@@ -161,12 +161,13 @@ _FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
 _BLOCKSIZE_TBL = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
                   8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
                   13: 8192, 14: 16384, 15: 32768}
-_RATE_TBL = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
-             6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
-             11: 96000}
 _BPS_TBL = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
-MAX_SAMPLES = 1 << 26  # allocation guard for hostile STREAMINFO/frames
+# Allocation guard for hostile STREAMINFO/frames: TOTAL channel-samples
+# (blocksize x channels summed over frames), so a crafted many-channel
+# stream can't amplify a tiny blob into gigabytes — decoded chunks are
+# held as int32, capping decode memory at ~256 MiB + one frame.
+MAX_SAMPLES = 1 << 26
 
 
 def _read_utf8_coded(br: _BitReader) -> int:
@@ -314,9 +315,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     rate, channels, bps, total = info
     if rate == 0 or channels == 0:
         raise MediaDecodeError("FLAC: bad STREAMINFO")
-    if total > MAX_SAMPLES:
+    if total * channels > MAX_SAMPLES:
         raise MediaDecodeError(
-            f"FLAC: {total} samples exceeds MAX_SAMPLES={MAX_SAMPLES}")
+            f"FLAC: {total}x{channels}ch samples exceeds "
+            f"MAX_SAMPLES={MAX_SAMPLES}")
 
     chunks = []
     got = 0
@@ -361,6 +363,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         if _crc8(data[frame_start:hdr_end]) != crc8:
             raise MediaDecodeError("FLAC: frame header CRC-8 mismatch")
 
+        # guard BEFORE decoding/allocating the frame: blocksize and
+        # channel count are both attacker-controlled header fields
+        if (got + blocksize) * channels > MAX_SAMPLES:
+            raise MediaDecodeError("FLAC: stream exceeds MAX_SAMPLES")
+
         if ch_code < 8:
             nch = ch_code + 1
             if nch != channels:
@@ -399,10 +406,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         lim = 1 << (fbps - 1)
         if int(frame.max()) >= lim or int(frame.min()) < -lim:
             raise MediaDecodeError("FLAC: decoded sample out of range")
-        chunks.append(frame)
+        # int32 is the final dtype; dropping the int64 decode headroom
+        # here halves what a maximal stream can pin in memory
+        chunks.append(frame.astype(np.int32))
         got += blocksize
-        if got > MAX_SAMPLES:
-            raise MediaDecodeError("FLAC: stream exceeds MAX_SAMPLES")
 
     if not chunks:
         raise MediaDecodeError("FLAC: no audio frames")
@@ -415,6 +422,26 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # ------------------------------------------------------------- encode
+
+def _write_utf8_coded(bw: "_BitWriter", val: int) -> None:
+    """Write a frame/sample number in FLAC's UTF-8-style coding — the
+    exact mirror of _read_utf8_coded (1..7 bytes, up to 36 bits), so
+    encode stays lossless past frame 65535 (the old inline writer
+    silently emitted corrupt 3-byte sequences for fno >= 0x10000)."""
+    if val < 0x80:
+        bw.write(val, 8)
+        return
+    for nbytes, cap in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31),
+                        (7, 36)):
+        if val < (1 << cap):
+            break
+    else:
+        raise ValueError(f"coded number {val} exceeds 36 bits")
+    ones = (~((1 << (8 - nbytes)) - 1)) & 0xFF  # nbytes leading 1s
+    bw.write(ones | (val >> (6 * (nbytes - 1))), 8)
+    for i in range(nbytes - 2, -1, -1):
+        bw.write(0x80 | ((val >> (6 * i)) & 0x3F), 8)
+
 
 def _rice_cost(resid: np.ndarray, param: int) -> int:
     u = (np.abs(resid) << 1) - (resid < 0)
@@ -494,6 +521,11 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
         raise ValueError(f"bad sample shape {samples.shape}")
     if not 4 <= bps <= 24:
         raise ValueError(f"unsupported bits-per-sample {bps}")
+    if not 1 <= sample_rate < (1 << 20):
+        # STREAMINFO's rate field is 20 bits; silently truncating it
+        # would write a wrong-rate or undecodable stream
+        raise ValueError(f"sample_rate {sample_rate} outside the 20-bit "
+                         "STREAMINFO range")
     a = a.astype(np.int64)
     lim = 1 << (bps - 1)
     if a.size and (a.max() >= lim or a.min() < -lim):
@@ -534,16 +566,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
                       "mid_side": 10}[stereo], 4)
         bw.write(ss_code, 3)
         bw.write(0, 1)
-        # UTF-8-coded frame number (support beyond 127 frames)
-        if fno < 0x80:
-            bw.write(fno, 8)
-        elif fno < 0x800:
-            bw.write(0xC0 | (fno >> 6), 8)
-            bw.write(0x80 | (fno & 0x3F), 8)
-        else:
-            bw.write(0xE0 | (fno >> 12), 8)
-            bw.write(0x80 | ((fno >> 6) & 0x3F), 8)
-            bw.write(0x80 | (fno & 0x3F), 8)
+        _write_utf8_coded(bw, fno)
         bw.write(bs - 1, 16)
         bw.align()
         hdr = bw.bytes()

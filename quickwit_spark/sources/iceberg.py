@@ -967,7 +967,8 @@ class IcebergTable:
     # ------------------------------------------------------- reading
 
     def read(self, spark, filter=None, snapshot_id: int | None = None,
-             as_of_ms: int | None = None):
+             as_of_ms: int | None = None,
+             min_data_seq: int | None = None):
         """Planned, pruned read: ``spark.read.parquet`` over the
         surviving file list, with the filter re-applied as a Spark
         ``where`` so pruning is purely an optimization (Catalyst also
@@ -979,7 +980,14 @@ class IcebergTable:
         equality restricted to data files with a STRICTLY SMALLER data
         sequence number (the spec rule that lets a same-snapshot
         upsert leave its own appended rows alone). Delete sets are
-        compact by design, hence the broadcasts."""
+        compact by design, hence the broadcasts.
+
+        min_data_seq restricts the scan to data files with a sequence
+        number STRICTLY GREATER than it, with every live delete file
+        still applied — the delta read an incremental consumer wants
+        (sync_iceberg): an upsert chain inside the delta resolves to
+        its newest version, and delete files aimed at older data files
+        are no-ops here."""
         from pyspark.sql import functions as F
         # time-travel reads use the SNAPSHOT's schema generation (like
         # Iceberg engines); current reads use the current schema. Once
@@ -998,6 +1006,12 @@ class IcebergTable:
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                            "true")
         plan = self.plan_files(filter, snapshot_id, as_of_ms)
+        if min_data_seq is not None:
+            plan = ScanPlan(
+                [f for f in plan.files if f["_seq"] > min_data_seq],
+                plan.manifests_total, plan.manifests_pruned,
+                plan.entries_total, plan.files_pruned_partition,
+                plan.files_pruned_bounds, plan.delete_files)
         if not plan.files:
             return spark.createDataFrame([], read_schema)
         df = spark.read.schema(read_schema).parquet(*plan.paths)

@@ -63,17 +63,12 @@ def _parse_position(pos: str | None) -> tuple[int, int | None]:
     return int(fields["iceberg-seq"]), (int(snap) if snap else None)
 
 
-def ingest_iceberg(spark, table_path: str, config: IndexConfig,
-                   partitions_per_ingest: int = 8,
-                   snapshot_id: int | None = None) -> dict:
-    """Index every data file appended since the last recorded sequence
-    number (as of the current — or pinned — snapshot), publishing the
-    segments and the new source position atomically. Returns a summary
-    dict; ``status`` is 'up-to-date', 'published', or 'replayed'."""
-    table = load_table(table_path)
+def _delta_state(table: IcebergTable, table_path: str, manifest: Manifest,
+                 snapshot_id: int | None) -> tuple:
+    """Shared checkpoint/lineage math for the incremental consumers:
+    (key, stored, since_seq, cur_seq, snap). Raises CheckpointConflict
+    on lineage breaks and rewinds."""
     snap = table.snapshot(snapshot_id)
-    manifest = Manifest.load_or_create(
-        config.index_dir, config.index_uid, config.manifest_config())
     key = _checkpoint_key(table)
     stored = manifest.checkpoint(key)
     since_seq, since_snap = _parse_position(stored)
@@ -106,6 +101,21 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
             f"iceberg table {table_path} is at sequence {cur_seq} but "
             f"the index already consumed up to {since_seq}; refusing "
             f"to rewind — rebuild the index fresh instead")
+    return key, stored, since_seq, cur_seq, snap
+
+
+def ingest_iceberg(spark, table_path: str, config: IndexConfig,
+                   partitions_per_ingest: int = 8,
+                   snapshot_id: int | None = None) -> dict:
+    """Index every data file appended since the last recorded sequence
+    number (as of the current — or pinned — snapshot), publishing the
+    segments and the new source position atomically. Returns a summary
+    dict; ``status`` is 'up-to-date', 'published', or 'replayed'."""
+    table = load_table(table_path)
+    manifest = Manifest.load_or_create(
+        config.index_dir, config.index_uid, config.manifest_config())
+    key, stored, since_seq, cur_seq, snap = _delta_state(
+        table, table_path, manifest, snapshot_id)
     if cur_seq == since_seq:
         return {"status": "up-to-date", "sequence": cur_seq,
                 "files": 0, "docs": 0, "segments": 0,
@@ -165,6 +175,196 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
     except CheckpointConflict:
         # exactly-once: only an EXACT replay (same position, i.e. same
         # snapshot AND same content-addressed segment ids) is benign
+        if manifest.checkpoint(key) != to:
+            raise
+        _cleanup_replayed_segments(manifest, segments_root, rows)
+        summary["status"] = "replayed"
+    return summary
+
+
+def sync_iceberg(spark, table_path: str, config: IndexConfig,
+                 key_cols: list[str] | None = None,
+                 partitions_per_ingest: int = 8,
+                 snapshot_id: int | None = None) -> dict:
+    """Incremental ingest that PROPAGATES source deletes to the index.
+
+    ``ingest_iceberg`` keeps the reference's source contract (appends
+    only; ``source_deletes_ignored`` counts what it skipped). A table
+    maintained by CDC (upsert_pandas / delete_where) also retires rows,
+    and an index synced from it must retire the matching documents or
+    serve stale versions forever. This does three moves, in order:
+
+    1. RETIRE — every row identity deleted in the delta is removed from
+       the already-published segments via the delete-task flow
+       (index/deletes.py segment rewrite): equality-delete files
+       contribute their key tuples directly; position-delete files
+       aimed at data files at/below the checkpoint are resolved to key
+       tuples by reading exactly those rows (``key_cols``). Everything
+       already indexed was ingested at a sequence <= the checkpoint,
+       strictly below every delta delete, so the spec's
+       strictly-smaller rule reduces to "retire all matches".
+    2. INGEST the delta rows WITH merge-on-read suppression applied
+       inside the delta (``table.read(min_data_seq=checkpoint)``) — an
+       upsert chain within the delta leaves only its newest version,
+       and position deletes aimed at delta files suppress those rows
+       before they are ever indexed.
+    3. PUBLISH the new segments and the advanced source position
+       atomically, exactly like ingest_iceberg.
+
+    A crash between 1 and 3 is safe: the retirement rewrite is
+    idempotent (content-addressed segment ids; already-retired docs
+    match nothing) and the checkpoint only advances with the publish,
+    so a retry redoes both and converges.
+
+    Constraints (checked loudly): retirement matches key values as
+    exact terms (numeric values via str()), so key columns must be
+    doc fields of the index and must not be null in any delete row.
+
+    key_cols identifies position-deleted rows; defaults to the index's
+    own doc identity (config.key_cols). Equality-delete retirement
+    always uses the delete file's OWN key columns.
+
+    Scale shape: delete sets are compact by design (the same premise
+    the reader's broadcast anti-joins rest on), so key extraction is a
+    driver-side read of just the delete files plus the deleted rows;
+    the retirement rewrite and the delta build both fan out over Spark.
+    """
+    import pyarrow.parquet as pq
+
+    from ..index.deletes import apply_delete_query
+    from ..search import ast as A
+
+    table = load_table(table_path)
+    manifest = Manifest.load_or_create(
+        config.index_dir, config.index_uid, config.manifest_config())
+    key, stored, since_seq, cur_seq, snap = _delta_state(
+        table, table_path, manifest, snapshot_id)
+    if cur_seq == since_seq:
+        return {"status": "up-to-date", "sequence": cur_seq, "files": 0,
+                "docs": 0, "segments": 0, "docs_retired": 0,
+                "segments_rewritten": 0}
+
+    plan = table.plan_files(None, snapshot_id)
+    delta_files = [f for f in plan.files if f["_seq"] > since_seq]
+    eq_dels = [d for d in plan.delete_files
+               if d.get("content") == 2 and d["_seq"] > since_seq]
+    pos_dels = [d for d in plan.delete_files
+                if d.get("content") == 1 and d["_seq"] > since_seq]
+
+    # ---- 1. collect the identities to retire ---------------------------
+    schema_by_id = {f["id"]: f for f in table.schema_fields}
+    groups: dict[tuple, set] = {}  # key-column tuple -> set of key tuples
+
+    def _add(cols: tuple, rows) -> None:
+        bucket = groups.setdefault(cols, set())
+        for tup in rows:
+            if any(v is None for v in tup):
+                raise ValueError(
+                    f"delete row with null key {dict(zip(cols, tup))!r}: "
+                    "null keys cannot be retired by term match — "
+                    "refusing rather than leaving a stale document")
+            bucket.add(tup)
+
+    for d in eq_dels:
+        missing = [i for i in d["equality_ids"] if i not in schema_by_id]
+        if missing:
+            raise ValueError(
+                f"equality delete references field id(s) {missing} not "
+                "in the current schema — refusing to sync")
+        names = tuple(schema_by_id[i]["name"] for i in d["equality_ids"])
+        t = pq.read_table(d["file_path"], columns=list(names))
+        _add(names, zip(*(t.column(n).to_pylist() for n in names)))
+
+    if pos_dels:
+        live_by_path = {f["file_path"]: f for f in plan.files}
+        pos_by_file: dict[str, list[int]] = {}
+        for d in pos_dels:
+            t = pq.read_table(d["file_path"], columns=["file_path", "pos"])
+            for fp, p in zip(t.column("file_path").to_pylist(),
+                             t.column("pos").to_pylist()):
+                pos_by_file.setdefault(fp, []).append(p)
+        for fp, poss in sorted(pos_by_file.items()):
+            f = live_by_path.get(fp)
+            if f is None:
+                # rewrite_data_files folds delete debt and drops the
+                # delete manifests with it, so a live position delete
+                # always references a live file — anything else is a
+                # corrupt table
+                raise ValueError(
+                    f"position delete references {fp!r}, which is not a "
+                    "live data file")
+            if f["_seq"] > since_seq:
+                continue  # delta-internal: suppressed by the delta read
+            if key_cols is None:
+                key_cols = list(config.key_cols)  # the index's identity
+            t = pq.read_table(fp, columns=list(key_cols))
+            idx = sorted(p for p in set(poss) if 0 <= p < t.num_rows)
+            sub = t.take(idx)
+            _add(tuple(key_cols),
+                 zip(*(sub.column(c).to_pylist() for c in key_cols)))
+
+    docs_retired = segments_rewritten = 0
+    has_index = os.path.exists(
+        os.path.join(config.index_dir, "manifest.json"))
+    if groups and has_index:
+        clauses: list[A.Node] = []
+        for cols, tuples in sorted(groups.items()):
+            if len(cols) == 1:
+                clauses.append(A.TermSet(
+                    cols[0], tuple(sorted(str(t[0]) for t in tuples))))
+            else:
+                clauses.extend(
+                    A.Bool(must=tuple(A.Term(c, str(v))
+                                      for c, v in zip(cols, t)))
+                    for t in sorted(tuples))
+        query = (clauses[0] if len(clauses) == 1
+                 else A.Bool(should=tuple(clauses),
+                             minimum_should_match=1))
+        res = apply_delete_query(config.index_dir, query, spark=spark)
+        docs_retired = res["docs_deleted"]
+        segments_rewritten = res["segments_rewritten"]
+
+    # ---- 2. ingest the delta with in-delta suppression -----------------
+    segments_root = os.path.join(config.index_dir, "segments")
+    os.makedirs(segments_root, exist_ok=True)
+    df = table.read(spark, snapshot_id=snapshot_id,
+                    min_data_seq=since_seq)
+    rows: list[dict] = []
+    if delta_files and df.head(1):
+        base = cur_seq * SEQ_PARTITION_STRIDE
+        routed = route_partitions(df, config, partitions_per_ingest)
+        from pyspark.sql import functions as F
+        routed = routed.withColumn("_pid", F.col("_pid") + F.lit(base))
+        cfg = config
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"manifest_json": []})
+            built = build_partition(pdf, cfg, segments_root)
+            return pd.DataFrame(
+                {"manifest_json": [json.dumps(r) for r in built]})
+
+        out = (routed.groupBy("_pid")
+               .applyInPandas(_build, schema=MANIFEST_ROW_SCHEMA)
+               .collect())
+        rows = [json.loads(r.manifest_json) for r in out]
+
+    # ---- 3. publish + advance the checkpoint ---------------------------
+    n_docs = sum(r["num_docs"] for r in rows)
+    sig = hashlib.sha256(
+        "|".join(sorted(r["segment_id"] for r in rows)).encode()
+    ).hexdigest()[:12]
+    to = (f"iceberg-seq={cur_seq};snap={snap['snapshot-id']};"
+          f"files={len(delta_files)};ids={sig}")
+    summary = {"status": "published", "sequence": cur_seq,
+               "files": len(delta_files), "docs": n_docs,
+               "segments": len(rows), "docs_retired": docs_retired,
+               "segments_rewritten": segments_rewritten,
+               "eq_delete_files": len(eq_dels),
+               "pos_delete_files": len(pos_dels)}
+    try:
+        manifest.publish(rows, checkpoint_delta={key: (stored, to)})
+    except CheckpointConflict:
         if manifest.checkpoint(key) != to:
             raise
         _cleanup_replayed_segments(manifest, segments_root, rows)

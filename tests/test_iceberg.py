@@ -1232,3 +1232,162 @@ def test_rewrite_never_overwrites_live_paths(spark, tmp_path, docs_pdf):
     got = t.read(spark).toPandas()
     assert sorted(got.doc_id) == sorted(
         list(docs_pdf.iloc[:30].doc_id) + [-999])
+
+
+# ---------------------------------------------------------------------------
+# sync_iceberg: CDC delete/upsert propagation into the index
+# ---------------------------------------------------------------------------
+
+
+def _wnum(i: int) -> str:
+    """Digit-free token suffix so markers survive any tokenizer."""
+    return "".join(chr(97 + int(c)) for c in str(i))
+
+
+def _sync_row(i: int, ver: str) -> dict:
+    return {"repo": "r0" if i % 2 else "r1", "path": f"src/f{i}.py",
+            "commit": "c1", "lang": "python",
+            "content": f"{ver}{_wnum(i)} shared corpus body text"}
+
+
+def _sync_cfg(tmp_path, name):
+    from quickwit_spark.config import IndexConfig
+    return IndexConfig(index_uid=name, index_dir=str(tmp_path / name),
+                       sha_col=None)
+
+
+def test_sync_iceberg_propagates_upserts_and_deletes(spark, tmp_path):
+    """CDC sync: an upserted document's old version is retired from the
+    index and its new version indexed; a delete_where'd row (position
+    delete against an already-indexed file) is retired outright."""
+    import pandas as pd
+
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "old") for i in range(30)])
+    root = str(tmp_path / "sync_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync1")
+
+    r1 = sync_iceberg(spark, root, cfg, partitions_per_ingest=4)
+    assert r1["status"] == "published" and r1["docs"] == 30
+    assert r1["docs_retired"] == 0
+
+    # upsert two docs (equality deletes keyed on path) + hard-delete one
+    upd = pd.DataFrame([_sync_row(i, "new") for i in (3, 7)])
+    iceberg.upsert_pandas(root, upd, ["path"], timestamp_ms=2000)
+    iceberg.delete_where(root, [("path", "=", "src/f11.py")],
+                         timestamp_ms=3000)
+
+    r2 = sync_iceberg(spark, root, cfg, partitions_per_ingest=4)
+    assert r2["status"] == "published"
+    assert r2["docs_retired"] == 3          # f3-old, f7-old, f11
+    assert r2["docs"] == 2                  # f3-new, f7-new
+    assert r2["eq_delete_files"] == 1 and r2["pos_delete_files"] == 1
+
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits == 29
+    # old versions gone, new versions searchable
+    assert s.search(A.Term("content", f"old{_wnum(3)}"), k=5,
+                    fetch_fields=False).num_hits == 0
+    assert s.search(A.Term("content", f"new{_wnum(3)}"), k=5,
+                    fetch_fields=False).num_hits == 1
+    assert s.search(A.Term("path", "src/f11.py"), k=5,
+                    fetch_fields=False).num_hits == 0
+    # untouched docs still served
+    assert s.search(A.Term("content", f"old{_wnum(4)}"), k=5,
+                    fetch_fields=False).num_hits == 1
+
+    # index state matches a MoR read of the table exactly
+    assert sorted(r.path for r in
+                  iceberg.load_table(root).read(spark)
+                  .select("path").collect()) == sorted(
+        h.doc["path"] for h in s.search(
+            A.MatchAll(), k=50, fetch_fields=True).hits)
+
+    r3 = sync_iceberg(spark, root, cfg)
+    assert r3["status"] == "up-to-date"
+
+
+def test_sync_iceberg_intra_delta_upsert_chain(spark, tmp_path):
+    """Two upserts of the same key inside one delta: only the newest
+    version is indexed (the older delta row is suppressed by the
+    strictly-smaller-sequence rule before it ever reaches the index)."""
+    import pandas as pd
+
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(10)])
+    root = str(tmp_path / "chain_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync2")
+    assert sync_iceberg(spark, root, cfg)["docs"] == 10
+
+    iceberg.upsert_pandas(root, pd.DataFrame([_sync_row(2, "vtwo")]),
+                          ["path"], timestamp_ms=2000)
+    iceberg.upsert_pandas(root, pd.DataFrame([_sync_row(2, "vthree")]),
+                          ["path"], timestamp_ms=3000)
+    r = sync_iceberg(spark, root, cfg)
+    assert r["docs_retired"] == 1           # the indexed vone doc
+    assert r["docs"] == 1                   # ONLY vthree
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits == 10
+    for ver, want in (("vone", 0), ("vtwo", 0), ("vthree", 1)):
+        assert s.search(A.Term("content", f"{ver}{_wnum(2)}"), k=5,
+                        fetch_fields=False).num_hits == want, ver
+
+
+def test_sync_iceberg_delta_internal_position_delete(spark, tmp_path):
+    """A row upserted and then delete_where'd inside the same delta
+    vanishes end-to-end: the indexed old version retires, the delta
+    version is suppressed before indexing."""
+    import pandas as pd
+
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(8)])
+    root = str(tmp_path / "dip_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync3")
+    sync_iceberg(spark, root, cfg)
+
+    iceberg.upsert_pandas(root, pd.DataFrame([_sync_row(1, "vtwo")]),
+                          ["path"], timestamp_ms=2000)
+    iceberg.delete_where(root, [("path", "=", "src/f1.py")],
+                         timestamp_ms=3000)
+    r = sync_iceberg(spark, root, cfg)
+    assert r["docs"] == 0
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits == 7
+    assert s.search(A.Term("path", "src/f1.py"), k=5,
+                    fetch_fields=False).num_hits == 0
+
+
+def test_sync_iceberg_null_delete_key_refused(spark, tmp_path):
+    """A delete row with a null key cannot be retired by term match —
+    refuse loudly instead of leaving a stale document."""
+    import pandas as pd
+
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(4)])
+    pdf.loc[1, "path"] = None
+    root = str(tmp_path / "null_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync4")
+    sync_iceberg(spark, root, cfg)
+    # upsert with a null key value -> its equality delete row is null
+    iceberg.upsert_pandas(root, pdf.iloc[[1]], ["path"],
+                          timestamp_ms=2000)
+    with pytest.raises(ValueError, match="null key"):
+        sync_iceberg(spark, root, cfg)

@@ -968,7 +968,9 @@ class IcebergTable:
 
     def read(self, spark, filter=None, snapshot_id: int | None = None,
              as_of_ms: int | None = None,
-             min_data_seq: int | None = None):
+             min_data_seq: int | None = None,
+             max_data_seq: int | None = None,
+             _plan: "ScanPlan | None" = None):
         """Planned, pruned read: ``spark.read.parquet`` over the
         surviving file list, with the filter re-applied as a Spark
         ``where`` so pruning is purely an optimization (Catalyst also
@@ -987,7 +989,10 @@ class IcebergTable:
         still applied — the delta read an incremental consumer wants
         (sync_iceberg): an upsert chain inside the delta resolves to
         its newest version, and delete files aimed at older data files
-        are no-ops here."""
+        are no-ops here. max_data_seq is the inclusive mirror (files AT
+        OR BELOW it), used for sync's surviving-duplicate check. _plan
+        reuses a ScanPlan the caller already computed (must match
+        filter/snapshot) instead of re-decoding every manifest."""
         from pyspark.sql import functions as F
         # time-travel reads use the SNAPSHOT's schema generation (like
         # Iceberg engines); current reads use the current schema. Once
@@ -1005,10 +1010,14 @@ class IcebergTable:
         if use_ids:
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                            "true")
-        plan = self.plan_files(filter, snapshot_id, as_of_ms)
-        if min_data_seq is not None:
+        plan = (_plan if _plan is not None
+                else self.plan_files(filter, snapshot_id, as_of_ms))
+        if min_data_seq is not None or max_data_seq is not None:
+            lo = min_data_seq if min_data_seq is not None else -1
+            hi = max_data_seq if max_data_seq is not None else None
             plan = ScanPlan(
-                [f for f in plan.files if f["_seq"] > min_data_seq],
+                [f for f in plan.files if f["_seq"] > lo
+                 and (hi is None or f["_seq"] <= hi)],
                 plan.manifests_total, plan.manifests_pruned,
                 plan.entries_total, plan.files_pruned_partition,
                 plan.files_pruned_bounds, plan.delete_files)
@@ -1334,6 +1343,16 @@ def _with_field_ids(table, ids_by_name: dict):
     return table.cast(pa.schema(fields))
 
 
+def _pa_type_of(ice_type: str):
+    """Arrow type for an Iceberg primitive (None when unmapped)."""
+    import pyarrow as pa
+    return {"string": pa.string(), "long": pa.int64(),
+            "int": pa.int32(), "double": pa.float64(),
+            "float": pa.float32(), "boolean": pa.bool_(),
+            "date": pa.date32(), "binary": pa.binary(),
+            "timestamp": pa.timestamp("us")}.get(ice_type)
+
+
 def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
                      part_values: dict, schema_fields,
                      salt: str = "") -> dict:
@@ -1351,9 +1370,19 @@ def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
                     len(pdf), str(pdf.iloc[0].tolist()) if len(pdf) else "")
     fpath = os.path.join(table_path, "data", f"{key}.parquet")
     cols = [f["name"] for f in schema_fields]
+    arrow = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+    # an ALL-NULL column infers as pa.null(), whose parquet physical
+    # type (int32) breaks every later typed read of the file — cast
+    # degenerate columns to their DECLARED types
+    for i, f in enumerate(schema_fields):
+        if pa.types.is_null(arrow.column(i).type):
+            want = _pa_type_of(f["type"])
+            if want is not None:
+                arrow = arrow.set_column(
+                    i, pa.field(f["name"], want),
+                    arrow.column(i).cast(want))
     table = _with_field_ids(
-        pa.Table.from_pandas(pdf[cols], preserve_index=False),
-        {f["name"]: f["id"] for f in schema_fields})
+        arrow, {f["name"]: f["id"] for f in schema_fields})
     pq.write_table(table, fpath)
     lowers, uppers, nulls, values = _column_stats(pdf, schema_fields)
     return {
@@ -1816,6 +1845,14 @@ def upsert_pandas(path: str, pdf: pd.DataFrame, key_cols: list[str],
         raise ValueError(f"unknown or empty key columns: {missing}")
     ids = [by_name[c]["id"] for c in key_cols]
     keys = pdf[key_cols].drop_duplicates().reset_index(drop=True)
+    kt = pa.Table.from_pandas(keys, preserve_index=False)
+    # cast to the DECLARED column types: pandas inference is wrong for
+    # degenerate inputs (an all-null key column infers as pa.null(),
+    # whose parquet physical type breaks every later read of this file)
+    kt = pa.table({c: (kt.column(c).cast(want)
+                       if (want := _pa_type_of(by_name[c]["type"]))
+                       is not None else kt.column(c))
+                   for c in key_cols})
     seq_hint = table.meta["last-sequence-number"] + 1
     # name derives from the FULL key-set content: two racing upserts
     # with different keys must never collide on the same file path
@@ -1825,8 +1862,7 @@ def upsert_pandas(path: str, pdf: pd.DataFrame, key_cols: list[str],
     kname = _det_uuid("eqdel", seq_hint, keys_sig)
     dpath = os.path.join(path, "data", f"{kname}-eqdeletes.parquet")
     pq.write_table(_with_field_ids(
-        pa.Table.from_pandas(keys, preserve_index=False),
-        {c: by_name[c]["id"] for c in key_cols}), dpath)
+        kt, {c: by_name[c]["id"] for c in key_cols}), dpath)
     spec_fields = table.spec_fields
     delete_file = {
         "content": 2, "file_path": dpath, "file_format": "PARQUET",
@@ -2084,6 +2120,20 @@ def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
             "partitions": _field_summaries(data_files, spec_fields,
                                            schema_by_id),
         }
+        if plan.delete_files:
+            # watermark for incremental consumers: folding delete debt
+            # DROPS the delete manifests while preserving data sequence
+            # numbers, so a consumer whose checkpoint predates a folded
+            # delete would neither see the delete nor re-read the
+            # rewritten rows — sync_iceberg refuses below this mark
+            # rather than silently serving stale documents
+            folded = max(
+                int(meta.get("properties", {})
+                    .get("quickwit.folded-deletes-max-seq", -1)),
+                max(d["_seq"] for d in plan.delete_files))
+            meta["properties"] = {**meta.get("properties", {}),
+                                  "quickwit.folded-deletes-max-seq":
+                                      str(folded)}
         _finalize_snapshot(table, meta, [manifest], snap_id, seq,
                            timestamp_ms, "replace", table.snapshot())
         return {"rewritten_files": rewritten, "carried_files": carried,

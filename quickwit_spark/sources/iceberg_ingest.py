@@ -130,7 +130,7 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
 
-    rows: list[dict] = []
+    df = None
     if files:
         # resolve columns by field id when the schema history contains
         # a rename/name-reuse (delta files may span generations)
@@ -142,6 +142,27 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
         df = (spark.read
               .schema(table._spark_read_schema(fields, use_ids))
               .parquet(*[f["file_path"] for f in files]))
+    return _build_and_publish(
+        df, config, manifest, key, stored, cur_seq, snap, len(files),
+        partitions_per_ingest,
+        {"source_deletes_ignored": deletes_ignored})
+
+
+def _build_and_publish(df, config: IndexConfig, manifest: Manifest,
+                       key: str, stored: str | None, cur_seq: int,
+                       snap: dict, n_files: int,
+                       partitions_per_ingest: int,
+                       summary_extra: dict) -> dict:
+    """Shared tail of the incremental consumers (ingest_iceberg and
+    sync_iceberg): routed segment build over ``df`` (None or empty ->
+    zero segments, checkpoint still advances), content-addressed
+    position string, atomic publish, and exact-replay resolution —
+    one implementation so the two consumers' exactly-once behavior
+    cannot drift."""
+    segments_root = os.path.join(config.index_dir, "segments")
+    os.makedirs(segments_root, exist_ok=True)
+    rows: list[dict] = []
+    if df is not None:
         base = cur_seq * SEQ_PARTITION_STRIDE
         routed = route_partitions(df, config, partitions_per_ingest)
         from pyspark.sql import functions as F
@@ -165,11 +186,10 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
         "|".join(sorted(r["segment_id"] for r in rows)).encode()
     ).hexdigest()[:12]
     to = (f"iceberg-seq={cur_seq};snap={snap['snapshot-id']};"
-          f"files={len(files)};ids={sig}")
+          f"files={n_files};ids={sig}")
     summary = {"status": "published", "sequence": cur_seq,
-               "files": len(files), "docs": n_docs,
-               "segments": len(rows),
-               "source_deletes_ignored": deletes_ignored}
+               "files": n_files, "docs": n_docs,
+               "segments": len(rows), **summary_extra}
     try:
         manifest.publish(rows, checkpoint_delta={key: (stored, to)})
     except CheckpointConflict:
@@ -233,6 +253,7 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
 
     from ..index.deletes import apply_delete_query
     from ..search import ast as A
+    from .iceberg import _read_cols_by_id
 
     table = load_table(table_path)
     manifest = Manifest.load_or_create(
@@ -243,6 +264,20 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
         return {"status": "up-to-date", "sequence": cur_seq, "files": 0,
                 "docs": 0, "segments": 0, "docs_retired": 0,
                 "segments_rewritten": 0}
+    # rewrite_data_files folds delete debt into rewritten data files
+    # and DROPS the delete manifests while preserving data sequence
+    # numbers — a checkpoint that predates a folded delete would
+    # neither see the delete nor re-read the rewritten rows. The
+    # rewrite records a watermark; refuse rather than silently serve
+    # stale documents forever.
+    folded = int(table.meta.get("properties", {})
+                 .get("quickwit.folded-deletes-max-seq", -1))
+    if since_seq and folded > since_seq:
+        raise CheckpointConflict(
+            f"rewrite_data_files compacted delete files up to sequence "
+            f"{folded} while this index's checkpoint was at {since_seq};"
+            f" those deletions are no longer observable as a delta — "
+            "rebuild the index fresh (sync before compacting next time)")
 
     plan = table.plan_files(None, snapshot_id)
     delta_files = [f for f in plan.files if f["_seq"] > since_seq]
@@ -251,122 +286,137 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
     pos_dels = [d for d in plan.delete_files
                 if d.get("content") == 1 and d["_seq"] > since_seq]
 
-    # ---- 1. collect the identities to retire ---------------------------
-    schema_by_id = {f["id"]: f for f in table.schema_fields}
-    groups: dict[tuple, set] = {}  # key-column tuple -> set of key tuples
+    # ---- 1. collect + retire deleted identities (skipped entirely on a
+    # first sync: nothing is indexed yet, and the delta read's MoR
+    # suppression alone is exact — including null-keyed deletes, which
+    # eqNullSafe handles but a term match could not) -------------------
+    docs_retired = segments_rewritten = 0
+    if since_seq > 0 and (eq_dels or pos_dels):
+        fld_by_id = {f["id"]: f for f in table.schema_fields}
+        fld_by_name = {f["name"]: f for f in table.schema_fields}
+        groups: dict[tuple, set] = {}   # key columns -> key tuples
+        pos_groups: dict[tuple, set] = {}  # position-delete derived only
 
-    def _add(cols: tuple, rows) -> None:
-        bucket = groups.setdefault(cols, set())
-        for tup in rows:
-            if any(v is None for v in tup):
+        def _add(bucket: dict, cols: tuple, pdf: pd.DataFrame) -> None:
+            dest = bucket.setdefault(cols, set())
+            # convert_dtypes keeps int64 keys integral even when the
+            # column ALSO carries nulls (plain to_pandas would floatify
+            # the non-null values too: str(7.0) never matches term "7")
+            for tup in pdf.convert_dtypes().itertuples(index=False,
+                                                       name=None):
+                if any(pd.isna(v) for v in tup):
+                    raise ValueError(
+                        f"delete row with null key "
+                        f"{dict(zip(cols, tup))!r}: null keys cannot be "
+                        "retired by term match — refusing rather than "
+                        "leaving a stale document")
+                dest.add(tup)
+
+        for d in eq_dels:
+            missing = [i for i in d["equality_ids"] if i not in fld_by_id]
+            if missing:
                 raise ValueError(
-                    f"delete row with null key {dict(zip(cols, tup))!r}: "
-                    "null keys cannot be retired by term match — "
-                    "refusing rather than leaving a stale document")
-            bucket.add(tup)
+                    f"equality delete references field id(s) {missing} "
+                    "not in the current schema — refusing to sync")
+            # resolve by embedded field id: delete files written before
+            # a rename carry the old column NAME but the same id
+            wanted = [fld_by_id[i] for i in d["equality_ids"]]
+            _add(groups, tuple(f["name"] for f in wanted),
+                 _read_cols_by_id(d["file_path"], wanted))
 
-    for d in eq_dels:
-        missing = [i for i in d["equality_ids"] if i not in schema_by_id]
-        if missing:
-            raise ValueError(
-                f"equality delete references field id(s) {missing} not "
-                "in the current schema — refusing to sync")
-        names = tuple(schema_by_id[i]["name"] for i in d["equality_ids"])
-        t = pq.read_table(d["file_path"], columns=list(names))
-        _add(names, zip(*(t.column(n).to_pylist() for n in names)))
-
-    if pos_dels:
-        live_by_path = {f["file_path"]: f for f in plan.files}
-        pos_by_file: dict[str, list[int]] = {}
-        for d in pos_dels:
-            t = pq.read_table(d["file_path"], columns=["file_path", "pos"])
-            for fp, p in zip(t.column("file_path").to_pylist(),
-                             t.column("pos").to_pylist()):
-                pos_by_file.setdefault(fp, []).append(p)
-        for fp, poss in sorted(pos_by_file.items()):
-            f = live_by_path.get(fp)
-            if f is None:
-                # rewrite_data_files folds delete debt and drops the
-                # delete manifests with it, so a live position delete
-                # always references a live file — anything else is a
-                # corrupt table
-                raise ValueError(
-                    f"position delete references {fp!r}, which is not a "
-                    "live data file")
-            if f["_seq"] > since_seq:
-                continue  # delta-internal: suppressed by the delta read
+        if pos_dels:
+            live_by_path = {f["file_path"]: f for f in plan.files}
+            pos_by_file: dict[str, list[int]] = {}
+            for d in pos_dels:
+                t = pq.read_table(d["file_path"],
+                                  columns=["file_path", "pos"])
+                for fp, p in zip(t.column("file_path").to_pylist(),
+                                 t.column("pos").to_pylist()):
+                    pos_by_file.setdefault(fp, []).append(p)
             if key_cols is None:
                 key_cols = list(config.key_cols)  # the index's identity
-            t = pq.read_table(fp, columns=list(key_cols))
-            idx = sorted(p for p in set(poss) if 0 <= p < t.num_rows)
-            sub = t.take(idx)
-            _add(tuple(key_cols),
-                 zip(*(sub.column(c).to_pylist() for c in key_cols)))
+            missing = [c for c in key_cols if c not in fld_by_name]
+            if missing:
+                raise ValueError(
+                    f"key_cols {missing} not in the table schema")
+            key_fields = [fld_by_name[c] for c in key_cols]
+            for fp, poss in sorted(pos_by_file.items()):
+                f = live_by_path.get(fp)
+                if f is None:
+                    # rewrite_data_files folds delete debt and drops
+                    # the delete manifests with it, so a live position
+                    # delete always references a live file — anything
+                    # else is a corrupt table
+                    raise ValueError(
+                        f"position delete references {fp!r}, which is "
+                        "not a live data file")
+                if f["_seq"] > since_seq:
+                    continue  # delta-internal: the delta read suppresses
+                pdf = _read_cols_by_id(fp, key_fields)
+                bad = sorted(p for p in set(poss)
+                             if p < 0 or p >= len(pdf))
+                if bad:
+                    raise ValueError(
+                        f"position delete references row {bad[0]} of "
+                        f"{fp!r}, which has only {len(pdf)} rows — "
+                        "corrupt table")
+                sub = pdf.iloc[sorted(set(poss))]
+                _add(pos_groups, tuple(key_cols), sub)
 
-    docs_retired = segments_rewritten = 0
-    has_index = os.path.exists(
-        os.path.join(config.index_dir, "manifest.json"))
-    if groups and has_index:
-        clauses: list[A.Node] = []
-        for cols, tuples in sorted(groups.items()):
-            if len(cols) == 1:
-                clauses.append(A.TermSet(
-                    cols[0], tuple(sorted(str(t[0]) for t in tuples))))
-            else:
-                clauses.extend(
-                    A.Bool(must=tuple(A.Term(c, str(v))
-                                      for c, v in zip(cols, t)))
-                    for t in sorted(tuples))
-        query = (clauses[0] if len(clauses) == 1
-                 else A.Bool(should=tuple(clauses),
-                             minimum_should_match=1))
-        res = apply_delete_query(config.index_dir, query, spark=spark)
-        docs_retired = res["docs_deleted"]
-        segments_rewritten = res["segments_rewritten"]
+        # a position delete removes ONE row; retiring by key is only
+        # sound if no OTHER already-indexed row shares the key (those
+        # survivors would be dropped from the index yet never
+        # re-ingested). One pruned, MoR-suppressed read over the
+        # pre-delta files checks this — the deleted rows themselves
+        # are already suppressed, so ANY match is a true duplicate.
+        # Equality deletes need no check: they remove every matching
+        # row from the table, mirroring the index retirement exactly.
+        for cols, tuples in sorted(pos_groups.items()):
+            first_vals = sorted({t[0] for t in tuples})
+            srv = (table.read(spark,
+                              filter=[(cols[0], "in", first_vals)],
+                              snapshot_id=snapshot_id,
+                              max_data_seq=since_seq)
+                   .select(*cols).collect())
+            clash = ({tuple(str(v) for v in r) for r in srv}
+                     & {tuple(str(v) for v in t) for t in tuples})
+            if clash:
+                raise ValueError(
+                    f"position-deleted key {sorted(clash)[0]!r} is not "
+                    "unique among already-indexed rows; retiring by "
+                    f"key {list(cols)} would drop surviving duplicates "
+                    "— refusing")
+            groups.setdefault(cols, set()).update(tuples)
 
-    # ---- 2. ingest the delta with in-delta suppression -----------------
-    segments_root = os.path.join(config.index_dir, "segments")
-    os.makedirs(segments_root, exist_ok=True)
-    df = table.read(spark, snapshot_id=snapshot_id,
-                    min_data_seq=since_seq)
-    rows: list[dict] = []
-    if delta_files and df.head(1):
-        base = cur_seq * SEQ_PARTITION_STRIDE
-        routed = route_partitions(df, config, partitions_per_ingest)
-        from pyspark.sql import functions as F
-        routed = routed.withColumn("_pid", F.col("_pid") + F.lit(base))
-        cfg = config
+        if groups:
+            clauses: list[A.Node] = []
+            for cols, tuples in sorted(groups.items()):
+                if len(cols) == 1:
+                    clauses.append(A.TermSet(
+                        cols[0],
+                        tuple(sorted(str(t[0]) for t in tuples))))
+                else:
+                    clauses.extend(
+                        A.Bool(must=tuple(A.Term(c, str(v))
+                                          for c, v in zip(cols, t)))
+                        for t in sorted(tuples))
+            query = (clauses[0] if len(clauses) == 1
+                     else A.Bool(should=tuple(clauses),
+                                 minimum_should_match=1))
+            res = apply_delete_query(config.index_dir, query,
+                                     spark=spark)
+            docs_retired = res["docs_deleted"]
+            segments_rewritten = res["segments_rewritten"]
 
-        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) == 0:
-                return pd.DataFrame({"manifest_json": []})
-            built = build_partition(pdf, cfg, segments_root)
-            return pd.DataFrame(
-                {"manifest_json": [json.dumps(r) for r in built]})
-
-        out = (routed.groupBy("_pid")
-               .applyInPandas(_build, schema=MANIFEST_ROW_SCHEMA)
-               .collect())
-        rows = [json.loads(r.manifest_json) for r in out]
-
-    # ---- 3. publish + advance the checkpoint ---------------------------
-    n_docs = sum(r["num_docs"] for r in rows)
-    sig = hashlib.sha256(
-        "|".join(sorted(r["segment_id"] for r in rows)).encode()
-    ).hexdigest()[:12]
-    to = (f"iceberg-seq={cur_seq};snap={snap['snapshot-id']};"
-          f"files={len(delta_files)};ids={sig}")
-    summary = {"status": "published", "sequence": cur_seq,
-               "files": len(delta_files), "docs": n_docs,
-               "segments": len(rows), "docs_retired": docs_retired,
-               "segments_rewritten": segments_rewritten,
-               "eq_delete_files": len(eq_dels),
-               "pos_delete_files": len(pos_dels)}
-    try:
-        manifest.publish(rows, checkpoint_delta={key: (stored, to)})
-    except CheckpointConflict:
-        if manifest.checkpoint(key) != to:
-            raise
-        _cleanup_replayed_segments(manifest, segments_root, rows)
-        summary["status"] = "replayed"
-    return summary
+    # ---- 2+3. ingest the delta with in-delta suppression, publish ----
+    df = None
+    if delta_files:
+        df = table.read(spark, snapshot_id=snapshot_id,
+                        min_data_seq=since_seq, _plan=plan)
+    return _build_and_publish(
+        df, config, manifest, key, stored, cur_seq, snap,
+        len(delta_files), partitions_per_ingest,
+        {"docs_retired": docs_retired,
+         "segments_rewritten": segments_rewritten,
+         "eq_delete_files": len(eq_dels),
+         "pos_delete_files": len(pos_dels)})

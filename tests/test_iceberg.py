@@ -1391,3 +1391,82 @@ def test_sync_iceberg_null_delete_key_refused(spark, tmp_path):
                           timestamp_ms=2000)
     with pytest.raises(ValueError, match="null key"):
         sync_iceberg(spark, root, cfg)
+
+
+def test_sync_iceberg_refuses_after_deletes_folded_by_rewrite(
+        spark, tmp_path):
+    """rewrite_data_files drops delete manifests while preserving data
+    sequence numbers, so deletes committed after the checkpoint but
+    compacted before the sync are unobservable as a delta — the
+    watermark must make sync refuse, never silently skip them."""
+    import pandas as pd
+
+    from quickwit_spark.index.manifest import CheckpointConflict
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(6)])
+    root = str(tmp_path / "fold_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync5")
+    sync_iceberg(spark, root, cfg)
+
+    iceberg.delete_where(root, [("path", "=", "src/f2.py")],
+                         timestamp_ms=2000)
+    r = iceberg.rewrite_data_files(root, timestamp_ms=3000)
+    assert r["dropped_delete_files"] == 1
+    with pytest.raises(CheckpointConflict, match="compacted delete"):
+        sync_iceberg(spark, root, cfg)
+    # a FRESH index over the compacted table is fine (rewritten files
+    # already exclude the deleted row)
+    cfg2 = _sync_cfg(tmp_path, "sync5b")
+    r2 = sync_iceberg(spark, root, cfg2)
+    assert r2["docs"] == 5
+
+
+def test_sync_iceberg_refuses_nonunique_position_delete_key(
+        spark, tmp_path):
+    """A position delete removes ONE row; if another already-indexed
+    row shares the key, retiring by key would drop the survivor — the
+    duplicate check must refuse."""
+    import pandas as pd
+
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    rows = [_sync_row(i, "vone") for i in range(4)]
+    dup = dict(rows[1])
+    dup["content"] = "duplicatekey other content"  # same repo/path/commit
+    pdf = pd.DataFrame(rows + [dup])
+    root = str(tmp_path / "dup_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync6")
+    sync_iceberg(spark, root, cfg)
+
+    iceberg.delete_where(root, [("content", "=", dup["content"])],
+                         timestamp_ms=2000)
+    with pytest.raises(ValueError, match="not unique"):
+        sync_iceberg(spark, root, cfg)
+
+
+def test_sync_iceberg_first_sync_tolerates_null_keyed_history(
+        spark, tmp_path):
+    """On a FIRST sync nothing is indexed, so the retirement pass is
+    skipped entirely — a null-keyed upsert in the table history is
+    handled by the MoR read's eqNullSafe, not refused."""
+    import pandas as pd
+
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(4)])
+    pdf.loc[1, "path"] = None
+    root = str(tmp_path / "nullhist_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    iceberg.upsert_pandas(root, pdf.iloc[[1]], ["path"],
+                          timestamp_ms=2000)
+    cfg = _sync_cfg(tmp_path, "sync7")
+    r = sync_iceberg(spark, root, cfg)
+    # MoR read: the null-keyed v1 row is eq-deleted, its upsert survives
+    assert r["status"] == "published"
+    assert r["docs"] == iceberg.load_table(root).read(spark).count()

@@ -1217,6 +1217,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("lang"))
     q["iceberg_rename_read"] = iceberg_rename_read
 
+    def _iceberg_sync_fixture(d):
+        # separate table + INDEX kept in lockstep by sync_iceberg:
+        # snapshot 1 = all 500 docs (synced), snapshot 2 = CDC upsert
+        # rewriting doc_ids 10..29 with a marker text, snapshot 3 =
+        # delete_where doc_id < 5 (position deletes) — second sync must
+        # retire the 20 old versions + 5 deleted docs and index the 20
+        # new versions, nothing else
+        import hashlib
+        import shutil
+
+        import pyarrow as pa
+
+        from quickwit_spark.sources import iceberg as ice
+        key = hashlib.sha256(
+            f"icesyncfix-v1|{d}".encode()).hexdigest()[:16]
+        base = os.path.join(tempfile.gettempdir(), f"qw_icesync_{key}")
+        root = os.path.join(base, "docs")
+        idx = os.path.join(base, "idx")
+        done = os.path.join(base, "_DONE")
+        cfg = IndexConfig(
+            index_uid="icesync", index_dir=idx, key_cols=("doc_id",),
+            text_col="text", tokenizer="default", tag_cols=("lang",),
+            store_cols=("n_chars",), sha_col=None)
+        if not os.path.exists(done):
+            from quickwit_spark.sources.iceberg_ingest import \
+                sync_iceberg
+            shutil.rmtree(base, ignore_errors=True)
+            spark = SparkSession.getActiveSession() or \
+                SparkSession.builder.getOrCreate()
+            pdf = (pd.read_parquet(os.path.join(d, "documents.parquet"))
+                   .sort_values("doc_id").reset_index(drop=True))
+            ice.create_table(root, pa.Schema.from_pandas(pdf))
+            ice.append_pandas(root, pdf, timestamp_ms=1000)
+            sync_iceberg(spark, root, cfg, partitions_per_ingest=2)
+            upd = pdf[(pdf.doc_id >= 10) & (pdf.doc_id < 30)].copy()
+            upd["text"] = "syncmarker fresh " + upd["text"]
+            upd["n_chars"] = upd["text"].str.len().astype("int64")
+            ice.upsert_pandas(root, upd, ["doc_id"], timestamp_ms=2000)
+            ice.delete_where(root, [("doc_id", "<", 5)],
+                             timestamp_ms=3000)
+            sync_iceberg(spark, root, cfg, partitions_per_ingest=2)
+            with open(done, "w") as f:
+                f.write("ok")
+        return idx
+
+    def iceberg_sync_search(s, d):
+        # the synced INDEX state, row for row: every doc's (doc_id,
+        # lang) with a has_marker flag from a term search — a stale old
+        # version duplicates a doc_id, a missed delete adds one, a
+        # missed upsert flips has_marker, an over-retirement drops one
+        from quickwit_spark.search import ast as A
+        from quickwit_spark.search.engine import IndexSearcher
+        searcher = IndexSearcher(_iceberg_sync_fixture(d))
+        hits = searcher.search(A.MatchAll(), k=5000,
+                               fetch_fields=True).hits
+        marked = {h.doc["doc_id"] for h in searcher.search(
+            A.Term("text", "syncmarker"), k=5000,
+            fetch_fields=True).hits}
+        rows = sorted((int(h.doc["doc_id"]), str(h.doc["lang"]),
+                       int(h.doc["doc_id"] in marked)) for h in hits)
+        return s.createDataFrame(
+            pd.DataFrame(rows,
+                         columns=["doc_id", "lang", "has_marker"]),
+            schema="doc_id long, lang string, has_marker int")
+    q["iceberg_sync_search"] = iceberg_sync_search
+
     # --- OTLP input formats + trace collector (doc_processor.rs:142-190,
     # find_trace_ids_collector.rs) — events rows are deterministically
     # wrapped into real OTLP/JSON payloads, flattened back through the
@@ -1558,6 +1624,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_lsh / simhash / embedding_cosine / substr_windows
         # as in-window reps)
         "iceberg_rename_read",
+        # new session 7: CDC sync — source deletes/upserts propagated
+        # into the index (agg_es_range_empty demoted below to keep the
+        # window at 50: aggs code untouched r4+r5, agg_terms_lang +
+        # agg_date_histogram_events stay as in-window family reps)
+        "iceberg_sync_search",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1601,15 +1672,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk", "ann_pq_adc_topk",
         "text_lang_id", "text_quality_score",
         "agg_terms_lang", "agg_date_histogram_events",
-        "agg_es_range_empty",
         # past the 50-row window: green r4 (dedup_simhash_pairs,
         # dedup_clusters, dedup_substr_stats, strip_dup_spans,
         # ann_ivf_partitioned, text_pii_counts, text_repetition,
         # text_token_rarity, boilerplate_lines_flagged,
         # decontaminate_ngrams, stratified_sample, training_mix_budget,
         # text_fingerprint — demoted for multimodal_jpeg_gray_stats)
-        # or green r3 (remaining agg_* rows), code untouched since
-        "dedup_exact",
+        # or green r3 (remaining agg_* rows incl. agg_es_range_empty,
+        # demoted for iceberg_sync_search), code untouched since
+        "dedup_exact", "agg_es_range_empty",
         "text_token_counts", "strip_boilerplate", "gopher_quality_filter",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs", "dedup_clusters", "dedup_substr_stats",
@@ -2354,6 +2425,16 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_id
 FROM documents GROUP BY lang ORDER BY lang
+"""
+    # the synced index must equal the post-CDC table state row for row:
+    # doc_id < 5 deleted, doc_ids 10..29 replaced by marker versions
+    o["iceberg_sync_search"] = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id BETWEEN 10 AND 29 THEN 1 ELSE 0 END
+           AS has_marker
+FROM documents
+WHERE doc_id >= 5
+ORDER BY doc_id
 """
     o["multimodal_flac_stats"] = """
 SELECT d.doc_id,

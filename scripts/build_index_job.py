@@ -41,6 +41,12 @@ def main() -> None:
     ap.add_argument("--iceberg-snapshot-id", type=int, default=None,
                     help="pin the Iceberg read to a snapshot id "
                          "(default: current)")
+    ap.add_argument("--iceberg-sync", action="store_true",
+                    help="with --iceberg-table: incremental CDC sync "
+                         "instead of a full build — index exactly the "
+                         "appended delta, retire documents the table "
+                         "deleted/upserted since the last sync, advance "
+                         "the source checkpoint atomically (exactly-once)")
     ap.add_argument("--avg-tokens", type=int, default=80)
     ap.add_argument("--merge", action="store_true")
     ap.add_argument("--global-index", action="store_true")
@@ -69,6 +75,22 @@ def main() -> None:
 
     if args.fresh:
         shutil.rmtree(args.index_dir, ignore_errors=True)
+
+    if args.iceberg_sync:
+        if not args.iceberg_table:
+            raise SystemExit("--iceberg-sync requires --iceberg-table")
+        from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+        t0 = time.perf_counter()
+        summary = sync_iceberg(spark, args.iceberg_table,
+                               IndexConfig(index_uid="submit",
+                                           index_dir=args.index_dir,
+                                           record=args.record),
+                               partitions_per_ingest=args.partitions,
+                               snapshot_id=args.iceberg_snapshot_id)
+        sec = time.perf_counter() - t0
+        print(json.dumps({"cores": cores, "sync_sec": round(sec, 3),
+                          **summary}))
+        return
 
     if args.input_table:
         df = spark.read.table(args.input_table)

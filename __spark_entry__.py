@@ -1270,10 +1270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from quickwit_spark.search import ast as A
         from quickwit_spark.search.engine import IndexSearcher
         searcher = IndexSearcher(_iceberg_sync_fixture(d))
-        hits = searcher.search(A.MatchAll(), k=5000,
+        k = searcher.count("*") + 10  # never truncate the state dump
+        hits = searcher.search(A.MatchAll(), k=k,
                                fetch_fields=True).hits
         marked = {h.doc["doc_id"] for h in searcher.search(
-            A.Term("text", "syncmarker"), k=5000,
+            A.Term("text", "syncmarker"), k=k,
             fetch_fields=True).hits}
         rows = sorted((int(h.doc["doc_id"]), str(h.doc["lang"]),
                        int(h.doc["doc_id"] in marked)) for h in hits)

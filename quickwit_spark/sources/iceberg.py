@@ -2125,15 +2125,19 @@ def rewrite_data_files(path: str, timestamp_ms: int = 0) -> dict:
             # DROPS the delete manifests while preserving data sequence
             # numbers, so a consumer whose checkpoint predates a folded
             # delete would neither see the delete nor re-read the
-            # rewritten rows — sync_iceberg refuses below this mark
-            # rather than silently serving stale documents
-            folded = max(
-                int(meta.get("properties", {})
-                    .get("quickwit.folded-deletes-max-seq", -1)),
-                max(d["_seq"] for d in plan.delete_files))
-            meta["properties"] = {**meta.get("properties", {}),
-                                  "quickwit.folded-deletes-max-seq":
-                                      str(folded)}
+            # rewritten rows. Record (max folded delete seq, THIS
+            # rewrite's seq) pairs: sync_iceberg refuses a fold only
+            # when the rewrite is actually visible in its planned
+            # snapshot — a sync pinned BEFORE the rewrite still sees
+            # the delete manifests and is sound.
+            props = meta.get("properties", {})
+            folds = json.loads(props.get("quickwit.folded-deletes",
+                                         "[]"))
+            folds.append([max(d["_seq"] for d in plan.delete_files),
+                          seq])
+            meta["properties"] = {**props,
+                                  "quickwit.folded-deletes":
+                                      json.dumps(folds)}
         _finalize_snapshot(table, meta, [manifest], snap_id, seq,
                            timestamp_ms, "replace", table.snapshot())
         return {"rewritten_files": rewritten, "carried_files": carried,

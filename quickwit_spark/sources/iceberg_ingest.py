@@ -127,8 +127,6 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
     deletes_ignored = sum(
         1 for mf in all_manifests
         if mf.get("content") == 1 and mf["sequence_number"] > since_seq)
-    segments_root = os.path.join(config.index_dir, "segments")
-    os.makedirs(segments_root, exist_ok=True)
 
     df = None
     if files:
@@ -264,20 +262,41 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
         return {"status": "up-to-date", "sequence": cur_seq, "files": 0,
                 "docs": 0, "segments": 0, "docs_retired": 0,
                 "segments_rewritten": 0}
+    # a checkpoint of 0 with segments already published means the index
+    # was built by a FULL build (or a different source) — the sync's
+    # "delta" would be the whole table, duplicating every document next
+    # to its full-build copy and skipping all retirement
+    if since_seq == 0 and manifest.segments():
+        raise CheckpointConflict(
+            f"index {config.index_dir} has published segments but no "
+            "iceberg source checkpoint — it was not built by "
+            "sync/ingest_iceberg; syncing on top would duplicate every "
+            "document. Rebuild fresh via sync_iceberg, or keep "
+            "maintaining it with full builds")
     # rewrite_data_files folds delete debt into rewritten data files
     # and DROPS the delete manifests while preserving data sequence
     # numbers — a checkpoint that predates a folded delete would
-    # neither see the delete nor re-read the rewritten rows. The
-    # rewrite records a watermark; refuse rather than silently serve
+    # neither see the delete nor re-read the rewritten rows. Each fold
+    # records (max folded delete seq, rewrite seq); a fold only blinds
+    # THIS sync if its rewrite is visible in the planned snapshot
+    # (cur_seq >= rewrite seq) — a sync pinned before the rewrite still
+    # sees the delete manifests. Refuse rather than silently serve
     # stale documents forever.
-    folded = int(table.meta.get("properties", {})
-                 .get("quickwit.folded-deletes-max-seq", -1))
-    if since_seq and folded > since_seq:
+    props = table.meta.get("properties", {})
+    folds = [[int(f), int(r)] for f, r in
+             json.loads(props.get("quickwit.folded-deletes", "[]"))]
+    legacy = props.get("quickwit.folded-deletes-max-seq")
+    if legacy is not None:   # pre-pair format: rewrite seq unknown
+        folds.append([int(legacy), 0])
+    blinding = [f for f, r in folds if since_seq and f > since_seq
+                and r <= cur_seq]
+    if blinding:
         raise CheckpointConflict(
             f"rewrite_data_files compacted delete files up to sequence "
-            f"{folded} while this index's checkpoint was at {since_seq};"
-            f" those deletions are no longer observable as a delta — "
-            "rebuild the index fresh (sync before compacting next time)")
+            f"{max(blinding)} while this index's checkpoint was at "
+            f"{since_seq}; those deletions are no longer observable as "
+            "a delta — rebuild the index fresh (sync before compacting "
+            "next time)")
 
     plan = table.plan_files(None, snapshot_id)
     delta_files = [f for f in plan.files if f["_seq"] > since_seq]
@@ -371,6 +390,15 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
         # are already suppressed, so ANY match is a true duplicate.
         # Equality deletes need no check: they remove every matching
         # row from the table, mirroring the index retirement exactly.
+        def _canon(t: tuple) -> tuple:
+            # one canonical comparison space for probe vs delete keys:
+            # both sides pass through convert_dtypes (so a double 7.0
+            # and an Int64 7 canonicalize identically) and bytes-like
+            # values hex-encode (str(bytes) != str(bytearray))
+            return tuple(
+                bytes(v).hex() if isinstance(v, (bytes, bytearray))
+                else str(v) for v in t)
+
         for cols, tuples in sorted(pos_groups.items()):
             first_vals = sorted({t[0] for t in tuples})
             srv = (table.read(spark,
@@ -378,8 +406,11 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
                               snapshot_id=snapshot_id,
                               max_data_seq=since_seq)
                    .select(*cols).collect())
-            clash = ({tuple(str(v) for v in r) for r in srv}
-                     & {tuple(str(v) for v in t) for t in tuples})
+            srv_pdf = pd.DataFrame(srv, columns=list(cols)) \
+                .convert_dtypes()
+            clash = ({_canon(t) for t in
+                      srv_pdf.itertuples(index=False, name=None)}
+                     & {_canon(t) for t in tuples})
             if clash:
                 raise ValueError(
                     f"position-deleted key {sorted(clash)[0]!r} is not "

@@ -88,8 +88,35 @@ def main() -> None:
                                partitions_per_ingest=args.partitions,
                                snapshot_id=args.iceberg_snapshot_id)
         sec = time.perf_counter() - t0
+        merge_sec = global_sec = None
+        if args.merge:
+            from quickwit_spark.index.merge import run_merges
+            t0 = time.perf_counter()
+            run_merges(args.index_dir, spark=spark)
+            merge_sec = time.perf_counter() - t0
+        if args.global_index:
+            # a retirement rewrites/replaces segments, invalidating
+            # rows of the existing layout — rebuild then; a pure
+            # append delta takes the cheap incremental refresh
+            from quickwit_spark.index.global_index import (
+                GLOBAL_DIR, build_term_partitioned,
+                refresh_term_partitioned)
+            import os as _os
+            t0 = time.perf_counter()
+            have_layout = _os.path.exists(_os.path.join(
+                args.index_dir, GLOBAL_DIR, "global_manifest.json"))
+            if (have_layout and not summary.get("docs_retired")
+                    and not summary.get("segments_rewritten")
+                    and not args.merge):
+                refresh_term_partitioned(spark, args.index_dir)
+            else:
+                build_term_partitioned(
+                    spark, args.index_dir,
+                    num_term_partitions=max(args.partitions, 4))
+            global_sec = time.perf_counter() - t0
         print(json.dumps({"cores": cores, "sync_sec": round(sec, 3),
-                          **summary}))
+                          "merge_sec": merge_sec,
+                          "global_sec": global_sec, **summary}))
         return
 
     if args.input_table:

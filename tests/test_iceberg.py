@@ -1470,3 +1470,89 @@ def test_sync_iceberg_first_sync_tolerates_null_keyed_history(
     # MoR read: the null-keyed v1 row is eq-deleted, its upsert survives
     assert r["status"] == "published"
     assert r["docs"] == iceberg.load_table(root).read(spark).count()
+
+
+def test_sync_iceberg_refuses_on_full_built_index(spark, tmp_path):
+    """A sync over an index populated by a FULL build (segments, no
+    iceberg checkpoint) would re-index the whole table next to the
+    existing copies — refuse."""
+    import pandas as pd
+
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.index.manifest import CheckpointConflict
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(6)])
+    root = str(tmp_path / "fb_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    t = iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync8")
+    build_index(spark, t.read(spark), cfg)  # full build, no checkpoint
+    with pytest.raises(CheckpointConflict, match="duplicate every"):
+        sync_iceberg(spark, root, cfg)
+
+
+def test_sync_iceberg_pinned_before_rewrite_is_sound(spark, tmp_path):
+    """A fold only blinds syncs whose planned snapshot includes the
+    rewrite: pinned to the pre-rewrite snapshot, the delete manifests
+    are still visible and the sync retires exactly; the CURRENT
+    snapshot refuses."""
+    import pandas as pd
+
+    from quickwit_spark.index.manifest import CheckpointConflict
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(6)])
+    root = str(tmp_path / "pin_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync9")
+    sync_iceberg(spark, root, cfg)
+
+    t = iceberg.delete_where(root, [("path", "=", "src/f2.py")],
+                             timestamp_ms=2000)
+    snap_del = t.meta["current-snapshot-id"]
+    iceberg.rewrite_data_files(root, timestamp_ms=3000)
+
+    r = sync_iceberg(spark, root, cfg, snapshot_id=snap_del)
+    assert r["docs_retired"] == 1 and r["status"] == "published"
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits == 5
+    # the checkpoint now sits AT the delete; the rewrite snapshot has
+    # nothing left to consume from it -> next current sync is clean
+    r2 = sync_iceberg(spark, root, cfg)
+    assert r2["status"] == "published" and r2["docs_retired"] == 0
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits == 5
+
+    # but a SECOND index whose checkpoint predates the fold refuses on
+    # the current snapshot
+    cfg2 = _sync_cfg(tmp_path, "sync9b")
+    # replay history: index snapshot 1 only
+    first_snap = iceberg.load_table(root).meta["snapshots"][0][
+        "snapshot-id"]
+    sync_iceberg(spark, root, cfg2, snapshot_id=first_snap)
+    with pytest.raises(CheckpointConflict, match="compacted delete"):
+        sync_iceberg(spark, root, cfg2)
+
+
+def test_sync_iceberg_float_key_duplicate_detected(spark, tmp_path):
+    """The uniqueness probe compares keys in one canonical space: a
+    double key whose duplicate comes back from Spark as 7.0 must still
+    clash with the delete-side Int64 7."""
+    import pandas as pd
+
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(4)])
+    pdf["val"] = [1.0, 7.0, 7.0, 3.0]  # doubles; rows 1 and 2 collide
+    root = str(tmp_path / "fk_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync10")
+    sync_iceberg(spark, root, cfg)
+    iceberg.delete_where(root, [("path", "=", "src/f1.py")],
+                         timestamp_ms=2000)
+    with pytest.raises(ValueError, match="not unique"):
+        sync_iceberg(spark, root, cfg, key_cols=["val"])

@@ -122,9 +122,16 @@ def rewrite_segment_without(index_dir: str, parent: dict,
                          fn_ids, doc_cols, meta_extra, positions=pos_arg)
 
 
-def apply_delete_query(index_dir: str, query, spark=None) -> dict:
+def apply_delete_query(index_dir: str, query, spark=None,
+                       segment_filter=None) -> dict:
     """Evaluate `query` against every published segment and rewrite the
     matching ones without the matched docs (atomic manifest replace).
+
+    segment_filter optionally restricts which segments are even
+    considered (seg dict -> bool) — sync_iceberg scopes retirement to
+    segments ingested at or below its checkpoint, so a crash-retry or
+    racing duplicate can never delete documents the winning sync just
+    published.
 
     Returns {"segments_rewritten", "segments_dropped", "docs_deleted"}.
     """
@@ -135,6 +142,8 @@ def apply_delete_query(index_dir: str, query, spark=None) -> dict:
     tokenizer, text_field = searcher.tokenizer, searcher.text_field
     manifest = Manifest.load(index_dir)
     segs = manifest.segments()
+    if segment_filter is not None:
+        segs = [s for s in segs if segment_filter(s)]
     if not segs:
         return {"segments_rewritten": 0, "segments_dropped": 0,
                 "docs_deleted": 0}

@@ -434,8 +434,20 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
             query = (clauses[0] if len(clauses) == 1
                      else A.Bool(should=tuple(clauses),
                                  minimum_should_match=1))
-            res = apply_delete_query(config.index_dir, query,
-                                     spark=spark)
+            # scope retirement to segments ingested AT OR BELOW the
+            # checkpoint (their partition ids encode the ingest
+            # sequence). A crash-retry or racing duplicate of this
+            # very delta otherwise re-runs retirement against an index
+            # that already contains the delta's NEW rows — and the
+            # equality-delete keys match the new versions too, deleting
+            # the documents the winning sync just published. Merged
+            # segments (partition_id -1) stay in scope: they only ever
+            # contain already-consumed docs.
+            cutoff = (since_seq + 1) * SEQ_PARTITION_STRIDE
+            res = apply_delete_query(
+                config.index_dir, query, spark=spark,
+                segment_filter=lambda seg:
+                    seg.get("partition_id", -1) < cutoff)
             docs_retired = res["docs_deleted"]
             segments_rewritten = res["segments_rewritten"]
 

@@ -1556,3 +1556,133 @@ def test_sync_iceberg_float_key_duplicate_detected(spark, tmp_path):
                          timestamp_ms=2000)
     with pytest.raises(ValueError, match="not unique"):
         sync_iceberg(spark, root, cfg, key_cols=["val"])
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_sync_iceberg_randomized_cdc_equivalence(spark, tmp_path, seed):
+    """Property: after ANY sequence of appends / upserts / deletes /
+    compactions (compaction only when the index is caught up) with
+    syncs interleaved, the index equals a merge-on-read scan of the
+    table, row for row. Each row's `commit` column carries its version,
+    so a stale old version, a missed delete, or a lost survivor all
+    show up in the (path, commit) comparison."""
+    import random
+
+    import pandas as pd
+
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    rng = random.Random(seed)
+
+    def row(i, ver):
+        return {"repo": "r", "path": f"p{i}.py", "commit": f"v{ver}",
+                "lang": "py", "content": f"ver{_wnum(ver)} doc {_wnum(i)}"}
+
+    next_id = 8
+    pdf = pd.DataFrame([row(i, 0) for i in range(next_id)])
+    root = str(tmp_path / f"rand_src_{seed}")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, f"rand_{seed}")
+    sync_iceberg(spark, root, cfg, partitions_per_ingest=2)
+
+    live = {f"p{i}.py" for i in range(next_id)}
+    ver = 0
+    ts = 2000
+    caught_up = True
+    for _step in range(10):
+        op = rng.choice(["append", "upsert", "delete", "sync",
+                         "compact"])
+        ts += 1000
+        if op == "append":
+            new = [row(next_id + j, 0) for j in range(rng.randint(1, 3))]
+            live |= {r["path"] for r in new}
+            next_id += len(new)
+            iceberg.append_pandas(root, pd.DataFrame(new),
+                                  timestamp_ms=ts)
+            caught_up = False
+        elif op == "upsert" and live:
+            ver += 1
+            picks = rng.sample(sorted(live),
+                               k=min(len(live), rng.randint(1, 3)))
+            upd = pd.DataFrame(
+                [row(int(p[1:-3]), ver) for p in picks])
+            iceberg.upsert_pandas(root, upd, ["path"], timestamp_ms=ts)
+            caught_up = False
+        elif op == "delete" and live:
+            victim = rng.choice(sorted(live))
+            live.discard(victim)
+            iceberg.delete_where(root, [("path", "=", victim)],
+                                 timestamp_ms=ts)
+            caught_up = False
+        elif op == "compact":
+            if not caught_up:
+                # fold-blind protection is tested elsewhere; here we
+                # only compact when the index consumed every delete
+                continue
+            iceberg.rewrite_data_files(root, timestamp_ms=ts)
+        else:
+            sync_iceberg(spark, root, cfg, partitions_per_ingest=2)
+            caught_up = True
+    sync_iceberg(spark, root, cfg, partitions_per_ingest=2)
+
+    table_state = sorted(
+        (r.path, r.commit) for r in iceberg.load_table(root)
+        .read(spark).select("path", "commit").collect())
+    s = IndexSearcher(cfg.index_dir)
+    k = s.count("*") + 10
+    index_state = sorted(
+        (h.doc["path"], h.doc["commit"]) for h in
+        s.search(A.MatchAll(), k=k, fetch_fields=True).hits)
+    assert index_state == table_state
+    assert {p for p, _v in index_state} == live
+
+
+def test_sync_iceberg_stale_checkpoint_race_is_replay(spark, tmp_path,
+                                                      monkeypatch):
+    """A racing duplicate sync that read the checkpoint before the
+    winner's publish re-runs retirement (idempotent: nothing left to
+    match) and rebuilds the same content-addressed segments, resolving
+    as a benign replay with the index state unchanged."""
+    import pandas as pd
+
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(8)])
+    root = str(tmp_path / "race_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync_race")
+    sync_iceberg(spark, root, cfg)
+    key = [k for k in Manifest.load(cfg.index_dir).data["checkpoints"]
+           if k.startswith("iceberg:")][0]
+    pos_before = Manifest.load(cfg.index_dir).checkpoint(key)
+
+    iceberg.upsert_pandas(root, pd.DataFrame([_sync_row(2, "vtwo")]),
+                          ["path"], timestamp_ms=2000)
+    r1 = sync_iceberg(spark, root, cfg)
+    assert r1["status"] == "published" and r1["docs_retired"] == 1
+
+    real_ckpt = Manifest.checkpoint
+    served = []
+
+    def stale_once(self, pid):
+        if str(pid).startswith("iceberg:") and not served:
+            served.append(1)
+            return pos_before
+        return real_ckpt(self, pid)
+
+    monkeypatch.setattr(Manifest, "checkpoint", stale_once)
+    r2 = sync_iceberg(spark, root, cfg)
+    monkeypatch.undo()
+    assert r2["status"] == "replayed"
+    assert r2["docs_retired"] == 0  # retirement idempotent: all gone
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits == 8
+    assert s.search(A.Term("content", f"vtwo{_wnum(2)}"), k=3,
+                    fetch_fields=False).num_hits == 1

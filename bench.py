@@ -202,6 +202,56 @@ def main() -> None:
     queries["iceberg_plan_kfiles_per_s"] = round(
         len(_iplan.files) * 3 / (time.perf_counter() - t0) / 1e3, 1)
 
+    # Kafka wire transport: produce -> fetch -> decode over a real TCP
+    # loopback (RecordBatch v2 encode, CRC32C numpy fold, varint record
+    # parse) — thousand records/sec through one consumer connection
+    from quickwit_spark.streaming.kafka_wire import (KafkaWireClient,
+                                                     LoopbackKafkaBroker)
+    _kmsg = (b'{"repo":"r","path":"x.py","commit":"c","lang":"py",'
+             b'"content":"bench kafka wire payload body text"}')
+    with LoopbackKafkaBroker({"bench": 1}) as _kb:
+        with KafkaWireClient(_kb.host, _kb.port) as _kc:
+            _kc.api_versions()
+            for _ in range(10):
+                _kc.produce("bench", 0, [(None, _kmsg)] * 2000)
+            _kc.fetch("bench", 0, 0)  # warm
+            t0 = time.perf_counter()
+            _off, _n = 0, 0
+            while _n < 20_000:
+                _recs, _ = _kc.fetch("bench", 0, _off)
+                _n += len(_recs)
+                _off = _recs[-1][0] + 1
+            queries["kafka_wire_fetch_krecs_s"] = round(
+                _n / (time.perf_counter() - t0) / 1e3, 1)
+
+    # Iceberg CDC sync: maintain an index against a table that upserts
+    # 2.5% and deletes 0.5% of 20k docs — delta wall time vs the full
+    # rebuild the sync replaces (the 10^12-scale argument: the sync is
+    # proportional to the DELTA, the rebuild to the corpus)
+    from quickwit_spark.sources import iceberg as _ice
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+    import pyarrow as _pa
+    _sroot = os.path.join(work, "cdc_tbl")
+    _spdf = df.limit(20_000).toPandas()
+    _ice.create_table(_sroot, _pa.Schema.from_pandas(_spdf))
+    _ice.append_pandas(_sroot, _spdf, timestamp_ms=1000)
+    _scfg = IndexConfig(index_uid="bench_sync",
+                        index_dir=os.path.join(work, "idx_sync"))
+    t0 = time.perf_counter()
+    sync_iceberg(spark, _sroot, _scfg, partitions_per_ingest=cpus)
+    queries["cdc_initial_sync_s"] = round(time.perf_counter() - t0, 3)
+    _upd = _spdf.iloc[:500].copy()
+    _upd["content"] = "refreshed " + _upd["content"]
+    _ice.upsert_pandas(_sroot, _upd, ["path"], timestamp_ms=2000)
+    _victims = _spdf["path"].iloc[500:600].tolist()
+    _ice.delete_where(_sroot, [("path", "in", _victims)],
+                      timestamp_ms=3000)
+    t0 = time.perf_counter()
+    _ssum = sync_iceberg(spark, _sroot, _scfg,
+                         partitions_per_ingest=cpus)
+    queries["cdc_delta_sync_s"] = round(time.perf_counter() - t0, 3)
+    assert _ssum["docs_retired"] == 600 and _ssum["docs"] == 500
+
     cfg_sh = IndexConfig(index_uid="bench_sh",
                          index_dir=os.path.join(work, "idx_sh"))
     t0 = time.perf_counter()

@@ -250,7 +250,10 @@ def main() -> None:
     _ssum = sync_iceberg(spark, _sroot, _scfg,
                          partitions_per_ingest=cpus)
     queries["cdc_delta_sync_s"] = round(time.perf_counter() - t0, 3)
-    assert _ssum["docs_retired"] == 600 and _ssum["docs"] == 500
+    if _ssum["docs_retired"] != 600 or _ssum["docs"] != 500:
+        # runtime canary, not a test assert (python -O strips those)
+        raise RuntimeError(f"cdc sync canary: expected 600 retired / "
+                           f"500 ingested, got {_ssum}")
 
     cfg_sh = IndexConfig(index_uid="bench_sh",
                          index_dir=os.path.join(work, "idx_sh"))
@@ -505,7 +508,9 @@ def main() -> None:
                           "refresh_global_index",
                           # MB/s / rate metrics, not seconds
                           "tok_", "otlp_pb_", "png_decode",
-                          "jpeg_decode", "iceberg_plan"))]
+                          "jpeg_decode", "iceberg_plan",
+                          # rate metric + post-r1 rows (r5 session 7)
+                          "kafka_wire_", "cdc_"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

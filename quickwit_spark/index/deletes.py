@@ -100,6 +100,9 @@ def rewrite_segment_without(index_dir: str, parent: dict,
     meta_extra = {
         "segment_id": segment_id,
         "partition_id": parent.get("partition_id", -1),
+        # ingest-epoch lineage survives delete rewrites too (see the
+        # merge metadata note; sync_iceberg scopes retirement by it)
+        "max_src_pid": parent.get("max_src_pid"),
         "chunk_idx": parent.get("chunk_idx", -1),
         # scale by the surviving fraction: copying the parent's figure
         # unchanged lets bytes_raw drift arbitrarily far above actual

@@ -356,6 +356,15 @@ def merge_segments(index_dir: str, parents: list[dict]) -> dict:
     meta_extra = {
         "segment_id": segment_id,
         "partition_id": -1,
+        # highest SOURCE partition id across the whole merge ancestry:
+        # incremental consumers (sync_iceberg retirement) derive each
+        # segment's ingest epoch from partition ids, and a merged
+        # segment inherits the NEWEST epoch among its inputs — without
+        # this a merge racing a duplicate sync would put just-published
+        # rows back inside the retirement scope
+        "max_src_pid": max(
+            (p["max_src_pid"] if p.get("max_src_pid") is not None
+             else p.get("partition_id", -1)) for p in parents),
         "chunk_idx": -1,
         "bytes_raw": int(sum(p.get("bytes_raw", 0) for p in parents)),
         "tags": tags,

@@ -434,20 +434,38 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
             query = (clauses[0] if len(clauses) == 1
                      else A.Bool(should=tuple(clauses),
                                  minimum_should_match=1))
+            # retirement must only scope by ingest epoch when partition
+            # ids MEAN iceberg sequence numbers — an index that also
+            # ingests from streaming sources shares the 1M-stride pid
+            # namespace with unrelated batch ids, and scoping by it
+            # would silently skip already-consumed streaming segments
+            foreign = [k for k in manifest.data.get("checkpoints", {})
+                       if not str(k).startswith("iceberg:")]
+            if foreign:
+                raise CheckpointConflict(
+                    f"index {config.index_dir} also ingests from "
+                    f"non-iceberg sources ({sorted(foreign)[:3]}): CDC "
+                    "retirement cannot scope safely across mixed "
+                    "partition-id namespaces — retire via an explicit "
+                    "_delete_by_query instead")
             # scope retirement to segments ingested AT OR BELOW the
-            # checkpoint (their partition ids encode the ingest
-            # sequence). A crash-retry or racing duplicate of this
+            # checkpoint (partition ids encode the ingest sequence;
+            # merge/delete rewrites carry the NEWEST ancestor epoch as
+            # max_src_pid). A crash-retry or racing duplicate of this
             # very delta otherwise re-runs retirement against an index
             # that already contains the delta's NEW rows — and the
             # equality-delete keys match the new versions too, deleting
-            # the documents the winning sync just published. Merged
-            # segments (partition_id -1) stay in scope: they only ever
-            # contain already-consumed docs.
+            # the documents the winning sync just published.
             cutoff = (since_seq + 1) * SEQ_PARTITION_STRIDE
+
+            def _epoch_pid(seg: dict) -> int:
+                msp = seg.get("max_src_pid")
+                return msp if msp is not None else \
+                    seg.get("partition_id", -1)
+
             res = apply_delete_query(
                 config.index_dir, query, spark=spark,
-                segment_filter=lambda seg:
-                    seg.get("partition_id", -1) < cutoff)
+                segment_filter=lambda seg: _epoch_pid(seg) < cutoff)
             docs_retired = res["docs_deleted"]
             segments_rewritten = res["segments_rewritten"]
 

@@ -1686,3 +1686,92 @@ def test_sync_iceberg_stale_checkpoint_race_is_replay(spark, tmp_path,
     assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits == 8
     assert s.search(A.Term("content", f"vtwo{_wnum(2)}"), k=3,
                     fetch_fields=False).num_hits == 1
+
+
+def test_sync_iceberg_race_with_merge_keeps_new_docs(spark, tmp_path,
+                                                     monkeypatch):
+    """Hardest race shape: the winner publishes the delta, a MERGE then
+    folds the new segments into a merged segment (partition_id -1), and
+    only then does a stale-checkpoint duplicate retry retirement. The
+    merged segment carries max_src_pid = its newest ancestor's epoch,
+    keeping the just-published rows OUT of the stale retry's retirement
+    scope."""
+    import pandas as pd
+
+    from quickwit_spark.index.manifest import Manifest
+    from quickwit_spark.index.merge import run_merges
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(12)])
+    root = str(tmp_path / "rm_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync_rm")
+    sync_iceberg(spark, root, cfg, partitions_per_ingest=3)
+    key = [k for k in Manifest.load(cfg.index_dir).data["checkpoints"]
+           if k.startswith("iceberg:")][0]
+    pos_before = Manifest.load(cfg.index_dir).checkpoint(key)
+
+    iceberg.upsert_pandas(root, pd.DataFrame([_sync_row(4, "vtwo")]),
+                          ["path"], timestamp_ms=2000)
+    r1 = sync_iceberg(spark, root, cfg, partitions_per_ingest=3)
+    assert r1["docs_retired"] == 1
+    # the merge folds the delta's new segment in with old ones
+    from quickwit_spark.config import MergePolicyConfig
+    from quickwit_spark.index.merge_policy import StableLogMergePolicy
+    run_merges(cfg.index_dir, spark=spark,
+               policy=StableLogMergePolicy(
+                   MergePolicyConfig(merge_factor=2,
+                                     min_level_num_docs=1)))
+
+    real_ckpt = Manifest.checkpoint
+    served = []
+
+    def stale_once(self, pid):
+        if str(pid).startswith("iceberg:") and not served:
+            served.append(1)
+            return pos_before
+        return real_ckpt(self, pid)
+
+    monkeypatch.setattr(Manifest, "checkpoint", stale_once)
+    r2 = sync_iceberg(spark, root, cfg, partitions_per_ingest=3)
+    monkeypatch.undo()
+    assert r2["status"] == "replayed" and r2["docs_retired"] == 0
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.MatchAll(), k=1, fetch_fields=False).num_hits == 12
+    assert s.search(A.Term("content", f"vtwo{_wnum(4)}"), k=3,
+                    fetch_fields=False).num_hits == 1
+
+
+def test_sync_iceberg_refuses_retirement_on_mixed_source_index(
+        spark, tmp_path):
+    """Streaming batches share the 1M partition-id stride with iceberg
+    sequence numbers, so epoch-scoped retirement on a MIXED index would
+    silently skip already-consumed streaming segments — refuse."""
+    import pandas as pd
+
+    from quickwit_spark.index.manifest import CheckpointConflict
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+    from quickwit_spark.streaming.incremental import ingest_batch
+
+    pdf = pd.DataFrame([_sync_row(i, "vone") for i in range(6)])
+    root = str(tmp_path / "mix_src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "sync_mix")
+    sync_iceberg(spark, root, cfg)
+    # a streaming micro-batch lands in the same index
+    extra = pd.DataFrame([_sync_row(i, "vone") for i in range(50, 53)])
+    ingest_batch(spark.createDataFrame(extra), cfg, batch_id=7)
+    # pure appends still sync fine (no retirement involved)
+    iceberg.append_pandas(
+        root, pd.DataFrame([_sync_row(i, "vone") for i in (30, 31)]),
+        timestamp_ms=2000)
+    assert sync_iceberg(spark, root, cfg)["status"] == "published"
+    # a CDC delete now requires retirement -> refuse on the mixed index
+    iceberg.upsert_pandas(root, pd.DataFrame([_sync_row(2, "vtwo")]),
+                          ["path"], timestamp_ms=3000)
+    with pytest.raises(CheckpointConflict, match="non-iceberg"):
+        sync_iceberg(spark, root, cfg)

@@ -20,6 +20,7 @@ import json
 import os
 from contextlib import contextmanager
 import tempfile
+import time as _time
 from typing import Any
 
 SEGMENT_STATE_PUBLISHED = "published"
@@ -239,6 +240,10 @@ class Manifest:
             for seg in staged_segments:
                 seg = dict(seg)
                 seg["state"] = SEGMENT_STATE_PUBLISHED
+                # split create_timestamp analog (split_metadata.rs:75):
+                # manifest-row-only — segment FILES stay content-
+                # addressed and byte-identical across replays/merges
+                seg.setdefault("published_at", _time.time())
                 self.data["segments"][seg["segment_id"]] = seg
             for sid in replaced_segment_ids:
                 self.data["segments"][sid]["state"] = SEGMENT_STATE_DEAD
@@ -272,6 +277,73 @@ class Manifest:
         if expired and vacuum:
             self.vacuum()
         return expired
+
+    def mark_for_deletion(self, segment_ids: list[str]) -> list[str]:
+        """MarkSplitsForDeletion analog (split_resource.rs
+        mark_splits_for_deletion): retire published segments without
+        touching their files — vacuum (the janitor GC) removes them
+        later, the reference's two-stage delete. Unknown ids raise
+        before anything mutates (all-or-nothing, like publish);
+        already-dead ids are a no-op (the operation is idempotent in
+        the reference metastore). Returns the ids actually retired."""
+        with self._locked_fresh():
+            unknown = [sid for sid in segment_ids
+                       if sid not in self.data["segments"]]
+            if unknown:
+                raise KeyError(f"unknown segments: {unknown}")
+            changed = []
+            for sid in segment_ids:
+                seg = self.data["segments"][sid]
+                if seg["state"] == SEGMENT_STATE_PUBLISHED:
+                    seg["state"] = SEGMENT_STATE_DEAD
+                    changed.append(sid)
+            if changed:
+                self.data["version"] += 1
+                self._write()
+            return changed
+
+    def reset_checkpoints(self, source_id: str = "_all") -> list[str]:
+        """ResetSourceCheckpoint analog (source_resource.rs): drop the
+        checkpoint positions recorded by one source so its data can be
+        re-ingested. Keys are namespaced by source prefix
+        (`stream-*`, `kafka-*`, `queue-msg:*`, `bulk-*`); bare integer
+        keys belong to the batch builder (pseudo id `_builder`), and
+        resetting those also releases the router claim — partition
+        checkpoints are only meaningful under the routing scheme that
+        produced them (claim_router's invariant). `_all` resets every
+        source. Returns the removed keys."""
+        with self._locked_fresh():
+            removed = []
+            for key in list(self.data["checkpoints"]):
+                if source_id == "_all":
+                    hit = True
+                elif source_id == "_builder":
+                    # integer keys are shared with the LEGACY stream;
+                    # the position prefix proves ownership (see the
+                    # BUILDER_POS/STREAM_POS contract above)
+                    try:
+                        int(key)
+                    except ValueError:
+                        hit = False
+                    else:
+                        hit = str(self.data["checkpoints"][key]
+                                  ).startswith(BUILDER_POS_PREFIX)
+                else:
+                    hit = (key == source_id
+                           or key.startswith(source_id + "-")
+                           or key.startswith(source_id + ":"))
+                if hit:
+                    del self.data["checkpoints"][key]
+                    removed.append(key)
+            router_released = False
+            if source_id in ("_all", "_builder") \
+                    and "router" in self.data:
+                del self.data["router"]
+                router_released = True
+            if removed or router_released:
+                self.data["version"] += 1
+                self._write()
+            return removed
 
     def vacuum(self) -> list[str]:
         """Drop dead segment rows and delete their directories (GC/janitor

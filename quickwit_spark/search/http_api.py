@@ -5,8 +5,23 @@ Elasticsearch-compatible façades.
 Routes (reference: quickwit-serve/src/search_api/rest_handler.rs and
 elasticsearch_api/rest_handler.rs — same paths, same JSON shapes):
 
-  native:
+  native search:
     GET/POST /api/v1/{index}/search          rest.native_search
+  index management (quickwit-serve/src/index_api/*, via mgmt_api):
+    GET      /api/v1/indexes[?index_id_patterns=a*,b]
+    POST     /api/v1/indexes[?overwrite=]    create (writable)
+    GET      /api/v1/indexes/{id}            metadata
+    PUT      /api/v1/indexes/{id}[?create=]  update doc mapping (writable)
+    DELETE   /api/v1/indexes/{id}[?dry_run=] delete (writable)
+    GET      /api/v1/indexes/{id}/describe   IndexStats
+    PUT      /api/v1/indexes/{id}/clear      clear (writable)
+    GET      /api/v1/indexes/{id}/splits     list (offset/limit/states/
+                                             time filters)
+    PUT      /api/v1/indexes/{id}/splits/mark-for-deletion  (writable)
+    PUT      /api/v1/indexes/{id}/sources/{src}/reset-checkpoint (writable)
+    POST     /api/v1/{index}/ingest          NDJSON docs (writable)
+    POST     /api/v1/analyze                 tokenize text
+    POST     /api/v1/parse-query             user query -> QueryAst JSON
   ES-compatible (under /api/v1/_elastic, like the reference):
     GET/POST .../{index}/_search[?scroll=]   es_dsl.es_search / scroll
     POST     .../_msearch | {index}/_msearch es_dsl.es_msearch (NDJSON)
@@ -38,7 +53,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, unquote, urlsplit
 
 from .engine import IndexSearcher
-from . import es_dsl, rest
+from . import es_dsl, mgmt_api, rest
 
 __all__ = ["SearchHttpServer"]
 
@@ -78,6 +93,9 @@ class SearchHttpServer:
 
             def do_POST(self):
                 outer._dispatch(self, "POST")
+
+            def do_PUT(self):
+                outer._dispatch(self, "PUT")
 
             def do_DELETE(self):
                 outer._dispatch(self, "DELETE")
@@ -137,6 +155,11 @@ class SearchHttpServer:
             status = e.status
             resp = {"error": {"type": e.es_type, "reason": str(e)},
                     "status": e.status}
+        except mgmt_api.IndexNotFound as e:
+            status = 404
+            resp = {"error": {"type": "index_not_found_exception",
+                              "reason": str(e)},
+                    "status": 404}
         except (ValueError, KeyError) as e:
             status = 400
             resp = {"error": {"type": "illegal_argument_exception",
@@ -184,14 +207,164 @@ class SearchHttpServer:
             return self._route_es(method, path[len(_ES_PREFIX):] or "/",
                                   params, raw)
         seg = [unquote(s) for s in path.strip("/").split("/")]
-        # native: /api/v1/{index}/search
-        if (len(seg) == 4 and seg[:2] == ["api", "v1"]
-                and seg[3] == "search" and method in ("GET", "POST")):
+        if seg[:2] != ["api", "v1"]:
+            raise _ApiError(404, f"no route for {method} {path}",
+                            es_type="invalid_route_exception")
+        sub = seg[2:]
+        # native search: /api/v1/{index}/search
+        if (len(sub) == 2 and sub[1] == "search"
+                and sub[0] != "indexes" and method in ("GET", "POST")):
             merged = dict(params)
             merged.update(self._json_body(raw))
-            return 200, rest.native_search(self._searcher(seg[2]), merged)
+            return 200, rest.native_search(self._searcher(sub[0]),
+                                           merged)
+        # native ingest: /api/v1/{index}/ingest  (NDJSON doc per line;
+        # `commit` param accepted and ignored — publish is synchronous)
+        if (len(sub) == 2 and sub[1] == "ingest"
+                and sub[0] != "indexes" and method == "POST"):
+            self._require_writable()
+            cfg = self._config(sub[0])
+            resp = mgmt_api.ingest_ndjson(cfg, self._ndjson(raw))
+            self._reload_searcher(sub[0])
+            return 200, resp
+        if sub[:1] == ["indexes"]:
+            return self._route_mgmt(method, sub[1:], params, raw)
+        if sub == ["analyze"] and method == "POST":
+            body = self._json_body(raw)
+            if "text" not in body:
+                raise _ApiError(400, "analyze needs a `text` field")
+            return 200, mgmt_api.analyze(
+                body["text"],
+                tokenizer=body.get("tokenizer", body.get("type",
+                                                         "default")))
+        if sub in (["parse-query"], ["parse_query"]) and method == "POST":
+            body = self._json_body(raw)
+            if "query" not in body:
+                raise _ApiError(400, "parse-query needs a `query` field")
+            fields = body.get("search_field")
+            if isinstance(fields, str):
+                fields = [f for f in fields.split(",") if f]
+            return 200, mgmt_api.parse_query_to_json(
+                body["query"], search_fields=fields)
         raise _ApiError(404, f"no route for {method} {path}",
                         es_type="invalid_route_exception")
+
+    # -- index management (mgmt_api façade) ---------------------------------
+
+    def _require_writable(self) -> None:
+        if not self.writable:
+            raise _ApiError(
+                403, "read-only API (start the server with "
+                     "writable=True)",
+                es_type="cluster_block_exception")
+
+    def _reload_searcher(self, index: str) -> None:
+        with self._lock:
+            s = self._searchers.get(index)
+        if s is not None:
+            s.reload()
+
+    def _drop_searcher(self, index: str) -> None:
+        with self._lock:
+            self._searchers.pop(index, None)
+
+    def _config(self, index: str):
+        """Resolve the full IndexConfig for a mutation: the registered
+        map first, then the index's persisted index_config.json."""
+        cfg = self.configs.get(index)
+        if cfg is None:
+            d = os.path.join(self.root_dir, index)
+            if os.path.isdir(d):
+                cfg = mgmt_api.load_index_config(d)
+        if cfg is None:
+            raise _ApiError(
+                403, f"no IndexConfig available for [{index}] "
+                     "(register one, or create the index through the "
+                     "API so its config is persisted)",
+                es_type="cluster_block_exception")
+        return cfg
+
+    @staticmethod
+    def _flag(params: dict, name: str) -> bool:
+        return str(params.get(name, "")).lower() in ("1", "true", "yes")
+
+    def _route_mgmt(self, method: str, sub: list[str], params: dict,
+                    raw: bytes) -> tuple[int, object]:
+        """Routes under /api/v1/indexes (index_resource.rs,
+        split_resource.rs, source_resource.rs)."""
+        if not sub:
+            if method == "GET":
+                pats = [p for p in
+                        params.get("index_id_patterns", "").split(",")
+                        if p] or None
+                return 200, mgmt_api.list_indexes_metadata(
+                    self.root_dir, patterns=pats)
+            if method == "POST":
+                self._require_writable()
+                meta = mgmt_api.create_index(
+                    self.root_dir, self._json_body(raw),
+                    overwrite=self._flag(params, "overwrite"))
+                self._drop_searcher(meta["index_uid"])
+                return 200, meta
+        elif len(sub) == 1:
+            index = sub[0]
+            if method == "GET":
+                d = mgmt_api.require_index(self.root_dir, index)
+                return 200, mgmt_api.index_metadata(d)
+            if method == "PUT":
+                self._require_writable()
+                meta = mgmt_api.update_index_config(
+                    self.root_dir, index, self._json_body(raw),
+                    create=self._flag(params, "create"))
+                self._drop_searcher(index)
+                return 200, meta
+            if method == "DELETE":
+                self._require_writable()
+                d = mgmt_api.require_index(self.root_dir, index)
+                entries = mgmt_api.delete_index(
+                    d, dry_run=self._flag(params, "dry_run"))
+                if not self._flag(params, "dry_run"):
+                    self._drop_searcher(index)
+                return 200, entries
+        elif len(sub) == 2:
+            index, verb = sub
+            d = mgmt_api.require_index(self.root_dir, index)
+            if verb == "describe" and method == "GET":
+                return 200, mgmt_api.describe_index(d)
+            if verb == "clear" and method == "PUT":
+                self._require_writable()
+                mgmt_api.clear_index(d)
+                self._drop_searcher(index)
+                return 200, None
+            if verb == "splits" and method == "GET":
+                states = [s for s in
+                          params.get("split_states", "").split(",") if s]
+                def _int(name):
+                    v = params.get(name)
+                    return None if v is None else int(v)
+                return 200, mgmt_api.list_splits(
+                    d, offset=_int("offset"), limit=_int("limit"),
+                    split_states=states or None,
+                    start_timestamp=_int("start_timestamp"),
+                    end_timestamp=_int("end_timestamp"),
+                    end_create_timestamp=_int("end_create_timestamp"))
+        elif len(sub) == 3 and sub[1] == "splits" \
+                and sub[2] == "mark-for-deletion" and method == "PUT":
+            self._require_writable()
+            d = mgmt_api.require_index(self.root_dir, sub[0])
+            body = self._json_body(raw)
+            mgmt_api.mark_splits_for_deletion(d, body.get("split_ids"))
+            self._reload_searcher(sub[0])
+            return 200, None
+        elif len(sub) == 4 and sub[1] == "sources" \
+                and sub[3] == "reset-checkpoint" and method == "PUT":
+            self._require_writable()
+            d = mgmt_api.require_index(self.root_dir, sub[0])
+            removed = mgmt_api.reset_source_checkpoint(d, sub[2])
+            return 200, {"removed_checkpoints": removed}
+        raise _ApiError(
+            404, f"no route for {method} /indexes/{'/'.join(sub)}",
+            es_type="invalid_route_exception")
 
     def _route_es(self, method: str, sub: str, params: dict,
                   raw: bytes) -> tuple[int, object]:
@@ -283,13 +456,8 @@ class SearchHttpServer:
                         403, "read-only API (start the server with "
                              "writable=True)",
                         es_type="cluster_block_exception")
-                cfg = self.configs.get(index)
-                if cfg is None:
-                    raise _ApiError(
-                        403, f"no IndexConfig registered for [{index}] "
-                             "(bulk builds need the full config)",
-                        es_type="cluster_block_exception")
-                resp = es_dsl.es_bulk(cfg, self._ndjson(raw))
+                resp = es_dsl.es_bulk(self._config(index),
+                                      self._ndjson(raw))
                 s.reload()
                 return 200, resp
         raise _ApiError(404, f"no ES route for {method} /{'/'.join(seg)}",

@@ -1,0 +1,476 @@
+"""Index-management API: the reference's index/split/source REST
+resources (quickwit-serve/src/index_api/*) over the manifest metastore,
+driven both directly (mgmt_api functions) and over real loopback HTTP.
+
+Covers the full lifecycle — create / list / metadata / describe /
+ingest / splits / mark-for-deletion / clear / update / delete — plus
+the analyze and parse-query helpers, source checkpoint resets, and the
+read-only gating of every mutation route."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from quickwit_spark.index.manifest import Manifest
+from quickwit_spark.search import mgmt_api as M
+from quickwit_spark.search.http_api import SearchHttpServer
+
+
+def _call(url, method="GET", body=None, ndjson=None):
+    data = None
+    if body is not None:
+        data = json.dumps(body).encode()
+    if ndjson is not None:
+        data = "\n".join(json.dumps(x) for x in ndjson).encode()
+    req = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read() or b"null")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"null")
+
+
+def _config_doc(index_id="code", tokenizer="source_code_default"):
+    return {
+        "version": "0.8",
+        "index_id": index_id,
+        "doc_mapping": {
+            "field_mappings": [
+                {"name": "content", "type": "text",
+                 "tokenizer": tokenizer, "record": "position"},
+                {"name": "lang", "type": "text", "tokenizer": "raw",
+                 "fast": True},
+                {"name": "stars", "type": "u64", "fast": True},
+            ],
+            "tag_fields": ["lang"],
+            "doc_id_fields": ["repo", "path", "commit"],
+            "timestamp_field": "stars",
+        },
+        "search_settings": {"default_search_fields": ["content"]},
+    }
+
+
+def _docs(n, repo="r1", commit="c1", start=0):
+    return [{"repo": repo, "path": f"f{start + i}.py", "commit": commit,
+             "lang": "py" if i % 2 == 0 else "rs",
+             "stars": 10 * (start + i),
+             "content": f"def fooBar_{start + i}(): return {start + i}"}
+            for i in range(n)]
+
+
+@pytest.fixture()
+def writable(tmp_path):
+    with SearchHttpServer(str(tmp_path), writable=True) as srv:
+        yield srv, str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# config document translation
+# ---------------------------------------------------------------------------
+
+def test_config_roundtrip(tmp_path):
+    cfg = M.config_from_json(_config_doc(), str(tmp_path))
+    assert cfg.key_cols == ("repo", "path", "commit")
+    assert cfg.text_col == "content"
+    assert cfg.tokenizer == "source_code_default"
+    assert cfg.record == "position"
+    assert cfg.tag_cols == ("lang",)
+    assert "stars" in cfg.store_cols
+    # key/tag cols never leak into store_cols
+    assert not (set(cfg.store_cols) & set(cfg.key_cols))
+    assert not (set(cfg.store_cols) & set(cfg.tag_cols))
+    doc2 = M.config_to_json(cfg, timestamp_field="stars")
+    cfg2 = M.config_from_json(doc2, str(tmp_path))
+    for attr in ("key_cols", "text_col", "tokenizer", "record",
+                 "fieldnorms", "tag_cols", "field_types",
+                 "partition_cols", "dynamic_col"):
+        assert getattr(cfg2, attr) == getattr(cfg, attr), attr
+    assert set(cfg2.store_cols) == set(cfg.store_cols)
+
+
+def test_config_validation_errors(tmp_path):
+    root = str(tmp_path)
+    doc = _config_doc()
+    del doc["doc_mapping"]["doc_id_fields"]
+    with pytest.raises(M.MgmtError, match="doc_id_fields"):
+        M.config_from_json(doc, root)
+    doc = _config_doc()
+    doc["doc_mapping"]["field_mappings"][0]["tokenizer"] = "nope"
+    with pytest.raises(M.MgmtError, match="unknown tokenizer"):
+        M.config_from_json(doc, root)
+    doc = _config_doc()
+    doc["doc_mapping"]["field_mappings"][2]["type"] = "geo_point"
+    with pytest.raises(M.MgmtError, match="unsupported field type"):
+        M.config_from_json(doc, root)
+    doc = _config_doc()
+    doc["search_settings"]["default_search_fields"] = ["missing"]
+    with pytest.raises(M.MgmtError, match="not a\n? ?mapped field"):
+        M.config_from_json(doc, root)
+    doc = _config_doc()
+    doc["index_id"] = "/etc/passwd"
+    with pytest.raises(M.MgmtError, match="index_id"):
+        M.config_from_json(doc, root)
+    doc = _config_doc()
+    doc["doc_mapping"]["timestamp_field"] = "missing"
+    with pytest.raises(M.MgmtError, match="timestamp_field"):
+        M.config_from_json(doc, root)
+
+
+def test_dynamic_and_concat_config(tmp_path):
+    doc = _config_doc()
+    doc["doc_mapping"]["mode"] = "dynamic"
+    doc["doc_mapping"]["field_mappings"].append(
+        {"name": "all", "type": "concatenate",
+         "concatenate_fields": ["content", "lang"],
+         "tokenizer": "default"})
+    doc["search_settings"]["default_search_fields"] = ["all"]
+    cfg = M.config_from_json(doc, str(tmp_path))
+    assert cfg.dynamic_col == "_dynamic"
+    assert cfg.text_col == "all"
+    assert cfg.concat_cols == ("content", "lang")
+
+
+# ---------------------------------------------------------------------------
+# lifecycle over HTTP
+# ---------------------------------------------------------------------------
+
+def test_create_list_metadata(writable):
+    srv, root = writable
+    st, meta = _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    assert st == 200 and meta["index_uid"] == "code"
+    assert meta["index_config"]["doc_mapping"]["doc_id_fields"] == \
+        ["repo", "path", "commit"]
+    # direct call returns the same metadata view
+    assert M.index_metadata(f"{root}/code")["index_config"] == \
+        meta["index_config"]
+    # duplicate create refused; overwrite replaces
+    st, err = _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    assert st == 400 and "already exists" in err["error"]["reason"]
+    st, _ = _call(f"{srv.url}/api/v1/indexes?overwrite=true", "POST",
+                  _config_doc())
+    assert st == 200
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc("zeta"))
+    st, lst = _call(f"{srv.url}/api/v1/indexes")
+    assert [m["index_uid"] for m in lst] == ["code", "zeta"]
+    st, lst = _call(f"{srv.url}/api/v1/indexes?index_id_patterns=z*")
+    assert [m["index_uid"] for m in lst] == ["zeta"]
+    st, meta = _call(f"{srv.url}/api/v1/indexes/zeta")
+    assert st == 200 and meta["index_uid"] == "zeta"
+    st, err = _call(f"{srv.url}/api/v1/indexes/nope")
+    assert st == 404
+    assert err["error"]["type"] == "index_not_found_exception"
+
+
+def test_ingest_search_describe_splits(writable):
+    srv, root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    st, resp = _call(f"{srv.url}/api/v1/code/ingest", "POST",
+                     ndjson=_docs(20))
+    assert st == 200 and resp == {"num_docs_for_processing": 20}
+    st, resp = _call(f"{srv.url}/api/v1/code/search"
+                     "?query=foo+AND+bar&max_hits=5")
+    assert st == 200 and resp["num_hits"] == 20
+
+    st, desc = _call(f"{srv.url}/api/v1/indexes/code/describe")
+    assert st == 200
+    assert desc["num_published_docs"] == 20
+    assert desc["num_published_splits"] == 1
+    assert desc["timestamp_field_name"] == "stars"
+    assert (desc["min_timestamp"], desc["max_timestamp"]) == (0, 190)
+    assert desc["size_published_splits"] > 0
+    assert desc == M.describe_index(f"{root}/code")
+
+    # exactly-once: replaying the same payload publishes nothing
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(20))
+    st, desc = _call(f"{srv.url}/api/v1/indexes/code/describe")
+    assert desc["num_published_docs"] == 20
+
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits")
+    assert st == 200 and sp["size"] == 1 and sp["offset"] == 0
+    row = sp["splits"][0]
+    assert row["split_state"] == "Published"
+    md = row["split_metadata"]
+    assert md["num_docs"] == 20
+    assert md["time_range"] == {"start": 0, "end": 190}
+    assert "create_timestamp" in md
+    assert any(t == "lang:py" for t in md["tags"])
+
+    # second segment for filter coverage
+    _call(f"{srv.url}/api/v1/code/ingest", "POST",
+          ndjson=_docs(10, repo="r2", start=100))
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits")
+    assert sp["size"] == 2
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits"
+                   "?offset=1&limit=1")
+    assert sp["offset"] == 1 and sp["size"] == 1
+    # time filter: only the second segment covers stars >= 1000
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits"
+                   "?start_timestamp=1000")
+    assert sp["size"] == 1
+    assert sp["splits"][0]["split_metadata"]["num_docs"] == 10
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits"
+                   "?end_timestamp=200")
+    assert sp["size"] == 1
+    assert sp["splits"][0]["split_metadata"]["num_docs"] == 20
+    # end_create_timestamp in the future matches everything
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits"
+                   "?end_create_timestamp=99999999999")
+    assert sp["size"] == 2
+
+
+def test_mark_for_deletion_and_clear(writable):
+    srv, root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(8))
+    _call(f"{srv.url}/api/v1/code/ingest", "POST",
+          ndjson=_docs(4, repo="r2"))
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits")
+    sid = next(r["split_metadata"]["split_id"] for r in sp["splits"]
+               if r["split_metadata"]["num_docs"] == 8)
+    st, _ = _call(f"{srv.url}/api/v1/indexes/code/splits/"
+                  "mark-for-deletion", "PUT", {"split_ids": [sid]})
+    assert st == 200
+    st, resp = _call(f"{srv.url}/api/v1/code/search"
+                     "?query=foo&max_hits=30")
+    assert resp["num_hits"] == 4  # retired split no longer searched
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits"
+                   "?split_states=MarkedForDeletion")
+    assert sp["size"] == 1
+    assert sp["splits"][0]["split_metadata"]["split_id"] == sid
+    # idempotent; unknown id is a loud 400
+    st, _ = _call(f"{srv.url}/api/v1/indexes/code/splits/"
+                  "mark-for-deletion", "PUT", {"split_ids": [sid]})
+    assert st == 200
+    st, err = _call(f"{srv.url}/api/v1/indexes/code/splits/"
+                    "mark-for-deletion", "PUT", {"split_ids": ["zz"]})
+    assert st == 400 and "unknown segments" in err["error"]["reason"]
+
+    st, _ = _call(f"{srv.url}/api/v1/indexes/code/clear", "PUT")
+    assert st == 200
+    st, desc = _call(f"{srv.url}/api/v1/indexes/code/describe")
+    assert desc["num_published_docs"] == 0
+    assert desc["num_published_splits"] == 0
+    # config survives; checkpoints were reset so the SAME payload
+    # re-ingests (clear resets every source, index.rs:457-466)
+    st, resp = _call(f"{srv.url}/api/v1/code/ingest", "POST",
+                     ndjson=_docs(8))
+    assert resp == {"num_docs_for_processing": 8}
+    st, desc = _call(f"{srv.url}/api/v1/indexes/code/describe")
+    assert desc["num_published_docs"] == 8
+
+
+def test_delete_index(writable):
+    srv, root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(5))
+    st, entries = _call(f"{srv.url}/api/v1/indexes/code?dry_run=true",
+                        "DELETE")
+    assert st == 200 and entries
+    names = {e["file_name"] for e in entries}
+    assert "manifest.json" in names and "index_config.json" in names
+    assert all(isinstance(e["file_size_bytes"], int) for e in entries)
+    # dry run deleted nothing
+    st, _ = _call(f"{srv.url}/api/v1/indexes/code/describe")
+    assert st == 200
+    st, entries2 = _call(f"{srv.url}/api/v1/indexes/code", "DELETE")
+    assert st == 200
+    assert {e["file_name"] for e in entries2} == names
+    st, _ = _call(f"{srv.url}/api/v1/indexes/code/describe")
+    assert st == 404
+    st, _ = _call(f"{srv.url}/api/v1/code/search?query=foo")
+    assert st == 404
+
+
+def test_update_doc_mapping_over_http(writable):
+    srv, root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(6))
+    # identity-level changes are refused
+    bad = _config_doc()
+    bad["doc_mapping"]["doc_id_fields"] = ["repo"]
+    st, err = _call(f"{srv.url}/api/v1/indexes/code", "PUT", bad)
+    assert st == 400 and "cannot be updated" in err["error"]["reason"]
+    # analysis change bumps the mapping generation
+    st, meta = _call(f"{srv.url}/api/v1/indexes/code", "PUT",
+                     _config_doc(tokenizer="default"))
+    assert st == 200
+    rev2 = meta["index_config"]["schema_rev"]
+    assert rev2 != "v1"
+    docs2 = [{"repo": "r9", "path": f"h{i}.py", "commit": "c9",
+              "lang": "py", "stars": 1,
+              "content": f"fooBar_{i} alpha"} for i in range(3)]
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=docs2)
+    # old generation still matches sub-tokens; new generation keeps
+    # `foobar_0` whole (default tokenizer) — both served in one search
+    st, resp = _call(f"{srv.url}/api/v1/code/search"
+                     "?query=foo&max_hits=30")
+    assert resp["num_hits"] == 6
+    st, resp = _call(f"{srv.url}/api/v1/code/search"
+                     "?query=foobar_0&max_hits=30")
+    assert resp["num_hits"] == 1
+    # per-generation revs visible in the split listing
+    st, sp = _call(f"{srv.url}/api/v1/indexes/code/splits")
+    revs = {r["split_metadata"]["doc_mapping_uid"] for r in sp["splits"]}
+    assert revs == {"v1", rev2}
+    # PUT ?create=true creates a missing index
+    st, meta = _call(f"{srv.url}/api/v1/indexes/fresh?create=true",
+                     "PUT", _config_doc("fresh"))
+    assert st == 200 and meta["index_uid"] == "fresh"
+    st, _ = _call(f"{srv.url}/api/v1/indexes/fresh")
+    assert st == 200
+    # without create, a missing index 404s
+    st, _ = _call(f"{srv.url}/api/v1/indexes/nope", "PUT",
+                  _config_doc("nope"))
+    assert st == 404
+
+
+def test_reset_source_checkpoint(writable):
+    srv, root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(4))
+    m = Manifest.load(f"{root}/code")
+    keys = list(m.data["checkpoints"])
+    assert keys and all(k.startswith("bulk-") for k in keys)
+    st, resp = _call(f"{srv.url}/api/v1/indexes/code/sources/bulk/"
+                     "reset-checkpoint", "PUT")
+    assert st == 200 and sorted(resp["removed_checkpoints"]) == \
+        sorted(keys)
+    assert Manifest.load(f"{root}/code").data["checkpoints"] == {}
+    # replaying the SAME payload after a reset converges onto the same
+    # content-addressed segment id — no duplicate docs (stronger than
+    # the reference, whose replayed split gets a fresh ULID); the
+    # checkpoint is re-recorded
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(4))
+    st, desc = _call(f"{srv.url}/api/v1/indexes/code/describe")
+    assert desc["num_published_docs"] == 4
+    assert Manifest.load(f"{root}/code").data["checkpoints"]
+    # DIFFERENT content after the reset does publish
+    _call(f"{srv.url}/api/v1/code/ingest", "POST",
+          ndjson=_docs(4, repo="r2"))
+    st, desc = _call(f"{srv.url}/api/v1/indexes/code/describe")
+    assert desc["num_published_docs"] == 8
+
+
+def test_reset_builder_checkpoints_ownership(tmp_path):
+    """`_builder` resets only integer keys with builder positions and
+    releases the router claim; stream/bulk keys survive."""
+    d = str(tmp_path / "ix")
+    m = Manifest.create(d, "ix", {"text_col": "content"})
+    m.claim_router("spark-xxhash64:4")
+    m.publish([], checkpoint_delta={
+        0: (None, "docs=10"), 1: (None, "docs=5"),
+        "stream-0": (None, "batch=1;n=3"),
+        "bulk-ab": (None, "done")})
+    removed = m.reset_checkpoints("_builder")
+    assert sorted(removed) == ["0", "1"]
+    m2 = Manifest.load(d)
+    assert set(m2.data["checkpoints"]) == {"stream-0", "bulk-ab"}
+    assert "router" not in m2.data
+    # a fresh router claim succeeds now
+    m2.claim_router("pandas-sha256:4")
+    assert m2.reset_checkpoints("_all") == ["bulk-ab", "stream-0"]
+    assert Manifest.load(d).data["checkpoints"] == {}
+
+
+def test_read_only_gating(tmp_path):
+    with SearchHttpServer(str(tmp_path), writable=True) as srv:
+        _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    with SearchHttpServer(str(tmp_path)) as srv:
+        for method, path, body in [
+                ("POST", "/api/v1/indexes", _config_doc("x2")),
+                ("PUT", "/api/v1/indexes/code", _config_doc()),
+                ("DELETE", "/api/v1/indexes/code", None),
+                ("PUT", "/api/v1/indexes/code/clear", None),
+                ("PUT", "/api/v1/indexes/code/splits/"
+                        "mark-for-deletion", {"split_ids": ["a"]}),
+                ("PUT", "/api/v1/indexes/code/sources/bulk/"
+                        "reset-checkpoint", None),
+        ]:
+            st, err = _call(f"{srv.url}{path}", method, body)
+            assert st == 403, (method, path)
+            assert err["error"]["type"] == "cluster_block_exception"
+        st, _ = _call(f"{srv.url}/api/v1/code/ingest", "POST",
+                      ndjson=_docs(1))
+        assert st == 403
+        # reads still work
+        st, lst = _call(f"{srv.url}/api/v1/indexes")
+        assert st == 200 and len(lst) == 1
+
+
+# ---------------------------------------------------------------------------
+# analyze + parse-query
+# ---------------------------------------------------------------------------
+
+def test_analyze_spans_and_parity(writable):
+    srv, _root = writable
+    from quickwit_spark.functions.tokenizers import (ascii_fold,
+                                                     tokenize_one)
+    text = "getFooBar x9_test Ünïcode\tsplit"
+    for tok in ("source_code_default", "source_code_with_hex",
+                "default", "en_stem", "whitespace", "raw"):
+        st, rows = _call(f"{srv.url}/api/v1/analyze", "POST",
+                         {"text": text, "tokenizer": tok})
+        assert st == 200, tok
+        assert [r["text"] for r in rows] == tokenize_one(text, tok), tok
+        assert [r["position"] for r in rows] == list(range(len(rows)))
+        # offsets are exact spans of the source text where present
+        # (token text = fold(lower(span)) modulo stemming)
+        for r in rows:
+            if r["offset_from"] is None:
+                continue
+            span = text[r["offset_from"]:r["offset_to"]]
+            if tok in ("default", "en_stem") \
+                    or tok.startswith("source_code"):
+                span = span.lower()  # whitespace/raw keep case
+            if tok.startswith("source_code"):
+                span = ascii_fold(span)  # only these analyzers fold
+            assert r["text"] == span or tok == "en_stem", (tok, r, span)
+    # default tokenizer: spans reproduce the token exactly
+    st, rows = _call(f"{srv.url}/api/v1/analyze", "POST",
+                     {"text": "Hello,World_x", "tokenizer": "default"})
+    assert [(r["text"],
+             "Hello,World_x"[r["offset_from"]:r["offset_to"]].lower())
+            for r in rows] == [(r["text"], r["text"]) for r in rows]
+    # CJK composite emission: no offsets, but tokens match
+    st, rows = _call(f"{srv.url}/api/v1/analyze", "POST",
+                     {"text": "你好世界", "tokenizer": "chinese_compatible"})
+    assert st == 200
+    assert [r["text"] for r in rows] == \
+        tokenize_one("你好世界", "chinese_compatible")
+    assert all(r["offset_from"] is None for r in rows)
+    st, err = _call(f"{srv.url}/api/v1/analyze", "POST",
+                    {"text": "x", "tokenizer": "nope"})
+    assert st == 400
+    st, err = _call(f"{srv.url}/api/v1/analyze", "POST", {})
+    assert st == 400
+
+
+def test_parse_query_json(writable):
+    srv, _root = writable
+    st, ast = _call(f"{srv.url}/api/v1/parse-query", "POST",
+                    {"query": "(foo AND bar) OR lang:py"})
+    assert st == 200 and ast["type"] == "bool"
+    inner = ast["should"][0]
+    assert inner["type"] == "bool"
+    assert [c["text"] for c in inner["must"]] == ["foo", "bar"]
+    assert all(c["type"] == "full_text" for c in inner["must"])
+    st, ast = _call(f"{srv.url}/api/v1/parse-query", "POST",
+                    {"query": "stars:[10 TO 20}"})
+    assert ast == {"type": "range", "field": "stars",
+                   "lower_bound": {"included": "10"},
+                   "upper_bound": {"excluded": "20"}}
+    st, ast = _call(f"{srv.url}/api/v1/parse-query", "POST",
+                    {"query": '"exact phrase"~2'})
+    assert ast["params"]["mode"] == {"type": "phrase", "slop": 2}
+    # multi-field: OR over per-field parses
+    st, ast = _call(f"{srv.url}/api/v1/parse-query", "POST",
+                    {"query": "foo", "search_field": ["a", "b"]})
+    assert ast["type"] == "bool"
+    assert [c["field"] for c in ast["should"]] == ["a", "b"]
+    st, ast = _call(f"{srv.url}/api/v1/parse-query", "POST",
+                    {"query": "*"})
+    assert ast == {"type": "match_all"}
+    st, _ = _call(f"{srv.url}/api/v1/parse-query", "POST", {})
+    assert st == 400

@@ -165,6 +165,14 @@ class SearchHttpServer:
             resp = {"error": {"type": "illegal_argument_exception",
                               "reason": f"{type(e).__name__}: {e}"},
                     "status": 400}
+        except FileNotFoundError as e:
+            # a concurrent delete/clear raced this request: the files it
+            # was reading are gone — an HTTP error beats a dead socket
+            status = 404
+            resp = {"error": {"type": "index_not_found_exception",
+                              "reason": f"resource vanished mid-"
+                                        f"request: {e}"},
+                    "status": 404}
         body = json.dumps(resp).encode()
         h.send_response(status)
         h.send_header("Content-Type", "application/json")

@@ -314,6 +314,15 @@ def load_index_config(index_dir: str) -> IndexConfig | None:
     with open(path) as f:
         doc = json.load(f)
     cfg = config_from_json(doc, os.path.dirname(index_dir.rstrip("/")))
+    if cfg.index_dir != index_dir:
+        # the directory was renamed/copied since the config was saved:
+        # the LOCATION the caller opened wins, or ingest would write
+        # into (or recreate) the old path
+        import dataclasses
+        extra = cfg.__dict__.get("_mgmt_extra")
+        cfg = dataclasses.replace(cfg, index_dir=index_dir)
+        if extra is not None:
+            cfg.__dict__["_mgmt_extra"] = extra
     # the manifest is authoritative for the CURRENT schema_rev/tokenizer
     # (update_index_config bumps it there first)
     mpath = Manifest.path(index_dir)
@@ -507,6 +516,10 @@ def update_index_config(root_dir: str, index_id: str, doc: dict,
             ("partition_key", old_cfg.partition_cols,
              new_cfg.partition_cols),
             ("text field", old_cfg.text_col, new_cfg.text_col),
+            # tag sets are baked into published segment rows and the
+            # manifest's searchable config; changing them would make
+            # tag pruning silently inconsistent across generations
+            ("tag_fields", old_cfg.tag_cols, new_cfg.tag_cols),
         ]
         for what, old, new in immutable:
             if old != new:
@@ -851,10 +864,20 @@ def ingest_ndjson(config: IndexConfig, docs: list[dict]) -> dict:
     from .es_dsl import es_bulk
     if not docs:
         return {"num_docs_for_processing": 0}
+    required = set(config.key_cols) | (
+        set(config.concat_cols) if config.concat_cols
+        else {config.text_col})
     lines: list[dict] = []
-    for d in docs:
+    for i, d in enumerate(docs):
         if not isinstance(d, dict):
             raise MgmtError("ingest expects one JSON object per line")
+        missing = required - set(d)
+        if missing:
+            raise MgmtError(
+                f"doc {i} is missing required fields "
+                f"{sorted(missing)} (doc id fields "
+                f"{list(config.key_cols)} and the indexed text field "
+                f"are mandatory)")
         lines.append({"index": {}})
         lines.append(d)
     es_bulk(config, lines)

@@ -399,6 +399,51 @@ def test_read_only_gating(tmp_path):
         assert st == 200 and len(lst) == 1
 
 
+def test_update_tag_fields_refused(writable):
+    srv, _root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    doc = _config_doc()
+    doc["doc_mapping"]["tag_fields"] = []
+    st, err = _call(f"{srv.url}/api/v1/indexes/code", "PUT", doc)
+    assert st == 400 and "tag_fields" in err["error"]["reason"]
+
+
+def test_config_load_after_directory_rename(tmp_path):
+    """A renamed/copied index directory must win over the index_dir the
+    config doc was saved under — otherwise ingest writes to the old
+    path (or recreates it)."""
+    import shutil
+    M.create_index(str(tmp_path), _config_doc())
+    shutil.move(str(tmp_path / "code"), str(tmp_path / "moved"))
+    cfg = M.load_index_config(str(tmp_path / "moved"))
+    assert cfg.index_dir == str(tmp_path / "moved")
+
+
+def test_ingest_missing_fields_is_loud(writable):
+    srv, _root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    st, err = _call(f"{srv.url}/api/v1/code/ingest", "POST",
+                    ndjson=[{"repo": "r", "content": "x"}])
+    assert st == 400
+    assert "missing required fields" in err["error"]["reason"]
+    assert "'commit'" in err["error"]["reason"]
+
+
+def test_vanished_index_mid_request(writable):
+    """Deleting the index files behind the server's back returns an
+    HTTP error, not a dead socket."""
+    import shutil
+    srv, root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(3))
+    st, _ = _call(f"{srv.url}/api/v1/code/search?query=foo")
+    assert st == 200  # searcher now cached
+    shutil.rmtree(f"{root}/code")
+    st, err = _call(f"{srv.url}/api/v1/code/search?query=foo")
+    assert st in (404, 400)
+    assert "error" in err
+
+
 # ---------------------------------------------------------------------------
 # analyze + parse-query
 # ---------------------------------------------------------------------------

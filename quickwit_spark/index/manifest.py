@@ -345,6 +345,43 @@ class Manifest:
                 self._write()
             return removed
 
+    def add_delete_task(self, task: dict) -> dict:
+        """Record a delete task (the reference metastore's
+        create_delete_task, quickwit-metastore delete tasks table;
+        DeleteTask proto: opstamp + create_timestamp + delete_query).
+        Tasks execute later via the janitor pass
+        (mgmt_api.execute_delete_tasks), mirroring the reference's
+        queue-then-clean-up model (delete_task_api/handler.rs:139-141).
+        Assigns the next opstamp; returns the stored row."""
+        with self._locked_fresh():
+            tasks = self.data.setdefault("delete_tasks", [])
+            row = dict(task)
+            row["opstamp"] = 1 + max(
+                (int(t["opstamp"]) for t in tasks), default=0)
+            row.setdefault("create_timestamp", int(_time.time()))
+            row.setdefault("status", "pending")
+            tasks.append(row)
+            self.data["version"] += 1
+            self._write()
+            return dict(row)
+
+    def delete_tasks(self) -> list[dict]:
+        return [dict(t) for t in self.data.get("delete_tasks", [])]
+
+    def complete_delete_task(self, opstamp: int, result: dict) -> None:
+        """Mark a task executed, recording the apply_delete_query
+        result (docs_deleted etc.) for observability."""
+        with self._locked_fresh():
+            for t in self.data.get("delete_tasks", []):
+                if int(t["opstamp"]) == int(opstamp):
+                    t["status"] = "done"
+                    t["executed_at"] = int(_time.time())
+                    t["result"] = dict(result)
+                    self.data["version"] += 1
+                    self._write()
+                    return
+            raise KeyError(f"unknown delete task opstamp {opstamp}")
+
     def vacuum(self) -> list[str]:
         """Drop dead segment rows and delete their directories (GC/janitor
         analog, quickwit-janitor garbage_collector.rs)."""

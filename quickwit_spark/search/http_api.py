@@ -20,6 +20,8 @@ elasticsearch_api/rest_handler.rs — same paths, same JSON shapes):
     PUT      /api/v1/indexes/{id}/splits/mark-for-deletion  (writable)
     PUT      /api/v1/indexes/{id}/sources/{src}/reset-checkpoint (writable)
     POST     /api/v1/{index}/ingest          NDJSON docs (writable)
+    GET/POST /api/v1/{index}/delete-tasks    list / create (writable)
+    PUT      /api/v1/{index}/delete-tasks/execute  janitor pass (writable)
     POST     /api/v1/analyze                 tokenize text
     POST     /api/v1/parse-query             user query -> QueryAst JSON
   ES-compatible (under /api/v1/_elastic, like the reference):
@@ -234,6 +236,34 @@ class SearchHttpServer:
             cfg = self._config(sub[0])
             resp = mgmt_api.ingest_ndjson(cfg, self._ndjson(raw))
             self._reload_searcher(sub[0])
+            return 200, resp
+        # delete tasks: /api/v1/{index}/delete-tasks[/execute]
+        # (delete_task_api/handler.rs; /execute is this engine's
+        # explicit janitor trigger — the reference runs it as a
+        # background actor)
+        if (len(sub) == 2 and sub[1] == "delete-tasks"
+                and sub[0] != "indexes"):
+            d = mgmt_api.require_index(self.root_dir, sub[0])
+            if method == "GET":
+                return 200, mgmt_api.list_delete_tasks(d)
+            if method == "POST":
+                self._require_writable()
+                body = self._json_body(raw)
+                if "query" not in body:
+                    raise _ApiError(400, "delete task needs a `query`")
+                fields = body.get("search_field")
+                if isinstance(fields, str):
+                    fields = [f for f in fields.split(",") if f]
+                return 200, mgmt_api.create_delete_task(
+                    d, body["query"], search_fields=fields,
+                    start_timestamp=body.get("start_timestamp"),
+                    end_timestamp=body.get("end_timestamp"))
+        if (len(sub) == 3 and sub[1:] == ["delete-tasks", "execute"]
+                and sub[0] != "indexes" and method == "PUT"):
+            self._require_writable()
+            d = mgmt_api.require_index(self.root_dir, sub[0])
+            resp = mgmt_api.execute_delete_tasks(d)
+            self._drop_searcher(sub[0])  # segment ids rotated
             return 200, resp
         if sub[:1] == ["indexes"]:
             return self._route_mgmt(method, sub[1:], params, raw)

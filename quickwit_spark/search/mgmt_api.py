@@ -59,6 +59,7 @@ __all__ = [
     "clear_index", "delete_index", "list_splits",
     "mark_splits_for_deletion", "reset_source_checkpoint",
     "analyze", "parse_query_to_json", "ingest_ndjson",
+    "create_delete_task", "list_delete_tasks", "execute_delete_tasks",
 ]
 
 _CONFIG_FILE = "index_config.json"
@@ -715,6 +716,103 @@ def reset_source_checkpoint(index_dir: str, source_id: str) -> list[str]:
     removed keys."""
     m = Manifest.load(index_dir)
     return m.reset_checkpoints(source_id)
+
+
+# ---------------------------------------------------------------------------
+# delete tasks
+# ---------------------------------------------------------------------------
+
+def create_delete_task(index_dir: str, query: str,
+                       search_fields: list[str] | None = None,
+                       start_timestamp: int | None = None,
+                       end_timestamp: int | None = None) -> dict:
+    """POST /{index_id}/delete-tasks (delete_task_api/handler.rs:113-178):
+    validate + record a delete query; it executes later (the reference
+    queues it for the janitor's DeleteTaskService — here the janitor
+    pass is execute_delete_tasks). Returns the DeleteTask shape
+    {create_timestamp, opstamp, delete_query:{index_uid,
+    start_timestamp, end_timestamp, query_ast}}."""
+    from . import ast as A
+    from .parser import parse_query
+    if not isinstance(query, str) or not query.strip():
+        raise MgmtError("delete task needs a non-empty `query`")
+    m = Manifest.load(index_dir)
+    text_col = m.data.get("config", {}).get("text_col", "content")
+    fields = [f for f in (search_fields or []) if f]
+    if len(fields) <= 1:
+        node = parse_query(query, default_field=fields[0]
+                           if fields else text_col)
+    else:
+        node = A.Bool(should=tuple(
+            parse_query(query, default_field=f) for f in fields))
+    if (start_timestamp is not None or end_timestamp is not None):
+        ts_field = _loaded_timestamp_field(index_dir)
+        if not ts_field:
+            raise MgmtError(
+                "this index has no timestamp_field configured; "
+                "start_timestamp/end_timestamp need one")
+        node = A.Bool(must=(node,), filter=(
+            A.Range(ts_field,
+                    gte=(None if start_timestamp is None
+                         else float(start_timestamp)),
+                    lt=(None if end_timestamp is None
+                        else float(end_timestamp))),))
+    task = m.add_delete_task({
+        "query": query,
+        "ast": A.ast_to_json(node),  # lossless, for execution
+        "start_timestamp": start_timestamp,
+        "end_timestamp": end_timestamp,
+    })
+    return _delete_task_view(m.data["index_uid"], task)
+
+
+def _delete_task_view(index_uid: str, task: dict) -> dict:
+    from . import ast as A
+    out = {
+        "create_timestamp": task["create_timestamp"],
+        "opstamp": task["opstamp"],
+        "delete_query": {
+            "index_uid": index_uid,
+            "start_timestamp": task.get("start_timestamp"),
+            "end_timestamp": task.get("end_timestamp"),
+            # the reference serializes the parsed QueryAst as a JSON
+            # string inside the task (handler.rs:155-158)
+            "query_ast": json.dumps(ast_to_reference_json(
+                A.ast_from_json(task["ast"]))),
+        },
+        "status": task.get("status", "pending"),
+    }
+    if "result" in task:
+        out["result"] = task["result"]
+    return out
+
+
+def list_delete_tasks(index_dir: str) -> list[dict]:
+    """GET /{index_id}/delete-tasks (handler.rs:77-112)."""
+    m = Manifest.load(index_dir)
+    return [_delete_task_view(m.data["index_uid"], t)
+            for t in m.delete_tasks()]
+
+
+def execute_delete_tasks(index_dir: str, spark=None) -> dict:
+    """The janitor pass (the reference's DeleteTaskService,
+    quickwit-janitor/src/actors/delete_task_*.rs): run every pending
+    delete task in opstamp order through the segment-rewrite delete
+    path. Idempotent — completed tasks are skipped, and re-running a
+    crash-interrupted task re-matches nothing (the docs are gone)."""
+    from ..index.deletes import apply_delete_query
+    from . import ast as A
+    m = Manifest.load(index_dir)
+    ran, docs = 0, 0
+    for t in sorted(m.delete_tasks(), key=lambda t: int(t["opstamp"])):
+        if t.get("status") == "done":
+            continue
+        node = A.ast_from_json(t["ast"])
+        res = apply_delete_query(index_dir, node, spark=spark)
+        m.complete_delete_task(t["opstamp"], res)
+        ran += 1
+        docs += int(res.get("docs_deleted", 0))
+    return {"tasks_executed": ran, "docs_deleted": docs}
 
 
 # ---------------------------------------------------------------------------

@@ -444,6 +444,65 @@ def test_vanished_index_mid_request(writable):
     assert "error" in err
 
 
+def test_delete_tasks_lifecycle(writable):
+    """POST records a pending task (the reference queues for its
+    janitor), the explicit janitor pass executes in opstamp order, and
+    re-running is a no-op (delete_task_api/handler.rs)."""
+    srv, root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(10))
+    # invalid requests are loud
+    st, _ = _call(f"{srv.url}/api/v1/code/delete-tasks", "POST", {})
+    assert st == 400
+    st, task = _call(f"{srv.url}/api/v1/code/delete-tasks", "POST",
+                     {"query": "lang:rs"})
+    assert st == 200 and task["opstamp"] == 1
+    assert task["status"] == "pending"
+    dq = task["delete_query"]
+    assert dq["index_uid"] == "code"
+    ast = json.loads(dq["query_ast"])
+    assert ast == {"type": "full_text", "field": "lang", "text": "rs",
+                   "params": {"mode": {"type": "bool",
+                                       "operator": "and"}}}
+    # time-bounded task folds the configured timestamp field in
+    st, t2 = _call(f"{srv.url}/api/v1/code/delete-tasks", "POST",
+                   {"query": "foo", "start_timestamp": 80})
+    assert st == 200 and t2["opstamp"] == 2
+    st, tasks = _call(f"{srv.url}/api/v1/code/delete-tasks")
+    assert [t["opstamp"] for t in tasks] == [1, 2]
+    # nothing deleted until the janitor pass runs
+    st, resp = _call(f"{srv.url}/api/v1/code/search?query=foo"
+                     "&max_hits=30")
+    assert resp["num_hits"] == 10
+    st, res = _call(f"{srv.url}/api/v1/code/delete-tasks/execute",
+                    "PUT")
+    assert st == 200 and res["tasks_executed"] == 2
+    # task 1 removed the 5 lang:rs docs; task 2 removed stars>=80
+    # among the survivors (stars 10*i, lang rs on odd i -> survivors
+    # i in {0,2,4,6,8}, stars>=80 -> i=8): 10 - 5 - 1 = 4 left
+    assert res["docs_deleted"] == 6
+    st, resp = _call(f"{srv.url}/api/v1/code/search?query=foo"
+                     "&max_hits=30")
+    assert resp["num_hits"] == 4
+    st, tasks = _call(f"{srv.url}/api/v1/code/delete-tasks")
+    assert all(t["status"] == "done" for t in tasks)
+    assert tasks[0]["result"]["docs_deleted"] == 5
+    # idempotent re-run
+    st, res = _call(f"{srv.url}/api/v1/code/delete-tasks/execute",
+                    "PUT")
+    assert res == {"tasks_executed": 0, "docs_deleted": 0}
+    # read-only gating
+    with SearchHttpServer(root) as ro:
+        st, _ = _call(f"{ro.url}/api/v1/code/delete-tasks", "POST",
+                      {"query": "x"})
+        assert st == 403
+        st, _ = _call(f"{ro.url}/api/v1/code/delete-tasks/execute",
+                      "PUT")
+        assert st == 403
+        st, tasks = _call(f"{ro.url}/api/v1/code/delete-tasks")
+        assert st == 200 and len(tasks) == 2
+
+
 # ---------------------------------------------------------------------------
 # analyze + parse-query
 # ---------------------------------------------------------------------------

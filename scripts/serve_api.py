@@ -4,11 +4,16 @@
         [--host 127.0.0.1] [--port 7280] [--writable]
 
 Serves every index directory under --root-dir (subdir name = index id)
-on the reference's route surface: native /api/v1/{index}/search and
-the ES-compatible /api/v1/_elastic/* family. Read-only unless
---writable (which enables _delete_by_query; _bulk additionally needs
-an IndexConfig, so it stays API-only). Port 7280 mirrors the
-reference's default REST port.
+on the reference's route surface: native /api/v1/{index}/search, the
+ES-compatible /api/v1/_elastic/* family, and the index-management API
+(/api/v1/indexes/*, /{index}/ingest, /{index}/delete-tasks, /analyze,
+/parse-query). Read-only unless --writable, which enables every
+mutation route — create/update/clear/delete, ingest, _bulk,
+_delete_by_query, delete tasks. Indexes created through the API
+persist their full config (index_config.json), so ingest works across
+restarts; programmatically built indexes need one registered via the
+SearchHttpServer(configs=...) API for _bulk/ingest. Port 7280 mirrors
+the reference's default REST port.
 """
 
 from __future__ import annotations

@@ -22,6 +22,9 @@ elasticsearch_api/rest_handler.rs — same paths, same JSON shapes):
     POST     /api/v1/{index}/ingest          NDJSON docs (writable)
     GET/POST /api/v1/{index}/delete-tasks    list / create (writable)
     PUT      /api/v1/{index}/delete-tasks/execute  janitor pass (writable)
+    POST     /api/v1/[{index}/]otlp/v1/{logs|traces}  OTLP ingest
+             (protobuf or JSON encoding; writable; auto-creates the
+             otel-logs-v0_9 / otel-traces-v0_9 index)
     POST     /api/v1/analyze                 tokenize text
     POST     /api/v1/parse-query             user query -> QueryAst JSON
   ES-compatible (under /api/v1/_elastic, like the reference):
@@ -60,6 +63,14 @@ from . import es_dsl, mgmt_api, rest
 __all__ = ["SearchHttpServer"]
 
 _ES_PREFIX = "/api/v1/_elastic"
+
+
+class _RawBody:
+    """Non-JSON response body (e.g. an OTLP protobuf response)."""
+
+    def __init__(self, data: bytes, content_type: str):
+        self.data = data
+        self.content_type = content_type
 
 
 class _ApiError(Exception):
@@ -152,7 +163,9 @@ class SearchHttpServer:
             params = dict(parse_qsl(parts.query))
             n = int(h.headers.get("Content-Length") or 0)
             raw = h.rfile.read(n) if n else b""
-            status, resp = self._route(method, parts.path, params, raw)
+            status, resp = self._route(
+                method, parts.path, params, raw,
+                ctype=h.headers.get("Content-Type", ""))
         except _ApiError as e:
             status = e.status
             resp = {"error": {"type": e.es_type, "reason": str(e)},
@@ -175,9 +188,12 @@ class SearchHttpServer:
                               "reason": f"resource vanished mid-"
                                         f"request: {e}"},
                     "status": 404}
-        body = json.dumps(resp).encode()
+        if isinstance(resp, _RawBody):
+            body, ctype = resp.data, resp.content_type
+        else:
+            body, ctype = json.dumps(resp).encode(), "application/json"
         h.send_response(status)
-        h.send_header("Content-Type", "application/json")
+        h.send_header("Content-Type", ctype)
         h.send_header("Content-Length", str(len(body)))
         h.end_headers()
         h.wfile.write(body)
@@ -212,7 +228,7 @@ class SearchHttpServer:
     # -- routing -----------------------------------------------------------
 
     def _route(self, method: str, path: str, params: dict,
-               raw: bytes) -> tuple[int, object]:
+               raw: bytes, ctype: str = "") -> tuple[int, object]:
         if path.startswith(_ES_PREFIX):
             return self._route_es(method, path[len(_ES_PREFIX):] or "/",
                                   params, raw)
@@ -237,6 +253,32 @@ class SearchHttpServer:
             resp = mgmt_api.ingest_ndjson(cfg, self._ndjson(raw))
             self._reload_searcher(sub[0])
             return 200, resp
+        # OTLP ingestion: /api/v1/otlp/v1/{logs|traces} and the
+        # index-scoped /api/v1/{index}/otlp/v1/{...}
+        # (otlp_api/rest_handler.rs; body is the OTLP/HTTP protobuf or
+        # JSON encoding, response mirrors the request encoding — an
+        # empty Export*ServiceResponse means full success)
+        if (method == "POST" and len(sub) >= 3
+                and sub[-3:-1] == ["otlp", "v1"]
+                and sub[-1] in ("logs", "traces")
+                and len(sub) in (3, 4)):
+            self._require_writable()
+            index_id = sub[0] if len(sub) == 4 else None
+            if index_id in ("indexes",):
+                raise _ApiError(400, f"invalid index name [{index_id}]")
+            from ..pipeline.otlp_ingest import ingest_otlp
+            try:
+                res = ingest_otlp(self.root_dir, sub[-1], raw,
+                                  content_type=ctype,
+                                  index_id=index_id)
+            except (ValueError, KeyError) as e:
+                raise _ApiError(400, f"invalid OTLP payload: {e}",
+                                es_type="parsing_exception") from e
+            self._reload_searcher(res["index_id"])
+            ct = (ctype or "").split(";")[0].strip().lower()
+            if ct == "application/json":
+                return 200, {}  # empty response object = full success
+            return 200, _RawBody(b"", "application/x-protobuf")
         # delete tasks: /api/v1/{index}/delete-tasks[/execute]
         # (delete_task_api/handler.rs; /execute is this engine's
         # explicit janitor trigger — the reference runs it as a

@@ -9,6 +9,7 @@ read-only gating of every mutation route."""
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -501,6 +502,107 @@ def test_delete_tasks_lifecycle(writable):
         assert st == 403
         st, tasks = _call(f"{ro.url}/api/v1/code/delete-tasks")
         assert st == 200 and len(tasks) == 2
+
+
+def _call_ct(url, method, data, ctype):
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, r.headers.get("Content-Type"), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, None, e.read()
+
+
+def test_otlp_http_ingest(writable):
+    """OTLP/HTTP ingestion (otlp_api/rest_handler.rs): protobuf and
+    JSON encodings land identical rows in the auto-created OTEL index;
+    identical payload replay is a publish no-op; attributes are
+    queryable through the dynamic mapping; responses mirror the
+    request encoding."""
+    from quickwit_spark.pipeline import otlp_pb
+    srv, root = writable
+    payload = {"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name",
+             "value": {"stringValue": "checkout"}}]},
+        "scopeLogs": [{"scope": {"name": "lib", "version": "1.0"},
+                       "logRecords": [
+            {"timeUnixNano": "1700000000000000000",
+             "severityText": "ERROR", "severityNumber": 17,
+             "body": {"stringValue": "payment failed badly"},
+             "attributes": [{"key": "http.status_code",
+                             "value": {"intValue": "502"}}],
+             "traceId": "0102030405060708090a0b0c0d0e0f10",
+             "spanId": "0102030405060708"},
+            {"timeUnixNano": "1700000001000000000",
+             "severityText": "INFO", "severityNumber": 9,
+             "body": {"stringValue": "payment retried"}}]}]}]}
+    pb = otlp_pb.encode_logs_request(payload)
+    st, ct, body = _call_ct(f"{srv.url}/api/v1/otlp/v1/logs", "POST",
+                            pb, "application/x-protobuf")
+    # empty Export*ServiceResponse protobuf = full success
+    assert (st, ct, body) == (200, "application/x-protobuf", b"")
+    st, desc = _call(f"{srv.url}/api/v1/indexes/otel-logs-v0_9/"
+                     "describe")
+    assert st == 200 and desc["num_published_docs"] == 2
+    # identical payload replay is a no-op
+    _call_ct(f"{srv.url}/api/v1/otlp/v1/logs", "POST",
+             pb, "application/x-protobuf")
+    st, desc = _call(f"{srv.url}/api/v1/indexes/otel-logs-v0_9/"
+                     "describe")
+    assert desc["num_published_docs"] == 2
+    # search: body text, tag, dynamic attribute path, numeric range
+    # over the dynamic attr (dynamic_num_key), time fast field
+    for q, n in [("payment", 2), ("severity_text:ERROR", 1),
+                 ("attributes.http.status_code:502", 1),
+                 ("resource.service.name:checkout", 2),
+                 ("timestamp_nanos:[1700000000500000000 TO *]", 1)]:
+        st, resp = _call(f"{srv.url}/api/v1/otel-logs-v0_9/search"
+                         f"?query={urllib.parse.quote(q)}&max_hits=5")
+        assert (st, resp["num_hits"]) == (200, n), q
+    # JSON encoding: same rows (parity-pinned encode/decode), JSON
+    # response; different payload bytes = new deterministic keys, so
+    # this is a second batch (the reference's at-least-once ingest)
+    st, ct, body = _call_ct(f"{srv.url}/api/v1/otlp/v1/logs", "POST",
+                            json.dumps(payload).encode(),
+                            "application/json")
+    assert (st, json.loads(body)) == (200, {})
+    st, desc = _call(f"{srv.url}/api/v1/indexes/otel-logs-v0_9/"
+                     "describe")
+    assert desc["num_published_docs"] == 4
+    # traces signal + index-scoped route
+    tr = {"resourceSpans": [{
+        "resource": {"attributes": [
+            {"key": "service.name",
+             "value": {"stringValue": "checkout"}}]},
+        "scopeSpans": [{"spans": [
+            {"traceId": "0102030405060708090a0b0c0d0e0f10",
+             "spanId": "0102030405060708", "name": "charge card",
+             "kind": 2, "startTimeUnixNano": "1700000000000000000",
+             "endTimeUnixNano": "1700000000500000000"}]}]}]}
+    st, ct, _b = _call_ct(f"{srv.url}/api/v1/mytraces/otlp/v1/traces",
+                          "POST", otlp_pb.encode_spans_request(tr),
+                          "application/x-protobuf")
+    assert st == 200
+    st, resp = _call(f"{srv.url}/api/v1/mytraces/search?query=charge")
+    assert resp["num_hits"] == 1
+    # the auto-created index is fully manageable (config persisted)
+    st, meta = _call(f"{srv.url}/api/v1/indexes/mytraces")
+    assert st == 200
+    assert meta["index_config"]["doc_mapping"]["mode"] == "dynamic"
+    # hostile payload is a loud 400; read-only server refuses
+    st, _, body = _call_ct(f"{srv.url}/api/v1/otlp/v1/logs", "POST",
+                           b"\xff\xfe\x01garbage",
+                           "application/x-protobuf")
+    assert st == 400 and b"parsing_exception" in body
+    st, _, _b = _call_ct(f"{srv.url}/api/v1/otlp/v1/logs", "POST",
+                         pb, "text/plain")
+    assert st == 400
+    with SearchHttpServer(root) as ro:
+        st, _, _b = _call_ct(f"{ro.url}/api/v1/otlp/v1/logs", "POST",
+                             pb, "application/x-protobuf")
+        assert st == 403
 
 
 # ---------------------------------------------------------------------------

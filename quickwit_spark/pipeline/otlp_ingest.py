@@ -59,9 +59,11 @@ def otel_logs_config(root_dir: str,
         tokenizer="default",
         tag_cols=("severity_text", "service_name"),
         sha_col=None,
+        # body_message is stored as well as indexed (the reference's
+        # OTEL doc store keeps the full record for fetch)
         store_cols=("timestamp_nanos", "observed_timestamp_nanos",
                     "severity_number", "trace_id", "span_id",
-                    "scope_name"),
+                    "scope_name", "body_message"),
         dynamic_col="attrs",
         record="freq",
     )
@@ -81,10 +83,13 @@ def otel_traces_config(root_dir: str,
         tokenizer="default",
         tag_cols=("service_name",),
         sha_col=None,
+        # span_name is stored as well as indexed: the Jaeger layer
+        # (GetOperations, exact operation filters) reads it back
         store_cols=("trace_id", "span_id", "parent_span_id",
                     "span_kind", "span_start_timestamp_nanos",
                     "span_end_timestamp_nanos", "span_duration_millis",
-                    "span_status_code"),
+                    "span_status_code", "span_attributes_json",
+                    "span_name"),
         dynamic_col="attrs",
         record="freq",
     )
@@ -152,6 +157,10 @@ def _docs_from_rows(kind: str, rows: list[dict],
                     r.get("span_end_timestamp_nanos"),
                 "span_duration_millis": r.get("span_duration_millis"),
                 "span_status_code": r.get("span_status_code"),
+                # stored copy feeds the Jaeger span tags on fetch; the
+                # dynamic copy makes attribute paths term-searchable
+                "span_attributes_json": json.dumps(
+                    r.get("span_attributes") or {}, sort_keys=True),
                 "attrs": {"attributes": r.get("span_attributes") or {}},
             }
         docs.append(doc)

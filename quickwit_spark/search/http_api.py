@@ -25,6 +25,9 @@ elasticsearch_api/rest_handler.rs — same paths, same JSON shapes):
     POST     /api/v1/[{index}/]otlp/v1/{logs|traces}  OTLP ingest
              (protobuf or JSON encoding; writable; auto-creates the
              otel-logs-v0_9 / otel-traces-v0_9 index)
+    GET      /api/v1/{index}/jaeger/api/services[/{svc}/operations]
+    GET      /api/v1/{index}/jaeger/api/traces[/{trace_id}]
+             jaeger-query REST over the OTEL traces index
     POST     /api/v1/analyze                 tokenize text
     POST     /api/v1/parse-query             user query -> QueryAst JSON
   ES-compatible (under /api/v1/_elastic, like the reference):
@@ -279,6 +282,32 @@ class SearchHttpServer:
             if ct == "application/json":
                 return 200, {}  # empty response object = full success
             return 200, _RawBody(b"", "application/x-protobuf")
+        # Jaeger query API: /api/v1/{index}/jaeger/api/...
+        # (jaeger_api/rest_handler.rs; read-only)
+        if (method == "GET" and len(sub) >= 4
+                and sub[1] == "jaeger" and sub[2] == "api"):
+            from . import jaeger_http as J
+            d = mgmt_api.require_index(self.root_dir, sub[0])
+            rest_ = sub[3:]
+            if rest_ == ["services"]:
+                return 200, J.jaeger_services(d)
+            if len(rest_) == 3 and rest_[0] == "services" \
+                    and rest_[2] == "operations":
+                return 200, J.jaeger_operations(d, rest_[1])
+            if rest_ == ["traces"]:
+                def _us(name):
+                    v = params.get(name)
+                    return None if v in (None, "") else int(v)
+                return 200, J.jaeger_find_traces(
+                    d, service=params.get("service") or None,
+                    operation=params.get("operation") or None,
+                    start_us=_us("start"), end_us=_us("end"),
+                    limit=int(params.get("limit", 20)),
+                    min_duration=params.get("minDuration") or None,
+                    max_duration=params.get("maxDuration") or None)
+            if len(rest_) == 2 and rest_[0] == "traces":
+                resp = J.jaeger_get_trace(d, rest_[1])
+                return (404 if resp["errors"] else 200), resp
         # delete tasks: /api/v1/{index}/delete-tasks[/execute]
         # (delete_task_api/handler.rs; /execute is this engine's
         # explicit janitor trigger — the reference runs it as a

@@ -1602,6 +1602,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed-path this round and sits inside the window — including
     # bm25_or_topk and phrase_slop_match (r4 advisor finding: they were
     # demoted past the window while their scoring path changed).
+    # Session 8 (mgmt/delete-task/OTLP-ingest/Jaeger REST) changed
+    # manifest.py additively (published_at stamp on publish,
+    # mark_for_deletion / reset_checkpoints / delete-task rows): the
+    # publish transaction itself is exercised by every in-window
+    # bm25_* fixture build, and the new serving layers are pytest-
+    # gated (test_mgmt_api, test_jaeger_http), not gate rows — they
+    # have no table-shaped oracle.
     _GATE_ORDER = [
         # new this round
         "mapping_update_union", "otlp_logs_pb_severity",

@@ -133,6 +133,65 @@ def test_dynamic_and_concat_config(tmp_path):
     assert cfg.concat_cols == ("content", "lang")
 
 
+try:
+    from hypothesis import given, settings, strategies as st_
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _name = st_.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+    @st_.composite
+    def _config_docs(draw):
+        names = draw(st_.lists(_name, min_size=4, max_size=9,
+                               unique=True))
+        text, rest = names[0], names[1:]
+        n_keys = draw(st_.integers(1, min(3, len(rest) - 1)))
+        keys, others = rest[:n_keys], rest[n_keys:]
+        fms = [{"name": text, "type": "text",
+                "tokenizer": draw(st_.sampled_from(
+                    ("default", "en_stem", "source_code_default",
+                     "whitespace"))),
+                "record": draw(st_.sampled_from(
+                    ("basic", "freq", "position"))),
+                "fieldnorms": draw(st_.booleans())}]
+        tag_fields = []
+        for n in others:
+            kind = draw(st_.sampled_from(
+                ("tag", "u64", "ip", "bytes", "raw")))
+            if kind == "tag":
+                fms.append({"name": n, "type": "text",
+                            "tokenizer": "raw", "fast": True})
+                tag_fields.append(n)
+            elif kind == "raw":
+                fms.append({"name": n, "type": "text",
+                            "tokenizer": "raw", "fast": True})
+            else:
+                fms.append({"name": n, "type": kind, "fast": True})
+        dm = {"field_mappings": fms, "doc_id_fields": keys,
+              "tag_fields": tag_fields,
+              "mode": draw(st_.sampled_from(("strict", "dynamic")))}
+        if draw(st_.booleans()) and others:
+            dm["partition_key"] = others[0]
+        return {"version": "0.8", "index_id": "ix", "doc_mapping": dm,
+                "search_settings": {"default_search_fields": [text]}}
+
+    @settings(max_examples=60, deadline=None)
+    @given(_config_docs())
+    def test_config_roundtrip_property(doc):
+        """from_json(to_json(from_json(doc))) is a fixed point: every
+        engine-relevant field survives one full round trip."""
+        cfg1 = M.config_from_json(doc, "/tmp/r")
+        cfg2 = M.config_from_json(M.config_to_json(cfg1), "/tmp/r")
+        for attr in ("index_uid", "key_cols", "text_col", "tokenizer",
+                     "record", "fieldnorms", "tag_cols", "field_types",
+                     "partition_cols", "dynamic_col", "schema_rev"):
+            assert getattr(cfg2, attr) == getattr(cfg1, attr), attr
+        assert set(cfg2.store_cols) == set(cfg1.store_cols)
+
+
 # ---------------------------------------------------------------------------
 # lifecycle over HTTP
 # ---------------------------------------------------------------------------

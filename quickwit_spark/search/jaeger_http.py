@@ -37,6 +37,7 @@ import os
 import re
 
 import numpy as np
+import pandas as pd
 
 from ..index.manifest import Manifest
 from . import ast as A
@@ -84,6 +85,17 @@ def _reader(index_dir: str, m: Manifest, seg: dict):
 _TS_COL = "span_start_timestamp_nanos"
 
 
+def _num_col(a: np.ndarray, missing, dtype) -> np.ndarray:
+    """Numeric view of a doc-store column slice: parquet yields int64/
+    float64 directly when null-free; object arrays (nulls present) are
+    converted with `missing` substituted — vectorized via pandas, no
+    per-row Python."""
+    if a.dtype != object:
+        return a.astype(dtype, copy=False)
+    s = pd.Series(a)
+    return s.fillna(missing).astype(dtype).to_numpy()
+
+
 def _prune(segs: list[dict], start_us: int | None,
            end_us: int | None) -> list[dict]:
     """Drop segments whose span-start [min,max] cannot intersect the
@@ -112,7 +124,8 @@ def jaeger_services(index_dir: str) -> dict:
             services.update(tags)
         else:  # tag set overflowed max_tag_values: scan this segment
             col = _reader(index_dir, m, seg).doc_column("service_name")
-            services.update(str(v) for v in col if v is not None)
+            for v in np.unique(col[pd.notna(col)]):
+                services.add(str(v))
     services.discard("")
     return _response(sorted(services))
 
@@ -131,7 +144,9 @@ def jaeger_operations(index_dir: str, service: str) -> dict:
         if len(ids) == 0:
             continue
         names = reader.doc_column("span_name")[ids]
-        ops.update(str(v) for v in names if v)
+        for v in np.unique(names[pd.notna(names)]):
+            if v:
+                ops.add(str(v))
     return _response(sorted(ops))
 
 
@@ -147,21 +162,19 @@ def _match_spans(index_dir: str, m: Manifest, seg: dict,
     ids = reader.eval(node, "span_name", scoring=False).docids
     if len(ids) == 0:
         return None
-    starts = reader.doc_column(_TS_COL)[ids]
-    starts = np.asarray([(-1 if v is None else int(v)) for v in starts],
-                        dtype=np.int64)
+    starts = _num_col(reader.doc_column(_TS_COL)[ids], -1, np.int64)
     keep = np.ones(len(ids), dtype=bool)
     if operation is not None:
         names = reader.doc_column("span_name")[ids]
-        keep &= np.asarray([str(v) == operation for v in names])
+        keep &= (names == operation) if names.dtype == object \
+            else (names.astype(object) == operation)
     if start_us is not None:
         keep &= starts >= start_us * 1000
     if end_us is not None:
         keep &= starts <= end_us * 1000
     if min_dur_us is not None or max_dur_us is not None:
-        durs = reader.doc_column("span_duration_millis")[ids]
-        durs_us = np.asarray([(-1.0 if v is None else float(v) * 1e3)
-                              for v in durs])
+        durs_us = _num_col(reader.doc_column("span_duration_millis")[ids],
+                           -1.0, np.float64) * 1e3
         if min_dur_us is not None:
             keep &= durs_us >= min_dur_us
         if max_dur_us is not None:
@@ -195,7 +208,10 @@ def jaeger_find_traces(index_dir: str, service: str | None = None,
         if got is None:
             continue
         _ids, traces, starts = got
-        for t, ts in zip(traces, starts):
+        # per-segment partial agg (trace -> max start), then a bounded
+        # dict merge: O(distinct traces), not O(matched spans), Python
+        seg_max = pd.Series(starts).groupby(pd.Series(traces)).max()
+        for t, ts in seg_max.items():
             if t is None:
                 continue
             t = str(t)

@@ -166,6 +166,8 @@ class SearchHttpServer:
             params = dict(parse_qsl(parts.query))
             n = int(h.headers.get("Content-Length") or 0)
             raw = h.rfile.read(n) if n else b""
+            raw = self._decompress(
+                raw, h.headers.get("Content-Encoding"))
             status, resp = self._route(
                 method, parts.path, params, raw,
                 ctype=h.headers.get("Content-Type", ""))
@@ -200,6 +202,70 @@ class SearchHttpServer:
         h.send_header("Content-Length", str(len(body)))
         h.end_headers()
         h.wfile.write(body)
+
+    # matches the reference's ingest body cap (warp content_length_limit
+    # is 10 MiB there; decompressed bodies get a wider but hard bound so
+    # a tiny gzip bomb cannot pin server memory)
+    _MAX_BODY = 256 * 1024 * 1024
+
+    @classmethod
+    def _decompress(cls, raw: bytes, encoding: str | None) -> bytes:
+        """Request-body Content-Encoding support (decompression.rs:
+        identity, gzip — incl. concatenated members — and zstd; zstd
+        only when a zstd module is importable, else a clear 415)."""
+        enc = (encoding or "identity").strip().lower()
+        if enc in ("identity", ""):
+            return raw
+        try:
+            if enc in ("gzip", "x-gzip"):
+                return cls._bounded_inflate(raw, wbits=47)  # gzip hdr
+            if enc == "deflate":
+                return cls._bounded_inflate(raw, wbits=15)  # zlib hdr
+            if enc == "zstd":
+                try:
+                    import zstandard as _zs
+                except ImportError:
+                    raise _ApiError(
+                        415, "zstd encoding not supported by this "
+                             "server build (no zstd module)",
+                        es_type="unsupported_media_type_exception")
+                out = _zs.ZstdDecompressor().decompress(
+                    raw, max_output_size=cls._MAX_BODY)
+                return out
+        except _ApiError:
+            raise
+        except Exception as e:
+            raise _ApiError(400, f"corrupted {enc} body: {e}",
+                            es_type="parsing_exception") from e
+        raise _ApiError(
+            415, f"unsupported Content-Encoding {enc!r}",
+            es_type="unsupported_media_type_exception")
+
+    @classmethod
+    def _bounded_inflate(cls, raw: bytes, wbits: int) -> bytes:
+        """Streaming zlib/gzip inflate with a hard output cap enforced
+        DURING decompression (a post-hoc length check would let a tiny
+        bomb pin gigabytes first). Handles concatenated gzip members
+        like the reference's MultiGzDecoder."""
+        import zlib as _zl
+        chunks, total, data = [], 0, raw
+        while data:
+            d = _zl.decompressobj(wbits=wbits)
+            while True:
+                piece = d.decompress(data, 1 << 20)
+                chunks.append(piece)
+                total += len(piece)
+                if total > cls._MAX_BODY:
+                    raise _ApiError(
+                        413, "decompressed body too large",
+                        es_type="request_entity_too_large")
+                data = d.unconsumed_tail
+                if d.eof or not data:
+                    break
+            if not d.eof:  # truncated stream
+                raise _zl.error("incomplete compressed body")
+            data = d.unused_data  # next gzip member, if any
+        return b"".join(chunks)
 
     @staticmethod
     def _json_body(raw: bytes) -> dict:
@@ -236,6 +302,10 @@ class SearchHttpServer:
             return self._route_es(method, path[len(_ES_PREFIX):] or "/",
                                   params, raw)
         seg = [unquote(s) for s in path.strip("/").split("/")]
+        # health probes (health_check_api): not under /api/v1
+        if seg[0] == "health" and len(seg) == 2 and method == "GET" \
+                and seg[1] in ("livez", "readyz"):
+            return 200, True
         if seg[:2] != ["api", "v1"]:
             raise _ApiError(404, f"no route for {method} {path}",
                             es_type="invalid_route_exception")
@@ -252,10 +322,38 @@ class SearchHttpServer:
         if (len(sub) == 2 and sub[1] == "ingest"
                 and sub[0] != "indexes" and method == "POST"):
             self._require_writable()
+            # auto-create from the best matching template when the
+            # index does not exist yet (the reference's
+            # auto-create-on-ingest flow, IndexTemplate::apply_template)
+            d = os.path.join(self.root_dir, sub[0])
+            if not os.path.isfile(os.path.join(d, "manifest.json")) \
+                    and "/" not in sub[0] \
+                    and not sub[0].startswith((".", "_")):
+                mgmt_api.apply_template(self.root_dir, sub[0])
             cfg = self._config(sub[0])
             resp = mgmt_api.ingest_ndjson(cfg, self._ndjson(raw))
             self._reload_searcher(sub[0])
             return 200, resp
+        # node endpoints (node_info_handler.rs /api/v1/version,
+        # health_check_api, cluster_api — single-node snapshot)
+        if sub == ["version"] and method == "GET":
+            return 200, {"build": {"version": "quickwit-spark-r5",
+                                   "commit_hash": "",
+                                   "build_target": "pyspark"},
+                         "runtime": {"num_threads_blocking": 0,
+                                     "num_threads_non_blocking": 0}}
+        if sub == ["cluster"] and method == "GET":
+            return 200, {"cluster_id": "quickwit-spark",
+                         "self_node_id": "node-1",
+                         "ready_members": [{"node_id": "node-1",
+                                            "enabled_services":
+                                            ["searcher", "indexer",
+                                             "metastore", "janitor"]}],
+                         "live_members": ["node-1"],
+                         "indexes": self._list_indices()}
+        # index templates (template_api/rest_handler.rs)
+        if sub[:1] == ["templates"]:
+            return self._route_templates(method, sub[1:], params, raw)
         # OTLP ingestion: /api/v1/otlp/v1/{logs|traces} and the
         # index-scoped /api/v1/{index}/otlp/v1/{...}
         # (otlp_api/rest_handler.rs; body is the OTLP/HTTP protobuf or
@@ -357,6 +455,41 @@ class SearchHttpServer:
                 body["query"], search_fields=fields)
         raise _ApiError(404, f"no route for {method} {path}",
                         es_type="invalid_route_exception")
+
+    def _route_templates(self, method: str, sub: list[str],
+                         params: dict, raw: bytes
+                         ) -> tuple[int, object]:
+        """/api/v1/templates CRUD (template_api/rest_handler.rs:
+        POST /templates, GET /templates, GET/PUT/DELETE
+        /templates/{id}). Templates drive index auto-creation on
+        ingest to a matching, not-yet-existing index id."""
+        if not sub:
+            if method == "GET":
+                return 200, mgmt_api.list_templates(self.root_dir)
+            if method == "POST":
+                self._require_writable()
+                return 200, mgmt_api.create_template(
+                    self.root_dir, self._json_body(raw))
+        elif len(sub) == 1:
+            if method == "GET":
+                return 200, mgmt_api.get_template(self.root_dir,
+                                                  sub[0])
+            if method == "PUT":
+                self._require_writable()
+                body = self._json_body(raw)
+                if body.get("template_id") not in (None, sub[0]):
+                    raise _ApiError(400, "`template_id` in body does "
+                                         "not match the path")
+                body["template_id"] = sub[0]
+                return 200, mgmt_api.create_template(
+                    self.root_dir, body, overwrite=True)
+            if method == "DELETE":
+                self._require_writable()
+                mgmt_api.delete_template(self.root_dir, sub[0])
+                return 200, None
+        raise _ApiError(
+            404, f"no route for {method} /templates/{'/'.join(sub)}",
+            es_type="invalid_route_exception")
 
     # -- index management (mgmt_api façade) ---------------------------------
 

@@ -60,6 +60,8 @@ __all__ = [
     "mark_splits_for_deletion", "reset_source_checkpoint",
     "analyze", "parse_query_to_json", "ingest_ndjson",
     "create_delete_task", "list_delete_tasks", "execute_delete_tasks",
+    "create_template", "get_template", "delete_template",
+    "list_templates", "find_template", "apply_template",
 ]
 
 _CONFIG_FILE = "index_config.json"
@@ -716,6 +718,129 @@ def reset_source_checkpoint(index_dir: str, source_id: str) -> list[str]:
     removed keys."""
     m = Manifest.load(index_dir)
     return m.reset_checkpoints(source_id)
+
+
+# ---------------------------------------------------------------------------
+# index templates
+# ---------------------------------------------------------------------------
+
+_TEMPLATES_DIR = "_templates"
+_TEMPLATE_ID_RE = re.compile(r"^[A-Za-z][A-Za-z0-9._-]{0,254}$")
+
+
+def _template_path(root_dir: str, template_id: str) -> str:
+    if not _TEMPLATE_ID_RE.match(template_id or ""):
+        raise MgmtError(
+            "template_id must match [A-Za-z][A-Za-z0-9._-]*")
+    return os.path.join(root_dir, _TEMPLATES_DIR, f"{template_id}.json")
+
+
+def _validate_template(doc: dict, root_dir: str) -> dict:
+    """An index template is an index config without a fixed index_id
+    (quickwit-config/src/index_template/mod.rs:35-54:
+    {template_id, index_id_patterns, priority, description,
+    doc_mapping, search_settings}). Validated by applying it to a
+    probe index id — a template that cannot produce a working config
+    is refused at save time, not at auto-create time."""
+    if not isinstance(doc, dict):
+        raise MgmtError("template must be a JSON object")
+    tid = doc.get("template_id")
+    if not isinstance(tid, str) or not _TEMPLATE_ID_RE.match(tid):
+        raise MgmtError("template needs a valid `template_id`")
+    pats = doc.get("index_id_patterns")
+    if not isinstance(pats, list) or not pats \
+            or not all(isinstance(p, str) and p for p in pats):
+        raise MgmtError(
+            "template needs a non-empty `index_id_patterns` list")
+    probe = dict(doc, index_id="probe-index")
+    probe.pop("template_id", None)
+    probe.pop("index_id_patterns", None)
+    probe.pop("priority", None)
+    probe.pop("description", None)
+    config_from_json(probe, root_dir)  # raises MgmtError if unusable
+    out = dict(doc)
+    out["priority"] = int(doc.get("priority", 0))
+    return out
+
+
+def create_template(root_dir: str, doc: dict,
+                    overwrite: bool = False) -> dict:
+    """POST /templates (template_api/rest_handler.rs:70-118); PUT
+    /templates/{id} upserts (overwrite=True)."""
+    doc = _validate_template(doc, root_dir)
+    path = _template_path(root_dir, doc["template_id"])
+    if os.path.exists(path) and not overwrite:
+        raise MgmtError(
+            f"template `{doc['template_id']}` already exists")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return doc
+
+
+def get_template(root_dir: str, template_id: str) -> dict:
+    path = _template_path(root_dir, template_id)
+    if not os.path.isfile(path):
+        raise IndexNotFound(f"template `{template_id}` does not exist")
+    with open(path) as f:
+        return json.load(f)
+
+
+def delete_template(root_dir: str, template_id: str) -> None:
+    path = _template_path(root_dir, template_id)
+    if not os.path.isfile(path):
+        raise IndexNotFound(f"template `{template_id}` does not exist")
+    os.unlink(path)
+
+
+def list_templates(root_dir: str) -> list[dict]:
+    d = os.path.join(root_dir, _TEMPLATES_DIR)
+    out = []
+    try:
+        names = sorted(os.listdir(d))
+    except OSError:
+        return []
+    for n in names:
+        if n.endswith(".json"):
+            with open(os.path.join(d, n)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def find_template(root_dir: str, index_id: str) -> dict | None:
+    """Highest-priority template whose patterns match the index id
+    (template matching in the reference's auto-create flow;
+    `-`-prefixed patterns exclude, like index_id_patterns negation).
+    Ties break on template_id for determinism."""
+    best = None
+    for t in list_templates(root_dir):
+        pats = t.get("index_id_patterns", [])
+        pos = [p for p in pats if not p.startswith("-")]
+        neg = [p[1:] for p in pats if p.startswith("-")]
+        if not any(fnmatch.fnmatchcase(index_id, p) for p in pos):
+            continue
+        if any(fnmatch.fnmatchcase(index_id, p) for p in neg):
+            continue
+        key = (-int(t.get("priority", 0)), t.get("template_id", ""))
+        if best is None or key < best[0]:
+            best = (key, t)
+    return best[1] if best else None
+
+
+def apply_template(root_dir: str, index_id: str) -> dict | None:
+    """Auto-create `index_id` from the best matching template
+    (IndexTemplate::apply_template). Returns the new index metadata,
+    or None when no template matches."""
+    t = find_template(root_dir, index_id)
+    if t is None:
+        return None
+    doc = dict(t, index_id=index_id)
+    for k in ("template_id", "index_id_patterns", "priority",
+              "description"):
+        doc.pop(k, None)
+    return create_index(root_dir, doc, overwrite=False)
 
 
 # ---------------------------------------------------------------------------

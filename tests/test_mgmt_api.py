@@ -664,6 +664,128 @@ def test_otlp_http_ingest(writable):
         assert st == 403
 
 
+def _template_doc(tid="logs-tpl", patterns=("logs-*",), priority=0):
+    return {"template_id": tid, "index_id_patterns": list(patterns),
+            "priority": priority,
+            "doc_mapping": _config_doc()["doc_mapping"],
+            "search_settings": {"default_search_fields": ["content"]}}
+
+
+def test_index_templates(writable):
+    """Template CRUD + auto-create on ingest to a matching index id
+    (template_api/rest_handler.rs; IndexTemplate::apply_template)."""
+    srv, root = writable
+    st, t = _call(f"{srv.url}/api/v1/templates", "POST",
+                  _template_doc(patterns=["logs-*", "-logs-secret*"],
+                                priority=5))
+    assert st == 200 and t["template_id"] == "logs-tpl"
+    # duplicate POST refused; PUT upserts; invalid template refused
+    st, _ = _call(f"{srv.url}/api/v1/templates", "POST",
+                  _template_doc())
+    assert st == 400
+    st, _ = _call(f"{srv.url}/api/v1/templates/logs-tpl", "PUT",
+                  _template_doc(patterns=["logs-*", "-logs-secret*"],
+                                priority=5))
+    assert st == 200
+    bad = _template_doc(tid="bad")
+    del bad["doc_mapping"]["doc_id_fields"]
+    st, err = _call(f"{srv.url}/api/v1/templates", "POST", bad)
+    assert st == 400 and "doc_id_fields" in err["error"]["reason"]
+    st, lst = _call(f"{srv.url}/api/v1/templates")
+    assert [t["template_id"] for t in lst] == ["logs-tpl"]
+    # ingest to a matching, missing index auto-creates it
+    st, r = _call(f"{srv.url}/api/v1/logs-app1/ingest", "POST",
+                  ndjson=_docs(4))
+    assert st == 200 and r == {"num_docs_for_processing": 4}
+    st, r = _call(f"{srv.url}/api/v1/logs-app1/search?query=foo")
+    assert r["num_hits"] == 4
+    st, meta = _call(f"{srv.url}/api/v1/indexes/logs-app1")
+    assert st == 200  # fully manageable, config persisted
+    # exclusion pattern and non-matching ids do NOT auto-create
+    for bad_id in ("logs-secret1", "other"):
+        st, _ = _call(f"{srv.url}/api/v1/{bad_id}/ingest", "POST",
+                      ndjson=_docs(1))
+        assert st == 403, bad_id
+    # priority: higher wins
+    hi = _template_doc(tid="hi-tpl", patterns=["logs-*"], priority=9)
+    hi["doc_mapping"] = dict(hi["doc_mapping"],
+                             tag_fields=[])  # distinguishable
+    _call(f"{srv.url}/api/v1/templates", "POST", hi)
+    assert M.find_template(root, "logs-x")["template_id"] == "hi-tpl"
+    st, _ = _call(f"{srv.url}/api/v1/templates/logs-tpl", "DELETE")
+    assert st == 200
+    st, _ = _call(f"{srv.url}/api/v1/templates/logs-tpl")
+    assert st == 404
+    # read-only gating
+    with SearchHttpServer(root) as ro:
+        st, _ = _call(f"{ro.url}/api/v1/templates", "POST",
+                      _template_doc(tid="x"))
+        assert st == 403
+        st, lst = _call(f"{ro.url}/api/v1/templates")
+        assert st == 200 and len(lst) == 1
+
+
+def test_gzip_bodies_and_node_endpoints(writable):
+    """Content-Encoding support (decompression.rs analog): gzip/deflate
+    bodies on any route, bounded during inflation; node endpoints."""
+    import gzip
+    import zlib
+    srv, _root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    nd = "\n".join(json.dumps(d) for d in _docs(3)).encode()
+    st, _, body = _call_ct(f"{srv.url}/api/v1/code/ingest", "POST",
+                           gzip.compress(nd), "application/json")
+    # header routing: Content-Encoding, not Content-Type
+    req = urllib.request.Request(
+        f"{srv.url}/api/v1/code/ingest", data=gzip.compress(nd),
+        method="POST", headers={"Content-Encoding": "gzip"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read()) == {"num_docs_for_processing": 3}
+    # deflate on an ES route
+    q = zlib.compress(b'{"query": {"match_all": {}}}')
+    req = urllib.request.Request(
+        f"{srv.url}/api/v1/_elastic/code/_count", data=q,
+        method="POST", headers={"Content-Encoding": "deflate",
+                                "Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["count"] == 3
+    # a 300 MB bomb is refused DURING inflation (413), corrupt is 400
+    bomb = gzip.compress(b"\0" * (300 * 1024 * 1024))
+    req = urllib.request.Request(
+        f"{srv.url}/api/v1/code/ingest", data=bomb, method="POST",
+        headers={"Content-Encoding": "gzip"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "bomb accepted"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+    req = urllib.request.Request(
+        f"{srv.url}/api/v1/code/ingest", data=b"notgzip",
+        method="POST", headers={"Content-Encoding": "gzip"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "corrupt accepted"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown encoding
+    req = urllib.request.Request(
+        f"{srv.url}/api/v1/code/ingest", data=b"x", method="POST",
+        headers={"Content-Encoding": "br"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 415
+    # node endpoints (node_info_handler / health_check / cluster)
+    st, v = _call(f"{srv.url}/api/v1/version")
+    assert st == 200 and "version" in v["build"]
+    for probe in ("livez", "readyz"):
+        st, ok = _call(f"{srv.url}/health/{probe}")
+        assert (st, ok) == (200, True)
+    st, c = _call(f"{srv.url}/api/v1/cluster")
+    assert st == 200 and "code" in c["indexes"]
+
+
 # ---------------------------------------------------------------------------
 # analyze + parse-query
 # ---------------------------------------------------------------------------

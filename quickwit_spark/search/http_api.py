@@ -28,6 +28,9 @@ elasticsearch_api/rest_handler.rs — same paths, same JSON shapes):
     GET      /api/v1/{index}/jaeger/api/services[/{svc}/operations]
     GET      /api/v1/{index}/jaeger/api/traces[/{trace_id}]
              jaeger-query REST over the OTEL traces index
+    GET/POST /api/v1/templates[/{id}]        index templates (CRUD)
+    GET      /api/v1/version | /api/v1/cluster | /health/{livez,readyz}
+    GET      /metrics                        Prometheus exposition
     POST     /api/v1/analyze                 tokenize text
     POST     /api/v1/parse-query             user query -> QueryAst JSON
   ES-compatible (under /api/v1/_elastic, like the reference):
@@ -68,6 +71,102 @@ __all__ = ["SearchHttpServer"]
 _ES_PREFIX = "/api/v1/_elastic"
 
 
+class _Metrics:
+    """Prometheus exposition of the reference's serve metrics
+    (quickwit-serve/src/metrics.rs: quickwit_http_requests_total
+    {method,status_code}, quickwit_request_duration_secs histogram with
+    exponential 0.02*2^i buckets, quickwit_ongoing_requests
+    {endpoint_group}; served at GET /metrics like the reference's
+    metrics_api.rs)."""
+
+    BUCKETS = [0.02 * (2.0 ** i) for i in range(14)]
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests: dict[tuple[str, int], int] = {}
+        self.dur_sum: dict[tuple[str, int], float] = {}
+        self.dur_buckets: dict[tuple[str, int], list[int]] = {}
+        self.ongoing: dict[str, int] = {}
+
+    def begin(self, group: str) -> None:
+        with self._lock:
+            self.ongoing[group] = self.ongoing.get(group, 0) + 1
+
+    def end(self, group: str, method: str, status: int,
+            seconds: float) -> None:
+        key = (method, status)
+        with self._lock:
+            self.ongoing[group] = self.ongoing.get(group, 1) - 1
+            self.requests[key] = self.requests.get(key, 0) + 1
+            self.dur_sum[key] = self.dur_sum.get(key, 0.0) + seconds
+            b = self.dur_buckets.setdefault(
+                key, [0] * (len(self.BUCKETS) + 1))
+            for i, le in enumerate(self.BUCKETS):
+                if seconds <= le:
+                    b[i] += 1
+                    break
+            else:
+                b[-1] += 1
+
+    def render(self) -> str:
+        out = ["# TYPE quickwit_http_requests_total counter"]
+        with self._lock:
+            for (m, s), n in sorted(self.requests.items()):
+                out.append(
+                    f'quickwit_http_requests_total{{method="{m}",'
+                    f'status_code="{s}"}} {n}')
+            out.append("# TYPE quickwit_request_duration_secs "
+                       "histogram")
+            for (m, s), b in sorted(self.dur_buckets.items()):
+                cum = 0
+                for i, le in enumerate(self.BUCKETS):
+                    cum += b[i]
+                    out.append(
+                        f'quickwit_request_duration_secs_bucket'
+                        f'{{method="{m}",status_code="{s}",'
+                        f'le="{le}"}} {cum}')
+                cum += b[-1]
+                out.append(
+                    f'quickwit_request_duration_secs_bucket'
+                    f'{{method="{m}",status_code="{s}",le="+Inf"}} '
+                    f'{cum}')
+                out.append(
+                    f'quickwit_request_duration_secs_sum'
+                    f'{{method="{m}",status_code="{s}"}} '
+                    f'{self.dur_sum[(m, s)]:.6f}')
+                out.append(
+                    f'quickwit_request_duration_secs_count'
+                    f'{{method="{m}",status_code="{s}"}} {cum}')
+            out.append("# TYPE quickwit_ongoing_requests gauge")
+            for g, n in sorted(self.ongoing.items()):
+                out.append(
+                    f'quickwit_ongoing_requests{{endpoint_group='
+                    f'"{g}"}} {n}')
+        return "\n".join(out) + "\n"
+
+
+def _endpoint_group(path: str) -> str:
+    p = path.strip("/")
+    if p == "metrics" or p.startswith("health"):
+        return "admin"
+    if p.startswith("api/v1/_elastic"):
+        return "elastic"
+    parts = p.split("/")
+    if len(parts) >= 3:
+        tail = parts[2:]
+        if tail[0] in ("indexes", "templates", "version", "cluster"):
+            return "management"
+        if tail[-1] == "search":
+            return "search"
+        if tail[-1] == "ingest" or "otlp" in tail:
+            return "ingest"
+        if "jaeger" in tail:
+            return "jaeger"
+        if "delete-tasks" in tail:
+            return "management"
+    return "other"
+
+
 class _RawBody:
     """Non-JSON response body (e.g. an OTLP protobuf response)."""
 
@@ -101,6 +200,7 @@ class SearchHttpServer:
         self.configs = dict(configs or {})
         self._searchers: dict[str, IndexSearcher] = {}
         self._lock = threading.Lock()
+        self.metrics = _Metrics()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -161,6 +261,20 @@ class SearchHttpServer:
             return s
 
     def _dispatch(self, h: BaseHTTPRequestHandler, method: str) -> None:
+        import time as _time
+        group = _endpoint_group(urlsplit(h.path).path)
+        self.metrics.begin(group)
+        t0 = _time.perf_counter()
+        status = 500
+        try:
+            self._dispatch_inner(h, method)
+            status = getattr(h, "_qw_status", 200)
+        finally:
+            self.metrics.end(group, method, status,
+                             _time.perf_counter() - t0)
+
+    def _dispatch_inner(self, h: BaseHTTPRequestHandler,
+                        method: str) -> None:
         try:
             parts = urlsplit(h.path)
             params = dict(parse_qsl(parts.query))
@@ -197,6 +311,7 @@ class SearchHttpServer:
             body, ctype = resp.data, resp.content_type
         else:
             body, ctype = json.dumps(resp).encode(), "application/json"
+        h._qw_status = status
         h.send_response(status)
         h.send_header("Content-Type", ctype)
         h.send_header("Content-Length", str(len(body)))
@@ -306,6 +421,10 @@ class SearchHttpServer:
         if seg[0] == "health" and len(seg) == 2 and method == "GET" \
                 and seg[1] in ("livez", "readyz"):
             return 200, True
+        # Prometheus exposition (metrics_api.rs GET /metrics)
+        if seg == ["metrics"] and method == "GET":
+            return 200, _RawBody(self.metrics.render().encode(),
+                                 "text/plain; version=0.0.4")
         if seg[:2] != ["api", "v1"]:
             raise _ApiError(404, f"no route for {method} {path}",
                             es_type="invalid_route_exception")

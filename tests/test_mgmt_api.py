@@ -786,6 +786,38 @@ def test_gzip_bodies_and_node_endpoints(writable):
     assert st == 200 and "code" in c["indexes"]
 
 
+def test_prometheus_metrics(writable):
+    """GET /metrics (metrics_api.rs): the reference's serve metrics in
+    Prometheus text format — request counters by method/status, a
+    duration histogram with the exponential bucket ladder, ongoing
+    gauges by endpoint group."""
+    srv, _root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(2))
+    _call(f"{srv.url}/api/v1/code/search?query=foo")
+    _call(f"{srv.url}/api/v1/nope/search?query=x")  # a 404
+    req = urllib.request.Request(f"{srv.url}/metrics")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers.get("Content-Type").startswith("text/plain")
+        text = r.read().decode()
+    assert '# TYPE quickwit_http_requests_total counter' in text
+    assert 'quickwit_http_requests_total{method="POST",' \
+           'status_code="200"}' in text
+    assert 'status_code="404"' in text
+    assert 'quickwit_request_duration_secs_bucket{method="GET",' in text
+    assert 'le="+Inf"' in text
+    # histogram invariant: count == +Inf bucket, sum present
+    assert "quickwit_request_duration_secs_count" in text
+    assert "quickwit_request_duration_secs_sum" in text
+    # all requests finished: every ongoing gauge shows 0 except the
+    # /metrics request currently being served
+    for line in text.splitlines():
+        if line.startswith("quickwit_ongoing_requests"):
+            val = int(line.rsplit(" ", 1)[1])
+            assert val == (1 if 'endpoint_group="admin"' in line
+                           else 0), line
+
+
 # ---------------------------------------------------------------------------
 # analyze + parse-query
 # ---------------------------------------------------------------------------

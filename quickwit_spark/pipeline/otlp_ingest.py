@@ -179,11 +179,30 @@ def ingest_otlp(root_dir: str, kind: str, data: bytes,
     content-addressed checkpoint)."""
     if kind not in ("logs", "traces"):
         raise ValueError(f"unknown OTLP signal {kind!r}")
+    from ..index.manifest import Manifest
+    from ..search.mgmt_api import _INDEX_ID_RE
+    if index_id is not None and not _INDEX_ID_RE.match(index_id):
+        raise ValueError(f"invalid index id {index_id!r}")
     rows = _decode(kind, data, content_type)
     cfg = (otel_logs_config(root_dir, index_id or OTEL_LOGS_INDEX_ID)
            if kind == "logs"
            else otel_traces_config(root_dir,
                                    index_id or OTEL_TRACES_INDEX_ID))
+    first_ingest = not os.path.isfile(Manifest.path(cfg.index_dir))
+    if not first_ingest:
+        # the target EXISTS: refuse unless its mapping is the OTEL one
+        # — es_bulk's load_or_create would otherwise publish
+        # OTEL-schema segments into a foreign index whose manifest
+        # config (text col, doc id fields) disagrees with the docs
+        mc = Manifest.load(cfg.index_dir).data.get("config", {})
+        want = cfg.manifest_config()
+        for k in ("text_col", "key_cols"):
+            if mc.get(k) != want[k]:
+                raise ValueError(
+                    f"index {cfg.index_uid!r} exists with a different "
+                    f"doc mapping ({k}={mc.get(k)!r}); OTLP ingest "
+                    "targets OTEL-mapped indexes only — pick another "
+                    "index id")
     if not rows:
         return {"num_records": 0, "index_id": cfg.index_uid}
     payload_sha = hashlib.sha256(data).hexdigest()
@@ -193,8 +212,6 @@ def ingest_otlp(root_dir: str, kind: str, data: bytes,
     for d in docs:
         lines.append({"index": {}})
         lines.append(d)
-    first_ingest = not os.path.isfile(
-        os.path.join(cfg.index_dir, "manifest.json"))
     es_bulk(cfg, lines)
     if first_ingest:
         # persist the full config like API-created indexes, so the

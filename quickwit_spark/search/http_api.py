@@ -70,6 +70,10 @@ __all__ = ["SearchHttpServer"]
 
 _ES_PREFIX = "/api/v1/_elastic"
 
+# route words that can never be index ids: {index}-shaped routes must
+# not swallow them (mgmt_api owns the set — create refuses them too)
+RESERVED_INDEX_IDS = mgmt_api.RESERVED_INDEX_IDS
+
 
 class _Metrics:
     """Prometheus exposition of the reference's serve metrics
@@ -167,6 +171,14 @@ def _endpoint_group(path: str) -> str:
     return "other"
 
 
+def _fields_param(body: dict) -> list | None:
+    """`search_field` accepts a list or the reference's comma form."""
+    fields = body.get("search_field")
+    if isinstance(fields, str):
+        return [f for f in fields.split(",") if f]
+    return fields
+
+
 class _RawBody:
     """Non-JSON response body (e.g. an OTLP protobuf response)."""
 
@@ -246,9 +258,20 @@ class SearchHttpServer:
 
     # -- plumbing ----------------------------------------------------------
 
-    def _searcher(self, index: str) -> IndexSearcher:
-        if "/" in index or index.startswith("."):
+    @staticmethod
+    def _check_index(index: str) -> str:
+        """ONE validation for every {index}-shaped route: the id must
+        be a plain directory name (no traversal — mgmt_api's id
+        grammar) and not a reserved route word. Routes that join
+        root_dir themselves (ingest, OTLP, _config) MUST call this;
+        require_index/_searcher call it internally."""
+        if index in RESERVED_INDEX_IDS \
+                or not mgmt_api._INDEX_ID_RE.match(index or ""):
             raise _ApiError(400, f"invalid index name [{index}]")
+        return index
+
+    def _searcher(self, index: str) -> IndexSearcher:
+        self._check_index(index)
         with self._lock:
             s = self._searchers.get(index)
             if s is None:
@@ -279,6 +302,11 @@ class SearchHttpServer:
             parts = urlsplit(h.path)
             params = dict(parse_qsl(parts.query))
             n = int(h.headers.get("Content-Length") or 0)
+            if n > self._MAX_BODY:
+                # refuse BEFORE buffering: the cap must bound the raw
+                # read too, not only decompressed output
+                raise _ApiError(413, "request body too large",
+                                es_type="request_entity_too_large")
             raw = h.rfile.read(n) if n else b""
             raw = self._decompress(
                 raw, h.headers.get("Content-Encoding"))
@@ -318,9 +346,11 @@ class SearchHttpServer:
         h.end_headers()
         h.wfile.write(body)
 
-    # matches the reference's ingest body cap (warp content_length_limit
-    # is 10 MiB there; decompressed bodies get a wider but hard bound so
-    # a tiny gzip bomb cannot pin server memory)
+    # hard bound on BOTH the raw request read (Content-Length checked
+    # before buffering) and decompressed output (enforced during
+    # inflation) — wider than the reference's 10 MiB warp
+    # content_length_limit, but equally hard: no request can pin more
+    # than this much body memory
     _MAX_BODY = 256 * 1024 * 1024
 
     @classmethod
@@ -344,9 +374,25 @@ class SearchHttpServer:
                         415, "zstd encoding not supported by this "
                              "server build (no zstd module)",
                         es_type="unsupported_media_type_exception")
-                out = _zs.ZstdDecompressor().decompress(
-                    raw, max_output_size=cls._MAX_BODY)
-                return out
+                # streaming with the cap enforced incrementally:
+                # one-shot decompress() would pre-allocate
+                # max_output_size for streamed frames (no embedded
+                # content size) and reject concatenated frames
+                import io as _io
+                reader = _zs.ZstdDecompressor().stream_reader(
+                    _io.BytesIO(raw), read_across_frames=True)
+                chunks, total = [], 0
+                while True:
+                    piece = reader.read(1 << 20)
+                    if not piece:
+                        break
+                    chunks.append(piece)
+                    total += len(piece)
+                    if total > cls._MAX_BODY:
+                        raise _ApiError(
+                            413, "decompressed body too large",
+                            es_type="request_entity_too_large")
+                return b"".join(chunks)
         except _ApiError:
             raise
         except Exception as e:
@@ -431,7 +477,8 @@ class SearchHttpServer:
         sub = seg[2:]
         # native search: /api/v1/{index}/search
         if (len(sub) == 2 and sub[1] == "search"
-                and sub[0] != "indexes" and method in ("GET", "POST")):
+                and sub[0] not in RESERVED_INDEX_IDS
+                and method in ("GET", "POST")):
             merged = dict(params)
             merged.update(self._json_body(raw))
             return 200, rest.native_search(self._searcher(sub[0]),
@@ -439,15 +486,16 @@ class SearchHttpServer:
         # native ingest: /api/v1/{index}/ingest  (NDJSON doc per line;
         # `commit` param accepted and ignored — publish is synchronous)
         if (len(sub) == 2 and sub[1] == "ingest"
-                and sub[0] != "indexes" and method == "POST"):
+                and sub[0] not in RESERVED_INDEX_IDS
+                and method == "POST"):
             self._require_writable()
+            self._check_index(sub[0])
             # auto-create from the best matching template when the
             # index does not exist yet (the reference's
             # auto-create-on-ingest flow, IndexTemplate::apply_template)
+            from ..index.manifest import Manifest
             d = os.path.join(self.root_dir, sub[0])
-            if not os.path.isfile(os.path.join(d, "manifest.json")) \
-                    and "/" not in sub[0] \
-                    and not sub[0].startswith((".", "_")):
+            if not os.path.isfile(Manifest.path(d)):
                 mgmt_api.apply_template(self.root_dir, sub[0])
             cfg = self._config(sub[0])
             resp = mgmt_api.ingest_ndjson(cfg, self._ndjson(raw))
@@ -484,8 +532,8 @@ class SearchHttpServer:
                 and len(sub) in (3, 4)):
             self._require_writable()
             index_id = sub[0] if len(sub) == 4 else None
-            if index_id in ("indexes",):
-                raise _ApiError(400, f"invalid index name [{index_id}]")
+            if index_id is not None:
+                self._check_index(index_id)
             from ..pipeline.otlp_ingest import ingest_otlp
             try:
                 res = ingest_otlp(self.root_dir, sub[-1], raw,
@@ -539,9 +587,7 @@ class SearchHttpServer:
                 body = self._json_body(raw)
                 if "query" not in body:
                     raise _ApiError(400, "delete task needs a `query`")
-                fields = body.get("search_field")
-                if isinstance(fields, str):
-                    fields = [f for f in fields.split(",") if f]
+                fields = _fields_param(body)
                 return 200, mgmt_api.create_delete_task(
                     d, body["query"], search_fields=fields,
                     start_timestamp=body.get("start_timestamp"),
@@ -567,11 +613,8 @@ class SearchHttpServer:
             body = self._json_body(raw)
             if "query" not in body:
                 raise _ApiError(400, "parse-query needs a `query` field")
-            fields = body.get("search_field")
-            if isinstance(fields, str):
-                fields = [f for f in fields.split(",") if f]
             return 200, mgmt_api.parse_query_to_json(
-                body["query"], search_fields=fields)
+                body["query"], search_fields=_fields_param(body))
         raise _ApiError(404, f"no route for {method} {path}",
                         es_type="invalid_route_exception")
 
@@ -632,6 +675,7 @@ class SearchHttpServer:
     def _config(self, index: str):
         """Resolve the full IndexConfig for a mutation: the registered
         map first, then the index's persisted index_config.json."""
+        self._check_index(index)
         cfg = self.configs.get(index)
         if cfg is None:
             d = os.path.join(self.root_dir, index)

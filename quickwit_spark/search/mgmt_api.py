@@ -68,6 +68,13 @@ _CONFIG_FILE = "index_config.json"
 _INDEX_ID_RE = re.compile(r"^[A-Za-z][A-Za-z0-9._-]{0,254}$")
 _CONFIG_VERSION = "0.8"  # the reference's current config format version
 
+# ids that collide with REST route words (http_api's {index}-shaped
+# routes) — refused at creation so every index stays addressable
+RESERVED_INDEX_IDS = frozenset({
+    "indexes", "templates", "version", "cluster", "analyze",
+    "parse-query", "parse_query", "otlp", "_elastic", "health",
+    "metrics", "api", "jaeger"})
+
 
 class MgmtError(ValueError):
     """Invalid management request (maps to HTTP 400)."""
@@ -98,6 +105,10 @@ def config_from_json(doc: dict, root_dir: str) -> IndexConfig:
         raise MgmtError(
             "index_id is required and must match "
             "[A-Za-z][A-Za-z0-9._-]* (<=255 chars)")
+    if index_id in RESERVED_INDEX_IDS:
+        raise MgmtError(
+            f"index_id {index_id!r} is reserved (it collides with a "
+            "REST route word)")
     dm = doc.get("doc_mapping") or {}
     if not isinstance(dm, dict):
         raise MgmtError("doc_mapping must be an object")
@@ -357,7 +368,9 @@ def _loaded_timestamp_field(index_dir: str) -> str | None:
 # ---------------------------------------------------------------------------
 
 def require_index(root_dir: str, index_id: str) -> str:
-    if "/" in index_id or index_id.startswith("."):
+    # the create-time grammar doubles as the traversal guard: every
+    # path join below root_dir goes through it
+    if not _INDEX_ID_RE.match(index_id or ""):
         raise MgmtError(f"invalid index id [{index_id}]")
     d = os.path.join(root_dir, index_id)
     if not os.path.isfile(Manifest.path(d)):
@@ -503,10 +516,13 @@ def update_index_config(root_dir: str, index_id: str, doc: dict,
     except IndexNotFound:
         if not create:
             raise
-        if doc.get("index_id") != index_id:
+        # like the plain-update path: an omitted index_id means "use
+        # the path id"; only an explicit MISMATCH is an error
+        if doc.get("index_id") not in (None, index_id):
             raise MgmtError("`index_id` in config does not match the "
                             "path index id")
-        return create_index(root_dir, doc, overwrite=False)
+        return create_index(root_dir, dict(doc, index_id=index_id),
+                            overwrite=False)
     if doc.get("index_id") not in (None, index_id):
         raise MgmtError("`index_id` in config does not match the path "
                         "index id")
@@ -847,6 +863,23 @@ def apply_template(root_dir: str, index_id: str) -> dict | None:
 # delete tasks
 # ---------------------------------------------------------------------------
 
+def parse_with_fields(query: str, search_fields: list[str] | None,
+                      default_field: str):
+    """Parse a user query against 0/1/N default search fields: N>1
+    expands to an OR over per-field parses (the reference resolves
+    default_fields at convert time, user_input_query.rs). The ONE
+    implementation behind parse-query AND delete tasks — field
+    expansion must never diverge between them."""
+    from . import ast as A
+    from .parser import parse_query
+    fields = [f for f in (search_fields or []) if f]
+    if len(fields) <= 1:
+        return parse_query(query, default_field=fields[0]
+                           if fields else default_field)
+    return A.Bool(should=tuple(
+        parse_query(query, default_field=f) for f in fields))
+
+
 def create_delete_task(index_dir: str, query: str,
                        search_fields: list[str] | None = None,
                        start_timestamp: int | None = None,
@@ -858,18 +891,11 @@ def create_delete_task(index_dir: str, query: str,
     {create_timestamp, opstamp, delete_query:{index_uid,
     start_timestamp, end_timestamp, query_ast}}."""
     from . import ast as A
-    from .parser import parse_query
     if not isinstance(query, str) or not query.strip():
         raise MgmtError("delete task needs a non-empty `query`")
     m = Manifest.load(index_dir)
     text_col = m.data.get("config", {}).get("text_col", "content")
-    fields = [f for f in (search_fields or []) if f]
-    if len(fields) <= 1:
-        node = parse_query(query, default_field=fields[0]
-                           if fields else text_col)
-    else:
-        node = A.Bool(should=tuple(
-            parse_query(query, default_field=f) for f in fields))
+    node = parse_with_fields(query, search_fields, text_col)
     if (start_timestamp is not None or end_timestamp is not None):
         ts_field = _loaded_timestamp_field(index_dir)
         if not ts_field:
@@ -1063,16 +1089,8 @@ def parse_query_to_json(query: str,
     time, user_input_query.rs)."""
     if not isinstance(query, str):
         raise MgmtError("`query` must be a string")
-    from . import ast as A
-    from .parser import parse_query
-    fields = [f for f in (search_fields or []) if f]
-    if len(fields) <= 1:
-        node = parse_query(query, default_field=fields[0]
-                           if fields else "content")
-    else:
-        node = A.Bool(should=tuple(
-            parse_query(query, default_field=f) for f in fields))
-    return ast_to_reference_json(node)
+    return ast_to_reference_json(
+        parse_with_fields(query, search_fields, "content"))
 
 
 # ---------------------------------------------------------------------------

@@ -818,6 +818,64 @@ def test_prometheus_metrics(writable):
                            else 0), line
 
 
+def test_review_fixes_traversal_and_contracts(writable, tmp_path):
+    """Regression tests for the session's code-review findings."""
+    import os
+    srv, root = writable
+    # 1. path traversal via the index-scoped OTLP route is refused and
+    #    writes nothing outside root_dir
+    from quickwit_spark.pipeline import otlp_pb, otlp_ingest
+    payload = otlp_pb.encode_logs_request({"resourceLogs": [
+        {"scopeLogs": [{"logRecords": [
+            {"body": {"stringValue": "x"}}]}]}]})
+    st, _, body = _call_ct(
+        f"{srv.url}/api/v1/..%2Fescaped/otlp/v1/logs", "POST",
+        payload, "application/x-protobuf")
+    assert st == 400
+    with pytest.raises(ValueError, match="invalid index id"):
+        otlp_ingest.ingest_otlp(root, "logs", payload,
+                                index_id="../escaped")
+    assert not os.path.exists(os.path.join(os.path.dirname(root),
+                                           "escaped"))
+    # ...and via ingest/search routes
+    for path in ("..%2Fx/ingest", "..%2Fx/search"):
+        st, _ = _call(f"{srv.url}/api/v1/{path}",
+                      "POST" if "ingest" in path else "GET",
+                      ndjson=[{"a": 1}] if "ingest" in path else None)
+        assert st == 400, path
+    # 2. OTLP ingest into an existing foreign-mapped index is refused
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc("app"))
+    st, _, body = _call_ct(f"{srv.url}/api/v1/app/otlp/v1/logs",
+                           "POST", payload, "application/x-protobuf")
+    assert st == 400 and b"different doc mapping" in body
+    # 3. reserved route words cannot become index ids
+    st, err = _call(f"{srv.url}/api/v1/indexes", "POST",
+                    _config_doc("templates"))
+    assert st == 400 and "reserved" in err["error"]["reason"]
+    # 4. a template named 'search' stays readable (route no longer
+    #    shadowed by native search)
+    _call(f"{srv.url}/api/v1/templates", "POST",
+          _template_doc(tid="search", patterns=["zz-*"]))
+    st, t = _call(f"{srv.url}/api/v1/templates/search")
+    assert st == 200 and t["template_id"] == "search"
+    # 5. PUT ?create=true accepts a config without index_id
+    doc = _config_doc("ignored")
+    del doc["index_id"]
+    st, meta = _call(f"{srv.url}/api/v1/indexes/fresh2?create=true",
+                     "PUT", doc)
+    assert st == 200 and meta["index_uid"] == "fresh2"
+    # 6. oversized Content-Length is refused before buffering
+    req = urllib.request.Request(
+        f"{srv.url}/api/v1/app/ingest", data=b"x", method="POST",
+        headers={"Content-Length": str(500 * 1024 * 1024)})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except (urllib.error.HTTPError, ConnectionError, OSError) as e:
+        assert not isinstance(e, urllib.error.HTTPError) \
+            or e.code == 413
+
+
 # ---------------------------------------------------------------------------
 # analyze + parse-query
 # ---------------------------------------------------------------------------

@@ -286,6 +286,45 @@ def main() -> None:
                           min_level_num_docs=1_000_000)))
     queries["merge_segments"] = round(time.perf_counter() - t0, 3)
 
+    # HTTP serving layer: loopback end-to-end latency for the native
+    # search route (routing + engine + JSON serialization) and OTLP
+    # protobuf ingestion throughput through the full stack
+    # (wire decode -> doc transform -> segment build -> publish)
+    import urllib.request as _ur
+
+    from quickwit_spark.pipeline import otlp_pb as _opb
+    from quickwit_spark.search.http_api import SearchHttpServer
+    with SearchHttpServer(work, writable=True) as _srv:
+        _u = (f"{_srv.url}/api/v1/idx/search"
+              "?query=content:merge&max_hits=10")
+        for _ in range(5):  # warm (searcher resolve + reader cache)
+            _ur.urlopen(_u, timeout=30).read()
+        _lat = []
+        for _ in range(60):
+            t0 = time.perf_counter()
+            _ur.urlopen(_u, timeout=30).read()
+            _lat.append(time.perf_counter() - t0)
+        _lat.sort()
+        queries["http_search_p50_ms"] = round(
+            _lat[len(_lat) // 2] * 1e3, 2)
+        _n_rec, _t_ing = 4000, 0.0
+        for i in range(3):
+            _pl = _opb.encode_logs_request({"resourceLogs": [{
+                "scopeLogs": [{"logRecords": [
+                    {"timeUnixNano": str(10**18 + i),
+                     "severityText": "INFO",
+                     "body": {"stringValue":
+                              f"bench log line {i} {j} payload"}}
+                    for j in range(_n_rec)]}]}]})
+            _rq = _ur.Request(
+                f"{_srv.url}/api/v1/otlp/v1/logs", data=_pl,
+                headers={"Content-Type": "application/x-protobuf"})
+            t0 = time.perf_counter()
+            _ur.urlopen(_rq, timeout=120).read()
+            _t_ing += time.perf_counter() - t0
+        queries["otlp_http_ingest_krecs_s"] = round(
+            _n_rec * 3 / _t_ing / 1e3, 1)
+
     # --- 2. BM25 query latency over the corpus index (distributed leaves) -
     searcher = IndexSearcher(cfg.index_dir)  # in-process leaf loop
     qset = {
@@ -510,7 +549,10 @@ def main() -> None:
                           "tok_", "otlp_pb_", "png_decode",
                           "jpeg_decode", "iceberg_plan",
                           # rate metric + post-r1 rows (r5 session 7)
-                          "kafka_wire_", "cdc_"))]
+                          "kafka_wire_", "cdc_",
+                          # serving-layer rows (r5 session 8): ms /
+                          # rate metrics, not headline seconds
+                          "http_search_", "otlp_http_"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

@@ -69,6 +69,7 @@ import os
 import struct
 import uuid as _uuid
 
+import numpy as np
 import pandas as pd
 
 from . import avro_ocf
@@ -1365,10 +1366,6 @@ def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
     import pyarrow as pa
     import pyarrow.parquet as pq
     salt_parts = [salt] if salt else []    # keep legacy names unsalted
-    key = _det_uuid("data", *salt_parts, seq,
-                    json.dumps(part_values, sort_keys=True, default=str),
-                    len(pdf), str(pdf.iloc[0].tolist()) if len(pdf) else "")
-    fpath = os.path.join(table_path, "data", f"{key}.parquet")
     cols = [f["name"] for f in schema_fields]
     arrow = pa.Table.from_pandas(pdf[cols], preserve_index=False)
     # an ALL-NULL column infers as pa.null(), whose parquet physical
@@ -1383,6 +1380,20 @@ def _write_data_file(pdf: pd.DataFrame, table_path: str, seq: int,
                     arrow.column(i).cast(want))
     table = _with_field_ids(
         arrow, {f["name"]: f["id"] for f in schema_fields})
+    # FULL-content name (Arrow IPC stream digest): racing pre-lock
+    # writers at the same sequence number with the same row count and
+    # first row but DIFFERENT remaining rows must never collide onto
+    # one path and clobber each other — the delete/upsert paths already
+    # hash full content for exactly this race
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as _w:
+        _w.write_table(table)
+    content_sig = hashlib.sha256(
+        sink.getvalue().to_pybytes()).hexdigest()
+    key = _det_uuid("data", *salt_parts, seq,
+                    json.dumps(part_values, sort_keys=True, default=str),
+                    len(pdf), content_sig)
+    fpath = os.path.join(table_path, "data", f"{key}.parquet")
     pq.write_table(table, fpath)
     lowers, uppers, nulls, values = _column_stats(pdf, schema_fields)
     return {
@@ -1437,6 +1448,11 @@ def _partitioned_data_files(pdf: pd.DataFrame, path: str, seq: int,
     partition value (shared by append_pandas and upsert_pandas)."""
     schema_by_id = {f["id"]: f for f in table.schema_fields}
     spec_fields = table.spec_fields
+    if len(pdf) == 0:
+        # the partitioned path's groupby yields no files naturally; a
+        # zero-row data file would later fail read()'s planned-vs-seen
+        # reconciliation (no _metadata row exists for an empty file)
+        return []
     if not spec_fields:
         return [_write_data_file(pdf, path, seq, {},
                                  table.schema_fields, salt)]
@@ -1746,6 +1762,25 @@ def _read_cols_by_id(fpath: str, wanted: list[dict]) -> pd.DataFrame:
     return pdf[[f["name"] for f in wanted]]
 
 
+def _norm_key(v):
+    """Dtype-stable key value for equality comparison across parquet
+    reads: pandas floatifies int columns that carry nulls in ONE file
+    but not another, so 7 and 7.0 must compare equal; bytes stay bytes
+    (str(bytes) != str(bytearray)); NaN/None compare as one null."""
+    if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NA:
+        return None
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return int(f) if f.is_integer() else f
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
 def delete_where(path: str, filter, timestamp_ms: int = 0
                  ) -> IcebergTable:
     """Row-level delete, merge-on-read style: writes a POSITION DELETE
@@ -1768,9 +1803,23 @@ def delete_where(path: str, filter, timestamp_ms: int = 0
     fps: list[str] = []
     poss: list[int] = []
     deleted_before = {}
+    eq_sets = []   # (delete seq, field dicts, set of normalized tuples)
+    fld_by_id = {f["id"]: f for f in table.schema_fields}
     for d in plan.delete_files:
-        if d.get("content") != 1:
-            continue                       # equality files hold keys
+        if d.get("content") == 2:
+            # equality-dead rows must not receive position deletes: a
+            # pos delete for an already-dead row later resolves (in a
+            # CDC sync) to a key whose LIVE newer version survives —
+            # wrongly flagged as a surviving duplicate
+            wanted_eq = [fld_by_id[i] for i in d["equality_ids"]
+                         if i in fld_by_id]
+            if len(wanted_eq) != len(d["equality_ids"]):
+                continue    # dropped column: set can't match anything
+            epdf = _read_cols_by_id(d["file_path"], wanted_eq)
+            eq_sets.append((d["_seq"], wanted_eq, {
+                tuple(_norm_key(v) for v in t)
+                for t in epdf.itertuples(index=False, name=None)}))
+            continue
         ddf = pd.read_parquet(d["file_path"])
         for fp, pos in zip(ddf["file_path"], ddf["pos"]):
             deleted_before.setdefault(fp, set()).add(int(pos))
@@ -1789,7 +1838,17 @@ def delete_where(path: str, filter, timestamp_ms: int = 0
         # width, not row width
         pdf = _read_cols_by_id(f["file_path"], wanted)
         mask = _pdf_mask(pdf, flt)
-        already = deleted_before.get(f["file_path"], ())
+        already = set(deleted_before.get(f["file_path"], ()))
+        # strictly-smaller rule: an eq delete at seq d kills rows of
+        # data files with seq < d — those rows are dead, skip them
+        for dseq, eq_fields, keyset in eq_sets:
+            if f["_seq"] >= dseq or not keyset:
+                continue
+            kdf = _read_cols_by_id(f["file_path"], eq_fields)
+            already.update(
+                i for i, t in enumerate(
+                    kdf.itertuples(index=False, name=None))
+                if tuple(_norm_key(v) for v in t) in keyset)
         for pos in pdf.index[mask]:
             if int(pos) not in already:
                 fps.append(f["file_path"])
@@ -1844,6 +1903,13 @@ def upsert_pandas(path: str, pdf: pd.DataFrame, key_cols: list[str],
     if missing or not key_cols:
         raise ValueError(f"unknown or empty key columns: {missing}")
     ids = [by_name[c]["id"] for c in key_cols]
+    # in-batch last-wins: both versions of a key repeated WITHIN one
+    # upsert batch would land at the same sequence number, where the
+    # strictly-smaller rule retires neither — the table would serve
+    # two live rows for one key (and wedge a CDC sync's uniqueness
+    # probe). CDC writers define batch order as arrival order.
+    pdf = pdf.drop_duplicates(subset=key_cols, keep="last") \
+        .reset_index(drop=True)
     keys = pdf[key_cols].drop_duplicates().reset_index(drop=True)
     kt = pa.Table.from_pandas(keys, preserve_index=False)
     # cast to the DECLARED column types: pandas inference is wrong for

@@ -16,14 +16,20 @@ the driver collects one manifest row per segment — nothing is
 proportional to the already-indexed corpus.
 
 Source-side DELETES (position AND equality — upserts include one) do
-not propagate: ingest consumes appends only (delete manifests are
-skipped by ``appended_files``), matching the reference's source
-contract — so an upserted document is indexed as a NEW doc while its
-old version stays in the index until retired explicitly. Deleting
-documents from the INDEX is the delete-task flow (index/deletes.py,
-`_delete_by_query`), a separate operation; the returned summary's
-``source_deletes_ignored`` counts the delete manifests this call
-skipped so callers can wire that retirement.
+not propagate through ``ingest_iceberg``: it consumes appends only
+(delete manifests are skipped by ``appended_files``), matching the
+reference's source contract — so an upserted document is indexed as a
+NEW doc while its old version stays in the index until retired
+explicitly. Deleting documents from the INDEX is the delete-task flow
+(index/deletes.py, `_delete_by_query`), a separate operation; the
+returned summary's ``source_deletes_ignored`` counts the delete
+manifests this call skipped so callers can wire that retirement (None
+with ``deletes_folded: True`` when a rewrite folded deletes this
+checkpoint never observed — then the count is unknowable). Every
+skipped delete is also recorded in the checkpoint position
+(cumulative ``adel`` marker), and ``sync_iceberg`` REFUSES to take
+over such an index: the skipped deletions sit below the checkpoint
+where no delta will ever surface them again.
 """
 
 from __future__ import annotations
@@ -52,15 +58,55 @@ def _checkpoint_key(table: IcebergTable) -> str:
     return f"iceberg:{table.meta['table-uuid']}"
 
 
-def _parse_position(pos: str | None) -> tuple[int, int | None]:
-    """Stored position 'iceberg-seq=N;snap=S;...' -> (N, S)."""
-    if pos is None:
-        return 0, None
+def _position_fields(pos: str | None) -> dict:
+    if not pos:
+        return {}
     if not pos.startswith("iceberg-seq="):
         raise ValueError(f"not an iceberg source position: {pos!r}")
-    fields = dict(kv.split("=", 1) for kv in pos.split(";"))
+    return dict(kv.split("=", 1) for kv in pos.split(";"))
+
+
+def _parse_position(pos: str | None) -> tuple[int, int | None]:
+    """Stored position 'iceberg-seq=N;snap=S;...' -> (N, S)."""
+    fields = _position_fields(pos)
+    if not fields:
+        return 0, None
     snap = fields.get("snap")
     return int(fields["iceberg-seq"]), (int(snap) if snap else None)
+
+
+def _norm_typed(v, itype: str):
+    """ONE deterministic Python value per (raw value, declared iceberg
+    type) — independent of pandas dtype inference, which floatifies an
+    int64 column in the file that happens to carry nulls while keeping
+    a null-free file's integral (str() of 7.0 vs 7 then silently
+    mismatches between the delete side and the probe side)."""
+    base = itype.split("(")[0].split("[")[0]
+    if base in ("int", "long"):
+        return int(v)
+    if base in ("float", "double"):
+        f = float(v)
+        return int(f) if f.is_integer() else f
+    if base == "boolean":
+        return bool(v)
+    if base in ("binary", "fixed", "uuid"):
+        return bytes(v)
+    return str(v)
+
+
+def _blinding_folds(table: IcebergTable, since_seq: int,
+                    cur_seq: int) -> list[int]:
+    """Folded-delete watermarks that make delete files invisible to a
+    consumer checkpointed at since_seq (rewrite_data_files drops delete
+    manifests while preserving data sequence numbers)."""
+    props = table.meta.get("properties", {})
+    folds = [[int(f), int(r)] for f, r in
+             json.loads(props.get("quickwit.folded-deletes", "[]"))]
+    legacy = props.get("quickwit.folded-deletes-max-seq")
+    if legacy is not None:   # pre-pair format: rewrite seq unknown
+        folds.append([int(legacy), 0])
+    return [f for f, r in folds if since_seq and f > since_seq
+            and r <= cur_seq]
 
 
 def _delta_state(table: IcebergTable, table_path: str, manifest: Manifest,
@@ -106,11 +152,21 @@ def _delta_state(table: IcebergTable, table_path: str, manifest: Manifest,
 
 def ingest_iceberg(spark, table_path: str, config: IndexConfig,
                    partitions_per_ingest: int = 8,
-                   snapshot_id: int | None = None) -> dict:
+                   snapshot_id: int | None = None,
+                   allow_existing_index: bool = False) -> dict:
     """Index every data file appended since the last recorded sequence
     number (as of the current — or pinned — snapshot), publishing the
     segments and the new source position atomically. Returns a summary
-    dict; ``status`` is 'up-to-date', 'published', or 'replayed'."""
+    dict; ``status`` is 'up-to-date', 'published', or 'replayed'.
+
+    The recorded position carries a cumulative ``adel`` (appends-only
+    ignored deletes) marker whenever this consumer skipped delete
+    manifests — switching the same index to ``sync_iceberg`` later is
+    then refused loudly instead of silently never retiring those
+    deletions. ``source_deletes_ignored`` is None (with
+    ``deletes_folded: True``) when rewrite_data_files folded delete
+    files this checkpoint never observed — the count is unknowable,
+    and callers wiring retirement off it must not trust it."""
     table = load_table(table_path)
     manifest = Manifest.load_or_create(
         config.index_dir, config.index_uid, config.manifest_config())
@@ -120,6 +176,18 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
         return {"status": "up-to-date", "sequence": cur_seq,
                 "files": 0, "docs": 0, "segments": 0,
                 "source_deletes_ignored": 0}
+    # an index with published segments but no iceberg checkpoint was
+    # built by a FULL build (or another source): "the delta" would be
+    # the whole table, silently doubling every document (same guard as
+    # sync_iceberg; opt out explicitly for multi-source indexes)
+    if since_seq == 0 and manifest.segments() \
+            and not allow_existing_index:
+        raise CheckpointConflict(
+            f"index {config.index_dir} has published segments but no "
+            "iceberg source checkpoint — ingesting the full table on "
+            "top would duplicate every document. Rebuild fresh, or "
+            "pass allow_existing_index=True if this index really "
+            "aggregates multiple sources")
 
     files = table.appended_files(since_seq, snapshot_id)
     from .avro_ocf import read_ocf
@@ -127,6 +195,9 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
     deletes_ignored = sum(
         1 for mf in all_manifests
         if mf.get("content") == 1 and mf["sequence_number"] > since_seq)
+    blinded = bool(_blinding_folds(table, since_seq, cur_seq))
+    prev_adel = int(_position_fields(stored).get("adel", 0))
+    new_adel = prev_adel + deletes_ignored + (1 if blinded else 0)
 
     df = None
     if files:
@@ -143,14 +214,17 @@ def ingest_iceberg(spark, table_path: str, config: IndexConfig,
     return _build_and_publish(
         df, config, manifest, key, stored, cur_seq, snap, len(files),
         partitions_per_ingest,
-        {"source_deletes_ignored": deletes_ignored})
+        {"source_deletes_ignored":
+            None if blinded else deletes_ignored,
+         **({"deletes_folded": True} if blinded else {})},
+        adel=new_adel)
 
 
 def _build_and_publish(df, config: IndexConfig, manifest: Manifest,
                        key: str, stored: str | None, cur_seq: int,
                        snap: dict, n_files: int,
                        partitions_per_ingest: int,
-                       summary_extra: dict) -> dict:
+                       summary_extra: dict, adel: int = 0) -> dict:
     """Shared tail of the incremental consumers (ingest_iceberg and
     sync_iceberg): routed segment build over ``df`` (None or empty ->
     zero segments, checkpoint still advances), content-addressed
@@ -184,7 +258,8 @@ def _build_and_publish(df, config: IndexConfig, manifest: Manifest,
         "|".join(sorted(r["segment_id"] for r in rows)).encode()
     ).hexdigest()[:12]
     to = (f"iceberg-seq={cur_seq};snap={snap['snapshot-id']};"
-          f"files={n_files};ids={sig}")
+          f"files={n_files};ids={sig}"
+          + (f";adel={adel}" if adel else ""))
     summary = {"status": "published", "sequence": cur_seq,
                "files": n_files, "docs": n_docs,
                "segments": len(rows), **summary_extra}
@@ -192,8 +267,14 @@ def _build_and_publish(df, config: IndexConfig, manifest: Manifest,
         manifest.publish(rows, checkpoint_delta={key: (stored, to)})
     except CheckpointConflict:
         # exactly-once: only an EXACT replay (same position, i.e. same
-        # snapshot AND same content-addressed segment ids) is benign
-        if manifest.checkpoint(key) != to:
+        # snapshot AND same content-addressed segment ids) is benign.
+        # The adel marker is consumption METADATA, not content: a
+        # legacy position written before adel existed must still
+        # replay benignly, so compare with it stripped.
+        def _strip_adel(p: str) -> str:
+            return ";".join(kv for kv in (p or "").split(";")
+                            if not kv.startswith("adel="))
+        if _strip_adel(manifest.checkpoint(key)) != _strip_adel(to):
             raise
         _cleanup_replayed_segments(manifest, segments_root, rows)
         summary["status"] = "replayed"
@@ -258,6 +339,20 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
         config.index_dir, config.index_uid, config.manifest_config())
     key, stored, since_seq, cur_seq, snap = _delta_state(
         table, table_path, manifest, snapshot_id)
+    # a checkpoint advanced by ingest_iceberg WHILE delete manifests
+    # landed (the position's cumulative adel marker) means deletions
+    # at/below the checkpoint were consumed appends-only and never
+    # retired — the index serves stale documents NOW, delta or not.
+    # Refuse even when up-to-date, like every other stale-document
+    # path (folds, rewinds, mixed sources).
+    skipped = int(_position_fields(stored).get("adel", 0))
+    if skipped:
+        raise CheckpointConflict(
+            f"index {config.index_dir} consumed this table appends-"
+            f"only (ingest_iceberg) while {skipped} delete file(s) "
+            "landed; those deletions were never propagated and are "
+            "below the checkpoint now — rebuild the index fresh with "
+            "sync_iceberg to get delete propagation")
     if cur_seq == since_seq:
         return {"status": "up-to-date", "sequence": cur_seq, "files": 0,
                 "docs": 0, "segments": 0, "docs_retired": 0,
@@ -282,14 +377,7 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
     # (cur_seq >= rewrite seq) — a sync pinned before the rewrite still
     # sees the delete manifests. Refuse rather than silently serve
     # stale documents forever.
-    props = table.meta.get("properties", {})
-    folds = [[int(f), int(r)] for f, r in
-             json.loads(props.get("quickwit.folded-deletes", "[]"))]
-    legacy = props.get("quickwit.folded-deletes-max-seq")
-    if legacy is not None:   # pre-pair format: rewrite seq unknown
-        folds.append([int(legacy), 0])
-    blinding = [f for f, r in folds if since_seq and f > since_seq
-                and r <= cur_seq]
+    blinding = _blinding_folds(table, since_seq, cur_seq)
     if blinding:
         raise CheckpointConflict(
             f"rewrite_data_files compacted delete files up to sequence "
@@ -316,20 +404,27 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
         groups: dict[tuple, set] = {}   # key columns -> key tuples
         pos_groups: dict[tuple, set] = {}  # position-delete derived only
 
-        def _add(bucket: dict, cols: tuple, pdf: pd.DataFrame) -> None:
+        field_types: dict[tuple, tuple] = {}  # cols -> iceberg types
+
+        def _add(bucket: dict, cols: tuple, fields: list[dict],
+                 pdf: pd.DataFrame) -> None:
             dest = bucket.setdefault(cols, set())
-            # convert_dtypes keeps int64 keys integral even when the
-            # column ALSO carries nulls (plain to_pandas would floatify
-            # the non-null values too: str(7.0) never matches term "7")
-            for tup in pdf.convert_dtypes().itertuples(index=False,
-                                                       name=None):
+            field_types[cols] = tuple(f["type"] for f in fields)
+            # normalize per the DECLARED column type, not pandas dtype
+            # inference: a file whose int64 key column carries nulls
+            # floatifies its non-null values (7 -> 7.0) while a
+            # null-free file keeps them integral — value-set-dependent
+            # canonicalization silently missed real duplicates
+            for tup in pdf.itertuples(index=False, name=None):
                 if any(pd.isna(v) for v in tup):
                     raise ValueError(
                         f"delete row with null key "
                         f"{dict(zip(cols, tup))!r}: null keys cannot be "
                         "retired by term match — refusing rather than "
                         "leaving a stale document")
-                dest.add(tup)
+                dest.add(tuple(
+                    _norm_typed(v, t)
+                    for v, t in zip(tup, field_types[cols])))
 
         for d in eq_dels:
             missing = [i for i in d["equality_ids"] if i not in fld_by_id]
@@ -340,8 +435,28 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
             # resolve by embedded field id: delete files written before
             # a rename carry the old column NAME but the same id
             wanted = [fld_by_id[i] for i in d["equality_ids"]]
-            _add(groups, tuple(f["name"] for f in wanted),
+            _add(groups, tuple(f["name"] for f in wanted), wanted,
                  _read_cols_by_id(d["file_path"], wanted))
+
+        # eq-dead suppression for position deletes: a pos delete aimed
+        # at a row an equality delete already killed (d_seq > f_seq)
+        # retires by a key whose LIVE newer version survives — skip
+        # those positions; the eq-key path retires the right docs.
+        # (delete_where no longer emits such positions; foreign CDC
+        # writers may.)
+        all_eq_sets = []
+        for d in (x for x in plan.delete_files
+                  if x.get("content") == 2):
+            flds = [fld_by_id[i] for i in d["equality_ids"]
+                    if i in fld_by_id]
+            if len(flds) != len(d["equality_ids"]):
+                continue
+            epdf = _read_cols_by_id(d["file_path"], flds)
+            all_eq_sets.append((d["_seq"], flds, {
+                tuple(_norm_typed(v, f["type"])
+                      for v, f in zip(t, flds))
+                for t in epdf.itertuples(index=False, name=None)
+                if not any(pd.isna(v) for v in t)}))
 
         if pos_dels:
             live_by_path = {f["file_path"]: f for f in plan.files}
@@ -379,58 +494,98 @@ def sync_iceberg(spark, table_path: str, config: IndexConfig,
                         f"position delete references row {bad[0]} of "
                         f"{fp!r}, which has only {len(pdf)} rows — "
                         "corrupt table")
-                sub = pdf.iloc[sorted(set(poss))]
-                _add(pos_groups, tuple(key_cols), sub)
+                live_poss = sorted(set(poss))
+                if all_eq_sets:
+                    dead: set[int] = set()
+                    for dseq, flds, keyset in all_eq_sets:
+                        if f["_seq"] >= dseq or not keyset:
+                            continue
+                        kdf = _read_cols_by_id(fp, flds)
+                        for p in live_poss:
+                            vals = list(kdf.iloc[p])
+                            if any(pd.isna(v) for v in vals):
+                                continue  # null keys never eq-match
+                            t = tuple(_norm_typed(v, fd["type"])
+                                      for v, fd in zip(vals, flds))
+                            if t in keyset:
+                                dead.add(p)
+                    live_poss = [p for p in live_poss if p not in dead]
+                if not live_poss:
+                    continue
+                sub = pdf.iloc[live_poss]
+                _add(pos_groups, tuple(key_cols), key_fields, sub)
 
         # a position delete removes ONE row; retiring by key is only
         # sound if no OTHER already-indexed row shares the key (those
         # survivors would be dropped from the index yet never
-        # re-ingested). One pruned, MoR-suppressed read over the
-        # pre-delta files checks this — the deleted rows themselves
-        # are already suppressed, so ANY match is a true duplicate.
+        # re-ingested). A DISTRIBUTED inner join of the MoR-suppressed
+        # pre-delta rows against the (broadcast-small) delete-key set
+        # checks this on the table's own Spark types — no driver-side
+        # collect proportional to the corpus, no dtype-inference canon.
         # Equality deletes need no check: they remove every matching
         # row from the table, mirroring the index retirement exactly.
-        def _canon(t: tuple) -> tuple:
-            # one canonical comparison space for probe vs delete keys:
-            # both sides pass through convert_dtypes (so a double 7.0
-            # and an Int64 7 canonicalize identically) and bytes-like
-            # values hex-encode (str(bytes) != str(bytearray))
-            return tuple(
-                bytes(v).hex() if isinstance(v, (bytes, bytearray))
-                else str(v) for v in t)
-
+        from pyspark.sql import functions as F
         for cols, tuples in sorted(pos_groups.items()):
-            first_vals = sorted({t[0] for t in tuples})
-            srv = (table.read(spark,
-                              filter=[(cols[0], "in", first_vals)],
-                              snapshot_id=snapshot_id,
-                              max_data_seq=since_seq)
-                   .select(*cols).collect())
-            srv_pdf = pd.DataFrame(srv, columns=list(cols)) \
-                .convert_dtypes()
-            clash = ({_canon(t) for t in
-                      srv_pdf.itertuples(index=False, name=None)}
-                     & {_canon(t) for t in tuples})
+            types = field_types[cols]
+            key_fields_c = [fld_by_name[c] for c in cols]
+
+            def _spark_val(v, itype):
+                base = itype.split("(")[0].split("[")[0]
+                return float(v) if base in ("float", "double") else v
+
+            rows_ = [tuple(_spark_val(v, t) for v, t in zip(tup, types))
+                     for tup in sorted(tuples, key=repr)]
+            keys_df = spark.createDataFrame(
+                rows_, table._spark_read_schema(key_fields_c, False))
+            pre_filter = None
+            if types[0].split("(")[0] in ("int", "long", "string"):
+                # scan pruning on the leading key when pushdown-typed
+                pre_filter = [(cols[0], "in",
+                               sorted({t[0] for t in tuples}))]
+            pre = table.read(spark, filter=pre_filter,
+                             snapshot_id=snapshot_id,
+                             max_data_seq=since_seq).select(*cols)
+            clash = (pre.join(F.broadcast(keys_df), on=list(cols),
+                              how="inner").limit(3).collect())
             if clash:
                 raise ValueError(
-                    f"position-deleted key {sorted(clash)[0]!r} is not "
+                    f"position-deleted key {tuple(clash[0])!r} is not "
                     "unique among already-indexed rows; retiring by "
                     f"key {list(cols)} would drop surviving duplicates "
                     "— refusing")
             groups.setdefault(cols, set()).update(tuples)
+            field_types.setdefault(cols, types)
 
         if groups:
+            def _term_value(col: str, v) -> str:
+                if isinstance(v, bytes):
+                    # the engine's bytes fast fields coerce query
+                    # literals through base64 (_attr_value); str(v)
+                    # would either crash the typed path or silently
+                    # match nothing on an untyped one
+                    if config.field_types.get(col) != "bytes":
+                        raise ValueError(
+                            f"binary key column {col!r} needs "
+                            f"IndexConfig.field_types[{col!r}] = "
+                            "'bytes' for retirement by term — "
+                            "refusing rather than retiring nothing")
+                    import base64
+                    return base64.b64encode(v).decode()
+                return str(v)
+
             clauses: list[A.Node] = []
             for cols, tuples in sorted(groups.items()):
                 if len(cols) == 1:
                     clauses.append(A.TermSet(
                         cols[0],
-                        tuple(sorted(str(t[0]) for t in tuples))))
+                        tuple(sorted(_term_value(cols[0], t[0])
+                                     for t in tuples))))
                 else:
                     clauses.extend(
-                        A.Bool(must=tuple(A.Term(c, str(v))
-                                          for c, v in zip(cols, t)))
-                        for t in sorted(tuples))
+                        A.Bool(must=tuple(
+                            A.Term(c, _term_value(c, v))
+                            for c, v in zip(cols, t)))
+                        for t in sorted(tuples, key=repr))
             query = (clauses[0] if len(clauses) == 1
                      else A.Bool(should=tuple(clauses),
                                  minimum_should_match=1))

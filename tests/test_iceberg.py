@@ -1775,3 +1775,201 @@ def test_sync_iceberg_refuses_retirement_on_mixed_source_index(
                           ["path"], timestamp_ms=3000)
     with pytest.raises(CheckpointConflict, match="non-iceberg"):
         sync_iceberg(spark, root, cfg)
+
+
+# ------------------------------------------------- review-pass regressions
+
+def test_data_file_names_hash_full_content(tmp_path):
+    """Two pre-lock writers at the same sequence with equal row count
+    and FIRST row but different remaining rows must land on distinct
+    paths — the second must not clobber the first (the delete/upsert
+    paths already content-hash for this race)."""
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["same-first", "b"]})
+    root = str(tmp_path / "t")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    from quickwit_spark.sources.iceberg import _write_data_file
+    t = iceberg.load_table(root)
+    f1 = _write_data_file(pdf, root, 1, {}, t.schema_fields)
+    pdf2 = pdf.copy()
+    pdf2.loc[1, "v"] = "DIFFERENT"
+    f2 = _write_data_file(pdf2, root, 1, {}, t.schema_fields)
+    assert f1["file_path"] != f2["file_path"]
+    assert sorted(pd.read_parquet(f1["file_path"])["v"]) == \
+        ["b", "same-first"]
+    assert "DIFFERENT" in set(pd.read_parquet(f2["file_path"])["v"])
+
+
+def test_upsert_in_batch_duplicate_key_last_wins(spark, tmp_path):
+    """Rows sharing a key WITHIN one upsert batch: only the last
+    version becomes live (CDC batch order), not two live rows."""
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["a", "x"]})
+    root = str(tmp_path / "t")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    up = pd.DataFrame({"k": [1, 1], "v": ["mid", "final"]})
+    iceberg.upsert_pandas(root, up, ["k"], timestamp_ms=2000)
+    rows = {(r.k, r.v) for r in
+            iceberg.load_table(root).read(spark).collect()}
+    assert rows == {(1, "final"), (2, "x")}
+
+
+def test_empty_append_writes_no_zero_row_file(spark, tmp_path):
+    """An append matching no rows on an UNPARTITIONED table must not
+    commit a zero-row data file — read() would later fail planned-file
+    reconciliation once any delete file exists."""
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    root = str(tmp_path / "t")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    iceberg.append_pandas(root, pdf.iloc[0:0], timestamp_ms=2000)
+    t = iceberg.load_table(root)
+    assert all(f["record_count"] > 0 for f in t.plan_files().files)
+    iceberg.delete_where(root, [("k", "=", 2)], timestamp_ms=3000)
+    got = sorted(r.k for r in
+                 iceberg.load_table(root).read(spark).collect())
+    assert got == [1, 3]
+
+
+def test_delete_where_skips_equality_dead_rows(spark, tmp_path):
+    """delete_where matching only rows an equality delete already
+    killed must be a no-op commit-wise — emitting position deletes for
+    dead rows later wedges a CDC sync on a perfectly consistent
+    table."""
+    pdf = pd.DataFrame({"k": [1, 2], "status": ["old", "keep"]})
+    root = str(tmp_path / "t")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    # upsert k=1: v1 (status old) eq-dead, v2 (status new) live
+    iceberg.upsert_pandas(root, pd.DataFrame({"k": [1],
+                                              "status": ["new"]}),
+                          ["k"], timestamp_ms=2000)
+    snaps_before = len(iceberg.load_table(root).meta["snapshots"])
+    t = iceberg.delete_where(root, [("status", "=", "old")],
+                             timestamp_ms=3000)
+    # only the dead v1 row matched: nothing to delete, no commit
+    assert len(t.meta["snapshots"]) == snaps_before
+    rows = {(r.k, r.status) for r in t.read(spark).collect()}
+    assert rows == {(1, "new"), (2, "keep")}
+
+
+def test_delete_where_eq_dead_then_sync_not_wedged(spark, tmp_path):
+    """The full wedge scenario from the review: upsert (eq delete) ->
+    delete_where matching only the dead old version -> sync. The sync
+    must neither refuse nor retire the live new version."""
+    from quickwit_spark.search import ast as A
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "old") for i in range(8)])
+    root = str(tmp_path / "src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "nowedge")
+    assert sync_iceberg(spark, root, cfg)["docs"] == 8
+    iceberg.upsert_pandas(
+        root, pd.DataFrame([_sync_row(3, "new")]), ["path"],
+        timestamp_ms=2000)
+    # matches ONLY the dead old version of f3 (content differs)
+    iceberg.delete_where(
+        root, [("content", "=", _sync_row(3, "old")["content"])],
+        timestamp_ms=3000)
+    r = sync_iceberg(spark, root, cfg)
+    assert r["status"] == "published"
+    s = IndexSearcher(cfg.index_dir)
+    assert s.search(A.Term("path", "src/f3.py"), k=5,
+                    fetch_fields=False).num_hits == 1
+    assert s.search(A.Term("content", f"new{_wnum(3)}"), k=5,
+                    fetch_fields=False).num_hits == 1
+
+
+def test_sync_probe_typed_keys_catch_duplicates(spark, tmp_path):
+    """Dtype-inference regression: a double key column whose delete
+    set keeps Float64 ({7.0, 8.5}) while the probe side would intify
+    ({7.0} -> 7) used to canonicalize differently, silently missing
+    the surviving duplicate. The typed join must refuse."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame({"k": [7.0, 7.0, 8.5],
+                        "v": ["a", "b", "c"],
+                        "content": ["w aa", "w bb", "w cc"]})
+    root = str(tmp_path / "src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = IndexConfig(index_uid="typed", key_cols=("k", "v"),
+                      index_dir=str(tmp_path / "typed"),
+                      tag_cols=(), sha_col=None)
+    assert sync_iceberg(spark, root, cfg, key_cols=["k"])["docs"] == 3
+    # position-delete one k=7.0 row AND the 8.5 row: the delete key
+    # set is {7.0, 8.5}; a surviving k=7.0 duplicate remains
+    iceberg.delete_where(root, [("v", "in", ["a", "c"])],
+                         timestamp_ms=2000)
+    with pytest.raises(ValueError, match="not unique"):
+        sync_iceberg(spark, root, cfg, key_cols=["k"])
+
+
+def test_ingest_then_sync_refused_when_deletes_were_skipped(
+        spark, tmp_path):
+    """ingest_iceberg consumes appends-only; once it has skipped
+    delete manifests (adel marker), switching to sync_iceberg must be
+    a loud refusal — those deletions are below the checkpoint and can
+    never be retired."""
+    from quickwit_spark.index.manifest import CheckpointConflict
+    from quickwit_spark.sources.iceberg_ingest import (ingest_iceberg,
+                                                       sync_iceberg)
+
+    pdf = pd.DataFrame([_sync_row(i, "old") for i in range(6)])
+    root = str(tmp_path / "src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "modeswitch")
+    assert ingest_iceberg(spark, root, cfg)["docs"] == 6
+    iceberg.upsert_pandas(
+        root, pd.DataFrame([_sync_row(2, "new")]), ["path"],
+        timestamp_ms=2000)
+    r = ingest_iceberg(spark, root, cfg)
+    assert r["source_deletes_ignored"] == 1
+    with pytest.raises(CheckpointConflict, match="appends-only"):
+        sync_iceberg(spark, root, cfg)
+
+
+def test_ingest_refuses_full_built_index(spark, tmp_path):
+    """Same guard sync has: ingest over an index with segments but no
+    iceberg checkpoint would silently double every document."""
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.index.manifest import CheckpointConflict
+    from quickwit_spark.sources.iceberg_ingest import ingest_iceberg
+
+    pdf = pd.DataFrame([_sync_row(i, "old") for i in range(6)])
+    root = str(tmp_path / "src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = _sync_cfg(tmp_path, "fullbuilt")
+    build_index_pandas(pdf, cfg, num_partitions=2)
+    with pytest.raises(CheckpointConflict, match="duplicate every"):
+        ingest_iceberg(spark, root, cfg)
+    # explicit opt-out for genuinely multi-source indexes
+    r = ingest_iceberg(spark, root, cfg, allow_existing_index=True)
+    assert r["status"] == "published"
+
+
+def test_sync_binary_key_requires_bytes_field_type(spark, tmp_path):
+    """Binary key columns either flow through the engine's base64
+    bytes coercion (field_types) or are refused loudly — str(bytes)
+    would silently retire nothing."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.sources.iceberg_ingest import sync_iceberg
+
+    pdf = pd.DataFrame({"bk": [b"\x01\x02", b"\x03\x04"],
+                        "content": ["w aa", "w bb"]})
+    root = str(tmp_path / "src")
+    iceberg.create_table(root, pa.Schema.from_pandas(pdf))
+    iceberg.append_pandas(root, pdf, timestamp_ms=1000)
+    cfg = IndexConfig(index_uid="bink", key_cols=("bk",),
+                      index_dir=str(tmp_path / "bink"),
+                      tag_cols=(), sha_col=None)
+    assert sync_iceberg(spark, root, cfg, key_cols=["bk"])["docs"] == 2
+    iceberg.delete_where(root, [("content", "=", "w aa")],
+                         timestamp_ms=2000)
+    with pytest.raises(ValueError, match="field_types"):
+        sync_iceberg(spark, root, cfg, key_cols=["bk"])

@@ -7,6 +7,7 @@ elasticsearch_api/rest_handler.rs — same paths, same JSON shapes):
 
   native search:
     GET/POST /api/v1/{index}/search          rest.native_search
+    GET/POST /api/v1/{index}/search-plan     engine.explain (no exec)
   index management (quickwit-serve/src/index_api/*, via mgmt_api):
     GET      /api/v1/indexes[?index_id_patterns=a*,b]
     POST     /api/v1/indexes[?overwrite=]    create (writable)
@@ -483,6 +484,16 @@ class SearchHttpServer:
             merged.update(self._json_body(raw))
             return 200, rest.native_search(self._searcher(sub[0]),
                                            merged)
+        # search plan without execution: /api/v1/{index}/search-plan
+        # (search_api/rest_handler.rs:312-330 — same params as search)
+        if (len(sub) == 2 and sub[1] == "search-plan"
+                and sub[0] not in RESERVED_INDEX_IDS
+                and method in ("GET", "POST")):
+            merged = dict(params)
+            merged.update(self._json_body(raw))
+            if "query" not in merged:
+                raise _ApiError(400, "search-plan needs a `query`")
+            return 200, self._searcher(sub[0]).explain(merged["query"])
         # native ingest: /api/v1/{index}/ingest  (NDJSON doc per line;
         # `commit` param accepted and ignored — publish is synchronous)
         if (len(sub) == 2 and sub[1] == "ingest"

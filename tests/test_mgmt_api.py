@@ -786,6 +786,26 @@ def test_gzip_bodies_and_node_endpoints(writable):
     assert st == 200 and "code" in c["indexes"]
 
 
+def test_search_plan_route(writable):
+    """GET/POST /{index}/search-plan (search_api/rest_handler.rs:
+    312-330): the plan without execution, pinned to engine.explain."""
+    from quickwit_spark.search.engine import IndexSearcher
+    srv, root = writable
+    _call(f"{srv.url}/api/v1/indexes", "POST", _config_doc())
+    _call(f"{srv.url}/api/v1/code/ingest", "POST", ndjson=_docs(6))
+    st, plan = _call(f"{srv.url}/api/v1/code/search-plan"
+                     "?query=foo+AND+bar")
+    assert st == 200
+    assert plan["segments_total"] == 1
+    direct = IndexSearcher(f"{root}/code").explain("foo AND bar")
+    assert plan == json.loads(json.dumps(direct))  # tuples -> lists
+    st, plan2 = _call(f"{srv.url}/api/v1/code/search-plan", "POST",
+                      {"query": "stars:[100 TO *]"})
+    assert st == 200 and "query_ast" in plan2
+    st, _ = _call(f"{srv.url}/api/v1/code/search-plan", "POST", {})
+    assert st == 400
+
+
 def test_prometheus_metrics(writable):
     """GET /metrics (metrics_api.rs): the reference's serve metrics in
     Prometheus text format — request counters by method/status, a

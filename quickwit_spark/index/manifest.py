@@ -238,6 +238,19 @@ class Manifest:
                 if sid not in self.data["segments"]:
                     raise KeyError(f"unknown segment {sid}")
             for seg in staged_segments:
+                cur = self.data["segments"].get(seg["segment_id"])
+                if cur is not None \
+                        and cur["state"] == SEGMENT_STATE_DEAD:
+                    # a stale retry (e.g. a merge planned from a
+                    # pre-compaction snapshot) re-publishing a since-
+                    # RETIRED segment would resurrect it next to its
+                    # replacement and serve every doc twice
+                    raise CheckpointConflict(
+                        f"segment {seg['segment_id']} was retired; "
+                        "re-publishing it would resurrect replaced "
+                        "documents — the publisher is working from a "
+                        "stale plan")
+            for seg in staged_segments:
                 seg = dict(seg)
                 seg["state"] = SEGMENT_STATE_PUBLISHED
                 # split create_timestamp analog (split_metadata.rs:75):
@@ -328,6 +341,22 @@ class Manifest:
                     else:
                         hit = str(self.data["checkpoints"][key]
                                   ).startswith(BUILDER_POS_PREFIX)
+                elif source_id == "stream":
+                    # the stream owns its namespaced keys AND legacy
+                    # bare-int keys whose position carries the stream
+                    # prefix — otherwise those are unresettable short
+                    # of the nuclear '_all' and keep rejecting every
+                    # future batch-0 as a collision
+                    if key.startswith("stream-"):
+                        hit = True
+                    else:
+                        try:
+                            int(key)
+                        except ValueError:
+                            hit = False
+                        else:
+                            hit = str(self.data["checkpoints"][key]
+                                      ).startswith(STREAM_POS_PREFIX)
                 else:
                     hit = (key == source_id
                            or key.startswith(source_id + "-")

@@ -85,7 +85,12 @@ def ingest_batch(df, config: IndexConfig, batch_id: int,
               if (stored := manifest.checkpoint(p)) is not None
               and stored.startswith(STREAM_POS_PREFIX)}
     if legacy:
-        if all(_matches(legacy.get(int(k.split("-", 1)[1]), to), to)
+        # EVERY delta partition must match a stored legacy position: a
+        # partition absent from `legacy` (stream restarted with MORE
+        # partitions, or routing changed) is a collision over different
+        # data, and defaulting it to "matches" would silently drop the
+        # whole batch — _matches(None, to) is False by construction
+        if all(_matches(legacy.get(int(k.split("-", 1)[1])), to)
                for k, (_f, to) in delta.items()):
             # upgrade pre-ids legacy positions IN PLACE (same rationale
             # as the namespaced branch below): otherwise a later
@@ -156,10 +161,23 @@ def start_ingest_stream(spark, input_path: str, config: IndexConfig,
         # streaming file sources usually point at DIRECTORIES, so an
         # endswith('.json') check alone misreads a directory of
         # newline-JSON files as parquet and every micro-batch fails on
-        # the footer magic; sniff the directory contents instead
-        fmt = "json" if input_path.endswith(".json") else None
-        if fmt is None and os.path.isdir(input_path):
-            for name in os.listdir(input_path):
+        # the footer magic; sniff the directory contents instead.
+        # os.listdir only works on LOCAL paths — a remote URI
+        # (s3://..., hdfs://...) cannot be sniffed from the driver, so
+        # require an explicit fmt there instead of silently defaulting
+        # a .jsonl directory to parquet
+        import re as _re
+        if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", input_path) \
+                and not input_path.startswith("file://"):
+            raise ValueError(
+                f"cannot sniff the input format of remote path "
+                f"{input_path!r} from the driver; pass "
+                "fmt='json' or fmt='parquet' explicitly")
+        local = input_path[len("file://"):] \
+            if input_path.startswith("file://") else input_path
+        fmt = "json" if local.endswith(".json") else None
+        if fmt is None and os.path.isdir(local):
+            for name in os.listdir(local):
                 if name.endswith(".json") or name.endswith(".jsonl"):
                     fmt = "json"
                     break

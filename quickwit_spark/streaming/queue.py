@@ -121,9 +121,17 @@ class LocalDirQueue:
                     if not isinstance(mid, str):
                         continue
                     canon = self._path(mid)
-                    if (os.path.abspath(canon) != os.path.abspath(path)
-                            and not os.path.exists(canon)):
+                    if os.path.abspath(canon) == os.path.abspath(path):
+                        continue
+                    if not os.path.exists(canon):
                         os.replace(path, canon)
+                    else:
+                        # canonical twin exists for the SAME id (quote
+                        # is injective, so same canon => same id): the
+                        # legacy-named copy is unreachable by ack()
+                        # forever — delete it or it redelivers on
+                        # every visibility cycle for eternity
+                        os.unlink(path)
 
     @contextmanager
     def _lock(self):
@@ -157,11 +165,20 @@ class LocalDirQueue:
 
     def send(self, payload: str, message_id: str | None = None) -> str:
         mid = message_id or uuid.uuid4().hex
-        tmp = self._path(mid) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"message_id": mid, "payload": payload,
-                       "invisible_until": 0.0}, f)
-        os.replace(tmp, self._path(mid))  # atomic enqueue
+        path = self._path(mid)
+        if message_id is not None and os.path.exists(path):
+            # SQS dedup semantics: a duplicate send in the dedup window
+            # is a NO-OP on the existing message. Overwriting would
+            # wipe a live delivery's ack_id (its ack then fails) and
+            # reset invisible_until to 0 (immediate double delivery).
+            return mid
+        # unique tmp (mkstemp), not a predictable <canon>.json.tmp:
+        # concurrent sends sharing one tmp path can interleave their
+        # writes and os.replace torn JSON into place — permanently
+        # undeliverable; a crash also leaked the predictable tmp file
+        self._atomic_rewrite(path, {"message_id": mid,
+                                    "payload": payload,
+                                    "invisible_until": 0.0})
         return mid
 
     def receive(self, max_messages: int = 10) -> list[QueueMessage]:
@@ -483,12 +500,16 @@ def ingest_queue_batch(messages: list[QueueMessage], config: IndexConfig,
             # (acking them here would lose their docs forever)
             published = 0
     if queue is not None:
-        # ack ONLY messages whose checkpoint is durably committed
-        # (re-read: publish refreshes in-memory state, and on conflict
-        # another consumer's commits are what we must check against)
-        committed = Manifest.load(config.index_dir)
+        # ack ONLY messages whose checkpoint is durably committed.
+        # `manifest` is already fresh: publish's _locked_fresh re-read
+        # the on-disk state (including a concurrent consumer's
+        # commits) before succeeding OR raising, so a second full
+        # manifest load+parse per batch bought nothing; a stale view
+        # on the no-publish path only under-acks, which is the safe
+        # direction (redelivery, deduped by checkpoint)
         for m in messages:
-            if committed.checkpoint(_message_key(m.message_id)) is not None:
+            if manifest.checkpoint(_message_key(m.message_id)) \
+                    is not None:
                 queue.ack(m)
     return published
 

@@ -680,3 +680,120 @@ def test_http_transport_sigv4_loopback(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# ------------------------------------------------- review-pass regressions
+
+def test_send_duplicate_id_is_noop_on_inflight(tmp_path):
+    """SQS dedup semantics: a duplicate send must not clobber the live
+    message — the old behavior wiped the in-flight ack_id (its ack
+    then failed) and reset visibility to 0 (instant double delivery)."""
+    from quickwit_spark.streaming.queue import LocalDirQueue
+    clock = [100.0]
+    q = LocalDirQueue(str(tmp_path / "q"), visibility_sec=30,
+                      now_fn=lambda: clock[0])
+    q.send("payload-1", message_id="dedup-1")
+    (m,) = q.receive()
+    # duplicate send while in flight: no-op
+    q.send("payload-2", message_id="dedup-1")
+    assert q.receive() == []          # still invisible
+    assert q.ack(m) is True           # original receipt still valid
+    clock[0] += 100
+    assert q.receive() == []          # really gone — not resurrected
+
+
+def test_legacy_twin_file_is_removed_on_migration(tmp_path):
+    """A legacy-named file whose canonical twin exists (same id) is
+    unreachable by ack() forever — migration must delete it, not
+    leave an infinite-redelivery ghost."""
+    import json as _json
+    import os as _os
+    from quickwit_spark.streaming.queue import LocalDirQueue
+    root = str(tmp_path / "q")
+    _os.makedirs(root)
+    # pre-create BOTH names for one id (legacy raw + canonical quoted)
+    legacy = _os.path.join(root, "a:x.json")
+    with open(legacy, "w") as f:
+        _json.dump({"message_id": "a:x", "payload": "old",
+                    "invisible_until": 0.0}, f)
+    canon = _os.path.join(root, "a%3Ax.json")
+    with open(canon, "w") as f:
+        _json.dump({"message_id": "a:x", "payload": "new",
+                    "invisible_until": 0.0}, f)
+    q = LocalDirQueue(root, visibility_sec=30, now_fn=lambda: 0.0)
+    msgs = q.receive()
+    assert [m.message_id for m in msgs] == ["a:x"]   # ONE message
+    assert not _os.path.exists(legacy)
+    assert q.ack(msgs[0]) is True
+
+
+def test_reset_checkpoints_stream_owns_legacy_int_keys(tmp_path):
+    """reset_checkpoints('stream') must clear legacy bare-int keys
+    with stream positions (the module's own ownership contract) —
+    previously only the nuclear '_all' could."""
+    from quickwit_spark.index.manifest import Manifest
+    d = str(tmp_path / "ix")
+    m = Manifest.create(d, "ix", {"text_col": "content"})
+    m.publish([], checkpoint_delta={
+        "0": (None, "batch=0;docs=6"),          # legacy stream
+        "1": (None, "docs=10"),                 # builder-owned
+        "stream-2": (None, "batch=1;docs=3"),   # namespaced stream
+        "bulk-x": (None, "done")})
+    removed = m.reset_checkpoints("stream")
+    assert sorted(removed) == ["0", "stream-2"]
+    left = Manifest.load(d).data["checkpoints"]
+    assert set(left) == {"1", "bulk-x"}
+
+
+def test_publish_refuses_resurrecting_dead_segment(tmp_path):
+    """A stale retry re-publishing a since-retired segment id would
+    serve every replaced doc twice; publish must refuse."""
+    import pytest as _pytest
+    from quickwit_spark.index.manifest import (CheckpointConflict,
+                                               Manifest)
+    d = str(tmp_path / "ix")
+    m = Manifest.create(d, "ix", {"text_col": "content"})
+    m.publish([{"segment_id": "seg-a", "num_docs": 3}])
+    m.publish([{"segment_id": "seg-m1", "num_docs": 3}],
+              replaced_segment_ids=["seg-a"])
+    with _pytest.raises(CheckpointConflict, match="resurrect"):
+        m.publish([{"segment_id": "seg-a", "num_docs": 3}])
+    # replaying a PUBLISHED id stays allowed (idempotent overwrite)
+    m.publish([{"segment_id": "seg-m1", "num_docs": 3}])
+
+
+def test_stream_remote_uri_requires_explicit_fmt(spark, tmp_path):
+    """Format sniffing is driver-local; a remote URI must demand an
+    explicit fmt instead of silently defaulting to parquet."""
+    import pytest as _pytest
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.streaming.incremental import start_ingest_stream
+    cfg = IndexConfig(index_uid="x", index_dir=str(tmp_path / "x"))
+    with _pytest.raises(ValueError, match="fmt="):
+        start_ingest_stream(spark, "s3://bucket/events/", cfg,
+                            "repo string", str(tmp_path / "ckpt"))
+
+
+def test_legacy_batch_with_extra_partitions_raises(spark, tmp_path):
+    """Legacy replay check: delta partitions ABSENT from the stored
+    legacy keys must fail the replay match (previously they defaulted
+    to matching, silently dropping the whole batch's new docs)."""
+    import pandas as pd
+    import pytest as _pytest
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.manifest import (CheckpointConflict,
+                                               Manifest)
+    from quickwit_spark.streaming.incremental import ingest_batch
+    cfg = IndexConfig(index_uid="leg", sha_col=None, tag_cols=(),
+                      index_dir=str(tmp_path / "leg"))
+    m = Manifest.create(cfg.index_dir, "leg", cfg.manifest_config())
+    # legacy run: bare-int keys for partitions 0..1 of batch 0
+    m.publish([], checkpoint_delta={
+        0: (None, "batch=0;docs=3"), 1: (None, "batch=0;docs=3")})
+    pdf = pd.DataFrame([{"repo": "r", "path": f"p{i}", "commit": "c",
+                         "content": f"w{i} body"} for i in range(12)])
+    df = spark.createDataFrame(pdf)
+    with _pytest.raises(CheckpointConflict, match="collides"):
+        ingest_batch(df, cfg, batch_id=0, partitions_per_batch=4)
+    # no new docs were silently committed
+    assert Manifest.load(cfg.index_dir).segments() == []

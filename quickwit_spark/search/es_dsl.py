@@ -9,6 +9,7 @@ regexp, wildcard — all converted onto the same AST the native path uses
 
 from __future__ import annotations
 
+import re as _re
 from typing import Any
 
 from . import ast as A
@@ -38,7 +39,28 @@ def _maybe_boost(node: A.Node, boost) -> A.Node:
     return A.Boost(node, boost) if boost is not None else node
 
 
+# ONE parquet-type -> ES-type map shared by _field_caps and _mapping:
+# the two endpoints must never disagree about a field's ES type (a
+# per-function copy had already drifted — one gained "binary")
+_ES_TYPES = {"string": "keyword", "large_string": "keyword",
+             "int32": "integer", "int64": "long", "float": "float",
+             "double": "double", "bool": "boolean",
+             "binary": "binary"}
+
+
 def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
+    """Convert one ES query object to the AST. Malformed-but-plausible
+    shapes ({"range": {"ts": 5}}, {"bool": {"must": 5}}, ...) raise
+    ValueError — the error type the HTTP layer maps to a 400 — never a
+    bare AttributeError/TypeError that would kill the connection."""
+    try:
+        return _es_to_ast(body, default_field)
+    except (AttributeError, TypeError) as e:
+        raise ValueError(f"malformed ES query body: {e}") from e
+
+
+def _es_to_ast(body: dict[str, Any], default_field: str = "content"
+               ) -> A.Node:
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError("ES query object must have exactly one key")
     kind, spec = next(iter(body.items()))
@@ -98,7 +120,16 @@ def es_to_ast(body: dict[str, Any], default_field: str = "content") -> A.Node:
         words = text.split()
         if not words:
             return _maybe_boost(A.MatchNone(), boost)
-        prefix: A.Node = A.Wildcard(field, words[-1].lower() + "*")
+        # the prefix comes from the ANALYZED last token (ES runs the
+        # analyzer first): raw text would leave trailing punctuation
+        # in the pattern ("brown," never matches the token "brown")
+        # and let user text inject `*`/`?` wildcard operators
+        toks = _re.findall(r"[^\W_]+", words[-1])
+        if not toks:
+            return _maybe_boost(
+                A.FullText(field, " ".join(words[:-1]), operator=op)
+                if len(words) > 1 else A.MatchNone(), boost)
+        prefix: A.Node = A.Wildcard(field, toks[-1].lower() + "*")
         if len(words) == 1:
             return _maybe_boost(prefix, boost)
         rest = A.FullText(field, " ".join(words[:-1]), operator=op)
@@ -271,6 +302,11 @@ def _es_terms_default_size(spec: dict) -> dict:
         nb = dict(body)
         if isinstance(nb.get("terms"), dict) and "size" not in nb["terms"]:
             nb["terms"] = {**nb["terms"], "size": 10}
+        # ES accepts `aggregations` as a full alias of `aggs` at any
+        # nesting level; normalize here so the native aggregate() only
+        # ever sees `aggs`
+        if "aggregations" in nb and "aggs" not in nb:
+            nb["aggs"] = nb.pop("aggregations")
         if isinstance(nb.get("aggs"), dict):
             nb["aggs"] = _es_terms_default_size(nb["aggs"])
         out[name] = nb
@@ -425,10 +461,13 @@ def es_search(searcher, body: dict, default_field: str | None = None,
             "hits": out_hits,
         },
     }
-    if body.get("aggs"):
+    aggs_spec = body.get("aggs") or body.get("aggregations")
+    if aggs_spec:
+        # ES accepts `aggregations` as a full alias of `aggs` (the
+        # reference's facade does too, via a serde alias)
         from .aggregations import aggregate
         out = aggregate(searcher, node,
-                        _es_terms_default_size(body["aggs"]))
+                        _es_terms_default_size(aggs_spec))
 
         def _records(df):
             pdf = df.toPandas() if hasattr(df, "toPandas") else df
@@ -520,9 +559,6 @@ def es_field_caps(searcher) -> dict:
     """ES `_field_caps` response shape over list_fields (the reference
     maps its ListFields service the same way,
     rest_handler.rs es_compat_index_field_capabilities)."""
-    _ES_TYPES = {"string": "keyword", "large_string": "keyword",
-                 "int32": "integer", "int64": "long", "float": "float",
-                 "double": "double", "bool": "boolean"}
     fields: dict = {}
     for f in searcher.list_fields():
         caps = {}
@@ -607,10 +643,6 @@ def es_get_mapping(searcher) -> dict:
     indexed text field is `text` (with its analyzer named), ip/bytes
     fast fields report `ip`/`binary`, everything else maps parquet
     type -> ES scalar type."""
-    _ES_TYPES = {"string": "keyword", "large_string": "keyword",
-                 "int32": "integer", "int64": "long", "float": "float",
-                 "double": "double", "bool": "boolean",
-                 "binary": "binary"}
     ftypes: dict[str, str] = {}
     for seg in searcher.manifest.segments():
         ftypes.update(seg.get("field_types", {}))
@@ -687,10 +719,13 @@ def es_bulk(config, lines: list[dict]) -> dict:
     if len(lines) % 2 != 0:
         raise ValueError("_bulk expects alternating action/doc lines")
     docs = []
+    kinds = []
     for i in range(0, len(lines), 2):
         action = lines[i]
-        if not ({"index", "create"} & set(action)):
+        kind = ({"index", "create"} & set(action))
+        if not kind:
             raise ValueError(f"unsupported bulk action: {list(action)}")
+        kinds.append("create" if "create" in action else "index")
         docs.append(lines[i + 1])
     pdf = pd.DataFrame(docs)
     payload_sha = hashlib.sha256(repr(lines).encode()).digest()
@@ -718,8 +753,12 @@ def es_bulk(config, lines: list[dict]) -> dict:
         result = "created"
     except CheckpointConflict:
         result = "noop"  # identical payload already published
-    items = [{"index": {"_index": config.index_uid, "status": 201,
-                        "result": result}} for _ in docs]
+    # each item is keyed by ITS action (clients read
+    # resp["items"][i]["create"] for create lines); a replayed batch
+    # reports 200/noop, not a fabricated 201-created
+    status = 201 if result == "created" else 200
+    items = [{k: {"_index": config.index_uid, "status": status,
+                  "result": result}} for k in kinds]
     return {"took": int((_time.perf_counter() - t0) * 1000),
             "errors": errors, "items": items}
 

@@ -45,9 +45,39 @@ def _parse_sort_by(spec: str) -> tuple:
         elif part.startswith("+"):
             out.append((part[1:], "asc"))
         else:
-            out.append((part, "asc"))
+            # bare _score means best-first everywhere (the ES facade
+            # and every ES client's expectation); plain fields
+            # default ascending
+            out.append((part, "desc" if part == "_score" else "asc"))
     if not 1 <= len(out) <= 2:
         raise ValueError("sort_by supports 1 or 2 fields")
+    return tuple(out)
+
+
+def _parse_search_after(v):
+    """A POST body cursor arrives as a list; a GET query-string cursor
+    as a string. tuple() on a string exploded it into characters,
+    making GET pagination unusable. Accept a JSON array or the
+    comma-separated echo of a previous response's cursor, coercing
+    numeric elements."""
+    if v is None or v == "":
+        return None
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
+    s = str(v).strip()
+    if s.startswith("["):
+        import json as _json
+        return tuple(_json.loads(s))
+    out = []
+    for part in s.split(","):
+        part = part.strip()
+        try:
+            out.append(int(part))
+        except ValueError:
+            try:
+                out.append(float(part))
+            except ValueError:
+                out.append(part)
     return tuple(out)
 
 
@@ -57,24 +87,23 @@ def native_search(searcher, params: dict[str, Any]) -> dict:
     max_hits = int(params.get("max_hits", 20))
     start_offset = int(params.get("start_offset", 0))
     sort_spec = params.get("sort_by")
-    snippet_fields = [f for f in str(
-        params.get("snippet_fields", "")).split(",") if f]
+    snippet_fields = [f.strip() for f in str(
+        params.get("snippet_fields", "")).split(",") if f.strip()]
     count_all = _parse_bool(params.get("count_all"), True)
-    search_after = params.get("search_after")
+    search_after = _parse_search_after(params.get("search_after"))
 
     node = searcher.parse(query)
     if sort_spec:
         sort_by = _parse_sort_by(sort_spec)
         res = searcher.sort_search(
             node, k=start_offset + max_hits, sort_by=sort_by,
-            search_after=(tuple(search_after) if search_after else None),
-            count_all=count_all)
+            search_after=search_after, count_all=count_all)
         hits = res.hits[start_offset:start_offset + max_hits]
         next_cursor = res.last_sort_key
     else:
         res = searcher.search(
             node, k=max_hits, offset=start_offset, count_all=count_all,
-            search_after=(tuple(search_after) if search_after else None))
+            search_after=search_after)
         hits = res.hits
         next_cursor = res.next_cursor
     terms = extract_query_terms(node) if snippet_fields else []

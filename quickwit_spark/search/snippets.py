@@ -38,15 +38,26 @@ def extract_query_terms(node) -> list[str]:
     return [t for t in terms if t]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _term_pattern(terms: tuple) -> "re.Pattern":
+    """Compiled per distinct term set, cached: a _search with size=N
+    and M highlight fields otherwise recompiles the identical
+    alternation N*M times per request."""
+    return re.compile("|".join(
+        re.escape(t) for t in sorted(terms, key=len, reverse=True)),
+        re.IGNORECASE)
+
+
 def make_snippet(content: str, terms: list[str],
                  max_fragment: int = MAX_FRAGMENT) -> str:
     """One highlighted fragment of <= max_fragment chars centered on the
     first term match; empty string when nothing matches."""
     if not content or not terms:
         return ""
-    pat = re.compile("|".join(
-        re.escape(t) for t in sorted(set(terms), key=len, reverse=True)),
-        re.IGNORECASE)
+    pat = _term_pattern(tuple(sorted(set(terms))))
     m = pat.search(content)
     if not m:
         return ""

@@ -419,3 +419,114 @@ def test_es_terms_agg_default_size_injected():
     assert out["a"]["terms"]["size"] == 10          # ES default injected
     assert out["a"]["aggs"]["b"]["terms"]["size"] == 3  # explicit kept
     assert "size" not in spec["a"]["terms"]         # input not mutated
+
+
+# ------------------------------------------------- review-pass regressions
+
+import pytest as _pt
+
+
+@_pt.fixture(scope="module")
+def rev_searcher(spark, tmp_path_factory):
+    import pandas as pd
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.index.builder import build_index_pandas
+    from quickwit_spark.search.engine import IndexSearcher
+    tmp = tmp_path_factory.mktemp("esrev")
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 6, "path": [f"f{i}" for i in range(6)],
+        "commit": ["c"] * 6,
+        "lang": ["go", "go", "rust", "rust", "py", "py"],
+        "content": ["merge sort", "merge base", "merge fast",
+                    "delta one", "delta two", "gamma three"],
+        "n_chars": [10, 11, 12, 8, 9, 11],
+    })
+    cfg = IndexConfig(index_uid="esrev", index_dir=str(tmp / "i"),
+                      sha_col=None, store_cols=("n_chars",),
+                      tokenizer="default")
+    build_index_pandas(pdf, cfg, num_partitions=1)
+    return IndexSearcher(cfg.index_dir, spark=spark)
+
+
+def test_aggregations_alias_accepted(rev_searcher):
+    """The standard ES `aggregations` key is a full alias of `aggs` at
+    every nesting level — ignoring it silently returned zero facets."""
+    from quickwit_spark.search import es_dsl
+    body = {"query": {"match_all": {}}, "size": 0,
+            "aggregations": {"langs": {"terms": {"field": "lang"}}}}
+    r = es_dsl.es_search(rev_searcher, body)
+    # the facade returns flat records per agg (documented divergence);
+    # the point here is the alias must not be silently IGNORED
+    assert "aggregations" in r
+    rows = r["aggregations"]   # single-spec: flat records directly,
+    # bucket values keyed by the AGG NAME
+    assert {b["langs"] for b in rows} == {"go", "rust", "py"}
+    alias_nested = {"query": {"match_all": {}}, "size": 0,
+                    "aggs": {"langs": {
+                        "terms": {"field": "lang"},
+                        "aggregations": {"chars": {
+                            "avg": {"field": "n_chars"}}}}}}
+    r2 = es_dsl.es_search(rev_searcher, alias_nested)
+    rows2 = r2["aggregations"]
+    assert rows2 and any("chars" in k for k in rows2[0])
+
+
+def test_malformed_bodies_raise_value_error(rev_searcher):
+    """Malformed-but-plausible shapes must raise ValueError (-> HTTP
+    400), never AttributeError/TypeError that kills the connection."""
+    from quickwit_spark.search import es_dsl
+    for bad in ({"range": {"n_chars": 5}},
+                {"terms": {"lang": 5}},
+                {"bool": {"must": 5}},
+                {"match": 7}):
+        with _pt.raises(ValueError):
+            es_dsl.es_search(rev_searcher, {"query": bad})
+
+
+def test_match_bool_prefix_analyzed_last_token(rev_searcher):
+    """Trailing punctuation must not poison the prefix pattern, and
+    `?` in user text must not become a match-any-char wildcard."""
+    from quickwit_spark.search import es_dsl
+
+    def n(q):
+        return es_dsl.es_search(rev_searcher, {"query": {
+            "match_bool_prefix": {"content": q}},
+            "size": 6})["hits"]["total"]["value"]
+    base = n("mer")
+    assert base == 3
+    assert n("mer,") == base
+    assert n("mer?") == base
+
+
+def test_bulk_items_keyed_by_action(tmp_path):
+    """Items mirror their action ('create' lines -> items[i]['create'])
+    and a replayed batch reports 200/noop, not a fabricated 201."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.search import es_dsl
+    cfg = IndexConfig(index_uid="bk", index_dir=str(tmp_path / "bk"),
+                      sha_col=None, tag_cols=())
+    lines = [{"index": {}},
+             {"repo": "r", "path": "a", "commit": "c",
+              "content": "w one"},
+             {"create": {}},
+             {"repo": "r", "path": "b", "commit": "c",
+              "content": "w two"}]
+    r1 = es_dsl.es_bulk(cfg, lines)
+    assert "index" in r1["items"][0] and "create" in r1["items"][1]
+    assert r1["items"][0]["index"]["status"] == 201
+    assert r1["items"][1]["create"]["result"] == "created"
+    r2 = es_dsl.es_bulk(cfg, lines)  # exact replay
+    assert r2["items"][0]["index"]["status"] == 200
+    assert r2["items"][1]["create"]["result"] == "noop"
+
+
+def test_field_caps_and_mapping_types_agree(rev_searcher):
+    """One shared type map: the two endpoints must report the same ES
+    type for every shared field."""
+    from quickwit_spark.search import es_dsl
+    caps = es_dsl.es_field_caps(rev_searcher)["fields"]
+    props = es_dsl.es_get_mapping(rev_searcher)
+    props = props[next(iter(props))]["mappings"]["properties"]
+    for fld, types in caps.items():
+        if fld in props and "type" in props[fld]:
+            assert props[fld]["type"] in types, fld

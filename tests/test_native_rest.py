@@ -75,3 +75,55 @@ def test_native_search_pruned_count(idx):
     assert [h["doc_id"] for h in exact["hits"]] == \
         [h["doc_id"] for h in pruned["hits"]]
     assert pruned["num_hits"] <= exact["num_hits"]
+
+
+# ------------------------------------------------- review-pass regressions
+
+def test_sort_by_bare_score_is_desc(idx):
+    """sort_by=_score must return best-first like the ES facade and
+    every client's expectation — not ascending worst-first."""
+    s = IndexSearcher(idx.index_dir)
+    r = native_search(s, {"query": "content:merge",
+                          "sort_by": "_score", "max_hits": 5})
+    plain = native_search(s, {"query": "content:merge", "max_hits": 5})
+    assert [h["doc_id"] for h in r["hits"]] == \
+        [h["doc_id"] for h in plain["hits"]]
+    # explicit +_score still means ascending
+    asc = native_search(s, {"query": "content:merge",
+                            "sort_by": "+_score", "max_hits": 5})
+    assert asc["hits"][0]["score"] <= asc["hits"][-1]["score"]
+
+
+def test_get_style_search_after_cursor_roundtrip(idx):
+    """A GET query-string cursor is a STRING; tuple() used to explode
+    it into characters. The comma form a client echoes back must
+    paginate correctly."""
+    s = IndexSearcher(idx.index_dir)
+    p1 = native_search(s, {"query": "content:merge",
+                           "sort_by": "-nchars", "max_hits": 5})
+    cursor = p1["search_after"]
+    assert cursor is not None
+    # body-style list cursor
+    p2 = native_search(s, {"query": "content:merge",
+                           "sort_by": "-nchars", "max_hits": 5,
+                           "search_after": cursor})
+    # GET-style comma string of the same cursor
+    p2_get = native_search(s, {"query": "content:merge",
+                               "sort_by": "-nchars", "max_hits": 5,
+                               "search_after":
+                                   ",".join(str(v) for v in cursor)})
+    assert [h["doc_id"] for h in p2_get["hits"]] == \
+        [h["doc_id"] for h in p2["hits"]]
+    # doc ids are per-segment ordinals: page disjointness is on the
+    # (split_id, doc_id) identity
+    assert not ({(h["split_id"], h["doc_id"]) for h in p1["hits"]}
+                & {(h["split_id"], h["doc_id"])
+                   for h in p2_get["hits"]})
+
+
+def test_snippet_fields_comma_space(idx):
+    """'a, b' (comma-space) must snippet BOTH fields."""
+    s = IndexSearcher(idx.index_dir)
+    r = native_search(s, {"query": "content:merge", "max_hits": 3,
+                          "snippet_fields": " content , content "})
+    assert all("content" in h.get("snippet", {}) for h in r["hits"])

@@ -65,6 +65,25 @@ class IndexConfig:
     # find_field_or_hit_dynamic resolution). Strict mode (None) stays
     # the default for the fixed code corpus.
     dynamic_col: str | None = None
+    # analyzer applied to string leaves of the dynamic column. "raw"
+    # (the reference's QuickwitJsonOptions default,
+    # field_mapping_entry.rs:405-411/620-629) keeps the legacy exact
+    # `path\0value` terms; any other analyzer tokenizes leaves and
+    # emits one `path\0token` term per occurrence — with real positions
+    # when record="position" — which is what `dynamic_mapping:
+    # {tokenizer: default, record: position}` configs mean (the
+    # gharchive mapping of the reference's own rest-api-tests).
+    dynamic_tokenizer: str = "raw"
+    # mapped fields routed through the dynamic namespace instead of a
+    # doc column: secondary text fields, `json` fields and object
+    # sub-fields from a reference doc mapping. {dotted.path: {
+    # "tokenizer": str}} — tokenizer "raw" means exact terms.
+    # The engine resolves queries on these paths with the FIELD's
+    # analyzer rather than the catch-all dynamic_tokenizer.
+    dyn_text_fields: dict = field(default_factory=dict)
+    # doc-store column holding each doc's original JSON (served as ES
+    # `_source`; the reference stores the full doc in the doc store)
+    source_col: str | None = None
     # typed fast fields (field_mapping_type.rs:42-44): maps a tag/store
     # column name to "ip" (text IPs normalized to the sortable 32-hex
     # IPv6-u128 form; v4 mapped per RFC 4291) or "bytes" (base64 text
@@ -84,7 +103,7 @@ class IndexConfig:
             raise ValueError(
                 f"typed fast fields cannot be tag_cols: {sorted(bad)}")
         for col, t in self.field_types.items():
-            if t not in ("ip", "bytes"):
+            if t not in ("ip", "bytes", "datetime"):
                 raise ValueError(f"unknown field type {t!r} for {col!r}")
 
     def doc_sort_cols(self) -> list[str]:

@@ -289,24 +289,131 @@ def _flatten_json(prefix: str, obj, out: list[str]) -> None:
             out.append(dynamic_num_key(prefix, obj))
 
 
-def extract_dynamic_terms(values: list) -> tuple[np.ndarray, np.ndarray]:
-    """Flatten each row's JSON object (string or dict) into exact
-    `\\x01path\\x00value` terms (doc_mapping.rs dynamic mode: every
-    unmapped leaf path becomes a typed exact term under the catch-all
-    field). Lists index each element under the same path; nested objects
-    use dotted paths. Returns (doc_ordinals, term_strings)."""
+def _flatten_json_leaves(prefix: str, obj,
+                         out: list[tuple[str, object]]) -> None:
+    """(path, leaf) pairs in document order (lists keep their path)."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _flatten_json_leaves(f"{prefix}.{k}" if prefix else str(k),
+                                 v, out)
+    elif isinstance(obj, (list, tuple)):
+        for v in obj:
+            _flatten_json_leaves(prefix, v, out)
+    elif obj is not None:
+        out.append((prefix, obj))
+
+
+def resolve_dyn_analyzer(path: str, default_tokenizer: str,
+                         field_tokenizers: dict | None) -> str:
+    """Analyzer for a dynamic-namespace path: the longest mapped root
+    owning the path wins (a `json` field's options cover its subtree,
+    field_mapping_entry.rs QuickwitJsonOptions), else the catch-all
+    dynamic tokenizer."""
+    if field_tokenizers:
+        best_root, best_opt = None, None
+        for root, opt in field_tokenizers.items():
+            if path == root or path.startswith(root + "."):
+                if best_root is None or len(root) > len(best_root):
+                    best_root, best_opt = root, opt
+        if best_opt is not None:
+            tok = best_opt.get("tokenizer") if isinstance(best_opt,
+                                                          dict) \
+                else best_opt
+            return tok or "raw"
+    return default_tokenizer
+
+
+def extract_dynamic_terms(values: list, tokenizer: str = "raw",
+                          field_tokenizers: dict | None = None,
+                          want_positions: bool = False
+                          ) -> tuple[np.ndarray, np.ndarray,
+                                     np.ndarray | None]:
+    """Flatten each row's JSON object (string or dict) into dynamic-
+    namespace terms (doc_mapping.rs dynamic mode).
+
+    Non-string leaves (and string leaves whose resolved analyzer is
+    ``raw``) become exact `\\x01path\\x00value` terms; numbers get an
+    extra sortable `\\x02` term so Range works on unmapped numeric
+    paths.  String leaves under a NON-raw analyzer are tokenized (one
+    `\\x01path\\x00token` term per occurrence) with real positions —
+    consecutive values at the same path keep one running position
+    counter with a +1 gap, so phrases can never falsely match across
+    array elements (tantivy's position-increment-gap behavior).
+
+    Tokenization is batched per analyzer through tokenize_batch (the
+    vectorized path); the per-leaf walk itself is inherent to nested
+    JSON, exactly like the reference's per-doc JSON field indexing.
+
+    Returns (doc_ordinals, term_strings, positions|None).
+    """
+    from ..functions.tokenizers import tokenize_batch
+
     docs: list[int] = []
     terms: list[str] = []
+    poss: list[int] = []
+    # tokenize jobs per analyzer: (doc_i, path, value_ordinal, text)
+    jobs: dict[str, list[tuple[int, str, int, str]]] = {}
+    value_ord = 0
+    plain = tokenizer == "raw" and not field_tokenizers
     for i, v in enumerate(values):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             continue
         obj = json.loads(v) if isinstance(v, str) else v
-        out: list[str] = []
-        _flatten_json("", obj, out)
-        docs.extend([i] * len(out))
-        terms.extend(out)
+        if plain:
+            out: list[str] = []
+            _flatten_json("", obj, out)
+            docs.extend([i] * len(out))
+            terms.extend(out)
+            poss.extend([0] * len(out))
+            continue
+        leaves: list[tuple[str, object]] = []
+        _flatten_json_leaves("", obj, leaves)
+        for path, leaf in leaves:
+            if isinstance(leaf, str):
+                analyzer = resolve_dyn_analyzer(path, tokenizer,
+                                                field_tokenizers)
+                if analyzer != "raw":
+                    jobs.setdefault(analyzer, []).append(
+                        (i, path, value_ord, leaf))
+                    value_ord += 1
+                    continue
+                s = leaf
+            elif isinstance(leaf, bool):
+                s = "true" if leaf else "false"
+            else:
+                s = str(leaf)
+            docs.append(i)
+            terms.append(f"{DYNAMIC_TERM_PREFIX}{path}\x00{s}")
+            poss.append(0)
+            if isinstance(leaf, (int, float)) \
+                    and not isinstance(leaf, bool):
+                docs.append(i)
+                terms.append(dynamic_num_key(path, leaf))
+                poss.append(0)
+    if jobs:
+        # running position per (doc, path); +1 gap between values
+        offsets: dict[tuple[int, str], int] = {}
+        for analyzer, entries in jobs.items():
+            tok_doc, tokens = tokenize_batch(
+                [e[3] for e in entries], analyzer=analyzer)
+            # split token stream back per input value
+            counts = np.bincount(tok_doc, minlength=len(entries))
+            start = 0
+            for (doc_i, path, _vo, _txt), cnt in zip(entries, counts):
+                base = offsets.get((doc_i, path), 0)
+                for j in range(int(cnt)):
+                    docs.append(doc_i)
+                    terms.append(
+                        f"{DYNAMIC_TERM_PREFIX}{path}\x00"
+                        f"{tokens[start + j]}")
+                    poss.append(base + j)
+                offsets[(doc_i, path)] = base + int(cnt) + 1
+                start += int(cnt)
+    pos_arr = np.asarray(poss, dtype=np.int64) if want_positions \
+        else None
     return (np.asarray(docs, dtype=np.int64),
-            np.asarray(terms, dtype=object))
+            np.asarray(terms, dtype=object),
+            pos_arr)
 
 
 def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
@@ -349,8 +456,11 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
                       - first_tok[doc_idx])
 
     if config.dynamic_col and config.dynamic_col in pdf.columns:
-        dyn_doc, dyn_terms = extract_dynamic_terms(
-            pdf[config.dynamic_col].tolist())
+        dyn_doc, dyn_terms, dyn_pos = extract_dynamic_terms(
+            pdf[config.dynamic_col].tolist(),
+            tokenizer=config.dynamic_tokenizer,
+            field_tokenizers=config.dyn_text_fields or None,
+            want_positions=pos_stream is not None)
         if len(dyn_doc):
             dyn_sorted, dyn_codes = np.unique(dyn_terms,
                                               return_inverse=True)
@@ -360,8 +470,7 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
             doc_idx = np.concatenate([doc_idx, dyn_doc])
             codes = np.concatenate([codes + len(dyn_sorted), dyn_codes])
             if pos_stream is not None:
-                pos_stream = np.concatenate(
-                    [pos_stream, np.zeros(len(dyn_doc), dtype=np.int64)])
+                pos_stream = np.concatenate([pos_stream, dyn_pos])
 
     pair_key = codes * n + doc_idx
     pair_sorted, tfs = np.unique(pair_key, return_counts=True)
@@ -393,6 +502,11 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         # (the reference pins u64 semantics, quickwit-search tests.rs:743)
         if pd.api.types.is_unsigned_integer_dtype(series):
             return pa.array(series.to_numpy())
+        if str(series.dtype) in ("Int64", "Float64", "boolean"):
+            # pandas nullable dtypes (doc-mapper typed columns): arrow
+            # understands their mask natively; tolist() would yield
+            # pd.NA scalars that pa.array rejects
+            return pa.Array.from_pandas(series)
         return pa.array(series.tolist())
 
     # "_seg_doc" is the engine-internal doc id (rank within segment); user
@@ -420,6 +534,11 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
                 doc_cols[col] = _pa_col(pdf[col])
     if config.sha_col and config.sha_col in pdf.columns:
         doc_cols[config.sha_col] = pa.array(pdf[config.sha_col].tolist())
+    if config.source_col and config.source_col in pdf.columns:
+        # original doc JSON, served as ES `_source` (the reference's
+        # doc store keeps the full document the same way)
+        doc_cols[config.source_col] = pa.array(
+            pdf[config.source_col].tolist(), type=pa.string())
     doc_cols["fieldnorm"] = pa.array(fieldnorms, type=pa.int32())
     doc_cols["fieldnorm_id"] = pa.array(fn_ids.astype(np.int32),
                                         type=pa.int32())
@@ -445,6 +564,8 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
             col_stats[col] = [min(vals), max(vals)]
     for col in (*config.store_cols, *config.key_cols):
         if col in pdf.columns and pd.api.types.is_numeric_dtype(pdf[col]):
+            if pdf[col].isna().all():
+                continue  # no bounds from an all-null column
             if pd.api.types.is_integer_dtype(pdf[col]):
                 # exact int bounds: float rounding near 2^63 could
                 # otherwise shrink [min,max] and wrongly prune a segment
@@ -468,6 +589,9 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         "fieldnorms": bool(config.fieldnorms),
         "dynamic": bool(config.dynamic_col),
         "field_types": dict(config.field_types),
+        "dynamic_tokenizer": config.dynamic_tokenizer,
+        "dyn_text_fields": dict(config.dyn_text_fields or {}),
+        "source_col": config.source_col,
     }
     return write_segment(seg_dir, terms_sorted, p_term, p_doc, tfs, fn_ids,
                          doc_cols, meta_extra, positions=positions)

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.bm25 import K1, Bm25Weight, idf_f32
@@ -244,6 +245,14 @@ class SegmentReader:
     def dynamic(self) -> bool:
         return bool(self.meta.get("dynamic", False))
 
+    def dyn_analyzer(self, field: str) -> str:
+        """Analyzer owning a dynamic-namespace path (longest mapped
+        root wins, else the catch-all dynamic tokenizer)."""
+        from ..index.builder import resolve_dyn_analyzer
+        return resolve_dyn_analyzer(
+            field, self.meta.get("dynamic_tokenizer", "raw"),
+            self.meta.get("dyn_text_fields") or None)
+
     def doc_fields(self) -> set[str]:
         """Stored doc-map column names (schema read is footer-only)."""
         if not hasattr(self, "_doc_field_names"):
@@ -269,6 +278,17 @@ class SegmentReader:
                 return bytes_from_b64([value])[0]
             except ValueError as e:
                 raise InvalidQueryValue(str(e)) from None
+        if ftype == "datetime":
+            # datetime columns store epoch millis; query literals may
+            # be rfc3339, bare dates (2023/05/25), or epoch numbers
+            # scaled by magnitude (quickwit-datetime lenient parsing)
+            from ..pipeline.doc_mapper import parse_datetime_bound
+            ms = parse_datetime_bound(value)
+            if ms is None:
+                raise InvalidQueryValue(
+                    f"cannot parse {value!r} as a datetime for "
+                    f"field {field!r}")
+            return ms
         return _coerce(value, dtype)
 
     def _dynamic_range_ids(self, node: A.Range) -> np.ndarray:
@@ -432,8 +452,18 @@ class SegmentReader:
                                  ).astype(np.float32))
             return inner
         if isinstance(node, A.FullText):
-            toks = tokenize_one(node.text, analyzer=self.tokenizer) \
-                if node.field == text_field else [node.text]
+            if node.field == text_field:
+                toks = tokenize_one(node.text, analyzer=self.tokenizer)
+            elif node.field not in self.doc_fields() and self.dynamic:
+                # full-text on a dynamic-namespace path analyzes the
+                # query with the FIELD's analyzer (query_ast/utils.rs
+                # find_field_or_hit_dynamic + the json field's
+                # indexing options); raw = one exact term
+                an = self.dyn_analyzer(node.field)
+                toks = tokenize_one(node.text, analyzer=an) \
+                    if an != "raw" else [node.text]
+            else:
+                toks = [node.text]
             if not toks:
                 return _Scored.empty()
             terms = tuple(A.Term(node.field, t) for t in toks)
@@ -537,13 +567,33 @@ class SegmentReader:
                            if scoring else None)
         if isinstance(node, A.FieldPresence):
             if node.field not in self.doc_fields() and self.dynamic:
-                # exists on a dynamic path: prefix scan of its namespace
-                pfx = f"\x01{node.field}\x00"
-                td = self.scan_terms(lambda s: s.str.startswith(pfx),
-                                     prefix=pfx,
-                                     include_dynamic=True)
-                ids = self._union_postings_docids(
-                    td["term_id"].tolist())
+                # exists on a dynamic path: prefix scan of its
+                # namespace. A PARENT path exists when any subfield
+                # does (`object_multi:*` matches docs with any
+                # object_multi.* leaf — the reference's qw_search_api
+                # 0003 exists semantics), so scan both `path\0` and
+                # `path.` prefixes.
+                tids: list = []
+                for pfx in (f"\x01{node.field}\x00",
+                            f"\x01{node.field}."):
+                    td = self.scan_terms(
+                        lambda s, p=pfx: s.str.startswith(p),
+                        prefix=pfx, include_dynamic=True)
+                    tids.extend(td["term_id"].tolist())
+                ids = self._union_postings_docids(tids)
+                # mapped TYPED children of the path live in doc
+                # columns, not the dynamic namespace: `object_multi:*`
+                # must also count docs with a non-null
+                # object_multi.object_fast_field column
+                col_sets = [ids]
+                for col in self.doc_fields():
+                    if col.startswith(node.field + "."):
+                        cmask = ~pd.isna(self.doc_column(col))
+                        col_sets.append(
+                            np.nonzero(np.asarray(cmask))[0]
+                            .astype(np.int64))
+                if len(col_sets) > 1:
+                    ids = _union_ids(col_sets)
                 return _Scored(ids, np.ones(len(ids), dtype=np.float32)
                                if scoring else None)
             col = self.doc_column(node.field)
@@ -944,6 +994,28 @@ def prune_segments(segments: list[dict], node: A.Node,
                 except ValueError:
                     pass
                 continue
+            if seg.get("field_types", {}).get(rng.field) == "datetime":
+                # millis stats vs query literals in any accepted
+                # datetime form: coerce the bound like the leaf does
+                from ..pipeline.doc_mapper import parse_datetime_bound
+
+                def _dt(b):
+                    ms = parse_datetime_bound(b)
+                    if ms is None:
+                        raise ValueError(b)
+                    return ms
+                try:
+                    if rng.gte is not None and hi < _dt(rng.gte):
+                        ok = False
+                    if rng.gt is not None and hi <= _dt(rng.gt):
+                        ok = False
+                    if rng.lte is not None and lo > _dt(rng.lte):
+                        ok = False
+                    if rng.lt is not None and lo >= _dt(rng.lt):
+                        ok = False
+                except ValueError:
+                    pass
+                continue
             try:
                 # exact int comparison when possible (u64 > i64::MAX
                 # bounds lose precision through float)
@@ -1011,6 +1083,11 @@ class PruneIndex:
         self.ip_cols = {c for s in segments
                         for c, t in s.get("field_types", {}).items()
                         if t == "ip"}
+        # datetime fast fields: stats are epoch millis, query bounds
+        # arrive in any accepted datetime form — coerce before compare
+        self.dt_cols = {c for s in segments
+                        for c, t in s.get("field_types", {}).items()
+                        if t == "datetime"}
         for col, rows in cols.items():
             idx = np.array([r[0] for r in rows], dtype=np.int64)
             if col in self.ip_cols or any(
@@ -1060,6 +1137,22 @@ class PruneIndex:
                     ok[ix] = True
             keep &= ok
         for rng in range_constraints:
+            b_gte, b_gt, b_lte, b_lt = rng.gte, rng.gt, rng.lte, rng.lt
+            if rng.field in self.dt_cols:
+                from ..pipeline.doc_mapper import parse_datetime_bound
+                conv, bad = [], False
+                for b in (b_gte, b_gt, b_lte, b_lt):
+                    if b is None:
+                        conv.append(None)
+                        continue
+                    ms = parse_datetime_bound(b)
+                    if ms is None:
+                        bad = True
+                        break
+                    conv.append(ms)
+                if bad:
+                    continue  # unparseable bound: never prune
+                b_gte, b_gt, b_lte, b_lt = conv
             sst = self.str_stats.get(rng.field)
             if sst is not None:
                 idx, lo, hi = sst
@@ -1095,10 +1188,10 @@ class PruneIndex:
                 # (int-exact, like _prune_bound) — floats alone would
                 # wrongly prune strict bounds past 2^53 (e.g. a stat of
                 # 2^53+1 vs gt=2^53 collapses to equality in float)
-                for bound, col, op in ((rng.gte, hi, "ge"),
-                                       (rng.gt, hi, "gt"),
-                                       (rng.lte, lo, "le"),
-                                       (rng.lt, lo, "lt")):
+                for bound, col, op in ((b_gte, hi, "ge"),
+                                       (b_gt, hi, "gt"),
+                                       (b_lte, lo, "le"),
+                                       (b_lt, lo, "lt")):
                     if bound is None:
                         continue
                     bf = float(bound)
@@ -1805,8 +1898,14 @@ class IndexSearcher:
         for sid, grp in winners.groupby("segment_id", sort=False):
             seg_dir = os.path.join(self.index_dir, "segments", sid)
             ids = [int(i) for i in grp["doc_id"].tolist()]
-            t = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
-                              filters=[("_seg_doc", "in", ids)]).to_pandas()
+            # nullable-aware read: int64 columns with nulls must stay
+            # integral (pandas' default converts them to float64+NaN,
+            # which renders 1 as 1.0 and NaN as invalid JSON)
+            t = pq.read_table(
+                os.path.join(seg_dir, "docs.parquet"),
+                filters=[("_seg_doc", "in", ids)]).to_pandas(
+                types_mapper={pa.int64(): pd.Int64Dtype(),
+                              pa.bool_(): pd.BooleanDtype()}.get)
             t = t.set_index("_seg_doc")
             # typed fast fields render back to their text form on fetch
             # (the reference serializes IpAddr canonically on the hit
@@ -1820,6 +1919,18 @@ class IndexSearcher:
                         hex_to_ip_display(v))
             for r in grp.itertuples():
                 doc = t.loc[int(r.doc_id)].to_dict()
+                # NA scalars (nullable ints/bools, NaN, NaT) render as
+                # JSON null, never NaN; numpy scalars unbox to python
+                for k, v in doc.items():
+                    if isinstance(v, (list, np.ndarray, dict)):
+                        continue
+                    if v is not None and pd.isna(v):
+                        doc[k] = None
+                    elif isinstance(v, np.generic):
+                        doc[k] = v.item()
+                    elif hasattr(v, "item") and str(type(v)).startswith(
+                            "<class 'pandas"):
+                        doc[k] = v.item()  # pd.Int64 scalar -> int
                 hits.append(SearchHit(float(r.score), sid, int(r.doc_id),
                                       doc))
         # restore global rank order
@@ -2349,6 +2460,21 @@ class IndexSearcher:
 # engine-internal doc-map columns, hidden from user-facing facades
 # (es_dsl, rest) — single source of truth for the filtering contract
 INTERNAL_DOC_FIELDS = ("fieldnorm", "fieldnorm_id")
+
+
+def doc_source(doc: dict) -> dict:
+    """The user-facing document for a hit: the stored original JSON
+    (`__source`, written by the doc mapper — the reference's doc store
+    keeps the full doc the same way) when present, else the doc-store
+    columns minus engine internals."""
+    src = doc.get("__source")
+    if isinstance(src, str):
+        try:
+            return json.loads(src)
+        except json.JSONDecodeError:
+            pass
+    return {k: v for k, v in doc.items()
+            if not k.startswith("_") and k not in INTERNAL_DOC_FIELDS}
 
 
 def _py_scalar(v):

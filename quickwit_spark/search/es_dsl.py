@@ -414,7 +414,8 @@ def es_search(searcher, body: dict, default_field: str | None = None,
         # projection applies only to the emitted _source
         src = {k: v for k, v in h.doc.items()
                if not k.startswith("_") and k not in INTERNAL_DOC_FIELDS}
-        emitted = src
+        from .engine import doc_source
+        emitted = doc_source(h.doc)
         if inc is not None:
             emitted = {k: v for k, v in emitted.items() if k in inc}
         if exc:
@@ -492,13 +493,12 @@ def _parse_es_ttl(s: str) -> float:
 
 
 def _scroll_hits_resp(res) -> dict:
-    from .engine import INTERNAL_DOC_FIELDS
+    from .engine import doc_source
     out_hits = []
     for h in res.hits:
-        src = {k: v for k, v in h.doc.items()
-               if not k.startswith("_") and k not in INTERNAL_DOC_FIELDS}
         out_hits.append({"_id": f"{h.segment_id}:{h.doc_id}",
-                         "_score": float(h.score), "_source": src})
+                         "_score": float(h.score),
+                         "_source": doc_source(h.doc)})
     return {
         "timed_out": False,
         "hits": {"total": {"value": res.num_hits, "relation": "eq"},
@@ -727,8 +727,30 @@ def es_bulk(config, lines: list[dict]) -> dict:
             raise ValueError(f"unsupported bulk action: {list(action)}")
         kinds.append("create" if "create" in action else "index")
         docs.append(lines[i + 1])
-    pdf = pd.DataFrame(docs)
     payload_sha = hashlib.sha256(repr(lines).encode()).digest()
+    mapper = config.__dict__.get("_mapper")
+    if mapper is not None:
+        # doc-mapper config (reference-shaped): project raw JSON docs
+        # into the build columns; synthesized doc ids are derived from
+        # the payload sha, so a replayed batch maps to identical ids
+        doc_errors: list = []
+        pdf = mapper.project(docs, payload_sha.hex()[:16],
+                             errors=doc_errors)
+        if pdf.empty:
+            # every doc invalid: nothing to publish, report per-doc
+            # failures (the reference's bulk reports doc errors
+            # without failing the request)
+            items = [{k: {"_index": config.index_uid, "status": 400,
+                          "error": {"type":
+                                    "mapper_parsing_exception",
+                                    "reason": (doc_errors[i]["reason"]
+                                               if i < len(doc_errors)
+                                               else "invalid doc")}}}
+                     for i, k in enumerate(kinds)]
+            return {"took": int((_time.perf_counter() - t0) * 1000),
+                    "errors": True, "items": items}
+    else:
+        pdf = pd.DataFrame(docs)
     # full-strength content key: 4 bytes would birthday-collide after
     # ~2^16 batches and silently drop distinct payloads as replays
     ckpt_key = f"bulk-{payload_sha.hex()}"

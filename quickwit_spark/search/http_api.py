@@ -316,17 +316,21 @@ class SearchHttpServer:
                 ctype=h.headers.get("Content-Type", ""))
         except _ApiError as e:
             status = e.status
+            # "message" is the reference's native error key
+            # (rest format_response); the ES-shaped "error" object
+            # serves the _elastic routes — carry both
             resp = {"error": {"type": e.es_type, "reason": str(e)},
-                    "status": e.status}
+                    "message": str(e), "status": e.status}
         except mgmt_api.IndexNotFound as e:
             status = 404
             resp = {"error": {"type": "index_not_found_exception",
                               "reason": str(e)},
-                    "status": 404}
+                    "message": str(e), "status": 404}
         except (ValueError, KeyError) as e:
             status = 400
             resp = {"error": {"type": "illegal_argument_exception",
                               "reason": f"{type(e).__name__}: {e}"},
+                    "message": f"{type(e).__name__}: {e}",
                     "status": 400}
         except FileNotFoundError as e:
             # a concurrent delete/clear raced this request: the files it
@@ -335,6 +339,7 @@ class SearchHttpServer:
             resp = {"error": {"type": "index_not_found_exception",
                               "reason": f"resource vanished mid-"
                                         f"request: {e}"},
+                    "message": f"resource vanished mid-request: {e}",
                     "status": 404}
         if isinstance(resp, _RawBody):
             body, ctype = resp.data, resp.content_type
@@ -482,8 +487,11 @@ class SearchHttpServer:
                 and method in ("GET", "POST")):
             merged = dict(params)
             merged.update(self._json_body(raw))
-            return 200, rest.native_search(self._searcher(sub[0]),
-                                           merged)
+            ts_field, dflt_fields = self._search_settings(sub[0])
+            return 200, rest.native_search(
+                self._searcher(sub[0]), merged,
+                timestamp_field=ts_field,
+                default_search_fields=dflt_fields)
         # search plan without execution: /api/v1/{index}/search-plan
         # (search_api/rest_handler.rs:312-330 — same params as search)
         if (len(sub) == 2 and sub[1] == "search-plan"
@@ -683,6 +691,22 @@ class SearchHttpServer:
         with self._lock:
             self._searchers.pop(index, None)
 
+    def _search_settings(self, index: str
+                         ) -> tuple[str | None, list[str] | None]:
+        """(timestamp_field, default_search_fields) from the persisted
+        index config (None/None when the index predates the mgmt API)."""
+        path = os.path.join(self.root_dir, index,
+                            mgmt_api._CONFIG_FILE)
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return None, None
+        ts = (doc.get("doc_mapping") or {}).get("timestamp_field")
+        fields = ((doc.get("search_settings") or {})
+                  .get("default_search_fields")) or None
+        return ts, fields
+
     def _config(self, index: str):
         """Resolve the full IndexConfig for a mutation: the registered
         map first, then the index's persisted index_config.json."""
@@ -786,6 +810,17 @@ class SearchHttpServer:
                   raw: bytes) -> tuple[int, object]:
         seg = [unquote(s) for s in sub.strip("/").split("/") if s]
 
+        if not seg and method == "GET":
+            # ES-compat cluster info (rest_handler.rs
+            # es_compat_cluster_info_handler:71-90): name/cluster_name
+            # + a version block ES clients sniff for
+            return 200, {
+                "name": "quickwit-spark",
+                "cluster_name": "quickwit-spark",
+                "version": {"distribution": "quickwit",
+                            "number": "quickwit-spark-r5",
+                            "build_hash": "0",
+                            "build_date": "2026-08-21"}}
         if seg == ["_search", "scroll"]:
             body = self._json_body(raw)
             sid = body.get("scroll_id", params.get("scroll_id", ""))

@@ -117,13 +117,18 @@ def config_from_json(doc: dict, root_dir: str) -> IndexConfig:
         raise MgmtError("doc_mapping.field_mappings must be a list")
 
     key_cols = dm.get("doc_id_fields")
-    if (not isinstance(key_cols, list) or not key_cols
+    if not key_cols:
+        # reference-shaped config (no doc key): the full doc-mapper
+        # path — nested object/json fields, datetime, dynamic-mapping
+        # options, synthesized deterministic doc ids (the reference
+        # autogenerates ULIDs; we derive sha(batch)-ordinal so builds
+        # stay replayable and publish stays exactly-once)
+        return _config_from_mapper(doc, root_dir, index_id)
+    if (not isinstance(key_cols, list)
             or not all(isinstance(c, str) and c for c in key_cols)):
         raise MgmtError(
-            "doc_mapping.doc_id_fields must be a non-empty list of "
-            "field names: this engine derives deterministic doc ids "
-            "from the doc key (the reference autogenerates ULIDs; a "
-            "deterministic, replayable build cannot)")
+            "doc_mapping.doc_id_fields must be a list of field names "
+            "(omit it entirely for reference-style autogenerated ids)")
 
     by_name: dict[str, dict] = {}
     concat: tuple[str, ...] = ()
@@ -250,6 +255,42 @@ def config_from_json(doc: dict, root_dir: str) -> IndexConfig:
     return cfg
 
 
+def _config_from_mapper(doc: dict, root_dir: str,
+                        index_id: str) -> IndexConfig:
+    """Reference-shaped config documents (no ``doc_id_fields``) parse
+    through the full doc mapper (pipeline/doc_mapper.py): nested
+    object fields, json fields, datetime leaves, dynamic-mapping
+    options.  The ORIGINAL document is kept in ``_mgmt_extra`` so
+    save_index_config can persist it verbatim (the projection spec is
+    recomputed from it on load — deterministic by construction)."""
+    from ..pipeline.doc_mapper import DocMapper, MappingError
+    try:
+        mapper = DocMapper(doc)
+        plan = mapper.index_plan()
+    except MappingError as e:
+        raise MgmtError(str(e)) from e
+    from ..functions import tokenizers as tok
+    for t in {plan["tokenizer"], plan["dynamic_tokenizer"],
+              *(o.get("tokenizer", "raw")
+                for o in plan["dyn_text_fields"].values())}:
+        if t not in tok.ANALYZERS and t != "raw" \
+                and tok.get_custom_analyzer(t) is None:
+            raise MgmtError(
+                f"unknown tokenizer {t!r}; built-ins: "
+                f"{list(tok.ANALYZERS)}")
+    cfg = IndexConfig(
+        index_uid=index_id,
+        index_dir=os.path.join(root_dir, index_id),
+        schema_rev=str(doc.get("schema_rev", "v1")),
+        **plan)
+    cfg.__dict__["_mapper"] = mapper
+    cfg.__dict__["_mgmt_extra"] = {
+        "timestamp_field": mapper.timestamp_field,
+        "original_doc": doc,
+    }
+    return cfg
+
+
 def config_to_json(config: IndexConfig,
                    timestamp_field: str | None = None,
                    create_timestamp: float | None = None) -> dict:
@@ -309,8 +350,20 @@ def save_index_config(config: IndexConfig,
                       timestamp_field: str | None = None,
                       create_timestamp: float | None = None) -> str:
     os.makedirs(config.index_dir, exist_ok=True)
-    doc = config_to_json(config, timestamp_field=timestamp_field,
-                         create_timestamp=create_timestamp)
+    original = (config.__dict__.get("_mgmt_extra") or {}).get(
+        "original_doc")
+    if original is not None:
+        # mapper-shaped config: persist the user's document verbatim
+        # (the projection spec is recomputed from it on load); only
+        # engine-derived keys are added
+        doc = dict(original)
+        doc.setdefault("version", _CONFIG_VERSION)
+        doc["schema_rev"] = config.schema_rev
+        if create_timestamp is not None:
+            doc["create_timestamp"] = create_timestamp
+    else:
+        doc = config_to_json(config, timestamp_field=timestamp_field,
+                             create_timestamp=create_timestamp)
     path = os.path.join(config.index_dir, _CONFIG_FILE)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -328,29 +381,32 @@ def load_index_config(index_dir: str) -> IndexConfig | None:
     with open(path) as f:
         doc = json.load(f)
     cfg = config_from_json(doc, os.path.dirname(index_dir.rstrip("/")))
+
+    def _replace(c, **changes):
+        # dataclasses.replace builds a FRESH instance: carry the
+        # __dict__ extras (_mgmt_extra AND the doc mapper) along
+        import dataclasses
+        extras = {k: c.__dict__[k] for k in ("_mgmt_extra", "_mapper")
+                  if k in c.__dict__}
+        c2 = dataclasses.replace(c, **changes)
+        c2.__dict__.update(extras)
+        return c2
+
     if cfg.index_dir != index_dir:
         # the directory was renamed/copied since the config was saved:
         # the LOCATION the caller opened wins, or ingest would write
         # into (or recreate) the old path
-        import dataclasses
-        extra = cfg.__dict__.get("_mgmt_extra")
-        cfg = dataclasses.replace(cfg, index_dir=index_dir)
-        if extra is not None:
-            cfg.__dict__["_mgmt_extra"] = extra
+        cfg = _replace(cfg, index_dir=index_dir)
     # the manifest is authoritative for the CURRENT schema_rev/tokenizer
     # (update_index_config bumps it there first)
     mpath = Manifest.path(index_dir)
     if os.path.isfile(mpath):
         m = Manifest.load(index_dir)
         mc = m.data.get("config", {})
-        import dataclasses
         changes = {k: mc[k] for k in ("schema_rev", "tokenizer")
                    if k in mc}
         if changes:
-            extra = cfg.__dict__.get("_mgmt_extra")
-            cfg = dataclasses.replace(cfg, **changes)
-            if extra is not None:
-                cfg.__dict__["_mgmt_extra"] = extra
+            cfg = _replace(cfg, **changes)
     return cfg
 
 
@@ -1105,7 +1161,8 @@ def ingest_ndjson(config: IndexConfig, docs: list[dict]) -> dict:
     from .es_dsl import es_bulk
     if not docs:
         return {"num_docs_for_processing": 0}
-    required = set(config.key_cols) | (
+    has_mapper = config.__dict__.get("_mapper") is not None
+    required = set() if has_mapper else set(config.key_cols) | (
         set(config.concat_cols) if config.concat_cols
         else {config.text_col})
     lines: list[dict] = []
@@ -1121,5 +1178,8 @@ def ingest_ndjson(config: IndexConfig, docs: list[dict]) -> dict:
                 f"are mandatory)")
         lines.append({"index": {}})
         lines.append(d)
-    es_bulk(config, lines)
+    try:
+        es_bulk(config, lines)
+    except ValueError as e:
+        raise MgmtError(str(e)) from e
     return {"num_docs_for_processing": len(docs)}

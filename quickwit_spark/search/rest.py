@@ -81,7 +81,10 @@ def _parse_search_after(v):
     return tuple(out)
 
 
-def native_search(searcher, params: dict[str, Any]) -> dict:
+def native_search(searcher, params: dict[str, Any],
+                  timestamp_field: str | None = None,
+                  default_search_fields: list[str] | None = None
+                  ) -> dict:
     t0 = time.perf_counter()
     query = params.get("query", "*")
     max_hits = int(params.get("max_hits", 20))
@@ -92,7 +95,31 @@ def native_search(searcher, params: dict[str, Any]) -> dict:
     count_all = _parse_bool(params.get("count_all"), True)
     search_after = _parse_search_after(params.get("search_after"))
 
-    node = searcher.parse(query)
+    # `search_field` param overrides the config's default_search_fields
+    # (SearchRequestQueryString); multi-field expansion is an OR over
+    # per-field parses, one implementation for every entry point
+    fields = params.get("search_field")
+    if isinstance(fields, str):
+        fields = [f for f in fields.split(",") if f]
+    fields = fields or default_search_fields
+    if fields and isinstance(query, str):
+        from .mgmt_api import parse_with_fields
+        node = parse_with_fields(query, list(fields),
+                                 searcher.text_field)
+    else:
+        node = searcher.parse(query)
+    start_ts = params.get("start_timestamp")
+    end_ts = params.get("end_timestamp")
+    if timestamp_field and (start_ts is not None or end_ts is not None):
+        # [start, end) in epoch seconds over the configured timestamp
+        # field (SearchRequestQueryString, rest_handler.rs:297-334);
+        # the engine's typed coercion scales to the field's unit
+        from . import ast as A
+        rng = A.Range(timestamp_field,
+                      gte=int(start_ts) if start_ts is not None
+                      else None,
+                      lt=int(end_ts) if end_ts is not None else None)
+        node = A.Bool(must=(node,), filter=(rng,))
     if sort_spec:
         sort_by = _parse_sort_by(sort_spec)
         res = searcher.sort_search(
@@ -108,15 +135,20 @@ def native_search(searcher, params: dict[str, Any]) -> dict:
         next_cursor = res.next_cursor
     terms = extract_query_terms(node) if snippet_fields else []
     out_hits = []
+    out_snippets = []
     for h in hits:
-        doc = {k: v for k, v in h.doc.items()
-               if not k.startswith("_") and k not in _INTERNAL}
-        hit = {"document": doc, "score": float(h.score),
-               "split_id": h.segment_id, "doc_id": int(h.doc_id)}
+        # the reference returns each hit as the document JSON itself
+        # (SearchResponseRest, search_response_rest.rs:43-60), with
+        # snippets in a parallel array
+        from .engine import doc_source
+        doc = doc_source(h.doc)
+        out_hits.append(doc)
         if snippet_fields:
             snip = {}
+            flat = {k: v for k, v in h.doc.items()
+                    if not k.startswith("_") and k not in _INTERNAL}
             for f in snippet_fields:
-                val = doc.get(f)
+                val = flat.get(f, doc.get(f))
                 if not isinstance(val, str):
                     # a NULL field must not render (and highlight!) as
                     # the literal text 'None', nor lists as their reprs
@@ -124,13 +156,16 @@ def native_search(searcher, params: dict[str, Any]) -> dict:
                 frag = make_snippet(val, terms)
                 if frag:
                     snip[f] = [frag]
-            if snip:
-                hit["snippet"] = snip
-        out_hits.append(hit)
-    return {
+            out_snippets.append(snip)
+    resp = {
         "num_hits": int(res.num_hits),
         "hits": out_hits,
         "elapsed_time_micros": int((time.perf_counter() - t0) * 1e6),
         "errors": [],
+        # engine extension (not in SearchResponseRest): the cursor for
+        # the next page, fed back as the `search_after` param
         "search_after": list(next_cursor) if next_cursor else None,
     }
+    if snippet_fields:
+        resp["snippets"] = out_snippets
+    return resp

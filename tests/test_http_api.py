@@ -54,8 +54,8 @@ def test_native_search_get_and_post(served):
     direct = rest.native_search(IndexSearcher(f"{root}/alpha"),
                                 {"query": "content:merge",
                                  "max_hits": 5})
-    assert [h["doc_id"] for h in resp["hits"]] == \
-        [h["doc_id"] for h in direct["hits"]]
+    # hits are plain documents (SearchResponseRest shape)
+    assert resp["hits"] == direct["hits"]
 
     st, post = _send(f"{srv.url}/api/v1/alpha/search",
                      {"query": "content:merge", "max_hits": 5})

@@ -95,6 +95,12 @@ def test_config_validation_errors(tmp_path):
     root = str(tmp_path)
     doc = _config_doc()
     del doc["doc_mapping"]["doc_id_fields"]
+    # no doc key = reference-shaped config: parses through the doc
+    # mapper with synthesized deterministic ids (not an error anymore)
+    cfg_auto = M.config_from_json(doc, root)
+    assert cfg_auto.key_cols == ("__doc_key",)
+    doc = _config_doc()
+    doc["doc_mapping"]["doc_id_fields"] = "repo"  # must be a list
     with pytest.raises(M.MgmtError, match="doc_id_fields"):
         M.config_from_json(doc, root)
     doc = _config_doc()
@@ -688,9 +694,9 @@ def test_index_templates(writable):
                                 priority=5))
     assert st == 200
     bad = _template_doc(tid="bad")
-    del bad["doc_mapping"]["doc_id_fields"]
+    bad["doc_mapping"]["field_mappings"][0]["tokenizer"] = "nope"
     st, err = _call(f"{srv.url}/api/v1/templates", "POST", bad)
-    assert st == 400 and "doc_id_fields" in err["error"]["reason"]
+    assert st == 400 and "unknown tokenizer" in err["error"]["reason"]
     st, lst = _call(f"{srv.url}/api/v1/templates")
     assert [t["template_id"] for t in lst] == ["logs-tpl"]
     # ingest to a matching, missing index auto-creates it

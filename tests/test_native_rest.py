@@ -22,20 +22,24 @@ def idx(tmp_path_factory):
     return cfg
 
 
+def _ids(resp):
+    """Hit identity: hits are plain document JSON (the reference's
+    SearchResponseRest shape), so identify by the doc key columns."""
+    return [(h["repo"], h["path"], h["commit"]) for h in resp["hits"]]
+
+
 def test_native_search_basic(idx):
     s = IndexSearcher(idx.index_dir)
     r = native_search(s, {"query": "content:merge", "max_hits": 5})
     assert r["num_hits"] > 5 and len(r["hits"]) == 5
     assert r["errors"] == []
-    assert r["hits"][0]["score"] >= r["hits"][-1]["score"]
-    assert "repo" in r["hits"][0]["document"]
+    # hits are the documents themselves (search_response_rest.rs:43)
+    assert "repo" in r["hits"][0] and "document" not in r["hits"][0]
     # pagination via start_offset
     r2 = native_search(s, {"query": "content:merge", "max_hits": 5,
                            "start_offset": 5})
     all10 = native_search(s, {"query": "content:merge", "max_hits": 10})
-    assert [h["doc_id"] for h in r["hits"]] + \
-        [h["doc_id"] for h in r2["hits"]] == \
-        [h["doc_id"] for h in all10["hits"]]
+    assert _ids(r) + _ids(r2) == _ids(all10)
 
 
 def test_native_search_sort_and_snippets(idx):
@@ -43,15 +47,15 @@ def test_native_search_sort_and_snippets(idx):
     r = native_search(s, {"query": "content:merge",
                           "sort_by": "-nchars", "max_hits": 3,
                           "snippet_fields": "content"})
-    vals = [h["document"]["nchars"] for h in r["hits"]]
+    vals = [h["nchars"] for h in r["hits"]]
     assert vals == sorted(vals, reverse=True)
-    assert "<b>" in r["hits"][0]["snippet"]["content"][0]
+    # snippets ride in the parallel `snippets` array
+    assert "<b>" in r["snippets"][0]["content"][0]
     # search_after cursor round trip
     r2 = native_search(s, {"query": "content:merge",
                            "sort_by": "-nchars", "max_hits": 3,
                            "search_after": r["search_after"]})
-    assert not ({h["doc_id"] for h in r["hits"]}
-                & {h["doc_id"] for h in r2["hits"]})
+    assert not (set(_ids(r)) & set(_ids(r2)))
 
 
 def test_native_sorted_count_all_false(idx):
@@ -62,8 +66,7 @@ def test_native_sorted_count_all_false(idx):
                               "max_hits": 5})
     pruned = native_search(s, {"query": "*", "sort_by": "-nchars",
                                "max_hits": 5, "count_all": False})
-    assert [h["doc_id"] for h in exact["hits"]] == \
-        [h["doc_id"] for h in pruned["hits"]]
+    assert _ids(exact) == _ids(pruned)
     assert pruned["num_hits"] <= exact["num_hits"]
 
 
@@ -72,8 +75,7 @@ def test_native_search_pruned_count(idx):
     exact = native_search(s, {"query": "merge OR scan", "max_hits": 10})
     pruned = native_search(s, {"query": "merge OR scan", "max_hits": 10,
                                "count_all": False})
-    assert [h["doc_id"] for h in exact["hits"]] == \
-        [h["doc_id"] for h in pruned["hits"]]
+    assert _ids(exact) == _ids(pruned)
     assert pruned["num_hits"] <= exact["num_hits"]
 
 
@@ -86,12 +88,16 @@ def test_sort_by_bare_score_is_desc(idx):
     r = native_search(s, {"query": "content:merge",
                           "sort_by": "_score", "max_hits": 5})
     plain = native_search(s, {"query": "content:merge", "max_hits": 5})
-    assert [h["doc_id"] for h in r["hits"]] == \
-        [h["doc_id"] for h in plain["hits"]]
-    # explicit +_score still means ascending
+    assert _ids(r) == _ids(plain)
+    # explicit +_score still means ascending: worst-scored docs first,
+    # so the page must differ from the best-first page (scores are not
+    # exposed in the reference response shape; compare via the engine)
     asc = native_search(s, {"query": "content:merge",
                             "sort_by": "+_score", "max_hits": 5})
-    assert asc["hits"][0]["score"] <= asc["hits"][-1]["score"]
+    eng = s.sort_search(s.parse("content:merge"), k=5,
+                        sort_by=(("_score", "asc"),))
+    assert _ids(asc) == [(h.doc["repo"], h.doc["path"],
+                          h.doc["commit"]) for h in eng.hits]
 
 
 def test_get_style_search_after_cursor_roundtrip(idx):
@@ -112,13 +118,8 @@ def test_get_style_search_after_cursor_roundtrip(idx):
                                "sort_by": "-nchars", "max_hits": 5,
                                "search_after":
                                    ",".join(str(v) for v in cursor)})
-    assert [h["doc_id"] for h in p2_get["hits"]] == \
-        [h["doc_id"] for h in p2["hits"]]
-    # doc ids are per-segment ordinals: page disjointness is on the
-    # (split_id, doc_id) identity
-    assert not ({(h["split_id"], h["doc_id"]) for h in p1["hits"]}
-                & {(h["split_id"], h["doc_id"])
-                   for h in p2_get["hits"]})
+    assert _ids(p2_get) == _ids(p2)
+    assert not (set(_ids(p1)) & set(_ids(p2_get)))
 
 
 def test_snippet_fields_comma_space(idx):
@@ -126,4 +127,4 @@ def test_snippet_fields_comma_space(idx):
     s = IndexSearcher(idx.index_dir)
     r = native_search(s, {"query": "content:merge", "max_hits": 3,
                           "snippet_fields": " content , content "})
-    assert all("content" in h.get("snippet", {}) for h in r["hits"])
+    assert all("content" in snip for snip in r["snippets"])

@@ -120,4 +120,9 @@ class IndexConfig:
                 "text_col": self.text_col,
                 "tokenizer": self.tokenizer,
                 "schema_rev": self.schema_rev,
-                "tag_cols": list(self.tag_cols)}
+                "tag_cols": list(self.tag_cols),
+                # lets a searcher over a still-EMPTY index know that
+                # schemaless paths may exist (aggregations on a
+                # dynamic index must return empty results, not
+                # unknown-field errors)
+                "dynamic": bool(self.dynamic_col)}

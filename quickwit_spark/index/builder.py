@@ -500,13 +500,16 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         # unsigned ints must go through numpy: tolist() yields python
         # ints that overflow arrow's int64 inference above i64::MAX
         # (the reference pins u64 semantics, quickwit-search tests.rs:743)
-        if pd.api.types.is_unsigned_integer_dtype(series):
-            return pa.array(series.to_numpy())
-        if str(series.dtype) in ("Int64", "Float64", "boolean"):
+        if str(series.dtype) in ("Int64", "UInt64", "Float64",
+                                 "boolean"):
             # pandas nullable dtypes (doc-mapper typed columns): arrow
             # understands their mask natively; tolist() would yield
-            # pd.NA scalars that pa.array rejects
+            # pd.NA scalars that pa.array rejects, and .to_numpy() on
+            # a nullable UInt64 silently degrades to float64 — this
+            # branch must run BEFORE the raw-unsigned check
             return pa.Array.from_pandas(series)
+        if pd.api.types.is_unsigned_integer_dtype(series):
+            return pa.array(series.to_numpy())
         return pa.array(series.tolist())
 
     # "_seg_doc" is the engine-internal doc id (rank within segment); user

@@ -285,6 +285,11 @@ class DocMapper:
         self.tag_fields = tuple(dm.get("tag_fields") or ())
         self.index_field_presence = bool(
             dm.get("index_field_presence", False))
+        # store_document_size: true adds the hidden `_doc_length` fast
+        # field holding each doc's ingested byte size (aggregatable,
+        # never emitted in _source — rest-api-tests aggregations/0002)
+        self.store_document_size = bool(
+            dm.get("store_document_size", False))
         # reference default mode is dynamic (doc_mapping.rs:86-89)
         mode = dm.get("mode", "dynamic")
         if mode not in ("strict", "dynamic", "lenient"):
@@ -490,7 +495,8 @@ class DocMapper:
             if isinstance(v, (dict, list)) else str(v)
 
     def project(self, docs: list[dict], batch_tag: str,
-                errors: list | None = None) -> pd.DataFrame:
+                errors: list | None = None,
+                sizes: list[int] | None = None) -> pd.DataFrame:
         """Raw JSON docs -> the builder's column layout.
 
         Invalid docs (unparseable typed value, missing timestamp
@@ -506,6 +512,7 @@ class DocMapper:
         text_col: list = []
         src_col: list = []
         keys: list = []
+        doc_sizes: list = []
         p = self.primary_text
         for i, doc in enumerate(docs):
             try:
@@ -548,10 +555,21 @@ class DocMapper:
                 keys.append("\x1f".join(
                     str(self._lookup(doc, f))
                     for f in self.doc_id_fields))
+            if self.store_document_size:
+                # the received doc's byte size; when the transport
+                # layer didn't measure the raw line, fall back to the
+                # canonical json serialization's length
+                doc_sizes.append(
+                    sizes[i] if sizes is not None and i < len(sizes)
+                    else len(json.dumps(doc)))
         out: dict[str, object] = {}
         for s in col_specs:
             vals = data[s.path]
-            if s.ftype in ("u64", "i64", "datetime"):
+            if s.ftype == "u64":
+                # unsigned: values above 2**63 are legal u64s (the
+                # reference pins u64 semantics at the boundary)
+                out[s.path] = pd.array(vals, dtype="UInt64")
+            elif s.ftype in ("i64", "datetime"):
                 out[s.path] = pd.array(vals, dtype="Int64")
             elif s.ftype == "f64":
                 out[s.path] = pd.array(vals, dtype="Float64")
@@ -559,6 +577,8 @@ class DocMapper:
                 out[s.path] = pd.array(vals, dtype="boolean")
             else:
                 out[s.path] = pd.Series(vals, dtype=object)
+        if self.store_document_size:
+            out["_doc_length"] = pd.array(doc_sizes, dtype="Int64")
         out[DOC_KEY_COL] = pd.Series(keys, dtype=object)
         out[TEXT_STUB_COL if p is None else p.path] = pd.Series(
             text_col, dtype=object)
@@ -633,6 +653,8 @@ class DocMapper:
                 field_types[s.path] = s.ftype
             elif s.ftype == "bytes":
                 field_types[s.path] = "bytes"
+        if self.store_document_size:
+            store_cols.append("_doc_length")
         tokenizer = "default"
         record = "basic"
         fieldnorms = True

@@ -58,8 +58,12 @@ def _metric_exprs(name: str, kind: str, body: dict) -> list:
     if kind == "value_count":
         return [F.count(field).alias(name)]
     if kind == "cardinality":
-        # approx by default, like the reference (approx-distinct sketch)
-        return [F.approx_count_distinct(field).alias(name)]
+        # approx by default, like the reference (approx-distinct
+        # sketch). rsd 0.01 ~= ES's default precision_threshold
+        # behavior: effectively exact at small cardinalities (Spark's
+        # default 0.05 miscounts even single-digit sets), still a
+        # bounded-memory mergeable sketch at scale
+        return [F.approx_count_distinct(field, 0.01).alias(name)]
     if kind == "stats":
         return [F.count(field).alias(f"{name}_count"),
                 F.min(field).alias(f"{name}_min"),
@@ -136,7 +140,21 @@ def _range_label(r: dict) -> str:
                             f"{hi if hi is not None else '*'}")
 
 
-def _bucket_col(kind: str, body: dict):
+def _parse_duration_ms(s) -> int:
+    """ES duration ("30d", "-4d", "90s", "250ms") -> millis (signed:
+    date_histogram `offset` accepts a leading -)."""
+    import re as _re
+    m = _re.fullmatch(r"(-?)(\d+)(ms|s|m|h|d)", str(s).strip())
+    if not m:
+        raise InvalidAggregation(
+            f"bad duration {s!r} (expected e.g. '30d', '-4d', '90s')")
+    mult = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+            "d": 86_400_000}[m.group(3)]
+    v = int(m.group(2)) * mult
+    return -v if m.group(1) else v
+
+
+def _bucket_col(kind: str, body: dict, field_is_millis: bool = False):
     field = body["field"]
     if kind == "terms":
         return F.col(field)
@@ -147,6 +165,22 @@ def _bucket_col(kind: str, body: dict):
                 * F.lit(interval) + F.lit(offset))
     if kind == "date_histogram":
         fixed = body.get("fixed_interval")
+        if field_is_millis:
+            # datetime fast fields store epoch millis i64 (the
+            # doc-mapper layout): truncate arithmetically, honoring the
+            # ES `offset` duration — key stays an epoch-millis long
+            if fixed is None:
+                raise InvalidAggregation(
+                    "date_histogram over an epoch-millis field needs "
+                    "fixed_interval")
+            step = _parse_duration_ms(fixed)
+            if step <= 0:
+                raise InvalidAggregation(
+                    f"fixed_interval must be positive, got {fixed!r}")
+            off = _parse_duration_ms(body["offset"]) \
+                if "offset" in body else 0
+            return (F.floor((F.col(field) - F.lit(off)) / F.lit(step))
+                    * F.lit(step) + F.lit(off))
         if fixed is not None:
             # ES fixed_interval: "<n>(ms|s|m|h|d)" — truncate to epoch
             # multiples (aggregation.md fixed_interval)
@@ -335,9 +369,11 @@ def aggregate(searcher, query, spec: dict):
     fields = sorted(_collect_fields(spec))
     known = {f["field"] for f in searcher.list_fields()}
     unknown = [f for f in fields if f not in known]
-    if unknown:
+    if unknown and not getattr(searcher, "has_dynamic", False):
         # reject up front: an unknown field would otherwise surface as
-        # an executor-side KeyError from inside the leaf tasks
+        # an executor-side KeyError from inside the leaf tasks. With a
+        # dynamic catch-all any path MAY exist — missing ones yield
+        # all-null values (zero buckets), like ES on a missing field.
         raise InvalidAggregation(
             f"unknown aggregation field(s) {unknown}; known: "
             f"{sorted(known)}")
@@ -414,8 +450,33 @@ def _aggregate_plan(matched, spec: dict):
 
     out = matched
     level_names = []
+    from pyspark.sql.types import DoubleType, LongType
+    col_types = {f.name: f.dataType for f in matched.schema.fields}
+
+    def _is_ms(body):
+        # datetime fast fields are epoch-millis longs (doubles on the
+        # dynamic-path transport); date_histogram truncates them
+        # arithmetically instead of via timestamp functions
+        return isinstance(col_types.get(body["field"]),
+                          (LongType, DoubleType))
+
+    from pyspark.sql.types import ArrayType
     for name, kind, body in levels:
-        out = out.withColumn(name, _bucket_col(kind, body))
+        if kind == "terms" and isinstance(
+                col_types.get(body["field"]), ArrayType):
+            # multi-valued field: one bucket entry per element; a doc
+            # counts once per element it carries (ES array-field terms
+            # semantics; nulls keep their row so sibling metrics of
+            # OTHER fields would still see the doc — they form no
+            # bucket downstream)
+            out = out.withColumn(name,
+                                 F.explode_outer(F.col(body["field"])))
+        else:
+            out = out.withColumn(
+                name, _bucket_col(
+                    kind, body,
+                    field_is_millis=(kind == "date_histogram"
+                                     and _is_ms(body))))
         level_names.append(name)
     out = out.groupBy(*level_names).agg(*exprs)
 
@@ -501,6 +562,46 @@ def _aggregate_plan(matched, spec: dict):
                 raise InvalidAggregation(
                     "gap-filled histogram (min_doc_count=0 / "
                     "extended_bounds) must be the deepest bucket level")
+            out = (keys.join(out, on=name0, how="left")
+                   .withColumn("doc_count",
+                               F.coalesce("doc_count", F.lit(0))))
+        if min_dc >= 1:
+            out = out.filter(F.col("doc_count") >= min_dc)
+        out = out.orderBy(*[F.col(n).asc() for n in level_names])
+    elif kind0 == "date_histogram" and _is_ms(body0):
+        # millis-mode date_histogram: ES default min_doc_count is 0 —
+        # fill the gaps between data min/max (and extended_bounds)
+        # exactly like histogram, in epoch-millis arithmetic
+        min_dc = int(body0.get("min_doc_count", 0))
+        bounds = body0.get("extended_bounds")
+        if min_dc < 1 or bounds:
+            step = _parse_duration_ms(body0["fixed_interval"])
+            off = _parse_duration_ms(body0["offset"]) \
+                if "offset" in body0 else 0
+            agg_minmax = out.agg(F.min(name0).alias("lo"),
+                                 F.max(name0).alias("hi"))
+            if bounds:
+                blo = (F.floor((F.lit(int(bounds["min"])) - off) / step)
+                       * step + off)
+                bhi = (F.floor((F.lit(int(bounds["max"])) - off) / step)
+                       * step + off)
+                agg_minmax = agg_minmax.select(
+                    F.least(F.col("lo"), blo).alias("lo"),
+                    F.greatest(F.col("hi"), bhi).alias("hi"))
+            if len(level_names) > 1:
+                raise InvalidAggregation(
+                    "gap-filled date_histogram must be the deepest "
+                    "bucket level")
+            keys = agg_minmax.where(F.col("lo").isNotNull()).select(
+                F.explode(F.sequence(
+                    ((F.col("lo") - off) / step).cast("long"),
+                    ((F.col("hi") - off) / step).cast("long"))
+                ).alias("_k")).select(
+                (F.col("_k").cast("double") * step + off).cast(
+                    col_types.get(body0["field"], LongType())
+                    if not isinstance(col_types.get(body0["field"]),
+                                      DoubleType) else "double")
+                .alias(name0))
             out = (keys.join(out, on=name0, how="left")
                    .withColumn("doc_count",
                                F.coalesce("doc_count", F.lit(0))))

@@ -125,6 +125,9 @@ class SegmentReader:
             np.float32(self.num_docs)) if self.num_docs else np.float32(0)
         self._fn_ids: np.ndarray | None = None
         self._doc_cols: dict[str, np.ndarray] = {}
+        self._src_docs: list | None = None
+        self._src_vals: dict = {}
+        self._src_kinds: dict | None = None
         self._termdict: pd.DataFrame | None = None
         self._term_index: dict[str, int] | None = None
         self._postings_tbl = None
@@ -174,6 +177,151 @@ class SegmentReader:
                                                     deep=True))
                       if a.dtype == object else a.nbytes)
         return self._doc_cols[col]
+
+    def doc_column_exact(self, col: str) -> list:
+        """Exact python values of a doc column (ints stay ints, None
+        for null) — the aggregation transport for u64 columns, where
+        doc_column's numpy view degrades nullable uint64 to float64."""
+        key = ("__exact__", col)
+        cached = self._doc_cols.get(key)
+        if cached is None:
+            t = pq.read_table(os.path.join(self.seg_dir,
+                                           "docs.parquet"),
+                              columns=[col])
+            cached = t.column(0).to_pylist()
+            self._doc_cols[key] = cached
+            self._pin(64 * len(cached))
+        return cached
+
+    def source_values(self, path: str,
+                      keep_lists: bool = False) -> np.ndarray:
+        """Per-doc values of a dotted path, extracted from the stored
+        `__source` JSON — the dynamic fast-field analog (the reference
+        materializes real columnar fast fields for `dynamic_mapping:
+        {fast: true}` paths; we answer sort/agg on dynamic paths from
+        the doc store instead, segment-local and cached per reader —
+        at 100 TB a hot dynamic sort key should be promoted to a
+        mapped fast field, which IS columnar here).
+
+        All-numeric paths come back float64 with NaN for missing
+        (missing-last sorting falls out of na_position); mixed-type
+        paths stay object arrays.  ``keep_lists=True`` (the
+        aggregation path) keeps array values as lists — every doc's
+        value is then normalized to a list so terms aggs can explode a
+        multi-valued field; the default drops lists to None (sort keys
+        must be scalars)."""
+        cached = self._src_vals.get((path, keep_lists))
+        if cached is not None:
+            return cached
+        if self._src_docs is None:
+            raw = self.doc_column("__source")
+            docs = []
+            for s in raw:
+                try:
+                    docs.append(json.loads(s)
+                                if isinstance(s, str) else None)
+                except json.JSONDecodeError:
+                    docs.append(None)
+            self._src_docs = docs
+        segs = path.split(".")
+        vals: list = []
+        numeric = True
+        any_list = False
+        for d in self._src_docs:
+            cur = d
+            for sp in segs:
+                if isinstance(cur, dict) and sp in cur:
+                    cur = cur[sp]
+                else:
+                    cur = None
+                    break
+            if cur is None and isinstance(d, dict) and path in d:
+                cur = d[path]  # literal dotted key (expand_dots)
+            if isinstance(cur, dict):
+                cur = None
+            if isinstance(cur, list):
+                if keep_lists:
+                    any_list = True
+                    numeric = False
+                else:
+                    cur = None  # sort keys must be scalars
+            if cur is not None and not isinstance(cur, list) \
+                    and (isinstance(cur, bool)
+                         or not isinstance(cur, (int, float))):
+                numeric = False
+            vals.append(cur)
+        if any_list:
+            # normalize: every value is a list (ES treats a scalar as
+            # a one-element array field)
+            vals = [v if isinstance(v, list)
+                    else None if v is None else [v] for v in vals]
+            arr = np.empty(len(vals), dtype=object)
+            arr[:] = vals
+        elif numeric:
+            arr = np.array([float(v) if v is not None else np.nan
+                            for v in vals], dtype=np.float64)
+        else:
+            arr = np.array(vals, dtype=object)
+        self._src_vals[(path, keep_lists)] = arr
+        self._pin(arr.nbytes if arr.dtype != object else
+                  int(pd.Series(arr).memory_usage(index=False,
+                                                  deep=True)))
+        return arr
+
+    def source_field_kinds(self, exclude: set | None = None) -> dict:
+        """Per dynamic path: which JSON kinds appear in THIS segment —
+        {"str","int","float","bool"} flags plus "coerced" (int AND
+        float at the same path in the same segment: the columnar side
+        coerced ints to double, so `long` exists only as indexed terms
+        — the reference's field-caps aggregatable=false case).  Paths
+        under mapped columns are excluded by the caller."""
+        if self._src_kinds is not None:
+            return self._src_kinds
+        # ensure sources are parsed
+        self.source_values("\x00__none__")
+        kinds: dict[str, set] = {}
+
+        def walk(prefix, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(f"{prefix}.{k}" if prefix else str(k), v)
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    walk(prefix, v)
+            elif node is not None:
+                s = kinds.setdefault(prefix, set())
+                if isinstance(node, bool):
+                    s.add("bool")
+                elif isinstance(node, int):
+                    s.add("int")
+                elif isinstance(node, float):
+                    s.add("float")
+                else:
+                    s.add("str")
+
+        for d in (self._src_docs or []):
+            if isinstance(d, dict):
+                walk("", d)
+        out = {}
+        for path, s in kinds.items():
+            if exclude and path in exclude:
+                continue
+            flags = {k: True for k in s}
+            if "int" in s and "float" in s:
+                flags["coerced"] = True
+            out[path] = flags
+        self._src_kinds = out
+        return out
+
+    def sortable_column(self, col: str) -> np.ndarray:
+        """A doc column, else (dynamic mode with stored source) the
+        path's values from `__source` (find_field_or_hit_dynamic for
+        the sort/agg value path)."""
+        if col in self.doc_fields():
+            return self.doc_column(col)
+        if self.dynamic and "__source" in self.doc_fields():
+            return self.source_values(col)
+        return self.doc_column(col)  # raises its usual error
 
     def _cached_termdict(self) -> pd.DataFrame | None:
         if self._termdict is None:
@@ -1451,6 +1599,55 @@ def segment_wand_bound(seg_dir: str, node: A.Node, tokenizer: str,
     return float(sum(c.max_score for c in cursors if c is not None))
 
 
+def _after_eq_mask(arr: np.ndarray, cursor, asc: bool
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(strictly-after, exactly-equal) masks of `arr` vs one ES
+    values-only search_after cursor value.
+
+    The float compare decides non-tied rows; rows TYING with the
+    cursor in float space are re-checked exactly with python's
+    arbitrary-precision int/float comparison — float64 alone cannot
+    distinguish i64::MAX from i64::MAX-1 (the reference's u64/i64
+    cursor corner cases, rest-api-tests search_after/0001).  Missing
+    values sort LAST in both directions, i.e. always strictly after
+    any real cursor value."""
+    n = len(arr)
+    if arr.dtype == object:
+        after = np.zeros(n, dtype=bool)
+        eq = np.zeros(n, dtype=bool)
+        for j, v in enumerate(arr):
+            if v is None or (isinstance(v, float) and v != v):
+                after[j] = True
+                continue
+            try:
+                if v == cursor:
+                    eq[j] = True
+                elif (v > cursor) == asc and v != cursor:
+                    after[j] = True
+            except TypeError:
+                after[j] = True  # cross-type: treat as after (kept)
+        return after, eq
+    try:
+        cf = float(cursor)
+    except (TypeError, ValueError):
+        return np.ones(n, dtype=bool), np.zeros(n, dtype=bool)
+    vf = arr.astype(np.float64)
+    nan = np.isnan(vf)
+    after = (vf > cf) if asc else (vf < cf)
+    eq = vf == cf
+    # exact re-check of float ties on integer columns
+    if np.issubdtype(arr.dtype, np.integer) and np.any(eq):
+        for j in np.nonzero(eq)[0]:
+            v = int(arr[j])
+            if v == cursor:
+                continue  # truly equal
+            eq[j] = False
+            after[j] = (v > cursor) == asc
+    after |= nan
+    eq &= ~nan
+    return after, eq
+
+
 def segment_sort_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
                        text_field: str, sort_by: tuple,
                        search_after: tuple | None = None
@@ -1485,11 +1682,33 @@ def segment_sort_top_k(seg_dir: str, node: A.Node, k: int, tokenizer: str,
         elif f in ("_doc", "_shard_doc"):
             cols[name] = ids
         else:
-            cols[name] = reader.doc_column(f)[ids] if count else \
+            cols[name] = reader.sortable_column(f)[ids] if count else \
                 np.zeros(0)
         sort_cols.append(name)
         ascending.append(direction == "asc")
     first_asc = ascending[0]
+    if search_after is not None and len(search_after) == len(sort_by):
+        # ES values-only cursor (no doc-address tie-break): keep rows
+        # whose sort key is STRICTLY after the cursor —
+        # lexicographically across the (<=2) sort fields, with exact
+        # integer boundary semantics (_after_eq_mask)
+        raw_cols = [np.asarray(cols[f"_sort{i}"])
+                    for i in range(len(sort_by))]
+        a0, e0 = _after_eq_mask(raw_cols[0], search_after[0],
+                                ascending[0])
+        if len(sort_by) == 1:
+            keep = a0
+        else:
+            a1, _e1 = _after_eq_mask(raw_cols[1], search_after[1],
+                                     ascending[1])
+            keep = a0 | (e0 & a1)
+        for name in list(cols):
+            cols[name] = np.asarray(cols[name])[keep]
+        df = pd.DataFrame(cols)
+        df = df.sort_values(sort_cols + ["doc_id"],
+                            ascending=ascending + [first_asc],
+                            na_position="last", kind="mergesort").head(k)
+        return count, df.reset_index(drop=True)
     df = pd.DataFrame(cols)
     if search_after is not None:
         *sa_vals, sa_seg, sa_doc = search_after
@@ -1905,6 +2124,7 @@ class IndexSearcher:
                 os.path.join(seg_dir, "docs.parquet"),
                 filters=[("_seg_doc", "in", ids)]).to_pandas(
                 types_mapper={pa.int64(): pd.Int64Dtype(),
+                              pa.uint64(): pd.UInt64Dtype(),
                               pa.bool_(): pd.BooleanDtype()}.get)
             t = t.set_index("_seg_doc")
             # typed fast fields render back to their text form on fetch
@@ -1961,6 +2181,17 @@ class IndexSearcher:
                         f"sha256 mismatch for {tuple(getattr(r, c) for c in self.key_cols)}")
         return joined.sort_values("score", ascending=False)
 
+    @property
+    def has_dynamic(self) -> bool:
+        """True when any segment indexes a dynamic catch-all — agg/
+        sort fields may then be schemaless paths, not just columns.
+        An EMPTY index falls back to the manifest config's flag."""
+        segs = self.manifest.segments()
+        if segs:
+            return any(s.get("dynamic") for s in segs)
+        return bool(self.manifest.data.get("config", {})
+                    .get("dynamic"))
+
     def matched_docs(self, query, columns: list[str]):
         """Doc columns of every document matching the query — the input
         relation for aggregations (the reference computes aggregations
@@ -1977,6 +2208,54 @@ class IndexSearcher:
         text_field = self.text_field
         cols = list(columns)
 
+        # dynamic agg paths (not doc columns): values come from the
+        # stored source via sortable_column; their Spark type is
+        # inferred from the first segment that has any value (schemaless
+        # fields have no footer type to read)
+        dyn_types: dict[str, object] = {}
+        arrow_types, u64_cols = (self._doc_types(segs) if segs
+                                 else ({}, set()))
+        if segs:
+            import pyspark.sql.types as T
+            probe = get_reader(os.path.join(
+                index_dir, "segments", segs[0]["segment_id"]), tokenizer)
+            known_cols = probe.doc_fields()
+            for c in cols:
+                if c not in known_cols:
+                    arr = probe.source_values(c, keep_lists=True)
+                    if arr.dtype == np.float64:
+                        dyn_types[c] = T.DoubleType()
+                    elif any(isinstance(x, list) for x in arr):
+                        # multi-valued path: an array column; terms
+                        # aggs explode it (one bucket entry per
+                        # element, doc_count = docs containing it)
+                        elems = [e for x in arr if isinstance(x, list)
+                                 for e in x]
+                        num = elems and all(
+                            isinstance(e, (int, float))
+                            and not isinstance(e, bool) for e in elems)
+                        dyn_types[c] = T.ArrayType(
+                            T.DoubleType() if num else T.StringType())
+                    else:
+                        dyn_types[c] = T.StringType()
+
+        def _dyn_cast(v, t):
+            import pyspark.sql.types as T
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            if isinstance(t, T.ArrayType):
+                vs = v if isinstance(v, list) else [v]
+                el = t.elementType
+                return [None if e is None else
+                        float(e) if isinstance(el, T.DoubleType)
+                        else str(e) for e in vs]
+            if isinstance(t, T.DoubleType):
+                try:
+                    return float(v)
+                except (TypeError, ValueError):
+                    return None
+            return str(v)
+
         def one(sid: str, for_arrow: bool = False) -> pd.DataFrame:
             reader = get_reader(os.path.join(index_dir, "segments", sid),
                                 tokenizer)
@@ -1984,11 +2263,29 @@ class IndexSearcher:
             out = {"segment_id": np.full(len(ids), sid, dtype=object),
                    "doc_id": ids}
             for c in cols:
-                v = reader.doc_column(c)[ids]
+                if c in dyn_types:
+                    v = reader.source_values(c, keep_lists=True)[ids]
+                elif for_arrow and c in u64_cols:
+                    # exact u64 transport: decimal(20,0) in the schema,
+                    # python-int read (the numpy view would degrade a
+                    # NULLABLE uint64 column to float64 and round
+                    # values past 2^53)
+                    import decimal as _dec
+                    exact = reader.doc_column_exact(c)
+                    vals_ = [None if exact[i] is None
+                             else _dec.Decimal(exact[i]) for i in ids]
+                    v = np.empty(len(vals_), dtype=object)
+                    v[:] = vals_
+                else:
+                    v = reader.sortable_column(c)[ids]
                 if for_arrow and getattr(v, "dtype", None) == np.uint64:
-                    # Arrow transport only (schema maps uint64 ->
-                    # double); the driver-local path stays exact
-                    v = v.astype(np.float64)
+                    import decimal as _dec
+                    v = np.array([_dec.Decimal(int(x)) for x in v],
+                                 dtype=object)
+                if for_arrow and c in dyn_types:
+                    casted = [_dyn_cast(x, dyn_types[c]) for x in v]
+                    v = np.empty(len(casted), dtype=object)
+                    v[:] = casted
                 out[c] = v
             return pd.DataFrame(out)
 
@@ -2009,7 +2306,6 @@ class IndexSearcher:
         # output schema from the parquet FOOTER of one segment's doc map
         # (metadata-only — never evaluate a leaf on the driver)
         import pyspark.sql.types as T
-        arrow_types, _u64 = self._doc_types(segs) if segs else ({}, set())
         fields = [T.StructField("segment_id", T.StringType()),
                   T.StructField("doc_id", T.LongType())]
         for c in cols:
@@ -2018,8 +2314,8 @@ class IndexSearcher:
                 # stored column of the same name — don't duplicate the
                 # schema field (AMBIGUOUS_REFERENCE downstream)
                 continue
-            fields.append(T.StructField(c, arrow_types.get(
-                c, T.StringType())))
+            fields.append(T.StructField(c, dyn_types.get(
+                c, arrow_types.get(c, T.StringType()))))
         return sdf.mapInPandas(leaf, schema=T.StructType(fields))
 
     # -- auxiliary search surface -------------------------------------------
@@ -2488,9 +2784,11 @@ def _py_scalar(v):
 def _doc_schema_types(seg_dir: str) -> tuple[dict, set]:
     """(Spark types for a segment's doc-map columns, uint64 column names)
     from the parquet footer only (no data read, no leaf evaluation).
-    uint64 maps to DoubleType for Arrow transport (Spark has no unsigned
-    long; values past 2^53 lose precision in transit — exact paths must
-    stay driver-side, see sort_search's fallback)."""
+    uint64 maps to DecimalType(20,0) for Arrow transport (Spark has no
+    unsigned long; doubles would corrupt values past 2^53 — decimals
+    keep groupBy keys and sums EXACT across the full u64 range, at
+    decimal-arithmetic cost; the hot sort paths still stay driver-side,
+    see sort_search's fallback)."""
     import pyarrow as pa
     import pyspark.sql.types as T
     schema = pq.read_schema(os.path.join(seg_dir, "docs.parquet"))
@@ -2503,7 +2801,7 @@ def _doc_schema_types(seg_dir: str) -> tuple[dict, set]:
         elif pa.types.is_boolean(t):
             st = T.BooleanType()
         elif pa.types.is_unsigned_integer(t) and t.bit_width == 64:
-            st = T.DoubleType()
+            st = T.DecimalType(20, 0)
             u64.add(f.name)
         elif pa.types.is_int8(t) or pa.types.is_int16(t) or \
                 pa.types.is_int32(t):

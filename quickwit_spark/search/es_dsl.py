@@ -300,8 +300,23 @@ def _es_terms_default_size(spec: dict) -> dict:
             out[name] = body
             continue
         nb = dict(body)
-        if isinstance(nb.get("terms"), dict) and "size" not in nb["terms"]:
-            nb["terms"] = {**nb["terms"], "size": 10}
+        if isinstance(nb.get("terms"), dict):
+            tb = dict(nb["terms"])
+            tb.setdefault("size", 10)
+            # per-split truncation hints: this engine computes terms
+            # EXACTLY (Spark full shuffle), so split_size/shard_size/
+            # segment_size have nothing to truncate — accepted and
+            # dropped; doc_count_error_upper_bound is always 0
+            for hint in ("split_size", "shard_size", "segment_size"):
+                tb.pop(hint, None)
+            nb["terms"] = tb
+        # ES histogram/date_histogram default min_doc_count is 0
+        # (empty buckets between data min/max are emitted); the native
+        # aggregate() default is 1
+        for hk in ("histogram", "date_histogram"):
+            if isinstance(nb.get(hk), dict) \
+                    and "min_doc_count" not in nb[hk]:
+                nb[hk] = {**nb[hk], "min_doc_count": 0}
         # ES accepts `aggregations` as a full alias of `aggs` at any
         # nesting level; normalize here so the native aggregate() only
         # ever sees `aggs`
@@ -311,6 +326,165 @@ def _es_terms_default_size(spec: dict) -> dict:
             nb["aggs"] = _es_terms_default_size(nb["aggs"])
         out[name] = nb
     return out
+
+
+def _es_num(v):
+    """numpy / decimal / NA scalar -> JSON-safe python number (None
+    for NA; integral decimals — the exact u64 transport — stay int)."""
+    import decimal as _dec
+
+    import numpy as _np
+    if v is None:
+        return None
+    if isinstance(v, float) and v != v:
+        return None
+    if isinstance(v, _np.generic):
+        v = v.item()
+    if isinstance(v, _dec.Decimal):
+        return int(v) if v == v.to_integral_value() else float(v)
+    if isinstance(v, float) and v != v:
+        return None
+    return v
+
+
+def _es_metric_obj(name: str, kind: str, body: dict, row) -> object:
+    """One leaf metric of a flat aggregate() row -> its ES response
+    object (tantivy agg_result serialization, mirrored by the
+    reference's rest-api-tests aggregations expectations)."""
+    if kind in ("avg", "min", "max", "sum", "value_count",
+                "cardinality"):
+        v = _es_num(row.get(name))
+        if kind in ("sum", "value_count", "cardinality") and v is None:
+            v = 0.0
+        if kind == "cardinality" and v is not None:
+            v = float(v)
+        return {"value": v}
+    if kind in ("stats", "extended_stats"):
+        out = {"count": int(_es_num(row.get(f"{name}_count")) or 0),
+               "min": _es_num(row.get(f"{name}_min")),
+               "max": _es_num(row.get(f"{name}_max")),
+               "avg": _es_num(row.get(f"{name}_avg")),
+               "sum": _es_num(row.get(f"{name}_sum"))}
+        if out["sum"] is None:
+            out["sum"] = 0.0
+        if kind == "extended_stats":
+            out["sum_of_squares"] = _es_num(
+                row.get(f"{name}_sum_of_squares"))
+            out["variance"] = _es_num(row.get(f"{name}_variance"))
+            out["std_deviation"] = _es_num(
+                row.get(f"{name}_std_deviation"))
+        return out
+    if kind == "percentiles":
+        pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        pairs = [(float(p), _es_num(
+            row.get(f"{name}_p{str(p).replace('.', '_')}")))
+            for p in pcts]
+        if body.get("keyed", True):
+            return {"values": {str(k): v for k, v in pairs}}
+        return {"values": [{"key": k, "value": v} for k, v in pairs]}
+    return {"value": _es_num(row.get(name))}
+
+
+def _es_shape_levels(levels: list, leaf_metrics: list,
+                     pdf, spec_levels: dict) -> dict:
+    """Flat rows (one per deepest bucket combo, already in engine
+    order) -> the nested ES buckets tree."""
+    from ..pipeline.doc_mapper import format_datetime_millis
+    if not levels:
+        row = pdf.iloc[0].to_dict() if len(pdf) else {}
+        return {n: _es_metric_obj(n, k, b, row)
+                for n, k, b in leaf_metrics}
+    name, kind, body = levels[0]
+    buckets = []
+    seen = []
+    groups: dict = {}
+    for _i, row in pdf.iterrows():
+        kv = row[name]
+        kk = kv if not isinstance(kv, float) or kv == kv else None
+        if kk not in groups:
+            groups[kk] = []
+            seen.append(kk)
+        groups[kk].append(row)
+    for kv in seen:
+        rows = groups[kv]
+        if kv is None:
+            continue  # docs without the bucket field form no bucket
+        b: dict = {}
+        if kind == "date_histogram":
+            ms = int(kv)
+            b["key"] = float(ms)
+            b["key_as_string"] = format_datetime_millis(ms)
+        elif kind == "histogram":
+            b["key"] = float(kv)
+        elif kind == "range":
+            rng = next((r for r in body["ranges"]
+                        if _range_key(r) == kv), None)
+            b["key"] = kv
+            if rng:
+                if rng.get("from") is not None:
+                    b["from"] = float(rng["from"])
+                if rng.get("to") is not None:
+                    b["to"] = float(rng["to"])
+        else:  # terms: keep the native key type (u64 keys stay exact)
+            b["key"] = _es_num(kv)
+        b["doc_count"] = int(sum(r["doc_count"] for r in rows))
+        if len(levels) > 1:
+            import pandas as _pd
+            sub_pdf = _pd.DataFrame(rows)
+            b[levels[1][0]] = _es_shape_levels(
+                levels[1:], leaf_metrics, sub_pdf, spec_levels)
+        else:
+            r0 = rows[0].to_dict()
+            for n, k, mb in leaf_metrics:
+                b[n] = _es_metric_obj(n, k, mb, r0)
+        buckets.append(b)
+    out: dict = {"buckets": buckets}
+    if kind == "terms":
+        other = 0
+        col = f"{name}_sum_other_doc_count"
+        if len(pdf) and col in pdf.columns:
+            other = int(pdf[col].iloc[0])
+        out["sum_other_doc_count"] = other
+        # exact engine: terms counts are never truncated per split
+        out["doc_count_error_upper_bound"] = 0
+    return out
+
+
+def _range_key(r: dict) -> str:
+    from .aggregations import _range_label
+    return _range_label(r)
+
+
+def _es_shape_aggs(spec: dict, out) -> dict:
+    """aggregate() output (flat DataFrame(s)) -> the nested ES
+    `aggregations` response document."""
+    from .aggregations import _parse_level
+    if isinstance(out, dict):  # sibling bucket aggs
+        resp = {}
+        for name, df in out.items():
+            resp.update(_es_shape_aggs({name: spec[name]}, df))
+        return resp
+    pdf = out.toPandas() if hasattr(out, "toPandas") else out
+    # walk the spec's nesting chain exactly like _aggregate_plan
+    levels = []
+    leaf_metrics: list = []
+    cur = spec
+    while True:
+        bucket, metrics = _parse_level(cur)
+        if bucket is None:
+            leaf_metrics = metrics
+            break
+        name, kind, body, sub = bucket
+        levels.append((name, kind, body))
+        if not sub:
+            break
+        cur = sub
+    if not levels:
+        row = pdf.iloc[0].to_dict() if len(pdf) else {}
+        return {n: _es_metric_obj(n, k, b, row)
+                for n, k, b in leaf_metrics}
+    shaped = _es_shape_levels(levels, leaf_metrics, pdf, spec)
+    return {levels[0][0]: shaped}
 
 
 def es_search(searcher, body: dict, default_field: str | None = None,
@@ -436,9 +610,23 @@ def es_search(searcher, body: dict, default_field: str | None = None,
                     vals.append(float(h.score))
                 elif f in ("_doc", "_shard_doc"):
                     vals.append(int(h.doc_id))
-                else:
+                elif f in src:
                     vals.append(src.get(f))
-            hit["sort"] = vals + [h.segment_id, int(h.doc_id)]
+                else:
+                    # dynamic sort path: value from the stored source
+                    # (UNfiltered — cursors must not depend on
+                    # _source include/exclude shaping)
+                    cur: object = doc_source(h.doc)
+                    for seg_ in f.split("."):
+                        cur = cur.get(seg_) if isinstance(cur, dict) \
+                            else None
+                    vals.append(cur)
+            # values only, like the reference's ES hits; fed back as
+            # `search_after` it pages with ES strictly-after semantics
+            # (equal-valued boundary docs are skipped — add a second
+            # sort field to tie-break, exactly like ES). The legacy
+            # values+address cursor shape is still accepted on input.
+            hit["sort"] = vals
         if hl_spec:
             from .snippets import make_snippet
             hl = {}
@@ -467,17 +655,12 @@ def es_search(searcher, body: dict, default_field: str | None = None,
         # ES accepts `aggregations` as a full alias of `aggs` (the
         # reference's facade does too, via a serde alias)
         from .aggregations import aggregate
-        out = aggregate(searcher, node,
-                        _es_terms_default_size(aggs_spec))
-
-        def _records(df):
-            pdf = df.toPandas() if hasattr(df, "toPandas") else df
-            return pdf.to_dict("records")
-        if isinstance(out, dict):  # sibling bucket aggs
-            resp["aggregations"] = {n: _records(df)
-                                    for n, df in out.items()}
-        else:
-            resp["aggregations"] = _records(out)
+        shaped_spec = _es_terms_default_size(aggs_spec)
+        out = aggregate(searcher, node, shaped_spec)
+        # nested ES response document (buckets arrays, key_as_string,
+        # metric objects) — the reference's wire shape, pinned by its
+        # rest-api-tests aggregations suite
+        resp["aggregations"] = _es_shape_aggs(shaped_spec, out)
     return resp
 
 
@@ -555,24 +738,157 @@ def es_count(searcher, body: dict | None = None,
     return {"count": int(searcher.count(node))}
 
 
-def es_field_caps(searcher) -> dict:
-    """ES `_field_caps` response shape over list_fields (the reference
-    maps its ListFields service the same way,
-    rest_handler.rs es_compat_index_field_capabilities)."""
-    fields: dict = {}
-    for f in searcher.list_fields():
-        caps = {}
-        for t in f["types"]:
-            es_t = _ES_TYPES.get(t, t)
-            caps[es_t] = {
-                "type": es_t,
-                "metadata_field": False,
-                "searchable": bool(f["searchable"]),
-                "aggregatable": True,
-            }
-        fields[f["field"]] = caps
+def _seg_ts_overlaps(seg: dict, ts_field: str | None,
+                     start_s, end_s) -> bool:
+    """[start,end) epoch-seconds filter against a segment's timestamp
+    column stats (list_fields time filtering, the reference prunes
+    splits by time_range the same way)."""
+    if ts_field is None or (start_s is None and end_s is None):
+        return True
+    stats = seg.get("col_stats", {}).get(ts_field)
+    if stats is None:
+        return True  # no stats: never exclude
+    lo, hi = stats
+    scale = 1000 if seg.get("field_types", {}).get(ts_field) \
+        == "datetime" else 1
+    if start_s is not None and hi < int(start_s) * scale:
+        return False
+    if end_s is not None and lo >= int(end_s) * scale:
+        return False
+    return True
+
+
+def index_field_caps(searcher, start_timestamp=None, end_timestamp=None,
+                     timestamp_field: str | None = None) -> dict:
+    """Per-field ES type capabilities DERIVED FROM THE INDEXED DATA,
+    per segment then merged (rest_handler.rs
+    es_compat_index_field_capabilities over the ListFields service):
+
+    - typed columns map by their stored type (datetime -> date_nanos,
+      ip -> ip, ints -> long, floats -> double, bool -> boolean,
+      strings -> keyword; the analyzed text column -> text);
+    - dynamic paths map by the VALUE KINDS seen per segment: strings
+      are text+keyword (keyword only under a raw analyzer), ints are
+      long, floats double, int+float within ONE segment marks `long`
+      non-aggregatable (the columnar side coerced those ints to
+      double — only the indexed terms remain);
+    - start/end_timestamp restrict to segments overlapping the range.
+    """
+    import os as _os
+
+    from .engine import INTERNAL_DOC_FIELDS, get_reader
+    out: dict[str, dict[str, dict]] = {}
+
+    def add(field: str, es_t: str, aggregatable: bool,
+            searchable: bool = True) -> None:
+        e = out.setdefault(field, {}).setdefault(
+            es_t, {"type": es_t, "metadata_field": False,
+                   "searchable": False, "aggregatable": False})
+        e["searchable"] = e["searchable"] or searchable
+        e["aggregatable"] = e["aggregatable"] or aggregatable
+
+    for seg in searcher.manifest.segments():
+        if not _seg_ts_overlaps(seg, timestamp_field,
+                                start_timestamp, end_timestamp):
+            continue
+        doc_fields = seg.get("doc_fields", {})
+        ftypes = seg.get("field_types", {})
+        for name, t in doc_fields.items():
+            if name.startswith("_") or name in INTERNAL_DOC_FIELDS:
+                continue  # engine internals incl. __source/__doc_key
+            ft = ftypes.get(name)
+            if ft == "datetime":
+                add(name, "date_nanos", True)
+            elif ft == "ip":
+                add(name, "ip", True)
+            elif ft == "bytes":
+                add(name, "binary", True)
+            elif name == searcher.text_field:
+                add(name, "text", True)
+            elif "int" in str(t):
+                add(name, "long", True)
+            elif any(x in str(t) for x in ("float", "double")):
+                add(name, "double", True)
+            elif str(t) == "bool":
+                add(name, "boolean", True)
+            else:
+                add(name, "keyword", True)
+        if seg.get("dynamic") and "__source" in doc_fields:
+            reader = get_reader(
+                _os.path.join(searcher.index_dir, "segments",
+                              seg["segment_id"]), searcher.tokenizer)
+            kinds = reader.source_field_kinds(
+                exclude=set(doc_fields))
+            for path, k in kinds.items():
+                if k.get("str"):
+                    add(path, "keyword", True)
+                    if reader.dyn_analyzer(path) != "raw":
+                        add(path, "text", True)
+                if k.get("bool"):
+                    add(path, "boolean", True)
+                if k.get("coerced"):
+                    add(path, "long", False)   # terms only, no column
+                    add(path, "double", True)
+                else:
+                    if k.get("int"):
+                        add(path, "long", True)
+                    if k.get("float"):
+                        add(path, "double", True)
+    if searcher.text_field and searcher.text_field not in out \
+            and not searcher.text_field.startswith("_"):
+        # the analyzed text field is indexed but often not STORED as a
+        # doc column; it is still searchable
+        add(searcher.text_field, "text", True)
+    return out
+
+
+def _match_field_patterns(fields: dict, patterns) -> dict:
+    if not patterns:
+        return fields
+    import fnmatch
+    if isinstance(patterns, str):
+        patterns = [p for p in patterns.split(",") if p]
+    return {f: v for f, v in fields.items()
+            if any(fnmatch.fnmatch(f, p) for p in patterns)}
+
+
+def es_field_caps(searcher, fields=None, start_timestamp=None,
+                  end_timestamp=None,
+                  timestamp_field: str | None = None) -> dict:
+    """ES `_field_caps` for one index."""
+    caps = index_field_caps(searcher, start_timestamp, end_timestamp,
+                            timestamp_field)
     return {"indices": [searcher.manifest.data["index_uid"]],
-            "fields": fields}
+            "fields": _match_field_patterns(caps, fields)}
+
+
+def es_field_caps_multi(indexes: list, fields=None,
+                        start_timestamp=None, end_timestamp=None
+                        ) -> dict:
+    """ES `_field_caps` across several indices (wildcard index
+    patterns / the global route). Each (field, type) entry carries an
+    `indices` list when it is NOT present in every queried index —
+    the ES merge convention the reference follows."""
+    names = [n for n, _s, _t in indexes]
+    merged: dict[str, dict[str, dict]] = {}
+    owners: dict[tuple, list] = {}
+    for name, searcher, ts_field in indexes:
+        caps = index_field_caps(searcher, start_timestamp,
+                                end_timestamp, ts_field)
+        for f, types in caps.items():
+            for es_t, e in types.items():
+                cur = merged.setdefault(f, {}).setdefault(
+                    es_t, {"type": es_t, "metadata_field": False,
+                           "searchable": False, "aggregatable": False})
+                cur["searchable"] = cur["searchable"] or e["searchable"]
+                cur["aggregatable"] = (cur["aggregatable"]
+                                       or e["aggregatable"])
+                owners.setdefault((f, es_t), []).append(name)
+    for (f, es_t), own in owners.items():
+        if sorted(set(own)) != sorted(names):
+            merged[f][es_t]["indices"] = sorted(set(own))
+    return {"indices": names,
+            "fields": _match_field_patterns(merged, fields)}
 
 
 def _index_stats(searcher) -> tuple[int, int, int]:
@@ -700,7 +1016,8 @@ def es_stats(searcher) -> dict:
             "indices": {uid: {"primaries": body, "total": body}}}
 
 
-def es_bulk(config, lines: list[dict]) -> dict:
+def es_bulk(config, lines: list[dict],
+            doc_sizes: list[int] | None = None) -> dict:
     """ES `_bulk` NDJSON (strict alternation: action line / doc line;
     only `index`/`create` actions — the engine's segments are immutable,
     like the reference's ingest API, rest_handler.rs es_compat_bulk).
@@ -735,7 +1052,7 @@ def es_bulk(config, lines: list[dict]) -> dict:
         # the payload sha, so a replayed batch maps to identical ids
         doc_errors: list = []
         pdf = mapper.project(docs, payload_sha.hex()[:16],
-                             errors=doc_errors)
+                             errors=doc_errors, sizes=doc_sizes)
         if pdf.empty:
             # every doc invalid: nothing to publish, report per-doc
             # failures (the reference's bulk reports doc errors

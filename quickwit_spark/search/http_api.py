@@ -517,7 +517,11 @@ class SearchHttpServer:
             if not os.path.isfile(Manifest.path(d)):
                 mgmt_api.apply_template(self.root_dir, sub[0])
             cfg = self._config(sub[0])
-            resp = mgmt_api.ingest_ndjson(cfg, self._ndjson(raw))
+            # per-doc RECEIVED byte sizes (the `_doc_length` fast field
+            # when store_document_size is on)
+            sizes = [len(ln) for ln in raw.split(b"\n") if ln.strip()]
+            resp = mgmt_api.ingest_ndjson(cfg, self._ndjson(raw),
+                                          sizes=sizes)
             self._reload_searcher(sub[0])
             return 200, resp
         # node endpoints (node_info_handler.rs /api/v1/version,
@@ -690,6 +694,27 @@ class SearchHttpServer:
     def _drop_searcher(self, index: str) -> None:
         with self._lock:
             self._searchers.pop(index, None)
+
+    _spark_session = None
+
+    def _attach_spark(self, searcher) -> None:
+        """Aggregations execute as Spark plans (partial/final agg is
+        THE scale path); a serving process lazily owns one local
+        session for them — like the reference's searcher owning its
+        execution runtime. First agg request pays the JVM start."""
+        if getattr(searcher, "spark", None) is not None:
+            return
+        if SearchHttpServer._spark_session is None:
+            from pyspark.sql import SparkSession
+            master = os.environ.get("QW_SPARK_SERVE_MASTER",
+                                    "local[2]")
+            SearchHttpServer._spark_session = (
+                SparkSession.builder.master(master)
+                .appName("quickwit-spark-serve")
+                .config("spark.sql.shuffle.partitions", "4")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate())
+        searcher.spark = SearchHttpServer._spark_session
 
     def _search_settings(self, index: str
                          ) -> tuple[str | None, list[str] | None]:
@@ -871,12 +896,51 @@ class SearchHttpServer:
         if len(seg) == 3 and seg[:2] == ["_resolve", "index"]:
             return 200, es_dsl.es_resolve_index(self.root_dir, seg[2])
 
+        if seg == ["_field_caps"] or (len(seg) == 2
+                                      and seg[1] == "_field_caps"):
+            # index wildcards and the global route (the reference's
+            # es_compat field-caps handler accepts index patterns)
+            import fnmatch
+            pattern = seg[0] if len(seg) == 2 else "*"
+            pats = [p for p in pattern.split(",") if p]
+            existing = set(self._list_indices())
+            # ES semantics: a CONCRETE missing name is an error, an
+            # unmatched wildcard pattern is silently empty
+            for p in pats:
+                if "*" not in p and "?" not in p and p not in existing:
+                    raise _ApiError(
+                        404, f"index `{p}` does not exist",
+                        es_type="index_not_found_exception")
+            names = sorted(n for n in existing
+                           if any(fnmatch.fnmatch(n, p)
+                                  for p in pats))
+            if not names:
+                # every pattern was a wildcard with no match: an empty
+                # 200, like ES
+                return 200, {"indices": [], "fields": {}}
+            fields = params.get("fields")
+            start_ts = params.get("start_timestamp")
+            end_ts = params.get("end_timestamp")
+            if len(names) == 1:
+                ts_f, _d = self._search_settings(names[0])
+                return 200, es_dsl.es_field_caps(
+                    self._searcher(names[0]), fields=fields,
+                    start_timestamp=start_ts, end_timestamp=end_ts,
+                    timestamp_field=ts_f)
+            triples = [(n, self._searcher(n),
+                        self._search_settings(n)[0]) for n in names]
+            return 200, es_dsl.es_field_caps_multi(
+                triples, fields=fields, start_timestamp=start_ts,
+                end_timestamp=end_ts)
         if len(seg) == 2:
             index, verb = seg
             s = self._searcher(index)
             body = (None if verb in ("_msearch", "_bulk")
                     else self._json_body(raw))  # those two are NDJSON
             if verb == "_search":
+                if isinstance(body, dict) and (
+                        body.get("aggs") or body.get("aggregations")):
+                    self._attach_spark(s)
                 if "scroll" in params:
                     return 200, es_dsl.es_scroll_search(
                         s, body, scroll=params["scroll"])
@@ -887,8 +951,6 @@ class SearchHttpServer:
                 return 200, es_dsl.es_msearch(s, self._ndjson(raw))
             if verb == "_count":
                 return 200, es_dsl.es_count(s, body)
-            if verb == "_field_caps":
-                return 200, es_dsl.es_field_caps(s)
             if verb == "_mapping":
                 return 200, es_dsl.es_get_mapping(s)
             if verb == "_stats":

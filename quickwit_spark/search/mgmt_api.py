@@ -1153,7 +1153,8 @@ def parse_query_to_json(query: str,
 # ingest
 # ---------------------------------------------------------------------------
 
-def ingest_ndjson(config: IndexConfig, docs: list[dict]) -> dict:
+def ingest_ndjson(config: IndexConfig, docs: list[dict],
+                  sizes: list[int] | None = None) -> dict:
     """POST /{index}/ingest (ingest_api/rest_handler.rs): NDJSON docs in,
     {num_docs_for_processing} out. Delegates to the bulk build path —
     one segment per payload, content-keyed checkpoint, so replaying the
@@ -1179,7 +1180,7 @@ def ingest_ndjson(config: IndexConfig, docs: list[dict]) -> dict:
         lines.append({"index": {}})
         lines.append(d)
     try:
-        es_bulk(config, lines)
+        es_bulk(config, lines, doc_sizes=sizes)
     except ValueError as e:
         raise MgmtError(str(e)) from e
     return {"num_docs_for_processing": len(docs)}

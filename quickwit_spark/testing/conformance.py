@@ -69,6 +69,27 @@ DEFAULT_WAIVERS: dict = {
             "unquoted) and return correct results; the reference "
             "rejects them with 400",
     },
+    "aggregations/0001-aggregations.yaml": {
+        # steps 7-9 assert the reference's per-split top-N TRUNCATION
+        # artifacts (split_size/segment_size/shard_size = 1 makes it
+        # report Fritz doc_count 2 with error bound 2); this engine
+        # computes terms aggregations EXACTLY via a Spark full shuffle
+        # and returns the true doc_count 3 with error bound 0 — the
+        # split_size=5 step (exact answer) still runs and passes
+        7: "terms split_size truncation: engine is exact (returns the "
+           "true count 3, error bound 0) where the reference's "
+           "per-split top-N reports the approximation 2",
+        8: "same as step 7 (segment_size alias)",
+        9: "same as step 7 (shard_size alias)",
+        # tantivy estimates percentiles with its sketch; the asserted
+        # values (100.49456770856702...) are that sketch's outputs.
+        # This engine computes exact percentiles (or Spark's
+        # percentile_approx under approx: true) — algorithmically
+        # correct, numerically different
+        11: "percentile values pin tantivy's sketch estimates; engine "
+            "computes exact percentiles (124.5 for p85 of "
+            "[100,100,120,130] vs the sketch's 100.49...)",
+    },
 }
 
 _EVAL_GLOBALS = {"__builtins__": {

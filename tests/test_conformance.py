@@ -26,6 +26,11 @@ GREEN_SUITES = [
     "default_search_fields",
     "tag_fields",
     "concat_fields",
+    "multi_splits",
+    "search_after",
+    "sort_orders",
+    "aggregations",
+    "es_field_capabilities",
 ]
 
 

@@ -91,7 +91,10 @@ def test_es_search_response_shape(spark, tmp_path):
 
     r3 = es_search(s, {"query": {"match_all": {}}, "size": 0,
                        "aggs": {"langs": {"terms": {"field": "lang"}}}})
-    got = {row["langs"]: row["doc_count"] for row in r3["aggregations"]}
+    # the facade emits the ES NESTED aggregations document (buckets
+    # arrays — the reference's wire shape)
+    got = {b["key"]: b["doc_count"]
+           for b in r3["aggregations"]["langs"]["buckets"]}
     assert got == {"go": 2, "rust": 2}
 
     # from/size paging
@@ -455,20 +458,18 @@ def test_aggregations_alias_accepted(rev_searcher):
     body = {"query": {"match_all": {}}, "size": 0,
             "aggregations": {"langs": {"terms": {"field": "lang"}}}}
     r = es_dsl.es_search(rev_searcher, body)
-    # the facade returns flat records per agg (documented divergence);
     # the point here is the alias must not be silently IGNORED
     assert "aggregations" in r
-    rows = r["aggregations"]   # single-spec: flat records directly,
-    # bucket values keyed by the AGG NAME
-    assert {b["langs"] for b in rows} == {"go", "rust", "py"}
+    buckets = r["aggregations"]["langs"]["buckets"]
+    assert {b["key"] for b in buckets} == {"go", "rust", "py"}
     alias_nested = {"query": {"match_all": {}}, "size": 0,
                     "aggs": {"langs": {
                         "terms": {"field": "lang"},
                         "aggregations": {"chars": {
                             "avg": {"field": "n_chars"}}}}}}
     r2 = es_dsl.es_search(rev_searcher, alias_nested)
-    rows2 = r2["aggregations"]
-    assert rows2 and any("chars" in k for k in rows2[0])
+    buckets2 = r2["aggregations"]["langs"]["buckets"]
+    assert buckets2 and all("chars" in b for b in buckets2)
 
 
 def test_malformed_bodies_raise_value_error(rev_searcher):

@@ -74,6 +74,11 @@ class IndexConfig:
     # {tokenizer: default, record: position}` configs mean (the
     # gharchive mapping of the reference's own rest-api-tests).
     dynamic_tokenizer: str = "raw"
+    # normalizer for the dynamic FAST values (`dynamic_mapping: {fast:
+    # {normalizer: lowercase}}`): sort/agg keys over dynamic string
+    # paths are normalized, while the indexed terms follow the
+    # tokenizer (the reference's fast-field normalizer option)
+    dynamic_fast_normalizer: str | None = None
     # mapped fields routed through the dynamic namespace instead of a
     # doc column: secondary text fields, `json` fields and object
     # sub-fields from a reference doc mapping. {dotted.path: {

@@ -593,6 +593,7 @@ def build_segment(pdf: pd.DataFrame, config: IndexConfig, partition_id: int,
         "dynamic": bool(config.dynamic_col),
         "field_types": dict(config.field_types),
         "dynamic_tokenizer": config.dynamic_tokenizer,
+        "dynamic_fast_normalizer": config.dynamic_fast_normalizer,
         "dyn_text_fields": dict(config.dyn_text_fields or {}),
         "source_col": config.source_col,
     }

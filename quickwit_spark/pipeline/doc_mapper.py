@@ -137,12 +137,45 @@ def parse_datetime_value(value, input_formats=("rfc3339",
 def _java_fmt_to_strptime(fmt: str) -> str:
     """Minimal java-datetime-format translation (the reference accepts
     java patterns for custom input_formats, java_date_time_format.rs):
-    yyyy MM dd HH mm ss -> %Y %m %d %H %M %S."""
-    out = fmt
-    for a, b in (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
-                 ("HH", "%H"), ("mm", "%M"), ("ss", "%S")):
-        out = out.replace(a, b)
-    return out
+    yyyy MM dd HH mm ss -> %Y %m %d %H %M %S; 'quoted' literals pass
+    through verbatim; S-runs become %f (strptime accepts 1-6 frac
+    digits)."""
+    out = []
+    i = 0
+    n = len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == "'":
+            j = fmt.find("'", i + 1)
+            if j == -1:
+                out.append(fmt[i + 1:])
+                break
+            out.append(fmt[i + 1:j] or "'")  # '' = literal quote
+            i = j + 1
+            continue
+        for a, b in (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+                     ("HH", "%H"), ("mm", "%M"), ("ss", "%S")):
+            if fmt.startswith(a, i):
+                out.append(b)
+                i += len(a)
+                break
+        else:
+            if c == "S":
+                j = i
+                while j < n and fmt[j] == "S":
+                    j += 1
+                out.append("%f")
+                i = j
+            else:
+                out.append(c)
+                i += 1
+    return "".join(out)
+
+
+def parse_java_format_millis(s: str, fmt: str) -> int | None:
+    """One datetime literal under an explicit java-style format (the
+    ES range query's `format` option) -> epoch millis."""
+    return _parse_strptime_like(s, fmt)
 
 
 def _parse_strptime_like(s: str, fmt: str) -> int | None:
@@ -304,6 +337,10 @@ class DocMapper:
         # basic, expand_dots true, fast enabled
         self.dynamic_tokenizer = dyn.get("tokenizer", "raw")
         self.dynamic_record = dyn.get("record", "basic")
+        fast_opt = dyn.get("fast")
+        self.dynamic_fast_normalizer = (
+            fast_opt.get("normalizer")
+            if isinstance(fast_opt, dict) else None)
         self.expand_dots = bool(dyn.get("expand_dots", True))
         self.dynamic_indexed = bool(dyn.get("indexed", True))
         ss = doc.get("search_settings") or {}
@@ -685,6 +722,7 @@ class DocMapper:
             "dynamic_col": "_dynamic",
             "dynamic_tokenizer": self.dynamic_tokenizer
             if self.mode == "dynamic" else "raw",
+            "dynamic_fast_normalizer": self.dynamic_fast_normalizer,
             "dyn_text_fields": dyn,
             "source_col": SOURCE_COL,
             "sha_col": None,

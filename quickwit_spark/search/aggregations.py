@@ -45,46 +45,54 @@ class InvalidAggregation(ValueError):
     reference rejects these at deserialization (aggregations.rs)."""
 
 
+
+def _fcol(field: str):
+    """Column ref for a (possibly dotted) FLAT column name: dynamic
+    paths like `actor.login` are single columns, not struct access —
+    backtick-escape so Catalyst resolves them literally."""
+    return F.col(f"`{field}`") if "." in str(field) else F.col(field)
+
 def _metric_exprs(name: str, kind: str, body: dict) -> list:
     field = body["field"]
     if kind == "avg":
-        return [F.avg(field).alias(name)]
+        return [F.avg(_fcol(field)).alias(name)]
     if kind == "min":
-        return [F.min(field).alias(name)]
+        return [F.min(_fcol(field)).alias(name)]
     if kind == "max":
-        return [F.max(field).alias(name)]
+        return [F.max(_fcol(field)).alias(name)]
     if kind == "sum":
-        return [F.sum(field).alias(name)]
+        return [F.sum(_fcol(field)).alias(name)]
     if kind == "value_count":
-        return [F.count(field).alias(name)]
+        return [F.count(_fcol(field)).alias(name)]
     if kind == "cardinality":
         # approx by default, like the reference (approx-distinct
         # sketch). rsd 0.01 ~= ES's default precision_threshold
         # behavior: effectively exact at small cardinalities (Spark's
         # default 0.05 miscounts even single-digit sets), still a
         # bounded-memory mergeable sketch at scale
-        return [F.approx_count_distinct(field, 0.01).alias(name)]
+        return [F.approx_count_distinct(_fcol(field), 0.01)
+                .alias(name)]
     if kind == "stats":
-        return [F.count(field).alias(f"{name}_count"),
-                F.min(field).alias(f"{name}_min"),
-                F.max(field).alias(f"{name}_max"),
-                F.avg(field).alias(f"{name}_avg"),
-                F.sum(field).alias(f"{name}_sum")]
+        return [F.count(_fcol(field)).alias(f"{name}_count"),
+                F.min(_fcol(field)).alias(f"{name}_min"),
+                F.max(_fcol(field)).alias(f"{name}_max"),
+                F.avg(_fcol(field)).alias(f"{name}_avg"),
+                F.sum(_fcol(field)).alias(f"{name}_sum")]
     if kind == "extended_stats":
         # population variance, ES-style: sumsq/n - mean^2. The naive
         # formula is cancellation-prone — large values with tiny spread
         # can yield a slightly NEGATIVE double (and NaN std) — so clamp
         # at 0 like ES does
-        c = F.count(field).cast("double")
-        sumsq = F.sum(F.col(field).cast("double")
-                      * F.col(field).cast("double"))
-        var = F.greatest(sumsq / c - (F.avg(field) * F.avg(field)),
+        c = F.count(_fcol(field)).cast("double")
+        sumsq = F.sum(_fcol(field).cast("double")
+                      * _fcol(field).cast("double"))
+        var = F.greatest(sumsq / c - (F.avg(_fcol(field)) * F.avg(_fcol(field))),
                          F.lit(0.0))
-        return [F.count(field).alias(f"{name}_count"),
-                F.min(field).alias(f"{name}_min"),
-                F.max(field).alias(f"{name}_max"),
-                F.avg(field).alias(f"{name}_avg"),
-                F.sum(field).alias(f"{name}_sum"),
+        return [F.count(_fcol(field)).alias(f"{name}_count"),
+                F.min(_fcol(field)).alias(f"{name}_min"),
+                F.max(_fcol(field)).alias(f"{name}_max"),
+                F.avg(_fcol(field)).alias(f"{name}_avg"),
+                F.sum(_fcol(field)).alias(f"{name}_sum"),
                 sumsq.alias(f"{name}_sum_of_squares"),
                 var.alias(f"{name}_variance"),
                 F.sqrt(var).alias(f"{name}_std_deviation")]
@@ -97,11 +105,10 @@ def _metric_exprs(name: str, kind: str, body: dict) -> list:
             # with bounded memory, vs exact percentile() which sorts
             # every group's values. At 100 TB use approx: true.
             acc = int(body.get("accuracy", 10000))
-            return [F.expr(f"percentile_approx({field}, {p / 100.0}, "
-                           f"{acc})").cast("double")
+            return [F.percentile_approx(_fcol(field), p / 100.0, acc).cast("double")
                     .alias(f"{name}_p{str(p).replace('.', '_')}")
                     for p in pcts]
-        return [F.expr(f"percentile({field}, {p / 100.0})")
+        return [F.expr(f"percentile(`{field}`, {p / 100.0})")
                 .alias(f"{name}_p{str(p).replace('.', '_')}")
                 for p in pcts]
     raise InvalidAggregation(f"unsupported metric {kind}")
@@ -157,11 +164,11 @@ def _parse_duration_ms(s) -> int:
 def _bucket_col(kind: str, body: dict, field_is_millis: bool = False):
     field = body["field"]
     if kind == "terms":
-        return F.col(field)
+        return _fcol(field)
     if kind == "histogram":
         interval = float(body["interval"])
         offset = float(body.get("offset", 0.0))
-        return (F.floor((F.col(field) - F.lit(offset)) / F.lit(interval))
+        return (F.floor((_fcol(field) - F.lit(offset)) / F.lit(interval))
                 * F.lit(interval) + F.lit(offset))
     if kind == "date_histogram":
         fixed = body.get("fixed_interval")
@@ -179,7 +186,7 @@ def _bucket_col(kind: str, body: dict, field_is_millis: bool = False):
                     f"fixed_interval must be positive, got {fixed!r}")
             off = _parse_duration_ms(body["offset"]) \
                 if "offset" in body else 0
-            return (F.floor((F.col(field) - F.lit(off)) / F.lit(step))
+            return (F.floor((_fcol(field) - F.lit(off)) / F.lit(step))
                     * F.lit(step) + F.lit(off))
         if fixed is not None:
             # ES fixed_interval: "<n>(ms|s|m|h|d)" — truncate to epoch
@@ -199,10 +206,10 @@ def _bucket_col(kind: str, body: dict, field_is_millis: bool = False):
                     "of seconds")
             step = int(step)
             return F.timestamp_seconds(
-                F.floor(F.unix_timestamp(F.col(field)) / F.lit(step))
+                F.floor(F.unix_timestamp(_fcol(field)) / F.lit(step))
                 * F.lit(step))
         unit = body.get("calendar_interval", "day")
-        return F.date_trunc(str(unit), F.col(field))
+        return F.date_trunc(str(unit), _fcol(field))
     if kind == "range":
         ranges = body["ranges"]
         expr = None  # labels via _range_label — the ONE formatter shared
@@ -212,9 +219,9 @@ def _bucket_col(kind: str, body: dict, field_is_millis: bool = False):
             label = _range_label(r)
             cond = F.lit(True)
             if lo is not None:
-                cond = cond & (F.col(field) >= F.lit(lo))
+                cond = cond & (_fcol(field) >= F.lit(lo))
             if hi is not None:
-                cond = cond & (F.col(field) < F.lit(hi))
+                cond = cond & (_fcol(field) < F.lit(hi))
             expr = F.when(cond, F.lit(label)) if expr is None else \
                 expr.when(cond, F.lit(label))
         return expr
@@ -369,7 +376,10 @@ def aggregate(searcher, query, spec: dict):
     fields = sorted(_collect_fields(spec))
     known = {f["field"] for f in searcher.list_fields()}
     unknown = [f for f in fields if f not in known]
-    if unknown and not getattr(searcher, "has_dynamic", False):
+    if unknown and known and not getattr(searcher, "has_dynamic",
+                                         False):
+        # `known` empty = zero segments anywhere: nothing to
+        # aggregate, every spec yields empty results (not an error)
         # reject up front: an unknown field would otherwise surface as
         # an executor-side KeyError from inside the leaf tasks. With a
         # dynamic catch-all any path MAY exist — missing ones yield
@@ -470,7 +480,7 @@ def _aggregate_plan(matched, spec: dict):
             # OTHER fields would still see the doc — they form no
             # bucket downstream)
             out = out.withColumn(name,
-                                 F.explode_outer(F.col(body["field"])))
+                                 F.explode_outer(_fcol(body["field"])))
         else:
             out = out.withColumn(
                 name, _bucket_col(

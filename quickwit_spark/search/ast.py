@@ -30,11 +30,14 @@ class TermSet(Node):
 @dataclass(frozen=True)
 class FullText(Node):
     """Query text is tokenized with the field's tokenizer; tokens combined
-    with `operator` (and/or). 0 tokens => MatchNone; 1 token => Term.
+    with `operator` (and/or). 0 tokens => MatchNone — unless
+    `zero_terms_all` (ES match zero_terms_query: "all") flips that to
+    MatchAll. 1 token => Term.
     (reference: full_text_query.rs:36-163)"""
     field: str
     text: str
     operator: str = "and"  # reference default operator is AND
+    zero_terms_all: bool = False
 
 
 @dataclass(frozen=True)
@@ -46,6 +49,9 @@ class Phrase(Node):
     field: str
     text: str
     slop: int = 0
+    # ES `analyzer` override: tokenize the QUERY text with this
+    # analyzer instead of the field's (match_phrase analyzer option)
+    analyzer: str | None = None
 
 
 @dataclass(frozen=True)
@@ -56,6 +62,7 @@ class PhrasePrefix(Node):
     field: str
     text: str
     max_expansions: int = 50
+    analyzer: str | None = None
 
 
 @dataclass(frozen=True)

@@ -393,6 +393,17 @@ class SegmentReader:
     def dynamic(self) -> bool:
         return bool(self.meta.get("dynamic", False))
 
+    def dyn_normalizer(self, path: str) -> str | None:
+        """Fast-value normalizer for a dynamic path: mapped dyn-text
+        roots (object/json text fields) keep their own (none unless
+        configured) — only CATCH-ALL dynamic paths take the
+        dynamic_mapping fast normalizer (0007: repo.name stays
+        case-sensitive while actor.login lowercases)."""
+        for root in (self.meta.get("dyn_text_fields") or {}):
+            if path == root or path.startswith(root + "."):
+                return None
+        return self.meta.get("dynamic_fast_normalizer")
+
     def dyn_analyzer(self, field: str) -> str:
         """Analyzer owning a dynamic-namespace path (longest mapped
         root wins, else the catch-all dynamic tokenizer)."""
@@ -450,14 +461,22 @@ class SegmentReader:
         from ..index.builder import dynamic_num_key
         lo = -math.inf
         hi = math.inf  # keys compared as [lo_key, hi_key]; see below
-        if node.gte is not None:
-            lo = max(lo, float(node.gte))
-        if node.gt is not None:
-            lo = max(lo, math.nextafter(float(node.gt), math.inf))
-        if node.lte is not None:
-            hi = min(hi, float(node.lte))
-        if node.lt is not None:
-            hi = min(hi, math.nextafter(float(node.lt), -math.inf))
+        try:
+            if node.gte is not None:
+                lo = max(lo, float(node.gte))
+            if node.gt is not None:
+                lo = max(lo, math.nextafter(float(node.gt), math.inf))
+            if node.lte is not None:
+                hi = min(hi, float(node.lte))
+            if node.lt is not None:
+                hi = min(hi, math.nextafter(float(node.lt),
+                                            -math.inf))
+        except (TypeError, ValueError):
+            # non-numeric bounds: a STRING range over the path's fast
+            # values, normalized like the fast column would be
+            # (rest-api-tests 0007: `actor.login: {gte: "H"}` under
+            # the lowercase normalizer is case-insensitive)
+            return self._dynamic_string_range_ids(node)
         if hi < lo:
             return np.zeros(0, dtype=np.int64)
         lo_key = dynamic_num_key(node.field, lo)
@@ -468,6 +487,52 @@ class SegmentReader:
                              include_dynamic=True,
                              prefix=f"\x02{node.field}\x00")
         return self._union_postings_docids(td["term_id"].tolist())
+
+    def _dynamic_string_range_ids(self, node: A.Range) -> np.ndarray:
+        norm = self.dyn_normalizer(node.field)
+
+        def nz(x):
+            return x.lower() if norm == "lowercase" \
+                and isinstance(x, str) else x
+        if "__source" not in self.doc_fields():
+            # no stored source (legacy dynamic index): range over the
+            # exact \x01 terms instead
+            pfx = f"\x01{node.field}\x00"
+
+            def pred(s):
+                vs = s.str.slice(len(pfx))
+                m = s.str.startswith(pfx)
+                if node.gte is not None:
+                    m &= vs >= str(node.gte)
+                if node.gt is not None:
+                    m &= vs > str(node.gt)
+                if node.lte is not None:
+                    m &= vs <= str(node.lte)
+                if node.lt is not None:
+                    m &= vs < str(node.lt)
+                return m
+            td = self.scan_terms(pred, prefix=pfx,
+                                 include_dynamic=True)
+            return self._union_postings_docids(td["term_id"].tolist())
+        vals = self.source_values(node.field)
+        n = len(vals)
+        keep = np.zeros(n, dtype=bool)
+        for i in range(n):
+            v = vals[i]
+            if not isinstance(v, str):
+                continue
+            v = nz(v)
+            ok = True
+            if node.gte is not None:
+                ok &= v >= nz(str(node.gte))
+            if node.gt is not None:
+                ok &= v > nz(str(node.gt))
+            if node.lte is not None:
+                ok &= v <= nz(str(node.lte))
+            if node.lt is not None:
+                ok &= v < nz(str(node.lt))
+            keep[i] = ok
+        return np.nonzero(keep)[0].astype(np.int64)
 
     def _union_postings_docids(self, term_ids: list) -> np.ndarray:
         """Docid union across many terms (the wildcard / dynamic-exists /
@@ -613,6 +678,9 @@ class SegmentReader:
             else:
                 toks = [node.text]
             if not toks:
+                if node.zero_terms_all:
+                    # ES match zero_terms_query: "all"
+                    return self.eval(A.MatchAll(), text_field, scoring)
                 return _Scored.empty()
             terms = tuple(A.Term(node.field, t) for t in toks)
             if len(terms) == 1:
@@ -752,12 +820,40 @@ class SegmentReader:
         if isinstance(node, (A.Wildcard, A.Regex)):
             import re
             if isinstance(node, A.Wildcard):
+                # `\*`/`\?` are ESCAPED literals; a pattern left with
+                # no live wildcard degrades to an analyzed term (the
+                # reference's 0005 step 18: jour\? is the token "jour"
+                # after analysis, not a one-char wildcard)
+                parts: list[tuple[str, str]] = []
+                live = False
+                _i = 0
+                _p = node.pattern
+                while _i < len(_p):
+                    c = _p[_i]
+                    if c == "\\" and _i + 1 < len(_p):
+                        parts.append(("lit", _p[_i + 1]))
+                        _i += 2
+                        continue
+                    if c in "*?":
+                        live = True
+                        parts.append(("wc", c))
+                    else:
+                        parts.append(("lit", c))
+                    _i += 1
+                if not live:
+                    literal = "".join(x for _k, x in parts)
+                    return self.eval(
+                        A.FullText(node.field, literal,
+                                   operator="and"),
+                        text_field, scoring)
                 pat = "".join(
-                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
-                    for c in node.pattern)
-                stop = re.search(r"[*?]", node.pattern)
-                lit = node.pattern[:stop.start()] if stop \
-                    else node.pattern
+                    (".*" if x == "*" else ".") if k == "wc"
+                    else re.escape(x) for k, x in parts)
+                lit = ""
+                for k, x in parts:
+                    if k == "wc":
+                        break
+                    lit += x
             else:
                 pat = node.pattern
                 # longest literal prefix of the regex, conservatively: up
@@ -775,12 +871,35 @@ class SegmentReader:
                             and pat[len(lit)] in "*+?{":
                         lit = lit[:-1]
             rx = re.compile(f"^(?:{pat})$")
+            if isinstance(node, A.Wildcard):
+                # wildcard patterns are normalized with the field's
+                # analyzer, like the reference ("Jou*al" matches the
+                # lowercased token "journal" — 0005 step 14); raw /
+                # whitespace analyzers keep case
+                an = (self.tokenizer if node.field == text_field
+                      else self.dyn_analyzer(node.field)
+                      if node.field not in self.doc_fields()
+                      and self.dynamic else "raw")
+                if an not in ("raw", "whitespace"):
+                    pat = pat.lower()
+                    lit = lit.lower()
             if node.field == text_field:
                 # vectorized C-level regex over the (prefix-pruned) term
                 # dictionary — no per-term Python closure
                 td = self.scan_terms(
                     lambda s: s.str.fullmatch(pat, na=False),
                     prefix=lit or None)
+                ids = self._union_postings_docids(
+                    td["term_id"].tolist())
+            elif node.field not in self.doc_fields() and self.dynamic:
+                # pattern anchored inside the path's namespace: match
+                # the VALUE part of `\x01field\x00value` terms
+                ns = f"\x01{node.field}\x00"
+                td = self.scan_terms(
+                    lambda s: (s.str.startswith(ns)
+                               & s.str.slice(len(ns))
+                               .str.fullmatch(pat, na=False)),
+                    prefix=ns + lit, include_dynamic=True)
                 ids = self._union_postings_docids(
                     td["term_id"].tolist())
             else:
@@ -812,14 +931,32 @@ class SegmentReader:
         full_text_query.rs:36-163). Scoring mirrors the underlying
         library's phrase scorer: BM25 with tf = phrase frequency and
         idf summed over the phrase's terms."""
-        toks = tokenize_one(node.text, analyzer=self.tokenizer) \
-            if node.field == text_field else [node.text]
+        dyn = (node.field != text_field
+               and node.field not in self.doc_fields() and self.dynamic)
+        override = getattr(node, "analyzer", None)
+        if node.field == text_field:
+            toks = tokenize_one(node.text,
+                                analyzer=override or self.tokenizer)
+            keys = list(toks)
+        elif dyn:
+            # dynamic-namespace phrase: analyze with the FIELD's
+            # analyzer (or the query's `analyzer` override), look up
+            # `\x01field\x00token` postings — their positions were
+            # recorded per path with array-element gaps
+            an = override or self.dyn_analyzer(node.field)
+            toks = tokenize_one(node.text, analyzer=an) \
+                if an != "raw" else [node.text]
+            keys = [f"\x01{node.field}\x00{t}" for t in toks]
+        else:
+            toks = [node.text]
+            keys = list(toks)
         if not toks:
             return _Scored.empty()
-        if not self.has_positions or node.field != text_field:
+        if not self.has_positions or not (node.field == text_field
+                                          or dyn):
             terms = tuple(A.Term(node.field, t) for t in toks)
             if last_term_alternatives is not None:
-                alts = tuple(A.Term(node.field, t)
+                alts = tuple(A.Term(node.field, _strip_dyn_ns(t))
                              for t in last_term_alternatives)
                 terms = terms[:-1] + (A.Bool(should=alts),) if alts else \
                     terms[:-1]
@@ -827,8 +964,8 @@ class SegmentReader:
                 return self.eval(terms[0], text_field, scoring)
             return self.eval(A.Bool(must=terms), text_field, scoring)
         posting_sets: list[list[tuple]] = []
-        for i, t in enumerate(toks):
-            is_last = i == len(toks) - 1
+        for i, t in enumerate(keys):
+            is_last = i == len(keys) - 1
             variants = ([t] if not (is_last and last_term_alternatives
                                     is not None)
                         else last_term_alternatives)
@@ -917,15 +1054,27 @@ class SegmentReader:
         """Expand the trailing prefix against the term dict (term order,
         capped at max_expansions — phrase_prefix_query.rs), then run the
         phrase with the expansion set in the last slot."""
-        toks = tokenize_one(node.text, analyzer=self.tokenizer) \
-            if node.field == text_field else [node.text]
+        dyn = (node.field != text_field
+               and node.field not in self.doc_fields() and self.dynamic)
+        override = getattr(node, "analyzer", None)
+        if node.field == text_field:
+            toks = tokenize_one(node.text,
+                                analyzer=override or self.tokenizer)
+        elif dyn:
+            an = override or self.dyn_analyzer(node.field)
+            toks = tokenize_one(node.text, analyzer=an) \
+                if an != "raw" else [node.text]
+        else:
+            toks = [node.text]
         if not toks:
             return _Scored.empty()
-        prefix = toks[-1]
         # prefix pushed to the termdict read: a binary-search slice /
-        # parquet range filter instead of a full-dict startswith scan
+        # parquet range filter instead of a full-dict startswith scan.
+        # Dynamic paths expand inside their namespace only.
+        prefix = (f"\x01{node.field}\x00{toks[-1]}" if dyn
+                  else toks[-1])
         td = self.scan_terms(lambda s: s.str.startswith(prefix),
-                             prefix=prefix)
+                             prefix=prefix, include_dynamic=dyn)
         expansions = sorted(td["term"].tolist())[:node.max_expansions]
         if not expansions:
             return _Scored.empty()
@@ -1041,6 +1190,15 @@ class InvalidQueryValue(ValueError):
 
 def _coerce(value, dtype):
     try:
+        if np.issubdtype(dtype, np.bool_):
+            # bool columns take "true"/"false" query literals
+            if isinstance(value, str):
+                if value.lower() in ("true", "1"):
+                    return True
+                if value.lower() in ("false", "0"):
+                    return False
+                raise ValueError(value)
+            return bool(value)
         if np.issubdtype(dtype, np.integer):
             return int(value)
         if np.issubdtype(dtype, np.floating):
@@ -1627,6 +1785,16 @@ def _after_eq_mask(arr: np.ndarray, cursor, asc: bool
             except TypeError:
                 after[j] = True  # cross-type: treat as after (kept)
         return after, eq
+    if isinstance(cursor, str):
+        # ES clients echo numeric sort values as strings; coerce so
+        # the exact integer re-check never compares int vs str
+        try:
+            cursor = int(cursor)
+        except ValueError:
+            try:
+                cursor = float(cursor)
+            except ValueError:
+                pass
     try:
         cf = float(cursor)
     except (TypeError, ValueError):
@@ -2182,6 +2350,10 @@ class IndexSearcher:
         return joined.sort_values("score", ascending=False)
 
     @property
+    def index_uid(self) -> str:
+        return self.manifest.data["index_uid"]
+
+    @property
     def has_dynamic(self) -> bool:
         """True when any segment indexes a dynamic catch-all — agg/
         sort fields may then be schemaless paths, not just columns.
@@ -2265,6 +2437,19 @@ class IndexSearcher:
             for c in cols:
                 if c in dyn_types:
                     v = reader.source_values(c, keep_lists=True)[ids]
+                    if reader.dyn_normalizer(c) == "lowercase":
+                        # fast-value normalizer: agg/sort keys over
+                        # dynamic string paths are lowercased (the
+                        # gharchive mapping's `fast: {normalizer:
+                        # lowercase}`)
+                        lowered = [
+                            x.lower() if isinstance(x, str)
+                            else [e.lower() if isinstance(e, str)
+                                  else e for e in x]
+                            if isinstance(x, list) else x
+                            for x in v]
+                        v = np.empty(len(lowered), dtype=object)
+                        v[:] = lowered
                 elif for_arrow and c in u64_cols:
                     # exact u64 transport: decimal(20,0) in the schema,
                     # python-int read (the numpy view would degrade a
@@ -2756,6 +2941,11 @@ class IndexSearcher:
 # engine-internal doc-map columns, hidden from user-facing facades
 # (es_dsl, rest) — single source of truth for the filtering contract
 INTERNAL_DOC_FIELDS = ("fieldnorm", "fieldnorm_id")
+
+
+def _strip_dyn_ns(term: str) -> str:
+    """`\x01field\x00value` -> value (phrase-prefix fallback terms)."""
+    return term.split("\x00", 1)[1] if term.startswith("\x01") else term
 
 
 def doc_source(doc: dict) -> dict:

@@ -70,8 +70,18 @@ def _es_to_ast(body: dict[str, Any], default_field: str = "content"
         return A.MatchNone()
     if kind == "query_string":
         fields = spec.get("fields")
+        if fields and spec.get("default_field") is not None:
+            # mutually exclusive, like the reference (0005 step 13)
+            raise ValueError(
+                "query_string takes `default_field` OR `fields`, "
+                "not both")
         if isinstance(fields, str):
-            fields = [fields]
+            # the reference rejects a bare string here (unlike
+            # multi_match, which accepts one — rest-api-tests 0005 vs
+            # 0014 pin the asymmetry)
+            raise ValueError(
+                "query_string `fields` must be an array of field "
+                "names")
         if fields:
             # multi-field query_string (rest_handler / scenario 0005):
             # bare terms search EVERY listed field; explicitly-fielded
@@ -104,7 +114,10 @@ def _es_to_ast(body: dict[str, Any], default_field: str = "content"
         if isinstance(v, dict):
             return _maybe_boost(
                 A.FullText(field, str(v["query"]),
-                           operator=v.get("operator", "or").lower()), boost)
+                           operator=v.get("operator", "or").lower(),
+                           zero_terms_all=(
+                               str(v.get("zero_terms_query", "none"))
+                               .lower() == "all")), boost)
         return _maybe_boost(A.FullText(field, str(v), operator="or"), boost)
     if kind == "match_bool_prefix":
         # ES semantics: every term a bool clause, the LAST one a prefix
@@ -140,16 +153,26 @@ def _es_to_ast(body: dict[str, Any], default_field: str = "content"
         field, v, boost = _single_entry(kind, spec)
         text = v["query"] if isinstance(v, dict) else v
         slop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
+        an = _check_analyzer(v.get("analyzer")
+                             if isinstance(v, dict) else None)
         # positional phrase; freq-only indexes fall back to intersection
         # (the reference's PhraseFallbackToIntersection mode)
-        return _maybe_boost(A.Phrase(field, str(text), slop=slop), boost)
+        return _maybe_boost(A.Phrase(field, str(text), slop=slop,
+                                     analyzer=an), boost)
     if kind == "match_phrase_prefix":
         field, v, boost = _single_entry(kind, spec)
         text = v["query"] if isinstance(v, dict) else v
         maxe = int(v.get("max_expansions", 50)) if isinstance(v, dict) else 50
+        an = _check_analyzer(v.get("analyzer")
+                             if isinstance(v, dict) else None)
         return _maybe_boost(
-            A.PhrasePrefix(field, str(text), max_expansions=maxe), boost)
+            A.PhrasePrefix(field, str(text), max_expansions=maxe,
+                           analyzer=an), boost)
     if kind == "multi_match":
+        if spec.get("fields") == []:
+            # an EXPLICIT empty list is rejected (0014) — unlike
+            # query_string, where [] just falls back to defaults
+            raise ValueError("multi_match `fields` must not be empty")
         fields = spec.get("fields") or [default_field]
         if isinstance(fields, str):  # ES accepts a bare string here
             fields = [fields]
@@ -175,9 +198,22 @@ def _es_to_ast(body: dict[str, Any], default_field: str = "content"
         return parts[0] if len(parts) == 1 else A.Bool(should=parts)
     if kind == "range":
         field, v, boost = _single_entry(kind, spec)
-        return _maybe_boost(
-            A.Range(field, gte=v.get("gte"), gt=v.get("gt"),
-                    lte=v.get("lte"), lt=v.get("lt")), boost)
+        bounds = {k: v.get(k) for k in ("gte", "gt", "lte", "lt")}
+        fmt = v.get("format") if isinstance(v, dict) else None
+        if fmt:
+            # ES custom date `format` (java pattern, quoted literals):
+            # bounds pre-parse to epoch millis here, the engine's
+            # datetime coercion takes the ints from there
+            from ..pipeline.doc_mapper import parse_java_format_millis
+            for k, b in bounds.items():
+                if isinstance(b, str):
+                    ms = parse_java_format_millis(b, fmt)
+                    if ms is None:
+                        raise ValueError(
+                            f"range bound {b!r} does not match "
+                            f"format {fmt!r}")
+                    bounds[k] = ms
+        return _maybe_boost(A.Range(field, **bounds), boost)
     if kind == "exists":
         return A.FieldPresence(spec["field"])
     if kind == "regexp":
@@ -190,7 +226,7 @@ def _es_to_ast(body: dict[str, Any], default_field: str = "content"
         return _maybe_boost(A.Wildcard(field, str(pat)), boost)
     if kind == "bool":
         def _many(key):
-            items = spec.get(key, [])
+            items = spec.get(key) or []  # null clause = empty, like ES
             if isinstance(items, dict):
                 items = [items]
             return tuple(es_to_ast(i, default_field) for i in items)
@@ -205,6 +241,64 @@ def _es_to_ast(body: dict[str, Any], default_field: str = "content"
                     spec["minimum_should_match"], len(should))
                 if "minimum_should_match" in spec else None))
     raise ValueError(f"unsupported ES query kind: {kind}")
+
+
+def _field_resolvable(searcher, f: str) -> bool:
+    """Can `f` resolve on this index? Mirrors
+    find_field_or_hit_dynamic: a known field, a subtree of a json/
+    dyn-text root, or (dynamic mode) any free path — but NEVER a
+    subpath of a mapped non-json field."""
+    subs = getattr(searcher, "searchers", None)
+    if subs is not None:  # union: resolvable anywhere is enough
+        return any(_field_resolvable(s, f) for s in subs) \
+            if subs else True
+    try:
+        known = {x["field"] for x in searcher.list_fields()}
+    except Exception:  # noqa: BLE001 — no segments yet
+        known = set()
+    if f in known:
+        return True
+    dyn_roots: set = set()
+    for seg in searcher.manifest.segments():
+        dyn_roots |= set((seg.get("dyn_text_fields") or {}).keys())
+    if any(f == r or f.startswith(r + ".") for r in dyn_roots):
+        return True
+    if any(f.startswith(k + ".") for k in known):
+        return False
+    return bool(getattr(searcher, "has_dynamic", False))
+
+
+def _validate_strict_fields(searcher, q) -> None:
+    """Non-lenient query_string: every listed field must resolve
+    (0005 step 24 — the reference 400s `public.notdefined` without
+    `lenient: true`)."""
+    if isinstance(q, dict):
+        for k, v in q.items():
+            if k == "query_string" and isinstance(v, dict) \
+                    and not v.get("lenient"):
+                for f in (v.get("fields") or []):
+                    name = str(f).split("^", 1)[0]
+                    if not _field_resolvable(searcher, name):
+                        raise ValueError(
+                            f"unknown field `{name}` (pass lenient: "
+                            "true to ignore unresolvable fields)")
+            else:
+                _validate_strict_fields(searcher, v)
+    elif isinstance(q, list):
+        for x in q:
+            _validate_strict_fields(searcher, x)
+
+
+def _check_analyzer(name) -> str | None:
+    """Validate an ES `analyzer` override against the tokenizer
+    registry (an unknown name is a 400, rest-api-tests 0010)."""
+    if name is None:
+        return None
+    from ..functions import tokenizers as tok
+    if name not in tok.ANALYZERS and tok.get_custom_analyzer(name) \
+            is None:
+        raise ValueError(f"unknown analyzer {name!r}")
+    return str(name)
 
 
 def _field_boost(f: str) -> tuple[str, float | None]:
@@ -326,6 +420,47 @@ def _es_terms_default_size(spec: dict) -> dict:
             nb["aggs"] = _es_terms_default_size(nb["aggs"])
         out[name] = nb
     return out
+
+
+def filter_source_doc(src: dict, includes: list | None,
+                      excludes: list) -> dict:
+    """ES _source include/exclude projection with DOTTED-PATH
+    semantics (rest-api-tests 0022): an include keeps a whole subtree,
+    a dotted include keeps a partial subtree ({"actor": {"id": ..}}),
+    excludes drop subtrees and WIN over includes."""
+    exc = [str(e) for e in (excludes or [])]
+    inc = [str(i) for i in includes] if includes is not None else None
+
+    def is_exc(p: str) -> bool:
+        return any(p == e or p.startswith(e + ".") for e in exc)
+
+    def inc_mode(p: str) -> int:  # 0 drop, 1 partial, 2 full
+        if inc is None:
+            return 2
+        if any(p == i or p.startswith(i + ".") for i in inc):
+            return 2
+        if any(i.startswith(p + ".") for i in inc):
+            return 1
+        return 0
+
+    def walk(node: dict, p: str, inherited_full: bool) -> dict:
+        out: dict = {}
+        for k, v in node.items():
+            cp = f"{p}.{k}" if p else str(k)
+            if is_exc(cp):
+                continue
+            m = 2 if inherited_full else inc_mode(cp)
+            if m == 0:
+                continue
+            if isinstance(v, dict):
+                sub = walk(v, cp, m == 2)
+                if sub or m == 2:
+                    out[k] = sub
+            elif m == 2:
+                out[k] = v
+        return out
+
+    return walk(src, "", inc is None)
 
 
 def _es_num(v):
@@ -508,6 +643,7 @@ def es_search(searcher, body: dict, default_field: str | None = None,
     import time as _time
 
     t0 = _time.perf_counter()
+    _validate_strict_fields(searcher, body.get("query"))
     node = es_to_ast(body.get("query", {"match_all": {}}),
                      default_field or searcher.text_field)
     if extra_filters:
@@ -536,7 +672,8 @@ def es_search(searcher, body: dict, default_field: str | None = None,
             # the reference rejects >2 sort fields (collector.rs:1008-1029)
             raise ValueError("sort supports at most 2 fields")
         sort_by = []
-        for s in sort_spec:
+        sort_fmt: dict[int, str] = {}
+        for si, s in enumerate(sort_spec):
             if isinstance(s, str):
                 sort_by.append((s, "asc" if s != "_score" else "desc"))
             else:
@@ -547,6 +684,19 @@ def es_search(searcher, body: dict, default_field: str | None = None,
                 order = v.get("order", dflt) if isinstance(v, dict) \
                     else str(v)
                 sort_by.append((f, order))
+                if isinstance(v, dict) and v.get("format"):
+                    sort_fmt[si] = str(v["format"])
+        if sa and sort_fmt:
+            # `format: epoch_nanos_int` (quickwit-specific): sort
+            # values travel in NANOS; the engine compares millis
+            def _from_nanos(i, x):
+                if sort_fmt.get(i) != "epoch_nanos_int":
+                    return x
+                try:
+                    return int(x) // 1_000_000
+                except (TypeError, ValueError):
+                    return x
+            sa = [_from_nanos(i, x) for i, x in enumerate(sa)]
         res = searcher.sort_search(node, k=offset + size,
                                    sort_by=tuple(sort_by),
                                    search_after=(tuple(sa) if sa
@@ -590,13 +740,17 @@ def es_search(searcher, body: dict, default_field: str | None = None,
                if not k.startswith("_") and k not in INTERNAL_DOC_FIELDS}
         from .engine import doc_source
         emitted = doc_source(h.doc)
-        if inc is not None:
-            emitted = {k: v for k, v in emitted.items() if k in inc}
-        if exc:
-            # excludes win over includes (es_compatibility/0022)
-            emitted = {k: v for k, v in emitted.items() if k not in exc}
+        if inc is not None or exc:
+            # dotted-path semantics, excludes win (0022)
+            emitted = filter_source_doc(
+                emitted, sorted(inc) if inc is not None else None,
+                sorted(exc))
+        sid = str(h.segment_id)
         hit = {
-            "_id": f"{h.segment_id}:{h.doc_id}",
+            "_id": f"{sid}:{h.doc_id}",
+            # union hits namespace their segment id as uid/segment
+            "_index": (sid.split("/", 1)[0] if "/" in sid
+                       else getattr(searcher, "index_uid", "")),
             "_score": None if sort_spec else float(h.score),
             "_source": emitted,
         }
@@ -605,13 +759,17 @@ def es_search(searcher, body: dict, default_field: str | None = None,
             # tie-break (ES uses _shard_doc the same way) — feed back
             # verbatim as `search_after` for the next page
             vals = []
-            for f, _d in sort_by:
+            for fi, (f, _d) in enumerate(sort_by):
                 if f == "_score":
                     vals.append(float(h.score))
                 elif f in ("_doc", "_shard_doc"):
                     vals.append(int(h.doc_id))
                 elif f in src:
-                    vals.append(src.get(f))
+                    v_ = src.get(f)
+                    if sort_fmt.get(fi) == "epoch_nanos_int" \
+                            and isinstance(v_, (int, float)):
+                        v_ = int(v_) * 1_000_000
+                    vals.append(v_)
                 else:
                     # dynamic sort path: value from the stored source
                     # (UNfiltered — cursors must not depend on
@@ -651,6 +809,10 @@ def es_search(searcher, body: dict, default_field: str | None = None,
         },
     }
     aggs_spec = body.get("aggs") or body.get("aggregations")
+    if aggs_spec and getattr(searcher, "searchers", None) == []:
+        # an index pattern matching ZERO indices: ES omits the
+        # aggregations key entirely (multi-indices/0003)
+        aggs_spec = None
     if aggs_spec:
         # ES accepts `aggregations` as a full alias of `aggs` (the
         # reference's facade does too, via a serde alias)
@@ -699,10 +861,36 @@ def es_scroll_search(searcher, body: dict, scroll: str = "1m",
     node = es_to_ast(body.get("query", {"match_all": {}}),
                      default_field or searcher.text_field)
     size = int(body.get("size", 10))
-    res, sid = searcher.scroll(node, k=size,
-                               ttl_seconds=_parse_es_ttl(scroll))
+    sort_spec = body.get("sort")
+    if sort_spec and hasattr(searcher, "_scroll_store"):
+        # sorted scroll (the union searcher's page-based contexts)
+        sort_by = []
+        for entry in (sort_spec if isinstance(sort_spec, list)
+                      else [sort_spec]):
+            if isinstance(entry, str):
+                sort_by.append((entry, "desc" if entry == "_score"
+                                else "asc"))
+            else:
+                for f, v in entry.items():
+                    d = v.get("order", "asc") if isinstance(v, dict) \
+                        else str(v)
+                    sort_by.append((f, d))
+        res, sid = searcher.scroll(node, k=size,
+                                   ttl_seconds=_parse_es_ttl(scroll),
+                                   sort_by=tuple(sort_by))
+    else:
+        res, sid = searcher.scroll(node, k=size,
+                                   ttl_seconds=_parse_es_ttl(scroll))
     resp = _scroll_hits_resp(res)
     resp["_scroll_id"] = sid
+    aggs_spec = body.get("aggs") or body.get("aggregations")
+    if aggs_spec:
+        # aggregations ride on the FIRST scroll page only, like the
+        # reference (scroll_context keeps hits, not aggs)
+        from .aggregations import aggregate
+        shaped_spec = _es_terms_default_size(aggs_spec)
+        resp["aggregations"] = _es_shape_aggs(
+            shaped_spec, aggregate(searcher, node, shaped_spec))
     return resp
 
 
@@ -1016,6 +1204,28 @@ def es_stats(searcher) -> dict:
             "indices": {uid: {"primaries": body, "total": body}}}
 
 
+def es_stats_multi(searchers: list) -> dict:
+    """ES `_stats` over an index pattern: per-index sections plus the
+    summed `_all` (rest_handler.rs es_compat_stats)."""
+    tot_docs = tot_size = tot_segs = 0
+    indices = {}
+    for s in searchers:
+        docs, nsegs, size = _index_stats(s)
+        tot_docs += docs
+        tot_size += size
+        tot_segs += nsegs
+        body = {"docs": {"count": docs, "deleted": 0},
+                "store": {"size_in_bytes": size},
+                "segments": {"count": nsegs}}
+        indices[s.manifest.data["index_uid"]] = {
+            "primaries": body, "total": body}
+    allb = {"docs": {"count": tot_docs, "deleted": 0},
+            "store": {"size_in_bytes": tot_size},
+            "segments": {"count": tot_segs}}
+    return {"_all": {"primaries": allb, "total": allb},
+            "indices": indices}
+
+
 def es_bulk(config, lines: list[dict],
             doc_sizes: list[int] | None = None) -> dict:
     """ES `_bulk` NDJSON (strict alternation: action line / doc line;
@@ -1037,15 +1247,20 @@ def es_bulk(config, lines: list[dict],
         raise ValueError("_bulk expects alternating action/doc lines")
     docs = []
     kinds = []
+    ids: list = []
     for i in range(0, len(lines), 2):
         action = lines[i]
         kind = ({"index", "create"} & set(action))
         if not kind:
             raise ValueError(f"unsupported bulk action: {list(action)}")
-        kinds.append("create" if "create" in action else "index")
+        k = "create" if "create" in action else "index"
+        kinds.append(k)
+        ids.append(action[k].get("_id")
+                   if isinstance(action.get(k), dict) else None)
         docs.append(lines[i + 1])
     payload_sha = hashlib.sha256(repr(lines).encode()).digest()
     mapper = config.__dict__.get("_mapper")
+    error_by_ord: dict[int, str] = {}
     if mapper is not None:
         # doc-mapper config (reference-shaped): project raw JSON docs
         # into the build columns; synthesized doc ids are derived from
@@ -1053,19 +1268,16 @@ def es_bulk(config, lines: list[dict],
         doc_errors: list = []
         pdf = mapper.project(docs, payload_sha.hex()[:16],
                              errors=doc_errors, sizes=doc_sizes)
+        error_by_ord = {e["ordinal"]: e["reason"] for e in doc_errors}
         if pdf.empty:
             # every doc invalid: nothing to publish, report per-doc
             # failures (the reference's bulk reports doc errors
-            # without failing the request)
-            items = [{k: {"_index": config.index_uid, "status": 400,
-                          "error": {"type":
-                                    "mapper_parsing_exception",
-                                    "reason": (doc_errors[i]["reason"]
-                                               if i < len(doc_errors)
-                                               else "invalid doc")}}}
-                     for i, k in enumerate(kinds)]
+            # without failing the request — items carry
+            # document_parsing_exception, es_compat bulk 0005)
             return {"took": int((_time.perf_counter() - t0) * 1000),
-                    "errors": True, "items": items}
+                    "errors": True,
+                    "items": _bulk_items(config.index_uid, kinds, ids,
+                                         "noop", 200, error_by_ord)}
     else:
         pdf = pd.DataFrame(docs)
     # full-strength content key: 4 bytes would birthday-collide after
@@ -1094,12 +1306,30 @@ def es_bulk(config, lines: list[dict],
         result = "noop"  # identical payload already published
     # each item is keyed by ITS action (clients read
     # resp["items"][i]["create"] for create lines); a replayed batch
-    # reports 200/noop, not a fabricated 201-created
+    # reports 200/noop, not a fabricated 201-created. Invalid docs get
+    # per-item 400s while the valid remainder still publishes.
     status = 201 if result == "created" else 200
-    items = [{k: {"_index": config.index_uid, "status": status,
-                  "result": result}} for k in kinds]
+    items = _bulk_items(config.index_uid, kinds, ids, result, status,
+                        error_by_ord)
     return {"took": int((_time.perf_counter() - t0) * 1000),
-            "errors": errors, "items": items}
+            "errors": errors or bool(error_by_ord), "items": items}
+
+
+def _bulk_items(index_uid: str, kinds: list, ids: list, result: str,
+                status: int, error_by_ord: dict) -> list:
+    items = []
+    for i, k in enumerate(kinds):
+        if i in error_by_ord:
+            body = {"_index": index_uid, "status": 400,
+                    "error": {"type": "document_parsing_exception",
+                              "reason": error_by_ord[i]}}
+        else:
+            body = {"_index": index_uid, "status": status,
+                    "result": result}
+        if ids[i] is not None:
+            body["_id"] = str(ids[i])
+        items.append({k: body})
+    return items
 
 
 def es_msearch(searcher, lines: list[dict],

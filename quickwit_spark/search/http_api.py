@@ -212,6 +212,7 @@ class SearchHttpServer:
         self.writable = writable
         self.configs = dict(configs or {})
         self._searchers: dict[str, IndexSearcher] = {}
+        self._union_scrolls: dict = {}  # multi-index scroll contexts
         self._lock = threading.Lock()
         self.metrics = _Metrics()
         outer = self
@@ -341,6 +342,15 @@ class SearchHttpServer:
                                         f"request: {e}"},
                     "message": f"resource vanished mid-request: {e}",
                     "status": 404}
+        except Exception as e:  # noqa: BLE001 — last-resort 500
+            # an unexpected executor/py4j error must produce an HTTP
+            # 500, never a dead socket (RemoteDisconnected tells the
+            # client nothing)
+            status = 500
+            msg = f"{type(e).__name__}: {str(e)[:2000]}"
+            resp = {"error": {"type": "internal_server_error",
+                              "reason": msg},
+                    "message": msg, "status": 500}
         if isinstance(resp, _RawBody):
             body, ctype = resp.data, resp.content_type
         else:
@@ -697,6 +707,19 @@ class SearchHttpServer:
 
     _spark_session = None
 
+    def _union_searcher(self, pattern: str):
+        from .multi import UnionSearcher, resolve_es_index_patterns
+        try:
+            names = resolve_es_index_patterns(
+                self.root_dir, pattern, self._list_indices())
+        except KeyError as e:
+            raise _ApiError(
+                404, f"no such index [{e.args[0]}]",
+                es_type="index_not_found_exception") from None
+        return UnionSearcher(
+            [os.path.join(self.root_dir, n) for n in names],
+            scroll_store=self._union_scrolls)
+
     def _attach_spark(self, searcher) -> None:
         """Aggregations execute as Spark plans (partial/final agg is
         THE scale path); a serving process lazily owns one local
@@ -856,7 +879,15 @@ class SearchHttpServer:
                 freed = sum(
                     es_dsl.es_clear_scroll(s, sid)["num_freed"]
                     for s in list(self._searchers.values()))
+                freed += 1 if self._union_scrolls.pop(sid, None) \
+                    is not None else 0
                 return 200, {"succeeded": True, "num_freed": freed}
+            uctx = self._union_scrolls.get(sid)
+            if uctx is not None:
+                from .multi import UnionSearcher
+                u = UnionSearcher(uctx["dirs"],
+                                  scroll_store=self._union_scrolls)
+                return 200, es_dsl.es_scroll(u, sid)
             resp = None
             for s in list(self._searchers.values()):
                 resp = es_dsl.es_scroll(s, sid)
@@ -884,13 +915,169 @@ class SearchHttpServer:
                 if not isinstance(index, str):
                     raise _ApiError(400, "global _msearch headers must "
                                          "name an index")
-                responses.append(
-                    es_dsl.es_search(self._searcher(index), body))
+                responses.append(es_dsl.es_search(
+                    self._searcher(index), body,
+                    extra_filters=params.get("extra_filters"),
+                    source_includes=params.get("_source_includes"),
+                    source_excludes=params.get("_source_excludes")))
             return 200, {"responses": responses}
-        if seg == ["_cat", "indices"]:
-            return 200, [row for name in self._list_indices()
-                         for row in es_dsl.es_cat_indices(
-                             self._searcher(name))]
+        if seg == ["_bulk"] and method in ("POST", "PUT"):
+            # global bulk: every action line names its index via
+            # `_index` (rest_handler.rs es_compat_bulk). Lines are
+            # grouped per index, one exactly-once segment publish per
+            # index; items come back in request order. A missing index
+            # auto-creates from a matching template; without one its
+            # items 404 while the other groups still publish.
+            if not self.writable:
+                raise _ApiError(
+                    403, "read-only API (start the server with "
+                         "writable=True)",
+                    es_type="cluster_block_exception")
+            lines = self._ndjson(raw)
+            groups: dict[str, list] = {}
+            order: list[tuple[str, int]] = []
+            for i in range(0, len(lines), 2):
+                action = lines[i]
+                lineno = i // 2 + 1
+                # validate the ACTION before complaining about a
+                # missing doc line: a lone malformed action must
+                # report the malformed line, like ES's streaming
+                # parser (es_compatibility/bulk/0002)
+                kind = ({"index", "create"} & set(action)) \
+                    if isinstance(action, dict) else set()
+                if not kind:
+                    raise _ApiError(
+                        400,
+                        f"Malformed action/metadata line [{lineno}], "
+                        f"expected START_OBJECT or END_OBJECT but "
+                        f"found [{list(action) if isinstance(action, dict) else action}]")
+                if i + 1 >= len(lines):
+                    raise _ApiError(
+                        400,
+                        f"Validation Failed: {lineno}: document "
+                        "line is missing;",
+                        es_type="action_request_validation_exception")
+                meta = action[next(iter(kind))]
+                target = meta.get("_index") \
+                    if isinstance(meta, dict) else None
+                if not isinstance(target, str):
+                    raise _ApiError(
+                        400,
+                        f"Validation Failed: {lineno}: index is "
+                        "missing;",
+                        es_type="action_request_validation_exception")
+                g = groups.setdefault(target, [])
+                order.append((target, len(g) // 2))
+                g.extend([action, lines[i + 1]])
+            t0 = __import__("time").perf_counter()
+            per_index: dict[str, list] = {}
+            errors = False
+            for target, glines in groups.items():
+                n_items = len(glines) // 2
+                kinds = ["create" if "create" in a else "index"
+                         for a in glines[0::2]]
+                try:
+                    mgmt_api.require_index(self.root_dir, target)
+                    cfg = self._config(target)
+                except mgmt_api.IndexNotFound:
+                    created = None
+                    try:
+                        created = mgmt_api.apply_template(
+                            self.root_dir, target)
+                    except mgmt_api.MgmtError as e:
+                        errors = True
+                        per_index[target] = [
+                            {k: {"_index": target, "status": 400,
+                                 "error": {"type":
+                                           "illegal_argument_"
+                                           "exception",
+                                           "reason": str(e)}}}
+                            for k in kinds]
+                        continue
+                    if created is None:
+                        errors = True
+                        per_index[target] = [
+                            {k: {"_index": target, "status": 404,
+                                 "error": {
+                                     "index": target,
+                                     "type": "index_not_found_"
+                                             "exception",
+                                     "reason": f"no such index "
+                                               f"[{target}]"}}}
+                            for k in kinds]
+                        continue
+                    cfg = self._config(target)
+                except mgmt_api.MgmtError as e:
+                    # illegal index name etc.
+                    errors = True
+                    per_index[target] = [
+                        {k: {"_index": target, "status": 400,
+                             "error": {"type":
+                                       "illegal_argument_exception",
+                                       "reason": str(e)}}}
+                        for k in kinds]
+                    continue
+                resp = es_dsl.es_bulk(cfg, glines)
+                errors = errors or resp.get("errors", False)
+                assert len(resp["items"]) == n_items
+                per_index[target] = resp["items"]
+                self._reload_searcher(target)
+            items = [per_index[t][j] for t, j in order]
+            return 200, {
+                "took": int((__import__("time").perf_counter() - t0)
+                            * 1000),
+                "errors": errors, "items": items}
+        if len(seg) == 1 and method == "DELETE" \
+                and not seg[0].startswith("_"):
+            # ES delete-index: comma list; a missing concrete name
+            # 404s unless ignore_unavailable (es_compatibility/0024)
+            if not self.writable:
+                raise _ApiError(
+                    403, "read-only API (start the server with "
+                         "writable=True)",
+                    es_type="cluster_block_exception")
+            names = [n for n in seg[0].split(",") if n]
+            existing = set(self._list_indices())
+            ignore = self._flag(params, "ignore_unavailable")
+            missing = [n for n in names if n not in existing]
+            if missing and not ignore:
+                raise _ApiError(
+                    404, f"no such index [{missing[0]}]",
+                    es_type="index_not_found_exception")
+            for n in names:
+                if n in existing:
+                    d = mgmt_api.require_index(self.root_dir, n)
+                    mgmt_api.delete_index(d)
+                    self._drop_searcher(n)
+            return 200, {"acknowledged": True}
+        if seg == ["_stats"] and method == "GET":
+            return 200, es_dsl.es_stats_multi(
+                [self._searcher(n) for n in self._list_indices()])
+        if seg[:2] == ["_cat", "indices"] and len(seg) <= 3:
+            # optional {index-or-pattern} third segment; `h=` column
+            # selection is a display hint (full rows are supersets).
+            # JSON output only, like the reference — and unsupported
+            # display params 400 (rest-api-tests 0021 steps 7-9)
+            if params.get("format") != "json":
+                raise _ApiError(
+                    400, "only `format=json` is supported for _cat")
+            bad = [k for k in params
+                   if k not in ("format", "h", "health", "s")]
+            if bad:
+                raise _ApiError(
+                    400, f"unsupported _cat parameter(s) {bad}")
+            import fnmatch as _fn
+            pats = [p for p in (seg[2].split(",") if len(seg) == 3
+                                else ["*"]) if p]
+            names = [n for n in self._list_indices()
+                     if any(_fn.fnmatch(n, p) for p in pats)]
+            rows = [row for name in sorted(names)
+                    for row in es_dsl.es_cat_indices(
+                        self._searcher(name))]
+            if "health" in params:
+                rows = [r for r in rows
+                        if r.get("health") == params["health"]]
+            return 200, rows
         if seg == ["_cluster", "health"]:
             return 200, es_dsl.es_cluster_health()
         if len(seg) == 3 and seg[:2] == ["_resolve", "index"]:
@@ -934,22 +1121,91 @@ class SearchHttpServer:
                 end_timestamp=end_ts)
         if len(seg) == 2:
             index, verb = seg
-            s = self._searcher(index)
+            if any(c in index for c in ",*?") and verb == "_stats":
+                import fnmatch as _fn
+                names = sorted(
+                    n for n in self._list_indices()
+                    if any(_fn.fnmatch(n, p)
+                           for p in index.split(",") if p))
+                return 200, es_dsl.es_stats_multi(
+                    [self._searcher(n) for n in names])
+            if any(c in index for c in ",*?") and verb in (
+                    "_search", "_count", "_msearch"):
+                # index PATTERNS (globs / comma lists / -exclusions):
+                # a UnionSearcher fans out and merges (root.rs index
+                # pattern resolution)
+                s = self._union_searcher(index)
+            else:
+                s = self._searcher(index)
             body = (None if verb in ("_msearch", "_bulk")
                     else self._json_body(raw))  # those two are NDJSON
             if verb == "_search":
+                # ES URI-search params override the body (the
+                # reference's SearchQueryParams: `q` replaces the body
+                # query entirely, es_compatibility/0002)
+                if any(k in params for k in ("q", "size", "from",
+                                             "sort")):
+                    body = dict(body or {})
+                    if "q" in params:
+                        body["query"] = {"query_string":
+                                         {"query": params["q"]}}
+                    if "size" in params:
+                        body["size"] = int(params["size"])
+                    if "from" in params:
+                        body["from"] = int(params["from"])
+                    if "sort" in params:
+                        # "field:desc,other:asc" comma form
+                        entries = []
+                        for part in str(params["sort"]).split(","):
+                            part = part.strip()
+                            if not part:
+                                continue
+                            if ":" in part:
+                                f, d = part.rsplit(":", 1)
+                                entries.append({f: {"order": d}})
+                            else:
+                                entries.append(part)
+                        body["sort"] = entries
                 if isinstance(body, dict) and (
                         body.get("aggs") or body.get("aggregations")):
                     self._attach_spark(s)
                 if "scroll" in params:
+                    if str(params.get("allow_partial_search_results",
+                                      "true")).lower() == "false":
+                        raise _ApiError(
+                            400,
+                            "Invalid argument: Quickwit only supports "
+                            "scroll API with "
+                            "allow_partial_search_results set to true")
+                    if es_dsl._parse_es_ttl(params["scroll"]) > 1800:
+                        raise _ApiError(
+                            400,
+                            "Invalid argument: Quickwit only supports "
+                            "scroll TTL period up to 1800 secs")
+                    if isinstance(body, dict) and body.get("sort") \
+                            and not hasattr(s, "_scroll_store"):
+                        # sorted scroll: page-based union contexts
+                        # (a union of one index scrolls identically)
+                        from .multi import UnionSearcher
+                        u = UnionSearcher(
+                            [os.path.join(self.root_dir, index)],
+                            scroll_store=self._union_scrolls)
+                        u.spark = getattr(s, "spark", None)
+                        s = u
                     return 200, es_dsl.es_scroll_search(
                         s, body, scroll=params["scroll"])
                 extra = params.get("extra_filters")
-                return 200, es_dsl.es_search(s, body,
-                                             extra_filters=extra)
+                return 200, es_dsl.es_search(
+                    s, body, extra_filters=extra,
+                    source_includes=params.get("_source_includes"),
+                    source_excludes=params.get("_source_excludes"))
             if verb == "_msearch":
                 return 200, es_dsl.es_msearch(s, self._ndjson(raw))
             if verb == "_count":
+                if "q" in params:
+                    body = dict(body or {})
+                    body["query"] = {"query_string":
+                                     {"query": params["q"]}}
                 return 200, es_dsl.es_count(s, body)
             if verb == "_mapping":
                 return 200, es_dsl.es_get_mapping(s)

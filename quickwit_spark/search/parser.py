@@ -254,6 +254,12 @@ class _Parser:
     def value_node(self, field: str, word: str) -> A.Node:
         if word == "*":
             return A.MatchAll()
+        # a BARE comparison applies to the default field
+        # (`default_field: actor.id, query: ">=123"` — 0005 step 20)
+        for op, key in ((">=", "gte"), ("<=", "lte"), (">", "gt"),
+                        ("<", "lt")):
+            if word.startswith(op) and len(word) > len(op):
+                return A.Range(field, **{key: word[len(op):]})
         word, boost = split_boost(word)
         if "*" in word or "?" in word:
             node: A.Node = A.Wildcard(field, word)

@@ -31,6 +31,7 @@ GREEN_SUITES = [
     "sort_orders",
     "aggregations",
     "es_field_capabilities",
+    "es_compatibility",
 ]
 
 

@@ -251,10 +251,16 @@ def test_query_string_fields_multi_field():
     (explicit,) = [c for c in node.must
                    if getattr(c, "field", None) == "lang"]
     assert explicit.field == "lang"
-    # single-entry fields list and bare-string form degrade to one field
+    # a single-entry fields list degrades to one field; the BARE
+    # STRING form is rejected like the reference (rest-api-tests
+    # 0005 step 3 — unlike multi_match, which accepts a string)
     one = es_to_ast({"query_string": {"query": "merge",
-                                      "fields": "path"}})
+                                      "fields": ["path"]}})
     assert one.field == "path"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fields"):
+        es_to_ast({"query_string": {"query": "merge",
+                                    "fields": "path"}})
 
 
 def test_fields_boost_syntax():

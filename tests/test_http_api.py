@@ -93,7 +93,9 @@ def test_es_msearch_ndjson(served):
 
 def test_es_admin_surfaces(served):
     srv, root = served
-    st, cat = _get(f"{srv.url}/api/v1/_elastic/_cat/indices")
+    # format=json is REQUIRED, like the reference (0021 step 7)
+    st, cat = _get(f"{srv.url}/api/v1/_elastic/_cat/indices"
+                   "?format=json")
     assert st == 200
     assert {r["index"] for r in cat} == {"alpha", "beta"}
 

@@ -82,6 +82,11 @@ def parse_rfc3339_millis(s: str) -> int | None:
     if not m:
         return None
     y, mo, d, h, mi, sec = (int(m.group(i)) for i in range(1, 7))
+    # timegm performs calendar arithmetic without validating ranges —
+    # "2015-13-45T99:99:99Z" would silently roll over
+    if not (1 <= mo <= 12 and 1 <= d <= 31 and h <= 23
+            and mi <= 59 and sec <= 60):
+        return None
     frac = m.group(7) or ""
     millis_frac = int((frac + "000")[:3]) if frac else 0
     try:

@@ -277,8 +277,16 @@ class SegmentReader:
         under mapped columns are excluded by the caller."""
         if self._src_kinds is not None:
             return self._src_kinds
-        # ensure sources are parsed
-        self.source_values("\x00__none__")
+        if self._src_docs is None:
+            raw = self.doc_column("__source")
+            docs = []
+            for sdoc in raw:
+                try:
+                    docs.append(json.loads(sdoc)
+                                if isinstance(sdoc, str) else None)
+                except json.JSONDecodeError:
+                    docs.append(None)
+            self._src_docs = docs
         kinds: dict[str, set] = {}
 
         def walk(prefix, node):

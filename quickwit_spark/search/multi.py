@@ -193,6 +193,15 @@ class _KeyWrap:
     def __lt__(self, other):
         return self.key < other.key
 
+    def __eq__(self, other):
+        # REQUIRED for multi-field tuple sorts: without __eq__, equal
+        # primary keys compare by object identity (False), so the
+        # tuple comparison would never consult the secondary key
+        return isinstance(other, _KeyWrap) and self.key == other.key
+
+    def __hash__(self):
+        return hash(self.key)
+
 
 class UnionSearcher:
     """One ES search over several indexes (the reference root resolves
@@ -274,10 +283,32 @@ class UnionSearcher:
         rows: list[tuple] = []
         total = 0
         max_score = None
+        # translate a global cursor into per-index cursors so each
+        # index fetches its top `need` rows AFTER the cursor (fetching
+        # without one would starve deep pages: the cursor could sit
+        # past every returned row). Global order is (score desc, uid
+        # desc, segment desc, doc desc): for an index ABOVE the
+        # cursor's uid every equal-score row is already consumed
+        # (sentinel seg "" excludes them); below it they all qualify
+        # (sentinel seg ￿ includes them).
+        per_index_sa: dict[str, tuple] = {}
+        if search_after is not None:
+            sc = float(search_after[0])
+            skey = str(search_after[1])
+            sdoc = int(search_after[2])
+            cuid, _, cseg = skey.partition("/")
+            for uid in self.uids:
+                if uid == cuid:
+                    per_index_sa[uid] = (sc, cseg, sdoc)
+                elif uid > cuid:
+                    per_index_sa[uid] = (sc, "", -1)
+                else:
+                    per_index_sa[uid] = (sc, "￿", 1 << 62)
         for uid, s in zip(self.uids, self.searchers):
             res = s.search(s.parse(query), k=need,
                            fetch_fields=fetch_fields,
-                           count_all=count_all)
+                           count_all=count_all,
+                           search_after=per_index_sa.get(uid))
             total += res.num_hits
             if res.max_score is not None:
                 max_score = res.max_score if max_score is None else \

@@ -369,6 +369,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _spark_df(s, pdf, "doc_id long")
     q["term_set_lang"] = term_set
 
+    def docmapper_dynamic_search(s, d):
+        """The session-9 doc-mapper path end to end: documents rows
+        re-nested as schemaless JSON ({"meta": {lang, source,
+        n_chars}}), ingested through a reference-shaped config (mode
+        dynamic, tokenizer default, fast normalizer lowercase,
+        autogenerated doc ids, __source storage), then queried over
+        the ES facade with dynamic-path predicates — a term on
+        meta.lang, a numeric range on meta.n_chars — and answered
+        from the dynamic namespace + stored source
+        (pipeline/doc_mapper.py; quickwit-doc-mapper analog)."""
+        import json as _json
+
+        from quickwit_spark.search import es_dsl, mgmt_api
+        tag = _cache_tag(d)
+        root = os.path.join(tempfile.gettempdir(),
+                            "qw_entry_docmapper", tag)
+        index_dir = os.path.join(root, "dmdocs")
+        if not os.path.exists(Manifest.path(index_dir)):
+            os.makedirs(root, exist_ok=True)
+            cfg_doc = {
+                "version": "0.7", "index_id": "dmdocs",
+                "doc_mapping": {
+                    "mode": "dynamic",
+                    "field_mappings": [
+                        {"name": "text", "type": "text",
+                         "tokenizer": "default",
+                         "record": "position"}],
+                    "dynamic_mapping": {
+                        "tokenizer": "default", "expand_dots": True,
+                        "fast": {"normalizer": "lowercase"},
+                        "record": "position"}}}
+            mgmt_api.create_index(root, cfg_doc)
+            cfg = mgmt_api.load_index_config(index_dir)
+            pdf0 = pd.read_parquet(
+                os.path.join(d, "documents.parquet"))
+            docs = [{"doc_id": int(r.doc_id), "text": r.text,
+                     "meta": {"lang": r.lang, "source": r.source,
+                              "n_chars": int(r.n_chars)}}
+                    for r in pdf0.itertuples()]
+            mgmt_api.ingest_ndjson(cfg, docs)
+        searcher = IndexSearcher(index_dir)
+        body = {"size": 10_000_000,
+                "query": {"bool": {"filter": [
+                    {"term": {"meta.lang": "en"}},
+                    {"range": {"meta.n_chars": {"gte": 200,
+                                                "lt": 400}}}]}}}
+        resp = es_dsl.es_search(searcher, body)
+        rows = sorted(
+            (int(h["_source"]["doc_id"]),
+             int(h["_source"]["meta"]["n_chars"]))
+            for h in resp["hits"]["hits"])
+        pdf = pd.DataFrame(rows, columns=["doc_id", "n_chars"])
+        return _spark_df(s, pdf, "doc_id long, n_chars long")
+    q["docmapper_dynamic_search"] = docmapper_dynamic_search
+
     def presence_range(s, d):
         _, _, searcher = _doc_index(d)
         node = A.Bool(filter=(A.FieldPresence("source"),
@@ -1637,6 +1692,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window at 50: aggs code untouched r4+r5, agg_terms_lang +
         # agg_date_histogram_events stay as in-window family reps)
         "iceberg_sync_search",
+        # new session 9: the doc-mapper ingest path (schemaless JSON
+        # through a reference-shaped config: autogenerated ids,
+        # dynamic namespace with the lowercase fast normalizer,
+        # __source-backed hits, ES-facade dynamic-path predicates) —
+        # text_quality_score demoted below to hold the window at 50:
+        # textstats.py is untouched this session and text_lang_id
+        # stays as the in-window family rep
+        "docmapper_dynamic_search",
         # changed-path: every row through SegmentReader / IndexSearcher
         "bm25_term_topk", "bm25_and_topk", "bm25_or_topk",
         "bm25_boost_or_topk", "bm25_filter_lang", "bm25_must_not",
@@ -1678,7 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine",
         "dedup_substr_windows",
         "ann_ivf_topk", "ann_pq_adc_topk",
-        "text_lang_id", "text_quality_score",
+        "text_lang_id",
         "agg_terms_lang", "agg_date_histogram_events",
         # past the 50-row window: green r4 (dedup_simhash_pairs,
         # dedup_clusters, dedup_substr_stats, strip_dup_spans,
@@ -1688,7 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_fingerprint — demoted for multimodal_jpeg_gray_stats)
         # or green r3 (remaining agg_* rows incl. agg_es_range_empty,
         # demoted for iceberg_sync_search), code untouched since
-        "dedup_exact", "agg_es_range_empty",
+        "dedup_exact", "agg_es_range_empty", "text_quality_score",
         "text_token_counts", "strip_boilerplate", "gopher_quality_filter",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs", "dedup_clusters", "dedup_substr_stats",
@@ -1722,6 +1785,10 @@ def oracle_sql() -> dict[str, str]:
                    "WHERE n_chars >= 150 AND n_chars < 350)")
     o["term_set_lang"] = ("SELECT doc_id FROM documents "
                           "WHERE lang IN ('fr','es') ORDER BY doc_id")
+    o["docmapper_dynamic_search"] = (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars >= 200 AND n_chars < 400 "
+        "ORDER BY doc_id")
     o["presence_and_range"] = (
         "SELECT doc_id FROM documents WHERE source IS NOT NULL "
         "AND n_chars >= 200 AND n_chars < 400 ORDER BY doc_id")

@@ -325,6 +325,38 @@ def main() -> None:
         queries["otlp_http_ingest_krecs_s"] = round(
             _n_rec * 3 / _t_ing / 1e3, 1)
 
+    # --- 1e. doc-mapper distributed schemaless ingest ---------------------
+    # raw JSON lines -> executor-side DocMapper projection -> segments
+    # (builder.build_index_json): the 100 TB path for reference-shaped
+    # configs; rate counts end-to-end wall incl. the manifest publish
+    with tempfile.TemporaryDirectory() as _dmroot:
+        import json as _json
+
+        from quickwit_spark.index.builder import build_index_json
+        _n_dm = 20_000
+        _lines = [(_json.dumps(
+            {"text": f"alpha bravo doc {i} payload {i % 97}",
+             "n": i, "meta": {"lang": "en" if i % 3 else "fr",
+                              "tags": ["a", "b"][: 1 + i % 2]}}),)
+            for i in range(_n_dm)]
+        _dmdf = spark.createDataFrame(_lines, "value string")
+        _cfg_doc = {
+            "version": "0.7", "index_id": "dmbench",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "text", "type": "text",
+                     "tokenizer": "default", "record": "position"},
+                    {"name": "n", "type": "u64", "fast": True}],
+                "dynamic_mapping": {"tokenizer": "default",
+                                    "expand_dots": True,
+                                    "fast": True}}}
+        t0 = time.perf_counter()
+        build_index_json(spark, _dmdf, _cfg_doc, _dmroot,
+                         num_partitions=8)
+        queries["docmapper_ingest_krecs_s"] = round(
+            _n_dm / (time.perf_counter() - t0) / 1e3, 1)
+
     # --- 2. BM25 query latency over the corpus index (distributed leaves) -
     searcher = IndexSearcher(cfg.index_dir)  # in-process leaf loop
     qset = {
@@ -552,7 +584,9 @@ def main() -> None:
                           "kafka_wire_", "cdc_",
                           # serving-layer rows (r5 session 8): ms /
                           # rate metrics, not headline seconds
-                          "http_search_", "otlp_http_"))]
+                          "http_search_", "otlp_http_",
+                          # doc-mapper ingest rate (r5 session 9)
+                          "docmapper_"))]
     total = round(sum(queries[n] for n in r1_comparable), 3)
     out = {
         "metric": "index-build + top-k BM25 query wall time",

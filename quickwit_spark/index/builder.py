@@ -652,7 +652,9 @@ def _builder_done_partitions(manifest: Manifest, num_partitions: int
 
 def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
                 wave_size: int = 64, max_waves: int | None = None,
-                input_routed: bool = False) -> Manifest:
+                input_routed: bool = False,
+                partition_transform=None,
+                router_tag: str | None = None) -> Manifest:
     """Distributed index build with per-partition checkpoints + resume.
 
     Partitions already recorded in the manifest checkpoint map are skipped
@@ -687,7 +689,8 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
     # pre-routed inputs must carry route_partitions-compatible _pid (the
     # content-addressed-segment identity documented below relies on it),
     # so both spark paths share the xxhash64 routing identity
-    manifest.claim_router(f"spark-xxhash64/p{num_partitions}")
+    manifest.claim_router(router_tag
+                          or f"spark-xxhash64/p{num_partitions}")
 
     segments_root = os.path.join(config.index_dir, "segments")
     os.makedirs(segments_root, exist_ok=True)
@@ -709,6 +712,14 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"manifest_json": []})
+        if partition_transform is not None:
+            # e.g. the doc-mapper projection of raw JSON lines into
+            # build columns (build_index_json) — runs INSIDE the
+            # executor task, so schemaless ingest scales with the
+            # cluster exactly like the structured path
+            pdf = partition_transform(pdf)
+            if len(pdf) == 0:
+                return pd.DataFrame({"manifest_json": []})
         rows = build_partition(pdf, cfg, segments_root)
         return pd.DataFrame({"manifest_json": [json.dumps(r) for r in rows]})
 
@@ -721,8 +732,12 @@ def build_index(spark, df, config: IndexConfig, num_partitions: int = 16,
         rows: list[dict] = []
         if len(pdf):
             for _pid, grp in pdf.groupby("_pid", sort=True):
-                rows.extend(build_partition(grp.reset_index(drop=True),
-                                            cfg, segments_root))
+                grp = grp.reset_index(drop=True)
+                if partition_transform is not None:
+                    grp = partition_transform(grp)
+                    if len(grp) == 0:
+                        continue
+                rows.extend(build_partition(grp, cfg, segments_root))
         yield pd.DataFrame(
             {"manifest_json": [json.dumps(r) for r in rows]})
 
@@ -825,3 +840,76 @@ def update_index(config: IndexConfig, schema_rev: str,
 
 def _stable_hash(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "little")
+
+
+def build_index_json(spark, json_df, config_doc: dict, root_dir: str,
+                     num_partitions: int = 16, wave_size: int = 64,
+                     max_waves: int | None = None,
+                     json_col: str = "value") -> Manifest:
+    """Distributed SCHEMALESS ingest: raw JSON documents -> a
+    doc-mapper index, projected INSIDE the executors.
+
+    This is the 100 TB path for reference-shaped configs (nested
+    object/json fields, dynamic mode, autogenerated ids): the HTTP
+    ingest endpoints project on the driver, one payload at a time —
+    here `spark.read.json`-style inputs fan the SAME
+    DocMapper.project across the cluster:
+
+        raw lines DF
+          -> _pid = xxhash64(line) % P          (content routing: a
+             retry re-hashes identical bytes to identical partitions)
+          -> repartition(P) -> mapInPandas      [executors: parse +
+             doc-mapper projection + segment build, no second shuffle]
+          -> manifest.publish per wave          [driver]
+
+    Determinism: each routing group's lines are SORTED before ids are
+    assigned, and the batch tag is the sha256 of the sorted content —
+    so segment ids are content-addressed regardless of shuffle arrival
+    order, re-running the same input is an exactly-once no-op, and
+    speculative task retries are harmless. Invalid docs (unparseable
+    JSON, doc-mapper rejections) are dropped per doc, exactly like the
+    HTTP path.
+
+    Reference anchor: doc_processor.rs (JSON decode + doc mapping in
+    the indexing pipeline) + the build/publish contract of
+    build_index above.
+    """
+    from pyspark.sql import functions as F
+
+    from ..search.mgmt_api import config_from_json
+    cfg = config_from_json(config_doc, root_dir)
+    mapper = cfg.__dict__.get("_mapper")
+    if mapper is None:
+        raise ValueError(
+            "build_index_json needs a reference-shaped config (no "
+            "doc_id_fields -> doc-mapper projection); structured "
+            "inputs with explicit doc keys go through build_index")
+
+    routed = (json_df
+              .select(F.col(json_col).cast("string").alias("_raw"))
+              .where(F.col("_raw").isNotNull())
+              .withColumn("_pid", F.pmod(F.xxhash64("_raw"),
+                                         F.lit(num_partitions))
+                          .cast("int"))
+              .repartition(num_partitions, "_pid"))
+
+    def _project(grp: pd.DataFrame) -> pd.DataFrame:
+        raw = sorted(grp["_raw"].tolist())
+        tag = hashlib.sha256("\n".join(raw).encode()).hexdigest()[:16]
+        docs = []
+        for line in raw:
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                d = None
+            # non-dicts (incl. unparseable lines) are DROPPED by the
+            # projection's per-doc error path, ordinals preserved
+            docs.append(d if isinstance(d, dict) else None)
+        pdf = mapper.project(docs, tag, errors=[])
+        pdf["_pid"] = int(grp["_pid"].iloc[0])
+        return pdf
+
+    return build_index(spark, routed, cfg, num_partitions=num_partitions,
+                       wave_size=wave_size, max_waves=max_waves,
+                       input_routed=True, partition_transform=_project,
+                       router_tag=f"spark-json-xxhash64/p{num_partitions}")

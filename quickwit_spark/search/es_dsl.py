@@ -1352,7 +1352,8 @@ def es_msearch(searcher, lines: list[dict],
     # aggs run separately and don't consume hits) share ONE distributed
     # leaf fan-out via search_many instead of N engine calls
     pre: dict[int, object] = {}
-    if getattr(searcher, "spark", None) is not None:
+    if getattr(searcher, "spark", None) is not None \
+            and hasattr(searcher, "search_many"):
         simple = [i for i, b in enumerate(bodies)
                   if not b.get("sort") and not b.get("search_after")]
         if len(simple) > 1:

@@ -340,16 +340,22 @@ class UnionSearcher:
                     sort_by: tuple = (("_score", "desc"),),
                     fetch_fields: bool = True, search_after=None,
                     count_all: bool = True) -> SearchResult:
-        if search_after is not None:
+        if search_after is not None \
+                and len(search_after) != len(sort_by):
             raise ValueError(
-                "multi-index sort search does not take cursors; "
-                "page with scroll or from/size")
+                "multi-index sort search takes ES VALUES-ONLY "
+                "search_after cursors (one value per sort field); "
+                "address cursors don't span indexes — page with "
+                "scroll instead")
         rows: list[tuple] = []
         total = 0
         for uid, s in zip(self.uids, self.searchers):
+            # a values-only cursor filters identically inside every
+            # index (strictly-after semantics are index-independent)
             res = s.sort_search(s.parse(query), k=k,
                                 sort_by=sort_by,
                                 fetch_fields=fetch_fields,
+                                search_after=search_after,
                                 count_all=count_all)
             total += res.num_hits
             rows.extend((uid, h) for h in res.hits)

@@ -83,3 +83,20 @@ def test_union_scroll_pages(dirs):
     with pytest.raises(KeyError):
         u.scroll_next(sid)
     assert len(first) == 3
+
+
+def test_union_sorted_values_only_cursor(dirs):
+    """ES values-only search_after pages a sorted union exactly (each
+    index applies the strictly-after filter natively)."""
+    u = UnionSearcher(dirs)
+    full = u.sort_search("*", k=10, sort_by=(("n", "asc"),))
+    import json as _j
+    ns = [_j.loads(h.doc["__source"]).get("n") for h in full.hits]
+    assert ns == [1, 1, 2, 3]
+    page2 = u.sort_search("*", k=10, sort_by=(("n", "asc"),),
+                          search_after=[1])
+    ns2 = [_j.loads(h.doc["__source"]).get("n") for h in page2.hits]
+    assert ns2 == [2, 3]
+    with pytest.raises(ValueError, match="address cursors"):
+        u.sort_search("*", k=2, sort_by=(("n", "asc"),),
+                      search_after=[1, "seg", 0])
